@@ -1,0 +1,117 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, then compares row counts, column sets and
+values (column-name-sorted, row-sorted — order-insensitive, like the
+driver's value-hash).  Exit code 0 iff everything matches.
+
+Usage:  python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from swiftlake_spark.queries import REGISTRY, _load_all  # noqa: E402
+from swiftlake_spark.queries.base import TABLES  # noqa: E402
+from swiftlake_spark.session import build_session  # noqa: E402
+from swiftlake_spark.config import EngineConfig  # noqa: E402
+
+
+def canon_value(v):
+    """Canonicalize a cell for comparison (mirrors FIXTURES.md §4)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        return repr(v)  # full precision — we demand bit-identical doubles
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return repr(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    _load_all()
+
+    spark = build_session(EngineConfig(app_name="oracle-check", cpus=8))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, qd in sorted(REGISTRY.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qd.fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if qd.oracle is None:
+            print(f"ok    {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(qd.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+
+        sc, sr = canon_rows(s_cols, s_rows)
+        dc, dr = canon_rows(d_cols, d_rows)
+        if sc != dc:
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={sc} duckdb={dc}")
+            continue
+        if len(sr) != len(dr):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(sr)} duckdb={len(dr)}")
+            continue
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if bad:
+            failures.append(name)
+            print(f"FAIL  {name}: {len(bad)}/{len(sr)} rows differ; first: spark={bad[0][0]} duckdb={bad[0][1]}")
+            continue
+        print(f"ok    {name}: {len(sr)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} queries pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

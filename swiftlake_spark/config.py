@@ -1,0 +1,64 @@
+"""Engine configuration.
+
+Mirrors the performance-relevant knobs of the reference engine
+(``SwiftLakeEngine.java:144-185``, ``BaseDataFileWriter.java:69-93`` — see
+SURVEY.md §6) translated to Spark terms.  The reference sizes DuckDB to 90%
+of RAM and all cores; on Spark those map to driver/executor memory and task
+slots, which the session factory applies.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _default_cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 4
+
+
+@dataclass
+class EngineConfig:
+    """Tunables for a SwiftLakeEngine session.
+
+    Defaults track the reference's published defaults (BASELINE.md §2)
+    where a Spark equivalent exists:
+
+    - parquet compression ZSTD  (reference ``write.parquet.compression-codec``)
+    - row-group size 122_880 rows (reference ``write.parquet.row-group-size``)
+    - target data-file size 512 MiB (Iceberg default the reference inherits)
+    - all cores, shuffle partitions = cores (reference ``threads`` = all cores)
+    """
+
+    app_name: str = "swiftlake-spark"
+    master: str | None = None            # default: local[cpus]
+    cpus: int = field(default_factory=_default_cpus)
+    shuffle_partitions: int | None = None  # default: = cpus in local mode
+    driver_memory: str | None = None       # e.g. "8g"; None = Spark default
+    session_timezone: str = "UTC"          # reference pins UTC (SwiftLakeEngine.java:426)
+    adaptive: bool = True
+    arrow: bool = True
+    broadcast_threshold: str = "64m"       # small-dim joins broadcast aggressively
+    max_partition_bytes: str = "128m"      # split large files into tasks
+
+    # write-path defaults (reference BaseDataFileWriter.java:69-93)
+    parquet_compression: str = "zstd"
+    row_group_size: int = 122_880
+    target_file_size_bytes: int = 512 * 1024 * 1024
+
+    # engine guards (reference IcebergScanExecutor.java:264-275,433-439)
+    allow_full_table_scan: bool = True
+    total_scan_size_limit_mib: int | None = None
+
+    extra_conf: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def effective_master(self) -> str:
+        return self.master or f"local[{self.cpus}]"
+
+    @property
+    def effective_shuffle_partitions(self) -> int:
+        return self.shuffle_partitions or self.cpus

@@ -1,0 +1,116 @@
+"""SwiftLakeEngine — the user-facing engine object.
+
+The Spark-first counterpart of the reference's ``SwiftLakeEngine``
+(``core/.../SwiftLakeEngine.java:82-151``): owns the session, resolves
+table names, runs SQL, and hands out DML builders.  Where the reference
+rewrites SQL so Iceberg tables become DuckDB ``read_parquet`` subqueries,
+here table names resolve to DataFrames registered as temp views and
+Catalyst does the rest — no string rewriting on the query path.
+
+Tables come from the engine's catalog (the snapshot-based lakehouse
+format in ``swiftlake_spark.tables``) or from raw parquet directories
+registered with :meth:`register_parquet`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from swiftlake_spark.config import EngineConfig
+from swiftlake_spark.session import build_session
+
+
+class SwiftLakeEngine:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        config: EngineConfig | None = None,
+        warehouse: str | None = None,
+    ) -> None:
+        self.config = config or EngineConfig()
+        self.spark = spark or build_session(self.config)
+        self.warehouse = warehouse
+        self._catalog = None
+
+    # -- catalog ----------------------------------------------------------
+    @property
+    def catalog(self):
+        if self._catalog is None:
+            if self.warehouse is None:
+                raise ValueError("engine has no warehouse; pass warehouse= to use tables")
+            from swiftlake_spark.tables.catalog import Catalog
+
+            self._catalog = Catalog(self.spark, self.warehouse)
+        return self._catalog
+
+    def table(self, name: str) -> DataFrame:
+        """Load a lakehouse table (supports time-travel suffix sugar —
+        ``db.t$timestamp_<ms>``, ``$snapshot_<id>``, ``$branch_<b>``,
+        ``$tag_<t>`` — mirroring the reference's name grammar,
+        sql/SqlQueryProcessor.java:371-402)."""
+        return self.catalog.load(name)
+
+    def register_parquet(self, view: str, path: str) -> DataFrame:
+        df = self.spark.read.parquet(path)
+        df.createOrReplaceTempView(view)
+        return df
+
+    def register_testdata(self, sf_dir: str) -> None:
+        from swiftlake_spark.queries.base import TABLES
+
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                self.register_parquet(t, p)
+
+    # -- query ------------------------------------------------------------
+    def sql(self, sql: str) -> DataFrame:
+        """Run SQL.  Lakehouse tables referenced as ``db.t`` (with optional
+        time-travel suffix) are resolved to temp views before Catalyst
+        sees the query."""
+        if self._catalog is not None:
+            sql = self._catalog.resolve_sql(sql)
+        return self.spark.sql(sql)
+
+    # -- DML builders (wired to the table format) -------------------------
+    def insert_into(self, table: str):
+        from swiftlake_spark.dml.insert import InsertBuilder
+
+        return InsertBuilder(self, table, overwrite=False)
+
+    def insert_overwrite(self, table: str):
+        from swiftlake_spark.dml.insert import InsertBuilder
+
+        return InsertBuilder(self, table, overwrite=True)
+
+    def update(self, table: str):
+        from swiftlake_spark.dml.update import UpdateBuilder
+
+        return UpdateBuilder(self, table)
+
+    def delete_from(self, table: str):
+        from swiftlake_spark.dml.delete import DeleteBuilder
+
+        return DeleteBuilder(self, table)
+
+    def apply_changes_as_scd1(self, table: str):
+        from swiftlake_spark.dml.scd1 import SCD1Builder
+
+        return SCD1Builder(self, table, mode="changes")
+
+    def apply_snapshot_as_scd1(self, table: str):
+        from swiftlake_spark.dml.scd1 import SCD1Builder
+
+        return SCD1Builder(self, table, mode="snapshot")
+
+    def apply_changes_as_scd2(self, table: str):
+        from swiftlake_spark.dml.scd2 import SCD2Builder
+
+        return SCD2Builder(self, table, mode="changes")
+
+    def apply_snapshot_as_scd2(self, table: str):
+        from swiftlake_spark.dml.scd2 import SCD2Builder
+
+        return SCD2Builder(self, table, mode="snapshot")

@@ -1,0 +1,134 @@
+"""Event-table query surface: batch windowing, sessionization, JSON props.
+
+The reference has no streaming (SURVEY.md §2.B last row); events are
+exercised with batch window/sessionization queries only, exactly as a
+100 TB event table would be rolled up in a scheduled batch job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from swiftlake_spark.queries import query
+from swiftlake_spark.queries.base import as_double, dec, load
+
+
+# --------------------------------------------------------------------------
+# q30 — tumbling-window rollup: 5-minute buckets per event type.  At scale
+# this is a single shuffle on (bucket, type) with map-side partial aggs.
+# --------------------------------------------------------------------------
+@query(
+    "q30_tumbling_window",
+    oracle="""
+SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS bucket_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+""",
+)
+def q30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 300) * 300)
+    return (
+        e.groupBy(bucket.alias("bucket_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.sum(dec("value", 28, 6))).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q31 — sessionization: gap > 30 min starts a new session; per-session
+# stats.  Window lag + conditional cumsum — the classic batch pattern;
+# partitions by user so it scales with user cardinality.
+# --------------------------------------------------------------------------
+@query(
+    "q31_sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts)  AS session_start,
+       MAX(ts)  AS session_end,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def q31_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # gap compare at microsecond precision (matches the oracle's
+    # INTERVAL comparison exactly; whole-second diffs would misplace
+    # boundaries when a gap is 1800.x s)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > 1_800_000_000)
+    ).cast("int")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = e.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(run).cast("int")
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000
+            )
+            .cast("bigint")
+            .alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q32 — JSON property extraction from the props column.
+# --------------------------------------------------------------------------
+@query(
+    "q32_json_props",
+    oracle="""
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, k_mod NULLS FIRST
+""",
+)
+def q32_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type", (k % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).cast("bigint").alias("k_sum"),
+        )
+        .orderBy("event_type", F.col("k_mod").asc_nulls_first())
+    )

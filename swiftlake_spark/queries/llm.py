@@ -1,0 +1,419 @@
+"""Training-data pipeline operators over ``documents`` / ``embeddings``.
+
+Beyond the reference's own surface (SURVEY.md §7 step 9): deduplication,
+text analysis, document fingerprinting and embedding similarity search —
+the operators a 100 TB LLM-data pipeline needs.  All are DataFrame→
+DataFrame, shuffle-partitioned, no driver materialization; the declared
+queries here are the oracle-checked entry points, the reusable operator
+API lives in ``swiftlake_spark.operators``.
+
+Hash-portability note: every hash used in an oracle-checked query is MD5
+(identical hex output in Spark and DuckDB).  Engine-internal variants
+(xxhash/murmur via ``F.hash``) are faster but engine-specific, so they
+appear only in rows-only-checked operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from swiftlake_spark.queries import query
+from swiftlake_spark.queries.base import as_double, dec, load
+
+
+# --------------------------------------------------------------------------
+# q40 — exact dedup accounting: per source, docs vs distinct contents.
+# Scale path: hash-groupBy on md5(text) — one shuffle, no data explosion.
+# --------------------------------------------------------------------------
+@query(
+    "q40_dedup_exact",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q41 — exact dedup keeper assignment: smallest doc_id per content hash
+# survives; emit the drop list.  This is the actual dedup operator shape.
+# --------------------------------------------------------------------------
+@query(
+    "q41_dedup_keeper",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, md5(text) AS content_hash,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         COUNT(*)    OVER (PARTITION BY md5(text)) AS group_size
+  FROM documents
+)
+SELECT doc_id, source, content_hash, group_size, (rn = 1) AS is_keeper
+FROM ranked
+WHERE group_size > 1 OR doc_id < 20
+ORDER BY doc_id
+""",
+)
+def q41_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
+    wp = W.partitionBy("content_hash")
+    ranked = d.withColumn("rn", F.row_number().over(wp.orderBy("doc_id"))).withColumn(
+        "group_size", F.count(F.lit(1)).over(wp)
+    )
+    return (
+        ranked.filter((F.col("group_size") > 1) | (F.col("doc_id") < 20))
+        .select(
+            "doc_id",
+            "source",
+            "content_hash",
+            "group_size",
+            (F.col("rn") == 1).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — text statistics: token counts, length stats, stopword ratio.
+# Tokenization = whitespace split (the BPE-ish regex variant is in
+# operators.text; this declared query uses the SQL-portable core).
+# --------------------------------------------------------------------------
+@query(
+    "q42_text_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         LEN(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS n_stop
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+       CAST(SUM(CAST(CAST(n_stop AS DOUBLE) / n_tokens AS DECIMAL(28,10))) AS DOUBLE)
+         / COUNT(*) AS avg_stopword_ratio,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens
+FROM toks
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q42_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w.isin("the", "a"))
+        ).alias("n_stop"),
+    )
+    ratio = (F.col("n_stop").cast("double") / F.col("n_tokens")).cast("decimal(28,10)")
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (as_double(F.sum(ratio)) / F.count(F.lit(1))).alias("avg_stopword_ratio"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — n-gram Jaccard near-dup candidates: 3-word shingles, exploded and
+# self-joined on shingle, pair similarity = |∩| / |∪|.  The shingle join is
+# the scale path (no O(n²) pairwise scan): candidates only where shingles
+# collide.  At 100 TB the same plan runs with a shuffle on shingle hash.
+# --------------------------------------------------------------------------
+@query(
+    "q43_ngram_jaccard",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 2, 0))) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+)
+def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = F.split("text", " ")
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(-1))),
+        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+    )
+    shingles = (
+        d.select("doc_id", F.explode(shingle_arr).alias("sh")).distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — document fingerprinting: content MD5 + min-shingle-hash signature
+# (the seed-0 row of a MinHash signature, string-min over md5 — portable).
+# --------------------------------------------------------------------------
+@query(
+    "q44_fingerprint",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100
+), shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 2, 0))) AS t(i)
+)
+SELECT d.doc_id,
+       md5(d.text) AS content_md5,
+       s.min_shingle_hash
+FROM documents d
+JOIN (SELECT doc_id, MIN(md5(sh)) AS min_shingle_hash FROM shingles GROUP BY doc_id) s
+  ON s.doc_id = d.doc_id
+WHERE d.doc_id < 100
+ORDER BY d.doc_id
+""",
+)
+def q44_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = F.split("text", " ")
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(-1))),
+        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+    )
+    sigs = (
+        d.select("doc_id", F.explode(shingle_arr).alias("sh"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("sh")).alias("min_shingle_hash"))
+    )
+    return (
+        d.join(sigs, "doc_id")
+        .select("doc_id", F.md5("text").alias("content_md5"), "min_shingle_hash")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — language-ID heuristic: marker-word profile scores.  (The dataset
+# carries a lang label; the operator recomputes a deterministic n-gram/
+# marker score so label vs predicted agreement is measurable.)
+# --------------------------------------------------------------------------
+@query(
+    "q45_langid_score",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         LEN(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS en_markers,
+         LEN(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(en_markers) AS BIGINT) AS total_en_markers,
+       CAST(SUM(CAST(CAST(en_markers AS DOUBLE) / n_tokens AS DECIMAL(28,10))) AS DOUBLE)
+         / COUNT(*) AS avg_en_score,
+       BOOL_OR(en_markers * 10 > n_tokens) AS any_en_like
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q45_langid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    en_markers = F.size(F.filter(toks, lambda w: w.isin("the", "a")))
+    scored = d.select(
+        "doc_id", "lang", en_markers.alias("en_markers"), F.size(toks).alias("n_tokens")
+    )
+    score = (F.col("en_markers").cast("double") / F.col("n_tokens")).cast("decimal(28,10)")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("en_markers").cast("bigint").alias("total_en_markers"),
+            (as_double(F.sum(score)) / F.count(F.lit(1))).alias("avg_en_score"),
+            F.max(F.col("en_markers") * 10 > F.col("n_tokens")).alias("any_en_like"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — brute-force cosine top-k: the ANN baseline.  Query vectors are a
+# fixed small set (vec_id < 3) broadcast against all embeddings; dot and
+# norms fold through DECIMAL so the result hash-matches bit-for-bit.
+# Scale path: broadcast-join (no shuffle of the big side), per-query
+# window top-k.  The IVF/LSH-bucketed variant lives in
+# operators.similarity (rows-only checked).
+# --------------------------------------------------------------------------
+@query(
+    "q46_cosine_topk",
+    oracle="""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS cand_id, e.label,
+         CAST(SUM(CAST(CAST(qe.x AS DOUBLE) * CAST(ee.x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(CAST(qe.x AS DOUBLE) * CAST(qe.x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) AS qq,
+         CAST(SUM(CAST(CAST(ee.x AS DOUBLE) * CAST(ee.x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) AS ee_
+  FROM embeddings q
+  JOIN embeddings e ON q.vec_id < 3 AND e.vec_id <> q.vec_id
+  CROSS JOIN UNNEST(generate_series(1, 64)) AS t(i)
+  CROSS JOIN LATERAL (SELECT q.embedding[i] AS x) qe
+  CROSS JOIN LATERAL (SELECT e.embedding[i] AS x) ee
+  GROUP BY q.vec_id, e.vec_id, e.label
+), scored AS (
+  SELECT query_id, cand_id, label,
+         dot / (SQRT(qq) * SQRT(ee_)) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (SQRT(qq) * SQRT(ee_)) DESC, cand_id) AS rn
+  FROM pairs
+)
+SELECT query_id, cand_id, label, cosine, rn
+FROM scored WHERE rn <= 5
+ORDER BY query_id, rn
+""",
+)
+def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label"), F.col("embedding").alias("e_emb")
+    )
+
+    def fold_dot(a, b):
+        prod = F.zip_with(
+            a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(20,12)")
+        )
+        return F.aggregate(
+            prod,
+            F.lit(0).cast("decimal(20,12)"),
+            lambda acc, x: (acc + x).cast("decimal(20,12)"),
+        ).cast("double")
+
+    pairs = (
+        e.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "label",
+            fold_dot(F.col("q_emb"), F.col("e_emb")).alias("dot"),
+            fold_dot(F.col("q_emb"), F.col("q_emb")).alias("qq"),
+            fold_dot(F.col("e_emb"), F.col("e_emb")).alias("ee_"),
+        )
+    )
+    cosine = F.col("dot") / (F.sqrt("qq") * F.sqrt("ee_"))
+    scored = pairs.select("query_id", "cand_id", "label", cosine.alias("cosine"))
+    wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q47 — embedding column stats: per-label counts, norm stats via exact
+# decimal folds — the profile step before clustering/IVF training.
+# --------------------------------------------------------------------------
+@query(
+    "q47_embedding_stats",
+    oracle="""
+WITH norms AS (
+  SELECT vec_id, label,
+         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) AS sq_norm
+  FROM embeddings, UNNEST(embedding) AS t(x)
+  GROUP BY vec_id, label
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(sq_norm AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS avg_sq_norm,
+       SQRT(MAX(sq_norm)) AS max_norm,
+       MIN(vec_id) AS first_vec
+FROM norms
+GROUP BY label
+ORDER BY label
+""",
+)
+def q47_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") * x.cast("double")).cast("decimal(20,12)"),
+        ),
+        F.lit(0).cast("decimal(20,12)"),
+        lambda acc, x: (acc + x).cast("decimal(20,12)"),
+    ).cast("double")
+    norms = emb.select("vec_id", "label", sq_norm.alias("sq_norm"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            # sq_norm is an exact scale-12 decimal round-tripped through
+            # double, so the cast back to decimal is lossless on both
+            # engines; summing a fresh SQRT through decimal would not be
+            # (double→decimal rounding differs across engines at ulp).
+            (as_double(F.sum(dec("sq_norm", 20, 12))) / F.count(F.lit(1))).alias(
+                "avg_sq_norm"
+            ),
+            F.sqrt(F.max("sq_norm")).alias("max_norm"),
+            F.min("vec_id").alias("first_vec"),
+        )
+        .orderBy("label")
+    )

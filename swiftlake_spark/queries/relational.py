@@ -1,0 +1,786 @@
+"""Relational query surface over the TPC-H-ish star schema.
+
+Covers SURVEY.md §2.B rows: scan/filter predicates, joins (inner, outer,
+semi, anti, cross, null-safe), aggregation (+HAVING, ROLLUP, DISTINCT),
+windows (ranking + analytics + frames), sort/limit/top-k, set ops,
+CTE/subqueries, scalar/string/datetime functions, nested types, NaN/NULL
+semantics.  Reference evidence for each shape is cited in SURVEY.md §2.B
+(the reference executes these in DuckDB post-rewrite;
+core/src/test/java/com/arcesium/swiftlake/SwiftLakeEngineIntegrationTest.java:305-560).
+
+Implementations are DataFrame-first so Catalyst handles pushdown and join
+strategy; at 100 TB the same plans hold: small dims (region/nation/
+supplier) broadcast, big joins (orders⋈lineitem) shuffle on their keys
+with AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from swiftlake_spark.queries import query
+from swiftlake_spark.queries.base import as_double, dec, load
+
+
+# --------------------------------------------------------------------------
+# q01 — TPC-H Q1 pricing summary: scan + filter pushdown + hash agg + sort.
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            as_double(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            as_double(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            as_double(F.sum(disc_price)).alias("sum_disc_price"),
+            as_double(F.sum(charge)).alias("sum_charge"),
+            (as_double(F.sum(dec("l_quantity"))) / n).alias("avg_qty"),
+            (as_double(F.sum(dec("l_extendedprice"))) / n).alias("avg_price"),
+            (as_double(F.sum(dec("l_discount"))) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — predicate surface: =, <, BETWEEN, IN, LIKE, IS NOT NULL, boolean mix.
+# Reference: SqlQueryProcessor.java:614-780 pushdown grammar.
+# --------------------------------------------------------------------------
+@query(
+    "q02_filter_predicates",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 1000.0 AND 150000.0
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderpriority LIKE '%URGENT%'
+  AND o_custkey IS NOT NULL
+  AND NOT (o_orderkey % 10 = 7)
+ORDER BY o_orderkey
+""",
+)
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("O", "F"))
+        .filter(F.col("o_totalprice").between(1000.0, 150000.0))
+        .filter(F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .filter(F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .filter(F.col("o_orderpriority").like("%URGENT%"))
+        .filter(F.col("o_custkey").isNotNull())
+        .filter(~(F.col("o_orderkey") % 10 == 7))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — multi-way join + agg + top-k (TPC-H Q3 shape).  customer is small →
+# broadcast; orders⋈lineitem shuffles on the join key.
+# --------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(as_double(F.sum(revenue)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — semi join (EXISTS).  Reference shape: IN-subquery tests
+# SwiftLakeEngineIntegrationTest.java:353-367.
+# --------------------------------------------------------------------------
+@query(
+    "q04_semi_join",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45.0
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45.0)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — anti join (NOT EXISTS): customers with no orders.
+# --------------------------------------------------------------------------
+@query(
+    "q05_anti_join",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — left outer join with NULL-aware aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "q06_left_outer_join",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+ORDER BY c_custkey
+""",
+)
+def q06_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            as_double(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — full outer join on a null-safe key (<=> ≙ IS NOT DISTINCT FROM).
+# Reference: null-safe key matching in all merges (common.xml:8-18).
+# --------------------------------------------------------------------------
+@query(
+    "q07_full_outer_nullsafe",
+    oracle="""
+WITH ca AS (
+  SELECT NULLIF(c_nationkey % 7, 3) AS k, COUNT(*) AS c_cnt
+  FROM customer GROUP BY NULLIF(c_nationkey % 7, 3)
+), sa AS (
+  SELECT NULLIF(s_nationkey % 7, 3) AS k, COUNT(*) AS s_cnt
+  FROM supplier GROUP BY NULLIF(s_nationkey % 7, 3)
+)
+SELECT COALESCE(ca.k, sa.k) AS k,
+       COALESCE(c_cnt, 0) AS c_cnt,
+       COALESCE(s_cnt, 0) AS s_cnt,
+       (ca.k IS NOT DISTINCT FROM sa.k) AS both_present
+FROM ca FULL OUTER JOIN sa ON ca.k IS NOT DISTINCT FROM sa.k
+ORDER BY k NULLS FIRST
+""",
+)
+def q07_full_outer_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    ca = c.groupBy(F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("k")).agg(
+        F.count(F.lit(1)).alias("c_cnt")
+    )
+    sa = s.groupBy(F.nullif(F.col("s_nationkey") % 7, F.lit(3)).alias("k")).agg(
+        F.count(F.lit(1)).alias("s_cnt")
+    )
+    joined = ca.alias("ca").join(sa.alias("sa"), F.col("ca.k").eqNullSafe(F.col("sa.k")), "full")
+    return joined.select(
+        F.coalesce(F.col("ca.k"), F.col("sa.k")).alias("k"),
+        F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
+        F.coalesce(F.col("s_cnt"), F.lit(0)).alias("s_cnt"),
+        F.col("ca.k").eqNullSafe(F.col("sa.k")).alias("both_present"),
+    ).orderBy(F.col("k").asc_nulls_first())
+
+
+# --------------------------------------------------------------------------
+# q08 — ranking window: top-3 orders per market segment.
+# Reference: ROW_NUMBER OVER tests SwiftLakeEngineIntegrationTest.java:471-530.
+# --------------------------------------------------------------------------
+@query(
+    "q08_window_topk_per_group",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON c_custkey = o_custkey
+) t WHERE rn <= 3
+ORDER BY c_mktsegment, rn
+""",
+)
+def q08_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — analytic windows: lag/lead/rank/dense_rank + running sum over a
+# frame.  Running sums go through DECIMAL so the fold is exact.
+# --------------------------------------------------------------------------
+@query(
+    "q09_window_analytics",
+    oracle="""
+SELECT event_id, user_id, value,
+       LAG(event_type)  OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       RANK()       OVER (PARTITION BY user_id ORDER BY value DESC) AS value_rank,
+       DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS type_drank,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+WHERE user_id % 10 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""",
+)
+def q09_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrank = W.partitionBy("user_id").orderBy(F.col("value").desc())
+    wtype = W.partitionBy("user_id").orderBy("event_type")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.rank().over(wrank).alias("value_rank"),
+            F.dense_rank().over(wtype).alias("type_drank"),
+            as_double(F.sum(dec("value", 28, 6)).over(run)).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — set operations: UNION (distinct), INTERSECT, EXCEPT.
+# Reference: UNION ALL BY NAME SchemaEvolution.java:216; UNION
+# partitioned_data.xml:21-23.
+# --------------------------------------------------------------------------
+@query(
+    "q10_set_ops",
+    oracle="""
+WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT nk, 'union' AS op FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+UNION ALL
+SELECT nk, 'intersect' AS op FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+UNION ALL
+SELECT nk, 'except' AS op FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+ORDER BY op, nk
+""",
+)
+def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    u = cn.union(sn).distinct().withColumn("op", F.lit("union"))
+    i = cn.intersect(sn).withColumn("op", F.lit("intersect"))
+    x = cn.exceptAll(sn).distinct().withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(x).orderBy("op", "nk")
+
+
+# --------------------------------------------------------------------------
+# q11 — CTE + IN-subquery + derived-table join (parts priced above the
+# average for their type).  Reference: CTE tests
+# SwiftLakeEngineIntegrationTest.java:531-560.
+# --------------------------------------------------------------------------
+@query(
+    "q11_cte_subquery",
+    oracle="""
+WITH type_avg AS (
+  SELECT p_type,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+  FROM part GROUP BY p_type
+)
+SELECT p.p_partkey, p.p_type, p.p_retailprice, t.avg_price
+FROM part p
+JOIN type_avg t ON p.p_type = t.p_type
+WHERE p.p_retailprice > t.avg_price
+  AND p.p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 30.0)
+ORDER BY p.p_partkey
+""",
+)
+def q11_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30.0)
+    type_avg = p.groupBy("p_type").agg(
+        (as_double(F.sum(dec("p_retailprice"))) / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        p.join(F.broadcast(type_avg), "p_type")
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .join(li.select(F.col("l_partkey").alias("p_partkey")).distinct(), "p_partkey", "left_semi")
+        .select("p_partkey", "p_type", "p_retailprice", "avg_price")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — ROLLUP grouping sets with GROUPING_ID.
+# --------------------------------------------------------------------------
+@query(
+    "q12_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            as_double(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — SELECT DISTINCT (reference: common.xml:62-69 distinct-values helper).
+# --------------------------------------------------------------------------
+@query(
+    "q13_distinct",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q13_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — scalar functions: CASE WHEN, COALESCE, NULLIF, ABS, arithmetic.
+# Reference: scd1_merge.xml:155-170 uses exactly these.
+# --------------------------------------------------------------------------
+@query(
+    "q14_case_scalar",
+    oracle="""
+SELECT price_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ABS(o_totalprice - 100000.0) AS DECIMAL(28,6))) AS DOUBLE) AS sum_abs_dev,
+       CAST(SUM(CAST(COALESCE(NULLIF(o_orderstatus, 'P'), 'X') = 'X' AS INTEGER)) AS BIGINT) AS n_pending
+FROM (
+  SELECT o_totalprice, o_orderstatus,
+         CASE WHEN o_totalprice < 50000.0  THEN 'low'
+              WHEN o_totalprice < 150000.0 THEN 'mid'
+              ELSE 'high' END AS price_bucket
+  FROM orders
+) t
+GROUP BY price_bucket
+ORDER BY price_bucket
+""",
+)
+def q14_case_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000.0, "low")
+        .when(F.col("o_totalprice") < 150000.0, "mid")
+        .otherwise("high")
+    )
+    pending = (
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("X")) == "X"
+    ).cast("int")
+    return (
+        o.withColumn("price_bucket", bucket)
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.sum(F.abs(F.col("o_totalprice") - 100000.0).cast("decimal(28,6)"))).alias(
+                "sum_abs_dev"
+            ),
+            F.sum(pending).cast("bigint").alias("n_pending"),
+        )
+        .orderBy("price_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — string functions: UPPER/LOWER, SUBSTRING, LENGTH, CONCAT, TRIM,
+# REPLACE, LIKE.  Reference passes the DuckDB string lib through
+# (README.md:723-727); these are the ANSI-stable core.
+# --------------------------------------------------------------------------
+@query(
+    "q15_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand)                         AS brand_u,
+       LOWER(p_type)                          AS type_l,
+       SUBSTRING(p_name, 1, 8)                AS name_prefix,
+       CAST(LENGTH(p_name) AS INTEGER)        AS name_len,
+       CONCAT(p_brand, ':', p_type)           AS brand_type,
+       REPLACE(p_type, ' ', '_')              AS type_snake,
+       TRIM(CONCAT(' ', p_brand, ' '))        AS brand_trim,
+       (p_name LIKE '%ol%')                   AS has_ol
+FROM part
+WHERE p_partkey <= 100
+ORDER BY p_partkey
+""",
+)
+def q15_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        F.col("p_name").like("%ol%").alias("has_ol"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# q16 — datetime functions: EXTRACT parts, date_trunc, interval arithmetic.
+# Reference: date/time literal + micros handling SqlQueryProcessor.java:1072-1170.
+# --------------------------------------------------------------------------
+@query(
+    "q16_datetime",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)  AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mon,
+       COUNT(*) AS n_orders,
+       MIN(CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)) AS month_start,
+       MAX(o_orderdate + INTERVAL 30 DAY)    AS max_plus_30d,
+       MIN(CAST(o_orderdate AS DATE))        AS min_day
+FROM orders
+GROUP BY EXTRACT(year FROM o_orderdate), EXTRACT(month FROM o_orderdate)
+ORDER BY yr, mon
+""",
+)
+def q16_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+            F.max(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("max_plus_30d"),
+            F.min(F.col("o_orderdate").cast("date")).alias("min_day"),
+        )
+        .orderBy("yr", "mon")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — nested types: array build/sort/fold, struct build + field access.
+# Reference: list/struct/map construction + comprehension rebuilds
+# (SchemaEvolution.java:538-583); nested access SqlQueryProcessor.java:806-843.
+# Scalars out, so the hash is representation-independent.
+# --------------------------------------------------------------------------
+@query(
+    "q17_nested_types",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         LIST_SORT(LIST(CAST(l_quantity AS INTEGER))) AS qtys,
+         {'flag': MIN(l_returnflag), 'status': MAX(l_linestatus)} AS meta
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(LEN(qtys) AS INTEGER)            AS n_items,
+       CAST(LIST_SUM(qtys) AS BIGINT)        AS qty_total,
+       qtys[1]                               AS qty_min,
+       qtys[-1]                              AS qty_max,
+       meta.flag                             AS flag,
+       meta.status                           AS status
+FROM per_order
+WHERE l_orderkey <= 200
+ORDER BY l_orderkey
+""",
+)
+def q17_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("qtys"),
+        F.struct(
+            F.min("l_returnflag").alias("flag"), F.max("l_linestatus").alias("status")
+        ).alias("meta"),
+    )
+    return (
+        per_order.filter(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey",
+            F.size("qtys").cast("int").alias("n_items"),
+            F.aggregate("qtys", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+                "qty_total"
+            ),
+            F.element_at("qtys", 1).alias("qty_min"),
+            F.element_at("qtys", -1).alias("qty_max"),
+            F.col("meta.flag").alias("flag"),
+            F.col("meta.status").alias("status"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — global top-k: ORDER BY … LIMIT (Spark TakeOrderedAndProject).
+# --------------------------------------------------------------------------
+@query(
+    "q18_topk_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — GROUP BY + HAVING (reference: SwiftLakeEngineIntegrationTest.java:316-331).
+# --------------------------------------------------------------------------
+@query(
+    "q19_having",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS n,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > 3
+ORDER BY c_nationkey
+""",
+)
+def q19_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.max(dec("c_acctbal"))).alias("max_bal"),
+        )
+        .filter(F.col("n") > 3)
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — cross join + theta filter (reference: ON (1=1) flag expansion,
+# partitioned_data.xml:20-24).
+# --------------------------------------------------------------------------
+@query(
+    "q20_cross_theta_join",
+    oracle="""
+SELECT r.r_regionkey, n.n_nationkey, r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+WHERE r.r_regionkey < n.n_regionkey
+ORDER BY r.r_regionkey, n.n_nationkey
+""",
+)
+def q20_cross_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .filter(F.col("r_regionkey") < F.col("n_regionkey"))
+        .select("r_regionkey", "n_nationkey", "r_name", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — NaN / ±inf semantics: NaN sorts greatest, NaN==NaN in grouping,
+# isnan; inf arithmetic.  Reference: Expressions.java:144-231 +
+# SwiftLakeEngineIntegrationTest.java:162-238 (fp special values).
+# Inline VALUES source (README.md:153-156).
+# --------------------------------------------------------------------------
+@query(
+    "q21_float_special",
+    oracle="""
+WITH v(id, x) AS (VALUES
+  (1, CAST(1.5 AS DOUBLE)), (2, CAST(-1.5 AS DOUBLE)), (3, CAST(0.0 AS DOUBLE)),
+  (4, CAST('inf' AS DOUBLE)), (5, CAST('-inf' AS DOUBLE)), (6, CAST('nan' AS DOUBLE)),
+  (7, CAST('nan' AS DOUBLE)), (8, NULL))
+SELECT x,
+       COUNT(*)   AS n,
+       MIN(id)    AS min_id,
+       BOOL_OR(COALESCE(ISNAN(x), FALSE))          AS any_nan,
+       BOOL_OR(COALESCE(x = 'inf'::DOUBLE, FALSE)) AS any_posinf,
+       BOOL_OR(COALESCE(ISNAN(x * 0.0), FALSE))    AS inf_times_zero_nan
+FROM v
+GROUP BY x
+ORDER BY x NULLS FIRST
+""",
+)
+def q21_float_special(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = spark.sql(
+        """
+        SELECT id, x FROM VALUES
+          (1, CAST(1.5 AS DOUBLE)), (2, CAST(-1.5 AS DOUBLE)), (3, CAST(0.0 AS DOUBLE)),
+          (4, CAST('inf' AS DOUBLE)), (5, CAST('-inf' AS DOUBLE)), (6, CAST('nan' AS DOUBLE)),
+          (7, CAST('nan' AS DOUBLE)), (8, CAST(NULL AS DOUBLE)) AS v(id, x)
+        """
+    )
+    return (
+        v.groupBy("x")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("min_id"),
+            F.max(F.coalesce(F.isnan("x"), F.lit(False))).alias("any_nan"),
+            F.max(F.coalesce(F.col("x") == F.lit(float("inf")), F.lit(False))).alias(
+                "any_posinf"
+            ),
+            F.max(F.coalesce(F.isnan(F.col("x") * 0.0), F.lit(False))).alias(
+                "inf_times_zero_nan"
+            ),
+        )
+        .orderBy(F.col("x").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — NULL three-valued logic + IS [NOT] DISTINCT FROM on literals.
+# Reference semantics: SURVEY.md §2.C.1/3.
+# --------------------------------------------------------------------------
+@query(
+    "q22_null_semantics",
+    oracle="""
+WITH v(id, a, b) AS (VALUES
+  (1, 1, 1), (2, 1, 2), (3, 1, NULL), (4, NULL, NULL), (5, NULL, 2))
+SELECT id, a, b,
+       (a = b)                    AS eq,
+       (a IS NOT DISTINCT FROM b) AS nseq,
+       (a IS DISTINCT FROM b)     AS nsne,
+       (a IS NULL)                AS a_null,
+       COALESCE(a, b, -1)         AS first_non_null,
+       (a IN (1, 2))              AS a_in,
+       CASE WHEN a > b THEN 'gt' WHEN a <= b THEN 'le' ELSE 'unknown' END AS cmp3vl
+FROM v
+ORDER BY id
+""",
+)
+def q22_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = spark.sql(
+        "SELECT id, a, b FROM VALUES (1, 1, 1), (2, 1, 2), (3, 1, CAST(NULL AS INT)),"
+        " (4, CAST(NULL AS INT), CAST(NULL AS INT)), (5, CAST(NULL AS INT), 2) AS v(id, a, b)"
+    )
+    a, b = F.col("a"), F.col("b")
+    return v.select(
+        "id",
+        "a",
+        "b",
+        (a == b).alias("eq"),
+        a.eqNullSafe(b).alias("nseq"),
+        (~a.eqNullSafe(b)).alias("nsne"),
+        a.isNull().alias("a_null"),
+        F.coalesce(a, b, F.lit(-1)).alias("first_non_null"),
+        a.isin(1, 2).alias("a_in"),
+        F.when(a > b, "gt").when(a <= b, "le").otherwise("unknown").alias("cmp3vl"),
+    ).orderBy("id")
