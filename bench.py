@@ -1,0 +1,71 @@
+"""Benchmark harness — runs the declared query surface and prints ONE JSON line.
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Env:
+  SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default: all cores)
+  BENCH_QUERIES       comma-separated subset (default: all)
+
+Each query executes end-to-end with a `noop` sink (full plan incl. sort,
+no serialization to the driver beyond Spark's own).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from swiftlake_spark.config import EngineConfig
+    from swiftlake_spark.session import build_session
+    from swiftlake_spark.queries import all_queries
+
+    spark = build_session(EngineConfig(app_name="swiftlake-bench"))
+    qs = all_queries()
+    subset = os.environ.get("BENCH_QUERIES")
+    if subset:
+        names = [n.strip() for n in subset.split(",") if n.strip()]
+    else:
+        names = sorted(qs)
+
+    # warm the JVM + parquet footers with a trivial action (not timed)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared-query-surface wall clock (noop sink)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
