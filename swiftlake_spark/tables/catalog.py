@@ -1,0 +1,165 @@
+"""Directory catalog: ``warehouse/<db>/<table>`` with time-travel name sugar.
+
+Counterpart of the reference's hadoop-catalog usage plus its table-name
+grammar — ``db.t$timestamp_<epoch_ms>``, ``$snapshot_<id>``,
+``$branch_<name>``, ``$tag_<name>`` (sql/SqlQueryProcessor.java:371-402,
+sql/TimeTravelOptions.java:24-45, README.md:744-757).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from swiftlake_spark.tables.metadata import (
+    TableMetadata,
+    load_metadata,
+    write_new_version,
+)
+from swiftlake_spark.tables.table import Table
+from swiftlake_spark.tables.transforms import parse_spec
+
+_SUFFIX_RE = re.compile(
+    r"^(?P<base>[\w.]+?)(?:\$(?P<kind>timestamp|snapshot|branch|tag)_(?P<arg>[\w.-]+))?$"
+)
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------- ddl
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType | str,
+        partition_spec: list[str] | None = None,
+        sort_order: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> Table:
+        """``name`` is ``db.table``; ``partition_spec`` uses Spark-DDL
+        transform terms (``bucket(16, c)``, ``days → day(c)`` etc.);
+        ``sort_order`` items are ``"col [ASC|DESC] [NULLS FIRST|LAST]"``."""
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        location = self._location(name)
+        if os.path.exists(os.path.join(location, "metadata")):
+            raise ValueError(f"table {name} already exists")
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        spec = [
+            {"name": t.name, "source": t.source, "param": t.param}
+            for t in (parse_spec(s) for s in (partition_spec or []))
+        ]
+        for d in spec:
+            if d["source"] not in schema.fieldNames():
+                raise ValueError(f"partition source column {d['source']!r} not in schema")
+        meta = TableMetadata(
+            table_uuid=uuid.uuid4().hex,
+            location=location,
+            schema_json=schema.jsonValue(),
+            partition_spec=spec,
+            sort_order=[_parse_sort(s) for s in (sort_order or [])],
+            properties=properties or {},
+            snapshots=[],
+            refs={},
+            version=0,
+        )
+        # v1 is the create (version counter starts at 0 → claim v1)
+        write_new_version(meta)
+        return Table(self.spark, meta)
+
+    def drop_table(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._location(name))
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._location(name), "metadata"))
+
+    def list_tables(self) -> list[str]:
+        out = []
+        for db in sorted(os.listdir(self.warehouse)):
+            dbdir = os.path.join(self.warehouse, db)
+            if not os.path.isdir(dbdir):
+                continue
+            for t in sorted(os.listdir(dbdir)):
+                if os.path.exists(os.path.join(dbdir, t, "metadata")):
+                    out.append(f"{db}.{t}")
+        return out
+
+    # ------------------------------------------------------------- read
+    def table(self, name: str) -> Table:
+        base, _, _ = self._parse_name(name)
+        return Table(self.spark, load_metadata(self._location(base)))
+
+    def load(self, name: str, filter=None) -> DataFrame:
+        """Load a table as a DataFrame, honoring time-travel suffixes."""
+        base, kind, arg = self._parse_name(name)
+        t = Table(self.spark, load_metadata(self._location(base)))
+        kwargs: dict[str, Any] = {}
+        if kind == "timestamp":
+            kwargs["as_of_ms"] = int(arg)
+        elif kind == "snapshot":
+            kwargs["snapshot_id"] = int(arg)
+        elif kind == "branch":
+            kwargs["branch"] = arg
+        elif kind == "tag":
+            kwargs["tag"] = arg
+        return t.scan(filter, **kwargs)
+
+    # -------------------------------------------------------------- sql
+    def resolve_sql(self, sql: str) -> str:
+        """Replace ``db.table[$suffix]`` references with registered temp
+        views so ``spark.sql`` can run the query.  The Spark analog of the
+        reference's placeholder rewrite (SqlQueryProcessor.java:130-236) —
+        except Catalyst does all real analysis; we only bridge names."""
+        pattern = re.compile(
+            r"(?<![\w.])([A-Za-z_]\w*\.[A-Za-z_]\w*(?:\$(?:timestamp|snapshot|branch|tag)_[\w.-]+)?)"
+        )
+
+        def repl(m: re.Match) -> str:
+            ref = m.group(1)
+            base = ref.split("$")[0]
+            if not self.table_exists(base):
+                return ref
+            view = "swl_" + re.sub(r"[^\w]", "_", ref)
+            self.load(ref).createOrReplaceTempView(view)
+            return view
+
+        return pattern.sub(repl, sql)
+
+    # ----------------------------------------------------------- helpers
+    def _location(self, name: str) -> str:
+        parts = name.split(".")
+        if len(parts) != 2:
+            raise ValueError(f"table name must be db.table, got {name!r}")
+        return os.path.join(self.warehouse, *parts)
+
+    @staticmethod
+    def _parse_name(name: str) -> tuple[str, str | None, str | None]:
+        m = _SUFFIX_RE.match(name)
+        if not m:
+            raise ValueError(f"bad table name {name!r}")
+        return m.group("base"), m.group("kind"), m.group("arg")
+
+
+def _parse_sort(s: str) -> dict:
+    toks = s.split()
+    col = toks[0]
+    asc = True
+    nulls_first: bool | None = None
+    up = [t.upper() for t in toks[1:]]
+    if "DESC" in up:
+        asc = False
+    if "NULLS" in up:
+        nulls_first = up[up.index("NULLS") + 1] == "FIRST"
+    if nulls_first is None:
+        nulls_first = asc
+    return {"col": col, "asc": asc, "nulls_first": nulls_first}

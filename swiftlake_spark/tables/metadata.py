@@ -1,0 +1,225 @@
+"""Table metadata: versioned JSON + snapshot log + manifests.
+
+Layout (``warehouse/db/table/``)::
+
+    metadata/v<N>.json        table metadata (schema, spec, snapshot log)
+    metadata/manifest-<snapshot_id>.json   full file list of that snapshot
+    metadata/version-hint.txt current N (advisory; vN claim is the commit)
+    data/<commit-uuid>/...    parquet data files
+
+Commit protocol: write ``v<N+1>.json`` with O_CREAT|O_EXCL — the create
+IS the atomic claim (same shape as Iceberg's hadoop catalog rename
+protocol; reference commits via Iceberg writer/Transaction.java:198-298).
+Losers reload, re-validate against the new current snapshot, retry.
+
+Scale note: manifests are one JSON per snapshot holding (path, records,
+size, partition tuple, per-column min/max/nulls) — the same content
+Iceberg keeps in avro manifests.  The interfaces hand out iterators, so
+swapping to a columnar manifest format touches only this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from swiftlake_spark.tables.expressions import FileStatsView
+
+
+class CommitConflict(Exception):
+    """Another writer committed an incompatible change."""
+
+
+class ValidationError(Exception):
+    """Engine-level validation failure (reference ValidationException)."""
+
+
+@dataclass
+class ManifestEntry:
+    path: str  # relative to table root
+    records: int
+    size_bytes: int
+    partition: dict[str, Any] = field(default_factory=dict)
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def stats_view(self) -> FileStatsView:
+        return FileStatsView(self.partition, self.stats, self.records)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "records": self.records,
+            "size_bytes": self.size_bytes,
+            "partition": self.partition,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "ManifestEntry":
+        return ManifestEntry(
+            d["path"], d["records"], d["size_bytes"], d.get("partition", {}), d.get("stats", {})
+        )
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | overwrite | delete | replace
+    manifest: str  # metadata/manifest-<id>.json
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "manifest": self.manifest,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            d["snapshot_id"], d.get("parent_id"), d["timestamp_ms"],
+            d["operation"], d["manifest"], d.get("summary", {}),
+        )
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    location: str  # absolute table root
+    schema_json: dict  # Spark StructType json
+    partition_spec: list[dict]  # [{"name","source","param"}]
+    sort_order: list[dict]  # [{"col","asc","nulls_first"}]
+    properties: dict[str, str]
+    snapshots: list[Snapshot]
+    refs: dict[str, int]  # "main" / "branch:x" / "tag:x" → snapshot_id
+    version: int = 0
+
+    # ------------------------------------------------------------------ io
+    @property
+    def metadata_dir(self) -> str:
+        return os.path.join(self.location, "metadata")
+
+    def snapshot_by_id(self, sid: int) -> Snapshot:
+        for s in self.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        raise ValueError(f"unknown snapshot {sid}")
+
+    def current_snapshot(self, branch: str = "main") -> Snapshot | None:
+        key = branch if branch == "main" else f"branch:{branch}"
+        sid = self.refs.get(key)
+        return None if sid is None else self.snapshot_by_id(sid)
+
+    def snapshot_as_of(self, ts_ms: int, branch: str = "main") -> Snapshot | None:
+        """Latest ancestor of the branch head with timestamp <= ts_ms."""
+        s = self.current_snapshot(branch)
+        by_id = {x.snapshot_id: x for x in self.snapshots}
+        while s is not None and s.timestamp_ms > ts_ms:
+            s = by_id.get(s.parent_id) if s.parent_id is not None else None
+        return s
+
+    def read_manifest(self, snapshot: Snapshot | None) -> list[ManifestEntry]:
+        if snapshot is None:
+            return []
+        with open(os.path.join(self.location, snapshot.manifest)) as f:
+            return [ManifestEntry.from_json(d) for d in json.load(f)]
+
+    def to_json(self) -> dict:
+        return {
+            "format_version": 1,
+            "table_uuid": self.table_uuid,
+            "location": self.location,
+            "schema": self.schema_json,
+            "partition_spec": self.partition_spec,
+            "sort_order": self.sort_order,
+            "properties": self.properties,
+            "snapshots": [s.to_json() for s in self.snapshots],
+            "refs": self.refs,
+        }
+
+    @staticmethod
+    def from_json(d: dict, version: int) -> "TableMetadata":
+        return TableMetadata(
+            table_uuid=d["table_uuid"],
+            location=d["location"],
+            schema_json=d["schema"],
+            partition_spec=d["partition_spec"],
+            sort_order=d.get("sort_order", []),
+            properties=d.get("properties", {}),
+            snapshots=[Snapshot.from_json(s) for s in d.get("snapshots", [])],
+            refs=d.get("refs", {}),
+            version=version,
+        )
+
+
+# ---------------------------------------------------------------------- io
+
+def load_metadata(location: str) -> TableMetadata:
+    mdir = os.path.join(location, "metadata")
+    version = _current_version(mdir)
+    if version is None:
+        raise FileNotFoundError(f"no table at {location}")
+    with open(os.path.join(mdir, f"v{version}.json")) as f:
+        return TableMetadata.from_json(json.load(f), version)
+
+
+def _current_version(mdir: str) -> int | None:
+    """Highest vN.json present (version-hint is advisory only)."""
+    try:
+        hint = int(open(os.path.join(mdir, "version-hint.txt")).read().strip())
+    except (FileNotFoundError, ValueError):
+        hint = 0
+    v = hint
+    while os.path.exists(os.path.join(mdir, f"v{v + 1}.json")):
+        v += 1
+    return v if os.path.exists(os.path.join(mdir, f"v{v}.json")) else None
+
+
+def write_new_version(meta: TableMetadata) -> TableMetadata:
+    """Atomically claim the next metadata version.  Raises CommitConflict
+    if someone else got there first."""
+    mdir = meta.metadata_dir
+    os.makedirs(mdir, exist_ok=True)
+    next_v = meta.version + 1
+    path = os.path.join(mdir, f"v{next_v}.json")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise CommitConflict(f"metadata version v{next_v} already committed") from exc
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta.to_json(), f, indent=1, default=str)
+    tmp = os.path.join(mdir, f".hint.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(next_v))
+    os.replace(tmp, os.path.join(mdir, "version-hint.txt"))
+    meta.version = next_v
+    return meta
+
+
+def write_manifest(location: str, snapshot_id: int, entries: Iterable[ManifestEntry]) -> str:
+    # the uuid keeps concurrent committers from clobbering each other's
+    # manifest when they race for the same snapshot id (the loser's
+    # metadata write fails, but its manifest file must not damage the
+    # winner's)
+    rel = os.path.join("metadata", f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.json")
+    with open(os.path.join(location, rel), "w") as f:
+        json.dump([e.to_json() for e in entries], f, default=str)
+    return rel
+
+
+def new_snapshot_id(meta: TableMetadata) -> int:
+    return (max((s.snapshot_id for s in meta.snapshots), default=0)) + 1
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)

@@ -1,0 +1,484 @@
+"""Table: pruned scans, transactional writes, copy-on-write DML.
+
+Spark-first re-design of the reference's scan/write machinery
+(SURVEY.md §2.A):
+
+- scan      ≙ A1/A2: manifest pruning (partition projection + min/max
+  stats) before Spark ever lists a file; residual filter compiled to a
+  Catalyst Column so parquet row-group pruning also applies.
+- append    ≙ A10/A18/A19/A20: hash-distributed partitioned write with
+  in-partition sort, footer stats harvested into the manifest.
+- overwrite ≙ A11: strict filter overwrite — a file that only partially
+  matches fails the commit (writer/Transaction.java:266-278).
+- update    ≙ A12: distinct-touched-file probe, rewrite only those files
+  with CASE WHEN (commands/Update.java:125-210, dao/update.xml:10-24).
+- delete    ≙ A13: files fully covered by the predicate are dropped from
+  the manifest without being read; partially-matching files rewritten
+  with NOT(cond) (commands/Delete.java:106-180).
+- commit    ≙ A21: optimistic metadata-version claim, retry loop with
+  conflict validation (deleted files must still exist; SERIALIZABLE
+  additionally rejects concurrently-added files matching the conflict
+  filter).
+
+Scale notes: data moves only through Spark jobs (no collect of rows —
+the only driver materialization is file *names*, same as the reference's
+distinct-filename probe); writes distribute by partition hash; the
+manifest prune is O(files) driver-side, the same cost Iceberg pays.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import urllib.parse
+import uuid
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from swiftlake_spark.tables import expressions as E
+from swiftlake_spark.tables.expressions import Expr, FileStatsView
+from swiftlake_spark.tables.metadata import (
+    CommitConflict,
+    ManifestEntry,
+    Snapshot,
+    TableMetadata,
+    ValidationError,
+    load_metadata,
+    new_snapshot_id,
+    now_ms as _now_ms,
+    write_manifest,
+    write_new_version,
+)
+from swiftlake_spark.tables.transforms import Transform
+
+_PCOL = "__p__"  # physical partition-column prefix (keeps source cols in files)
+_MAX_COMMIT_RETRIES = 5
+
+
+class Table:
+    def __init__(self, spark: SparkSession, meta: TableMetadata) -> None:
+        self.spark = spark
+        self.meta = meta
+
+    # ------------------------------------------------------------ basics
+    @property
+    def location(self) -> str:
+        return self.meta.location
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.meta.schema_json)
+
+    @property
+    def transforms(self) -> list[Transform]:
+        return [
+            Transform(d["name"], d["source"], d.get("param"))
+            for d in self.meta.partition_spec
+        ]
+
+    def refresh(self) -> "Table":
+        self.meta = load_metadata(self.meta.location)
+        return self
+
+    def _dtype(self, col: str) -> str:
+        return self.schema[col].dataType.simpleString()
+
+    # ------------------------------------------------------------ scan
+    def scan(
+        self,
+        filter: Expr | None = None,
+        *,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        branch: str = "main",
+        tag: str | None = None,
+        with_file_name: bool = False,
+    ) -> DataFrame:
+        """Pruned read.  ``filter`` prunes at the manifest level AND is
+        applied as a row filter (files may contain non-matching rows)."""
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms, branch, tag)
+        entries = self.meta.read_manifest(snap)
+        entries = self.prune(entries, filter)
+        df = self._read_entries(entries, with_file_name=with_file_name)
+        if filter is not None:
+            df = df.filter(filter.column())
+        return df
+
+    def prune(
+        self, entries: list[ManifestEntry], filter: Expr | None
+    ) -> list[ManifestEntry]:
+        if filter is None or isinstance(filter, E.AlwaysTrue):
+            return entries
+        # inclusive partition projection for every transform, ANDed with
+        # direct stats evaluation of the source predicate
+        projected: Expr = filter
+        for t in self.transforms:
+            projected = E.and_(projected, t.project(filter))
+        return [e for e in entries if projected.eval_stats(e.stats_view()) is not False]
+
+    def _read_entries(
+        self, entries: list[ManifestEntry], with_file_name: bool = False
+    ) -> DataFrame:
+        schema = self.schema
+        if not entries:
+            df = self.spark.createDataFrame([], schema)
+            return df.withColumn("_file", F.lit(None).cast("string")) if with_file_name else df
+        paths = [os.path.join(self.location, e.path) for e in entries]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if with_file_name:
+            df = df.withColumn("_file", F.input_file_name())
+        return df
+
+    def _resolve_snapshot(
+        self,
+        snapshot_id: int | None,
+        as_of_ms: int | None,
+        branch: str,
+        tag: str | None,
+    ) -> Snapshot | None:
+        if snapshot_id is not None:
+            return self.meta.snapshot_by_id(snapshot_id)
+        if tag is not None:
+            sid = self.meta.refs.get(f"tag:{tag}")
+            if sid is None:
+                raise ValueError(f"unknown tag {tag!r}")
+            return self.meta.snapshot_by_id(sid)
+        if as_of_ms is not None:
+            return self.meta.snapshot_as_of(as_of_ms, branch)
+        return self.meta.current_snapshot(branch)
+
+    # --------------------------------------------------- partition stats
+    def partition_record_counts(
+        self, filter: Expr | None = None, branch: str = "main"
+    ) -> list[tuple[dict[str, Any], int]]:
+        """Record counts per partition straight from the manifest, no data
+        read (reference A23, IcebergScanExecutor.java:515-570)."""
+        entries = self.prune(self.meta.read_manifest(self.meta.current_snapshot(branch)), filter)
+        acc: dict[tuple, int] = {}
+        keys: dict[tuple, dict] = {}
+        for e in entries:
+            k = tuple(sorted(e.partition.items()))
+            acc[k] = acc.get(k, 0) + e.records
+            keys[k] = e.partition
+        return [(keys[k], n) for k, n in sorted(acc.items())]
+
+    # ------------------------------------------------------------ writes
+    def append(self, df: DataFrame, branch: str = "main") -> Snapshot:
+        new_entries = self._write_files(df)
+        return self._commit(
+            op="append",
+            branch=branch,
+            mutate=lambda current: current + new_entries,
+            validate=None,
+            summary={
+                "added-files": len(new_entries),
+                "added-records": sum(e.records for e in new_entries),
+            },
+        )
+
+    def overwrite_by_filter(
+        self, df: DataFrame, filter: Expr, branch: str = "main", validate_added: bool = True
+    ) -> Snapshot:
+        """Replace every file whose rows ALL match ``filter`` with ``df``.
+        Files that might contain both matching and non-matching rows fail
+        the operation (strict semantics, reference A11)."""
+        if validate_added and df is not None:
+            bad = df.filter(~filter.column()).limit(1).count()
+            if bad:
+                raise ValidationError("added rows do not all match the overwrite filter")
+        new_entries = self._write_files(df) if df is not None else []
+
+        def mutate(current: list[ManifestEntry]) -> list[ManifestEntry]:
+            keep: list[ManifestEntry] = []
+            for e in current:
+                v = filter.eval_stats(e.stats_view())
+                if v is True:
+                    continue  # fully replaced
+                if v is None:
+                    # strict check could not prove all-or-nothing from
+                    # stats → verify row-level (reads just this file)
+                    part = self._read_entries([e])
+                    n_no = part.filter(~filter.column()).limit(1).count()
+                    n_yes = part.filter(filter.column()).limit(1).count()
+                    if n_yes and n_no:
+                        raise ValidationError(
+                            f"file {e.path} matches the overwrite filter only partially"
+                        )
+                    if n_yes:
+                        continue
+                keep.append(e)
+            return keep + new_entries
+
+        return self._commit(
+            op="overwrite",
+            branch=branch,
+            mutate=mutate,
+            validate=None,
+            summary={"added-files": len(new_entries)},
+        )
+
+    def update(
+        self,
+        condition: Expr,
+        set_exprs: dict[str, Column],
+        branch: str = "main",
+    ) -> Snapshot:
+        """Copy-on-write UPDATE: rewrite only files containing matches."""
+        return self._cow_rewrite(
+            condition,
+            branch,
+            op="overwrite",
+            rewrite=lambda df: df.select(
+                *[
+                    F.when(condition.column(), set_exprs[c.name])
+                    .otherwise(F.col(c.name))
+                    .cast(c.dataType)
+                    .alias(c.name)
+                    if c.name in set_exprs
+                    else F.col(c.name)
+                    for c in self.schema.fields
+                ]
+            ),
+            drop_fully_matching=False,
+        )
+
+    def delete_where(self, condition: Expr, branch: str = "main") -> Snapshot:
+        """Copy-on-write DELETE: drop fully-matching files from metadata
+        alone; rewrite partially-matching files with NOT(cond)."""
+        return self._cow_rewrite(
+            condition,
+            branch,
+            op="delete",
+            rewrite=lambda df: df.filter(~condition.column()),
+            drop_fully_matching=True,
+        )
+
+    def _cow_rewrite(
+        self,
+        condition: Expr,
+        branch: str,
+        op: str,
+        rewrite: Callable[[DataFrame], DataFrame],
+        drop_fully_matching: bool,
+    ) -> Snapshot:
+        current = self.meta.read_manifest(self.meta.current_snapshot(branch))
+        candidates = self.prune(current, condition)
+        dropped: set[str] = set()
+        maybe: list[ManifestEntry] = []
+        for e in candidates:
+            v = condition.eval_stats(e.stats_view())
+            if v is True and drop_fully_matching:
+                dropped.add(e.path)
+            else:
+                maybe.append(e)
+
+        touched: set[str] = set()
+        new_entries: list[ManifestEntry] = []
+        if maybe:
+            # distinct-touched-file probe (reference update.xml:5-9): find
+            # which candidate files actually contain matching rows
+            probe = self._read_entries(maybe, with_file_name=True)
+            hits = (
+                probe.filter(condition.column())
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            touched = {self._rel_path(r["_file"]) for r in hits}
+            if touched:
+                to_rewrite = [e for e in maybe if e.path in touched]
+                src = self._read_entries(to_rewrite)
+                new_entries = self._write_files(rewrite(src))
+
+        removed = dropped | touched
+        if not removed and not new_entries:
+            # no-op: nothing matched
+            snap = self.meta.current_snapshot(branch)
+            if snap is None:
+                raise ValidationError("table has no snapshot")
+            return snap
+
+        def mutate(cur: list[ManifestEntry]) -> list[ManifestEntry]:
+            return [e for e in cur if e.path not in removed] + new_entries
+
+        def validate(cur: list[ManifestEntry]) -> None:
+            present = {e.path for e in cur}
+            missing = removed - present
+            if missing:
+                raise CommitConflict(f"files deleted concurrently: {sorted(missing)[:3]}")
+
+        return self._commit(
+            op=op,
+            branch=branch,
+            mutate=mutate,
+            validate=validate,
+            summary={
+                "deleted-files": len(removed),
+                "added-files": len(new_entries),
+            },
+        )
+
+    # ---------------------------------------------------------- commit
+    def _commit(
+        self,
+        op: str,
+        branch: str,
+        mutate: Callable[[list[ManifestEntry]], list[ManifestEntry]],
+        validate: Callable[[list[ManifestEntry]], None] | None,
+        summary: dict,
+    ) -> Snapshot:
+        ref_key = branch if branch == "main" else f"branch:{branch}"
+        for _ in range(_MAX_COMMIT_RETRIES):
+            parent = self.meta.current_snapshot(branch)
+            current = self.meta.read_manifest(parent)
+            if validate is not None:
+                validate(current)
+            entries = mutate(current)
+            sid = new_snapshot_id(self.meta)
+            manifest_rel = write_manifest(self.location, sid, entries)
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=parent.snapshot_id if parent else None,
+                timestamp_ms=_now_ms(),
+                operation=op,
+                manifest=manifest_rel,
+                summary={**summary, "total-files": len(entries)},
+            )
+            self.meta.snapshots.append(snap)
+            self.meta.refs[ref_key] = sid
+            try:
+                write_new_version(self.meta)
+                return snap
+            except CommitConflict:
+                # lost the race: reload and retry on top of the winner
+                self.meta = load_metadata(self.location)
+        raise CommitConflict(f"gave up after {_MAX_COMMIT_RETRIES} retries")
+
+    # ---------------------------------------------------------- refs
+    def create_branch(self, name: str, from_snapshot: int | None = None) -> None:
+        sid = from_snapshot if from_snapshot is not None else self.meta.refs.get("main")
+        if sid is None:
+            raise ValidationError("no snapshot to branch from")
+        self.meta.refs[f"branch:{name}"] = sid
+        write_new_version(self.meta)
+
+    def create_tag(self, name: str, from_snapshot: int | None = None) -> None:
+        sid = from_snapshot if from_snapshot is not None else self.meta.refs.get("main")
+        if sid is None:
+            raise ValidationError("no snapshot to tag")
+        self.meta.refs[f"tag:{name}"] = sid
+        write_new_version(self.meta)
+
+    # ---------------------------------------------------------- writer
+    def _write_files(self, df: DataFrame) -> list[ManifestEntry]:
+        """Write ``df`` as new parquet files under data/<uuid>/ and return
+        manifest entries with footer stats.  Distribution: hash by the
+        partition transforms (≙ Iceberg write.distribution-mode=hash),
+        in-partition sort by the table sort order (A18)."""
+        commit_dir = f"data/{uuid.uuid4().hex[:12]}"
+        abs_dir = os.path.join(self.location, commit_dir)
+        transforms = self.transforms
+        sort_cols = self._sort_columns()
+
+        out = df
+        pcols: list[str] = []
+        for t in transforms:
+            pname = _PCOL + t.partition_name
+            out = out.withColumn(pname, t.column(self._dtype(t.source)))
+            pcols.append(pname)
+
+        if pcols:
+            out = out.repartition(*[F.col(c) for c in pcols])
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            writer = out.write.partitionBy(*pcols)
+        else:
+            if sort_cols:
+                out = out.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+            writer = out.write
+        writer.option("compression", "zstd").parquet(abs_dir, mode="errorifexists")
+
+        entries: list[ManifestEntry] = []
+        for root, _dirs, files in os.walk(abs_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                abs_path = os.path.join(root, fn)
+                rel = os.path.relpath(abs_path, self.location)
+                partition = self._parse_partition_path(os.path.relpath(root, abs_dir))
+                entries.append(self._manifest_entry(abs_path, rel, partition))
+        return entries
+
+    def _manifest_entry(
+        self, abs_path: str, rel: str, partition: dict[str, Any]
+    ) -> ManifestEntry:
+        from swiftlake_spark.tables.stats import collect_file_stats
+
+        records, size, col_stats = collect_file_stats(abs_path)
+        return ManifestEntry(rel, records, size, partition, col_stats)
+
+    def _sort_columns(self) -> list[Column]:
+        cols = []
+        for d in self.meta.sort_order:
+            base = F.col(d["col"])
+            asc = d.get("asc", True)
+            nulls_first = d.get("nulls_first", asc)  # SQL default
+            if asc:
+                cols.append(base.asc_nulls_first() if nulls_first else base.asc_nulls_last())
+            else:
+                cols.append(base.desc_nulls_first() if nulls_first else base.desc_nulls_last())
+        return cols
+
+    # partition path: "__p__name=value/__p__name2=value2" (hive-style)
+    def _parse_partition_path(self, rel_dir: str) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        if rel_dir in (".", ""):
+            return out
+        ptypes = self._partition_result_types()
+        for seg in rel_dir.split(os.sep):
+            if "=" not in seg:
+                continue
+            k, v = seg.split("=", 1)
+            if k.startswith(_PCOL):
+                k = k[len(_PCOL):]
+            v = urllib.parse.unquote(v)
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else _parse_pvalue(
+                v, ptypes.get(k, "string")
+            )
+        return out
+
+    def _partition_result_types(self) -> dict[str, str]:
+        res: dict[str, str] = {}
+        for t in self.transforms:
+            if t.name == "identity" or t.name == "truncate":
+                res[t.partition_name] = self._dtype(t.source)
+            elif t.name == "hour":
+                res[t.partition_name] = "bigint"
+            else:
+                res[t.partition_name] = "int"
+        return res
+
+    def _rel_path(self, file_uri: str) -> str:
+        p = urllib.parse.unquote(urllib.parse.urlparse(file_uri).path)
+        return os.path.relpath(p, self.location)
+
+
+def _parse_pvalue(v: str, dtype: str) -> Any:
+    if dtype in ("int", "bigint", "smallint", "tinyint"):
+        return int(v)
+    if dtype in ("double", "float"):
+        return float(v)
+    if dtype == "boolean":
+        return v == "true"
+    if dtype == "date":
+        return dt.date.fromisoformat(v)
+    if dtype.startswith("timestamp"):
+        return dt.datetime.fromisoformat(v)
+    if dtype.startswith("decimal"):
+        import decimal
+
+        return decimal.Decimal(v)
+    return v

@@ -1,0 +1,282 @@
+"""Table-format integration tests: create → append → scan roundtrip,
+partition transforms + pruning, time travel, branches/tags, strict
+overwrite, copy-on-write update/delete (file-granular, §2.C.8), commit
+conflicts.  Mirrors the reference's integration-test strategy
+(SwiftLakeEngineIntegrationTest.java:73-160 setup + exact row asserts)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from swiftlake_spark.tables import expressions as E
+from swiftlake_spark.tables.metadata import ValidationError
+
+
+def rows(df, *cols):
+    out = df.select(*cols) if cols else df
+    return sorted([tuple(r) for r in out.collect()])
+
+
+@pytest.fixture()
+def simple_table(catalog, spark):
+    t = catalog.create_table(
+        "db.simple",
+        "id BIGINT, name STRING, category STRING, value DOUBLE",
+        sort_order=["id ASC"],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "a", "X", 1.5),
+            (2, "b", "X", 2.5),
+            (3, "c", "Y", 3.5),
+            (4, "d", "Y", None),
+            (5, None, None, 5.5),
+        ],
+        schema=t.schema,
+    )
+    t.append(df)
+    return t
+
+
+def test_roundtrip_and_filter(simple_table):
+    t = simple_table
+    assert rows(t.scan(), "id") == [(1,), (2,), (3,), (4,), (5,)]
+    got = rows(t.scan(E.col_eq("category", "X")), "id")
+    assert got == [(1,), (2,)]
+    # NULL semantics: eq never matches NULL rows
+    assert rows(t.scan(E.col_eq("category", "Y")), "id") == [(3,), (4,)]
+    assert rows(t.scan(E.is_null("category")), "id") == [(5,)]
+
+
+def test_scan_empty_table(catalog, spark):
+    t = catalog.create_table("db.empty", "id BIGINT, s STRING")
+    df = t.scan()
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "s"]
+
+
+def test_partitioned_write_and_prune(catalog, spark):
+    t = catalog.create_table(
+        "db.part",
+        "id BIGINT, cat STRING, ts TIMESTAMP, n INT",
+        partition_spec=["cat", "day(ts)", "bucket(4, n)"],
+    )
+    data = [
+        (1, "A", dt.datetime(2024, 1, 1, 10), 7),
+        (2, "A", dt.datetime(2024, 1, 2, 11), 8),
+        (3, "B", dt.datetime(2024, 1, 1, 12), 9),
+        (4, None, dt.datetime(2024, 1, 3, 13), None),
+    ]
+    t.append(spark.createDataFrame(data, schema=t.schema))
+    # all rows readable, source columns intact (identity partition col kept)
+    assert rows(t.scan(), "id", "cat") == [(1, "A"), (2, "A"), (3, "B"), (4, None)]
+
+    man = t.meta.read_manifest(t.meta.current_snapshot())
+    # partition tuple recorded with transform values
+    parts = {e.partition["cat"]: e.partition for e in man}
+    assert parts["A"]["ts_day"] in (20240101, 20240102)
+    # identity partition pruning
+    pruned = t.prune(man, E.col_eq("cat", "A"))
+    assert {e.partition["cat"] for e in pruned} == {"A"}
+    # day-transform pruning from a source-column predicate
+    pruned = t.prune(man, E.col_eq("ts", dt.datetime(2024, 1, 2, 11)))
+    assert all(e.partition["ts_day"] == 20240102 for e in pruned)
+    # bucket pruning: eq literal lands in one bucket
+    pruned = t.prune(man, E.col_eq("n", 7))
+    assert len(pruned) >= 1
+    import zlib
+
+    want = zlib.crc32(b"7") % 4
+    assert all(e.partition["n_bucket_4"] == want for e in pruned)
+    # null partition value roundtrips
+    assert rows(t.scan(E.is_null("cat")), "id") == [(4,)]
+
+
+def test_bucket_transform_faces_agree(catalog, spark):
+    """Spark Column face and Python scalar face of every transform must
+    produce identical values (write path vs pruning path)."""
+    from swiftlake_spark.tables.transforms import Transform
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}", dt.datetime(2024, 1 + i % 3, 1 + i, i % 24)) for i in range(20)],
+        "n INT, s STRING, ts TIMESTAMP",
+    )
+    cases = [
+        (Transform("bucket", "n", 8), "int"),
+        (Transform("bucket", "s", 8), "string"),
+        (Transform("truncate", "n", 10), "int"),
+        (Transform("truncate", "s", 2), "string"),
+        (Transform("year", "ts"), None),
+        (Transform("month", "ts"), None),
+        (Transform("day", "ts"), None),
+        (Transform("hour", "ts"), None),
+    ]
+    for tr, dtype in cases:
+        got = df.select(F.col(tr.source), tr.column(dtype).alias("t")).collect()
+        for r in got:
+            assert r["t"] == tr.apply(r[tr.source]), (tr, r)
+
+
+def test_time_travel_and_refs(simple_table, spark):
+    t = simple_table
+    s1 = t.meta.current_snapshot()
+    t.create_tag("v1")
+    t.append(spark.createDataFrame([(6, "f", "Z", 6.5)], schema=t.schema))
+    s2 = t.meta.current_snapshot()
+    assert s2.snapshot_id != s1.snapshot_id
+
+    assert t.scan().count() == 6
+    assert t.scan(snapshot_id=s1.snapshot_id).count() == 5
+    assert t.scan(tag="v1").count() == 5
+    assert t.scan(as_of_ms=s1.timestamp_ms).count() == 5
+    assert t.scan(as_of_ms=s2.timestamp_ms).count() == 6
+
+    # branch write does not move main
+    t.create_branch("dev")
+    t.append(spark.createDataFrame([(7, "g", "Z", 7.5)], schema=t.schema), branch="dev")
+    t.refresh()
+    assert t.scan(branch="dev").count() == 7
+    assert t.scan().count() == 6
+
+
+def test_catalog_name_sugar(catalog, simple_table, spark):
+    s1 = simple_table.meta.current_snapshot()
+    simple_table.create_tag("rel")
+    simple_table.append(
+        spark.createDataFrame([(9, "x", "Q", 0.0)], schema=simple_table.schema)
+    )
+    assert catalog.load("db.simple").count() == 6
+    assert catalog.load(f"db.simple$snapshot_{s1.snapshot_id}").count() == 5
+    assert catalog.load("db.simple$tag_rel").count() == 5
+    assert catalog.load(f"db.simple$timestamp_{s1.timestamp_ms}").count() == 5
+
+
+def test_resolve_sql(catalog, simple_table, spark):
+    sql = catalog.resolve_sql("SELECT count(*) AS n FROM db.simple WHERE category = 'X'")
+    assert "db.simple" not in sql
+    assert spark.sql(sql).collect()[0]["n"] == 2
+
+
+def test_overwrite_by_filter_strict(catalog, spark):
+    t = catalog.create_table(
+        "db.ow", "id BIGINT, cat STRING, v DOUBLE", partition_spec=["cat"]
+    )
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", 2.0), (3, "B", 3.0)], schema=t.schema
+    )
+    t.append(df)
+    # replace partition A wholesale
+    t.overwrite_by_filter(
+        spark.createDataFrame([(10, "A", 10.0)], schema=t.schema), E.col_eq("cat", "A")
+    )
+    assert rows(t.scan(), "id") == [(3,), (10,)]
+    # added rows must match the filter
+    with pytest.raises(ValidationError):
+        t.overwrite_by_filter(
+            spark.createDataFrame([(11, "B", 1.0)], schema=t.schema), E.col_eq("cat", "A")
+        )
+    # partially-matching file → strict failure (id spans the predicate)
+    with pytest.raises(ValidationError):
+        t.overwrite_by_filter(
+            spark.createDataFrame([(12, "B", 1.0)], schema=t.schema),
+            E.and_(E.col_eq("cat", "B"), E.col_eq("id", 999)),
+        )
+
+
+def test_update_cow_touches_only_matching_files(catalog, spark):
+    t = catalog.create_table(
+        "db.upd", "id BIGINT, cat STRING, v DOUBLE", partition_spec=["cat"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "A", 1.0), (2, "A", 2.0), (3, "B", 3.0), (4, "C", 4.0)], schema=t.schema
+        )
+    )
+    before = {e.path for e in t.meta.read_manifest(t.meta.current_snapshot())}
+    t.update(E.col_eq("id", 2), {"v": F.lit(99.0), "cat": F.lit("A")})
+    after_man = t.meta.read_manifest(t.meta.current_snapshot())
+    after = {e.path for e in after_man}
+    # B and C files untouched (file-granular COW, §2.C.8)
+    untouched = before & after
+    assert len(untouched) == 2
+    assert rows(t.scan(), "id", "v") == [(1, 1.0), (2, 99.0), (3, 3.0), (4, 4.0)]
+    snap = t.meta.current_snapshot()
+    assert snap.summary["deleted-files"] == 1
+
+
+def test_delete_drops_full_files_without_reading(catalog, spark):
+    t = catalog.create_table(
+        "db.del", "id BIGINT, cat STRING", partition_spec=["cat"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "B"), (4, "C")], schema=t.schema
+        )
+    )
+    # whole partition A provably matches → metadata-only delete
+    t.delete_where(E.col_eq("cat", "A"))
+    assert rows(t.scan(), "id") == [(3,), (4,)]
+    snap = t.meta.current_snapshot()
+    assert snap.summary["deleted-files"] == 1
+    assert snap.summary["added-files"] == 0  # nothing rewritten
+    # row-level delete rewrites only the B file
+    t.delete_where(E.and_(E.col_eq("cat", "B"), E.col_eq("id", 3)))
+    assert rows(t.scan(), "id") == [(4,)]
+
+
+def test_delete_noop_when_nothing_matches(catalog, spark):
+    t = catalog.create_table("db.noop", "id BIGINT, cat STRING")
+    t.append(spark.createDataFrame([(1, "A")], schema=t.schema))
+    before = t.meta.current_snapshot().snapshot_id
+    t.delete_where(E.col_eq("cat", "ZZZ"))
+    assert t.meta.current_snapshot().snapshot_id == before
+
+
+def test_partition_record_counts(catalog, spark):
+    t = catalog.create_table("db.cnt", "id BIGINT, cat STRING", partition_spec=["cat"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "B")], schema=t.schema
+        )
+    )
+    counts = {tuple(p.items()): n for p, n in t.partition_record_counts()}
+    assert counts[(("cat", "A"),)] == 2
+    assert counts[(("cat", "B"),)] == 1
+
+
+def test_commit_conflict_retry(catalog, spark):
+    """Two writers appending concurrently: both commits land (retry),
+    final table has both sets of rows."""
+    t1 = catalog.create_table("db.conc", "id BIGINT")
+    t2 = catalog.table("db.conc")
+    t1.append(spark.createDataFrame([(1,)], schema=t1.schema))
+    # t2 still has stale metadata (version from create) — its commit must
+    # retry on top of t1's append, not clobber it
+    t2.append(spark.createDataFrame([(2,)], schema=t2.schema))
+    t1.refresh()
+    assert rows(t1.scan(), "id") == [(1,), (2,)]
+
+
+def test_conflicting_cow_delete_fails(catalog, spark):
+    from swiftlake_spark.tables.metadata import CommitConflict
+
+    t1 = catalog.create_table("db.confl", "id BIGINT, cat STRING", partition_spec=["cat"])
+    t1.append(spark.createDataFrame([(1, "A"), (2, "B")], schema=t1.schema))
+    t2 = catalog.table("db.confl")
+    t1.delete_where(E.col_eq("cat", "A"))
+    with pytest.raises(CommitConflict):
+        t2.update(E.col_eq("cat", "A"), {"id": F.lit(9)})
+
+
+def test_sorted_write_files_are_sorted(catalog, spark):
+    t = catalog.create_table("db.sorted", "id BIGINT, v DOUBLE", sort_order=["id ASC"])
+    import random
+
+    random.seed(1)
+    data = [(i, float(i)) for i in random.sample(range(1000), 100)]
+    t.append(spark.createDataFrame(data, schema=t.schema))
+    # every file individually sorted by id
+    for e in t.meta.read_manifest(t.meta.current_snapshot()):
+        ids = [r["id"] for r in spark.read.parquet(t.location + "/" + e.path).collect()]
+        assert ids == sorted(ids)
