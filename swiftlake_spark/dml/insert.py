@@ -1,0 +1,78 @@
+"""Insert / insert-overwrite builders (reference commands/Insert.java:129-286).
+
+- ``engine.insert_into(t).sql(src).execute()`` — append.
+- ``engine.insert_overwrite(t).overwrite_by_filter_sql(cond).sql(src)
+  .execute()`` — strict filter overwrite (files must match the filter
+  entirely; added rows validated against it — Transaction.java:266-278).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from swiftlake_spark.tables import expressions as E
+from swiftlake_spark.tables.metadata import ValidationError
+from swiftlake_spark.dml.sqlfilter import parse_filter
+
+
+class InsertBuilder:
+    def __init__(self, engine, table_name: str, overwrite: bool) -> None:
+        self._engine = engine
+        self._table_name = table_name
+        self._overwrite = overwrite
+        self._df: DataFrame | None = None
+        self._columns: list[str] | None = None
+        self._branch = "main"
+        self._filter: E.Expr | None = None
+
+    def sql(self, src_sql: str) -> "InsertBuilder":
+        self._df = self._engine.sql(src_sql)
+        return self
+
+    def dataframe(self, df: DataFrame) -> "InsertBuilder":
+        self._df = df
+        return self
+
+    def columns(self, cols: list[str]) -> "InsertBuilder":
+        self._columns = cols
+        return self
+
+    def branch(self, b: str) -> "InsertBuilder":
+        self._branch = b
+        return self
+
+    def overwrite_by_filter(self, expr: E.Expr) -> "InsertBuilder":
+        self._filter = expr
+        return self
+
+    def overwrite_by_filter_sql(self, cond: str) -> "InsertBuilder":
+        tbl = self._engine.catalog.table(self._table_name)
+        self._filter = parse_filter(cond, tbl.schema)
+        return self
+
+    def execute(self):
+        if self._df is None:
+            raise ValidationError("insert needs a source (sql or dataframe)")
+        tbl = self._engine.catalog.table(self._table_name)
+        df = self._df
+        schema = tbl.schema
+        if self._columns is not None:
+            missing = set(self._columns) - set(df.columns)
+            if missing:
+                raise ValidationError(f"source missing columns {sorted(missing)}")
+            df = df.select(*self._columns)
+        # align to table schema: order + types (reference validates columns,
+        # WriteUtil.validateColumns)
+        if set(df.columns) != set(schema.fieldNames()):
+            raise ValidationError(
+                f"source columns {sorted(df.columns)} != table columns "
+                f"{sorted(schema.fieldNames())}"
+            )
+        from pyspark.sql import functions as F
+
+        df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        if self._overwrite:
+            if self._filter is None:
+                raise ValidationError("insert_overwrite needs overwrite_by_filter")
+            return tbl.overwrite_by_filter(df, self._filter, branch=self._branch)
+        return tbl.append(df, branch=self._branch)

@@ -1,0 +1,186 @@
+"""SCD1 merge — changes mode and snapshot mode.
+
+Reference: commands/SCD1Merge.java:135-370 + dao/scd1_merge.xml.
+
+Changes mode (``apply_changes_as_scd1``): the source carries an
+operation-type column; matched target rows classify D (delete marker) /
+U (replace) / N; every non-delete source row is written (insert or
+update); N rows survive only via untouched files or the touched-file
+carry-over.
+
+Snapshot mode (``apply_snapshot_as_scd1``): the source IS the desired
+state within the table filter; FULL OUTER JOIN classifies I/U/D/N —
+order matters (scd1_merge.xml:77-96) — with per-column value compare
+options (max_delta / null_replacement, §2.C.6).
+
+The table filter is mandatory: unbounded dimension merges are refused
+(SCD1Merge.java:385-401).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from swiftlake_spark.dml.scd_common import (
+    FILE,
+    OP,
+    RID,
+    ValueColumnMeta,
+    build_joined,
+    check_cardinality,
+    commit_merge,
+    require,
+    touched_files,
+    value_diff_condition,
+)
+from swiftlake_spark.dml.sqlfilter import parse_filter
+from swiftlake_spark.tables import expressions as E
+
+
+class SCD1Builder:
+    def __init__(self, engine, table_name: str, mode: str) -> None:
+        assert mode in ("changes", "snapshot")
+        self._engine = engine
+        self._table_name = table_name
+        self._mode = mode
+        self._filter: E.Expr | None = None
+        self._source: DataFrame | None = None
+        self._keys: list[str] = []
+        self._op_column: str | None = None
+        self._delete_value = None
+        self._value_columns: list[str] | None = None
+        self._value_meta: dict[str, ValueColumnMeta] = {}
+        self._branch = "main"
+
+    # -- fluent config ----------------------------------------------------
+    def table_filter(self, expr: E.Expr) -> "SCD1Builder":
+        self._filter = expr
+        return self
+
+    def table_filter_sql(self, cond: str) -> "SCD1Builder":
+        tbl = self._engine.catalog.table(self._table_name)
+        self._filter = parse_filter(cond, tbl.schema)
+        return self
+
+    def source_sql(self, sql: str) -> "SCD1Builder":
+        self._source = self._engine.sql(sql)
+        return self
+
+    def source_dataframe(self, df: DataFrame) -> "SCD1Builder":
+        self._source = df
+        return self
+
+    def key_columns(self, keys: list[str]) -> "SCD1Builder":
+        self._keys = list(keys)
+        return self
+
+    def operation_type_column(self, col: str, delete_value) -> "SCD1Builder":
+        self._op_column = col
+        self._delete_value = delete_value
+        return self
+
+    def value_columns(self, cols: list[str]) -> "SCD1Builder":
+        self._value_columns = list(cols)
+        return self
+
+    def value_column_metadata(self, meta: dict[str, ValueColumnMeta]) -> "SCD1Builder":
+        self._value_meta = dict(meta)
+        return self
+
+    def branch(self, b: str) -> "SCD1Builder":
+        self._branch = b
+        return self
+
+    # -- execute ----------------------------------------------------------
+    def execute(self):
+        require(self._filter is not None, "table filter is mandatory for SCD1 merge")
+        require(self._source is not None, "source is required")
+        require(bool(self._keys), "key columns are required")
+        tbl = self._engine.catalog.table(self._table_name)
+        cols = tbl.schema.fieldNames()
+        if self._mode == "changes":
+            require(self._op_column is None or self._op_column not in cols,
+                    "operation-type column must not be a table column")
+            return self._execute_changes(tbl, cols)
+        return self._execute_snapshot(tbl, cols)
+
+    def _execute_snapshot(self, tbl, cols):
+        value_cols = self._value_columns or [c for c in cols if c not in self._keys]
+        src = self._source.select(*cols).withColumn("__src__", F.lit(True))
+        # boundary applies to the source too (SCD1Merge.java:406-413)
+        src = src.filter(self._filter.column())
+        j = build_joined(
+            tbl, src, self._keys, self._filter.column(), self._filter, "full_outer"
+        )
+        diff = value_diff_condition(value_cols, self._value_meta) if value_cols else F.lit(False)
+        mc = F.col("me.__candidate__")
+        oc = F.col("other.__candidate__")
+        # classification order matters: I, U, D, N (scd1_merge.xml:77-96)
+        op = (
+            F.when(mc.isNull(), "I")
+            .when(mc & oc & diff, "U")
+            .when(mc & oc.isNull(), "D")
+            .otherwise("N")
+        )
+        diffs = j.select(
+            op.alias(OP),
+            F.col("me._file").alias(FILE),
+            F.col(f"me.{RID}").alias(RID),
+            oc.isNotNull().alias("__matched__"),
+            *[F.col(f"me.{c}").alias(c) for c in cols],
+            *[F.col(f"other.{c}").alias(f"__other_{c}") for c in cols],
+        ).persist()
+        try:
+            check_cardinality(diffs)
+            touched = touched_files(diffs, noop_ops=("N",))
+            inserts_updates = diffs.filter(F.col(OP).isin("I", "U")).select(
+                *[F.col(f"__other_{c}").alias(c) for c in cols]
+            )
+            carried = diffs.filter(
+                (F.col(OP) == "N") & F.col(FILE).isin(touched)
+            ).select(*cols) if touched else None
+            new_data = (
+                inserts_updates.unionByName(carried) if carried is not None else inserts_updates
+            )
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite")
+        finally:
+            diffs.unpersist()
+
+    def _execute_changes(self, tbl, cols):
+        require(self._op_column is not None, "changes mode needs operation_type_column")
+        opc, delv = self._op_column, self._delete_value
+        src_all = self._source
+        require(
+            opc in src_all.columns, f"source missing operation column {opc!r}"
+        )
+        src = src_all.select(*cols, opc).filter(self._filter.column())
+        j = build_joined(
+            tbl, src, self._keys, self._filter.column(), self._filter, "left_outer"
+        )
+        mc = F.col("me.__candidate__")
+        oc = F.col("other.__candidate__")
+        op = (
+            F.when(mc & oc & (F.col(f"other.{opc}") == F.lit(delv)), "D")
+            .when(mc & oc, "U")
+            .otherwise("N")
+        )
+        diffs = j.select(
+            op.alias(OP),
+            F.col("me._file").alias(FILE),
+            F.col(f"me.{RID}").alias(RID),
+            oc.isNotNull().alias("__matched__"),
+            *[F.col(f"me.{c}").alias(c) for c in cols],
+        ).persist()
+        try:
+            check_cardinality(diffs)
+            touched = touched_files(diffs, noop_ops=("N",))
+            # strict `op != delete` (NULL op rows drop, matching the
+            # reference's SQL 3VL: scd1_merge.xml:50-52)
+            upserts = src.filter(F.col(opc) != F.lit(delv)).select(*cols)
+            carried = diffs.filter(
+                (F.col(OP) == "N") & F.col(FILE).isin(touched)
+            ).select(*cols) if touched else None
+            new_data = upserts.unionByName(carried) if carried is not None else upserts
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite")
+        finally:
+            diffs.unpersist()

@@ -1,0 +1,164 @@
+"""Shared machinery for SCD1/SCD2 merges.
+
+The reference materializes a diff dataset (FULL/LEFT OUTER JOIN of
+target and source with an ``__operation_type__`` classification) to
+parquet, derives the touched-file list, and rewrites only those files
+(dao/scd1_merge.xml, dao/scd2_merge.xml; SURVEY.md §3.3).  Here the diff
+is a cached DataFrame; everything else is the same shape:
+
+- candidate tagging: target rows get ``__candidate__`` = boundary
+  condition; source rows are always candidates; the join requires
+  candidate equality, so out-of-boundary target rows never match and
+  classify as ``N``.
+- key join is null-safe (``IS NOT DISTINCT FROM`` ≙ ``<=>``,
+  dao/common.xml:8-18).
+- merge cardinality: a target row matching >1 source rows fails
+  (dao/common.xml:21-31) — detected via a per-target-row id.
+- value/change-tracking compare supports ``max_delta`` (numeric
+  tolerance) and ``null_replacement`` variants (§2.C.6).
+
+Scale: the target read is manifest-pruned by the boundary filter; the
+diff is persisted (memory+disk) instead of re-derived; only file NAMES
+are collected to the driver (same as the reference's distinct-filename
+probe); rewritten data flows through the partitioned writer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from swiftlake_spark.tables import expressions as E
+from swiftlake_spark.tables.metadata import CommitConflict, ValidationError
+from swiftlake_spark.tables.table import Table
+
+OP = "__op__"
+FILE = "__file__"
+RID = "__rid__"
+
+
+@dataclass
+class ValueColumnMeta:
+    max_delta: float | None = None
+    null_replacement: Any = None
+
+
+def value_diff_condition(
+    cols: list[str], meta: dict[str, ValueColumnMeta] | None
+) -> Column:
+    """OR over per-column difference tests (scd1_merge.xml valueColumnsDiff)."""
+    meta = meta or {}
+    conds: list[Column] = []
+    for c in cols:
+        me, other = F.col(f"me.{c}"), F.col(f"other.{c}")
+        m = meta.get(c)
+        if m is not None and m.max_delta is not None:
+            conds.append(
+                F.abs(F.coalesce(me, F.lit(0)) - F.coalesce(other, F.lit(0)))
+                > m.max_delta
+            )
+        elif m is not None and m.null_replacement is not None:
+            nr = F.lit(m.null_replacement)
+            conds.append(~F.coalesce(me, nr).eqNullSafe(F.coalesce(other, nr)))
+        else:
+            conds.append(~me.eqNullSafe(other))
+    return reduce(lambda a, b: a | b, conds)
+
+
+def key_join_condition(keys: list[str]) -> Column:
+    return reduce(
+        lambda a, b: a & b,
+        [F.col(f"me.{k}").eqNullSafe(F.col(f"other.{k}")) for k in keys],
+    )
+
+
+def build_joined(
+    tbl: Table,
+    source: DataFrame,
+    keys: list[str],
+    candidate: Column,
+    boundary: E.Expr,
+    how: str,
+) -> DataFrame:
+    """Target (pruned by boundary, with file name + row id + candidate
+    flag) joined to source on candidate-equality AND null-safe keys."""
+    entries = tbl.prune(
+        tbl.meta.read_manifest(tbl.meta.current_snapshot()), boundary
+    )
+    tgt = tbl._read_entries(entries, with_file_name=True)
+    me = (
+        tgt.withColumn(RID, F.monotonically_increasing_id())
+        .withColumn("__candidate__", F.when(candidate, True).otherwise(False))
+        .alias("me")
+    )
+    other = source.withColumn("__candidate__", F.lit(True)).alias("other")
+    cond = (F.col("me.__candidate__") == F.col("other.__candidate__")) & key_join_condition(
+        keys
+    )
+    return me.join(other, cond, how)
+
+
+def check_cardinality(diffs: DataFrame) -> None:
+    """Fail if any target row matched more than one source row
+    (reference WriteUtil.checkMergeCardinality)."""
+    dup = (
+        diffs.filter(F.col(RID).isNotNull() & F.col("__matched__"))
+        .groupBy(RID)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValidationError(
+            "merge cardinality violation: a target row matched multiple source rows"
+        )
+
+
+def touched_files(diffs: DataFrame, noop_ops: tuple[str, ...]) -> list[str]:
+    rows = (
+        diffs.filter(~F.col(OP).isin(*noop_ops) & F.col(FILE).isNotNull())
+        .select(FILE)
+        .distinct()
+        .collect()
+    )
+    return [r[FILE] for r in rows]
+
+
+def commit_merge(
+    tbl: Table, new_data: DataFrame | None, touched: list[str], branch: str, op: str
+) -> Any:
+    """Replace the touched files with freshly written ones.  ``touched``
+    holds file URIs from ``input_file_name()``; the manifest keys are
+    table-relative paths."""
+    new_entries = tbl._write_files(new_data) if new_data is not None else []
+    removed = {tbl._rel_path(f) for f in touched}
+
+    def mutate(cur):
+        return [e for e in cur if e.path not in removed] + new_entries
+
+    def validate(cur):
+        present = {e.path for e in cur}
+        missing = removed - present
+        if missing:
+            raise CommitConflict(f"files deleted concurrently: {sorted(missing)[:3]}")
+
+    return tbl._commit(
+        op=op,
+        branch=branch,
+        mutate=mutate,
+        validate=validate,
+        summary={
+            "deleted-files": len(removed),
+            "added-files": len(new_entries),
+            "added-records": sum(e.records for e in new_entries),
+        },
+    )
+
+
+def require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ValidationError(msg)

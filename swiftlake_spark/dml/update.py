@@ -1,0 +1,54 @@
+"""Update builder (reference commands/Update.java:125-210).
+
+``engine.update(t).condition_sql("id = 5").update_sets({"v": 9}).execute()``
+— copy-on-write: only files containing matching rows are rewritten
+(distinct-filename probe, dao/update.xml:5-24)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, functions as F
+
+from swiftlake_spark.tables import expressions as E
+from swiftlake_spark.tables.metadata import ValidationError
+from swiftlake_spark.dml.sqlfilter import parse_filter
+
+
+class UpdateBuilder:
+    def __init__(self, engine, table_name: str) -> None:
+        self._engine = engine
+        self._table_name = table_name
+        self._condition: E.Expr | None = None
+        self._sets: dict[str, Column] = {}
+        self._branch = "main"
+
+    def condition(self, expr: E.Expr) -> "UpdateBuilder":
+        self._condition = expr
+        return self
+
+    def condition_sql(self, cond: str) -> "UpdateBuilder":
+        tbl = self._engine.catalog.table(self._table_name)
+        self._condition = parse_filter(cond, tbl.schema)
+        return self
+
+    def update_sets(self, sets: dict[str, Any]) -> "UpdateBuilder":
+        self._sets = {
+            k: (v if isinstance(v, Column) else F.lit(v)) for k, v in sets.items()
+        }
+        return self
+
+    def branch(self, b: str) -> "UpdateBuilder":
+        self._branch = b
+        return self
+
+    def execute(self):
+        if self._condition is None:
+            raise ValidationError("update needs a condition")
+        if not self._sets:
+            raise ValidationError("update needs update_sets")
+        tbl = self._engine.catalog.table(self._table_name)
+        unknown = set(self._sets) - set(tbl.schema.fieldNames())
+        if unknown:
+            raise ValidationError(f"unknown update columns {sorted(unknown)}")
+        return tbl.update(self._condition, self._sets, branch=self._branch)

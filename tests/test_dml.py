@@ -1,0 +1,332 @@
+"""DML + SCD merge tests, mirroring the reference's integration matrix
+(SCD1MergeBasicIntegrationTest / SCD2MergeBasicIntegrationTest shapes):
+insert builders, SQL-condition parsing, SCD1 changes+snapshot (value
+delta, null replacement, cardinality), SCD2 changes+snapshot (periods,
+current flag, N-S suppression, out-of-order guard)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftlake_spark.engine import SwiftLakeEngine
+from swiftlake_spark.dml.scd_common import ValueColumnMeta
+from swiftlake_spark.dml.sqlfilter import parse_filter
+from swiftlake_spark.tables import expressions as E
+from swiftlake_spark.tables.metadata import ValidationError
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "wh"))
+
+
+def _key(t):
+    return tuple((x is None, str(x)) for x in t)
+
+
+def rows(df, *cols):
+    out = df.select(*cols) if cols else df
+    return sorted([tuple(r) for r in out.collect()], key=_key)
+
+
+T0 = dt.datetime(2024, 1, 1)
+T1 = dt.datetime(2024, 2, 1)
+T2 = dt.datetime(2024, 3, 1)
+
+
+# ---------------------------------------------------------------- sqlfilter
+def test_parse_filter_shapes(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(
+        "id BIGINT, cat STRING, v DOUBLE, d TIMESTAMP, ok BOOLEAN"
+    )
+    e = parse_filter("id = 5 AND cat IN ('a', 'b') OR NOT (v <= 1.5)", schema)
+    assert "OR" in repr(e)
+    e = parse_filter("cat IS NOT NULL AND id BETWEEN 1 AND 9", schema)
+    assert e.references() == {"cat", "id"}
+    e = parse_filter("d >= TIMESTAMP '2024-01-01 00:00:00'", schema)
+    assert e.value == dt.datetime(2024, 1, 1)
+    e = parse_filter("v = 'inf'", schema)
+    assert e.value == float("inf")
+    e = parse_filter("cat LIKE 'ab%'", schema)
+    assert isinstance(e, E.StartsWith)
+    e = parse_filter("ok", schema)
+    assert e == E.Predicate("eq", "ok", True)
+    e = parse_filter("cat IS DISTINCT FROM 'x'", schema)
+    assert isinstance(e, E.Or)  # ne OR is_null
+    with pytest.raises(ValueError):
+        parse_filter("cat LIKE '%mid%'", schema)
+
+
+# ------------------------------------------------------------------ insert
+def test_insert_and_overwrite_builders(engine, spark):
+    engine.catalog.create_table("db.t", "id BIGINT, cat STRING, v DOUBLE")
+    engine.insert_into("db.t").dataframe(
+        spark.createDataFrame([(1, "A", 1.0), (2, "B", 2.0)], "id BIGINT, cat STRING, v DOUBLE")
+    ).execute()
+    assert engine.sql("SELECT count(*) AS n FROM db.t").collect()[0]["n"] == 2
+    # sql source + VALUES (reference README.md:153-156)
+    engine.insert_into("db.t").sql(
+        "SELECT * FROM (VALUES (3, 'C', 3.0)) AS s(id, cat, v)"
+    ).execute()
+    assert rows(engine.catalog.load("db.t"), "id") == [(1,), (2,), (3,)]
+    # column mismatch rejected
+    with pytest.raises(ValidationError):
+        engine.insert_into("db.t").dataframe(
+            spark.createDataFrame([(9,)], "id BIGINT")
+        ).execute()
+
+
+def test_insert_overwrite_by_filter_sql(engine, spark):
+    engine.catalog.create_table(
+        "db.ow2", "id BIGINT, cat STRING", partition_spec=["cat"]
+    )
+    engine.insert_into("db.ow2").dataframe(
+        spark.createDataFrame([(1, "A"), (2, "B")], "id BIGINT, cat STRING")
+    ).execute()
+    engine.insert_overwrite("db.ow2").overwrite_by_filter_sql("cat = 'A'").dataframe(
+        spark.createDataFrame([(10, "A")], "id BIGINT, cat STRING")
+    ).execute()
+    assert rows(engine.catalog.load("db.ow2"), "id") == sorted([(2,), (10,)], key=_key)
+
+
+def test_update_delete_builders_sql_condition(engine, spark):
+    engine.catalog.create_table("db.ud", "id BIGINT, cat STRING, v DOUBLE")
+    engine.insert_into("db.ud").dataframe(
+        spark.createDataFrame(
+            [(1, "A", 1.0), (2, "B", 2.0), (3, "B", 3.0)], "id BIGINT, cat STRING, v DOUBLE"
+        )
+    ).execute()
+    engine.update("db.ud").condition_sql("cat = 'B' AND v < 2.5").update_sets(
+        {"v": 99.0}
+    ).execute()
+    assert rows(engine.catalog.load("db.ud"), "id", "v") == [
+        (1, 1.0), (2, 99.0), (3, 3.0),
+    ]
+    engine.delete_from("db.ud").condition_sql("id IN (1, 3)").execute()
+    assert rows(engine.catalog.load("db.ud"), "id") == [(2,)]
+
+
+# ------------------------------------------------------------------- SCD1
+SCD1_DDL = "id BIGINT, cat STRING, name STRING, v DOUBLE"
+
+
+def scd1_seed(engine, spark, name="db.dim1"):
+    engine.catalog.create_table(name, SCD1_DDL, partition_spec=["cat"])
+    engine.insert_into(name).dataframe(
+        spark.createDataFrame(
+            [
+                (1, "A", "one", 1.0),
+                (2, "A", "two", 2.0),
+                (3, "B", "three", 3.0),
+                (4, "C", "four", 4.0),
+            ],
+            SCD1_DDL,
+        )
+    ).execute()
+    return name
+
+
+def test_scd1_snapshot_mode(engine, spark):
+    name = scd1_seed(engine, spark)
+    # desired state within filter cat IN ('A','B'): 1 unchanged, 2 updated,
+    # 3 deleted, 5 inserted; 4 (cat C) outside the boundary → untouched
+    src = spark.createDataFrame(
+        [(1, "A", "one", 1.0), (2, "A", "two!", 2.5), (5, "B", "five", 5.0)],
+        SCD1_DDL,
+    )
+    engine.apply_snapshot_as_scd1(name).table_filter_sql(
+        "cat IN ('A', 'B')"
+    ).source_dataframe(src).key_columns(["id"]).execute()
+    assert rows(engine.catalog.load(name), "id", "name", "v") == [
+        (1, "one", 1.0),
+        (2, "two!", 2.5),
+        (4, "four", 4.0),
+        (5, "five", 5.0),
+    ]
+    # untouched partition C's file survived (file-granular merge)
+    t = engine.catalog.table(name)
+    ops = [s.operation for s in t.meta.snapshots]
+    assert ops[-1] == "overwrite"
+
+
+def test_scd1_snapshot_value_delta_and_null_replacement(engine, spark):
+    name = scd1_seed(engine, spark, "db.dim1b")
+    # v differs by 0.4 ≤ delta 0.5 → no change; name null vs 'X' with
+    # null_replacement 'X' → equal → overall N
+    src = spark.createDataFrame(
+        [
+            (1, "A", None, 1.4),
+            (2, "A", "two", 2.0),
+            (3, "B", "three", 3.0),
+        ],
+        SCD1_DDL,
+    )
+    engine.apply_snapshot_as_scd1("db.dim1b").table_filter(
+        E.in_("cat", ["A", "B"])
+    ).source_dataframe(src).key_columns(["id"]).value_columns(
+        ["name", "v"]
+    ).value_column_metadata(
+        {"v": ValueColumnMeta(max_delta=0.5), "name": ValueColumnMeta(null_replacement="one")}
+    ).execute()
+    # row 1: v within delta, name NULL≡'one' via replacement → unchanged
+    assert rows(engine.catalog.load("db.dim1b"), "id", "name", "v") == [
+        (1, "one", 1.0),
+        (2, "two", 2.0),
+        (3, "three", 3.0),
+        (4, "four", 4.0),
+    ]
+
+
+def test_scd1_changes_mode(engine, spark):
+    name = scd1_seed(engine, spark, "db.dim1c")
+    src = spark.createDataFrame(
+        [
+            (2, "A", "two-upd", 2.9, "UPSERT"),
+            (3, "B", "three", 3.0, "DELETE"),
+            (6, "B", "six", 6.0, "UPSERT"),
+        ],
+        SCD1_DDL + ", op STRING",
+    )
+    engine.apply_changes_as_scd1(name).table_filter(
+        E.in_("cat", ["A", "B"])
+    ).source_dataframe(src).key_columns(["id"]).operation_type_column(
+        "op", "DELETE"
+    ).execute()
+    assert rows(engine.catalog.load(name), "id", "name") == [
+        (1, "one"),
+        (2, "two-upd"),
+        (4, "four"),
+        (6, "six"),
+    ]
+
+
+def test_scd1_cardinality_violation(engine, spark):
+    name = scd1_seed(engine, spark, "db.dim1d")
+    src = spark.createDataFrame(
+        [(2, "A", "x", 0.0), (2, "A", "y", 1.0)], SCD1_DDL
+    )
+    with pytest.raises(ValidationError, match="cardinality"):
+        engine.apply_snapshot_as_scd1(name).table_filter(
+            E.col_eq("cat", "A")
+        ).source_dataframe(src).key_columns(["id"]).execute()
+
+
+def test_scd1_table_filter_mandatory(engine, spark):
+    name = scd1_seed(engine, spark, "db.dim1e")
+    with pytest.raises(ValidationError, match="filter"):
+        engine.apply_snapshot_as_scd1(name).source_dataframe(
+            spark.createDataFrame([], SCD1_DDL)
+        ).key_columns(["id"]).execute()
+
+
+# ------------------------------------------------------------------- SCD2
+SCD2_DDL = (
+    "id BIGINT, name STRING, effective_start TIMESTAMP, "
+    "effective_end TIMESTAMP, is_current BOOLEAN"
+)
+
+
+def scd2_seed(engine, spark, name="db.dim2"):
+    engine.catalog.create_table(name, SCD2_DDL)
+    engine.insert_into(name).dataframe(
+        spark.createDataFrame(
+            [
+                (1, "one", T0, None, True),
+                (2, "two", T0, None, True),
+                (3, "three", T0, None, True),
+            ],
+            SCD2_DDL,
+        )
+    ).execute()
+    return name
+
+
+def test_scd2_snapshot_mode(engine, spark):
+    name = scd2_seed(engine, spark)
+    # at T1: 1 unchanged, 2 renamed, 3 missing (delete), 4 new
+    src = spark.createDataFrame(
+        [(1, "one"), (2, "two-v2"), (4, "four")], "id BIGINT, name STRING"
+    )
+    engine.apply_snapshot_as_scd2(name).table_filter(
+        E.always_true()
+    ).source_dataframe(src).key_columns(["id"]).effective_period_columns(
+        "effective_start", "effective_end"
+    ).current_flag_column("is_current").effective_timestamp(T1).execute()
+
+    got = rows(
+        engine.catalog.load(name), "id", "name", "effective_start", "effective_end", "is_current"
+    )
+    assert got == sorted(
+        [
+            (1, "one", T0, None, True),          # untouched
+            (2, "two", T0, T1, False),           # closed
+            (2, "two-v2", T1, None, True),       # new version
+            (3, "three", T0, T1, False),         # soft-deleted
+            (4, "four", T1, None, True),         # inserted
+        ],
+        key=_key,
+    )
+
+
+def test_scd2_out_of_order_rejected(engine, spark):
+    name = scd2_seed(engine, spark, "db.dim2b")
+    src = spark.createDataFrame([(1, "x")], "id BIGINT, name STRING")
+    with pytest.raises(ValidationError, match="out-of-order"):
+        engine.apply_snapshot_as_scd2(name).table_filter(
+            E.always_true()
+        ).source_dataframe(src).key_columns(["id"]).effective_timestamp(
+            dt.datetime(2023, 12, 1)  # before existing effective_start T0
+        ).execute()
+
+
+def test_scd2_changes_mode_with_ns_suppression(engine, spark):
+    name = scd2_seed(engine, spark, "db.dim2c")
+    # changes at T1: 1 re-sent unchanged (N-S: no new version), 2 renamed,
+    # 3 deleted, 5 inserted
+    src = spark.createDataFrame(
+        [
+            (1, "one", "UPSERT"),
+            (2, "two-v2", "UPSERT"),
+            (3, None, "DELETE"),
+            (5, "five", "UPSERT"),
+        ],
+        "id BIGINT, name STRING, op STRING",
+    )
+    engine.apply_changes_as_scd2(name).table_filter(
+        E.always_true()
+    ).source_dataframe(src).key_columns(["id"]).operation_type_column(
+        "op", "DELETE"
+    ).change_tracking_columns(["name"]).current_flag_column(
+        "is_current"
+    ).effective_timestamp(T1).execute()
+
+    got = rows(
+        engine.catalog.load(name), "id", "name", "effective_start", "effective_end", "is_current"
+    )
+    assert got == sorted(
+        [
+            (1, "one", T0, None, True),      # N-S: single open row, no dup
+            (2, "two", T0, T1, False),
+            (2, "two-v2", T1, None, True),
+            (3, "three", T0, T1, False),     # soft delete
+            (5, "five", T1, None, True),
+        ],
+        key=_key,
+    )
+    # second merge at T2 after no changes: everything N-S / N → no-op rows
+    src2 = spark.createDataFrame(
+        [(1, "one", "UPSERT")], "id BIGINT, name STRING, op STRING"
+    )
+    engine.apply_changes_as_scd2(name).table_filter(
+        E.always_true()
+    ).source_dataframe(src2).key_columns(["id"]).operation_type_column(
+        "op", "DELETE"
+    ).change_tracking_columns(["name"]).current_flag_column(
+        "is_current"
+    ).effective_timestamp(T2).execute()
+    got2 = rows(engine.catalog.load(name), "id", "effective_end")
+    assert (1, None) in got2  # still one open version for id 1
+    assert len([g for g in got2 if g[0] == 1]) == 1
