@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB of documents):
+
+- exact: one shuffle on the content hash (map-side combine does the
+  heavy lifting);
+- MinHash/LSH: shingles explode → per-doc signature (one shuffle),
+  banding join shuffles only (band_idx, band_hash) — candidate pairs
+  are produced WITHOUT any O(n²) comparison;
+- SimHash: one pass to signatures, prefix-bucket join for candidates;
+- verification (exact Jaccard) runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, sh)."""
+    w = F.split(F.col(text_col), " ")
+    arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(k)]),
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(arr).alias("sh")).distinct()
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, content_cols: list[str], keep: str = "min"
+) -> DataFrame:
+    """Keep one row per distinct content (lowest/highest id wins).
+    Returns df + ``is_keeper``/``group_size`` columns."""
+    h = F.xxhash64(*content_cols)
+    wp = W.partitionBy(h)
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    return (
+        df.withColumn("__rn", F.row_number().over(wp.orderBy(order)))
+        .withColumn("group_size", F.count(F.lit(1)).over(wp))
+        .withColumn("is_keeper", F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 16, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, h0..h{n-1}).
+
+    ``hash_fn='xxhash64'`` → numeric min of seeded xxhash64 (fast path);
+    ``hash_fn='md5'``      → lexicographic min of md5(seed || sh), which a
+    SQL oracle can reproduce (see queries.llm).
+    """
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_hashes: int, bands: int
+) -> DataFrame:
+    """Band the signature and self-join on (band_idx, band_hash) →
+    distinct candidate pairs (id_a < id_b).  One shuffle on the band key;
+    hot buckets are bounded by the band width choice."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("bh"))
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "bk.band", "bk.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via the shingle join."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("sa"), sh.alias("sb")
+    common = (
+        pairs.join(a, F.col("id_a") == F.col("sa.id"))
+        .join(b, (F.col("id_b") == F.col("sb.id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_common") / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common"))
+    return (
+        common.join(za, F.col("id_a") == F.col("za.id"))
+        .join(zb, F.col("id_b") == F.col("zb.id"))
+        .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → MinHash → LSH bands →
+    exact-Jaccard verification."""
+    sh = shingles(df, id_col, text_col, shingle_k)
+    sig = minhash_signatures(sh, n_hashes)
+    cand = lsh_candidate_pairs(sig, n_hashes, bands)
+    return jaccard_verify(cand, sh, threshold)
+
+
+_SIMHASH_BITS = 48  # stays clear of signed-64 overflow when recomposing
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Per-doc SimHash over shingle xxhash64 bits: (id, simhash)."""
+    sh = shingles(df, id_col, text_col, k)
+    h = F.xxhash64("sh")
+    bit_sums = [
+        F.sum(
+            F.when((F.shiftright(h, i).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    per_doc = sh.groupBy("id").agg(*bit_sums)
+    out: Column = F.lit(0).cast("bigint")
+    for i in range(_SIMHASH_BITS):
+        out = out + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return per_doc.select("id", out.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the high prefix, verify
+    Hamming distance inside buckets.  (Docs differing inside the prefix
+    are missed — the standard multi-probe tradeoff; raise prefix rotations
+    for recall.)"""
+    sig = simhash(df, id_col, text_col)
+    bucket = F.shiftright("simhash", _SIMHASH_BITS - prefix_bits)
+    b = sig.withColumn("bucket", bucket)
+    l, r = b.alias("l"), b.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

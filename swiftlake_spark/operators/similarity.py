@@ -1,0 +1,209 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+- :func:`cosine_topk`      — brute-force baseline: broadcast the query
+  set, vectorized cosine in a Pandas UDF (Arrow batches, numpy matmul),
+  per-query window top-k.  One pass over the big side, no shuffle of it.
+- :func:`lsh_bucketize` / :func:`ann_cosine_topk` — the scale path:
+  random-hyperplane LSH buckets (deterministic seed) shrink the
+  candidate set; exact cosine re-rank inside matching buckets.
+- :func:`embedding_near_dups` — near-duplicate pairs by cosine ≥
+  threshold inside LSH buckets.
+
+At 100 TB: the brute path is a full scan per query batch (fine for a
+broadcastable query set); the LSH path shuffles only (bucket) keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)  # deterministic: same buckets every run
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_emb",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector.
+
+    The query set is collected once (it is small by contract — a probe
+    batch, not a table) and broadcast into a Pandas UDF that computes a
+    numpy matmul per Arrow batch; then a window keeps top-k per query.
+    """
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[query_id_col] for r in q_rows]
+    q_mat = np.array([r[query_vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_norm))
+
+    out_schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_schema)
+    def sims(vecs: pd.Series) -> pd.Series:
+        ids, qn = bc.value
+        m = np.array(vecs.tolist(), dtype=np.float64)  # batch × dim
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (m / norms) @ qn.T  # batch × n_queries
+        return pd.Series(
+            [
+                [{"query_id": int(ids[j]), "cosine": float(row[j])} for j in range(len(ids))]
+                for row in cos
+            ]
+        )
+
+    exploded = (
+        emb.select(F.col(id_col).alias("cand_id"), sims(F.col(vec_col)).alias("s"))
+        .select("cand_id", F.explode("s").alias("s"))
+        .select("cand_id", F.col("s.query_id").alias("query_id"), F.col("s.cosine").alias("cosine"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        exploded.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine", "rn")
+    )
+
+
+def lsh_bucketize(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane signature: bucket = sign-bit pattern of the
+    vector against ``n_planes`` fixed hyperplanes (deterministic seed).
+    Vectors with high cosine land in the same bucket with high
+    probability (SimHash for angles)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast(planes)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        signs = (m @ bc.value.T) > 0  # batch × n_planes
+        weights = (1 << np.arange(signs.shape[1])).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return emb.withColumn(out_col, bucket(F.col(vec_col)))
+
+
+def ann_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_emb",
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket both sides, exact cosine only where
+    buckets match.  Recall < 1 by construction; n_planes trades recall
+    for candidate-set size."""
+    e = lsh_bucketize(emb, vec_col=vec_col, dim=dim, n_planes=n_planes)
+    q = lsh_bucketize(
+        queries.withColumnRenamed(query_vec_col, "__qv"),
+        vec_col="__qv",
+        dim=dim,
+        n_planes=n_planes,
+    )
+    cand = e.join(F.broadcast(q), "bucket").select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__ev"),
+        F.col(query_id_col).alias("query_id"),
+        F.col("__qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__ev", "__qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        (dot / (norm(F.col("__ev")) * norm(F.col("__qv")))).alias("cosine"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine", "rn")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) via LSH buckets."""
+    b = lsh_bucketize(emb, vec_col=vec_col, dim=dim, n_planes=n_planes)
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+            lambda a, b2: a.cast("double") * b2.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.{vec_col}"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (dot / (norm("l") * norm("r"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.  All JVM-side column expressions (no Python in
+the hot path) — these run as map-only stages with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny marker-word profiles for the heuristic language scorer.  Real
+# pipelines swap in character n-gram models; the operator shape (score
+# per language, argmax) is what matters here.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_whitespace(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token count: whitespace split or a BPE-ish regex (letters runs,
+    digit runs, single punctuation — a crude proxy for subword counts)."""
+    if mode == "whitespace":
+        return F.size(tokens_whitespace(text))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), 0))
+    raise ValueError(mode)
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach quality-signal columns: lengths, token stats, punctuation /
+    digit / stopword ratios, repetition (distinct-token ratio)."""
+    text = F.col(text_col)
+    toks = tokens_whitespace(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop = F.size(F.filter(toks, lambda w: w.isin(*LANG_MARKERS["en"])))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    punct = F.length(F.regexp_replace(text, r"[^\.,;:!?]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    avg_word_len = (n_chars - (n_tok - 1)) / n_tok
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_m", n_chars)
+        .withColumn("avg_word_len", avg_word_len)
+        .withColumn("stopword_ratio", stop / n_tok)
+        .withColumn("distinct_token_ratio", distinct_ratio)
+        .withColumn("punct_ratio", punct / n_chars)
+        .withColumn("digit_ratio", digits / n_chars)
+        .withColumn(
+            "quality_score",
+            (
+                F.least(n_tok / 64.0, F.lit(1.0)) * 0.4
+                + F.col("distinct_token_ratio") * 0.4
+                + (1 - F.col("punct_ratio")) * 0.1
+                + (1 - F.col("digit_ratio")) * 0.1
+            ),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: marker-word hit-rate per language, argmax.
+    Ties break lexicographically (deterministic)."""
+    toks = tokens_whitespace(F.col(text_col))
+    n = F.size(toks)
+    scored = df
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        hits = F.size(F.filter(toks, lambda w: w.isin(*markers)))
+        scored = scored.withColumn(f"__score_{lang}", hits / n)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"__score_{lang}").alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    out = scored.withColumn(out_col, best["lang"]).withColumn(
+        f"{out_col}_score", best["score"]
+    )
+    return out.drop(*[f"__score_{lang}" for lang in LANG_MARKERS])
+
+
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str = "text", shingle_k: int = 3
+) -> DataFrame:
+    """Content fingerprints: full-text hash + min/max shingle hashes
+    (a 3-value sketch usable for containment screening)."""
+    from swiftlake_spark.operators.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, shingle_k)
+    sketch = sh.groupBy("id").agg(
+        F.min(F.xxhash64("sh")).alias("min_shingle_hash"),
+        F.max(F.xxhash64("sh")).alias("max_shingle_hash"),
+    )
+    return (
+        df.withColumn("content_hash", F.xxhash64(F.col(text_col)))
+        .join(sketch, F.col(id_col) == F.col("id"), "left")
+        .drop("id")
+    )

@@ -417,3 +417,200 @@ def q47_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q48 — MinHash + LSH near-dup candidates, oracle-checked: signatures are
+# lexicographic mins of md5(seed:shingle) (portable to SQL), bands hash
+# with md5 too.  The engine's fast path (xxhash64) is operators.dedup.
+# --------------------------------------------------------------------------
+_MINHASH_K = 8
+_MINHASH_BANDS = 4
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"MIN(md5('{i}:' || sh)) AS h{i}" for i in range(_MINHASH_K)
+    )
+    r = _MINHASH_K // _MINHASH_BANDS
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, md5({' || '.join(f'h{b*r+j}' for j in range(r))}) AS bh FROM sig"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 300
+), shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 2, 0))) AS t(i)
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+@query("q48_minhash_lsh", oracle=_minhash_oracle())
+def q48_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import minhash_signatures, shingles
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = shingles(d, "doc_id", "text", 3)
+    sig = minhash_signatures(sh, _MINHASH_K, hash_fn="md5")
+    r = _MINHASH_K // _MINHASH_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])).alias("bh"),
+        )
+        for b in range(_MINHASH_BANDS)
+    ]
+    banded = sig.select(
+        F.col("id").alias("doc_id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 — SimHash near-dup pairs (rows-only: xxhash64 is engine-internal).
+# --------------------------------------------------------------------------
+@query("q49_simhash_neardup", oracle=None)
+def q49_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import simhash_near_dups
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_near_dups(
+        d, "doc_id", "text", max_hamming=10, prefix_bits=8
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# q50 — ANN via random-hyperplane LSH buckets + exact re-rank (rows-only:
+# bucket assignment is engine-internal, recall < 1 by design).
+# --------------------------------------------------------------------------
+@query("q50_ann_lsh_topk", oracle=None)
+def q50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.similarity import ann_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ann_cosine_topk(
+        emb, queries_df, dim=64, k=5, n_planes=6
+    ).orderBy("query_id", "rn")
+
+
+# --------------------------------------------------------------------------
+# q51 — text quality scoring (operators.text.text_quality), oracle-checked:
+# the score is pure integer-ratio double arithmetic, identical in both
+# engines when the expression shape matches.
+# --------------------------------------------------------------------------
+@query(
+    "q51_text_quality",
+    oracle="""
+WITH q AS (
+  SELECT doc_id,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         LENGTH(text) AS n_chars_m,
+         LEN(list_distinct(string_split(text, ' '))) AS n_distinct,
+         LENGTH(regexp_replace(text, '[^\\.,;:!?]', '', 'g')) AS n_punct,
+         LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, n_tokens,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_token_ratio,
+       LEAST(n_tokens / 64.0, 1.0) * 0.4
+         + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4
+         + (1 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.1
+         + (1 - CAST(n_digit AS DOUBLE) / n_chars_m) * 0.1 AS quality_score
+FROM q
+ORDER BY doc_id
+""",
+)
+def q51_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import text_quality
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    scored = text_quality(d)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.col("distinct_token_ratio").cast("double").alias("distinct_token_ratio"),
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q52 — heuristic language-ID prediction vs the labeled lang column:
+# agreement counts per (label, prediction).
+# --------------------------------------------------------------------------
+@query(
+    "q52_langid_pred",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         [
+           {'score': CAST(LEN(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS DOUBLE) / LEN(string_split(text,' ')), 'lang': 'de'},
+           {'score': CAST(LEN(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of','is'))) AS DOUBLE) / LEN(string_split(text,' ')), 'lang': 'en'},
+           {'score': CAST(LEN(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y','es'))) AS DOUBLE) / LEN(string_split(text,' ')), 'lang': 'es'},
+           {'score': CAST(LEN(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est'))) AS DOUBLE) / LEN(string_split(text,' ')), 'lang': 'fr'}
+         ] AS scores
+  FROM documents
+)
+SELECT lang AS label, list_max(scores).lang AS lang_pred, COUNT(*) AS n
+FROM scored
+GROUP BY lang, list_max(scores).lang
+ORDER BY label, lang_pred
+""",
+)
+def q52_langid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    pred = lang_id(d)
+    return (
+        pred.groupBy(F.col("lang").alias("label"), F.col("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "lang_pred")
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — multimodal plumbing (rows-only): binary payloads (synthesized from
+# text bytes), metadata struct, Arrow-batched fake feature extraction.
+# --------------------------------------------------------------------------
+@query("q53_multimodal_features", oracle=None)
+def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.multimodal import attach_media_meta, decode_image
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.encode("text", "utf-8").alias("data"))
+    )
+    d = attach_media_meta(d, "data", "fake/raw")
+    feats = decode_image(d, "data", fake=True)
+    return feats.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.size("features").alias("feat_dim"),
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+    ).orderBy("doc_id")

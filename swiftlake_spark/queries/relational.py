@@ -784,3 +784,111 @@ def q22_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.isin(1, 2).alias("a_in"),
         F.when(a > b, "gt").when(a <= b, "le").otherwise("unknown").alias("cmp3vl"),
     ).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# q23 — pivot (DataFrame .pivot ≙ conditional aggregation in ANSI SQL).
+# --------------------------------------------------------------------------
+@query(
+    "q23_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_O,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q23_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")))
+    )
+    return piv.select(
+        "l_returnflag",
+        as_double(F.coalesce(F.col("O"), F.lit(0))).alias("qty_O"),
+        as_double(F.coalesce(F.col("F"), F.lit(0))).alias("qty_F"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# q24 — CUBE grouping sets (beyond ROLLUP, q12).
+# --------------------------------------------------------------------------
+@query(
+    "q24_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — approximate distinct (HLL).  Rows-only: sketch estimates are
+# engine-specific by nature; the shape (one row per group, plausible
+# estimate) is the contract.
+# --------------------------------------------------------------------------
+@query("q25_approx_distinct", oracle=None)
+def q25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — UNION ALL BY NAME: position-independent union (reference:
+# SchemaEvolution.java:216 unions per-schema file groups BY NAME).
+# --------------------------------------------------------------------------
+@query(
+    "q26_union_by_name",
+    oracle="""
+SELECT nk, src, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nk, 'c' AS src FROM customer
+  UNION ALL BY NAME
+  SELECT 's' AS src, s_nationkey AS nk FROM supplier
+)
+GROUP BY nk, src
+ORDER BY nk, src
+""",
+)
+def q26_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"), F.lit("c").alias("src")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("s").alias("src"), F.col("s_nationkey").alias("nk")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nk", "src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nk", "src")
+    )
