@@ -40,10 +40,21 @@ class SwiftLakeEngine:
         if self._catalog is None:
             if self.warehouse is None:
                 raise ValueError("engine has no warehouse; pass warehouse= to use tables")
+            from swiftlake_spark.plans.guards import ScanGuard
             from swiftlake_spark.tables.catalog import Catalog
 
-            self._catalog = Catalog(self.spark, self.warehouse)
+            guard = ScanGuard(
+                allow_full_table_scan=self.config.allow_full_table_scan,
+                total_scan_size_limit_mib=self.config.total_scan_size_limit_mib,
+            )
+            self._catalog = Catalog(self.spark, self.warehouse, guard=guard)
         return self._catalog
+
+    def batch_transaction(self, table_name: str, branch: str = "main"):
+        """Accumulate multiple appends into one commit (reference A22)."""
+        from swiftlake_spark.tables.batch import TableBatchTransaction
+
+        return TableBatchTransaction(self.catalog.table(table_name), branch)
 
     def table(self, name: str) -> DataFrame:
         """Load a lakehouse table (supports time-travel suffix sugar —

@@ -30,9 +30,10 @@ _SUFFIX_RE = re.compile(
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+    def __init__(self, spark: SparkSession, warehouse: str, guard=None) -> None:
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
+        self.guard = guard  # plans.guards.ScanGuard | None, applied to scans
         os.makedirs(self.warehouse, exist_ok=True)
 
     # ------------------------------------------------------------- ddl
@@ -73,7 +74,7 @@ class Catalog:
         )
         # v1 is the create (version counter starts at 0 → claim v1)
         write_new_version(meta)
-        return Table(self.spark, meta)
+        return Table(self.spark, meta, guard=self.guard)
 
     def drop_table(self, name: str) -> None:
         import shutil
@@ -97,12 +98,12 @@ class Catalog:
     # ------------------------------------------------------------- read
     def table(self, name: str) -> Table:
         base, _, _ = self._parse_name(name)
-        return Table(self.spark, load_metadata(self._location(base)))
+        return Table(self.spark, load_metadata(self._location(base)), guard=self.guard)
 
     def load(self, name: str, filter=None) -> DataFrame:
         """Load a table as a DataFrame, honoring time-travel suffixes."""
         base, kind, arg = self._parse_name(name)
-        t = Table(self.spark, load_metadata(self._location(base)))
+        t = Table(self.spark, load_metadata(self._location(base)), guard=self.guard)
         kwargs: dict[str, Any] = {}
         if kind == "timestamp":
             kwargs["as_of_ms"] = int(arg)

@@ -59,9 +59,11 @@ _MAX_COMMIT_RETRIES = 5
 
 
 class Table:
-    def __init__(self, spark: SparkSession, meta: TableMetadata) -> None:
+    def __init__(self, spark: SparkSession, meta: TableMetadata, guard=None) -> None:
         self.spark = spark
         self.meta = meta
+        self.guard = guard  # plans.guards.ScanGuard | None
+        self.last_scan_metrics = None  # plans.metrics.ScanMetrics | None
 
     # ------------------------------------------------------------ basics
     @property
@@ -99,13 +101,34 @@ class Table:
     ) -> DataFrame:
         """Pruned read.  ``filter`` prunes at the manifest level AND is
         applied as a row filter (files may contain non-matching rows)."""
+        import time as _time
+
+        from swiftlake_spark.plans.metrics import ScanMetrics
+
+        t0 = _time.perf_counter()
         snap = self._resolve_snapshot(snapshot_id, as_of_ms, branch, tag)
-        entries = self.meta.read_manifest(snap)
-        entries = self.prune(entries, filter)
+        all_entries = self.meta.read_manifest(snap)
+        entries = self.prune(all_entries, filter)
+        if self.guard is not None:
+            self.guard.check(self.meta.location, filter, entries)
+        self.last_scan_metrics = ScanMetrics(
+            table=self.meta.location,
+            total_files=len(all_entries),
+            scanned_files=len(entries),
+            pruned_files=len(all_entries) - len(entries),
+            scanned_bytes=sum(e.size_bytes for e in entries),
+            scanned_records=sum(e.records for e in entries),
+            planning_ms=(_time.perf_counter() - t0) * 1000,
+        )
         df = self._read_entries(entries, with_file_name=with_file_name)
         if filter is not None:
             df = df.filter(filter.column())
         return df
+
+    def history(self) -> DataFrame:
+        from swiftlake_spark.plans.metrics import table_history
+
+        return table_history(self.spark, self)
 
     def prune(
         self, entries: list[ManifestEntry], filter: Expr | None
