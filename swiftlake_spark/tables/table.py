@@ -380,6 +380,68 @@ class Table:
                 self.meta = load_metadata(self.location)
         raise CommitConflict(f"gave up after {_MAX_COMMIT_RETRIES} retries")
 
+    # --------------------------------------------------- schema evolution
+    # Reference: add/drop/widen by field ID (README.md:46-49, A3).  This
+    # format resolves columns BY NAME at read time (explicit read schema:
+    # missing-in-file → NULL, extra-in-file → ignored, declared-wider →
+    # upcast by the parquet reader), so add/drop/widen need metadata-only
+    # commits; rename is not supported (name resolution would orphan old
+    # files' data — the documented delta vs the reference's field IDs).
+
+    _WIDENINGS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"), ("float", "double"),
+    }
+
+    def add_column(self, name: str, dtype: str) -> None:
+        schema = self.schema
+        if name in schema.fieldNames():
+            raise ValidationError(f"column {name!r} already exists")
+        schema = schema.add(name, dtype, True)
+        self.meta.schema_json = schema.jsonValue()
+        write_new_version(self.meta)
+
+    def drop_column(self, name: str) -> None:
+        schema = self.schema
+        if name not in schema.fieldNames():
+            raise ValidationError(f"no column {name!r}")
+        refs = {t.source for t in self.transforms} | {
+            d["col"] for d in self.meta.sort_order
+        }
+        if name in refs:
+            raise ValidationError(
+                f"column {name!r} is referenced by the partition spec or sort order"
+            )
+        self.meta.schema_json = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        ).jsonValue()
+        write_new_version(self.meta)
+
+    def widen_column(self, name: str, dtype: str) -> None:
+        schema = self.schema
+        if name not in schema.fieldNames():
+            raise ValidationError(f"no column {name!r}")
+        cur = schema[name].dataType.simpleString()
+        if (cur, dtype) not in self._WIDENINGS:
+            raise ValidationError(f"cannot widen {name}: {cur} → {dtype}")
+        self.meta.schema_json = T.StructType(
+            [
+                T.StructField(f.name, T._parse_datatype_string(dtype), f.nullable)
+                if f.name == name
+                else f
+                for f in schema.fields
+            ]
+        ).jsonValue()
+        write_new_version(self.meta)
+
+    def rename_column(self, old: str, new: str) -> None:
+        raise NotImplementedError(
+            "rename is unsupported: this format resolves columns by name, so "
+            "renames would orphan existing files' data (the reference does "
+            "field-ID resolution, SchemaEvolution.java:328-404)"
+        )
+
     # ---------------------------------------------------------- refs
     def create_branch(self, name: str, from_snapshot: int | None = None) -> None:
         sid = from_snapshot if from_snapshot is not None else self.meta.refs.get("main")

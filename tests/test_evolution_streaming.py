@@ -1,0 +1,112 @@
+"""Schema evolution (add/drop/widen, name-resolved) and the streaming
+extension (windowed + session rollups, lakehouse sink)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from swiftlake_spark.engine import SwiftLakeEngine
+from swiftlake_spark.tables import expressions as E
+from swiftlake_spark.tables.metadata import ValidationError
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "wh"))
+
+
+def test_add_drop_widen_column(engine, spark):
+    t = engine.catalog.create_table("db.evo", "id INT, name STRING")
+    t.append(spark.createDataFrame([(1, "a")], schema=t.schema))
+    # add: old files read NULL for the new column
+    t.add_column("score", "double")
+    t.append(
+        spark.createDataFrame([(2, "b", 2.5)], "id INT, name STRING, score DOUBLE")
+    )
+    got = {r["id"]: (r["name"], r["score"]) for r in t.scan().collect()}
+    assert got == {1: ("a", None), 2: ("b", 2.5)}
+    # widen: int → bigint upcast applies to old int32 files
+    t.widen_column("id", "bigint")
+    assert dict(t.scan().dtypes)["id"] == "bigint"
+    assert {r["id"] for r in t.scan().collect()} == {1, 2}
+    # drop: extra column in files is ignored on read
+    t.drop_column("name")
+    assert [f[0] for f in t.scan().dtypes] == ["id", "score"]
+    # invalid evolutions rejected
+    with pytest.raises(ValidationError):
+        t.widen_column("score", "float")  # narrowing
+    with pytest.raises(ValidationError):
+        t.add_column("id", "int")
+    with pytest.raises(NotImplementedError):
+        t.rename_column("id", "id2")
+
+
+def test_drop_partition_column_rejected(engine, spark):
+    t = engine.catalog.create_table("db.evo2", "id INT, cat STRING", partition_spec=["cat"])
+    with pytest.raises(ValidationError):
+        t.drop_column("cat")
+
+
+def test_streaming_windowed_rollup_memory_sink(spark, tmp_path):
+    from swiftlake_spark.streaming import windowed_rollup
+
+    # drive a streaming query from a parquet source dir
+    src = str(tmp_path / "stream_src")
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 1), 10, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 2), 11, "click", 2.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 0, 9), 10, "view", 3.0, "{}"),
+        ],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_rollup(stream, window="5 minutes", watermark="1 minute")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT event_type, n, total_value FROM win_out ORDER BY event_type"
+        ).collect()
+    finally:
+        q.stop()
+    assert [(r["event_type"], r["n"], r["total_value"]) for r in rows] == [
+        ("click", 2, 3.0),
+        ("view", 1, 3.0),
+    ]
+    # batch/stream parity: same transformation on the batch frame
+    batch = windowed_rollup(events)
+    brows = {
+        (r["event_type"], r["n"]) for r in batch.collect()
+    }
+    assert brows == {("click", 2), ("view", 1)}
+
+
+def test_stream_into_lakehouse_table(engine, spark, tmp_path):
+    from swiftlake_spark.streaming import stream_into_table
+
+    src = str(tmp_path / "sink_src")
+    ck = str(tmp_path / "ck")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}")],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    df.write.parquet(src)
+    engine.catalog.create_table(
+        "db.ev",
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = stream_into_table(stream, engine, "db.ev", ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert engine.catalog.table("db.ev").scan().count() == 1
