@@ -892,3 +892,129 @@ def q26_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("nk", "src")
     )
+
+
+# --------------------------------------------------------------------------
+# q27 — typed casts x::T across the type matrix (reference:
+# SchemaEvolution.java:60,283-306 emits typed casts for evolution reads).
+# --------------------------------------------------------------------------
+@query(
+    "q27_casts",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR)            AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       CAST(o_totalprice AS DECIMAL(18,2))    AS price_dec,
+       CAST(TRUNC(o_totalprice) AS BIGINT)    AS price_long,
+       CAST(o_orderdate AS DATE)              AS order_day,
+       CAST(o_orderkey % 2 AS BOOLEAN)        AS odd_key,
+       CAST(NULL AS INTEGER)                  AS always_null
+FROM orders
+WHERE o_orderkey <= 100
+ORDER BY o_orderkey
+""",
+)
+def q27_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("bigint").alias("price_long"),
+        F.col("o_orderdate").cast("date").alias("order_day"),
+        (F.col("o_orderkey") % 2).cast("boolean").alias("odd_key"),
+        F.lit(None).cast("int").alias("always_null"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q28 — window RANGE frame (value-based) next to the ROWS frame of q09.
+# --------------------------------------------------------------------------
+@query(
+    "q28_range_frame",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_quantity
+                      RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW) AS n_within_5,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+            PARTITION BY l_orderkey ORDER BY l_quantity
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_cume
+FROM lineitem
+WHERE l_orderkey <= 300
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q28_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    w5 = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, W.currentRow)
+    )
+    wc = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_quantity")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.count(F.lit(1)).over(w5).alias("n_within_5"),
+        as_double(F.sum(dec("l_quantity")).over(wc)).alias("qty_cume"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# q29 — math functions with cross-engine-exact results (sqrt is IEEE-exact;
+# floor/ceil/round/sign/mod are integral — transcendental fns excluded on
+# purpose: libm vs JVM differ in ulps).
+# --------------------------------------------------------------------------
+@query(
+    "q29_math_funcs",
+    oracle="""
+SELECT o_orderkey,
+       SQRT(o_totalprice)                    AS price_sqrt,
+       CAST(FLOOR(o_totalprice) AS BIGINT)   AS price_floor,
+       CAST(CEIL(o_totalprice) AS BIGINT)    AS price_ceil,
+       ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS price_round1,
+       CAST(o_orderkey % 7 AS BIGINT)        AS key_mod7,
+       CAST(SIGN(o_totalprice - 100000.0) AS DOUBLE) AS price_sign,
+       GREATEST(o_orderkey, o_custkey)       AS max_key,
+       LEAST(o_orderkey, o_custkey)          AS min_key
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+""",
+)
+def q29_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)"), 1).alias("price_round1"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.signum(F.col("o_totalprice") - 100000.0).alias("price_sign"),
+        F.greatest("o_orderkey", "o_custkey").alias("max_key"),
+        F.least("o_orderkey", "o_custkey").alias("min_key"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q33 — file-name metadata column (reference exposes filename /
+# file_row_number, common.xml:36-59; Spark: input_file_name).  Rows-only:
+# absolute paths don't hash-match an oracle, but the per-file row
+# accounting shape is the contract.
+# --------------------------------------------------------------------------
+@query("q33_file_metadata", oracle=None)
+def q33_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("_file")
+    )
