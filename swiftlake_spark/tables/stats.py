@@ -56,20 +56,26 @@ def collect_file_stats(abs_path: str) -> tuple[int, int, dict[str, dict[str, Any
             name = col.path_in_schema
             if "." in name:  # nested leaf — skip
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:  # pyarrow raises lazily ("Cannot extract statistics for
+                # type") for exotic logical types — treat as no stats
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    have[name] = False
+                    continue
+                if have.get(name) is False:
+                    continue
+                mn, mx = st.min, st.max
+                nc = st.null_count
+            except Exception:
                 have[name] = False
                 continue
-            if have.get(name) is False:
-                continue
             have.setdefault(name, True)
-            mn, mx = st.min, st.max
             if name not in mins or _lt(mn, mins[name]):
                 mins[name] = mn
             if name not in maxs or _lt(maxs[name], mx):
                 maxs[name] = mx
-            if st.null_count is not None:
-                nulls[name] = nulls.get(name, 0) + st.null_count
+            if nc is not None:
+                nulls[name] = nulls.get(name, 0) + nc
     out: dict[str, dict[str, Any]] = {}
     for name in set(list(mins) + list(nulls)):
         if have.get(name) is False:
