@@ -77,12 +77,17 @@ class SwiftLakeEngine:
                 self.register_parquet(t, p)
 
     # -- query ------------------------------------------------------------
-    def sql(self, sql: str) -> DataFrame:
+    def sql(self, sql: str, args: dict | list | None = None) -> DataFrame:
         """Run SQL.  Lakehouse tables referenced as ``db.t`` (with optional
         time-travel suffix) are resolved to temp views before Catalyst
-        sees the query."""
+        sees the query.  ``args`` binds named (``:name``) or positional
+        (``?``) parameter markers — the Spark-native counterpart of the
+        reference's typed JDBC prepared statements
+        (sql/SwiftLakePreparedStatement.java:179-500, A25)."""
         if self._catalog is not None:
             sql = self._catalog.resolve_sql(sql)
+        if args is not None:
+            return self.spark.sql(sql, args=args)
         return self.spark.sql(sql)
 
     # -- DML builders (wired to the table format) -------------------------

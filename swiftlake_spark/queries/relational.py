@@ -1018,3 +1018,23 @@ def q33_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("_file")
     )
+
+
+# --------------------------------------------------------------------------
+# q34 — SELECT * EXCEPT (reference surface: DuckDB `* EXCLUDE` /
+# `* REPLACE`, update.xml:13-23; Spark spells it EXCEPT).
+# --------------------------------------------------------------------------
+@query(
+    "q34_select_except",
+    oracle="""
+SELECT * EXCLUDE (props, value) FROM events
+WHERE event_id <= 50
+ORDER BY event_id
+""",
+)
+def q34_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") <= 50)
+    e.createOrReplaceTempView("__q34_events")
+    return spark.sql(
+        "SELECT * EXCEPT (props, value) FROM __q34_events ORDER BY event_id"
+    )

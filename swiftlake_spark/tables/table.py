@@ -442,6 +442,22 @@ class Table:
             "field-ID resolution, SchemaEvolution.java:328-404)"
         )
 
+    # ---------------------------------------------------- maintenance
+    def compact(self, **kw):
+        from swiftlake_spark.tables.maintenance import compact
+
+        return compact(self, **kw)
+
+    def expire_snapshots(self, **kw):
+        from swiftlake_spark.tables.maintenance import expire_snapshots
+
+        return expire_snapshots(self, **kw)
+
+    def vacuum(self, **kw):
+        from swiftlake_spark.tables.maintenance import vacuum
+
+        return vacuum(self, **kw)
+
     # ---------------------------------------------------------- refs
     def create_branch(self, name: str, from_snapshot: int | None = None) -> None:
         sid = from_snapshot if from_snapshot is not None else self.meta.refs.get("main")
@@ -484,7 +500,14 @@ class Table:
             if sort_cols:
                 out = out.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
             writer = out.write
-        writer.option("compression", "zstd").parquet(abs_dir, mode="errorifexists")
+        writer = writer.option("compression", "zstd")
+        # target file sizing (reference FILE_SIZE_BYTES / row-group split,
+        # BaseDataFileWriter.java:205-213): bound records per file via
+        # table property
+        max_rec = self.meta.properties.get("write.max-records-per-file")
+        if max_rec:
+            writer = writer.option("maxRecordsPerFile", int(max_rec))
+        writer.parquet(abs_dir, mode="errorifexists")
 
         entries: list[ManifestEntry] = []
         for root, _dirs, files in os.walk(abs_dir):

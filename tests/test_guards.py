@@ -67,3 +67,40 @@ def test_batch_transaction_single_commit(spark, tmp_path):
 
     with pytest.raises(ValidationError):
         bt.commit()
+
+
+def test_sql_named_and_positional_params(spark, tmp_path):
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "whp"))
+    t = eng.catalog.create_table("db.p", "id BIGINT, v DOUBLE")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], schema=t.schema))
+    got = eng.sql("SELECT id FROM db.p WHERE v > :lo ORDER BY id", args={"lo": 1.5})
+    assert [r["id"] for r in got.collect()] == [2]
+    got = eng.sql("SELECT id FROM db.p WHERE v > ? ORDER BY id", args=[0.5])
+    assert [r["id"] for r in got.collect()] == [1, 2]
+
+
+def test_compact_expire_vacuum(spark, tmp_path):
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "whm"))
+    t = eng.catalog.create_table("db.c", "id BIGINT")
+    for i in range(4):  # four tiny appends → four small files
+        t.append(spark.createDataFrame([(i,)], schema=t.schema).coalesce(1))
+    man0 = t.meta.read_manifest(t.meta.current_snapshot())
+    assert len(man0) == 4
+    snap = t.compact(target_file_size_bytes=1 << 20)
+    assert snap is not None and snap.operation == "replace"
+    man1 = t.meta.read_manifest(t.meta.current_snapshot())
+    assert len(man1) == 1
+    assert t.scan().count() == 4  # data intact
+
+    # expire everything but the head, then vacuum the replaced files
+    expired = t.expire_snapshots(keep_last=1)
+    assert len(expired) == 4  # the four pre-compaction snapshots
+    report = t.vacuum(dry_run=True)
+    assert len(report["data_files"]) == 4  # the small files, now orphaned
+    t.vacuum()
+    assert t.vacuum(dry_run=True)["data_files"] == []
+    assert t.scan().count() == 4  # current data untouched
+
+    # further writes still work after maintenance
+    t.append(spark.createDataFrame([(99,)], schema=t.schema))
+    assert t.scan().count() == 5
