@@ -614,3 +614,29 @@ def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").alias("feat_dim"),
         F.round(F.element_at("features", 1), 4).alias("f0"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q54 — BPE-ish regex token counting (operators.text.token_count mode
+# 'bpe'): letter runs, digit runs, single punctuation.
+# --------------------------------------------------------------------------
+@query(
+    "q54_bpe_tokens",
+    oracle="""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+       LEN(string_split(text, ' ')) AS n_ws
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def q54_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import token_count
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text"), "bpe").alias("n_bpe"),
+        token_count(F.col("text"), "whitespace").alias("n_ws"),
+    ).orderBy("doc_id")

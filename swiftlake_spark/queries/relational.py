@@ -1038,3 +1038,81 @@ def q34_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * EXCEPT (props, value) FROM __q34_events ORDER BY event_id"
     )
+
+
+# --------------------------------------------------------------------------
+# q35 — as-of join (operators.joins.asof_join): latest prior 'view' per
+# user attached to each 'click'.  Oracle: DuckDB's native ASOF JOIN.
+# Right side deduped per (user, ts) so ties are deterministic in both.
+# --------------------------------------------------------------------------
+@query(
+    "q35_asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, MAX(event_id) AS view_event_id,
+         MAX_BY(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       v.view_event_id AS right_view_event_id,
+       v.view_value    AS right_view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.event_id
+""",
+)
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id", "view_value"],
+    )
+    return out.select("event_id", "user_id", "right_view_event_id", "right_view_value").orderBy(
+        "event_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — band/range join (operators.joins.range_join): price pairs within
+# ±0.5, bucketed equi-join instead of a cross product.  Oracle: plain
+# inequality join (DuckDB IEJoin).
+# --------------------------------------------------------------------------
+@query(
+    "q36_range_join",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, p.p_partkey,
+       l.l_extendedprice, p.p_retailprice
+FROM (SELECT * FROM lineitem WHERE l_orderkey <= 400) l
+JOIN part p ON ABS(l.l_extendedprice - p.p_retailprice) <= 25.0
+ORDER BY l.l_orderkey, l.l_linenumber, p.p_partkey
+""",
+)
+def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.joins import range_join
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    p = load(spark, sf_dir, "part")
+    out = range_join(
+        li, p, left_val="l_extendedprice", right_val="p_retailprice", width=25.0
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice", "p_retailprice"
+    ).orderBy("l_orderkey", "l_linenumber", "p_partkey")
