@@ -1,0 +1,186 @@
+"""Property-based soundness of manifest pruning (hypothesis).
+
+For random "files" (value lists with NULLs) and random expression trees,
+the 3-valued stats evaluation must never contradict row-level truth:
+
+- eval_stats == False  ⇒  NO row matches   (else pruning loses rows!)
+- eval_stats == True   ⇒  EVERY row matches
+- None is always allowed.
+
+Row-level truth uses SQL 3VL (NULL comparisons are not matches), the
+same semantics `Expr.column()` compiles to.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from swiftlake_spark.tables import expressions as E
+from swiftlake_spark.tables.expressions import FileStatsView
+
+values = st.one_of(
+    st.none(),
+    st.integers(min_value=-50, max_value=50),
+)
+
+files = st.lists(values, min_size=0, max_size=12)
+
+
+def file_stats(rows):
+    non_null = [v for v in rows if v is not None]
+    stats = {"c": {"nulls": sum(1 for v in rows if v is None)}}
+    if non_null:
+        stats["c"]["min"] = min(non_null)
+        stats["c"]["max"] = max(non_null)
+    return FileStatsView(None, stats, records=len(rows))
+
+
+@st.composite
+def exprs(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        kind = draw(
+            st.sampled_from(
+                ["eq", "ne", "lt", "le", "gt", "ge", "is_null", "not_null",
+                 "in", "not_in", "between"]
+            )
+        )
+        v = draw(st.integers(min_value=-60, max_value=60))
+        if kind == "is_null":
+            return E.is_null("c")
+        if kind == "not_null":
+            return E.not_null("c")
+        if kind == "in":
+            return E.in_("c", draw(st.lists(st.integers(-60, 60), max_size=4)))
+        if kind == "not_in":
+            return E.not_in("c", draw(st.lists(st.integers(-60, 60), max_size=4)))
+        if kind == "between":
+            lo = draw(st.integers(-60, 60))
+            return E.between("c", lo, lo + draw(st.integers(0, 30)))
+        return {"eq": E.col_eq, "ne": E.col_ne, "lt": E.lt, "le": E.le,
+                "gt": E.gt, "ge": E.ge}[kind]("c", v)
+    op = draw(st.sampled_from(["and", "or", "not"]))
+    if op == "not":
+        return E.not_(draw(exprs(depth + 1)))
+    l, r = draw(exprs(depth + 1)), draw(exprs(depth + 1))
+    return E.and_(l, r) if op == "and" else E.or_(l, r)
+
+
+def row_matches(e, v) -> bool:
+    """Row-level truth under SQL 3VL (unknown → not matched)."""
+    if isinstance(e, E.AlwaysTrue):
+        return True
+    if isinstance(e, E.AlwaysFalse):
+        return False
+    if isinstance(e, E.And):
+        return row_matches(e.left, v) and row_matches(e.right, v)
+    if isinstance(e, E.Or):
+        return row_matches(e.left, v) or row_matches(e.right, v)
+    if isinstance(e, E.Predicate):
+        if e.op == "is_null":
+            return v is None
+        if e.op == "not_null":
+            return v is not None
+        if v is None:
+            return False
+        return {
+            "eq": v == e.value, "ne": v != e.value, "lt": v < e.value,
+            "le": v <= e.value, "gt": v > e.value, "ge": v >= e.value,
+        }[e.op]
+    if isinstance(e, E.InPredicate):
+        if v is None:
+            return False
+        return (v not in e.values) if e.negated else (v in e.values)
+    raise AssertionError(type(e))
+
+
+@settings(max_examples=2000, deadline=None)
+@given(rows=files, e=exprs())
+def test_stats_eval_never_contradicts_rows(rows, e):
+    verdict = e.eval_stats(file_stats(rows))
+    truths = [row_matches(e, v) for v in rows]
+    if verdict is False:
+        assert not any(truths), (e, rows, "pruned a file containing matches!")
+    elif verdict is True:
+        assert all(truths), (e, rows, "claimed all-match falsely")
+
+
+@settings(max_examples=500, deadline=None)
+@given(rows=files, e=exprs())
+def test_negation_consistency(rows, e):
+    """not_(e) must also be sound, and leaf-negation must complement
+    row-level truth exactly (NULLs fail both e and not e)."""
+    ne = E.not_(e)
+    sv = file_stats(rows)
+    v1, v2 = e.eval_stats(sv), ne.eval_stats(sv)
+    # both can't claim True unless file is empty; both can't claim all-False
+    # when a non-null row exists
+    non_null = [v for v in rows if v is not None]
+    if rows and v1 is True and v2 is True:
+        raise AssertionError((e, rows))
+    if non_null and v1 is False and v2 is False:
+        raise AssertionError((e, rows, "both e and NOT e claim no matches"))
+
+
+# ---------------------------------------------------------------------------
+# Transform projection soundness: if a ROW satisfies the source predicate,
+# the projected partition predicate MUST accept the row's partition value
+# (inclusive projection — it may be weaker, never stronger).
+# ---------------------------------------------------------------------------
+import datetime as dt
+
+from swiftlake_spark.tables.transforms import Transform
+
+transforms = st.sampled_from(
+    [
+        Transform("identity", "c"),
+        Transform("bucket", "c", 8),
+        Transform("truncate", "c", 10),
+    ]
+)
+
+int_preds = st.builds(
+    lambda kind, v: {
+        "eq": E.col_eq, "ne": E.col_ne, "lt": E.lt, "le": E.le,
+        "gt": E.gt, "ge": E.ge,
+    }[kind]("c", v),
+    st.sampled_from(["eq", "ne", "lt", "le", "gt", "ge"]),
+    st.integers(-100, 100),
+)
+
+
+@settings(max_examples=2000, deadline=None)
+@given(t=transforms, p=int_preds, v=st.integers(-100, 100))
+def test_transform_projection_inclusive(t, p, v):
+    if not row_matches(p, v):
+        return
+    projected = t.project(p)
+    pv = t.apply(v)
+    sv = FileStatsView({t.partition_name: pv}, None)
+    assert projected.eval_stats(sv) is not False, (t, p, v, pv)
+
+
+@settings(max_examples=1000, deadline=None)
+@given(
+    t=st.sampled_from(
+        [Transform("year", "c"), Transform("month", "c"), Transform("day", "c"),
+         Transform("hour", "c")]
+    ),
+    p_kind=st.sampled_from(["eq", "lt", "le", "gt", "ge"]),
+    v=st.datetimes(dt.datetime(2020, 1, 1), dt.datetime(2026, 1, 1)),
+    lit=st.datetimes(dt.datetime(2020, 1, 1), dt.datetime(2026, 1, 1)),
+)
+def test_time_transform_projection_inclusive(t, p_kind, v, lit):
+    p = {"eq": E.col_eq, "lt": E.lt, "le": E.le, "gt": E.gt, "ge": E.ge}[p_kind](
+        "c", lit
+    )
+    if not row_matches_dt(p, v):
+        return
+    sv = FileStatsView({t.partition_name: t.apply(v)}, None)
+    assert t.project(p).eval_stats(sv) is not False, (t.name, p_kind, v, lit)
+
+
+def row_matches_dt(p, v):
+    return {
+        "eq": v == p.value, "ne": v != p.value, "lt": v < p.value,
+        "le": v <= p.value, "gt": v > p.value, "ge": v >= p.value,
+    }[p.op]
