@@ -640,3 +640,18 @@ def q54_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text"), "bpe").alias("n_bpe"),
         token_count(F.col("text"), "whitespace").alias("n_ws"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q55 — embedding near-duplicate pairs via LSH buckets (rows-only:
+# buckets depend on the engine's deterministic hyperplane seed).
+# --------------------------------------------------------------------------
+@query("q55_embedding_neardup", oracle=None)
+def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.similarity import embedding_near_dups
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dups(emb, dim=64, threshold=0.5, n_planes=8)
+        .orderBy("id_a", "id_b")
+    )
