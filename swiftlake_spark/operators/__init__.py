@@ -9,4 +9,10 @@ driver.  Two hash families are used deliberately:
   engine-internal fast paths here, which the driver checks rows-only.
 """
 
-from swiftlake_spark.operators import dedup, similarity, text, multimodal  # noqa: F401
+from swiftlake_spark.operators import (  # noqa: F401
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    text,
+)

@@ -130,6 +130,25 @@ class Table:
 
         return table_history(self.spark, self)
 
+    def files(self, branch: str = "main") -> DataFrame:
+        """Manifest as a DataFrame (path, records, bytes, partition JSON) —
+        a queryable metadata table, which the reference explicitly cannot
+        expose (README.md:66-68)."""
+        import json as _json
+
+        rows = [
+            {
+                "path": e.path,
+                "records": e.records,
+                "size_bytes": e.size_bytes,
+                "partition": _json.dumps(e.partition, default=str, sort_keys=True),
+            }
+            for e in self.meta.read_manifest(self.meta.current_snapshot(branch))
+        ]
+        return self.spark.createDataFrame(
+            rows, schema="path STRING, records BIGINT, size_bytes BIGINT, partition STRING"
+        )
+
     def prune(
         self, entries: list[ManifestEntry], filter: Expr | None
     ) -> list[ManifestEntry]:

@@ -104,3 +104,13 @@ def test_compact_expire_vacuum(spark, tmp_path):
     # further writes still work after maintenance
     t.append(spark.createDataFrame([(99,)], schema=t.schema))
     assert t.scan().count() == 5
+
+
+def test_files_metadata_table(spark, tmp_path):
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "whf"))
+    t = eng.catalog.create_table("db.f", "id BIGINT, cat STRING", partition_spec=["cat"])
+    t.append(spark.createDataFrame([(1, "A"), (2, "B")], schema=t.schema))
+    files = t.files().collect()
+    assert len(files) == 2
+    assert all(f["records"] == 1 and f["size_bytes"] > 0 for f in files)
+    assert {f["partition"] for f in files} == {'{"cat": "A"}', '{"cat": "B"}'}

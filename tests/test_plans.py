@@ -55,7 +55,11 @@ def test_pandas_udf_only_in_sanctioned_queries(spark, queries):
     for name, fn in queries.items():
         if "ArrowEvalPython" in formatted_plan(fn(spark, SF)):
             arrow_users.add(name)
-    assert arrow_users <= {"q50_ann_lsh_topk", "q53_multimodal_features"}, arrow_users
+    assert arrow_users <= {
+        "q50_ann_lsh_topk",
+        "q53_multimodal_features",
+        "q55_embedding_neardup",
+    }, arrow_users
 
 
 def test_table_scan_residual_filter_pushed(spark, tmp_path):
