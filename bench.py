@@ -42,8 +42,21 @@ def main() -> int:
     else:
         names = sorted(qs)
 
-    # warm the JVM + parquet footers with a trivial action (not timed)
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the JVM, codegen, shuffle and parquet readers (not timed):
+    # a small scan+agg+join touches every engine component the timed
+    # queries use, so timings measure the queries, not first-run JIT
+    from pyspark.sql import functions as _F
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(_F.count(_F.lit(1)).alias("c"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
