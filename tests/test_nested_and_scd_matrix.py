@@ -195,3 +195,65 @@ def test_scd2_changes_delete_unmatched_is_noop(engine, spark):
     ).effective_timestamp(T1).execute()
     rows = engine.catalog.load("db.ghost").collect()
     assert len(rows) == 1 and rows[0]["effective_end"] is None
+
+
+def test_scd1_changes_empty_target(engine, spark):
+    engine.catalog.create_table("db.ch_empty", SCD1_DDL)
+    src = spark.createDataFrame(
+        [(1, "A", "x", 1.0, "UPSERT"), (2, "A", "y", 2.0, "DELETE")],
+        SCD1_DDL + ", op STRING",
+    )
+    engine.apply_changes_as_scd1("db.ch_empty").table_filter(
+        E.always_true()
+    ).source_dataframe(src).key_columns(["id"]).operation_type_column(
+        "op", "DELETE"
+    ).execute()
+    rows = engine.catalog.load("db.ch_empty").collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(1, "x")]  # delete of absent → noop
+
+
+def test_scd2_without_current_flag_and_generated_ts(engine, spark):
+    ddl = "id BIGINT, name STRING, effective_start TIMESTAMP, effective_end TIMESTAMP"
+    engine.catalog.create_table("db.noflag", ddl)
+    engine.insert_into("db.noflag").dataframe(
+        spark.createDataFrame([(1, "one", T0, None)], ddl)
+    ).execute()
+    src = spark.createDataFrame([(1, "one-v2")], "id BIGINT, name STRING")
+    engine.apply_snapshot_as_scd2("db.noflag").table_filter(
+        E.always_true()
+    ).source_dataframe(src).key_columns(["id"]).generate_effective_timestamp(
+        True
+    ).execute()
+    rows = sorted(
+        engine.catalog.load("db.noflag").collect(),
+        key=lambda r: (r["effective_end"] is None, str(r["effective_end"])),
+    )
+    assert len(rows) == 2
+    closed, open_ = rows[1], rows[0] if rows[0]["effective_end"] is None else rows[1]
+    open_rows = [r for r in rows if r["effective_end"] is None]
+    closed_rows = [r for r in rows if r["effective_end"] is not None]
+    assert len(open_rows) == 1 and open_rows[0]["name"] == "one-v2"
+    assert len(closed_rows) == 1 and closed_rows[0]["name"] == "one"
+    # generated ts is the new start and the old end
+    assert open_rows[0]["effective_start"] == closed_rows[0]["effective_end"]
+
+
+def test_scd2_second_merge_same_ts_rejected(engine, spark):
+    ddl = "id BIGINT, name STRING, effective_start TIMESTAMP, effective_end TIMESTAMP"
+    engine.catalog.create_table("db.same_ts", ddl)
+    engine.insert_into("db.same_ts").dataframe(
+        spark.createDataFrame([(1, "one", T0, None)], ddl)
+    ).execute()
+    src = spark.createDataFrame([(1, "v2")], "id BIGINT, name STRING")
+    engine.apply_snapshot_as_scd2("db.same_ts").table_filter(
+        E.always_true()
+    ).source_dataframe(src).key_columns(["id"]).effective_timestamp(T1).execute()
+    # merging again AT the same effective ts must hit the out-of-order guard
+    from swiftlake_spark.tables.metadata import ValidationError
+
+    with pytest.raises(ValidationError, match="out-of-order"):
+        engine.apply_snapshot_as_scd2("db.same_ts").table_filter(
+            E.always_true()
+        ).source_dataframe(
+            spark.createDataFrame([(1, "v3")], "id BIGINT, name STRING")
+        ).key_columns(["id"]).effective_timestamp(T1).execute()
