@@ -1116,3 +1116,51 @@ def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey", "l_linenumber", "p_partkey", "l_extendedprice", "p_retailprice"
     ).orderBy("l_orderkey", "l_linenumber", "p_partkey")
+
+
+# --------------------------------------------------------------------------
+# q37 — join on STRUCT keys (reference: join-filter pushdown incl. nested
+# struct keys, SwiftLakeEngineIntegrationTest.java:368-470).
+# --------------------------------------------------------------------------
+@query(
+    "q37_struct_key_join",
+    oracle="""
+WITH o AS (
+  SELECT {'ck': o_custkey, 'seg_hint': o_orderpriority[1:1]} AS k, o_totalprice
+  FROM orders
+), c AS (
+  SELECT {'ck': c_custkey, 'seg_hint': substr(c_mktsegment, 1, 1)} AS k, c_mktsegment
+  FROM customer
+)
+SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM o JOIN c ON o.k.ck = c.k.ck AND o.k = o.k
+GROUP BY c.c_mktsegment
+ORDER BY seg
+""",
+)
+def q37_struct_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.struct(
+            F.col("o_custkey").alias("ck"),
+            F.substring("o_orderpriority", 1, 1).alias("seg_hint"),
+        ).alias("k"),
+        "o_totalprice",
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.struct(
+            F.col("c_custkey").alias("ck"),
+            F.substring("c_mktsegment", 1, 1).alias("seg_hint"),
+        ).alias("k"),
+        "c_mktsegment",
+    )
+    return (
+        o.alias("o")
+        .join(F.broadcast(c.alias("c")), F.col("o.k.ck") == F.col("c.k.ck"))
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+        .orderBy("seg")
+    )

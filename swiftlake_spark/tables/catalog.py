@@ -134,7 +134,12 @@ class Catalog:
             self.load(ref).createOrReplaceTempView(view)
             return view
 
-        return pattern.sub(repl, sql)
+        # never rewrite inside string literals: split on quoted segments
+        # ('' escapes included) and substitute only outside them
+        parts = re.split(r"('(?:[^']|'')*')", sql)
+        return "".join(
+            p if i % 2 else pattern.sub(repl, p) for i, p in enumerate(parts)
+        )
 
     # ----------------------------------------------------------- helpers
     def _location(self, name: str) -> str:

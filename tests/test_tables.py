@@ -280,3 +280,12 @@ def test_sorted_write_files_are_sorted(catalog, spark):
     for e in t.meta.read_manifest(t.meta.current_snapshot()):
         ids = [r["id"] for r in spark.read.parquet(t.location + "/" + e.path).collect()]
         assert ids == sorted(ids)
+
+
+def test_resolve_sql_ignores_string_literals(catalog, simple_table, spark):
+    sql = catalog.resolve_sql(
+        "SELECT count(*) AS n FROM db.simple WHERE name = 'db.simple' OR name = 'x.y'"
+    )
+    assert "'db.simple'" in sql and "'x.y'" in sql  # literals untouched
+    assert sql.count("swl_db_simple") == 1  # table ref rewritten
+    assert spark.sql(sql).collect()[0]["n"] == 0
