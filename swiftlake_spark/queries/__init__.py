@@ -52,9 +52,23 @@ def _load_all() -> None:
     from swiftlake_spark.queries import llm  # noqa: F401
 
 
+def _with_worker_imports(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # make the package importable in Python workers no matter what
+        # cwd the harness runs from (UDF closures reference the module)
+        from swiftlake_spark.session import ensure_worker_imports
+
+        ensure_worker_imports(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: _with_worker_imports(q.fn) for name, q in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:

@@ -9,6 +9,8 @@ Arrow transfer path for the Pandas-UDF operators.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from swiftlake_spark.config import EngineConfig
@@ -42,12 +44,41 @@ def build_session(config: EngineConfig | None = None) -> SparkSession:
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_worker_imports(spark)
     return spark
+
+
+_WORKER_IMPORTS_ADDED: set[int] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make ``swiftlake_spark`` importable inside Spark's Python workers.
+
+    Cloudpickled UDF closures reference module-level functions by import
+    path; when the driving process runs from a different cwd the workers
+    can't import the package.  Shipping a zip via ``addPyFile`` puts it on
+    every worker's sys.path regardless of cwd."""
+    key = id(spark.sparkContext)
+    if key in _WORKER_IMPORTS_ADDED:
+        return
+    import shutil
+    import tempfile
+
+    import swiftlake_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(swiftlake_spark.__file__))
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="swl_pkg_"), "swiftlake_spark_pkg")
+    path = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="swiftlake_spark"
+    )
+    spark.sparkContext.addPyFile(path)
+    _WORKER_IMPORTS_ADDED.add(key)
 
 
 def tune_existing(spark: SparkSession, cfg: EngineConfig) -> SparkSession:
     """Apply the runtime-settable subset of the config to a session we did
     not create (the driver hands us one in ``__spark_entry__.entry``)."""
+    ensure_worker_imports(spark)
     spark.conf.set("spark.sql.session.timeZone", cfg.session_timezone)
     spark.conf.set("spark.sql.shuffle.partitions", str(cfg.effective_shuffle_partitions))
     try:
