@@ -655,3 +655,72 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_near_dups(emb, dim=64, threshold=0.5, n_planes=8)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q56 — deterministic train/val/test split (operators.sampling.hash_split,
+# md5-portable variant): every key lands in exactly one split, stable
+# across runs/engines — the property that keeps eval sets uncontaminated.
+# --------------------------------------------------------------------------
+@query(
+    "q56_hash_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 100000 THEN 'test'
+            WHEN bucket < 900000 THEN 'train'
+            ELSE 'val' END AS split,
+       lang, COUNT(*) AS n
+FROM b
+GROUP BY 1, 2
+ORDER BY split, lang
+""",
+)
+def q56_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    out = hash_split(
+        d, "doc_id", {"test": 0.1, "val": 0.1, "train": 0.8}, hash_fn="md5"
+    )
+    return (
+        out.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q57 — exact quantiles (interpolated): Spark percentile ≡ DuckDB
+# quantile_cont for the standard (n-1)p definition.
+# --------------------------------------------------------------------------
+@query(
+    "q57_quantiles",
+    oracle="""
+SELECT lang,
+       quantile_cont(n_chars, 0.5)  AS med_chars,
+       quantile_cont(n_chars, 0.9)  AS p90_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q57_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.5)").alias("med_chars"),
+            F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+            F.expr("percentile(n_chars, 0.99)").alias("p99_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )

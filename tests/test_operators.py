@@ -160,3 +160,28 @@ def test_fingerprint(spark, docs):
     out = fingerprint(docs.limit(10), "doc_id").collect()
     assert all(r["content_hash"] is not None for r in out)
     assert all(r["min_shingle_hash"] <= r["max_shingle_hash"] for r in out)
+
+
+def test_hash_split_stable_and_disjoint(spark, docs):
+    from swiftlake_spark.operators.sampling import hash_sample, hash_split, stratified_limit
+
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stability: re-running yields the identical assignment
+    a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split").collect()}
+    assert a == b
+
+    s = hash_sample(docs, "doc_id", 0.25)
+    n = s.count()
+    assert 0 < n < docs.count()
+    assert s.count() == n  # deterministic
+
+    lim = stratified_limit(docs, "lang", 5, key_col="doc_id")
+    per = lim.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] <= 5 for r in per)
