@@ -1164,3 +1164,82 @@ def q37_struct_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# --------------------------------------------------------------------------
+# q38 — SCD snapshot-diff classification as a read query: the exact
+# I/U/D/N decision tree of the merge (order matters, scd1_merge.xml:77-96;
+# candidate flags, null-safe keys, IS DISTINCT FROM value compare) over
+# deterministic target/source derivations of `orders`.  Puts the merge
+# semantics themselves under the oracle gate.
+# --------------------------------------------------------------------------
+@query(
+    "q38_scd_diff_classify",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 != 0
+), source AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 3 != 0
+), me AS (
+  SELECT *, CASE WHEN o_orderstatus IN ('O', 'F') THEN TRUE ELSE FALSE END AS cand
+  FROM target
+), other AS (
+  SELECT *, TRUE AS cand FROM source
+), diffs AS (
+  SELECT
+    CASE
+      WHEN me.cand IS NULL THEN 'I'
+      WHEN me.cand AND other.cand AND (
+            me.o_totalprice IS DISTINCT FROM other.o_totalprice
+         OR me.o_orderpriority IS DISTINCT FROM other.o_orderpriority) THEN 'U'
+      WHEN me.cand AND other.cand IS NULL THEN 'D'
+      ELSE 'N'
+    END AS op
+  FROM me FULL OUTER JOIN other
+    ON me.cand = other.cand AND me.o_orderkey IS NOT DISTINCT FROM other.o_orderkey
+)
+SELECT op, COUNT(*) AS n FROM diffs GROUP BY op ORDER BY op
+""",
+)
+def q38_scd_diff_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    source = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    me = target.withColumn(
+        "cand", F.when(F.col("o_orderstatus").isin("O", "F"), True).otherwise(False)
+    ).alias("me")
+    other = source.withColumn("cand", F.lit(True)).alias("other")
+    j = me.join(
+        other,
+        (F.col("me.cand") == F.col("other.cand"))
+        & F.col("me.o_orderkey").eqNullSafe(F.col("other.o_orderkey")),
+        "full_outer",
+    )
+    mc, oc = F.col("me.cand"), F.col("other.cand")
+    diff = ~F.col("me.o_totalprice").eqNullSafe(F.col("other.o_totalprice")) | ~F.col(
+        "me.o_orderpriority"
+    ).eqNullSafe(F.col("other.o_orderpriority"))
+    op = (
+        F.when(mc.isNull(), "I")
+        .when(mc & oc & diff, "U")
+        .when(mc & oc.isNull(), "D")
+        .otherwise("N")
+    )
+    return (
+        j.select(op.alias("op"))
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("op")
+    )
