@@ -289,3 +289,33 @@ def test_resolve_sql_ignores_string_literals(catalog, simple_table, spark):
     assert "'db.simple'" in sql and "'x.y'" in sql  # literals untouched
     assert sql.count("swl_db_simple") == 1  # table ref rewritten
     assert spark.sql(sql).collect()[0]["n"] == 0
+
+
+def test_many_concurrent_appends_all_land(catalog, spark):
+    """Commit-protocol stress: N stale writers appending concurrently —
+    every commit must land via retry, no rows lost, snapshot lineage
+    linear."""
+    import threading
+
+    t0 = catalog.create_table("db.stress", "id BIGINT")
+    writers = [catalog.table("db.stress") for _ in range(6)]  # all stale
+    errs = []
+
+    def go(i, tbl):
+        try:
+            tbl.append(spark.createDataFrame([(i,)], schema=tbl.schema))
+        except Exception as exc:  # noqa: BLE001
+            errs.append((i, exc))
+
+    threads = [threading.Thread(target=go, args=(i, w)) for i, w in enumerate(writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    t0.refresh()
+    assert rows(t0.scan(), "id") == [(i,) for i in range(6)]
+    # linear lineage: every snapshot's parent is the previous one
+    snaps = sorted(t0.meta.snapshots, key=lambda s: s.snapshot_id)
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur.parent_id == prev.snapshot_id
