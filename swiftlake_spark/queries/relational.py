@@ -1243,3 +1243,46 @@ def q38_scd_diff_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("op")
     )
+
+
+# --------------------------------------------------------------------------
+# q39 — MAP construction + lookup + keys/values (completes the
+# list/struct/map row of §2.B: map_from_entries ≙ reference's
+# schema-evolution map rebuild, SchemaEvolution.java:561-583).
+# --------------------------------------------------------------------------
+@query(
+    "q39_map_funcs",
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey, l_linestatus, COUNT(*) AS n
+  FROM lineitem WHERE l_orderkey <= 500
+  GROUP BY l_orderkey, l_linestatus
+), m AS (
+  SELECT l_orderkey,
+         map_from_entries(list({'k': l_linestatus, 'v': n})) AS mp
+  FROM per GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       mp['O'][1] AS n_open,
+       mp['F'][1] AS n_filled,
+       array_to_string(list_sort(map_keys(mp)), ',') AS statuses,
+       CAST(list_sum(map_values(mp)) AS BIGINT) AS total_lines
+FROM m
+ORDER BY l_orderkey
+""",
+)
+def q39_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    per = li.groupBy("l_orderkey", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    m = per.groupBy("l_orderkey").agg(
+        F.map_from_entries(F.collect_list(F.struct("l_linestatus", "n"))).alias("mp")
+    )
+    return m.select(
+        "l_orderkey",
+        F.element_at("mp", "O").alias("n_open"),
+        F.element_at("mp", "F").alias("n_filled"),
+        F.concat_ws(",", F.sort_array(F.map_keys("mp"))).alias("statuses"),
+        F.aggregate(
+            F.map_values("mp"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_lines"),
+    ).orderBy("l_orderkey")
