@@ -1286,3 +1286,68 @@ def q39_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values("mp"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("total_lines"),
     ).orderBy("l_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q60 — correlated LATERAL join: top-2 lineitems per order (the SQL form
+# of per-group top-k; Catalyst decorrelates to a ranked join).
+# --------------------------------------------------------------------------
+@query(
+    "q60_lateral_join",
+    oracle="""
+SELECT o.o_orderkey, t.l_linenumber, t.l_quantity
+FROM orders o JOIN LATERAL (
+  SELECT l_linenumber, l_quantity FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_quantity DESC, l_linenumber LIMIT 2
+) t ON TRUE
+WHERE o.o_orderkey <= 200
+ORDER BY o.o_orderkey, t.l_linenumber
+""",
+)
+def q60_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q60_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q60_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_quantity
+        FROM __q60_orders o JOIN LATERAL (
+          SELECT l_linenumber, l_quantity FROM __q60_lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_quantity DESC, l_linenumber LIMIT 2
+        ) t
+        WHERE o.o_orderkey <= 200
+        ORDER BY o.o_orderkey, t.l_linenumber
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q61 — correlated scalar subqueries in the SELECT list.
+# --------------------------------------------------------------------------
+@query(
+    "q61_scalar_subquery",
+    oracle="""
+SELECT o_orderkey,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines,
+       (SELECT CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+""",
+)
+def q61_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q61_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q61_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               (SELECT COUNT(*) FROM __q61_lineitem WHERE l_orderkey = o_orderkey) AS n_lines,
+               (SELECT CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                FROM __q61_lineitem WHERE l_orderkey = o_orderkey) AS max_qty
+        FROM __q61_orders
+        WHERE o_orderkey <= 200
+        ORDER BY o_orderkey
+        """
+    )
