@@ -207,3 +207,85 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_index(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids over the corpus (MLlib,
+    fixed seed) → (indexed DataFrame with a ``centroid_id`` column,
+    centroid matrix).  At 100 TB the assignment is one map-only pass;
+    the k-means fit runs on a sample."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="centroid_id")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).drop("__v")
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_emb",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: for each query, probe the ``n_probe`` nearest
+    centroids and run exact cosine only inside those inverted lists.
+    Scans ~n_probe/n_clusters of the corpus instead of all of it."""
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[query_vec_col], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(cn @ qn))[:n_probe]
+        for cid in order:
+            probe_rows.append((int(r[query_id_col]), int(cid), qv.tolist()))
+    spark = indexed.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id BIGINT, centroid_id INT, __qv ARRAY<DOUBLE>"
+    )
+    cand = indexed.join(F.broadcast(probes), "centroid_id").select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__ev"),
+        "query_id",
+        "__qv",
+    )
+    dot = F.aggregate(
+        F.zip_with("__ev", "__qv", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_e = F.sqrt(
+        F.aggregate(
+            F.transform("__ev", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_q = F.sqrt(
+        F.aggregate(F.transform("__qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = cand.select(
+        "query_id", "cand_id", (dot / (norm_e * norm_q)).alias("cosine")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine", "rn")
+    )

@@ -185,3 +185,26 @@ def test_hash_split_stable_and_disjoint(spark, docs):
     lim = stratified_limit(docs, "lang", 5, key_col="doc_id")
     per = lim.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     assert all(r["n"] <= 5 for r in per)
+
+
+def test_ivf_topk_recall_against_brute(spark, emb):
+    from swiftlake_spark.operators.similarity import cosine_topk, ivf_index, ivf_topk
+
+    cands = emb.filter(F.col("vec_id") >= 5)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    indexed, centroids = ivf_index(cands, n_clusters=8)
+    approx = ivf_topk(indexed, centroids, q, k=5, n_probe=4).collect()
+    brute = cosine_topk(cands, q, k=5).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    hits = sum(1 for r in approx if r["cand_id"] in brute_sets.get(r["query_id"], set()))
+    # probing half the centroids on clusterable data → decent recall
+    assert hits >= len(brute) * 0.4, (hits, len(brute))
+    # determinism: same seed → same assignment
+    indexed2, _ = ivf_index(cands, n_clusters=8)
+    a = sorted((r["vec_id"], r["centroid_id"]) for r in indexed.collect())
+    b = sorted((r["vec_id"], r["centroid_id"]) for r in indexed2.collect())
+    assert a == b
