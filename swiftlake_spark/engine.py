@@ -69,12 +69,13 @@ class SwiftLakeEngine:
         return df
 
     def register_testdata(self, sf_dir: str) -> None:
-        from swiftlake_spark.queries.base import TABLES
+        from swiftlake_spark.queries.base import TABLES, load
 
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             if os.path.exists(p):
-                self.register_parquet(t, p)
+                # load() handles quirks like events' nanos timestamps
+                load(self.spark, sf_dir, t).createOrReplaceTempView(t)
 
     # -- query ------------------------------------------------------------
     def sql(self, sql: str, args: dict | list | None = None) -> DataFrame:

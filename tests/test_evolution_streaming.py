@@ -110,3 +110,53 @@ def test_stream_into_lakehouse_table(engine, spark, tmp_path):
     finally:
         q.stop()
     assert engine.catalog.table("db.ev").scan().count() == 1
+
+
+def test_streaming_session_rollup(spark, tmp_path):
+    from swiftlake_spark.streaming import session_rollup
+
+    src = str(tmp_path / "sess_src")
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 1, "c", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 10), 1, "c", 2.0, "{}"),   # same session
+            (3, dt.datetime(2024, 1, 1, 2, 0), 1, "c", 3.0, "{}"),    # new session
+            (4, dt.datetime(2024, 1, 1, 0, 5), 2, "c", 4.0, "{}"),
+        ],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = session_rollup(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, n_events, total_value FROM sess_out ORDER BY user_id, n_events DESC"
+        ).collect()
+    finally:
+        q.stop()
+    assert [(r["user_id"], r["n_events"], r["total_value"]) for r in rows] == [
+        (1, 2, 3.0),   # merged session of events 1+2
+        (1, 1, 3.0),   # lone later session
+        (2, 1, 4.0),
+    ]
+    # batch parity
+    b = session_rollup(events)
+    assert b.count() == 3
+
+
+def test_register_testdata_views(spark, tmp_path):
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "whrt"))
+    eng.register_testdata("/root/testdata/sf0.001")
+    n = eng.sql(
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0]["n"]
+    assert n > 0
