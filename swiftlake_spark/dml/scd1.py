@@ -98,6 +98,15 @@ class SCD1Builder:
         require(bool(self._keys), "key columns are required")
         tbl = self._engine.catalog.table(self._table_name)
         cols = tbl.schema.fieldNames()
+        missing_keys = set(self._keys) - set(cols)
+        require(not missing_keys, f"key columns not in table: {sorted(missing_keys)}")
+        if self._value_columns:
+            bad = set(self._value_columns) - set(cols)
+            require(not bad, f"value columns not in table: {sorted(bad)}")
+            overlap = set(self._value_columns) & set(self._keys)
+            require(not overlap, f"value columns overlap keys: {sorted(overlap)}")
+        bad_meta = set(self._value_meta) - set(cols)
+        require(not bad_meta, f"value metadata for unknown columns: {sorted(bad_meta)}")
         if self._mode == "changes":
             require(self._op_column is None or self._op_column not in cols,
                     "operation-type column must not be a table column")

@@ -124,10 +124,21 @@ class SCD2Builder:
             self._ts = dt.datetime.utcnow().replace(tzinfo=None)
         tbl = self._engine.catalog.table(self._table_name)
         all_cols = tbl.schema.fieldNames()
+        missing_keys = set(self._keys) - set(all_cols)
+        require(not missing_keys, f"key columns not in table: {sorted(missing_keys)}")
+        if self._tracking_cols:
+            bad = set(self._tracking_cols) - set(all_cols)
+            require(not bad, f"change tracking columns not in table: {sorted(bad)}")
+            overlap = set(self._tracking_cols) & set(self._keys)
+            require(not overlap, f"change tracking columns overlap keys: {sorted(overlap)}")
         for c in (self._start_col, self._end_col):
             require(c in all_cols, f"effective period column {c!r} not in table")
         if self._flag_col is not None:
             require(self._flag_col in all_cols, f"flag column {self._flag_col!r} not in table")
+        require(
+            not ({self._start_col, self._end_col, self._flag_col} & set(self._keys)),
+            "effective period / flag columns cannot be key columns",
+        )
         special = {self._start_col, self._end_col, self._flag_col}
         data_cols = [c for c in all_cols if c not in special]
 

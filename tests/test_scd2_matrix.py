@@ -148,3 +148,54 @@ def test_extreme_values(engine, spark):
     snap_merge(engine, name, rows, T[1], spark)
     assert engine.catalog.load(name).filter("is_current").count() == 7
     assert engine.catalog.load(name).count() == 7  # no new versions
+
+
+def test_builder_validation_errors(engine, spark):
+    """Validation matrix (reference provideKeyAndChangeTrackingColumn /
+    SCD2ColumnValidationTestCases): clean engine errors, not Spark
+    analysis crashes."""
+    from swiftlake_spark.tables.metadata import ValidationError
+
+    name = "db.valid"
+    engine.catalog.create_table(name, DDL)
+    src = spark.createDataFrame([(1, "a", 1.0)], "id BIGINT, name STRING, amount DOUBLE")
+
+    def b():
+        return (
+            engine.apply_snapshot_as_scd2(name)
+            .table_filter(E.always_true())
+            .source_dataframe(src)
+            .effective_timestamp(T[0])
+        )
+
+    with pytest.raises(ValidationError, match="key columns not in table"):
+        b().key_columns(["nope"]).execute()
+    with pytest.raises(ValidationError, match="tracking columns not in table"):
+        b().key_columns(["id"]).change_tracking_columns(["ghost"]).execute()
+    with pytest.raises(ValidationError, match="overlap keys"):
+        b().key_columns(["id"]).change_tracking_columns(["id"]).execute()
+    with pytest.raises(ValidationError, match="cannot be key"):
+        b().key_columns(["effective_start"]).execute()
+    with pytest.raises(ValidationError, match="period column"):
+        b().key_columns(["id"]).effective_period_columns("no_start", "no_end").execute()
+    with pytest.raises(ValidationError, match="flag column"):
+        b().key_columns(["id"]).current_flag_column("no_flag").execute()
+
+    # SCD1 side
+    with pytest.raises(ValidationError, match="key columns not in table"):
+        (
+            engine.apply_snapshot_as_scd1(name)
+            .table_filter(E.always_true())
+            .source_dataframe(src)
+            .key_columns(["nope"])
+            .execute()
+        )
+    with pytest.raises(ValidationError, match="value columns not in table"):
+        (
+            engine.apply_snapshot_as_scd1(name)
+            .table_filter(E.always_true())
+            .source_dataframe(src)
+            .key_columns(["id"])
+            .value_columns(["ghost"])
+            .execute()
+        )
