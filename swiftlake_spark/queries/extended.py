@@ -1,0 +1,423 @@
+"""Extended declared query surface (q63+).
+
+Second relational batch: correlated EXISTS, explode/unnest, ordered
+string aggregation, UNPIVOT, regexp functions, sequence generation,
+bitwise ops, date arithmetic, array functions, the 6-way TPC-H Q5 join
+shape, the long tail of window functions, and FILTER-style conditional
+aggregation.  All shapes are DuckDB passthrough surface in the
+reference (README.md:723-727 — "Supported queries adhere to DuckDB
+syntax"); each entry here is hash-checked against the DuckDB oracle.
+
+Scale notes are per-query; the common contract: filters reach the
+parquet scan, small dims broadcast, one shuffle per agg/join key, no
+Python in any plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from swiftlake_spark.queries import query
+from swiftlake_spark.queries.base import as_double, dec, load
+
+
+# --------------------------------------------------------------------------
+# q63 — correlated EXISTS (TPC-H Q4 shape): orders having a late lineitem.
+# Catalyst turns EXISTS into a left-semi join: one shuffle on the key.
+# --------------------------------------------------------------------------
+@query(
+    "q63_exists_subquery",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q63_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q63_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q63_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM __q63_orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM __q63_lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q64 — explode/unnest: token frequencies over documents.  The explode is
+# row-local (no shuffle); the only shuffle is the count's group key.
+# --------------------------------------------------------------------------
+@query(
+    "q64_explode_tokens",
+    oracle="""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE length(token) > 3
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100
+""",
+)
+def q64_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ", -1)).alias("token"))
+        .filter(F.length("token") > 3)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q65 — ordered string aggregation per group (DuckDB string_agg ORDER BY ≙
+# sorted collect_list + concat_ws).  collect_list is a partial agg, so one
+# shuffle on the group key; array_sort makes the result order-determined.
+# --------------------------------------------------------------------------
+@query(
+    "q65_string_agg",
+    oracle="""
+SELECT n_name,
+       COUNT(*) AS n_custs,
+       string_agg(c_name, ',' ORDER BY c_name) AS members
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey <= 500
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q65_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("members"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q66 — UNPIVOT: wide part metrics → long (metric, value) rows.  Row-local
+# (a generate node), no shuffle.  Oracle spelled as UNION ALL — same rows.
+# --------------------------------------------------------------------------
+@query(
+    "q66_unpivot",
+    oracle="""
+SELECT p_partkey, metric, value FROM (
+  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+)
+WHERE p_partkey <= 300
+ORDER BY p_partkey, metric
+""",
+)
+def q66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return (
+        wide.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+# --------------------------------------------------------------------------
+# q67 — regexp functions: extract / replace-all / count.  Row-local string
+# kernels inside codegen; DuckDB needs the 'g' flag to match Spark's
+# replace-all default.
+# --------------------------------------------------------------------------
+@query(
+    "q67_regexp",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+       length(regexp_replace(p_name, '[^ ]', '', 'g')) + 1 AS name_words
+FROM part
+WHERE p_partkey <= 300 AND regexp_matches(p_brand, '[0-9]')
+ORDER BY p_partkey
+""",
+)
+def q67_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return (
+        p.filter(F.col("p_brand").rlike("[0-9]"))
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+            F.regexp_replace("p_type", "[aeiou]", "").alias("type_novowel"),
+            (F.length(F.regexp_replace("p_name", "[^ ]", "")) + 1).alias("name_words"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q68 — sequence generation + explode (DuckDB generate_series).  Generates
+# rows without reading data beyond the driver table — row-local.
+# --------------------------------------------------------------------------
+@query(
+    "q68_sequence",
+    oracle="""
+SELECT n_nationkey, i, n_nationkey * 10 + i AS rank_code
+FROM nation, UNNEST(generate_series(1, n_nationkey % 4 + 1)) AS t(i)
+ORDER BY n_nationkey, i
+""",
+)
+def q68_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.select(
+            "n_nationkey",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_nationkey") % 4 + 1)).alias("i"),
+        )
+        .withColumn("rank_code", F.col("n_nationkey") * 10 + F.col("i"))
+        .orderBy("n_nationkey", "i")
+    )
+
+
+# --------------------------------------------------------------------------
+# q69 — bitwise ops: AND / OR / XOR / shifts on 64-bit keys (hash bucketing
+# arithmetic — the kernel under every hash-partitioner).
+# --------------------------------------------------------------------------
+@query(
+    "q69_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255  AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 21845) AS xored,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr
+FROM orders
+WHERE o_orderkey <= 400
+ORDER BY o_orderkey
+""",
+)
+def q69_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q70 — date/time arithmetic: truncation, interval add, day diffs, parts.
+# --------------------------------------------------------------------------
+@query(
+    "q70_date_arith",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 10 DAY    AS plus10,
+       date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS days_to_98,
+       CAST(extract(year FROM o_orderdate) AS INTEGER)    AS yr,
+       CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+WHERE o_orderkey <= 400
+ORDER BY o_orderkey
+""",
+)
+def q70_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        (d + F.expr("INTERVAL 10 DAY")).alias("plus10"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date")).alias("days_to_98"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.last_day(d.cast("date")).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q71 — array functions over embedding vectors: length, indexing, slices,
+# element-wise reductions.  All row-local codegen — the 100 TB cost is the
+# scan itself.
+# --------------------------------------------------------------------------
+@query(
+    "q71_array_funcs",
+    oracle="""
+SELECT vec_id,
+       len(embedding)                    AS dim,
+       embedding[1]                      AS first_val,
+       embedding[8]                      AS last_val,
+       len(embedding[1:3])               AS head_len,
+       list_max(embedding)               AS vmax,
+       list_min(embedding)               AS vmin
+FROM embeddings
+WHERE vec_id <= 500
+ORDER BY vec_id
+""",
+)
+def q71_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 500)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.element_at("embedding", 8).alias("last_val"),
+        F.size(F.slice("embedding", 1, 3)).alias("head_len"),
+        F.array_max("embedding").alias("vmax"),
+        F.array_min("embedding").alias("vmin"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# q72 — TPC-H Q5 shape: 6-way join (region→nation→customer→orders→lineitem
+# →supplier with c_nationkey = s_nationkey).  region/nation/supplier/
+# customer broadcast; orders⋈lineitem shuffles once on the order key.
+# --------------------------------------------------------------------------
+@query(
+    "q72_local_volume",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q72_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(as_double(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q73 — window-function long tail: ntile, percent_rank, cume_dist,
+# first/last/nth value, lag/lead.  Unique ORDER BY key (price, orderkey)
+# makes ntile and frame-dependent functions deterministic.
+# --------------------------------------------------------------------------
+@query(
+    "q73_window_extras",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd,
+       first_value(o_orderkey) OVER w AS cheapest,
+       nth_value(o_orderkey, 2) OVER w AS second_cheapest,
+       lag(o_orderkey)  OVER w AS prev_key,
+       lead(o_orderkey) OVER w AS next_key
+FROM orders
+WHERE o_orderkey <= 1000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+)
+def q73_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(w).alias("cheapest"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q74 — conditional aggregation: FILTER-clause aggregates, bool_and/or,
+# count_if.  All partial-aggregate friendly (map-side combine), one
+# shuffle on the group key.
+# --------------------------------------------------------------------------
+@query(
+    "q74_conditional_agg",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       COUNT(*) FILTER (WHERE l_quantity >= 25)  AS n_bulk,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F')
+            AS DOUBLE) AS filled_price,
+       bool_and(l_quantity > 0)   AS all_positive,
+       bool_or(l_discount > 0.09) AS any_big_discount
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q74_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+            as_double(
+                F.sum(F.when(F.col("l_linestatus") == "F", dec("l_extendedprice")))
+            ).alias("filled_price"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
