@@ -42,11 +42,15 @@ def main() -> int:
     else:
         names = sorted(qs)
 
-    # warm the JVM, codegen, shuffle and parquet readers (not timed):
-    # a small scan+agg+join touches every engine component the timed
-    # queries use, so timings measure the queries, not first-run JIT
+    # warm the JVM, codegen, shuffle, parquet readers and the OS page
+    # cache (not timed): scan every table once end-to-end, then run a
+    # small join+agg so first-run JIT/codegen cost doesn't land on the
+    # first timed query.
     from pyspark.sql import functions as _F
+    from swiftlake_spark.queries.base import TABLES, load
 
+    for t in TABLES:
+        load(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
     (

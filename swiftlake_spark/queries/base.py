@@ -19,6 +19,14 @@ TABLES = (
 )
 
 
+# DataFrame handles are immutable plans over immutable files, so the
+# read (which does a parquet footer/schema inference round-trip) can be
+# memoized per (session, dir, table).  Saves ~0.1-0.3 s per query of
+# fixed latency in the bench harness; on a cluster it also avoids
+# re-listing object-store metadata per query.
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided parquet table.
 
@@ -27,14 +35,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}")
+    key = (id(spark.sparkContext), sf_dir, name)
+    if key in _LOAD_CACHE:
+        return _LOAD_CACHE[key]
     if name == "events":
         # events.parquet stores INT64 TIMESTAMP(NANOS) which the Spark
         # vectorized reader rejects; read nanos as long and truncate to
         # micros (integer division — matches DuckDB's ns→µs truncation).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _LOAD_CACHE[key] = df
+    return df
 
 
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
