@@ -12,7 +12,13 @@ caller's contract, as with any foreachBatch sink).
 from swiftlake_spark.streaming.jobs import (
     windowed_rollup,
     session_rollup,
+    stateful_user_totals,
     stream_into_table,
 )
 
-__all__ = ["windowed_rollup", "session_rollup", "stream_into_table"]
+__all__ = [
+    "windowed_rollup",
+    "session_rollup",
+    "stateful_user_totals",
+    "stream_into_table",
+]

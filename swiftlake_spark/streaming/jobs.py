@@ -50,6 +50,84 @@ def session_rollup(
     )
 
 
+def stateful_user_totals(
+    events: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    idle_timeout_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running totals maintained across micro-batches.
+
+    Emits one row per user per batch with the updated running state
+    (``closed = false``); when the event-time watermark passes a user's
+    idle timeout the state is evicted and a final ``closed = true`` row
+    is emitted.  This is the pattern for operators Structured Streaming
+    lacks natively (CDC accumulators, per-entity ML feature state).
+
+    Scale: state is partitioned by the group key across executors and
+    bounded by the timeout eviction; each batch shuffles only that
+    batch's rows on ``user_id``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    out_schema = (
+        "user_id BIGINT, n_events BIGINT, total_value DOUBLE, "
+        "last_ts TIMESTAMP, closed BOOLEAN"
+    )
+    state_schema = "n_events BIGINT, total_value DOUBLE, last_ts_us BIGINT"
+    timeout_ms = idle_timeout_minutes * 60 * 1000
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, tot, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "n_events": n,
+                        "total_value": tot,
+                        "last_ts": pd.Timestamp(last_us, unit="us"),
+                        "closed": True,
+                    }
+                ]
+            )
+            return
+        n, tot, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].max().value // 1_000))
+        state.update((n, tot, last_us))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeout_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": n,
+                    "total_value": tot,
+                    "last_ts": pd.Timestamp(last_us, unit="us"),
+                    "closed": False,
+                }
+            ]
+        )
+
+    e = events.withWatermark("ts", watermark)
+    return e.groupBy("user_id").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_into_table(stream: DataFrame, engine, table_name: str, checkpoint: str):
     """``writeStream.foreachBatch`` → lakehouse append per micro-batch.
     Returns the StreamingQuery (caller stops it)."""

@@ -160,3 +160,59 @@ def test_register_testdata_views(spark, tmp_path):
         "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
     ).collect()[0]["n"]
     assert n > 0
+
+
+def test_stateful_user_totals_applyinpandas_with_state(spark, tmp_path):
+    """applyInPandasWithState: running per-user totals across micro-batches
+    with event-time timeout eviction (closed=true rows)."""
+    import time
+
+    from swiftlake_spark.streaming import stateful_user_totals
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    src = str(tmp_path / "state_src")
+    (tmp_path / "state_src").mkdir()
+
+    def batch(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(0.05)  # distinct mtimes → stable file-source batch order
+
+    t = dt.datetime(2024, 1, 1, 0, 0)
+    batch(1, [(1, t + dt.timedelta(minutes=1), 10, "click", 1.0, "{}"),
+              (2, t + dt.timedelta(minutes=2), 10, "click", 2.0, "{}")])
+    batch(2, [(3, t + dt.timedelta(minutes=20), 11, "view", 5.0, "{}")])
+    batch(3, [(4, t + dt.timedelta(minutes=40), 11, "view", 7.0, "{}")])
+    batch(4, [(5, t + dt.timedelta(minutes=60), 11, "view", 1.0, "{}")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = stateful_user_totals(stream, watermark="1 minutes", idle_timeout_minutes=5)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, n_events, total_value, closed FROM state_out"
+        ).collect()
+    finally:
+        q.stop()
+
+    updates = {(r["user_id"], r["closed"]): (r["n_events"], r["total_value"]) for r in rows}
+    # user 10's state accumulated both events of batch 1
+    assert updates[(10, False)] == (2, 3.0)
+    # user 11 kept accumulating across batches 2-4
+    assert updates[(11, False)] == (3, 13.0)
+    # watermark (59 min at batch 4) passed user 10's idle timeout
+    # (watermark-at-update + 5 min) → state evicted with a closed row
+    assert updates[(10, True)] == (2, 3.0)
