@@ -72,3 +72,20 @@ def test_table_scan_residual_filter_pushed(spark, tmp_path):
     plan = formatted_plan(t.scan(E.and_(E.col_eq("cat", "A"), E.gt("id", 0))))
     assert "PushedFilters" in plan
     assert "EqualTo(cat,A)" in plan and "GreaterThan(id,0)" in plan
+
+
+def test_q72_six_way_join_broadcasts_dims(spark, queries):
+    """TPC-H Q5 shape: supplier/nation/region reach the plan as broadcast
+    joins; the only shuffle-worthy join is orders⋈lineitem."""
+    plan = formatted_plan(queries["q72_local_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # region filter is pushed into its scan, not applied post-join
+    assert "PushedFilters: [In(r_name" in plan or "PushedFilters: [IsNotNull(r_name), In(r_name" in plan
+
+
+def test_q63_exists_becomes_semi_join(spark, queries):
+    """Correlated EXISTS must decorrelate to a semi join — never a
+    nested-loop re-scan per outer row."""
+    plan = formatted_plan(queries["q63_exists_subquery"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
