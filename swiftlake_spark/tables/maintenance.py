@@ -85,6 +85,138 @@ def compact(
     )
 
 
+def cluster_by(
+    table: Table,
+    columns: list[str],
+    *,
+    bits: int | None = None,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    branch: str = "main",
+) -> Snapshot | None:
+    """Z-order rewrite: relayout the whole table so files are clustered
+    on a space-filling curve over ``columns``.
+
+    Multi-column data skipping: a linear sort gives narrow file min/max
+    ranges on the *first* sort column only; interleaving the bits of all
+    cluster columns gives every column narrow-ish ranges, so manifest
+    pruning works for filters on any of them (the same layout Iceberg's
+    ``rewrite_data_files(strategy => 'sort', sort_order => 'zorder(..)')``
+    and Delta ``OPTIMIZE ZORDER BY`` produce).
+
+    Normalization per column: numerics/timestamps map min→max onto
+    ``[0, 2^bits)`` (range locality); strings/binaries hash into the same
+    domain (bucketing only — hashes have no order locality).  The key is
+    built from shift/and/or expressions — pure whole-stage codegen, no
+    Python.  One extra aggregate job computes the per-column bounds
+    (driver receives 2·k scalars).
+
+    Scale: the rewrite is one ``repartitionByRange`` shuffle on the
+    z-key — the same cost as a sorted write — and the range partitioner
+    gives near-uniform output file sizes regardless of key skew.
+    Unpartitioned tables only (partition transforms already define the
+    coarse layout; cluster within partitions by declaring a sort order).
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if table.transforms:
+        raise ValueError(
+            "cluster_by applies to unpartitioned tables; partitioned tables "
+            "already have a coarse layout — use the table sort order instead"
+        )
+    if not columns:
+        raise ValueError("cluster_by needs at least one column")
+    if table.meta.sort_order:
+        raise ValueError(
+            "table declares a sort order; z-ordering would fight it — drop "
+            "the sort order or keep the sorted layout"
+        )
+    k = len(columns)
+    nbits = bits if bits is not None else min(16, 63 // k)
+    if nbits * k > 63:
+        raise ValueError(f"bits={nbits} × {k} columns exceeds the 63-bit key")
+    mask = (1 << nbits) - 1
+
+    entries = table.meta.read_manifest(table.meta.current_snapshot(branch))
+    if not entries:
+        return None
+    src = table._read_entries(entries)
+
+    numericish = {"tinyint", "smallint", "int", "bigint", "float", "double", "date",
+                  "timestamp", "timestamp_ntz"}
+
+    def widen(col: str) -> Column:
+        dt = table._dtype(col)
+        base = dt.split("(")[0]
+        if base in ("date",):
+            return F.datediff(F.col(col), F.lit("1970-01-01").cast("date")).cast("double")
+        if base in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(col)).cast("double")
+        if base in numericish or base == "decimal":
+            return F.col(col).cast("double")
+        return None  # hash path
+
+    bounds_exprs = []
+    hashed: set[str] = set()
+    for c in columns:
+        w = widen(c)
+        if w is None:
+            hashed.add(c)
+        else:
+            bounds_exprs += [F.min(w).alias(f"mn_{c}"), F.max(w).alias(f"mx_{c}")]
+    bounds = src.agg(*bounds_exprs).collect()[0].asDict() if bounds_exprs else {}
+
+    def normalized(c: str) -> Column:
+        if c in hashed:
+            return F.xxhash64(F.col(c)).bitwiseAND(F.lit(mask))
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            return F.lit(0).cast("long")
+        scaled = (widen(c) - F.lit(mn)) / F.lit(mx - mn) * F.lit(float(mask))
+        return F.coalesce(F.round(scaled).cast("long"), F.lit(0)).bitwiseAND(F.lit(mask))
+
+    zkey = F.lit(0).cast("long")
+    norms = [normalized(c) for c in columns]
+    for j in range(nbits):
+        for i, nc in enumerate(norms):
+            bit = F.shiftright(nc, j).bitwiseAND(F.lit(1))
+            zkey = zkey.bitwiseOR(F.shiftleft(bit, j * k + i))
+
+    total = sum(e.size_bytes for e in entries)
+    n_out = int(max(1, total // target_file_size_bytes + 1))
+    shaped = (
+        src.withColumn("__zkey__", zkey)
+        .repartitionByRange(n_out, F.col("__zkey__"))
+        .sortWithinPartitions("__zkey__")
+        .drop("__zkey__")
+    )
+    new_entries = table._write_files(shaped)
+    removed = {e.path for e in entries}
+
+    def mutate(cur):
+        return [e for e in cur if e.path not in removed] + new_entries
+
+    def validate(cur):
+        from swiftlake_spark.tables.metadata import CommitConflict
+
+        missing = removed - {e.path for e in cur}
+        if missing:
+            raise CommitConflict(f"files rewritten concurrently: {sorted(missing)[:3]}")
+
+    return table._commit(
+        op="replace",
+        branch=branch,
+        mutate=mutate,
+        validate=validate,
+        summary={
+            "clustered-by": ",".join(columns),
+            "zorder-bits": nbits,
+            "rewritten-files": len(removed),
+            "added-files": len(new_entries),
+        },
+    )
+
+
 def expire_snapshots(
     table: Table,
     *,

@@ -467,6 +467,11 @@ class Table:
 
         return compact(self, **kw)
 
+    def cluster_by(self, columns: list[str], **kw):
+        from swiftlake_spark.tables.maintenance import cluster_by
+
+        return cluster_by(self, columns, **kw)
+
     def expire_snapshots(self, **kw):
         from swiftlake_spark.tables.maintenance import expire_snapshots
 

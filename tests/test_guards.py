@@ -114,3 +114,63 @@ def test_files_metadata_table(spark, tmp_path):
     assert len(files) == 2
     assert all(f["records"] == 1 and f["size_bytes"] > 0 for f in files)
     assert {f["partition"] for f in files} == {'{"cat": "A"}', '{"cat": "B"}'}
+
+
+def test_zorder_cluster_by_improves_multi_column_pruning(spark, tmp_path):
+    """cluster_by rewrites the layout so manifest min/max pruning works
+    on BOTH z-order columns; a random layout prunes (almost) nothing."""
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "whz"))
+    t = eng.catalog.create_table(
+        "db.z", "a BIGINT, b BIGINT, payload STRING",
+        properties={"write.max-records-per-file": "800"},
+    )
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10_000), rng.randrange(10_000), f"p{i}") for i in range(12_800)]
+    # random row order + hash-ish distribution → every file spans ~the
+    # full domain of both columns
+    df = spark.createDataFrame(rows, schema=t.schema).repartition(16)
+    t.append(df)
+
+    def files_scanned(expr) -> int:
+        t.scan(expr)
+        m = t.last_scan_metrics
+        return m.scanned_files
+
+    n_files_before = len(list(t.meta.read_manifest(t.meta.current_snapshot("main"))))
+    assert n_files_before >= 8
+    before_a = files_scanned(E.between("a", 0, 499))
+    before_b = files_scanned(E.between("b", 0, 499))
+    assert before_a == n_files_before  # random layout: no pruning at all
+    assert before_b == n_files_before
+
+    snap = t.cluster_by(["a", "b"], target_file_size_bytes=40_000)
+    assert snap is not None
+    t2 = eng.catalog.table("db.z")
+    n_files_after = len(list(t2.meta.read_manifest(t2.meta.current_snapshot("main"))))
+    assert n_files_after >= 8
+    assert t2.scan().count() == 12_800  # data intact
+
+    def files_scanned2(expr) -> int:
+        t2.scan(expr)
+        return t2.last_scan_metrics.scanned_files
+
+    after_a = files_scanned2(E.between("a", 0, 499))
+    after_b = files_scanned2(E.between("b", 0, 499))
+    # a 1/20th-domain slice on EITHER column now touches a minority of files
+    assert after_a <= n_files_after // 2, (after_a, n_files_after)
+    assert after_b <= n_files_after // 2, (after_b, n_files_after)
+    # rows keep matching the filter exactly
+    expected = sum(1 for a, _b, _p in rows if 0 <= a <= 499)
+    assert t2.scan(E.between("a", 0, 499)).filter("a BETWEEN 0 AND 499").count() == expected
+
+
+def test_cluster_by_rejects_partitioned_and_sorted(spark, tmp_path):
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "whz2"))
+    tp = eng.catalog.create_table("db.zp", "a BIGINT, cat STRING", partition_spec=["cat"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.cluster_by(["a"])
+    ts = eng.catalog.create_table("db.zs", "a BIGINT", sort_order=["a ASC"])
+    with pytest.raises(ValueError, match="sort order"):
+        ts.cluster_by(["a"])
