@@ -421,3 +421,189 @@ def q74_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q75 — Gopher-style quality-filter rules: token counts, mean token
+# length, stop-word fraction → keep flag.  Pure row-local codegen over
+# one scan; at 100 TB this is the map-only first pass of a curation
+# pipeline (no shuffle at all until the keep-filtered write).
+# --------------------------------------------------------------------------
+@query(
+    "q75_gopher_rules",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         LENGTH(REPLACE(text, ' ', '')) AS letters
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         LEN(w) AS n_tokens,
+         CAST(letters AS DOUBLE) / LEN(w) AS mean_tok_len,
+         CAST(LEN(list_filter(w, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+           / LEN(w) AS stop_frac
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_tok_len, stop_frac,
+       (n_tokens BETWEEN 10 AND 1000
+        AND mean_tok_len BETWEEN 2.0 AND 10.0
+        AND stop_frac >= 0.02) AS keep
+FROM m
+ORDER BY doc_id
+""",
+)
+def q75_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ", -1)
+    stops = ("the", "a", "and", "of", "to", "in")
+    n_tokens = F.size(w)
+    mean_tok_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_tokens
+    stop_frac = F.size(F.filter(w, lambda x: x.isin(*stops))).cast("double") / n_tokens
+    keep = (
+        n_tokens.between(10, 1000)
+        & mean_tok_len.between(2.0, 10.0)
+        & (stop_frac >= 0.02)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
+        stop_frac.alias("stop_frac"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q76 — training-sequence packing: assign docs to fixed token-budget
+# packs, greedily in doc_id order WITHIN each source shard.  The window
+# partitions by source, so parallelism = shard count at any scale (never
+# a single global ordering).
+# --------------------------------------------------------------------------
+@query(
+    "q76_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, LEN(string_split(text, ' ')) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       cum_before // 256             AS pack_id,
+       cum_before - (cum_before // 256) * 256 AS pack_offset
+FROM c
+ORDER BY source, doc_id
+""",
+)
+def q76_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    t = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("cum_before div 256").alias("pack_id"),
+        (F.col("cum_before") - F.expr("cum_before div 256") * 256).alias("pack_offset"),
+    ).orderBy("source", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# q77 — train/eval contamination check: fraction of an eval doc's 3-gram
+# shingles that appear anywhere in the train split.  Shuffles on the
+# gram (bounded by distinct-gram cardinality); the train side is
+# deduplicated before the join so the probe is |distinct grams|, not
+# |corpus|.
+# --------------------------------------------------------------------------
+@query(
+    "q77_contamination",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 2, 0))) AS t(i)
+), eval_grams AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % 10 = 0
+), train_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 10 <> 0
+)
+SELECT e.doc_id,
+       COUNT(*) AS total_grams,
+       COUNT(t.g) AS shared_grams,
+       CAST(COUNT(t.g) AS DOUBLE) / COUNT(*) AS contamination
+FROM eval_grams e LEFT JOIN train_grams t ON e.g = t.g
+GROUP BY e.doc_id
+ORDER BY contamination DESC, e.doc_id
+LIMIT 50
+""",
+)
+def q77_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    grams = shingles(d, "doc_id", "text", 3)
+    eval_g = grams.filter(F.col("id") % 10 == 0)
+    train_g = grams.filter(F.col("id") % 10 != 0).select("sh").distinct()
+    hit = train_g.withColumn("hit", F.lit(1))
+    return (
+        eval_g.join(hit, "sh", "left")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.count("hit").alias("shared_grams"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("contamination"),
+        )
+        .orderBy(F.desc("contamination"), "doc_id")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 — TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+# customer⋈orders⋈lineitem with the date filter pushed to the orders
+# scan and the returnflag filter pushed to the lineitem scan.
+# --------------------------------------------------------------------------
+@query(
+    "q78_returned_revenue",
+    oracle="""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q78_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(as_double(F.sum(rev)).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
