@@ -1,0 +1,103 @@
+"""Partition-transform matrix: write → manifest → prune → read for every
+transform the reference supports (identity, bucket[n], truncate[w],
+year, month, day, hour — README.md:52-58,
+expressions/Expressions.java:439-465, writer-side evaluation
+PartitionedDataFileWriter.java:597-606).  Mirrors the reference's
+PartitioningIntegrationTest sweep: each case creates a table partitioned
+by one transform, appends rows spanning several partitions (incl. NULL),
+and asserts
+
+- the full row set survives the partitioned write,
+- an equality predicate on the *source* column prunes to exactly the
+  files whose partition value equals the Python-face transform of the
+  literal (write path and prune path must agree), and
+- rows read back under the predicate are exactly right.
+"""
+
+import datetime as dt
+
+import pytest
+
+from swiftlake_spark.tables import expressions as E
+from swiftlake_spark.tables.transforms import Transform
+
+SCHEMA = "id BIGINT, n INT, s STRING, ts TIMESTAMP"
+
+ROWS = [
+    (1, 7, "alpha", dt.datetime(2023, 3, 5, 4)),
+    (2, 7, "alps", dt.datetime(2023, 3, 5, 9)),
+    (3, 13, "beta", dt.datetime(2023, 7, 21, 4)),
+    (4, 101, "gamma", dt.datetime(2024, 1, 2, 23)),
+    (5, 107, "gamble", dt.datetime(2024, 12, 31, 0)),
+    (6, None, None, dt.datetime(2025, 6, 15, 12)),
+]
+
+# (partition spec, source col, transform for expected values, probe literal)
+CASES = [
+    ("s", "s", Transform("identity", "s"), "alpha"),
+    ("n", "n", Transform("identity", "n"), 7),
+    ("bucket(4, n)", "n", Transform("bucket", "n", 4), 13),
+    ("bucket(8, s)", "s", Transform("bucket", "s", 8), "beta"),
+    ("truncate(10, n)", "n", Transform("truncate", "n", 10), 107),
+    ("truncate(2, s)", "s", Transform("truncate", "s", 2), "gamble"),
+    ("year(ts)", "ts", Transform("year", "ts"), dt.datetime(2023, 3, 5, 4)),
+    ("month(ts)", "ts", Transform("month", "ts"), dt.datetime(2024, 1, 2, 23)),
+    ("day(ts)", "ts", Transform("day", "ts"), dt.datetime(2023, 3, 5, 9)),
+    ("hour(ts)", "ts", Transform("hour", "ts"), dt.datetime(2023, 3, 5, 4)),
+]
+
+
+@pytest.mark.parametrize("spec,src,tr,probe", CASES, ids=[c[0] for c in CASES])
+def test_transform_write_prune_read(catalog, spark, spec, src, tr, probe):
+    t = catalog.create_table(f"db.m_{abs(hash(spec))}", SCHEMA, partition_spec=[spec])
+    t.append(spark.createDataFrame(ROWS, schema=t.schema))
+
+    # roundtrip
+    got = sorted(r["id"] for r in t.scan().select("id").collect())
+    assert got == [1, 2, 3, 4, 5, 6]
+
+    man = t.meta.read_manifest(t.meta.current_snapshot())
+    pname = tr.partition_name
+    assert all(pname in e.partition for e in man)
+    distinct_pvals = {e.partition[pname] for e in man}
+    assert len(distinct_pvals) >= 2  # rows actually spread over partitions
+
+    # prune on the SOURCE column; expected partition value via Python face
+    expected_pval = tr.apply(probe)
+    pruned = t.prune(man, E.col_eq(src, probe))
+    assert pruned, "probe value must land in some file"
+    assert {e.partition[pname] for e in pruned} == {expected_pval}
+
+    # read under the predicate returns exactly the matching rows
+    want_ids = sorted(i for i, n, s, ts in ROWS if {"n": n, "s": s, "ts": ts}[src] == probe)
+    got_ids = sorted(r["id"] for r in t.scan(E.col_eq(src, probe)).select("id").collect())
+    assert got_ids == want_ids
+
+    # NULL source rows live in a NULL partition and are scanable
+    if src in ("n", "s"):
+        assert sorted(
+            r["id"] for r in t.scan(E.is_null(src)).select("id").collect()
+        ) == [6]
+
+
+def test_range_predicate_prunes_time_transforms(catalog, spark):
+    """BETWEEN on the source timestamp prunes day-partitioned files via
+    the inclusive transform projection (no file with a matching day may
+    be dropped, files with disjoint days must be)."""
+    t = catalog.create_table("db.m_range", SCHEMA, partition_spec=["day(ts)"])
+    t.append(spark.createDataFrame(ROWS, schema=t.schema))
+    man = t.meta.read_manifest(t.meta.current_snapshot())
+    pruned = t.prune(
+        man, E.between("ts", dt.datetime(2023, 3, 1), dt.datetime(2023, 12, 31))
+    )
+    days = {e.partition["ts_day"] for e in pruned}
+    assert days == {20230305, 20230721}
+    got = sorted(
+        r["id"]
+        for r in t.scan(
+            E.between("ts", dt.datetime(2023, 3, 1), dt.datetime(2023, 12, 31))
+        )
+        .select("id")
+        .collect()
+    )
+    assert got == [1, 2, 3]
