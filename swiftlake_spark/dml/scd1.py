@@ -119,7 +119,8 @@ class SCD1Builder:
         # boundary applies to the source too (SCD1Merge.java:406-413)
         src = src.filter(self._filter.column())
         j = build_joined(
-            tbl, src, self._keys, self._filter.column(), self._filter, "full_outer"
+            tbl, src, self._keys, self._filter.column(), self._filter, "full_outer",
+            branch=self._branch,
         )
         diff = value_diff_condition(value_cols, self._value_meta) if value_cols else F.lit(False)
         mc = F.col("me.__candidate__")
@@ -164,7 +165,8 @@ class SCD1Builder:
         )
         src = src_all.select(*cols, opc).filter(self._filter.column())
         j = build_joined(
-            tbl, src, self._keys, self._filter.column(), self._filter, "left_outer"
+            tbl, src, self._keys, self._filter.column(), self._filter, "left_outer",
+            branch=self._branch,
         )
         mc = F.col("me.__candidate__")
         oc = F.col("other.__candidate__")

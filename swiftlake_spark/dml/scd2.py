@@ -196,7 +196,7 @@ class SCD2Builder:
     def _execute_snapshot(self, tbl, all_cols, data_cols):
         tracking = self._tracking_cols or [c for c in data_cols if c not in self._keys]
         src = self._source.select(*data_cols).filter(self._filter.column())
-        j = build_joined(tbl, src, self._keys, self._candidate(), self._filter, "full_outer")
+        j = build_joined(tbl, src, self._keys, self._candidate(), self._filter, "full_outer", branch=self._branch)
         diff = (
             value_diff_condition(tracking, self._tracking_meta)
             if tracking
@@ -240,7 +240,7 @@ class SCD2Builder:
         opc, delv = self._op_column, self._delete_value
         tracking = self._tracking_cols or [c for c in data_cols if c not in self._keys]
         src = self._source.select(*data_cols, opc).filter(self._filter.column())
-        j = build_joined(tbl, src, self._keys, self._candidate(), self._filter, "left_outer")
+        j = build_joined(tbl, src, self._keys, self._candidate(), self._filter, "left_outer", branch=self._branch)
         diff = (
             value_diff_condition(tracking, self._tracking_meta)
             if tracking

@@ -82,11 +82,14 @@ def build_joined(
     candidate: Column,
     boundary: E.Expr,
     how: str,
+    branch: str = "main",
 ) -> DataFrame:
     """Target (pruned by boundary, with file name + row id + candidate
-    flag) joined to source on candidate-equality AND null-safe keys."""
+    flag) joined to source on candidate-equality AND null-safe keys.
+    The target is read from ``branch`` — a merge into a branch must diff
+    against that branch's state, not main's."""
     entries = tbl.prune(
-        tbl.meta.read_manifest(tbl.meta.current_snapshot()), boundary
+        tbl.meta.read_manifest(tbl.meta.current_snapshot(branch)), boundary
     )
     tgt = tbl._read_entries(entries, with_file_name=True)
     me = (

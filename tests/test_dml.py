@@ -330,3 +330,27 @@ def test_scd2_changes_mode_with_ns_suppression(engine, spark):
     got2 = rows(engine.catalog.load(name), "id", "effective_end")
     assert (1, None) in got2  # still one open version for id 1
     assert len([g for g in got2 if g[0] == 1]) == 1
+
+
+def test_scd1_branch_merge_diffs_against_branch_state(engine, spark):
+    """A merge into a branch must classify against the BRANCH's current
+    rows, not main's (reference SCD1MergeAdvancedIntegrationTest
+    testBranch): after main diverges, the branch merge sees only the
+    branch rows, and main is untouched by the branch commit."""
+    t = engine.catalog.create_table("db.br1", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "base"), (2, "base")], schema=t.schema))
+    t.create_branch("audit")
+    # diverge main AFTER the branch point: id=3 exists on main only
+    t.append(spark.createDataFrame([(3, "main-only")], schema=t.schema))
+
+    src = spark.createDataFrame([(1, "patched"), (4, "new")], schema=t.schema)
+    engine.apply_snapshot_as_scd1("db.br1").table_filter_sql("id IS NOT NULL").\
+        source_dataframe(src).key_columns(["id"]).branch("audit").execute()
+
+    t = engine.catalog.table("db.br1")
+    audit = sorted(tuple(r) for r in t.scan(branch="audit").collect())
+    # snapshot semantics on the branch state {1,2}: 1 updated, 2 deleted
+    # (absent from source), 4 inserted; id=3 never existed on the branch
+    assert audit == [(1, "patched"), (4, "new")]
+    main = sorted(tuple(r) for r in t.scan().collect())
+    assert main == [(1, "base"), (2, "base"), (3, "main-only")]
