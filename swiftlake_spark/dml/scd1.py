@@ -29,6 +29,8 @@ from swiftlake_spark.dml.scd_common import (
     build_joined,
     check_cardinality,
     commit_merge,
+    expand_source_columns,
+    filter_from_source_values,
     require,
     touched_files,
     value_diff_condition,
@@ -51,6 +53,9 @@ class SCD1Builder:
         self._value_columns: list[str] | None = None
         self._value_meta: dict[str, ValueColumnMeta] = {}
         self._branch = "main"
+        self._columns: list[str] | None = None
+        self._filter_columns: list[str] | None = None
+        self._skip_sort = False
 
     # -- fluent config ----------------------------------------------------
     def table_filter(self, expr: E.Expr) -> "SCD1Builder":
@@ -91,12 +96,39 @@ class SCD1Builder:
         self._branch = b
         return self
 
+    def columns(self, cols: list[str]) -> "SCD1Builder":
+        """Merge only these columns; unlisted table columns are written
+        as NULL on insert/update (reference Builder.columns)."""
+        self._columns = list(cols)
+        return self
+
+    def table_filter_columns(self, cols: list[str]) -> "SCD1Builder":
+        """Derive the boundary filter from the source's distinct values
+        of these columns (reference tableFilterColumns)."""
+        self._filter_columns = list(cols)
+        return self
+
+    def skip_data_sorting(self, flag: bool = True) -> "SCD1Builder":
+        self._skip_sort = flag
+        return self
+
     # -- execute ----------------------------------------------------------
     def execute(self):
-        require(self._filter is not None, "table filter is mandatory for SCD1 merge")
         require(self._source is not None, "source is required")
         require(bool(self._keys), "key columns are required")
         tbl = self._engine.catalog.table(self._table_name)
+        if self._filter is None and self._filter_columns:
+            self._filter = filter_from_source_values(
+                self._source, self._filter_columns, tbl.schema
+            )
+        require(self._filter is not None, "table filter is mandatory for SCD1 merge")
+        if self._columns:
+            extra = [self._op_column] if (
+                self._mode == "changes" and self._op_column
+            ) else []
+            self._source = expand_source_columns(
+                self._source, self._columns, tbl.schema, self._keys, extra_cols=extra
+            )
         cols = tbl.schema.fieldNames()
         missing_keys = set(self._keys) - set(cols)
         require(not missing_keys, f"key columns not in table: {sorted(missing_keys)}")
@@ -152,7 +184,7 @@ class SCD1Builder:
             new_data = (
                 inserts_updates.unionByName(carried) if carried is not None else inserts_updates
             )
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite")
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort)
         finally:
             diffs.unpersist()
 
@@ -192,6 +224,6 @@ class SCD1Builder:
                 (F.col(OP) == "N") & F.col(FILE).isin(touched)
             ).select(*cols) if touched else None
             new_data = upserts.unionByName(carried) if carried is not None else upserts
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite")
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort)
         finally:
             diffs.unpersist()

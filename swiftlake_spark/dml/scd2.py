@@ -30,6 +30,8 @@ from swiftlake_spark.dml.scd_common import (
     build_joined,
     check_cardinality,
     commit_merge,
+    expand_source_columns,
+    filter_from_source_values,
     require,
     touched_files,
     value_diff_condition,
@@ -58,6 +60,9 @@ class SCD2Builder:
         self._tracking_cols: list[str] | None = None
         self._tracking_meta: dict[str, ValueColumnMeta] = {}
         self._branch = "main"
+        self._columns: list[str] | None = None
+        self._filter_columns: list[str] | None = None
+        self._skip_sort = False
 
     # -- fluent config ----------------------------------------------------
     def table_filter(self, expr: E.Expr) -> "SCD2Builder":
@@ -114,10 +119,32 @@ class SCD2Builder:
         self._branch = b
         return self
 
+    def columns(self, cols: list[str]) -> "SCD2Builder":
+        """Merge only these data columns; unlisted data columns are
+        written as NULL on new versions (reference Builder.columns)."""
+        self._columns = list(cols)
+        return self
+
+    def table_filter_columns(self, cols: list[str]) -> "SCD2Builder":
+        """Derive the boundary filter from the source's distinct values
+        of these columns (reference tableFilterColumns)."""
+        self._filter_columns = list(cols)
+        return self
+
+    def skip_data_sorting(self, flag: bool = True) -> "SCD2Builder":
+        self._skip_sort = flag
+        return self
+
     # -- execute ----------------------------------------------------------
     def execute(self):
-        require(self._filter is not None, "table filter is mandatory for SCD2 merge")
         require(self._source is not None, "source is required")
+        if self._filter is None and self._filter_columns:
+            self._filter = filter_from_source_values(
+                self._source,
+                self._filter_columns,
+                self._engine.catalog.table(self._table_name).schema,
+            )
+        require(self._filter is not None, "table filter is mandatory for SCD2 merge")
         require(bool(self._keys), "key columns are required")
         if self._ts is None:
             require(self._generate_ts, "effective timestamp required (or generate)")
@@ -141,6 +168,18 @@ class SCD2Builder:
         )
         special = {self._start_col, self._end_col, self._flag_col}
         data_cols = [c for c in all_cols if c not in special]
+        if self._columns:
+            import pyspark.sql.types as T
+
+            data_schema = T.StructType(
+                [f for f in tbl.schema.fields if f.name in data_cols]
+            )
+            extra = [self._op_column] if (
+                self._mode == "changes" and self._op_column
+            ) else []
+            self._source = expand_source_columns(
+                self._source, self._columns, data_schema, self._keys, extra_cols=extra
+            )
 
         self._out_of_order_guard(tbl)
 
@@ -231,7 +270,7 @@ class SCD2Builder:
             new_data = self._align(inserts, tbl).unionByName(
                 self._align(carried, tbl)
             )
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite")
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort)
         finally:
             diffs.unpersist()
 
@@ -289,7 +328,7 @@ class SCD2Builder:
             new_data = self._align(new_versions, tbl).unionByName(
                 self._align(carried, tbl)
             )
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite")
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort)
         finally:
             diffs.unpersist()
 

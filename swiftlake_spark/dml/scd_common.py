@@ -132,12 +132,15 @@ def touched_files(diffs: DataFrame, noop_ops: tuple[str, ...]) -> list[str]:
 
 
 def commit_merge(
-    tbl: Table, new_data: DataFrame | None, touched: list[str], branch: str, op: str
+    tbl: Table, new_data: DataFrame | None, touched: list[str], branch: str, op: str,
+    skip_sort: bool = False,
 ) -> Any:
     """Replace the touched files with freshly written ones.  ``touched``
     holds file URIs from ``input_file_name()``; the manifest keys are
     table-relative paths."""
-    new_entries = tbl._write_files(new_data) if new_data is not None else []
+    new_entries = (
+        tbl._write_files(new_data, skip_sort=skip_sort) if new_data is not None else []
+    )
     removed = {tbl._rel_path(f) for f in touched}
 
     def mutate(cur):
@@ -160,6 +163,52 @@ def commit_merge(
             "added-records": sum(e.records for e in new_entries),
         },
     )
+
+
+def expand_source_columns(
+    src: DataFrame, cols: list[str], schema, keys: list[str],
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Subset-column merge (reference ``Builder.columns(...)``,
+    SCD1Merge.java:839-841 + SCD1MergeAdvancedIntegrationTest
+    testColumns): the source is projected onto ``cols`` and every
+    unlisted table column becomes a typed NULL.  The merge then runs on
+    the full schema — so an update overwrites unlisted columns with NULL
+    (and the NULL-vs-value difference itself makes the row classify U),
+    while untouched/carried rows keep their stored values."""
+    require(bool(cols), "columns() needs at least one column")
+    names = schema.fieldNames()
+    bad = set(cols) - set(names)
+    require(not bad, f"merge columns not in table: {sorted(bad)}")
+    require(set(keys) <= set(cols), "key columns must be included in columns()")
+    types = {f.name: f.dataType for f in schema.fields}
+    extra = list(extra_cols or [])
+    out = src.select(*cols, *extra)
+    for c in names:
+        if c not in cols:
+            out = out.withColumn(c, F.lit(None).cast(types[c]))
+    return out.select(*names, *extra)
+
+
+def filter_from_source_values(src: DataFrame, cols: list[str], schema) -> E.Expr:
+    """Boundary filter derived from the source's distinct values of
+    ``cols`` (reference ``tableFilterColumns``, WriteUtil.java:228-264 +
+    dao/common.xml:62-69): OR over per-row null-safe equality conjuncts.
+    The distinct set is collected to the driver — these are partition-ish
+    boundary columns, so the set is small by contract (the reference
+    materializes the same list driver-side)."""
+    names = schema.fieldNames()
+    bad = set(cols) - set(names)
+    require(not bad, f"table filter columns not in table: {sorted(bad)}")
+    rows = src.select(*cols).distinct().collect()
+    require(bool(rows), "source has no rows to derive a table filter from")
+    disjuncts = []
+    for r in rows:
+        conjuncts = [
+            E.is_null(c) if r[c] is None else E.col_eq(c, r[c]) for c in cols
+        ]
+        disjuncts.append(E.and_(*conjuncts) if len(conjuncts) > 1 else conjuncts[0])
+    return E.or_(*disjuncts) if len(disjuncts) > 1 else disjuncts[0]
 
 
 def require(cond: bool, msg: str) -> None:

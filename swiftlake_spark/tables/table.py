@@ -498,15 +498,17 @@ class Table:
         write_new_version(self.meta)
 
     # ---------------------------------------------------------- writer
-    def _write_files(self, df: DataFrame) -> list[ManifestEntry]:
+    def _write_files(self, df: DataFrame, skip_sort: bool = False) -> list[ManifestEntry]:
         """Write ``df`` as new parquet files under data/<uuid>/ and return
         manifest entries with footer stats.  Distribution: hash by the
         partition transforms (≙ Iceberg write.distribution-mode=hash),
-        in-partition sort by the table sort order (A18)."""
+        in-partition sort by the table sort order (A18).  ``skip_sort``
+        mirrors the reference's ``skipDataSorting`` (Insert.java builder):
+        trade read-locality for write speed."""
         commit_dir = f"data/{uuid.uuid4().hex[:12]}"
         abs_dir = os.path.join(self.location, commit_dir)
         transforms = self.transforms
-        sort_cols = self._sort_columns()
+        sort_cols = [] if skip_sort else self._sort_columns()
 
         out = df
         pcols: list[str] = []

@@ -354,3 +354,110 @@ def test_scd1_branch_merge_diffs_against_branch_state(engine, spark):
     assert audit == [(1, "patched"), (4, "new")]
     main = sorted(tuple(r) for r in t.scan().collect())
     assert main == [(1, "base"), (2, "base"), (3, "main-only")]
+
+
+@pytest.mark.parametrize("snapshot_mode", [True, False], ids=["snapshot", "changes"])
+def test_scd1_columns_subset_merge(engine, spark, snapshot_mode):
+    """Reference SCD1MergeAdvancedIntegrationTest.testColumns: with
+    columns([id,name,email]) unlisted columns become NULL on every
+    written row; rows carried untouched keep their stored values."""
+    name = f"db.cols_{'s' if snapshot_mode else 'c'}"
+    t = engine.catalog.create_table(
+        name, "id BIGINT, name STRING, email STRING, phone STRING, value DOUBLE"
+    )
+    t.append(spark.createDataFrame(
+        [(1, "John", "john@example.com", "123-456-7890", 100.0),
+         (2, "Jane", "jane@example.com", "234-567-8901", 200.0)],
+        schema=t.schema,
+    ))
+    sub = "id BIGINT, name STRING, email STRING"
+    if snapshot_mode:
+        src = spark.createDataFrame(
+            [(1, "John Doe", "john.doe@example.com"),
+             (2, "Jane", "jane@example.com"),
+             (3, "Bob", "bob@example.com")], sub)
+        engine.apply_snapshot_as_scd1(name).table_filter_sql("id IS NOT NULL").\
+            source_dataframe(src).key_columns(["id"]).\
+            columns(["id", "name", "email"]).execute()
+        # id=2's stored phone/value differ from the expanded NULLs → U →
+        # rewritten with NULLs (reference expectation for snapshot mode)
+        expected = [
+            (1, "John Doe", "john.doe@example.com", None, None),
+            (2, "Jane", "jane@example.com", None, None),
+            (3, "Bob", "bob@example.com", None, None),
+        ]
+    else:
+        src = spark.createDataFrame(
+            [(1, "John Doe", "john.doe@example.com", "U"),
+             (3, "Bob", "bob@example.com", "I")],
+            sub + ", operation_type STRING")
+        engine.apply_changes_as_scd1(name).table_filter_sql("id IS NOT NULL").\
+            source_dataframe(src).key_columns(["id"]).\
+            operation_type_column("operation_type", "D").\
+            columns(["id", "name", "email"]).execute()
+        # id=2 is an N row carried over from the touched file: keeps values
+        expected = [
+            (1, "John Doe", "john.doe@example.com", None, None),
+            (2, "Jane", "jane@example.com", "234-567-8901", 200.0),
+            (3, "Bob", "bob@example.com", None, None),
+        ]
+    got = sorted(tuple(r) for r in engine.catalog.table(name).scan().collect())
+    assert got == expected
+
+
+def test_scd1_table_filter_columns_bounds_merge(engine, spark):
+    """Reference tableFilterColumns: the boundary filter is derived from
+    the source's distinct values, so rows outside it never classify."""
+    t = engine.catalog.create_table("db.tfc", "id BIGINT, cat STRING, v STRING")
+    t.append(spark.createDataFrame(
+        [(1, "A", "a1"), (2, "A", "a2"), (1, "B", "b1")], schema=t.schema))
+    src = spark.createDataFrame([(1, "A", "a1-new")], schema=t.schema)
+    engine.apply_snapshot_as_scd1("db.tfc").source_dataframe(src).\
+        key_columns(["id", "cat"]).table_filter_columns(["cat"]).execute()
+    got = sorted(tuple(r) for r in engine.catalog.table("db.tfc").scan().collect())
+    # cat=A is the derived boundary: id1 updated, id2 deleted (absent
+    # from snapshot); cat=B row is outside the boundary and untouched
+    assert got == [(1, "A", "a1-new"), (1, "B", "b1")]
+
+
+def test_scd1_skip_data_sorting(engine, spark):
+    t = engine.catalog.create_table(
+        "db.sds", "id BIGINT, v STRING", sort_order=["id ASC"])
+    t.append(spark.createDataFrame([(3, "c"), (1, "a")], schema=t.schema))
+    src = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema=t.schema)
+    engine.apply_snapshot_as_scd1("db.sds").table_filter_sql("id IS NOT NULL").\
+        source_dataframe(src).key_columns(["id"]).skip_data_sorting().execute()
+    got = sorted(tuple(r) for r in engine.catalog.table("db.sds").scan().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_scd2_columns_subset_and_filter_columns(engine, spark):
+    """SCD2 advanced options: columns() projects the source onto a data
+    subset (unlisted data columns NULL on new versions) and
+    table_filter_columns() derives the boundary from source values."""
+    import datetime as dt
+
+    t = engine.catalog.create_table(
+        "db.s2adv",
+        "id BIGINT, cat STRING, name STRING, score DOUBLE, "
+        "effective_start TIMESTAMP, effective_end TIMESTAMP",
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    t.append(spark.createDataFrame(
+        [(1, "A", "v1", 10.0, t0, None), (1, "B", "w1", 20.0, t0, None)],
+        schema=t.schema,
+    ))
+    src = spark.createDataFrame([(1, "A", "v2")], "id BIGINT, cat STRING, name STRING")
+    engine.apply_snapshot_as_scd2("db.s2adv").source_dataframe(src).\
+        key_columns(["id", "cat"]).table_filter_columns(["cat"]).\
+        columns(["id", "cat", "name"]).\
+        effective_timestamp(dt.datetime(2024, 6, 1)).execute()
+    got = sorted(tuple(r) for r in engine.catalog.table("db.s2adv").scan().collect())
+    assert got == [
+        # closed old version (name changed; score NULL in source ⇒ diff)
+        (1, "A", "v1", 10.0, t0, dt.datetime(2024, 6, 1)),
+        # new version: unlisted data column (score) is NULL
+        (1, "A", "v2", None, dt.datetime(2024, 6, 1), None),
+        # cat=B row outside the derived boundary: untouched, still open
+        (1, "B", "w1", 20.0, t0, None),
+    ]
