@@ -24,6 +24,7 @@ class InsertBuilder:
         self._columns: list[str] | None = None
         self._branch = "main"
         self._filter: E.Expr | None = None
+        self._skip_sort = False
 
     def sql(self, src_sql: str) -> "InsertBuilder":
         self._df = self._engine.sql(src_sql)
@@ -39,6 +40,12 @@ class InsertBuilder:
 
     def branch(self, b: str) -> "InsertBuilder":
         self._branch = b
+        return self
+
+    def skip_data_sorting(self, flag: bool = True) -> "InsertBuilder":
+        """Write without applying the table sort order (reference
+        Insert.skipDataSorting)."""
+        self._skip_sort = flag
         return self
 
     def overwrite_by_filter(self, expr: E.Expr) -> "InsertBuilder":
@@ -61,18 +68,23 @@ class InsertBuilder:
             if missing:
                 raise ValidationError(f"source missing columns {sorted(missing)}")
             df = df.select(*self._columns)
+        from pyspark.sql import functions as F
+
         # align to table schema: order + types (reference validates columns,
-        # WriteUtil.validateColumns)
+        # WriteUtil.validateColumns); with columns(...), unlisted table
+        # columns are filled with typed NULLs (reference Insert.columns)
+        if self._columns is not None:
+            for f in schema.fields:
+                if f.name not in self._columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         if set(df.columns) != set(schema.fieldNames()):
             raise ValidationError(
                 f"source columns {sorted(df.columns)} != table columns "
                 f"{sorted(schema.fieldNames())}"
             )
-        from pyspark.sql import functions as F
-
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         if self._overwrite:
             if self._filter is None:
                 raise ValidationError("insert_overwrite needs overwrite_by_filter")
-            return tbl.overwrite_by_filter(df, self._filter, branch=self._branch)
-        return tbl.append(df, branch=self._branch)
+            return tbl.overwrite_by_filter(df, self._filter, branch=self._branch, skip_sort=self._skip_sort)
+        return tbl.append(df, branch=self._branch, skip_sort=self._skip_sort)

@@ -208,8 +208,10 @@ class Table:
         return [(keys[k], n) for k, n in sorted(acc.items())]
 
     # ------------------------------------------------------------ writes
-    def append(self, df: DataFrame, branch: str = "main") -> Snapshot:
-        new_entries = self._write_files(df)
+    def append(
+        self, df: DataFrame, branch: str = "main", skip_sort: bool = False
+    ) -> Snapshot:
+        new_entries = self._write_files(df, skip_sort=skip_sort)
         return self._commit(
             op="append",
             branch=branch,
@@ -222,7 +224,8 @@ class Table:
         )
 
     def overwrite_by_filter(
-        self, df: DataFrame, filter: Expr, branch: str = "main", validate_added: bool = True
+        self, df: DataFrame, filter: Expr, branch: str = "main",
+        validate_added: bool = True, skip_sort: bool = False,
     ) -> Snapshot:
         """Replace every file whose rows ALL match ``filter`` with ``df``.
         Files that might contain both matching and non-matching rows fail
@@ -231,7 +234,7 @@ class Table:
             bad = df.filter(~filter.column()).limit(1).count()
             if bad:
                 raise ValidationError("added rows do not all match the overwrite filter")
-        new_entries = self._write_files(df) if df is not None else []
+        new_entries = self._write_files(df, skip_sort=skip_sort) if df is not None else []
 
         def mutate(current: list[ManifestEntry]) -> list[ManifestEntry]:
             keep: list[ManifestEntry] = []

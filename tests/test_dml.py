@@ -461,3 +461,13 @@ def test_scd2_columns_subset_and_filter_columns(engine, spark):
         # cat=B row outside the derived boundary: untouched, still open
         (1, "B", "w1", 20.0, t0, None),
     ]
+
+
+def test_insert_columns_subset_null_fills(engine, spark):
+    """Insert with columns(): unlisted table columns become NULL
+    (reference Insert.columns)."""
+    t = engine.catalog.create_table("db.inscols", "id BIGINT, a STRING, b DOUBLE")
+    src = spark.createDataFrame([(1, "x"), (2, "y")], "id BIGINT, a STRING")
+    engine.insert_into("db.inscols").dataframe(src).columns(["id", "a"]).execute()
+    got = sorted(tuple(r) for r in engine.catalog.table("db.inscols").scan().collect())
+    assert got == [(1, "x", None), (2, "y", None)]
