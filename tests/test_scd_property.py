@@ -90,3 +90,73 @@ def test_scd1_changes_matches_model(engine, spark, target, changes):
             model[k] = v
     got = {r["id"]: r["v"] for r in engine.catalog.table(name).scan().collect()}
     assert got == model
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(target=STATE, snap1=STATE, snap2=STATE)
+def test_scd2_two_consecutive_snapshots_match_model(engine, spark, target, snap1, snap2):
+    """Two successive SCD2 snapshot merges must leave exactly the open/
+    closed version history a dict-of-lists temporal model predicts."""
+    import datetime as dt
+
+    T0, T1, T2 = (dt.datetime(2024, m, 1) for m in (1, 2, 3))
+    _seq[0] += 1
+    name = f"db.prop2_{_seq[0]}"
+    t = engine.catalog.create_table(
+        name, "id BIGINT, v STRING, effective_start TIMESTAMP, effective_end TIMESTAMP"
+    )
+    if target:
+        t.append(spark.createDataFrame(
+            [(k, v, T0, None) for k, v in sorted(target.items())], schema=t.schema))
+
+    # model: versions[(id)] = list of (v, start, end|None); open = end is None
+    versions = {k: [(v, T0, None)] for k, v in target.items()}
+
+    def apply_snapshot(snap, ts):
+        if not snap:
+            snap = {99: "zz"}  # engine needs a non-empty source
+        src = spark.createDataFrame(sorted(snap.items()), "id BIGINT, v STRING")
+        engine.apply_snapshot_as_scd2(name).table_filter_sql("id <= 50").\
+            source_dataframe(src).key_columns(["id"]).\
+            effective_timestamp(ts).execute()
+        # model update (same classification the reference's templates do)
+        for k in set(versions) | set(snap):
+            if k > 50:
+                continue
+            open_v = next(
+                ((i, ver) for i, ver in enumerate(versions.get(k, []))
+                 if ver[2] is None), None)
+            if k in snap:
+                if open_v is None:               # I: no open version
+                    versions.setdefault(k, []).append((snap[k], ts, None))
+                elif open_v[1][0] != snap[k]:    # U: value changed
+                    i, (v, s, _e) = open_v
+                    versions[k][i] = (v, s, ts)
+                    versions[k].append((snap[k], ts, None))
+                # else N: unchanged, leave open
+            elif open_v is not None:             # D: close without successor
+                i, (v, s, _e) = open_v
+                versions[k][i] = (v, s, ts)
+
+    apply_snapshot(snap1, T1)
+    apply_snapshot(snap2, T2)
+
+    def _sk(t):
+        return (t[0], t[1] or "", t[2], t[3] or dt.datetime.max)
+
+    expected = sorted(
+        ((k, v, s, e) for k, vers in versions.items() for (v, s, e) in vers),
+        key=_sk,
+    )
+    got = sorted(
+        (
+            (r["id"], r["v"], r["effective_start"], r["effective_end"])
+            for r in engine.catalog.table(name).scan().collect()
+        ),
+        key=_sk,
+    )
+    assert got == expected
