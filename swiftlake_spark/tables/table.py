@@ -149,6 +149,27 @@ class Table:
             rows, schema="path STRING, records BIGINT, size_bytes BIGINT, partition STRING"
         )
 
+    def partitions(self, branch: str = "main") -> DataFrame:
+        """Per-partition rollup from the manifest alone (files, records,
+        bytes) — ≙ Iceberg's ``db.t.partitions`` metadata table, computed
+        without touching data (reference A23 exposes only record counts
+        via ``getPartitionLevelRecordCounts``)."""
+        import json as _json
+
+        agg: dict[str, dict] = {}
+        for e in self.meta.read_manifest(self.meta.current_snapshot(branch)):
+            key = _json.dumps(e.partition, default=str, sort_keys=True)
+            a = agg.setdefault(
+                key, {"partition": key, "files": 0, "records": 0, "size_bytes": 0}
+            )
+            a["files"] += 1
+            a["records"] += e.records
+            a["size_bytes"] += e.size_bytes
+        return self.spark.createDataFrame(
+            list(agg.values()) or [],
+            schema="partition STRING, files BIGINT, records BIGINT, size_bytes BIGINT",
+        )
+
     def prune(
         self, entries: list[ManifestEntry], filter: Expr | None
     ) -> list[ManifestEntry]:

@@ -174,3 +174,17 @@ def test_cluster_by_rejects_partitioned_and_sorted(spark, tmp_path):
     ts = eng.catalog.create_table("db.zs", "a BIGINT", sort_order=["a ASC"])
     with pytest.raises(ValueError, match="sort order"):
         ts.cluster_by(["a"])
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    """partitions() rolls up the manifest per partition without reading
+    data (≙ Iceberg's .partitions metadata table)."""
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "whp"))
+    t = eng.catalog.create_table(
+        "db.pmeta", "id BIGINT, cat STRING", partition_spec=["cat"])
+    t.append(spark.createDataFrame(
+        [(i, c) for i, c in enumerate("AABBB")], schema=t.schema))
+    rows = {r["partition"]: (r["files"], r["records"]) for r in t.partitions().collect()}
+    assert len(rows) == 2
+    recs = sorted(v[1] for v in rows.values())
+    assert recs == [2, 3]
