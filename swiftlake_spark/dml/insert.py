@@ -25,6 +25,8 @@ class InsertBuilder:
         self._branch = "main"
         self._filter: E.Expr | None = None
         self._skip_sort = False
+        self._filter_columns: list[str] | None = None
+        self._snapshot_meta: dict | None = None
 
     def sql(self, src_sql: str) -> "InsertBuilder":
         self._df = self._engine.sql(src_sql)
@@ -57,6 +59,19 @@ class InsertBuilder:
         self._filter = parse_filter(cond, tbl.schema)
         return self
 
+    def overwrite_by_filter_columns(self, cols: list[str]) -> "InsertBuilder":
+        """Derive the overwrite filter from the source's distinct values
+        of these columns (reference Insert overwriteByFilterColumns,
+        InsertIntegrationTest testOverwriteWithFilterColumns)."""
+        self._filter_columns = list(cols)
+        return self
+
+    def snapshot_metadata(self, props: dict) -> "InsertBuilder":
+        """Attach custom key/values to the commit's snapshot summary
+        (reference snapshotMetadata on write commands)."""
+        self._snapshot_meta = dict(props)
+        return self
+
     def execute(self):
         if self._df is None:
             raise ValidationError("insert needs a source (sql or dataframe)")
@@ -84,7 +99,19 @@ class InsertBuilder:
             )
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         if self._overwrite:
+            if self._filter is None and self._filter_columns:
+                from swiftlake_spark.dml.scd_common import filter_from_source_values
+
+                self._filter = filter_from_source_values(
+                    df, self._filter_columns, schema
+                )
             if self._filter is None:
                 raise ValidationError("insert_overwrite needs overwrite_by_filter")
-            return tbl.overwrite_by_filter(df, self._filter, branch=self._branch, skip_sort=self._skip_sort)
-        return tbl.append(df, branch=self._branch, skip_sort=self._skip_sort)
+            return tbl.overwrite_by_filter(
+                df, self._filter, branch=self._branch, skip_sort=self._skip_sort,
+                extra_summary=self._snapshot_meta,
+            )
+        return tbl.append(
+            df, branch=self._branch, skip_sort=self._skip_sort,
+            extra_summary=self._snapshot_meta,
+        )

@@ -230,7 +230,8 @@ class Table:
 
     # ------------------------------------------------------------ writes
     def append(
-        self, df: DataFrame, branch: str = "main", skip_sort: bool = False
+        self, df: DataFrame, branch: str = "main", skip_sort: bool = False,
+        extra_summary: dict | None = None,
     ) -> Snapshot:
         new_entries = self._write_files(df, skip_sort=skip_sort)
         return self._commit(
@@ -241,12 +242,14 @@ class Table:
             summary={
                 "added-files": len(new_entries),
                 "added-records": sum(e.records for e in new_entries),
+                **(extra_summary or {}),
             },
         )
 
     def overwrite_by_filter(
         self, df: DataFrame, filter: Expr, branch: str = "main",
         validate_added: bool = True, skip_sort: bool = False,
+        extra_summary: dict | None = None,
     ) -> Snapshot:
         """Replace every file whose rows ALL match ``filter`` with ``df``.
         Files that might contain both matching and non-matching rows fail
@@ -283,7 +286,7 @@ class Table:
             branch=branch,
             mutate=mutate,
             validate=None,
-            summary={"added-files": len(new_entries)},
+            summary={"added-files": len(new_entries), **(extra_summary or {})},
         )
 
     def update(
@@ -476,6 +479,30 @@ class Table:
                 for f in schema.fields
             ]
         ).jsonValue()
+        write_new_version(self.meta)
+
+    def update_partition_spec(self, partition_spec: list[str]) -> None:
+        """Partition evolution without rewrite (reference README.md:52-58):
+        new writes lay out files under the new spec; existing files keep
+        their recorded partition values.  Pruning stays correct for both
+        generations: predicates on a file's own partition keys prune
+        exactly; transform projections for keys a file was not written
+        with evaluate to *unknown* (the key is absent from its partition
+        dict), so the file is conservatively kept and its column min/max
+        stats still apply.  Compaction rewrites under the current spec,
+        migrating old files forward (Iceberg's behavior)."""
+        from swiftlake_spark.tables.transforms import parse_spec
+
+        names = self.schema.fieldNames()
+        spec = []
+        for s in partition_spec:
+            t = parse_spec(s)
+            if t.source not in names:
+                raise ValidationError(
+                    f"partition source column {t.source!r} not in schema"
+                )
+            spec.append({"name": t.name, "source": t.source, "param": t.param})
+        self.meta.partition_spec = spec
         write_new_version(self.meta)
 
     def rename_column(self, old: str, new: str) -> None:

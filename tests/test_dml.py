@@ -471,3 +471,21 @@ def test_insert_columns_subset_null_fills(engine, spark):
     engine.insert_into("db.inscols").dataframe(src).columns(["id", "a"]).execute()
     got = sorted(tuple(r) for r in engine.catalog.table("db.inscols").scan().collect())
     assert got == [(1, "x", None), (2, "y", None)]
+
+
+def test_insert_overwrite_by_filter_columns_and_snapshot_metadata(engine, spark):
+    """Reference testOverwriteWithFilterColumns + testSnapshotMetadata:
+    the overwrite filter derives from the source's distinct partition-ish
+    values; custom snapshot metadata lands in the commit summary."""
+    t = engine.catalog.create_table(
+        "db.owfc", "id BIGINT, cat STRING", partition_spec=["cat"])
+    t.append(spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], schema=t.schema))
+    src = spark.createDataFrame([(10, "A")], "id BIGINT, cat STRING")
+    engine.insert_overwrite("db.owfc").dataframe(src).\
+        overwrite_by_filter_columns(["cat"]).\
+        snapshot_metadata({"job-id": "nightly-17"}).execute()
+    t = engine.catalog.table("db.owfc")
+    got = sorted(tuple(r) for r in t.scan().collect())
+    assert got == [(3, "B"), (10, "A")]  # cat=A replaced, cat=B untouched
+    assert t.meta.current_snapshot().summary.get("job-id") == "nightly-17"

@@ -101,3 +101,42 @@ def test_range_predicate_prunes_time_transforms(catalog, spark):
         .collect()
     )
     assert got == [1, 2, 3]
+
+
+def test_partition_evolution_without_rewrite(catalog, spark):
+    """Reference README.md:52-58: spec changes apply to new writes only;
+    both generations stay readable and prunable."""
+    t = catalog.create_table("db.evolve", SCHEMA, partition_spec=["s"])
+    t.append(spark.createDataFrame(ROWS[:3], schema=t.schema))
+    files_gen1 = {e.path for e in t.meta.read_manifest(t.meta.current_snapshot())}
+
+    t.update_partition_spec(["day(ts)"])
+    t.append(spark.createDataFrame(ROWS[3:], schema=t.schema))
+
+    man = t.meta.read_manifest(t.meta.current_snapshot())
+    gen1 = [e for e in man if e.path in files_gen1]
+    gen2 = [e for e in man if e.path not in files_gen1]
+    assert gen1 and gen2
+    assert all("s" in e.partition and "ts_day" not in e.partition for e in gen1)
+    assert all("ts_day" in e.partition and "s" not in e.partition for e in gen2)
+
+    # full read sees all six rows
+    assert t.scan().count() == 6
+
+    # prune on the NEW transform source: gen2 prunes by partition value,
+    # gen1 is kept only if its ts column stats admit the predicate
+    import datetime as dt
+
+    pruned = t.prune(man, E.col_eq("ts", dt.datetime(2024, 1, 2, 23)))
+    assert all(
+        e.partition.get("ts_day") == 20240102 for e in pruned if e.path not in files_gen1
+    )
+    got = sorted(
+        r["id"] for r in t.scan(E.col_eq("ts", dt.datetime(2024, 1, 2, 23))).select("id").collect()
+    )
+    assert got == [4]
+
+    # prune on the OLD identity column: gen1 prunes by partition value,
+    # gen2 by min/max column stats; rows still exact
+    got = sorted(r["id"] for r in t.scan(E.col_eq("s", "alpha")).select("id").collect())
+    assert got == [1]
