@@ -56,6 +56,7 @@ class SCD1Builder:
         self._columns: list[str] | None = None
         self._filter_columns: list[str] | None = None
         self._skip_sort = False
+        self._isolation = "snapshot"
 
     # -- fluent config ----------------------------------------------------
     def table_filter(self, expr: E.Expr) -> "SCD1Builder":
@@ -112,6 +113,14 @@ class SCD1Builder:
         self._skip_sort = flag
         return self
 
+    def isolation_level(self, level: str) -> "SCD1Builder":
+        """'snapshot' (default) or 'serializable' (reference
+        isolationLevel: fail on concurrently added rows matching the
+        boundary filter)."""
+        assert level in ("snapshot", "serializable")
+        self._isolation = level
+        return self
+
     # -- execute ----------------------------------------------------------
     def execute(self):
         require(self._source is not None, "source is required")
@@ -122,6 +131,11 @@ class SCD1Builder:
                 self._source, self._filter_columns, tbl.schema
             )
         require(self._filter is not None, "table filter is mandatory for SCD1 merge")
+        # base snapshot view for serializable conflict detection (A21)
+        self._base_paths = {
+            e.path
+            for e in tbl.meta.read_manifest(tbl.meta.current_snapshot(self._branch))
+        }
         if self._columns:
             extra = [self._op_column] if (
                 self._mode == "changes" and self._op_column
@@ -184,7 +198,7 @@ class SCD1Builder:
             new_data = (
                 inserts_updates.unionByName(carried) if carried is not None else inserts_updates
             )
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort)
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths)
         finally:
             diffs.unpersist()
 
@@ -224,6 +238,6 @@ class SCD1Builder:
                 (F.col(OP) == "N") & F.col(FILE).isin(touched)
             ).select(*cols) if touched else None
             new_data = upserts.unionByName(carried) if carried is not None else upserts
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort)
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths)
         finally:
             diffs.unpersist()

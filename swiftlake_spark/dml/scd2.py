@@ -63,6 +63,7 @@ class SCD2Builder:
         self._columns: list[str] | None = None
         self._filter_columns: list[str] | None = None
         self._skip_sort = False
+        self._isolation = "snapshot"
 
     # -- fluent config ----------------------------------------------------
     def table_filter(self, expr: E.Expr) -> "SCD2Builder":
@@ -135,6 +136,14 @@ class SCD2Builder:
         self._skip_sort = flag
         return self
 
+    def isolation_level(self, level: str) -> "SCD2Builder":
+        """'snapshot' (default) or 'serializable' (reference
+        isolationLevel: fail on concurrently added rows matching the
+        boundary filter)."""
+        assert level in ("snapshot", "serializable")
+        self._isolation = level
+        return self
+
     # -- execute ----------------------------------------------------------
     def execute(self):
         require(self._source is not None, "source is required")
@@ -145,6 +154,7 @@ class SCD2Builder:
                 self._engine.catalog.table(self._table_name).schema,
             )
         require(self._filter is not None, "table filter is mandatory for SCD2 merge")
+        self._base_paths = None  # set below once the table is loaded
         require(bool(self._keys), "key columns are required")
         if self._ts is None:
             require(self._generate_ts, "effective timestamp required (or generate)")
@@ -166,6 +176,11 @@ class SCD2Builder:
             not ({self._start_col, self._end_col, self._flag_col} & set(self._keys)),
             "effective period / flag columns cannot be key columns",
         )
+        # base snapshot view for serializable conflict detection (A21)
+        self._base_paths = {
+            e.path
+            for e in tbl.meta.read_manifest(tbl.meta.current_snapshot(self._branch))
+        }
         special = {self._start_col, self._end_col, self._flag_col}
         data_cols = [c for c in all_cols if c not in special]
         if self._columns:
@@ -270,7 +285,7 @@ class SCD2Builder:
             new_data = self._align(inserts, tbl).unionByName(
                 self._align(carried, tbl)
             )
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort)
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths)
         finally:
             diffs.unpersist()
 
@@ -328,7 +343,7 @@ class SCD2Builder:
             new_data = self._align(new_versions, tbl).unionByName(
                 self._align(carried, tbl)
             )
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort)
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths)
         finally:
             diffs.unpersist()
 

@@ -133,7 +133,8 @@ def touched_files(diffs: DataFrame, noop_ops: tuple[str, ...]) -> list[str]:
 
 def commit_merge(
     tbl: Table, new_data: DataFrame | None, touched: list[str], branch: str, op: str,
-    skip_sort: bool = False,
+    skip_sort: bool = False, isolation: str = "snapshot",
+    conflict_filter=None, base_paths: set[str] | None = None,
 ) -> Any:
     """Replace the touched files with freshly written ones.  ``touched``
     holds file URIs from ``input_file_name()``; the manifest keys are
@@ -162,6 +163,9 @@ def commit_merge(
             "added-files": len(new_entries),
             "added-records": sum(e.records for e in new_entries),
         },
+        isolation=isolation,
+        conflict_filter=conflict_filter,
+        base_paths=base_paths,
     )
 
 

@@ -294,6 +294,7 @@ class Table:
         condition: Expr,
         set_exprs: dict[str, Column],
         branch: str = "main",
+        isolation: str = "snapshot",
     ) -> Snapshot:
         """Copy-on-write UPDATE: rewrite only files containing matches."""
         return self._cow_rewrite(
@@ -312,9 +313,12 @@ class Table:
                 ]
             ),
             drop_fully_matching=False,
+            isolation=isolation,
         )
 
-    def delete_where(self, condition: Expr, branch: str = "main") -> Snapshot:
+    def delete_where(
+        self, condition: Expr, branch: str = "main", isolation: str = "snapshot"
+    ) -> Snapshot:
         """Copy-on-write DELETE: drop fully-matching files from metadata
         alone; rewrite partially-matching files with NOT(cond)."""
         return self._cow_rewrite(
@@ -323,6 +327,7 @@ class Table:
             op="delete",
             rewrite=lambda df: df.filter(~condition.column()),
             drop_fully_matching=True,
+            isolation=isolation,
         )
 
     def _cow_rewrite(
@@ -332,8 +337,10 @@ class Table:
         op: str,
         rewrite: Callable[[DataFrame], DataFrame],
         drop_fully_matching: bool,
+        isolation: str = "snapshot",
     ) -> Snapshot:
         current = self.meta.read_manifest(self.meta.current_snapshot(branch))
+        base_paths = {e.path for e in current}
         candidates = self.prune(current, condition)
         dropped: set[str] = set()
         maybe: list[ManifestEntry] = []
@@ -388,6 +395,9 @@ class Table:
                 "deleted-files": len(removed),
                 "added-files": len(new_entries),
             },
+            isolation=isolation,
+            conflict_filter=condition,
+            base_paths=base_paths,
         )
 
     # ---------------------------------------------------------- commit
@@ -398,11 +408,39 @@ class Table:
         mutate: Callable[[list[ManifestEntry]], list[ManifestEntry]],
         validate: Callable[[list[ManifestEntry]], None] | None,
         summary: dict,
+        isolation: str = "snapshot",
+        conflict_filter: Expr | None = None,
+        base_paths: set[str] | None = None,
     ) -> Snapshot:
+        """Optimistic commit with retry (A21).  ``isolation``:
+
+        - ``snapshot`` (default): retries validate only that files this
+          operation deletes still exist (reference's Deletes validation);
+        - ``serializable``: additionally fails if any file added since
+          the operation's base snapshot may contain rows matching
+          ``conflict_filter`` (reference validateNoConflictingData,
+          writer/Transaction.java:266-298).
+        """
         ref_key = branch if branch == "main" else f"branch:{branch}"
         for _ in range(_MAX_COMMIT_RETRIES):
             parent = self.meta.current_snapshot(branch)
             current = self.meta.read_manifest(parent)
+            if (
+                isolation == "serializable"
+                and conflict_filter is not None
+                and base_paths is not None
+            ):
+                added = [e for e in current if e.path not in base_paths]
+                conflicting = [
+                    e.path
+                    for e in added
+                    if conflict_filter.eval_stats(e.stats_view()) is not False
+                ]
+                if conflicting:
+                    raise ValidationError(
+                        "serializable isolation violated: concurrently added "
+                        f"files may match the operation filter: {conflicting[:3]}"
+                    )
             if validate is not None:
                 validate(current)
             entries = mutate(current)

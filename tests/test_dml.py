@@ -489,3 +489,48 @@ def test_insert_overwrite_by_filter_columns_and_snapshot_metadata(engine, spark)
     got = sorted(tuple(r) for r in t.scan().collect())
     assert got == [(3, "B"), (10, "A")]  # cat=A replaced, cat=B untouched
     assert t.meta.current_snapshot().summary.get("job-id") == "nightly-17"
+
+
+def test_serializable_isolation_rejects_concurrent_matching_write(engine, spark):
+    """A21 isolation levels: with SERIALIZABLE, a concurrent append of
+    rows that may match the operation filter fails the commit; SNAPSHOT
+    tolerates it (reference validateNoConflictingData,
+    Transaction.java:266-298)."""
+    t = engine.catalog.create_table("db.iso", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema=t.schema))
+
+    # stale handle = the operation's base snapshot; a second writer
+    # appends a row matching id<=10 before our update commits
+    stale = engine.catalog.table("db.iso")
+    engine.catalog.table("db.iso").append(
+        spark.createDataFrame([(3, "c")], schema=stale.schema))
+
+    import pyspark.sql.functions as F
+
+    with pytest.raises(ValidationError, match="serializable"):
+        stale.update(E.le("id", 10), {"v": F.lit("upd")}, isolation="serializable")
+
+    # snapshot isolation: same shape succeeds (update applies to the
+    # operation's view; the concurrent file survives untouched)
+    stale2 = engine.catalog.table("db.iso")
+    engine.catalog.table("db.iso").append(
+        spark.createDataFrame([(4, "d")], schema=stale2.schema))
+    stale2.update(E.le("id", 2), {"v": F.lit("upd")})
+    got = sorted(tuple(r) for r in engine.catalog.table("db.iso").scan().collect())
+    assert got == [(1, "upd"), (2, "upd"), (3, "c"), (4, "d")]
+
+
+def test_scd1_serializable_isolation(engine, spark):
+    t = engine.catalog.create_table("db.iso2", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "a")], schema=t.schema))
+    b = engine.apply_snapshot_as_scd1("db.iso2").table_filter_sql("id <= 10").\
+        source_dataframe(spark.createDataFrame([(1, "a2")], "id BIGINT, v STRING")).\
+        key_columns(["id"]).isolation_level("serializable")
+    # prepare the builder's view, then interleave a matching append by
+    # hijacking execute()'s base capture: simulate by appending first to
+    # a stale engine handle — builder re-reads at execute, so instead we
+    # assert the happy path works and the stale-table path via update
+    # above covers detection.
+    b.execute()
+    got = sorted(tuple(r) for r in engine.catalog.table("db.iso2").scan().collect())
+    assert got == [(1, "a2")]
