@@ -607,3 +607,37 @@ def q78_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q79 — median (exact interpolated 0.5-quantile, identical in both
+# engines) per group alongside exact decimal means.  Medians need a
+# per-group sort; Spark's ObjectHashAggregate holds group buffers — at
+# scale the group count (returnflag×linestatus ≤ 6) keeps state tiny.
+# --------------------------------------------------------------------------
+@query(
+    "q79_median_stats",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       median(l_quantity)  AS med_qty,
+       median(l_orderkey)  AS med_key,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q79_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.median("l_quantity").alias("med_qty"),
+            F.median("l_orderkey").alias("med_key"),
+            n.alias("n"),
+            (as_double(F.sum(dec("l_discount"))) / n).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
