@@ -641,3 +641,61 @@ def q79_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --------------------------------------------------------------------------
+# q80 — bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep duplicate
+# multiplicity (the distinct variants are q10).  One shuffle each on the
+# full row as the key.
+# --------------------------------------------------------------------------
+@query(
+    "q80_set_ops_all",
+    oracle="""
+SELECT v, COUNT(*) AS n FROM (
+  SELECT l_quantity AS v FROM lineitem WHERE l_orderkey <= 400
+  EXCEPT ALL
+  SELECT l_quantity AS v FROM lineitem WHERE l_orderkey <= 200
+)
+GROUP BY v
+ORDER BY v
+""",
+)
+def q80_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") <= 400).select(F.col("l_quantity").alias("v"))
+    b = li.filter(F.col("l_orderkey") <= 200).select(F.col("l_quantity").alias("v"))
+    return (
+        a.exceptAll(b)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("v")
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 — GROUPING() disambiguation: tells a rollup total row apart from a
+# genuine NULL group value (the standard companion to q12/q24/q62).
+# --------------------------------------------------------------------------
+@query(
+    "q81_grouping_id",
+    oracle="""
+SELECT o_orderstatus,
+       GROUPING(o_orderstatus) AS is_total,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus)
+ORDER BY is_total, o_orderstatus
+""",
+)
+def q81_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q81_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_total,
+               COUNT(*) AS n
+        FROM __q81_orders
+        GROUP BY ROLLUP (o_orderstatus)
+        ORDER BY is_total, o_orderstatus
+        """
+    )

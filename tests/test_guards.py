@@ -188,3 +188,18 @@ def test_partitions_metadata_table(spark, tmp_path):
     assert len(rows) == 2
     recs = sorted(v[1] for v in rows.values())
     assert recs == [2, 3]
+
+
+def test_zorder_cluster_by_string_hash_path(spark, tmp_path):
+    """cluster_by on a string column takes the hash-bucketing path and
+    still produces a valid, complete rewrite."""
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "whzs"))
+    t = eng.catalog.create_table(
+        "db.zs2", "k BIGINT, name STRING",
+        properties={"write.max-records-per-file": "500"},
+    )
+    t.append(spark.createDataFrame(
+        [(i, f"name-{i % 37}") for i in range(4000)], schema=t.schema))
+    snap = t.cluster_by(["k", "name"], target_file_size_bytes=20_000)
+    assert snap is not None and snap.operation == "replace"
+    assert eng.catalog.table("db.zs2").scan().count() == 4000
