@@ -216,3 +216,55 @@ def test_stateful_user_totals_applyinpandas_with_state(spark, tmp_path):
     # watermark (59 min at batch 4) passed user 10's idle timeout
     # (watermark-at-update + 5 min) → state evicted with a closed row
     assert updates[(10, True)] == (2, 3.0)
+
+
+def test_streaming_append_mode_drops_late_rows(spark, tmp_path):
+    """Append mode emits only finalized windows; a row later than the
+    watermark allows is dropped (the late-data contract)."""
+    import time
+
+    from swiftlake_spark.streaming import windowed_rollup
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    src = str(tmp_path / "late_src")
+    (tmp_path / "late_src").mkdir()
+    t = dt.datetime(2024, 1, 1, 0, 0)
+
+    def batch(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)
+
+    batch(1, [(1, t + dt.timedelta(minutes=1), 1, "click", 1.0, "{}")])
+    # advance event time far past the first 5-minute window; the
+    # OPERATIVE watermark lags one batch behind the data that moves it,
+    # so a second advancing batch locks it in before the late row lands
+    batch(2, [(2, t + dt.timedelta(minutes=60), 1, "click", 1.0, "{}")])
+    batch(3, [(3, t + dt.timedelta(minutes=65), 1, "click", 1.0, "{}")])
+    # late row for the first window — now behind the watermark: dropped
+    batch(4, [(4, t + dt.timedelta(minutes=2), 1, "click", 100.0, "{}")])
+    batch(5, [(5, t + dt.timedelta(minutes=90), 1, "click", 1.0, "{}")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = windowed_rollup(stream, window="5 minutes", watermark="1 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT win.start AS s, n, total_value FROM late_out").collect()
+    finally:
+        q.stop()
+    by_start = {r["s"]: (r["n"], r["total_value"]) for r in rows}
+    # first window finalized with ONE row — the late 100.0 never landed
+    assert by_start[t] == (1, 1.0)
