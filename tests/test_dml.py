@@ -534,3 +534,30 @@ def test_scd1_serializable_isolation(engine, spark):
     b.execute()
     got = sorted(tuple(r) for r in engine.catalog.table("db.iso2").scan().collect())
     assert got == [(1, "a2")]
+
+
+def test_scd2_branch_merge_diffs_against_branch_state(engine, spark):
+    """SCD2 analog of the SCD1 branch test: the merge classifies against
+    the branch's open versions, not main's."""
+    import datetime as dt
+
+    t = engine.catalog.create_table(
+        "db.br2", "id BIGINT, v STRING, effective_start TIMESTAMP, effective_end TIMESTAMP")
+    t0 = dt.datetime(2024, 1, 1)
+    t.append(spark.createDataFrame([(1, "base", t0, None)], schema=t.schema))
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([(2, "main-only", t0, None)], schema=t.schema))
+
+    src = spark.createDataFrame([(1, "patched")], "id BIGINT, v STRING")
+    engine.apply_snapshot_as_scd2("db.br2").table_filter_sql("id IS NOT NULL").\
+        source_dataframe(src).key_columns(["id"]).branch("audit").\
+        effective_timestamp(dt.datetime(2024, 6, 1)).execute()
+
+    t = engine.catalog.table("db.br2")
+    audit = sorted(tuple(r) for r in t.scan(branch="audit").collect())
+    assert audit == [
+        (1, "base", t0, dt.datetime(2024, 6, 1)),
+        (1, "patched", dt.datetime(2024, 6, 1), None),
+    ]
+    main = sorted(tuple(r) for r in t.scan().collect())
+    assert main == [(1, "base", t0, None), (2, "main-only", t0, None)]
