@@ -699,3 +699,52 @@ def q81_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY is_total, o_orderstatus
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q82 — TPC-H Q7 shape: volume shipped between two specific nation pairs
+# (OR of cross pairs on a doubled nation dim).  Both nation sides
+# broadcast; the fact join shuffles once; the OR-pair predicate prunes
+# pairs before aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "q82_nation_volume",
+    oracle="""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS volume
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+GROUP BY n1.n_name, n2.n_name, yr
+ORDER BY cust_nation, supp_nation, yr
+""",
+)
+def q82_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    pair = (
+        (F.col("cust_nation") == "FRANCE") & (F.col("supp_nation") == "GERMANY")
+    ) | ((F.col("cust_nation") == "GERMANY") & (F.col("supp_nation") == "FRANCE"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("cust_nation", "supp_nation", F.year("o_orderdate").alias("yr"))
+        .agg(as_double(F.sum(rev)).alias("volume"))
+        .orderBy("cust_nation", "supp_nation", "yr")
+    )
