@@ -748,3 +748,39 @@ def q82_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(as_double(F.sum(rev)).alias("volume"))
         .orderBy("cust_nation", "supp_nation", "yr")
     )
+
+
+# --------------------------------------------------------------------------
+# q83 — TPC-H Q11 shape: groups whose share exceeds a fraction of the
+# GLOBAL total (scalar aggregate subquery in HAVING).  The global total
+# is one extra reduce whose single row broadcasts into the filter.
+# --------------------------------------------------------------------------
+@query(
+    "q83_important_stock",
+    oracle="""
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.005
+  FROM lineitem
+)
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def q83_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q83_lineitem")
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        FROM __q83_lineitem
+        GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.005
+          FROM __q83_lineitem
+        )
+        ORDER BY part_value DESC, l_partkey
+        """
+    )
