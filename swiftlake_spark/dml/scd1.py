@@ -32,7 +32,9 @@ from swiftlake_spark.dml.scd_common import (
     expand_source_columns,
     filter_from_source_values,
     require,
+    TOUCHED,
     touched_files,
+    with_touched_flag,
     value_diff_condition,
 )
 from swiftlake_spark.dml.sqlfilter import parse_filter
@@ -192,8 +194,8 @@ class SCD1Builder:
             inserts_updates = diffs.filter(F.col(OP).isin("I", "U")).select(
                 *[F.col(f"__other_{c}").alias(c) for c in cols]
             )
-            carried = diffs.filter(
-                (F.col(OP) == "N") & F.col(FILE).isin(touched)
+            carried = with_touched_flag(diffs, touched).filter(
+                (F.col(OP) == "N") & F.col(TOUCHED)
             ).select(*cols) if touched else None
             new_data = (
                 inserts_updates.unionByName(carried) if carried is not None else inserts_updates
@@ -234,8 +236,8 @@ class SCD1Builder:
             # strict `op != delete` (NULL op rows drop, matching the
             # reference's SQL 3VL: scd1_merge.xml:50-52)
             upserts = src.filter(F.col(opc) != F.lit(delv)).select(*cols)
-            carried = diffs.filter(
-                (F.col(OP) == "N") & F.col(FILE).isin(touched)
+            carried = with_touched_flag(diffs, touched).filter(
+                (F.col(OP) == "N") & F.col(TOUCHED)
             ).select(*cols) if touched else None
             new_data = upserts.unionByName(carried) if carried is not None else upserts
             return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths)

@@ -33,7 +33,9 @@ from swiftlake_spark.dml.scd_common import (
     expand_source_columns,
     filter_from_source_values,
     require,
+    TOUCHED,
     touched_files,
+    with_touched_flag,
     value_diff_condition,
 )
 from swiftlake_spark.dml.sqlfilter import parse_filter
@@ -277,10 +279,9 @@ class SCD2Builder:
             inserts = diffs.filter(F.col(OP).isin("I", "U")).select(
                 *self._new_version_cols("__other_", data_cols)
             )
-            in_touched = F.col(FILE).isin(touched) if touched else F.lit(False)
-            carried = diffs.filter(
+            carried = with_touched_flag(diffs, touched).filter(
                 F.col(OP).isin("U", "D", "N")
-                & (F.col(FILE).isNull() | in_touched)
+                & (F.col(FILE).isNull() | F.col(TOUCHED))
             ).select(*self._close_version_cols(all_cols))
             new_data = self._align(inserts, tbl).unionByName(
                 self._align(carried, tbl)
@@ -335,10 +336,9 @@ class SCD2Builder:
             new_versions = upsert_src.select(
                 *self._new_version_cols("", data_cols)
             )
-            in_touched = F.col(FILE).isin(touched) if touched else F.lit(False)
-            carried = diffs.filter(
+            carried = with_touched_flag(diffs, touched).filter(
                 F.col(OP).isin("U", "D", "N", "N-S")
-                & (F.col(FILE).isNull() | in_touched)
+                & (F.col(FILE).isNull() | F.col(TOUCHED))
             ).select(*self._close_version_cols(all_cols))
             new_data = self._align(new_versions, tbl).unionByName(
                 self._align(carried, tbl)

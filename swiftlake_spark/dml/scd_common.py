@@ -131,6 +131,27 @@ def touched_files(diffs: DataFrame, noop_ops: tuple[str, ...]) -> list[str]:
     return [r[FILE] for r in rows]
 
 
+TOUCHED = "__touched__"
+
+
+def with_touched_flag(diffs: DataFrame, touched: list[str]) -> DataFrame:
+    """Tag diff rows whose ``FILE`` is in ``touched`` with a boolean
+    ``TOUCHED`` column via a broadcast left join — NOT an ``isin``
+    literal.  A merge brushing 10^5 files at 100 TB would otherwise
+    embed a megabyte-scale ``IN`` list into the plan (blowing up plan
+    serialization and codegen); a broadcast hash join against a
+    one-column DataFrame of names is O(files) driver memory once and
+    costs no shuffle."""
+    if not touched:
+        return diffs.withColumn(TOUCHED, F.lit(False))
+    spark = diffs.sparkSession
+    tdf = spark.createDataFrame(
+        [(f,) for f in touched], f"{FILE} string"
+    ).withColumn(TOUCHED, F.lit(True))
+    out = diffs.join(F.broadcast(tdf), on=FILE, how="left")
+    return out.withColumn(TOUCHED, F.coalesce(F.col(TOUCHED), F.lit(False)))
+
+
 def commit_merge(
     tbl: Table, new_data: DataFrame | None, touched: list[str], branch: str, op: str,
     skip_sort: bool = False, isolation: str = "snapshot",

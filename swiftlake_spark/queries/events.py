@@ -21,7 +21,7 @@ from swiftlake_spark.queries.base import as_double, dec, load
 @query(
     "q30_tumbling_window",
     oracle="""
-SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS bucket_start,
+SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP) AS bucket_start,
        event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
