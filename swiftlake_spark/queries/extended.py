@@ -719,8 +719,8 @@ JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation n1 ON c_nationkey = n1.n_nationkey
 JOIN nation n2 ON s_nationkey = n2.n_nationkey
-WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+WHERE ((n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+    OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19'))
 GROUP BY n1.n_name, n2.n_name, yr
 ORDER BY cust_nation, supp_nation, yr
 """,
@@ -735,8 +735,8 @@ def q82_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
     pair = (
-        (F.col("cust_nation") == "FRANCE") & (F.col("supp_nation") == "GERMANY")
-    ) | ((F.col("cust_nation") == "GERMANY") & (F.col("supp_nation") == "FRANCE"))
+        (F.col("cust_nation") == "NATION_19") & (F.col("supp_nation") == "NATION_18")
+    ) | ((F.col("cust_nation") == "NATION_18") & (F.col("supp_nation") == "NATION_19"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -763,7 +763,7 @@ SELECT l_partkey,
 FROM lineitem
 GROUP BY l_partkey
 HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
-  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.005
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.00005
   FROM lineitem
 )
 ORDER BY part_value DESC, l_partkey
@@ -778,7 +778,7 @@ def q83_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __q83_lineitem
         GROUP BY l_partkey
         HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
-          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.005
+          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.00005
           FROM __q83_lineitem
         )
         ORDER BY part_value DESC, l_partkey

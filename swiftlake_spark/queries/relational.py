@@ -172,21 +172,28 @@ def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q05 — anti join (NOT EXISTS): customers with no orders.
+# q05 — anti join (NOT EXISTS): customers with no URGENT order.  The probe
+# side is filtered before the anti join so the shape returns a non-empty
+# remainder on the fixtures (every customer has *some* order there).
+# Reference shape: SwiftLakeEngineIntegrationTest.java:353-367 (NOT IN /
+# anti-join subquery).
 # --------------------------------------------------------------------------
 @query(
     "q05_anti_join",
     oracle="""
 SELECT c_mktsegment, COUNT(*) AS n_customers
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
 )
 def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
