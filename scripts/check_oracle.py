@@ -5,6 +5,10 @@ over the same parquet tables, then compares row counts, column sets and
 values (column-name-sorted, row-sorted — order-insensitive, like the
 driver's value-hash).  Exit code 0 iff everything matches.
 
+Also importable: ``tests/test_oracle_gate.py`` parametrizes over the same
+registry and calls :func:`check_query` per query, making ``pytest tests/``
+green imply the full 81-query oracle gate passes.
+
 Usage:  python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -55,17 +59,58 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def make_oracle_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """DuckDB connection with the fixture tables registered as views.
+
+    TimeZone pinned to UTC to match the Spark session
+    (spark.sql.session.timeZone=UTC in config.py) regardless of host zone —
+    otherwise TIMESTAMPTZ→naive casts in oracles shift on non-UTC hosts.
+    """
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def check_query(spark, con, qd, sf_dir: str):
+    """Run one registry entry on Spark + DuckDB and compare.
+
+    Returns (error_message | None, spark_row_count).
+    """
+    sdf = qd.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if qd.oracle is None:
+        return None, len(s_rows)
+    res = con.execute(qd.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    sc, sr = canon_rows(s_cols, s_rows)
+    dc, dr = canon_rows(d_cols, d_rows)
+    if sc != dc:
+        return f"columns spark={sc} duckdb={dc}", len(s_rows)
+    if len(sr) != len(dr):
+        return f"rowcount spark={len(sr)} duckdb={len(dr)}", len(s_rows)
+    bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+    if bad:
+        return (
+            f"{len(bad)}/{len(sr)} rows differ; first: spark={bad[0][0]} duckdb={bad[0][1]}",
+            len(s_rows),
+        )
+    return None, len(s_rows)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     _load_all()
 
     spark = build_session(EngineConfig(app_name="oracle-check", cpus=8))
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = make_oracle_con(sf_dir)
 
     failures = []
     for name, qd in sorted(REGISTRY.items()):
@@ -73,41 +118,18 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = qd.fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            err, n_rows = check_query(spark, con, qd, sf_dir)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {exc}")
+            print(f"FAIL  {name}: error: {exc}")
             continue
-        if qd.oracle is None:
-            print(f"ok    {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
-            continue
-        try:
-            res = con.execute(qd.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
-        except Exception as exc:  # noqa: BLE001
+        if err:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {exc}")
-            continue
-
-        sc, sr = canon_rows(s_cols, s_rows)
-        dc, dr = canon_rows(d_cols, d_rows)
-        if sc != dc:
-            failures.append(name)
-            print(f"FAIL  {name}: columns spark={sc} duckdb={dc}")
-            continue
-        if len(sr) != len(dr):
-            failures.append(name)
-            print(f"FAIL  {name}: rowcount spark={len(sr)} duckdb={len(dr)}")
-            continue
-        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
-        if bad:
-            failures.append(name)
-            print(f"FAIL  {name}: {len(bad)}/{len(sr)} rows differ; first: spark={bad[0][0]} duckdb={bad[0][1]}")
-            continue
-        print(f"ok    {name}: {len(sr)} rows match ({time.time()-t0:.1f}s)")
+            print(f"FAIL  {name}: {err}")
+        elif qd.oracle is None:
+            print(f"ok    {name}: rows-only ({n_rows} rows, {time.time()-t0:.1f}s)")
+        else:
+            print(f"ok    {name}: {n_rows} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} queries pass")
     return 1 if failures else 0
