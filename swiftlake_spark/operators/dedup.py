@@ -162,26 +162,58 @@ def simhash_near_dups(
     text_col: str,
     *,
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the high prefix, verify
-    Hamming distance inside buckets.  (Docs differing inside the prefix
-    are missed — the standard multi-probe tradeoff; raise prefix rotations
-    for recall.)"""
+    """Near-dup pairs by SimHash with FULL recall at bounded bucket size.
+
+    The 48-bit signature is split into ``n_bands`` contiguous bit bands
+    (default ``max_hamming + 1``).  By pigeonhole, two signatures within
+    Hamming distance ``max_hamming`` differ in at most ``max_hamming``
+    bands, so they agree EXACTLY on at least one band — candidate
+    generation on (band_idx, band_bits) misses nothing.  Exact Hamming is
+    then verified on candidates only.
+
+    Scale: the join key space is n_bands × 2^(48/n_bands) buckets
+    (4 bands → 4×2^12 ≈ 16k), versus the 256 buckets of a naive 8-bit
+    prefix scheme; within-bucket pair blow-up only occurs for genuinely
+    identical signatures, which ARE the output.  One shuffle on the band
+    key, one distinct, no all-pairs anywhere.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands > _SIMHASH_BITS:
+        raise ValueError(f"n_bands {n_bands} exceeds signature bits {_SIMHASH_BITS}")
+    width = _SIMHASH_BITS // n_bands
     sig = simhash(df, id_col, text_col)
-    bucket = F.shiftright("simhash", _SIMHASH_BITS - prefix_bits)
-    b = sig.withColumn("bucket", bucket)
-    l, r = b.alias("l"), b.alias("r")
-    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
-    return (
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("bits"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sig.select(
+        "id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "simhash", "bk.band", "bk.bits")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col("l.id") < F.col("r.id")),
         )
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            ham.alias("hamming"),
+            F.col("l.simhash").alias("__sa"),
+            F.col("r.simhash").alias("__sb"),
         )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -114,6 +114,46 @@ def lsh_bucketize(
     return emb.withColumn(out_col, bucket(F.col(vec_col)))
 
 
+def lsh_bucketize_multi(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH: one (table, bucket) row per input row per table.
+
+    OR-amplification — ``n_planes`` keeps every table's buckets small
+    (2^n_planes key space), ``n_tables`` independent plane sets recover
+    the recall a single fine-grained table would lose.  All tables are
+    computed in ONE Pandas UDF pass (one matmul against the stacked
+    plane matrix), then exploded; the only shuffle downstream is on the
+    (table, bucket) join key.
+    """
+    planes = np.vstack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (n_tables·n_planes) × dim
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((planes, n_planes, n_tables))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        p, np_, nt = bc.value
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        signs = (m @ p.T) > 0  # batch × (nt·np_)
+        weights = (1 << np.arange(np_)).astype(np.int64)
+        per_table = [signs[:, t * np_ : (t + 1) * np_] @ weights for t in range(nt)]
+        return pd.Series(np.stack(per_table, axis=1).tolist())
+
+    return (
+        emb.withColumn("__bks", buckets(F.col(vec_col)))
+        .select("*", F.posexplode("__bks").alias("table", "bucket"))
+        .drop("__bks")
+    )
+
+
 def ann_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -174,36 +214,57 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 10,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold) via LSH buckets."""
-    b = lsh_bucketize(emb, vec_col=vec_col, dim=dim, n_planes=n_planes)
+    """Near-duplicate vector pairs (cosine ≥ threshold) via multi-table LSH.
+
+    n_planes=16 bounds every table at 2^16 buckets (the within-bucket
+    self-join stays tiny at any corpus size); n_tables=4 independent
+    tables restore recall (a pair is a candidate if ANY table buckets it
+    together).  Candidates are distinct-ed before the exact cosine check
+    so a pair matched by several tables is verified once.
+    """
+    b = lsh_bucketize_multi(
+        emb, vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
+    )
     l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("__va"),
+            F.col(f"r.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     dot = F.aggregate(
         F.zip_with(
-            F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
+            F.col("__va"), F.col("__vb"),
             lambda a, b2: a.cast("double") * b2.cast("double"),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
+    norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
-            F.transform(F.col(f"{side}.{vec_col}"), lambda x: x.cast("double") * x.cast("double")),
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
     return (
         pairs.select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            (dot / (norm("l") * norm("r"))).alias("cosine"),
+            "id_a",
+            "id_b",
+            (dot / (norm(F.col("__va")) * norm(F.col("__vb")))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

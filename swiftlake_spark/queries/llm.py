@@ -490,15 +490,18 @@ def q48_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q49 — SimHash near-dup pairs (rows-only: xxhash64 is engine-internal).
+# Banded LSH: full recall at max_hamming via pigeonhole (n_bands =
+# max_hamming + 1 bands; any pair within distance agrees on ≥1 band),
+# bucket key space n_bands·2^(48/n_bands) — no O(bucket²) hazard.
 # --------------------------------------------------------------------------
 @query("q49_simhash_neardup", oracle=None)
 def q49_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.dedup import simhash_near_dups
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return simhash_near_dups(
-        d, "doc_id", "text", max_hamming=10, prefix_bits=8
-    ).orderBy("id_a", "id_b")
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -643,16 +646,26 @@ def q54_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q55 — embedding near-duplicate pairs via LSH buckets (rows-only:
+# q55 — embedding near-duplicate pairs via multi-table LSH (rows-only:
 # buckets depend on the engine's deterministic hyperplane seed).
+# n_planes=16 bounds each table at 2^16 buckets; n_tables=4 independent
+# tables restore the recall a single fine table loses.  The fixture
+# corpus has no true near-dups, so the query plants exact duplicates of
+# vec_id < 10 (id + 1_000_000): identical vectors share every table's
+# bucket, so all 10 planted pairs MUST come back — a recall self-check
+# the zero-row vacuity guard enforces.
 # --------------------------------------------------------------------------
 @query("q55_embedding_neardup", oracle=None)
 def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.similarity import embedding_near_dups
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
     return (
-        embedding_near_dups(emb, dim=64, threshold=0.5, n_planes=8)
+        embedding_near_dups(corpus, dim=64, threshold=0.95, n_planes=16, n_tables=4)
         .orderBy("id_a", "id_b")
     )
 

@@ -208,3 +208,87 @@ def test_ivf_topk_recall_against_brute(spark, emb):
     a = sorted((r["vec_id"], r["centroid_id"]) for r in indexed.collect())
     b = sorted((r["vec_id"], r["centroid_id"]) for r in indexed2.collect())
     assert a == b
+
+def test_simhash_banded_full_recall_vs_bruteforce(spark, docs):
+    """Banded SimHash must find EVERY pair within max_hamming (pigeonhole
+    guarantee) — compare against a brute-force O(n²) check on signatures."""
+    from itertools import combinations
+
+    from swiftlake_spark.operators.dedup import simhash, simhash_near_dups
+
+    base = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    sigs = {r["id"]: r["simhash"] for r in simhash(base, "doc_id", "text").collect()}
+    max_h = 3
+    expected = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(base, "doc_id", "text", max_hamming=max_h).collect()
+    }
+    assert got == expected
+    assert expected, "fixture has no close simhash pairs — test is vacuous"
+
+
+def test_simhash_banded_bucket_bound(spark, docs):
+    """Candidate generation must stay far below all-pairs on a corpus with
+    no duplicate signatures: bucket key space is n_bands * 2^(48/n_bands),
+    so band-bucket group sizes stay tiny (the O(bucket^2) hazard the
+    8-bit-prefix scheme had)."""
+    from swiftlake_spark.operators.dedup import _SIMHASH_BITS, simhash
+
+    base = docs.filter(F.col("doc_id") < 500).select("doc_id", "text")
+    sig = simhash(base, "doc_id", "text")
+    n_bands, width = 4, _SIMHASH_BITS // 4
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("bits"),
+        )
+        for b in range(n_bands)
+    ]
+    sizes = (
+        sig.select(F.explode(F.array(*band_cols)).alias("bk"))
+        .groupBy("bk.band", "bk.bits")
+        .count()
+    )
+    n_docs = base.count()
+    max_bucket = sizes.agg(F.max("count")).collect()[0][0]
+    # identical signatures necessarily share buckets; beyond those the
+    # 2^12-bucket bands keep groups near-singleton
+    n_dup_sig = n_docs - sig.select("simhash").distinct().count()
+    assert max_bucket <= n_dup_sig + 4, f"hot band bucket: {max_bucket}"
+
+
+def test_embedding_near_dups_multitable_recall_and_fanout(spark, emb):
+    """Planted exact duplicates are caught in every table (recall 1.0 for
+    true dups); per-table bucket fanout stays near-singleton on random
+    vectors at n_planes=16."""
+    from swiftlake_spark.operators.similarity import (
+        embedding_near_dups,
+        lsh_bucketize_multi,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(planted)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(
+            corpus, dim=64, threshold=0.95, n_planes=16, n_tables=4
+        ).collect()
+    }
+    for i in range(5):
+        assert (i, i + 1_000_000) in pairs
+        assert pairs[(i, i + 1_000_000)] > 0.999999
+
+    b = lsh_bucketize_multi(base, dim=64, n_planes=16, n_tables=4)
+    max_bucket = (
+        b.groupBy("table", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket <= 4, f"hot LSH bucket: {max_bucket}"
