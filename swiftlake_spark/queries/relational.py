@@ -853,18 +853,37 @@ def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q25 — approximate distinct (HLL).  Rows-only: sketch estimates are
-# engine-specific by nature; the shape (one row per group, plausible
-# estimate) is the contract.
+# q25 — approximate distinct (HLL).  Sketch estimates are engine-specific,
+# so the hash-compared columns are the EXACT distinct count plus a
+# relative-error verdict each engine computes against its own sketch:
+# |approx - exact| / exact <= 0.15 (3x the default ~5% HLL rsd).  Both
+# engines must therefore (a) agree on the exact count and (b) have a
+# sketch within the bound — a real oracle, not rows-only.
 # --------------------------------------------------------------------------
-@query("q25_approx_distinct", oracle=None)
+@query(
+    "q25_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+         <= 0.15 * COUNT(DISTINCT l_partkey) AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def q25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+            (
+                F.abs(
+                    F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+                )
+                <= 0.15 * F.countDistinct("l_partkey")
+            ).alias("approx_ok"),
         )
         .orderBy("l_returnflag")
     )
