@@ -45,23 +45,36 @@ class ManifestEntry:
     size_bytes: int
     partition: dict[str, Any] = field(default_factory=dict)
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # file column name → field ID at write time (rename-safe resolution,
+    # ≙ the reference's Iceberg field IDs, SchemaEvolution.java:328-404).
+    # Empty for pre-field-ID files: their names are read as-written.
+    column_ids: dict[str, int] = field(default_factory=dict)
 
-    def stats_view(self) -> FileStatsView:
-        return FileStatsView(self.partition, self.stats, self.records)
+    def stats_view(self, rename: dict[str, str] | None = None) -> FileStatsView:
+        """``rename`` maps file-time column names → current names so
+        stats pruning keeps working across renames."""
+        stats = self.stats
+        if rename:
+            stats = {rename.get(k, k): v for k, v in stats.items()}
+        return FileStatsView(self.partition, stats, self.records)
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "path": self.path,
             "records": self.records,
             "size_bytes": self.size_bytes,
             "partition": self.partition,
             "stats": self.stats,
         }
+        if self.column_ids:
+            out["column_ids"] = self.column_ids
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "ManifestEntry":
         return ManifestEntry(
-            d["path"], d["records"], d["size_bytes"], d.get("partition", {}), d.get("stats", {})
+            d["path"], d["records"], d["size_bytes"], d.get("partition", {}),
+            d.get("stats", {}), d.get("column_ids", {}),
         )
 
 
@@ -103,6 +116,18 @@ class TableMetadata:
     snapshots: list[Snapshot]
     refs: dict[str, int]  # "main" / "branch:x" / "tag:x" → snapshot_id
     version: int = 0
+    # current column name → stable field ID (never reused).  Renames keep
+    # the ID; resolution of old files goes through ManifestEntry.column_ids.
+    field_ids: dict[str, int] = field(default_factory=dict)
+    next_field_id: int = 0
+
+    def __post_init__(self) -> None:
+        if not self.field_ids:
+            names = [f["name"] for f in self.schema_json.get("fields", [])]
+            self.field_ids = {n: i + 1 for i, n in enumerate(names)}
+            self.next_field_id = len(names) + 1
+        elif not self.next_field_id:
+            self.next_field_id = max(self.field_ids.values(), default=0) + 1
 
     # ------------------------------------------------------------------ io
     @property
@@ -145,6 +170,8 @@ class TableMetadata:
             "properties": self.properties,
             "snapshots": [s.to_json() for s in self.snapshots],
             "refs": self.refs,
+            "field_ids": self.field_ids,
+            "next_field_id": self.next_field_id,
         }
 
     @staticmethod
@@ -159,6 +186,8 @@ class TableMetadata:
             snapshots=[Snapshot.from_json(s) for s in d.get("snapshots", [])],
             refs=d.get("refs", {}),
             version=version,
+            field_ids=d.get("field_ids", {}),
+            next_field_id=d.get("next_field_id", 0),
         )
 
 

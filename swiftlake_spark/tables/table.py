@@ -180,7 +180,24 @@ class Table:
         projected: Expr = filter
         for t in self.transforms:
             projected = E.and_(projected, t.project(filter))
-        return [e for e in entries if projected.eval_stats(e.stats_view()) is not False]
+        return [
+            e
+            for e in entries
+            if projected.eval_stats(e.stats_view(self._rename_map(e))) is not False
+        ]
+
+    def _rename_map(self, e: ManifestEntry) -> dict[str, str] | None:
+        """file-time column name → current name, via field IDs.  None when
+        the file's names already match (fast path)."""
+        if not e.column_ids:
+            return None
+        id_to_current = {fid: n for n, fid in self.meta.field_ids.items()}
+        m = {
+            fname: id_to_current[fid]
+            for fname, fid in e.column_ids.items()
+            if fid in id_to_current and id_to_current[fid] != fname
+        }
+        return m or None
 
     def _read_entries(
         self, entries: list[ManifestEntry], with_file_name: bool = False
@@ -189,11 +206,47 @@ class Table:
         if not entries:
             df = self.spark.createDataFrame([], schema)
             return df.withColumn("_file", F.lit(None).cast("string")) if with_file_name else df
-        paths = [os.path.join(self.location, e.path) for e in entries]
-        df = self.spark.read.schema(schema).parquet(*paths)
-        if with_file_name:
-            df = df.withColumn("_file", F.input_file_name())
-        return df
+
+        # Group files by their field-ID → name mapping so renamed columns
+        # resolve by ID, not name (≙ SchemaEvolution.java:200-236 grouping
+        # by distinct file schema + UNION ALL BY NAME; here the per-group
+        # projection renames/NULL-fills and unionByName recombines).
+        groups: dict[tuple, list[ManifestEntry]] = {}
+        for e in entries:
+            groups.setdefault(tuple(sorted(e.column_ids.items())), []).append(e)
+
+        parts: list[DataFrame] = []
+        for key, es in groups.items():
+            paths = [os.path.join(self.location, e.path) for e in es]
+            if not key:  # legacy files: names match current schema
+                df = self.spark.read.schema(schema).parquet(*paths)
+            else:
+                id_to_file = {fid: fname for fname, fid in key}
+                read_fields, select_cols = [], []
+                for f in schema.fields:
+                    fid = self.meta.field_ids.get(f.name)
+                    fname = id_to_file.get(fid)
+                    if fname is not None:
+                        # present in file (under its then-current name);
+                        # declared type wins — parquet reader upcasts widened
+                        read_fields.append(T.StructField(fname, f.dataType, True))
+                        select_cols.append(F.col(fname).alias(f.name))
+                    else:
+                        select_cols.append(
+                            F.lit(None).cast(f.dataType).alias(f.name)
+                        )
+                df = (
+                    self.spark.read.schema(T.StructType(read_fields))
+                    .parquet(*paths)
+                    .select(*select_cols)
+                )
+            if with_file_name:
+                df = df.withColumn("_file", F.input_file_name())
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _resolve_snapshot(
         self,
@@ -465,12 +518,13 @@ class Table:
         raise CommitConflict(f"gave up after {_MAX_COMMIT_RETRIES} retries")
 
     # --------------------------------------------------- schema evolution
-    # Reference: add/drop/widen by field ID (README.md:46-49, A3).  This
-    # format resolves columns BY NAME at read time (explicit read schema:
-    # missing-in-file → NULL, extra-in-file → ignored, declared-wider →
-    # upcast by the parquet reader), so add/drop/widen need metadata-only
-    # commits; rename is not supported (name resolution would orphan old
-    # files' data — the documented delta vs the reference's field IDs).
+    # Reference: add/drop/rename/widen by field ID (README.md:46-49, A3,
+    # SchemaEvolution.java:328-404).  Every column has a stable field ID
+    # (metadata.field_ids); files record their name→ID mapping at write
+    # time (ManifestEntry.column_ids).  add/drop/widen/rename are all
+    # metadata-only commits; the read path resolves old files by ID
+    # (rename = same ID, new name), NULL-fills columns added since, and
+    # upcasts widened types in the parquet reader.
 
     _WIDENINGS = {
         ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
@@ -484,6 +538,8 @@ class Table:
             raise ValidationError(f"column {name!r} already exists")
         schema = schema.add(name, dtype, True)
         self.meta.schema_json = schema.jsonValue()
+        self.meta.field_ids[name] = self.meta.next_field_id
+        self.meta.next_field_id += 1
         write_new_version(self.meta)
 
     def drop_column(self, name: str) -> None:
@@ -500,6 +556,10 @@ class Table:
         self.meta.schema_json = T.StructType(
             [f for f in schema.fields if f.name != name]
         ).jsonValue()
+        # the ID is retired, never reused (next_field_id is monotonic), so
+        # a later add of the same name is a NEW column: old files' data
+        # for the dropped ID stays invisible
+        self.meta.field_ids.pop(name, None)
         write_new_version(self.meta)
 
     def widen_column(self, name: str, dtype: str) -> None:
@@ -544,11 +604,43 @@ class Table:
         write_new_version(self.meta)
 
     def rename_column(self, old: str, new: str) -> None:
-        raise NotImplementedError(
-            "rename is unsupported: this format resolves columns by name, so "
-            "renames would orphan existing files' data (the reference does "
-            "field-ID resolution, SchemaEvolution.java:328-404)"
-        )
+        """Rename = same field ID, new name (SchemaEvolution.java:328-404
+        semantics).  Metadata-only commit; existing files resolve through
+        their recorded column_ids at read time."""
+        schema = self.schema
+        if old not in schema.fieldNames():
+            raise ValidationError(f"no column {old!r}")
+        if new in schema.fieldNames():
+            raise ValidationError(f"column {new!r} already exists")
+        # pre-field-ID files carry no name→ID mapping; renaming over them
+        # would orphan their data, so refuse (they disappear after compact)
+        for snap in [self.meta.current_snapshot()] + [
+            self.meta.snapshot_by_id(sid)
+            for k, sid in self.meta.refs.items()
+            if k != "main"
+        ]:
+            for e in self.meta.read_manifest(snap):
+                if not e.column_ids:
+                    raise ValidationError(
+                        f"cannot rename: file {e.path} predates field-ID "
+                        "tracking; run compact() first"
+                    )
+        self.meta.schema_json = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in schema.fields
+            ]
+        ).jsonValue()
+        self.meta.field_ids[new] = self.meta.field_ids.pop(old)
+        # keep derived references consistent: partition spec sources and
+        # sort order keep pointing at the (renamed) column
+        for d in self.meta.partition_spec:
+            if d["source"] == old:
+                d["source"] = new
+        for d in self.meta.sort_order:
+            if d["col"] == old:
+                d["col"] = new
+        write_new_version(self.meta)
 
     # ---------------------------------------------------- maintenance
     def compact(self, **kw):
@@ -641,7 +733,13 @@ class Table:
         from swiftlake_spark.tables.stats import collect_file_stats
 
         records, size, col_stats = collect_file_stats(abs_path)
-        return ManifestEntry(rel, records, size, partition, col_stats)
+        # stamp the write-time name→field-ID mapping (rename-safe reads)
+        column_ids = {
+            n: self.meta.field_ids[n]
+            for n in self.schema.fieldNames()
+            if n in self.meta.field_ids
+        }
+        return ManifestEntry(rel, records, size, partition, col_stats, column_ids)
 
     def _sort_columns(self) -> list[Column]:
         cols = []

@@ -38,14 +38,65 @@ def test_add_drop_widen_column(engine, spark):
         t.widen_column("score", "float")  # narrowing
     with pytest.raises(ValidationError):
         t.add_column("id", "int")
-    with pytest.raises(NotImplementedError):
-        t.rename_column("id", "id2")
 
 
 def test_drop_partition_column_rejected(engine, spark):
     t = engine.catalog.create_table("db.evo2", "id INT, cat STRING", partition_spec=["cat"])
     with pytest.raises(ValidationError):
         t.drop_column("cat")
+
+
+def test_rename_column_field_id_resolution(engine, spark):
+    """Rename = same field ID, new name (SchemaEvolution.java:328-404):
+    files written before AND after the rename read under the new name."""
+    t = engine.catalog.create_table("db.ren", "id INT, amount DOUBLE, tag STRING")
+    t.append(spark.createDataFrame([(1, 10.0, "x"), (2, 20.0, "y")], schema=t.schema))
+    t.rename_column("amount", "amt")
+    assert [f[0] for f in t.scan().dtypes] == ["id", "amt", "tag"]
+    t.append(
+        spark.createDataFrame([(3, 30.0, "z")], "id INT, amt DOUBLE, tag STRING")
+    )
+    got = {r["id"]: (r["amt"], r["tag"]) for r in t.scan().collect()}
+    assert got == {1: (10.0, "x"), 2: (20.0, "y"), 3: (30.0, "z")}
+
+    # filters on the new name apply to old files (stats translated by ID)
+    assert {r["id"] for r in t.scan(E.gt("amt", 15.0)).collect()} == {2, 3}
+
+    # rename chains and add-after-drop keep IDs straight
+    t.rename_column("amt", "value")
+    got2 = {r["id"]: r["value"] for r in t.scan().collect()}
+    assert got2 == {1: 10.0, 2: 20.0, 3: 30.0}
+    t.drop_column("tag")
+    t.add_column("tag", "string")  # NEW field id: old files' tag is gone
+    assert {r["tag"] for r in t.scan().collect()} == {None}
+
+    # invalid renames rejected
+    with pytest.raises(ValidationError):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValidationError):
+        t.rename_column("value", "id")
+
+
+def test_rename_partition_source_and_dml(engine, spark):
+    """Renaming a partition source keeps pruning + COW DML working."""
+    t = engine.catalog.create_table(
+        "db.ren2", "id INT, cat STRING, v DOUBLE", partition_spec=["cat"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "b", 3.0)], schema=t.schema
+        )
+    )
+    t.rename_column("cat", "category")
+    assert {d["source"] for d in t.meta.partition_spec} == {"category"}
+    assert {r["id"] for r in t.scan(E.col_eq("category", "b")).collect()} == {2, 3}
+    # COW update through the renamed column
+    t.update(E.col_eq("category", "b"), {"v": F.col("v") + 100})
+    got = {r["id"]: r["v"] for r in t.scan().collect()}
+    assert got == {1: 1.0, 2: 102.0, 3: 103.0}
+    # new writes land under the new partition key and prune on it
+    t.append(spark.createDataFrame([(4, "c", 4.0)], schema=t.schema))
+    assert {r["id"] for r in t.scan(E.col_eq("category", "c")).collect()} == {4}
 
 
 def test_streaming_windowed_rollup_memory_sink(spark, tmp_path):
