@@ -47,9 +47,25 @@ class Catalog:
     ) -> Table:
         """``name`` is ``db.table``; ``partition_spec`` uses Spark-DDL
         transform terms (``bucket(16, c)``, ``days → day(c)`` etc.);
-        ``sort_order`` items are ``"col [ASC|DESC] [NULLS FIRST|LAST]"``."""
+        ``sort_order`` items are ``"col [ASC|DESC] [NULLS FIRST|LAST]"``.
+
+        DDL strings may use the logical types ``UUID`` and ``TIME``
+        (which Spark lacks): they map to STRING (canonical lowercase
+        8-4-4-4-12 form) and BIGINT (micros since midnight) physical
+        columns — the reference's own mappings
+        (sql/SchemaEvolution.java:478,484) — and the logical type is
+        recorded as a ``logical-type.<col>`` table property.  Helpers in
+        :mod:`swiftlake_spark.functions` produce/render both forms."""
+        logical: dict[str, str] = {}
         if isinstance(schema, str):
-            schema = T.StructType.fromDDL(schema)
+            parts = []
+            for coldef in schema.split(","):
+                toks = coldef.strip().split()
+                if len(toks) == 2 and toks[1].upper() in ("UUID", "TIME"):
+                    logical[toks[0]] = toks[1].lower()
+                    toks[1] = {"UUID": "STRING", "TIME": "BIGINT"}[toks[1].upper()]
+                parts.append(" ".join(toks))
+            schema = T.StructType.fromDDL(", ".join(parts))
         location = self._location(name)
         if os.path.exists(os.path.join(location, "metadata")):
             raise ValueError(f"table {name} already exists")
@@ -67,7 +83,10 @@ class Catalog:
             schema_json=schema.jsonValue(),
             partition_spec=spec,
             sort_order=[_parse_sort(s) for s in (sort_order or [])],
-            properties=properties or {},
+            properties={
+                **{f"logical-type.{c}": t for c, t in logical.items()},
+                **(properties or {}),
+            },
             snapshots=[],
             refs={},
             version=0,

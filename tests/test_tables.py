@@ -319,3 +319,41 @@ def test_many_concurrent_appends_all_land(catalog, spark):
     snaps = sorted(t0.meta.snapshots, key=lambda s: s.snapshot_id)
     for prev, cur in zip(snaps, snaps[1:]):
         assert cur.parent_id == prev.snapshot_id
+
+
+def test_uuid_time_logical_types(catalog, spark):
+    """UUID/TIME DDL maps to canonical-string / micros-bigint physical
+    columns (reference SchemaEvolution.java:478,484) and round-trips."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.functions import (
+        is_canonical_uuid,
+        micros_to_time_string,
+        time_of_day_micros,
+        uuid_from_hex,
+    )
+
+    t = catalog.create_table("db.typed", "id INT, uid UUID, open_at TIME")
+    assert t.schema["uid"].dataType.simpleString() == "string"
+    assert t.schema["open_at"].dataType.simpleString() == "bigint"
+    assert t.meta.properties["logical-type.uid"] == "uuid"
+    assert t.meta.properties["logical-type.open_at"] == "time"
+
+    src = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 9, 30, 15, 250_000))], "id INT, ts TIMESTAMP"
+    ).select(
+        "id",
+        uuid_from_hex(F.md5(F.col("id").cast("string"))).alias("uid"),
+        time_of_day_micros(F.col("ts")).alias("open_at"),
+    )
+    t.append(src)
+    row = t.scan().collect()[0]
+    assert row["open_at"] == (9 * 3600 + 30 * 60 + 15) * 1_000_000 + 250_000
+    got = t.scan().select(
+        is_canonical_uuid(F.col("uid")).alias("ok"),
+        micros_to_time_string(F.col("open_at")).alias("s"),
+    ).collect()[0]
+    assert got["ok"] is True
+    assert got["s"] == "09:30:15.250000"
