@@ -53,6 +53,12 @@ class EngineConfig:
     allow_full_table_scan: bool = True
     total_scan_size_limit_mib: int | None = None
 
+    # query ergonomics (reference SwiftLakeEngine.java:626-672: statement
+    # timeout + connection semaphore)
+    query_timeout_s: float | None = None      # None = no timeout
+    max_concurrent_queries: int | None = None  # None = unbounded
+    query_acquire_timeout_s: float = 30.0      # wait for a slot before failing
+
     extra_conf: dict[str, str] = field(default_factory=dict)
 
     @property

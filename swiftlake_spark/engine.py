@@ -15,11 +15,24 @@ registered with :meth:`register_parquet`.
 from __future__ import annotations
 
 import os
+import threading
+import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from swiftlake_spark.config import EngineConfig
 from swiftlake_spark.session import build_session
+
+
+class QueryTimeout(Exception):
+    """Query exceeded the engine's timeout and its Spark jobs were
+    cancelled (reference: statement queryTimeout,
+    SwiftLakeEngine.java:626-672)."""
+
+
+class EngineBusy(Exception):
+    """No query slot became free within query_acquire_timeout_s
+    (reference: connection semaphore cap)."""
 
 
 class SwiftLakeEngine:
@@ -33,6 +46,11 @@ class SwiftLakeEngine:
         self.spark = spark or build_session(self.config)
         self.warehouse = warehouse
         self._catalog = None
+        self._query_sem = (
+            threading.Semaphore(self.config.max_concurrent_queries)
+            if self.config.max_concurrent_queries
+            else None
+        )
 
     # -- catalog ----------------------------------------------------------
     @property
@@ -90,6 +108,64 @@ class SwiftLakeEngine:
         if args is not None:
             return self.spark.sql(sql, args=args)
         return self.spark.sql(sql)
+
+    def execute(
+        self,
+        query: str | DataFrame,
+        args: dict | list | None = None,
+        timeout_s: float | None = None,
+    ) -> list:
+        """Run a query to completion under the engine's ergonomics knobs
+        and return the collected rows (contract-small result sets — large
+        outputs should be written, not collected).
+
+        - ``timeout_s`` (or config.query_timeout_s): the query's Spark
+          jobs run in a cancellable job group; on expiry they are
+          cancelled and :class:`QueryTimeout` raises.
+        - config.max_concurrent_queries: a semaphore caps in-flight
+          ``execute`` calls; waiting longer than query_acquire_timeout_s
+          for a slot raises :class:`EngineBusy`.
+
+        Spark-native translation of the reference's statement timeout +
+        connection-duplication semaphore (SwiftLakeEngine.java:626-672).
+        """
+        df = self.sql(query, args) if isinstance(query, str) else query
+        timeout = timeout_s if timeout_s is not None else self.config.query_timeout_s
+        if self._query_sem is not None:
+            if not self._query_sem.acquire(timeout=self.config.query_acquire_timeout_s):
+                raise EngineBusy(
+                    f"no query slot within {self.config.query_acquire_timeout_s}s "
+                    f"(max_concurrent_queries={self.config.max_concurrent_queries})"
+                )
+        try:
+            if timeout is None:
+                return df.collect()
+            group = f"swiftlake-{_uuid.uuid4().hex[:8]}"
+            sc = self.spark.sparkContext
+            out: dict = {}
+
+            def run() -> None:
+                # job-group properties are thread-local: set in the thread
+                # that triggers the jobs so cancelJobGroup finds them
+                sc.setJobGroup(group, "SwiftLakeEngine.execute", interruptOnCancel=True)
+                try:
+                    out["rows"] = df.collect()
+                except Exception as exc:  # noqa: BLE001 — reraised below
+                    out["err"] = exc
+
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            th.join(timeout)
+            if th.is_alive():
+                sc.cancelJobGroup(group)
+                th.join(10)
+                raise QueryTimeout(f"query exceeded {timeout}s; jobs cancelled")
+            if "err" in out:
+                raise out["err"]
+            return out["rows"]
+        finally:
+            if self._query_sem is not None:
+                self._query_sem.release()
 
     # -- DML builders (wired to the table format) -------------------------
     def insert_into(self, table: str):

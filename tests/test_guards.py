@@ -203,3 +203,54 @@ def test_zorder_cluster_by_string_hash_path(spark, tmp_path):
     snap = t.cluster_by(["k", "name"], target_file_size_bytes=20_000)
     assert snap is not None and snap.operation == "replace"
     assert eng.catalog.table("db.zs2").scan().count() == 4000
+
+
+def test_query_timeout_cancels_jobs(spark, tmp_path):
+    import time
+
+    from swiftlake_spark.config import EngineConfig
+    from swiftlake_spark.engine import QueryTimeout, SwiftLakeEngine
+
+    eng = SwiftLakeEngine(spark=spark, config=EngineConfig(query_timeout_s=2.0))
+    # a deliberately huge cross-join count that cannot finish in 2s
+    slow = (
+        "SELECT COUNT(*) FROM (SELECT explode(sequence(1, 2000000)) a) x "
+        "CROSS JOIN (SELECT explode(sequence(1, 2000000)) b) y"
+    )
+    t0 = time.time()
+    with pytest.raises(QueryTimeout):
+        eng.execute(slow)
+    assert time.time() - t0 < 30  # cancelled, not run to completion
+    # engine still healthy afterwards
+    assert eng.execute("SELECT 1 AS one")[0]["one"] == 1
+
+
+def test_concurrent_query_cap(spark):
+    import threading
+
+    from swiftlake_spark.config import EngineConfig
+    from swiftlake_spark.engine import EngineBusy, SwiftLakeEngine
+
+    eng = SwiftLakeEngine(
+        spark=spark,
+        config=EngineConfig(max_concurrent_queries=1, query_acquire_timeout_s=0.5),
+    )
+    release = threading.Event()
+    started = threading.Event()
+
+    def hold_slot():
+        # hold the only slot via a query whose first row blocks on the event
+        sem = eng._query_sem
+        sem.acquire()
+        started.set()
+        release.wait(timeout=30)
+        sem.release()
+
+    th = threading.Thread(target=hold_slot, daemon=True)
+    th.start()
+    started.wait(timeout=10)
+    with pytest.raises(EngineBusy):
+        eng.execute("SELECT 1 AS one")
+    release.set()
+    th.join(timeout=10)
+    assert eng.execute("SELECT 1 AS one")[0]["one"] == 1
