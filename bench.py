@@ -92,8 +92,10 @@ def main() -> int:
     def _short(name: str) -> str:
         return name.split("_", 1)[0]
 
-    qkeys = {_short(k) for k in timings}
-    use_short = len(qkeys) == len(timings)  # prefixes unambiguous
+    # prefix-uniqueness computed over timings ∪ errors so two failed
+    # queries sharing a qNN prefix can't silently collide in "errors"
+    all_keys = set(timings) | set(errors)
+    use_short = len({_short(k) for k in all_keys}) == len(all_keys)
     out = {
         "metric": "query-surface wall clock",
         "value": total,
@@ -105,7 +107,9 @@ def main() -> int:
         "sf": sf,
     }
     if errors:
-        out["errors"] = {_short(k): v[:40] for k, v in errors.items()}
+        out["errors"] = {
+            (_short(k) if use_short else k): v[:40] for k, v in errors.items()
+        }
     # full-name detail for humans/judges (stdout stays compact)
     try:
         with open(os.path.join(_REPO, "bench_last.json"), "w") as fh:

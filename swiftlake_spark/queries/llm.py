@@ -522,6 +522,28 @@ def q50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q58 — IVF index + probe search (rows-only: k-means centroid assignment
+# is engine-internal; fixed seed keeps it deterministic run-to-run).
+# Scan fraction ≈ n_probe/n_clusters of the corpus; the probe set joins
+# broadcast, candidates score with Catalyst folds, window top-k.  A
+# query vector is its own nearest neighbor (cosine 1.0 in its own
+# inverted list), so results are guaranteed non-empty.
+# --------------------------------------------------------------------------
+@query("q58_ivf_topk", oracle=None)
+def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    indexed, centroids = ivf_index(emb, n_clusters=8, seed=42)
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk(
+        indexed, centroids, queries_df, k=5, n_probe=2
+    ).orderBy("query_id", "rn")
+
+
+# --------------------------------------------------------------------------
 # q51 — text quality scoring (operators.text.text_quality), oracle-checked:
 # the score is pure integer-ratio double arithmetic, identical in both
 # engines when the expression shape matches.
