@@ -273,22 +273,57 @@ def embedding_near_dups(
 def ivf_index(
     emb: DataFrame,
     *,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 42,
+    sample_size: int = 65536,
+    max_iter: int = 10,
 ):
-    """IVF coarse quantizer: k-means centroids over the corpus (MLlib,
-    fixed seed) → (indexed DataFrame with a ``centroid_id`` column,
-    centroid matrix).  At 100 TB the assignment is one map-only pass;
-    the k-means fit runs on a sample."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """IVF coarse quantizer → (indexed DataFrame with a ``centroid_id``
+    column, centroid matrix).
 
-    vecs = emb.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="centroid_id")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).drop("__v")
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    The k-means fit runs driver-side (numpy, fixed seed) on a bounded
+    deterministic sample — ``orderBy(xxhash64(id)).limit(n)`` executes as
+    TakeOrderedAndProject (map-side partial top-k, no full shuffle), so
+    at 100 TB the fit cost is one scan + a ``sample_size × dim`` driver
+    matrix.  Corpus assignment is a single map-only Pandas-UDF pass
+    (argmin of squared L2 against the broadcast centroids)."""
+    samp = (
+        emb.select(F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["__v"] for r in samp], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    k = min(n_clusters, len(X))
+    centroids = X[rng.choice(len(X), size=k, replace=False)]
+    x2 = (X * X).sum(axis=1)
+    for _ in range(max_iter):
+        d = x2[:, None] + (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (X @ centroids.T)
+        assign = d.argmin(axis=1)
+        new = np.vstack(
+            [
+                X[assign == j].mean(axis=0) if (assign == j).any() else centroids[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new, centroids):
+            break
+        centroids = new
+
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        C = bc.value
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        d = (m * m).sum(axis=1)[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * (m @ C.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    assigned = emb.withColumn("centroid_id", assign_udf(F.col(vec_col)))
     return assigned, centroids
 
 
