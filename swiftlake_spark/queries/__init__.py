@@ -52,6 +52,7 @@ def _load_all() -> None:
     from swiftlake_spark.queries import llm  # noqa: F401
     from swiftlake_spark.queries import extended  # noqa: F401
     from swiftlake_spark.queries import types  # noqa: F401
+    from swiftlake_spark.queries import tpch  # noqa: F401
 
 
 def _with_worker_imports(fn):
