@@ -13,6 +13,9 @@ from swiftlake_spark.streaming.jobs import (
     windowed_rollup,
     session_rollup,
     stateful_user_totals,
+    dedup_within_watermark,
+    enrich_with_dim,
+    interval_join,
     stream_into_table,
 )
 
@@ -20,5 +23,8 @@ __all__ = [
     "windowed_rollup",
     "session_rollup",
     "stateful_user_totals",
+    "dedup_within_watermark",
+    "enrich_with_dim",
+    "interval_join",
     "stream_into_table",
 ]

@@ -128,6 +128,81 @@ def stateful_user_totals(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    *,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication with bounded state
+    (``dropDuplicatesWithinWatermark``): a second event with the same
+    keys arriving inside the watermark horizon is dropped; state for a
+    key is evicted once the watermark passes it, so memory is bounded by
+    (arrival rate × watermark) instead of growing forever like plain
+    ``dropDuplicates`` on a stream.
+
+    This is the streaming half of the exact-dedup operator
+    (operators/dedup.py) for pipelines that tail a feed into the
+    lakehouse: dedup-on-ingest, then MinHash/SimHash near-dedup in
+    batch.  On a batch DataFrame it degrades to plain dropDuplicates
+    (same semantics when all data is present at once).
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join.  The static side is broadcast per
+    micro-batch (re-resolved each batch, so a slowly-changing dim table
+    picks up updates without restarting the query); the stream side
+    never shuffles."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    max_delay: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval
+    condition: a right row matches a left row if it occurs within
+    ``(left.ts, left.ts + max_delay]`` — the funnel/attribution shape
+    (click within N minutes of impression).
+
+    Both sides are watermarked so the join state is provably bounded:
+    Spark evicts left rows once the right watermark passes
+    ``left.ts + max_delay`` and vice versa.  Without the time bound the
+    state would grow forever; this is the required pattern for
+    stream-stream joins at scale.
+
+    Columns are prefixed ``l_`` / ``r_`` to avoid ambiguity.
+    """
+    l = left.withWatermark("ts", left_watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("event_type").alias("l_event_type"),
+    )
+    r = right.withWatermark("ts", right_watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_event_type"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def stream_into_table(stream: DataFrame, engine, table_name: str, checkpoint: str):
     """``writeStream.foreachBatch`` → lakehouse append per micro-batch.
     Returns the StreamingQuery (caller stops it)."""

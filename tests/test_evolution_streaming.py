@@ -319,3 +319,114 @@ def test_streaming_append_mode_drops_late_rows(spark, tmp_path):
     by_start = {r["s"]: (r["n"], r["total_value"]) for r in rows}
     # first window finalized with ONE row — the late 100.0 never landed
     assert by_start[t] == (1, 1.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from swiftlake_spark.streaming import dedup_within_watermark
+
+    src = str(tmp_path / "dedup_src")
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 1), 10, "click", 1.0, "{}"),
+            (1, dt.datetime(2024, 1, 1, 0, 2), 10, "click", 1.0, "{}"),  # dup id
+            (2, dt.datetime(2024, 1, 1, 0, 3), 11, "view", 2.0, "{}"),
+        ],
+        schema,
+    )
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        dedup_within_watermark(stream, ["event_id"], watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
+    finally:
+        q.stop()
+    assert [r["event_id"] for r in rows] == [1, 2]
+    # batch parity: degrades to dropDuplicates
+    assert dedup_within_watermark(events, ["event_id"]).count() == 2
+
+
+def test_streaming_enrich_with_dim(spark, tmp_path):
+    from swiftlake_spark.streaming import enrich_with_dim
+
+    src = str(tmp_path / "enrich_src")
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 1), 10, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 2), 99, "view", 2.0, "{}"),
+        ],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    events.write.parquet(src)
+    dim = spark.createDataFrame([(10, "gold"), (11, "silver")], "user_id BIGINT, tier STRING")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        enrich_with_dim(stream, dim, "user_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT event_id, tier FROM enrich_out ORDER BY event_id"
+        ).collect()
+    finally:
+        q.stop()
+    assert [(r["event_id"], r["tier"]) for r in rows] == [(1, "gold"), (2, None)]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from swiftlake_spark.streaming import interval_join
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    l_src, r_src = str(tmp_path / "l_src"), str(tmp_path / "r_src")
+    impressions = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0), 10, "impression", 0.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 0), 11, "impression", 0.0, "{}"),
+        ],
+        schema,
+    )
+    clicks = spark.createDataFrame(
+        [
+            # within 5 min of impression 1 → joins
+            (3, dt.datetime(2024, 1, 1, 0, 3), 10, "click", 1.0, "{}"),
+            # 30 min after impression 2 → outside max_delay, dropped
+            (4, dt.datetime(2024, 1, 1, 0, 30), 11, "click", 1.0, "{}"),
+        ],
+        schema,
+    )
+    impressions.write.parquet(l_src)
+    clicks.write.parquet(r_src)
+    ls = spark.readStream.schema(impressions.schema).parquet(l_src)
+    rs = spark.readStream.schema(clicks.schema).parquet(r_src)
+    q = (
+        interval_join(ls, rs, key="user_id", max_delay="5 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT l_event_id, r_event_id FROM ij_out ORDER BY l_event_id"
+        ).collect()
+    finally:
+        q.stop()
+    assert [(r["l_event_id"], r["r_event_id"]) for r in rows] == [(1, 3)]
