@@ -556,7 +556,11 @@ def q77_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializing the exploded gram relation (~3x corpus text) costs
     # more than re-reading compressed parquet.  The same asymmetry holds
     # at 100 TB, where the materialization would spill ~3x the corpus to
-    # executor disks; cost of the double scan stays linear.
+    # executor disks; cost of the double scan stays linear.  A single-
+    # scan restructure (groupBy gram, max(train-flag) + collect_list of
+    # eval ids, re-explode) also measured slower (3.0-3.2 s) — the
+    # collect_list shuffle carries every eval doc id per gram and adds a
+    # stop-word skew hazard the join shape doesn't have.
     grams = shingles(d, "doc_id", "text", 3)
     eval_g = grams.filter(F.col("id") % 10 == 0)
     train_g = grams.filter(F.col("id") % 10 != 0).select("sh").distinct()
@@ -791,5 +795,51 @@ def q83_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM __q83_lineitem
         )
         ORDER BY part_value DESC, l_partkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q101 — recursive CTE: gap-filling month spine (WITH RECURSIVE, Spark
+# ≥4.0 / DuckDB both support it).  Generates the monthly calendar
+# spanning the order history and left-joins per-month order counts —
+# the canonical time-series gap-fill, recursion depth = #months (tiny,
+# driver-side plan expansion; the joined fact side stays distributed).
+# --------------------------------------------------------------------------
+@query(
+    "q101_recursive_spine",
+    oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-07-01'
+)
+SELECT months.m AS month_start,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE)
+       AS month_revenue
+FROM months
+LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = months.m
+GROUP BY months.m
+ORDER BY months.m
+""",
+)
+def q101_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q101_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-07-01'
+        )
+        SELECT months.m AS month_start,
+               COUNT(o.o_orderkey) AS n_orders,
+               CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE)
+               AS month_revenue
+        FROM months
+        LEFT JOIN __q101_orders o ON date_trunc('month', o.o_orderdate) = months.m
+        GROUP BY months.m
+        ORDER BY months.m
         """
     )
