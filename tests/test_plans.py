@@ -59,6 +59,7 @@ def test_pandas_udf_only_in_sanctioned_queries(spark, queries):
         "q50_ann_lsh_topk",
         "q53_multimodal_features",
         "q55_embedding_neardup",
+        "q58_ivf_topk",  # centroid-assignment matmul (map-only)
     }, arrow_users
 
 
@@ -89,3 +90,36 @@ def test_q63_exists_becomes_semi_join(spark, queries):
     plan = formatted_plan(queries["q63_exists_subquery"](spark, SF))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q88_all_filters_reach_scan(spark, queries):
+    """TPC-H Q6 shape: every predicate is scan-side; projection pruned
+    to exactly the four referenced columns."""
+    plan = formatted_plan(queries["q88_forecast_revenue"](spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    schema_line = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in schema_line and "l_tax" not in schema_line
+
+
+def test_q99_semi_anti_no_cartesian(spark, queries):
+    """TPC-H Q21 shape: EXISTS/NOT EXISTS become semi/anti joins — no
+    nested-loop re-scan per outer row."""
+    plan = formatted_plan(queries["q99_waiting_orders"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q96_having_in_becomes_semi_join(spark, queries):
+    plan = formatted_plan(queries["q96_large_volume_customer"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q101_recursion_bounded_and_joined(spark, queries):
+    """Recursive spine: the recursion is the tiny side; orders scan still
+    prunes to the two referenced columns."""
+    plan = formatted_plan(queries["q101_recursive_spine"](spark, SF))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("o_orderpriority" not in l for l in read_schemas)
