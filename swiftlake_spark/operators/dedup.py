@@ -136,6 +136,66 @@ def minhash_lsh_dedup(
     return jaccard_verify(cand, sh, threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into connected components: (id, cluster_id).
+
+    The step that completes large-scale dedup: LSH emits PAIRS, but the
+    keep/drop decision needs transitive groups (a~b, b~c ⇒ {a,b,c}).
+    Min-label propagation: every node starts labelled with its own id;
+    each round the minimum label flows across edges; fixpoint = each
+    node carries the minimum id of its component.
+
+    Scale (100 TB corpus, billions of pairs):
+    - per round: one join on the symmetrized edge list + one min-agg —
+      both shuffle on node id, so AQE coalesces/splits as usual;
+    - rounds needed = eccentricity of the min-id node, which for
+      near-dup clusters (dense cliques from banding) is 1-3; ``max_iter``
+      bounds adversarial chain graphs;
+    - lineage is truncated every round (``localCheckpoint``) so plans
+      don't grow with iterations; the convergence probe is an aggregate
+      (LIMIT 1 on changed labels), never a row collect;
+    - the edge list is persisted once and reused every round.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 _SIMHASH_BITS = 48  # stays clear of signed-64 overflow when recomposing
 
 

@@ -108,3 +108,40 @@ def fingerprint(
         .join(sketch, F.col(id_col) == F.col("id"), "left")
         .drop("id")
     )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backreferences, ASCII \b only.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII spans and attach per-category match counts.
+
+    Adds ``n_<category>`` count columns and ``out_col`` with each match
+    replaced by ``<CATEGORY>``.  Patterns apply in list order (counts are
+    taken before that category's replacement), so earlier replacements
+    mask later patterns exactly as the redacted text implies.  Map-only
+    column expressions — no shuffle, no Python; at 100 TB this is a
+    pure scan-transform stage that pipelines with any downstream op.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = df
+    red: Column = F.col(text_col)
+    for name, pat in pats:
+        out = out.withColumn(f"n_{name}", F.regexp_count(red, F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+        # re-anchor so each count sees prior categories already redacted
+        out = out.withColumn("__red", red)
+        red = F.col("__red")
+    return out.withColumnRenamed("__red", out_col)

@@ -428,7 +428,9 @@ _MINHASH_K = 8
 _MINHASH_BANDS = 4
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """Shared WITH-clause body producing MinHash-LSH candidate ``pairs``
+    (used by q48 directly and q102's recursive closure on top)."""
     sig_cols = ",\n         ".join(
         f"MIN(md5('{i}:' || sh)) AS h{i}" for i in range(_MINHASH_K)
     )
@@ -437,8 +439,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {b} AS band, md5({' || '.join(f'h{b*r+j}' for j in range(r))}) AS bh FROM sig"
         for b in range(_MINHASH_BANDS)
     )
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 300
 ), shingles AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -449,15 +450,23 @@ WITH words AS (
   FROM shingles GROUP BY doc_id
 ), bands AS (
   {band_selects}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pair_ctes()}
+SELECT id_a, id_b FROM pairs
 ORDER BY id_a, id_b
 """
 
 
-@query("q48_minhash_lsh", oracle=_minhash_oracle())
-def q48_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over documents (md5 oracle-portable
+    path; mirrors ``_minhash_pair_ctes``)."""
     from swiftlake_spark.operators.dedup import minhash_signatures, shingles
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -484,7 +493,52 @@ def q48_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
-        .orderBy("id_a", "id_b")
+    )
+
+
+@query("q48_minhash_lsh", oracle=_minhash_oracle())
+def q48_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# q102 — duplicate clusters: connected components over the LSH pair graph.
+# The step that completes dedup at scale — pairs alone can't drive a
+# keep/drop decision (a~b, b~c must collapse to ONE keeper for {a,b,c}).
+# Spark side: min-label propagation, O(component diameter) rounds, one
+# edge-join + min-agg shuffle per round, lineage checkpointed.  Oracle:
+# DuckDB recursive CTE computing the same min-reachable-id fixpoint.
+# --------------------------------------------------------------------------
+@query(
+    "q102_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pair_ctes()}, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+), comp AS (
+  SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+)
+SELECT id AS doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+ORDER BY doc_id
+""",
+)
+def q102_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import connected_components
+
+    comp = connected_components(_minhash_pairs(spark, sf_dir), "id_a", "id_b")
+    return (
+        comp.select(F.col("id").alias("doc_id"), "cluster_id")
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -758,4 +812,127 @@ def q57_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q103 — PII redaction: per-category match counts + redacted text.
+# PII is synthesized deterministically onto the fixture docs (emails,
+# phones, SSNs, IPs keyed off doc_id) so the operator has real spans to
+# hit; patterns are Java-regex/RE2-portable so DuckDB verifies both the
+# counts and the md5 of the redacted text.  Map-only — no shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q103_pii_redaction",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      || CASE WHEN doc_id % 2 = 0
+              THEN ' ph 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+              ELSE '' END AS t
+  FROM documents WHERE doc_id < 200
+), r1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM aug
+), r2 AS (
+  SELECT doc_id, n_email, len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+         regexp_replace(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t
+  FROM r1
+), r3 AS (
+  SELECT doc_id, n_email, n_phone, len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+         regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+  FROM r2
+), r4 AS (
+  SELECT doc_id, n_email, n_phone, n_ssn,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t
+  FROM r3
+)
+SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4, md5(t) AS red_md5
+FROM r4 ORDER BY doc_id
+""",
+)
+def q103_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import redact_pii
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" ph 415-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(aug, "text", "redacted")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.col("n_ssn").cast("bigint").alias("n_ssn"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.md5("redacted").alias("red_md5"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q104 — boilerplate n-gram detection: bigrams whose document frequency
+# exceeds a RELATIVE threshold (4% of the corpus) are boilerplate
+# candidates (nav bars, license headers, templated footers in real
+# corpora).  Relative threshold keeps the query meaningful at every
+# scale factor.  One explode + one shuffle on the n-gram — the df-count
+# is a partial-agg-friendly groupBy, never a self-join.
+# --------------------------------------------------------------------------
+@query(
+    "q104_boilerplate_ngrams",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS sh
+  FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 1, 0))) AS t(i)
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), dfreq AS (
+  SELECT sh, COUNT(*) AS doc_freq FROM shingles GROUP BY sh
+)
+SELECT sh AS ngram, doc_freq
+FROM dfreq
+WHERE doc_freq >= 0.04 * (SELECT n_docs FROM n)
+ORDER BY ngram
+""",
+)
+def q104_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", 2)
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_freq") >= 0.04 * F.col("n_docs"))
+        .select(F.col("sh").alias("ngram"), "doc_freq")
+        .orderBy("ngram")
     )

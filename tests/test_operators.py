@@ -292,3 +292,54 @@ def test_embedding_near_dups_multitable_recall_and_fanout(spark, emb):
         b.groupBy("table", "bucket").count().agg(F.max("count")).collect()[0][0]
     )
     assert max_bucket <= 4, f"hot LSH bucket: {max_bucket}"
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 6-node chain (worst-case diameter) and a disjoint triangle both
+    collapse to their min-id label; singletons outside the pair graph
+    don't appear."""
+    from swiftlake_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (10, 12)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_iteration_bound(spark):
+    """max_iter caps the rounds: a chain needing 5 propagation rounds is
+    left partially converged at max_iter=1 (bound respected, no hang)."""
+    from swiftlake_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iter=1).collect()
+    }
+    assert got[2] == 1 and got[6] != 1
+
+
+def test_redact_pii_counts_and_masking(spark):
+    from swiftlake_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e.org, call 415-555-0042"),
+            (2, "ssn 123-45-6789 ip 10.0.0.7 clean tail"),
+            (3, "nothing sensitive here"),
+        ],
+        "id bigint, text string",
+    )
+    rows = {r["id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_phone"] == 1
+    assert rows[1]["redacted"] == "mail <EMAIL> and <EMAIL>, call <PHONE>"
+    assert rows[2]["n_ssn"] == 1 and rows[2]["n_ipv4"] == 1
+    assert rows[2]["redacted"] == "ssn <SSN> ip <IPV4> clean tail"
+    assert rows[3]["redacted"] == "nothing sensitive here"
+    assert rows[3]["n_email"] == rows[3]["n_phone"] == 0
