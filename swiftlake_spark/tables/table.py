@@ -678,6 +678,89 @@ class Table:
         self.meta.refs[f"tag:{name}"] = sid
         write_new_version(self.meta)
 
+    def _ancestry(self, head: Snapshot | None) -> list[Snapshot]:
+        """Head-first parent chain of ``head``."""
+        by_id = {s.snapshot_id: s for s in self.meta.snapshots}
+        out: list[Snapshot] = []
+        s = head
+        while s is not None:
+            out.append(s)
+            s = by_id.get(s.parent_id) if s.parent_id is not None else None
+        return out
+
+    def rollback_to(self, snapshot_id: int, branch: str = "main") -> None:
+        """Move the branch head back to an earlier snapshot.
+
+        Metadata-only (≙ Iceberg ``rollback_to_snapshot``): the ref moves,
+        no data is rewritten, and the abandoned snapshots stay readable by
+        id until ``expire_snapshots``.  The target must be an ancestor of
+        the current head — rolling back onto an unrelated branch's history
+        would silently merge timelines.
+        """
+        ref_key = branch if branch == "main" else f"branch:{branch}"
+        for _ in range(_MAX_COMMIT_RETRIES):
+            head = self.meta.current_snapshot(branch)
+            if all(s.snapshot_id != snapshot_id for s in self._ancestry(head)):
+                raise ValidationError(
+                    f"snapshot {snapshot_id} is not an ancestor of {branch!r} head"
+                )
+            self.meta.refs[ref_key] = snapshot_id
+            try:
+                write_new_version(self.meta)
+                return
+            except CommitConflict:
+                self.meta = load_metadata(self.location)
+        raise CommitConflict(f"gave up after {_MAX_COMMIT_RETRIES} retries")
+
+    def incremental_scan(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        branch: str = "main",
+    ) -> DataFrame:
+        """Rows appended AFTER ``from_snapshot_id`` up to ``to_snapshot_id``
+        (default: branch head) — append-only incremental consumption, the
+        CDC pattern for downstream pipelines that process each batch once.
+
+        Matches Iceberg's ``appendsBetween`` contract: every snapshot in
+        the range must be an ``append``; an overwrite/delete/replace in
+        the range raises (those rewrite history, so "new rows since" is
+        no longer well-defined).  Driver work is manifest-path set
+        difference only — file METADATA, never rows; the returned
+        DataFrame reads just the added files with full schema-evolution
+        resolution.
+        """
+        end = (
+            self.meta.snapshot_by_id(to_snapshot_id)
+            if to_snapshot_id is not None
+            else self.meta.current_snapshot(branch)
+        )
+        chain = self._ancestry(end)
+        try:
+            cut = [s.snapshot_id for s in chain].index(from_snapshot_id)
+        except ValueError:
+            raise ValidationError(
+                f"snapshot {from_snapshot_id} is not an ancestor of the scan end"
+            ) from None
+        rng = chain[:cut][::-1]  # oldest → newest, excluding the start
+        bad = [s for s in rng if s.operation != "append"]
+        if bad:
+            raise ValidationError(
+                "incremental scan range contains non-append snapshot "
+                f"{bad[0].snapshot_id} ({bad[0].operation})"
+            )
+        by_id = {s.snapshot_id: s for s in self.meta.snapshots}
+        added: list[ManifestEntry] = []
+        for s in rng:
+            parent_paths = {
+                e.path
+                for e in self.meta.read_manifest(by_id.get(s.parent_id))
+            }
+            added.extend(
+                e for e in self.meta.read_manifest(s) if e.path not in parent_paths
+            )
+        return self._read_entries(added)
+
     # ---------------------------------------------------------- writer
     def _write_files(self, df: DataFrame, skip_sort: bool = False) -> list[ManifestEntry]:
         """Write ``df`` as new parquet files under data/<uuid>/ and return

@@ -357,3 +357,47 @@ def test_uuid_time_logical_types(catalog, spark):
     ).collect()[0]
     assert got["ok"] is True
     assert got["s"] == "09:30:15.250000"
+
+
+def test_rollback_to_snapshot(simple_table, spark):
+    t = simple_table
+    s1 = t.meta.current_snapshot()
+    t.append(spark.createDataFrame([(6, "f", "Z", 6.5)], schema=t.schema))
+    s2 = t.meta.current_snapshot()
+    assert t.scan().count() == 6
+
+    t.rollback_to(s1.snapshot_id)
+    assert t.scan().count() == 5
+    # rollback is metadata-only: the abandoned snapshot stays readable
+    assert t.scan(snapshot_id=s2.snapshot_id).count() == 6
+    # rolling back to a non-ancestor (the abandoned head) now fails
+    with pytest.raises(ValidationError, match="not an ancestor"):
+        t.rollback_to(s2.snapshot_id)
+
+
+def test_incremental_scan_appends_between(simple_table, spark):
+    t = simple_table
+    s1 = t.meta.current_snapshot()
+    t.append(spark.createDataFrame([(6, "f", "Z", 6.5)], schema=t.schema))
+    s2 = t.meta.current_snapshot()
+    t.append(spark.createDataFrame([(7, "g", "Z", 7.5)], schema=t.schema))
+
+    # from s1 to head: exactly the rows appended by s2 and s3
+    assert rows(t.incremental_scan(s1.snapshot_id), "id") == [(6,), (7,)]
+    # bounded range: only s2's rows
+    assert rows(
+        t.incremental_scan(s1.snapshot_id, to_snapshot_id=s2.snapshot_id), "id"
+    ) == [(6,)]
+    # empty range is an empty typed DataFrame
+    head = t.meta.current_snapshot()
+    inc = t.incremental_scan(head.snapshot_id)
+    assert inc.count() == 0 and [f.name for f in inc.schema.fields][0] == "id"
+
+    # a COW delete in the range breaks append-only semantics → refuse
+    t.delete_where(E.col_eq("id", 6))
+    with pytest.raises(ValidationError, match="non-append"):
+        t.incremental_scan(s1.snapshot_id)
+    # ...but a range ending before the delete still works
+    assert rows(
+        t.incremental_scan(s1.snapshot_id, to_snapshot_id=s2.snapshot_id), "id"
+    ) == [(6,)]
