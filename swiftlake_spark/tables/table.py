@@ -579,6 +579,24 @@ class Table:
         ).jsonValue()
         write_new_version(self.meta)
 
+    def reorder_columns(self, names: list[str]) -> None:
+        """Reorder = metadata-only permutation of the declared schema
+        (reference README.md:46-49 lists reorder alongside add/drop/
+        rename/widen).  ``names`` must be a permutation of the current
+        columns.  Reads project in declared order regardless of the
+        physical order inside each file, so no data moves."""
+        schema = self.schema
+        if sorted(names) != sorted(schema.fieldNames()):
+            raise ValidationError(
+                f"reorder must permute exactly the current columns "
+                f"{schema.fieldNames()}"
+            )
+        by_name = {f.name: f for f in schema.fields}
+        self.meta.schema_json = T.StructType(
+            [by_name[n] for n in names]
+        ).jsonValue()
+        write_new_version(self.meta)
+
     def update_partition_spec(self, partition_spec: list[str]) -> None:
         """Partition evolution without rewrite (reference README.md:52-58):
         new writes lay out files under the new spec; existing files keep

@@ -401,3 +401,20 @@ def test_incremental_scan_appends_between(simple_table, spark):
     assert rows(
         t.incremental_scan(s1.snapshot_id, to_snapshot_id=s2.snapshot_id), "id"
     ) == [(6,)]
+
+
+def test_reorder_columns_metadata_only(simple_table, spark):
+    t = simple_table
+    v0 = t.meta.version
+    t.reorder_columns(["category", "id", "value", "name"])
+    assert [f.name for f in t.schema.fields] == ["category", "id", "value", "name"]
+    # reads (old files included) project in the new declared order
+    assert t.scan().columns == ["category", "id", "value", "name"]
+    assert rows(t.scan().filter(F.col("id") == 1)) == [("X", 1, 1.5, "a")]
+    # metadata-only: exactly one new metadata version, no data rewritten
+    assert t.meta.version == v0 + 1
+    # appends after the reorder still roundtrip
+    t.append(spark.createDataFrame([("Z", 6, 6.5, "f")], schema=t.schema))
+    assert rows(t.scan().filter(F.col("id") == 6)) == [("Z", 6, 6.5, "f")]
+    with pytest.raises(ValidationError, match="permute"):
+        t.reorder_columns(["id", "name"])
