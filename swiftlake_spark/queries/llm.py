@@ -936,3 +936,33 @@ def q104_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sh").alias("ngram"), "doc_freq")
         .orderBy("ngram")
     )
+
+
+# --------------------------------------------------------------------------
+# q59 — vocabulary building: corpus-wide token frequencies, top-k with a
+# deterministic tie-break (freq DESC, token ASC).  The seed step of BPE/
+# WordPiece vocab induction.  Explode + one partial-agg-friendly shuffle
+# on token; top-k is TakeOrderedAndProject (no global sort materialized).
+# --------------------------------------------------------------------------
+@query(
+    "q59_vocab_topk",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok, COUNT(*) AS freq
+FROM toks
+GROUP BY tok
+ORDER BY freq DESC, tok
+LIMIT 50
+""",
+)
+def q59_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(50)
+    )

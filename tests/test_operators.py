@@ -343,3 +343,47 @@ def test_redact_pii_counts_and_masking(spark):
     assert rows[2]["redacted"] == "ssn <SSN> ip <IPV4> clean tail"
     assert rows[3]["redacted"] == "nothing sensitive here"
     assert rows[3]["n_email"] == rows[3]["n_phone"] == 0
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_EDGES)
+def test_connected_components_matches_union_find(spark, edges):
+    """Random graphs: the distributed label propagation must equal a
+    driver-side union-find model (min id per component)."""
+    from swiftlake_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == expect
