@@ -155,10 +155,13 @@ def connected_components(
       both shuffle on node id, so AQE coalesces/splits as usual;
     - rounds needed = eccentricity of the min-id node, which for
       near-dup clusters (dense cliques from banding) is 1-3; ``max_iter``
-      bounds adversarial chain graphs;
+      bounds adversarial chain graphs.  Round one is fused into the
+      initialization (label := min(self, neighbors) straight off the
+      edge list);
     - lineage is truncated every round (``localCheckpoint``) so plans
-      don't grow with iterations; the convergence probe is an aggregate
-      (LIMIT 1 on changed labels), never a row collect;
+      don't grow with iterations; convergence detection is a scalar
+      SUM(label) aggregate — labels only ever decrease, so an unchanged
+      sum ⟺ a fixpoint.  No row collect anywhere;
     - the edge list is persisted once and reused every round.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -166,32 +169,30 @@ def connected_components(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges.persist()
+    # init = first propagation round: min over self + direct neighbors
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        edges.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("id"), "label")
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # decimal(38,0) keeps the checksum overflow-safe at billions of nodes
+    _chk = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_chk).collect()[0][0]
+    for _ in range(max_iter - 1):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
         )
-        new_labels = (
+        labels = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "id")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(_chk).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
