@@ -197,6 +197,27 @@ def connected_components(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def dedup_corpus_by_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every near-duplicate except the minimum-id member of each
+    duplicate cluster.  The end-to-end keep/drop step: ``pairs`` (from
+    any candidate generator — MinHash-LSH, SimHash, embedding LSH) are
+    closed transitively via :func:`connected_components`; survivors are
+    the cluster representatives plus all unpaired documents.
+
+    One extra shuffle beyond the components loop: a broadcast-or-hash
+    left-anti join of the corpus against the (id != cluster_id) drop
+    list — the drop list is proportional to duplicates, typically a
+    small fraction of the corpus.
+    """
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    drops = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drops, on=id_col, how="left_anti")
+
+
 _SIMHASH_BITS = 48  # stays clear of signed-64 overflow when recomposing
 
 

@@ -966,3 +966,40 @@ def q59_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("tok"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# q105 — end-to-end corpus dedup: MinHash-LSH pairs → transitive closure →
+# keep the min-id representative per duplicate cluster, all unpaired docs
+# survive.  The complete keep/drop pipeline a training-data build runs.
+# Oracle = the q102 recursive closure + an anti-join on the drop list.
+# --------------------------------------------------------------------------
+@query(
+    "q105_dedup_corpus",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pair_ctes()}, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+), drops AS (
+  SELECT id FROM (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+  WHERE id != cluster_id
+)
+SELECT d.doc_id, d.source, md5(d.text) AS content_md5
+FROM documents d
+WHERE d.doc_id < 300 AND d.doc_id NOT IN (SELECT id FROM drops)
+ORDER BY d.doc_id
+""",
+)
+def q105_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import dedup_corpus_by_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    kept = dedup_corpus_by_pairs(d, _minhash_pairs(spark, sf_dir), "doc_id")
+    return kept.select(
+        "doc_id", "source", F.md5("text").alias("content_md5")
+    ).orderBy("doc_id")

@@ -218,3 +218,63 @@ def stream_into_table(stream: DataFrame, engine, table_name: str, checkpoint: st
         .foreachBatch(sink)
         .start()
     )
+
+
+def consume_appends(
+    table, process, *, cursor_path: str, max_batches: int | None = None
+) -> int:
+    """Exactly-once micro-batch consumption of a lakehouse table's
+    appends — the read-side complement of :func:`stream_into_table`
+    (CDC feed pattern; Iceberg's incremental processing contract).
+
+    ``process(batch_df, snapshot)`` is called once per append snapshot
+    newer than the persisted cursor, oldest first.  The cursor (last
+    fully processed snapshot id) is written via atomic rename only
+    AFTER ``process`` returns, so a crash between processing and cursor
+    write replays exactly one batch — the same at-least-once-with-
+    idempotent-sink contract Structured Streaming checkpoints give.
+
+    Overwrite/delete/replace snapshots in the feed raise: appends-only
+    consumption is ill-defined across rewrites, and the caller must
+    resync with a full refresh (matching ``Table.incremental_scan``).
+    Returns the number of batches processed.
+    """
+    import json
+    import os
+
+    from swiftlake_spark.tables.metadata import ValidationError
+
+    table = table.refresh()
+    head = table.meta.current_snapshot()
+    try:
+        with open(cursor_path) as f:
+            cur = json.load(f)["snapshot_id"]
+    except FileNotFoundError:
+        cur = None
+
+    chain = table._ancestry(head)[::-1]  # oldest → newest
+    if cur is not None:
+        ids = [s.snapshot_id for s in chain]
+        if cur not in ids:
+            raise ValidationError(
+                f"cursor snapshot {cur} is no longer in the branch history "
+                "(expired or rewritten); full refresh required"
+            )
+        chain = chain[ids.index(cur) + 1 :]
+
+    n = 0
+    for s in chain:
+        if max_batches is not None and n >= max_batches:
+            break
+        if s.operation != "append":
+            raise ValidationError(
+                f"feed hit non-append snapshot {s.snapshot_id} "
+                f"({s.operation}); full refresh required"
+            )
+        process(table.snapshot_changes(s.snapshot_id), s)
+        tmp = f"{cursor_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": s.snapshot_id}, f)
+        os.replace(tmp, cursor_path)
+        n += 1
+    return n

@@ -454,6 +454,19 @@ class Table:
         )
 
     # ---------------------------------------------------------- commit
+    def snapshot_changes(self, snapshot_id: int) -> DataFrame:
+        """Rows ADDED by exactly this snapshot (manifest set-difference
+        against its parent; file metadata only on the driver)."""
+        s = self.meta.snapshot_by_id(snapshot_id)
+        by_id = {x.snapshot_id: x for x in self.meta.snapshots}
+        parent_paths = {
+            e.path for e in self.meta.read_manifest(by_id.get(s.parent_id))
+        }
+        added = [
+            e for e in self.meta.read_manifest(s) if e.path not in parent_paths
+        ]
+        return self._read_entries(added)
+
     def _commit(
         self,
         op: str,

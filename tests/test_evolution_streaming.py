@@ -430,3 +430,56 @@ def test_stream_stream_interval_join(spark, tmp_path):
     finally:
         q.stop()
     assert [(r["l_event_id"], r["r_event_id"]) for r in rows] == [(1, 3)]
+
+
+def test_consume_appends_exactly_once_feed(engine, spark, tmp_path):
+    """CDC feed over table appends: drains once, resumes from the cursor,
+    replays a failed batch, and refuses to cross a rewrite."""
+    from swiftlake_spark.streaming.jobs import consume_appends
+
+    t = engine.catalog.create_table("db.feed", "id BIGINT, v STRING")
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, f"v{i}")], schema=t.schema))
+    cursor = str(tmp_path / "cursor.json")
+
+    seen: list[tuple[int, ...]] = []
+
+    def collect(df, snap):
+        seen.append(tuple(sorted(r["id"] for r in df.collect())))
+
+    assert consume_appends(t, collect, cursor_path=cursor) == 3
+    assert seen == [(0,), (1,), (2,)]
+
+    # nothing new → no batches
+    assert consume_appends(t, collect, cursor_path=cursor) == 0
+
+    # new appends resume after the cursor
+    t.append(spark.createDataFrame([(3, "v3"), (4, "v4")], schema=t.schema))
+    t.append(spark.createDataFrame([(5, "v5")], schema=t.schema))
+    assert consume_appends(t, collect, cursor_path=cursor) == 2
+    assert seen[-2:] == [(3, 4), (5,)]
+
+    # a crash mid-batch replays exactly the failed batch
+    t.append(spark.createDataFrame([(6, "v6")], schema=t.schema))
+    t.append(spark.createDataFrame([(7, "v7")], schema=t.schema))
+
+    boom = {"armed": True}
+
+    def flaky(df, snap):
+        rows = tuple(sorted(r["id"] for r in df.collect()))
+        if rows == (7,) and boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("sink crashed")
+        seen.append(rows)
+
+    with pytest.raises(RuntimeError):
+        consume_appends(t, flaky, cursor_path=cursor)
+    assert seen[-1] == (6,)  # batch 6 committed to the cursor...
+    assert consume_appends(t, flaky, cursor_path=cursor) == 1
+    assert seen[-1] == (7,)  # ...and 7 replayed on resume
+
+    # rewrites break appends-only semantics → explicit refusal
+    t.delete_where(E.col_eq("id", 0))
+    t.append(spark.createDataFrame([(8, "v8")], schema=t.schema))
+    with pytest.raises(ValidationError, match="non-append"):
+        consume_appends(t, collect, cursor_path=cursor)
