@@ -1408,3 +1408,74 @@ def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q106 — decimal EXACTNESS pinned cross-engine (ADVICE r2: q27 renders
+# decimals as DOUBLE, dropping decimal-semantics coverage).  Decimals here
+# derive from integers only (double→decimal tie-rounding differs between
+# engines: Spark HALF_UP vs DuckDB half-even), and results render as
+# strings, so scale propagation (add: max scale; multiply: s1+s2;
+# window SUM: operand scale) must match digit-for-digit.
+# --------------------------------------------------------------------------
+@query(
+    "q106_decimal_exact",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CAST(o_orderkey AS DECIMAL(10,2)) AS VARCHAR)            AS dec_str,
+       CAST(CAST(o_orderkey AS DECIMAL(10,2)) + 0.25 AS VARCHAR)     AS add_str,
+       CAST(CAST(o_orderkey AS DECIMAL(10,2)) * 1.5 AS VARCHAR)      AS mul_str,
+       CAST(SUM(CAST(o_orderkey AS DECIMAL(10,2))) OVER () AS VARCHAR) AS sum_str
+FROM orders
+WHERE o_orderkey <= 100
+ORDER BY o_orderkey
+""",
+)
+def q106_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    d = F.col("o_orderkey").cast("decimal(10,2)")
+    return o.select(
+        "o_orderkey",
+        d.cast("string").alias("dec_str"),
+        (d + F.expr("CAST(0.25 AS DECIMAL(3,2))")).cast("string").alias("add_str"),
+        (d * F.expr("CAST(1.5 AS DECIMAL(2,1))")).cast("string").alias("mul_str"),
+        F.sum(d).over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).cast("string").alias("sum_str"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q107 — approx percentile with a relative-error verdict (q25's pattern):
+# both engines agree on the exact percentile and assert their own sketch
+# lands within 5% of it.  Spark: approx_percentile (Greenwald-Khanna);
+# DuckDB: approx_quantile (t-digest) — algorithms differ, the CONTRACT
+# (bounded error against the shared exact value) is what's pinned.
+# Sketch aggregation is partial-agg friendly on both sides — the scale
+# path for percentiles over 100 TB where exact sort-based quantiles
+# would shuffle the world.
+# --------------------------------------------------------------------------
+@query(
+    "q107_approx_percentile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+       abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+         <= 0.05 * quantile_cont(l_extendedprice, 0.5) AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q107_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, 0.5)")
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            exact.alias("exact_p50"),
+            (F.abs(approx - exact) <= 0.05 * exact).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )

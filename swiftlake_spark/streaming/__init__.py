@@ -17,6 +17,8 @@ from swiftlake_spark.streaming.jobs import (
     enrich_with_dim,
     interval_join,
     stream_into_table,
+    stream_upsert_into_table,
+    consume_appends,
 )
 
 __all__ = [
@@ -27,4 +29,6 @@ __all__ = [
     "enrich_with_dim",
     "interval_join",
     "stream_into_table",
+    "stream_upsert_into_table",
+    "consume_appends",
 ]

@@ -278,3 +278,59 @@ def consume_appends(
         os.replace(tmp, cursor_path)
         n += 1
     return n
+
+
+def stream_upsert_into_table(
+    stream: DataFrame,
+    engine,
+    table_name: str,
+    key_columns: list[str],
+    checkpoint: str,
+    *,
+    version_column: str | None = None,
+    op_column: str | None = None,
+    delete_value=None,
+):
+    """``writeStream.foreachBatch`` → SCD1 changes-merge per micro-batch:
+    the streaming CDC-apply pattern (upserts, and deletes when
+    ``op_column``/``delete_value`` mark them).
+
+    Micro-batches don't order rows, so with ``version_column`` the
+    max-version row per key inside a batch wins; without it the batch
+    must be unique per key (the merge cardinality check enforces this).
+    The merge boundary is derived from the batch's own key values
+    (``table_filter_columns``), so each batch rewrites only files
+    containing touched keys — at 100 TB a micro-batch touches a handful
+    of files, not the table.  Returns the StreamingQuery.
+    """
+    from pyspark.sql import Window
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df
+        if version_column is not None:
+            w = Window.partitionBy(*key_columns).orderBy(
+                F.col(version_column).desc()
+            )
+            b = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", version_column)
+            )
+        m = (
+            engine.apply_changes_as_scd1(table_name)
+            .table_filter_columns(list(key_columns))
+            .source_dataframe(b)
+            .key_columns(list(key_columns))
+        )
+        if op_column is not None:
+            m = m.operation_type_column(op_column, delete_value)
+        m.execute()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )

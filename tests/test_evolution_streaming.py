@@ -483,3 +483,44 @@ def test_consume_appends_exactly_once_feed(engine, spark, tmp_path):
     t.append(spark.createDataFrame([(8, "v8")], schema=t.schema))
     with pytest.raises(ValidationError, match="non-append"):
         consume_appends(t, collect, cursor_path=cursor)
+
+
+def test_stream_upsert_into_table(engine, spark, tmp_path):
+    """foreachBatch CDC apply: upserts keyed per batch, in-batch version
+    wins, delete markers honored."""
+    from swiftlake_spark.streaming import stream_upsert_into_table
+
+    t = engine.catalog.create_table("db.up", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "old"), (2, "keep")], schema=t.schema))
+
+    src = str(tmp_path / "up_src")
+    schema = "id BIGINT, v STRING, ver BIGINT, op STRING"
+    spark.createDataFrame(
+        [
+            (1, "new-a", 1, "U"),   # update, loses to ver=2 in-batch
+            (1, "new-b", 2, "U"),
+            (3, "ins", 1, "U"),     # insert
+            (2, None, 1, "D"),      # delete marker
+        ],
+        schema,
+    ).write.parquet(src)
+
+    q = stream_upsert_into_table(
+        spark.readStream.schema(schema).parquet(src),
+        engine,
+        "db.up",
+        ["id"],
+        str(tmp_path / "up_ck"),
+        version_column="ver",
+        op_column="op",
+        delete_value="D",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        tuple(r) for r in engine.catalog.table("db.up").scan().collect()
+    )
+    assert got == [(1, "new-b"), (3, "ins")]
