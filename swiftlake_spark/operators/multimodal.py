@@ -145,3 +145,61 @@ def sample_frames(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def decode_audio(
+    df: DataFrame,
+    data_col: str = "data",
+    out_col: str = "audio_features",
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode + feature-extract an audio column via ``mapInPandas``
+    (completes the image/audio/video triad).
+
+    STUB: real decoding needs torchaudio/ffmpeg, absent here.  With
+    ``fake=True`` the payload-seeded deterministic features flow through
+    the identical plumbing, plus a struct of waveform-style scalars
+    (duration from byte length at a nominal 16 kB/s, fake rms / zero-
+    crossing rate) so downstream schemas are realistic."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires torchaudio/ffmpeg (not in this "
+            "environment); pass fake=True for the deterministic test double"
+        )
+    out_fields = df.schema.fields + [
+        T.StructField(
+            out_col,
+            T.StructType(
+                [
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("rms", T.FloatType()),
+                    T.StructField("zcr", T.FloatType()),
+                    T.StructField("mel", T.ArrayType(T.FloatType())),
+                ]
+            ),
+        )
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[data_col]:
+                if b is None:
+                    feats.append(None)
+                    continue
+                payload = bytes(b)
+                mel = _fake_features(payload)
+                feats.append(
+                    {
+                        "duration_ms": int(len(payload) * 1000 / 16_000),
+                        "rms": float(np.abs(mel).mean()),
+                        "zcr": float((np.diff(np.sign(mel)) != 0).mean()),
+                        "mel": mel.tolist(),
+                    }
+                )
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

@@ -1003,3 +1003,28 @@ def q105_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", "source", F.md5("text").alias("content_md5")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q108 — audio feature extraction plumbing (rows-only: the fake decoder
+# is engine-internal; see operators.multimodal.decode_audio).  Schema,
+# Arrow batching and partition preservation are the real contract.
+# --------------------------------------------------------------------------
+@query("q108_audio_features", oracle=None)
+def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.multimodal import attach_media_meta, decode_audio
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.encode("text", "utf-8").alias("data"))
+    )
+    d = attach_media_meta(d, "data", "fake/pcm")
+    feats = decode_audio(d, "data", fake=True)
+    return feats.select(
+        "doc_id",
+        F.col("audio_features.duration_ms").alias("duration_ms"),
+        F.round("audio_features.rms", 4).alias("rms"),
+        F.round("audio_features.zcr", 4).alias("zcr"),
+        F.size("audio_features.mel").alias("mel_dim"),
+    ).orderBy("doc_id")

@@ -387,3 +387,18 @@ def test_connected_components_matches_union_find(spark, edges):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == expect
+
+
+def test_decode_audio_stub_and_fake(spark):
+    from swiftlake_spark.operators.multimodal import decode_audio
+
+    d = spark.createDataFrame(
+        [(1, bytearray(b"x" * 32_000)), (2, None)], "id bigint, data binary"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_audio(d).collect()
+    rows = {r["id"]: r["audio_features"] for r in decode_audio(d, fake=True).collect()}
+    assert rows[1]["duration_ms"] == 2000  # 32000 bytes @ 16 kB/s
+    assert len(rows[1]["mel"]) == 16 and rows[2] is None
+    again = {r["id"]: r["audio_features"] for r in decode_audio(d, fake=True).collect()}
+    assert again[1]["mel"] == rows[1]["mel"]  # payload-seeded determinism
