@@ -1028,3 +1028,100 @@ def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("audio_features.zcr", 4).alias("zcr"),
         F.size("audio_features.mel").alias("mel_dim"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q109 — LM-style surprisal scoring (CCNet-pattern quality filter): pass 1
+# builds a corpus bigram model (counts + total), pass 2 scores each doc by
+# the mean inverse probability of its bigram occurrences — rare-bigram
+# docs score high.  Exactness: surprisal = total/count is an integer-
+# derived DOUBLE division (IEEE-deterministic cross-engine), rounded
+# through DECIMAL(28,10) before the per-doc sum, so no libm log calls
+# that could differ in the last ulp.  Shuffles: one on bigram (model),
+# one on bigram (score join), one on doc (mean) — all partial-agg
+# friendly; the model join is a plain equi-join that scales with corpus
+# bigram cardinality, never O(n²).
+# --------------------------------------------------------------------------
+@query(
+    "q109_bigram_surprisal",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+  FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 1, 0))) AS t(i)
+), cnt AS (
+  SELECT bg, COUNT(*) AS c FROM grams GROUP BY bg
+), tot AS (
+  SELECT COUNT(*) AS n FROM grams
+), scored AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CAST(CAST(tot.n AS DOUBLE) / cnt.c AS DECIMAL(28,10))) AS s
+  FROM grams g JOIN cnt ON g.bg = cnt.bg CROSS JOIN tot
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_bigrams, CAST(s AS DOUBLE) / n_bigrams AS avg_surprisal
+FROM scored
+ORDER BY avg_surprisal DESC, doc_id
+LIMIT 25
+""",
+)
+def q109_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(-1))),
+        lambda i: F.concat_ws(" ", w[i], w[i + 1]),
+    )
+    grams = d.select("doc_id", F.explode(arr).alias("bg"))
+    cnt = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    tot = grams.select(F.count(F.lit(1)).alias("n"))
+    surprisal = (F.col("n").cast("double") / F.col("c")).cast("decimal(28,10)")
+    scored = (
+        grams.join(cnt, "bg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(surprisal).alias("s"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("s").cast("double") / F.col("n_bigrams")).alias("avg_surprisal"),
+        )
+        .orderBy(F.col("avg_surprisal").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q110 — sequence-length histogram (packing diagnostics): token-count
+# buckets of width 10.  Map-only bucket assignment + one shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q110_length_histogram",
+    oracle="""
+SELECT CAST(FLOOR(LEN(string_split(text, ' ')) / 10) AS BIGINT) * 10 AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY bucket_lo
+ORDER BY bucket_lo
+""",
+)
+def q110_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.floor(F.size(F.split("text", " ")) / 10).cast("bigint") * 10).alias(
+        "bucket_lo"
+    )
+    return (
+        d.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("bucket_lo")
+    )
