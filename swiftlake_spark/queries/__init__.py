@@ -55,6 +55,43 @@ def _load_all() -> None:
     from swiftlake_spark.queries import tpch  # noqa: F401
 
 
+# Driver-gate rotation (round 4).  The correctness driver hash-checks only
+# the FIRST 50 entries of queries() in iteration order, so certification must
+# rotate: names in _GATE_PRIORITY are emitted first, everything else follows
+# in registration order.  This list holds every query that had no driver-side
+# CORRECTNESS row through round 3 (union of CORRECTNESS_r01..r03 keys),
+# hash-checkable ones leading so all 50 sampled slots get strong rows; the
+# six rows-only entries trail.  Each round, rebuild the list from the updated
+# CORRECTNESS_r{N}.json union so never-certified queries always lead
+# (policy documented in README.md "Driver-gate rotation").
+_GATE_PRIORITY = [
+    'q48_minhash_lsh', 'q102_dup_clusters', 'q51_text_quality', 'q52_langid_pred',
+    'q54_bpe_tokens', 'q56_hash_split', 'q57_quantiles', 'q103_pii_redaction',
+    'q104_boilerplate_ngrams', 'q59_vocab_topk', 'q105_dedup_corpus', 'q109_bigram_surprisal',
+    'q110_length_histogram', 'q63_exists_subquery', 'q64_explode_tokens', 'q65_string_agg',
+    'q66_unpivot', 'q67_regexp', 'q68_sequence', 'q69_bitwise',
+    'q70_date_arith', 'q71_array_funcs', 'q72_local_volume', 'q73_window_extras',
+    'q74_conditional_agg', 'q75_gopher_rules', 'q76_pack_sequences', 'q77_contamination',
+    'q78_returned_revenue', 'q79_median_stats', 'q80_set_ops_all', 'q81_grouping_id',
+    'q82_nation_volume', 'q83_important_stock', 'q101_recursive_spine', 'q84_uuid_type',
+    'q85_time_type', 'q86_min_cost_supplier', 'q87_order_priority', 'q88_forecast_revenue',
+    'q89_market_share', 'q90_nation_profit', 'q91_customer_distribution', 'q92_promo_revenue',
+    'q93_top_supplier', 'q94_part_supplier_count', 'q95_small_qty_revenue', 'q96_large_volume_customer',
+    'q97_disjunctive_revenue', 'q98_excess_shippers', 'q99_waiting_orders', 'q100_sales_opportunity',
+    # rows-only (weaker driver check) trail the hash-checkable block
+    'q49_simhash_neardup', 'q50_ann_lsh_topk', 'q58_ivf_topk', 'q53_multimodal_features',
+    'q55_embedding_neardup', 'q108_audio_features',
+]
+
+
+def _ordered() -> dict[str, QueryDef]:
+    """REGISTRY in gate order: _GATE_PRIORITY names first, rest as registered."""
+    _load_all()
+    first = [n for n in _GATE_PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(first)]
+    return {n: REGISTRY[n] for n in (*first, *rest)}
+
+
 def _with_worker_imports(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         # make the package importable in Python workers no matter what
@@ -70,10 +107,8 @@ def _with_worker_imports(fn):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    _load_all()
-    return {name: _with_worker_imports(q.fn) for name, q in REGISTRY.items()}
+    return {name: _with_worker_imports(q.fn) for name, q in _ordered().items()}
 
 
 def all_oracles() -> dict[str, str]:
-    _load_all()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered().items() if q.oracle is not None}
