@@ -7,7 +7,8 @@ driver's value-hash).  Exit code 0 iff everything matches.
 
 Also importable: ``tests/test_oracle_gate.py`` parametrizes over the same
 registry and calls :func:`check_query` per query, making ``pytest tests/``
-green imply the full 81-query oracle gate passes.
+green imply the oracle gate passes for the FULL registry (every entry in
+``swiftlake_spark.queries.REGISTRY``, not just the driver's 50-slot sample).
 
 Usage:  python scripts/check_oracle.py [sf_dir] [query ...]
 """

@@ -65,6 +65,9 @@ def _load_all() -> None:
 # CORRECTNESS_r{N}.json union so never-certified queries always lead
 # (policy documented in README.md "Driver-gate rotation").
 _GATE_PRIORITY = [
+    # q33 leads: its round-3 driver row was red (no_oracle); it gained an
+    # engine-independent oracle in round 4 and needs a green row to show it.
+    'q33_file_metadata',
     'q48_minhash_lsh', 'q102_dup_clusters', 'q51_text_quality', 'q52_langid_pred',
     'q54_bpe_tokens', 'q56_hash_split', 'q57_quantiles', 'q103_pii_redaction',
     'q104_boilerplate_ngrams', 'q59_vocab_topk', 'q105_dedup_corpus', 'q109_bigram_surprisal',

@@ -1034,19 +1034,52 @@ def q29_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q33 — file-name metadata column (reference exposes filename /
-# file_row_number, common.xml:36-59; Spark: input_file_name).  Rows-only:
-# absolute paths don't hash-match an oracle, but the per-file row
-# accounting shape is the contract.
+# q33 — file metadata columns (reference exposes filename / file_row_number,
+# common.xml:36-59; Spark: hidden `_metadata.file_name` / `_metadata.row_index`
+# on parquet scans).  Absolute paths can't hash-match an oracle, so the query
+# projects engine-independent derivatives instead: lineitem is rewritten
+# partitioned by l_returnflag with one file per partition (repartition on the
+# partition key ⇒ each key's rows land in exactly one task ⇒ one file per
+# directory), then read back and aggregated PER PHYSICAL FILE via the metadata
+# columns.  With one file per flag, per-file row count equals per-flag count
+# and row_index spans 0..n-1 — both computable by the DuckDB oracle from the
+# logical table alone.
 # --------------------------------------------------------------------------
-@query("q33_file_metadata", oracle=None)
+@query(
+    "q33_file_metadata",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS min_row_index,
+       CAST(count(*) - 1 AS BIGINT) AS max_row_index
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
 def q33_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
     li = load(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="q33_files_") + "/lineitem_by_flag"
+    (
+        li.repartition("l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "l_returnflag",
+        F.col("_metadata.file_name").alias("_file"),
+        F.col("_metadata.row_index").alias("_row_index"),
+    )
     return (
-        li.withColumn("_file", F.input_file_name())
-        .groupBy("_file")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("_file")
+        back.groupBy("l_returnflag", "_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_row_index").alias("min_row_index"),
+            F.max("_row_index").alias("max_row_index"),
+        )
+        .drop("_file")
+        .orderBy("l_returnflag")
     )
 
 
