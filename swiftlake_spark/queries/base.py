@@ -39,12 +39,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in _LOAD_CACHE:
         return _LOAD_CACHE[key]
     if name == "events":
-        # events.parquet stores INT64 TIMESTAMP(NANOS) which the Spark
-        # vectorized reader rejects; read nanos as long and truncate to
-        # micros (integer division — matches DuckDB's ns→µs truncation).
+        # events.parquet has varied across fixture generations: INT64
+        # TIMESTAMP(NANOS) (which the Spark vectorized reader rejects —
+        # read nanos as long, truncate to micros like DuckDB's ns→µs) or
+        # plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ — normalize to
+        # TIMESTAMP; session zone is pinned UTC so values are unchanged).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(raw.dtypes)["ts"] == "bigint":
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _LOAD_CACHE[key] = df

@@ -122,12 +122,24 @@ class TableMetadata:
     next_field_id: int = 0
 
     def __post_init__(self) -> None:
-        if not self.field_ids:
-            names = [f["name"] for f in self.schema_json.get("fields", [])]
-            self.field_ids = {n: i + 1 for i, n in enumerate(names)}
-            self.next_field_id = len(names) + 1
-        elif not self.next_field_id:
+        # IDs cover every struct-field *path* (nested fields included,
+        # keyed "a.b", arrays via ".element", maps via ".key"/".value" —
+        # see tables/evolution.py).  Fresh tables get a full assignment;
+        # metadata persisted before nested tracking backfills missing
+        # nested paths deterministically (same schema + same
+        # next_field_id → same assignment on every load, so concurrent
+        # loaders agree without a commit).
+        from pyspark.sql import types as _T
+
+        from swiftlake_spark.tables.evolution import iter_struct_paths
+
+        if not self.next_field_id:
             self.next_field_id = max(self.field_ids.values(), default=0) + 1
+        schema = _T.StructType.fromJson(self.schema_json)
+        for path, _f in iter_struct_paths(schema):
+            if path not in self.field_ids:
+                self.field_ids[path] = self.next_field_id
+                self.next_field_id += 1
 
     # ------------------------------------------------------------------ io
     @property

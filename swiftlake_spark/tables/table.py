@@ -532,33 +532,38 @@ class Table:
 
     # --------------------------------------------------- schema evolution
     # Reference: add/drop/rename/widen by field ID (README.md:46-49, A3,
-    # SchemaEvolution.java:328-404).  Every column has a stable field ID
-    # (metadata.field_ids); files record their name→ID mapping at write
-    # time (ManifestEntry.column_ids).  add/drop/widen/rename are all
+    # SchemaEvolution.java:328-404; nested element-wise rebuild
+    # :511-587).  Every struct field at every depth has a stable field ID
+    # keyed by dotted path (metadata.field_ids; arrays descend via
+    # ".element", maps via ".key"/".value"); files record their
+    # path→ID mapping at write time (ManifestEntry.column_ids).
+    # add/drop/widen/rename — top-level OR nested — are all
     # metadata-only commits; the read path resolves old files by ID
-    # (rename = same ID, new name), NULL-fills columns added since, and
-    # upcasts widened types in the parquet reader.
+    # (rename = same ID, new name), NULL-fills fields added since, and
+    # upcasts widened types in the parquet reader (tables/evolution.py).
 
-    _WIDENINGS = {
-        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
-        ("smallint", "int"), ("smallint", "bigint"),
-        ("int", "bigint"), ("float", "double"),
-    }
+    def _commit_schema(self, schema: T.StructType) -> None:
+        from swiftlake_spark.tables import evolution as EV
 
-    def add_column(self, name: str, dtype: str) -> None:
-        schema = self.schema
-        if name in schema.fieldNames():
-            raise ValidationError(f"column {name!r} already exists")
-        schema = schema.add(name, dtype, True)
         self.meta.schema_json = schema.jsonValue()
-        self.meta.field_ids[name] = self.meta.next_field_id
-        self.meta.next_field_id += 1
+        # any paths introduced by the edit (including subfields of an
+        # added struct-typed column) get fresh, never-reused IDs
+        for path, _f in EV.iter_struct_paths(schema):
+            if path not in self.meta.field_ids:
+                self.meta.field_ids[path] = self.meta.next_field_id
+                self.meta.next_field_id += 1
         write_new_version(self.meta)
 
+    def add_column(self, name: str, dtype: str) -> None:
+        """Add a column, or a nested field: ``add_column("payload.score",
+        "double")``, ``add_column("tags.element.w", "int")``."""
+        from swiftlake_spark.tables import evolution as EV
+
+        self._commit_schema(EV.add_field(self.schema, name, dtype))
+
     def drop_column(self, name: str) -> None:
-        schema = self.schema
-        if name not in schema.fieldNames():
-            raise ValidationError(f"no column {name!r}")
+        from swiftlake_spark.tables import evolution as EV
+
         refs = {t.source for t in self.transforms} | {
             d["col"] for d in self.meta.sort_order
         }
@@ -566,31 +571,19 @@ class Table:
             raise ValidationError(
                 f"column {name!r} is referenced by the partition spec or sort order"
             )
-        self.meta.schema_json = T.StructType(
-            [f for f in schema.fields if f.name != name]
-        ).jsonValue()
-        # the ID is retired, never reused (next_field_id is monotonic), so
-        # a later add of the same name is a NEW column: old files' data
-        # for the dropped ID stays invisible
-        self.meta.field_ids.pop(name, None)
+        schema = EV.drop_field(self.schema, name)
+        # IDs (incl. descendants) are retired, never reused
+        # (next_field_id is monotonic), so a later add of the same name
+        # is a NEW field: old files' data for the dropped ID stays
+        # invisible
+        self.meta.field_ids = EV.drop_keys(self.meta.field_ids, name)
+        self.meta.schema_json = schema.jsonValue()
         write_new_version(self.meta)
 
     def widen_column(self, name: str, dtype: str) -> None:
-        schema = self.schema
-        if name not in schema.fieldNames():
-            raise ValidationError(f"no column {name!r}")
-        cur = schema[name].dataType.simpleString()
-        if (cur, dtype) not in self._WIDENINGS:
-            raise ValidationError(f"cannot widen {name}: {cur} → {dtype}")
-        self.meta.schema_json = T.StructType(
-            [
-                T.StructField(f.name, T._parse_datatype_string(dtype), f.nullable)
-                if f.name == name
-                else f
-                for f in schema.fields
-            ]
-        ).jsonValue()
-        write_new_version(self.meta)
+        from swiftlake_spark.tables import evolution as EV
+
+        self._commit_schema(EV.widen_field(self.schema, name, dtype))
 
     def reorder_columns(self, names: list[str]) -> None:
         """Reorder = metadata-only permutation of the declared schema
