@@ -485,23 +485,31 @@ def q75_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q76_pack_sequences",
     oracle="""
 WITH t AS (
-  SELECT doc_id, source, LEN(string_split(text, ' ')) AS n_tokens FROM documents
+  SELECT doc_id, source,
+         CASE WHEN text = '' THEN 0
+              ELSE LEN(string_split(text, ' ')) END AS n_tokens
+  FROM documents
 ), c AS (
+  -- CAST: DuckDB's window SUM yields HUGEINT (INT128); pin BIGINT so the
+  -- driver's value canonicalizer renders identically to Spark's LongType
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         - n_tokens AS cum_before
   FROM t
 )
 SELECT doc_id, source, n_tokens,
-       cum_before // 256             AS pack_id,
-       cum_before - (cum_before // 256) * 256 AS pack_offset
+       cum_before // 256 AS pack_id,
+       cum_before % 256  AS pack_offset
 FROM c
 ORDER BY source, doc_id
 """,
 )
 def q76_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    n_tokens = F.when(F.col("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("text"), " ", -1))
+    )
     w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
     t = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
     c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
@@ -510,7 +518,7 @@ def q76_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         F.expr("cum_before div 256").alias("pack_id"),
-        (F.col("cum_before") - F.expr("cum_before div 256") * 256).alias("pack_offset"),
+        (F.col("cum_before") % 256).alias("pack_offset"),
     ).orderBy("source", "doc_id")
 
 
