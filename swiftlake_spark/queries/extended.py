@@ -851,3 +851,77 @@ def q101_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY months.m
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q111 — nested schema evolution end-to-end: a table whose live files
+# span three schema generations (original struct → nested rename + widen
+# + nested add) is read back through the ID-based read plan
+# (tables/evolution.build_read_plan, ≙ SchemaEvolution.java:511-587).
+# The oracle recomputes the expected final relation straight from the
+# base `nation` parquet — engine-independent.  The evolved table is
+# built once per (session, sf_dir) and cached: 25 rows, metadata-only
+# evolution commits, so the build never touches data at scale.
+# --------------------------------------------------------------------------
+_Q111_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _q111_table(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from swiftlake_spark.tables.catalog import Catalog
+
+    key = (id(spark), sf_dir)
+    wh = _Q111_CACHE.get(key)
+    if wh is not None:
+        return Catalog(spark, wh).table("db.q111")
+    wh = tempfile.mkdtemp(prefix="swiftlake_q111_")
+    cat = Catalog(spark, wh)
+    t = cat.create_table("db.q111", "id BIGINT, info STRUCT<nm: STRING, rk: INT>")
+    nation = load(spark, sf_dir, "nation")
+    gen1 = nation.filter("n_nationkey <= 12").select(
+        F.col("n_nationkey").cast("bigint").alias("id"),
+        F.struct(
+            F.col("n_name").alias("nm"),
+            F.col("n_regionkey").cast("int").alias("rk"),
+        ).alias("info"),
+    )
+    t.append(gen1)
+    # metadata-only evolution: rename keeps the field ID, widen upcasts
+    # at read, the added leaf NULL-fills gen-1 files
+    t.rename_column("info.rk", "region_key")
+    t.widen_column("info.region_key", "bigint")
+    t.add_column("info.bonus", "bigint")
+    gen2 = nation.filter("n_nationkey > 12").select(
+        F.col("n_nationkey").cast("bigint").alias("id"),
+        F.struct(
+            F.col("n_name").alias("nm"),
+            F.col("n_regionkey").cast("bigint").alias("region_key"),
+            (F.col("n_nationkey").cast("bigint") * 2).alias("bonus"),
+        ).alias("info"),
+    )
+    t.append(gen2)
+    _Q111_CACHE[key] = wh
+    return t
+
+
+@query(
+    "q111_nested_evolution",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS id,
+       n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS region_key,
+       CASE WHEN n_nationkey <= 12 THEN NULL
+            ELSE CAST(n_nationkey * 2 AS BIGINT) END AS bonus
+FROM nation
+ORDER BY id
+""",
+)
+def q111_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _q111_table(spark, sf_dir)
+    return t.scan().select(
+        "id",
+        F.col("info.nm").alias("name"),
+        F.col("info.region_key").alias("region_key"),
+        F.col("info.bonus").alias("bonus"),
+    ).orderBy("id")

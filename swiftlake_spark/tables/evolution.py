@@ -43,10 +43,6 @@ WIDENINGS = {
     ("int", "bigint"), ("float", "double"),
 }
 
-# reserved path tokens for container descent (not renameable fields)
-_CONTAINER_TOKENS = {"element", "key", "value"}
-
-
 # --------------------------------------------------------------- walking
 
 def iter_struct_paths(schema: T.StructType) -> Iterator[tuple[str, T.StructField]]:
@@ -84,29 +80,33 @@ def assign_field_ids(schema: T.StructType) -> tuple[dict[str, int], int]:
 def _rebuild_at(
     dtype: T.DataType, segs: list[str], edit: Callable[[T.StructType], T.StructType]
 ) -> T.DataType:
-    """Apply ``edit`` to the struct addressed by ``segs`` (container
-    tokens included), rebuilding the enclosing type tree immutably."""
+    """Apply ``edit`` to the struct addressed by ``segs``, rebuilding the
+    enclosing type tree immutably.  Descent is type-driven: on an array
+    the segment must be ``element``, on a map ``key``/``value``, on a
+    struct it names a field — so a struct field legitimately named
+    "value" stays addressable (the dtype at each step disambiguates,
+    and a column has exactly one type, so paths never collide)."""
     if not segs:
         if not isinstance(dtype, T.StructType):
             raise ValidationError(f"path does not address a struct ({dtype.simpleString()})")
         return edit(dtype)
     seg = segs[0]
-    if seg == "element":
-        if not isinstance(dtype, T.ArrayType):
-            raise ValidationError("'element' only descends arrays")
+    if isinstance(dtype, T.ArrayType):
+        if seg != "element":
+            raise ValidationError(f"arrays descend via 'element', not {seg!r}")
         return T.ArrayType(_rebuild_at(dtype.elementType, segs[1:], edit), dtype.containsNull)
-    if seg == "key":
-        if not isinstance(dtype, T.MapType):
-            raise ValidationError("'key' only descends maps")
-        return T.MapType(
-            _rebuild_at(dtype.keyType, segs[1:], edit), dtype.valueType, dtype.valueContainsNull
-        )
-    if seg == "value":
-        if not isinstance(dtype, T.MapType):
-            raise ValidationError("'value' only descends maps")
-        return T.MapType(
-            dtype.keyType, _rebuild_at(dtype.valueType, segs[1:], edit), dtype.valueContainsNull
-        )
+    if isinstance(dtype, T.MapType):
+        if seg == "key":
+            return T.MapType(
+                _rebuild_at(dtype.keyType, segs[1:], edit), dtype.valueType,
+                dtype.valueContainsNull,
+            )
+        if seg == "value":
+            return T.MapType(
+                dtype.keyType, _rebuild_at(dtype.valueType, segs[1:], edit),
+                dtype.valueContainsNull,
+            )
+        raise ValidationError(f"maps descend via 'key'/'value', not {seg!r}")
     if not isinstance(dtype, T.StructType):
         raise ValidationError(f"cannot descend {dtype.simpleString()} via field {seg!r}")
     if seg not in dtype.fieldNames():
@@ -123,19 +123,20 @@ def _rebuild_at(
 
 def _split(path: str) -> tuple[list[str], str]:
     segs = path.split(".")
-    leaf = segs[-1]
-    if leaf in _CONTAINER_TOKENS:
-        raise ValidationError(f"{leaf!r} is a container token, not a field")
-    return segs[:-1], leaf
+    return segs[:-1], segs[-1]
 
 
 def add_field(schema: T.StructType, path: str, dtype: str) -> T.StructType:
     parent, leaf = _split(path)
 
+    # DDL type names ("int", "bigint", "array<string>"), consistent with
+    # widen_field — StructType.add alone only accepts JSON names
+    parsed = T._parse_datatype_string(dtype)
+
     def edit(st: T.StructType) -> T.StructType:
         if leaf in st.fieldNames():
             raise ValidationError(f"field {path!r} already exists")
-        return st.add(leaf, dtype, True)
+        return st.add(leaf, parsed, True)
 
     return _rebuild_at(schema, parent, edit)  # type: ignore[return-value]
 
@@ -156,7 +157,7 @@ def drop_field(schema: T.StructType, path: str) -> T.StructType:
 
 def rename_field(schema: T.StructType, path: str, new: str) -> T.StructType:
     parent, leaf = _split(path)
-    if new in _CONTAINER_TOKENS or "." in new:
+    if "." in new or not new:
         raise ValidationError(f"invalid field name {new!r}")
 
     def edit(st: T.StructType) -> T.StructType:
@@ -231,8 +232,9 @@ def build_read_plan(
 
     Files written before nested-ID tracking carry only top-level entries;
     for those, any struct column falls back to name-matched reads with
-    the declared type (safe: nested renames are refused while such files
-    are live — see Table.rename_column's guard)."""
+    the declared type (safe: Table.rename_column refuses nested renames
+    and Table.add_column refuses resurrecting nested adds while such
+    files are live)."""
     id_to_fpath = {fid: p for p, fid in file_ids.items()}
     read_fields: list[T.StructField] = []
     selects: list[Column] = []
@@ -245,6 +247,11 @@ def build_read_plan(
         rtype, build, changed = _resolve(
             f.dataType, f.name, fpath, field_ids, id_to_fpath, file_ids
         )
+        if isinstance(rtype, T.StructType) and not rtype.fields:
+            # none of the declared children exist in this file (all were
+            # added after it was written): nothing to read — NULL-fill
+            selects.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
         read_fields.append(T.StructField(fpath, rtype, True))
         col = F.col(f"`{fpath}`")
         selects.append((build(col) if changed else col).alias(f.name))

@@ -32,7 +32,7 @@ import datetime as dt
 import os
 import urllib.parse
 import uuid
-from typing import Any, Callable, Iterable
+from typing import Any, Callable, Iterable, Iterator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -215,28 +215,24 @@ class Table:
         for e in entries:
             groups.setdefault(tuple(sorted(e.column_ids.items())), []).append(e)
 
+        from swiftlake_spark.tables import evolution as EV
+
         parts: list[DataFrame] = []
         for key, es in groups.items():
             paths = [os.path.join(self.location, e.path) for e in es]
             if not key:  # legacy files: names match current schema
                 df = self.spark.read.schema(schema).parquet(*paths)
             else:
-                id_to_file = {fid: fname for fname, fid in key}
-                read_fields, select_cols = [], []
-                for f in schema.fields:
-                    fid = self.meta.field_ids.get(f.name)
-                    fname = id_to_file.get(fid)
-                    if fname is not None:
-                        # present in file (under its then-current name);
-                        # declared type wins — parquet reader upcasts widened
-                        read_fields.append(T.StructField(fname, f.dataType, True))
-                        select_cols.append(F.col(fname).alias(f.name))
-                    else:
-                        select_cols.append(
-                            F.lit(None).cast(f.dataType).alias(f.name)
-                        )
+                # ID-based resolution at every depth: renamed fields read
+                # under their file-time names and re-alias, retired IDs
+                # NULL-fill, widened leaves upcast in the parquet reader;
+                # nested rebuilds are Catalyst struct/transform expressions
+                # (evolution.build_read_plan, ≙ SchemaEvolution.java:511-587)
+                read_schema, select_cols = EV.build_read_plan(
+                    schema, self.meta.field_ids, dict(key)
+                )
                 df = (
-                    self.spark.read.schema(T.StructType(read_fields))
+                    self.spark.read.schema(read_schema)
                     .parquet(*paths)
                     .select(*select_cols)
                 )
@@ -556,10 +552,58 @@ class Table:
 
     def add_column(self, name: str, dtype: str) -> None:
         """Add a column, or a nested field: ``add_column("payload.score",
-        "double")``, ``add_column("tags.element.w", "int")``."""
+        "double")``, ``add_column("tags.element.w", "int")``.
+
+        Nested adds over files that predate nested-ID tracking carry a
+        resurrection hazard: such files read structs by *name*, so a
+        re-added leaf whose name matches retired data in an old file
+        would resurrect it (the ID-based path NULL-fills instead).  The
+        guard inspects those files' parquet footers and refuses only
+        when the name actually exists in one of them."""
         from swiftlake_spark.tables import evolution as EV
 
+        if "." in name:
+            self._guard_nested_add(name)
         self._commit_schema(EV.add_field(self.schema, name, dtype))
+
+    def _guard_nested_add(self, path: str) -> None:
+        import pyarrow.parquet as pq
+
+        root = path.split(".", 1)[0]
+        root_id = self.meta.field_ids.get(root)
+        if root_id is None:
+            return  # adding under a brand-new column: no old data possible
+        checked: set[str] = set()
+        for e in self._all_manifest_entries():
+            if e.path in checked:
+                continue
+            checked.add(e.path)
+            ids = e.column_ids
+            froot = next((n for n, i in ids.items() if i == root_id), root if not ids else None)
+            if froot is None:
+                continue  # file predates the root column entirely
+            if ids and any(p.split(".", 1)[0] == froot and "." in p for p in ids):
+                continue  # nested IDs stamped: ID resolution NULL-fills retired data
+            # pre-nested-tracking file containing the root struct: check
+            # the footer for a physical leaf under the target path
+            fpath = froot + path[len(root):]
+            try:
+                fschema = pq.ParquetFile(os.path.join(self.location, e.path)).schema
+                names = {fschema.column(i).path for i in range(len(fschema.names))}
+            except OSError:
+                continue
+            # parquet leaf paths use "a.b.c" with "list.element"/"key_value.
+            # key|value" spellings for containers; normalize both sides
+            norm = fpath.replace(".element", ".list.element").replace(
+                ".key", ".key_value.key").replace(".value", ".key_value.value")
+            if any(n == fpath or n == norm or n.startswith(fpath + ".") or n.startswith(norm + ".")
+                   for n in names):
+                raise ValidationError(
+                    f"cannot add nested field {path!r}: file {e.path} predates "
+                    "nested field-ID tracking and already contains data under "
+                    "that name (re-adding would resurrect it); run compact() "
+                    "and expire_snapshots() first"
+                )
 
     def drop_column(self, name: str) -> None:
         from swiftlake_spark.tables import evolution as EV
@@ -627,43 +671,64 @@ class Table:
         self.meta.partition_spec = spec
         write_new_version(self.meta)
 
+    def _all_manifest_entries(self) -> Iterator[ManifestEntry]:
+        """Every manifest entry of every snapshot still in the metadata —
+        i.e. every file reachable through time travel (snapshot_id /
+        as_of / tag / branch).  Manifests are deduped by path."""
+        seen: set[str] = set()
+        for snap in self.meta.snapshots:
+            if snap.manifest in seen:
+                continue
+            seen.add(snap.manifest)
+            yield from self.meta.read_manifest(snap)
+
     def rename_column(self, old: str, new: str) -> None:
-        """Rename = same field ID, new name (SchemaEvolution.java:328-404
-        semantics).  Metadata-only commit; existing files resolve through
-        their recorded column_ids at read time."""
+        """Rename = same field ID, new name — top-level or nested
+        (``rename_column("payload.amt", "amount")``); descendants of a
+        renamed struct keep their IDs (SchemaEvolution.java:328-404,
+        nested :511-587).  Metadata-only commit; existing files resolve
+        through their recorded column_ids at read time.
+
+        Guard: the resolution is ID-based, so every file reachable by
+        time travel must carry the needed ID stamps.  Files that predate
+        field-ID tracking (or, for nested renames, nested-ID tracking)
+        would silently read the renamed field as NULL — refuse until
+        compact() + expire_snapshots() retire them."""
+        from swiftlake_spark.tables import evolution as EV
+
         schema = self.schema
-        if old not in schema.fieldNames():
-            raise ValidationError(f"no column {old!r}")
-        if new in schema.fieldNames():
-            raise ValidationError(f"column {new!r} already exists")
-        # pre-field-ID files carry no name→ID mapping; renaming over them
-        # would orphan their data, so refuse (they disappear after compact)
-        for snap in [self.meta.current_snapshot()] + [
-            self.meta.snapshot_by_id(sid)
-            for k, sid in self.meta.refs.items()
-            if k != "main"
-        ]:
-            for e in self.meta.read_manifest(snap):
-                if not e.column_ids:
+        new_schema = EV.rename_field(schema, old, new)  # validates path + clash
+        root = old.split(".", 1)[0]
+        root_id = self.meta.field_ids.get(root)
+        nested = "." in old
+        for e in self._all_manifest_entries():
+            if not e.column_ids:
+                raise ValidationError(
+                    f"cannot rename: file {e.path} predates field-ID "
+                    "tracking and is reachable by time travel; run "
+                    "compact() and expire_snapshots() first"
+                )
+            if nested and root_id in e.column_ids.values():
+                froot = next(n for n, i in e.column_ids.items() if i == root_id)
+                if not any(p.split(".", 1)[0] == froot and "." in p for p in e.column_ids):
                     raise ValidationError(
-                        f"cannot rename: file {e.path} predates field-ID "
-                        "tracking; run compact() first"
+                        f"cannot rename nested field {old!r}: file {e.path} "
+                        "predates nested field-ID tracking; run compact() "
+                        "and expire_snapshots() first"
                     )
-        self.meta.schema_json = T.StructType(
-            [
-                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
-                for f in schema.fields
-            ]
-        ).jsonValue()
-        self.meta.field_ids[new] = self.meta.field_ids.pop(old)
+        new_path = f"{old.rsplit('.', 1)[0]}.{new}" if nested else new
+        self.meta.schema_json = new_schema.jsonValue()
+        # the renamed path AND every descendant keep their IDs — rename
+        # preserves identity for the whole subtree
+        self.meta.field_ids = EV.rekey_renamed(self.meta.field_ids, old, new_path)
         # keep derived references consistent: partition spec sources and
         # sort order keep pointing at the (renamed) column
         for d in self.meta.partition_spec:
             if d["source"] == old:
-                d["source"] = new
+                d["source"] = new_path
         for d in self.meta.sort_order:
             if d["col"] == old:
-                d["col"] = new
+                d["col"] = new_path
         write_new_version(self.meta)
 
     # ---------------------------------------------------- maintenance
@@ -839,12 +904,17 @@ class Table:
     ) -> ManifestEntry:
         from swiftlake_spark.tables.stats import collect_file_stats
 
+        from swiftlake_spark.tables import evolution as EV
+
         records, size, col_stats = collect_file_stats(abs_path)
-        # stamp the write-time name→field-ID mapping (rename-safe reads)
+        # stamp the write-time path→field-ID mapping — every nested struct
+        # field included (dotted paths, arrays via ".element", maps via
+        # ".key"/".value") so renamed/retired nested fields resolve by ID
+        # at read time (evolution.build_read_plan)
         column_ids = {
-            n: self.meta.field_ids[n]
-            for n in self.schema.fieldNames()
-            if n in self.meta.field_ids
+            p: self.meta.field_ids[p]
+            for p, _f in EV.iter_struct_paths(self.schema)
+            if p in self.meta.field_ids
         }
         return ManifestEntry(rel, records, size, partition, col_stats, column_ids)
 
