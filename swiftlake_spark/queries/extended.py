@@ -925,3 +925,69 @@ def q111_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.region_key").alias("region_key"),
         F.col("info.bonus").alias("bonus"),
     ).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# q112 — Iceberg-parity murmur3 bucket partitioning end-to-end: customers
+# are written through an mbucket(8, c_custkey)-partitioned table (the
+# bucket function is murmur3 x86_32 over the Iceberg single-value
+# serialization — tables/transforms.py, spec vectors pinned in pytest)
+# and read back with a selective filter + a bucket-pruned point lookup.
+# The oracle recomputes the expected relation from raw `customer`
+# parquet, so the check is murmur3-independent: any row misplaced,
+# dropped or duplicated by the bucketed write/prune path breaks the
+# hash.  Built once per (session, sf_dir) and cached.
+# --------------------------------------------------------------------------
+_Q112_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _q112_table(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from swiftlake_spark.tables.catalog import Catalog
+
+    key = (id(spark), sf_dir)
+    wh = _Q112_CACHE.get(key)
+    if wh is not None:
+        return Catalog(spark, wh).table("db.q112")
+    wh = tempfile.mkdtemp(prefix="swiftlake_q112_")
+    cat = Catalog(spark, wh)
+    t = cat.create_table(
+        "db.q112",
+        "c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING",
+        partition_spec=["mbucket(8, c_custkey)"],
+    )
+    t.append(
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("bigint"),
+            F.col("c_nationkey").cast("int"),
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )
+    _Q112_CACHE[key] = wh
+    return t
+
+
+@query(
+    "q112_murmur3_bucket",
+    oracle="""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_nationkey AS INT) AS c_nationkey,
+       c_acctbal, c_mktsegment
+FROM customer
+WHERE c_acctbal > 9000.0 OR c_custkey = 42
+ORDER BY c_custkey
+""",
+)
+def q112_murmur3_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.tables import expressions as E
+
+    t = _q112_table(spark, sf_dir)
+    # point lookup goes through bucket pruning (eq projects to one
+    # bucket); the range predicate reads all buckets but row-filters
+    rich = t.scan(E.gt("c_acctbal", 9000.0)).filter(F.col("c_acctbal") > 9000.0)
+    point = t.scan(E.col_eq("c_custkey", 42)).filter(
+        (F.col("c_custkey") == 42) & ~(F.col("c_acctbal") > 9000.0)
+    )
+    return rich.unionByName(point).orderBy("c_custkey")

@@ -14,8 +14,15 @@ Each transform has two faces that MUST agree value-for-value:
 
 ``bucket`` uses CRC32 of the value's canonical string — ``F.crc32`` and
 ``zlib.crc32`` are the same public algorithm, so both faces agree by
-construction (we deliberately do NOT chase Iceberg's murmur3 bucket
-function; this format defines its own).
+construction.  ``mbucket`` is the Iceberg-parity alternative: murmur3
+x86_32 (public domain, Austin Appleby) over the Iceberg single-value
+serialization (ints/dates/timestamps as 8-byte little-endian longs,
+strings as UTF-8 bytes; Iceberg spec "Appendix B: 32-bit Hash
+Requirements"), bucket = (hash & Int.MAX) % N — so a partition layout
+produced here matches what an Iceberg writer would produce for the same
+spec.  The Spark face is pure Column arithmetic (16-bit split multiplies,
+no 64-bit overflow, ANSI-safe) inside whole-stage codegen; the Python
+face is the same algorithm on ints.  CRC32 stays the default.
 """
 
 from __future__ import annotations
@@ -32,9 +39,163 @@ from pyspark.sql import functions as F
 from swiftlake_spark.tables import expressions as E
 
 
+# ---------------------------------------------------------------- murmur3
+# murmur3 x86_32 — public-domain algorithm; both faces below implement it
+# identically (pytest cross-checks them and pins the Iceberg spec vectors).
+
+_M32 = 0xFFFFFFFF
+_C1, _C2 = 0xCC9E2D51, 0x1B873593
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Python face: murmur3 x86_32 of ``data``, unsigned 32-bit result."""
+    h = seed
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i: i + 4], "little")
+        k = (k * _C1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * _C2) & _M32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _M32
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[n - n % 4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * _C1) & _M32
+        k = ((k << 15) | (k >> 17)) & _M32
+        k = (k * _C2) & _M32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _mm3_serialize(v: Any) -> bytes:
+    """Iceberg single-value hash serialization (spec Appendix B)."""
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, dt.datetime):
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        micros = (v - epoch) // dt.timedelta(microseconds=1)
+        return (micros & (2**64 - 1)).to_bytes(8, "little")
+    if isinstance(v, dt.date):
+        days = (v - dt.date(1970, 1, 1)).days
+        return (days & (2**64 - 1)).to_bytes(8, "little")
+    if isinstance(v, int):  # int and long both hash as 8-byte LE long
+        return (v & (2**64 - 1)).to_bytes(8, "little")
+    raise TypeError(f"mbucket does not support values of type {type(v).__name__}")
+
+
+# Spark face: masked bigint arithmetic.  Multiplies split 16/16 so no
+# intermediate exceeds 2^49 — safe under spark.sql.ansi.enabled=true.
+#
+# Every step that reads its input more than once goes through ``_let``,
+# which binds the input as a higher-order-function lambda variable.
+# Without it the expression TREE doubles at each `h ⊕ f(h)` step (the
+# serialized plan grows exponentially — observed 11 MiB task binaries
+# and executor OOM); with it the plan is linear in the number of steps
+# and codegen sees one shared slot per intermediate.
+
+def _let(val: Column, f) -> Column:
+    """Poor-man's LET: bind ``val`` once, reference it many times."""
+    return F.aggregate(F.array(val), F.lit(0).cast("bigint"), lambda _acc, v: f(v))
+
+
+def _sk32(c: Column) -> Column:
+    return c.bitwiseAND(F.lit(_M32))
+
+
+def _smul32(c: Column, const: int) -> Column:
+    return _let(
+        c,
+        lambda v: _sk32(
+            F.shiftleft(
+                (F.shiftrightunsigned(v, 16) * F.lit(const)).bitwiseAND(F.lit(0xFFFF)), 16
+            )
+            + v.bitwiseAND(F.lit(0xFFFF)) * F.lit(const)
+        ),
+    )
+
+
+def _srotl(c: Column, r: int) -> Column:
+    return _let(
+        c, lambda v: _sk32(F.shiftleft(v, r).bitwiseOR(F.shiftrightunsigned(v, 32 - r)))
+    )
+
+
+def _smixk(k: Column) -> Column:
+    return _smul32(_srotl(_smul32(k, _C1), 15), _C2)
+
+
+def _smixh(h: Column, k: Column) -> Column:
+    x = _srotl(h.bitwiseXOR(_smixk(k)), 13)
+    return _sk32(x * F.lit(5) + F.lit(0xE6546B64))
+
+
+def _sfmix(h: Column, n: Column) -> Column:
+    h = h.bitwiseXOR(_sk32(n))
+    h = _let(h, lambda v: v.bitwiseXOR(F.shiftrightunsigned(v, 16)))
+    h = _smul32(h, 0x85EBCA6B)
+    h = _let(h, lambda v: v.bitwiseXOR(F.shiftrightunsigned(v, 13)))
+    h = _smul32(h, 0xC2B2AE35)
+    return _let(h, lambda v: v.bitwiseXOR(F.shiftrightunsigned(v, 16)))
+
+
+def _mm3_long_col(v: Column) -> Column:
+    """murmur3 of an 8-byte little-endian long (unsigned 32-bit result)."""
+    return _let(
+        v.cast("bigint"),
+        lambda x: _sfmix(
+            _smixh(
+                _smixh(F.lit(0).cast("bigint"), x.bitwiseAND(F.lit(_M32))),  # low 4 LE bytes
+                F.shiftrightunsigned(x, 32),  # high 4 LE bytes
+            ),
+            F.lit(8).cast("bigint"),
+        ),
+    )
+
+
+def _mm3_string_col(c: Column) -> Column:
+    """murmur3 of a string's UTF-8 bytes.  Bytes are addressed through
+    the hex encoding (2 chars/byte, substring + conv are codegen'd);
+    the block loop is ``F.aggregate`` over a 0..nblocks-1 sequence —
+    all JVM-side, no Python."""
+    b = F.encode(c, "UTF-8")
+    hx = F.hex(b)
+    n = F.octet_length(b).cast("bigint")
+    nblocks = F.floor(n / F.lit(4)).cast("bigint")
+    rem = n % F.lit(4)
+
+    def block_k(i: Column) -> Column:
+        p = i * F.lit(8)
+        pair = lambda j: F.substring(hx, (p + F.lit(2 * j + 1)).cast("int"), 2)  # noqa: E731
+        return F.conv(F.concat(pair(3), pair(2), pair(1), pair(0)), 16, 10).cast("bigint")
+
+    blocks = F.when(nblocks > 0, F.sequence(F.lit(0).cast("bigint"), nblocks - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    h = F.aggregate(blocks, F.lit(0).cast("bigint"), lambda acc, i: _smixh(acc, block_k(i)))
+    tpair = lambda j: F.substring(hx, (nblocks * 8 + F.lit(2 * j + 1)).cast("int"), 2)  # noqa: E731
+    tail_hex = (
+        F.when(rem == 1, tpair(0))
+        .when(rem == 2, F.concat(tpair(1), tpair(0)))
+        .otherwise(F.concat(tpair(2), tpair(1), tpair(0)))
+    )
+    tail_k = F.conv(tail_hex, 16, 10).cast("bigint")
+    h = _let(h, lambda v: F.when(rem > 0, v.bitwiseXOR(_smixk(tail_k))).otherwise(v))
+    return _sfmix(h, n)
+
+
 @dataclass(frozen=True)
 class Transform:
-    name: str  # identity | bucket | truncate | year | month | day | hour
+    name: str  # identity | bucket | mbucket | truncate | year | month | day | hour
     source: str  # source column name
     param: int | None = None  # n for bucket, w for truncate
 
@@ -54,6 +215,18 @@ class Transform:
             return F.pmod(F.crc32(c.cast("string").cast("binary")), F.lit(self.param)).cast(
                 "int"
             )
+        if self.name == "mbucket":
+            if dtype == "string":
+                h = _mm3_string_col(c)
+            elif dtype == "date":
+                h = _mm3_long_col(F.datediff(c, F.to_date(F.lit("1970-01-01"))))
+            elif dtype and dtype.startswith("timestamp"):
+                h = _mm3_long_col(F.unix_micros(c))
+            elif dtype in ("tinyint", "smallint", "int", "bigint", None):
+                h = _mm3_long_col(c)
+            else:
+                raise ValueError(f"mbucket does not support dtype {dtype!r}")
+            return (h.bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(self.param)).cast("int")
         if self.name == "truncate":
             # strings: first w chars; integers: floor to multiple of w
             if dtype == "string":
@@ -82,6 +255,8 @@ class Transform:
             return v
         if self.name == "bucket":
             return zlib.crc32(_canonical_str(v).encode("utf-8")) % self.param
+        if self.name == "mbucket":
+            return (murmur3_32(_mm3_serialize(v)) & 0x7FFFFFFF) % self.param
         if self.name == "truncate":
             if isinstance(v, str):
                 return v[: self.param]
@@ -126,7 +301,7 @@ class Transform:
             return E.always_true()
         if self.name == "identity":
             return E.Predicate(op, pn, v)
-        if self.name == "bucket":
+        if self.name in ("bucket", "mbucket"):
             return E.col_eq(pn, self.apply(v)) if op == "eq" else E.always_true()
         # order-preserving transforms (truncate/year/month/day/hour):
         tv = self.apply(v)
@@ -162,7 +337,7 @@ def _as_dt(v: Any) -> dt.datetime | dt.date:
 
 _SPEC_RE = re.compile(
     r"^\s*(?:(identity|year|month|day|hour)\s*\(\s*(\w+)\s*\)"
-    r"|(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(bucket|mbucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
     r"|(\w+))\s*$"
 )
 

@@ -38,6 +38,9 @@ CASES = [
     ("n", "n", Transform("identity", "n"), 7),
     ("bucket(4, n)", "n", Transform("bucket", "n", 4), 13),
     ("bucket(8, s)", "s", Transform("bucket", "s", 8), "beta"),
+    ("mbucket(4, n)", "n", Transform("mbucket", "n", 4), 13),
+    ("mbucket(8, s)", "s", Transform("mbucket", "s", 8), "beta"),
+    ("mbucket(16, ts)", "ts", Transform("mbucket", "ts", 16), dt.datetime(2023, 7, 21, 4)),
     ("truncate(10, n)", "n", Transform("truncate", "n", 10), 107),
     ("truncate(2, s)", "s", Transform("truncate", "s", 2), "gamble"),
     ("year(ts)", "ts", Transform("year", "ts"), dt.datetime(2023, 3, 5, 4)),
@@ -140,3 +143,47 @@ def test_partition_evolution_without_rewrite(catalog, spark):
     # gen2 by min/max column stats; rows still exact
     got = sorted(r["id"] for r in t.scan(E.col_eq("s", "alpha")).select("id").collect())
     assert got == [1]
+
+
+def test_murmur3_iceberg_spec_vectors():
+    """Pin the public Iceberg spec 'Appendix B' hash requirements — any
+    Iceberg writer must produce these exact values, so matching them is
+    bucket-layout interop."""
+    from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
+
+    def signed(u):
+        return u - 2**32 if u >= 2**31 else u
+
+    assert signed(murmur3_32(_mm3_serialize(34))) == 2017239379  # int & long
+    assert signed(murmur3_32(_mm3_serialize("iceberg"))) == 1210000089
+    assert signed(murmur3_32(_mm3_serialize(dt.date(2017, 11, 16)))) == -653330422
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8, tzinfo=dt.timezone.utc)
+    assert signed(murmur3_32(_mm3_serialize(ts))) == -2047944441
+
+
+def test_murmur3_spark_and_python_faces_agree(spark):
+    """The Column face (masked bigint arithmetic, ANSI-safe) and the
+    Python face must agree value-for-value — pruning correctness depends
+    on it.  Sampled over negatives, boundaries, unicode and empty/odd-
+    length strings (tail-block handling)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.tables.transforms import Transform
+
+    random.seed(11)
+    longs = [0, -1, 34, -34, 2**62, -(2**62), 2**63 - 1, -(2**63)] + [
+        random.randint(-(2**63), 2**63 - 1) for _ in range(32)
+    ]
+    tl = Transform("mbucket", "v", 32)
+    df = spark.createDataFrame([(v,) for v in longs], "v BIGINT")
+    got = [r[0] for r in df.select(tl.column("bigint")).collect()]
+    assert got == [tl.apply(v) for v in longs]
+
+    strs = ["", "a", "ab", "abc", "abcd", "abcde", "iceberg", "héllo wörld",
+            "日本語テキスト", "x" * 137]
+    ts_ = Transform("mbucket", "s", 8)
+    df2 = spark.createDataFrame([(s,) for s in strs], "s STRING")
+    got2 = [r[0] for r in df2.select(ts_.column("string")).collect()]
+    assert got2 == [ts_.apply(s) for s in strs]
