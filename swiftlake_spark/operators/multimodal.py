@@ -3,17 +3,22 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; heavy decode / feature-extraction runs in Arrow-batched
 ``mapInPandas`` so the Spark-side contract (schema, partitioning, batch
-shape) is real even where the codec itself is stubbed.
+shape) holds regardless of codec.
 
-The actual decoders (PIL/ffmpeg/torchaudio) are NOT in this
-environment; :func:`decode_image` & friends raise
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake (seeded from the payload bytes) produces stable
-features so pipelines and tests can run end-to-end.
+Codecs: formats decodable with the Python stdlib are REAL —
+PPM/PGM (P6/P5 netpbm), uncompressed 24/32-bit BMP (``struct``), and
+PCM WAV (``wave``).  Compressed formats (JPEG/PNG/MP3/video) need
+libraries absent from this environment and raise
+``NotImplementedError``; ``fake=True`` substitutes a deterministic
+payload-seeded feature vector so those pipelines still exercise the
+identical Spark plumbing.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 import zlib
 from typing import Iterator
 
@@ -63,6 +68,163 @@ def _fake_features(payload: bytes, dim: int = _FEATURE_DIM) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+# ------------------------------------------------------------- real codecs
+# Stdlib-only decoders.  Formats: netpbm P6 (RGB) / P5 (gray), BMP
+# (uncompressed 24/32-bit BI_RGB), PCM WAV (8/16/32-bit).  These are the
+# real byte-level formats, so the decode path is genuinely exercised; the
+# encoders below exist for tests and payload synthesis.
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 array (H,W,3) → binary PPM (P6), or (H,W) → PGM (P5)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    elif a.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected (H,W,3) or (H,W), got {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H,W,3) uint8; PGM (P5) → (H,W) uint8.
+    Header parsing tolerates comments and arbitrary whitespace."""
+    magic = data[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos: pos + 1].isspace():
+            pos += 1
+        if data[pos: pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos: pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos: pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w))
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP → (H,W,3) uint8 (top-down)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
+    h = abs(h_signed)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = []
+    for r in range(h):
+        off = pixel_off + r * row_bytes
+        row = np.frombuffer(data, dtype=np.uint8, count=w * nch, offset=off)
+        rows.append(row.reshape(w, nch)[:, :3][:, ::-1])  # BGR(A) → RGB
+    img = np.stack(rows)
+    return img if h_signed < 0 else img[::-1]  # bottom-up unless negative height
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes → (H,W,3) or (H,W) uint8 array."""
+    if data[:2] in (b"P6", b"P5"):
+        return decode_ppm(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:3] == b"\xff\xd8\xff" or data[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "JPEG/PNG decode requires an image library not in this environment"
+        )
+    raise ValueError("unrecognized image payload")
+
+
+def image_features(arr: np.ndarray, dim: int = _FEATURE_DIM) -> np.ndarray:
+    """Deterministic real features from decoded pixels: dims + channel
+    means/stds + an 8-bin luminance histogram (fractions)."""
+    a = arr.astype(np.float32)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=-1)
+    lum = a.mean(axis=2)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    frac = hist.astype(np.float32) / max(lum.size, 1)
+    out = np.array(
+        [arr.shape[1], arr.shape[0], 3 if arr.ndim == 3 else 1,
+         a[:, :, 0].mean(), a[:, :, 1].mean(), a[:, :, 2].mean(),
+         a[:, :, 0].std(), lum.std(), *frac],
+        dtype=np.float32,
+    )
+    return out[:dim]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """float array in [-1, 1] (or int16) → mono 16-bit PCM WAV bytes."""
+    s = np.asarray(samples)
+    if s.dtype != np.int16:
+        s = np.clip(s, -1.0, 1.0)
+        s = (s * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV → (sample_rate, mono float32 samples in [-1, 1])."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 4:
+        s = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        s = s.reshape(-1, nch).mean(axis=1)
+    return rate, s
+
+
+def audio_features(rate: int, samples: np.ndarray, n_bands: int = _FEATURE_DIM) -> dict:
+    """Real waveform features: duration, RMS, zero-crossing rate, and
+    log-spaced FFT band energies (a mel-like spectrum, stdlib+numpy)."""
+    n = len(samples)
+    duration_ms = int(n * 1000 / rate) if rate else 0
+    rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+    zcr = float((np.diff(np.sign(samples)) != 0).mean()) if n > 1 else 0.0
+    if n >= 2:
+        mag = np.abs(np.fft.rfft(samples))
+        edges = np.unique(
+            np.geomspace(1, len(mag) - 1, n_bands + 1).astype(int)
+        )
+        bands = [float(mag[lo:hi].mean()) if hi > lo else 0.0
+                 for lo, hi in zip(edges[:-1], edges[1:])]
+        bands += [0.0] * (n_bands - len(bands))
+    else:
+        bands = [0.0] * n_bands
+    return {"duration_ms": duration_ms, "rms": rms, "zcr": zcr,
+            "mel": [float(b) for b in bands]}
+
+
 def decode_image(
     df: DataFrame,
     data_col: str = "data",
@@ -72,15 +234,11 @@ def decode_image(
 ) -> DataFrame:
     """Decode + feature-extract an image column via ``mapInPandas``.
 
-    STUB: real decoding needs an image library absent from this
-    environment.  With ``fake=True`` a deterministic payload-seeded
-    feature vector flows through the identical Spark plumbing (schema,
-    Arrow batches, partition preservation)."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this environment); "
-            "pass fake=True for the deterministic test double"
-        )
+    Real path (default): stdlib codecs for PPM/PGM/BMP payloads
+    (decode_image_bytes) + pixel-level features (image_features);
+    compressed formats raise inside the task.  ``fake=True`` keeps the
+    deterministic payload-seeded double for pipelines whose payloads
+    aren't decodable here (identical schema / Arrow batching)."""
     out_fields = df.schema.fields + [
         T.StructField(out_col, T.ArrayType(T.FloatType()))
     ]
@@ -88,10 +246,17 @@ def decode_image(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf[out_col] = [
-                None if b is None else _fake_features(bytes(b)).tolist()
-                for b in pdf[data_col]
-            ]
+            if fake:
+                pdf[out_col] = [
+                    None if b is None else _fake_features(bytes(b)).tolist()
+                    for b in pdf[data_col]
+                ]
+            else:
+                pdf[out_col] = [
+                    None if b is None
+                    else image_features(decode_image_bytes(bytes(b))).tolist()
+                    for b in pdf[data_col]
+                ]
             yield pdf
 
     return df.mapInPandas(run, out_schema)
@@ -100,16 +265,44 @@ def decode_image(
 def resize_image(
     df: DataFrame, data_col: str = "data", *, width: int, height: int, fake: bool = False
 ) -> DataFrame:
-    """STUB resize: real path needs an image library.  The fake keeps the
-    payload but rewrites the metadata dimensions (plumbing-true)."""
-    if not fake:
-        raise NotImplementedError("image resize requires an image library")
-    return df.withColumn(
-        "meta",
-        F.col("meta").withField("width", F.lit(width).cast("int")).withField(
-            "height", F.lit(height).cast("int")
-        ),
-    )
+    """Resize an image column.  Real path (default): decode (PPM/PGM/
+    BMP), nearest-neighbor resample in numpy, re-encode as PPM/PGM —
+    payload and metadata both true.  ``fake=True`` only rewrites the
+    metadata dimensions (for undecodable payloads)."""
+    if fake:
+        return df.withColumn(
+            "meta",
+            F.col("meta").withField("width", F.lit(width).cast("int")).withField(
+                "height", F.lit(height).cast("int")
+            ),
+        )
+
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[data_col]:
+                if b is None:
+                    out.append(None)
+                    continue
+                a = decode_image_bytes(bytes(b))
+                ri = np.linspace(0, a.shape[0] - 1, height).round().astype(int)
+                ci = np.linspace(0, a.shape[1] - 1, width).round().astype(int)
+                out.append(encode_ppm(a[np.ix_(ri, ci)]))
+            pdf[data_col] = out
+            yield pdf
+
+    out = df.mapInPandas(run, out_schema)
+    if "meta" in df.columns:
+        out = out.withColumn(
+            "meta",
+            F.col("meta")
+            .withField("width", F.lit(width).cast("int"))
+            .withField("height", F.lit(height).cast("int"))
+            .withField("n_bytes", F.length(F.col(data_col)).cast("bigint")),
+        )
+    return out
 
 
 def sample_frames(
@@ -157,16 +350,11 @@ def decode_audio(
     """Decode + feature-extract an audio column via ``mapInPandas``
     (completes the image/audio/video triad).
 
-    STUB: real decoding needs torchaudio/ffmpeg, absent here.  With
-    ``fake=True`` the payload-seeded deterministic features flow through
-    the identical plumbing, plus a struct of waveform-style scalars
-    (duration from byte length at a nominal 16 kB/s, fake rms / zero-
-    crossing rate) so downstream schemas are realistic."""
-    if not fake:
-        raise NotImplementedError(
-            "audio decode requires torchaudio/ffmpeg (not in this "
-            "environment); pass fake=True for the deterministic test double"
-        )
+    Real path (default): PCM WAV via the stdlib ``wave`` module
+    (decode_wav_bytes) — true duration, RMS, zero-crossing rate and a
+    log-band FFT spectrum (audio_features).  Compressed audio
+    (MP3/AAC/OGG) raises inside the task; ``fake=True`` keeps the
+    payload-seeded double for such pipelines."""
     out_fields = df.schema.fields + [
         T.StructField(
             out_col,
@@ -190,15 +378,18 @@ def decode_audio(
                     feats.append(None)
                     continue
                 payload = bytes(b)
-                mel = _fake_features(payload)
-                feats.append(
-                    {
-                        "duration_ms": int(len(payload) * 1000 / 16_000),
-                        "rms": float(np.abs(mel).mean()),
-                        "zcr": float((np.diff(np.sign(mel)) != 0).mean()),
-                        "mel": mel.tolist(),
-                    }
-                )
+                if fake:
+                    mel = _fake_features(payload)
+                    feats.append(
+                        {
+                            "duration_ms": int(len(payload) * 1000 / 16_000),
+                            "rms": float(np.abs(mel).mean()),
+                            "zcr": float((np.diff(np.sign(mel)) != 0).mean()),
+                            "mel": mel.tolist(),
+                        }
+                    )
+                else:
+                    feats.append(audio_features(*decode_wav_bytes(payload)))
             pdf[out_col] = feats
             yield pdf
 

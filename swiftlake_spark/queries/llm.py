@@ -673,25 +673,37 @@ def q52_langid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q53 — multimodal plumbing (rows-only): binary payloads (synthesized from
-# text bytes), metadata struct, Arrow-batched fake feature extraction.
+# q53 — multimodal image pipeline (rows-only): REAL binary PPM payloads
+# are synthesized from text bytes with pure Column ops (header concat +
+# byte-substring — all JVM-side), then decoded by the stdlib netpbm
+# codec and feature-extracted (pixel means/stds/histogram) in one
+# Arrow-batched mapInPandas (operators/multimodal.py).
 # --------------------------------------------------------------------------
 @query("q53_multimodal_features", oracle=None)
 def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.multimodal import attach_media_meta, decode_image
 
+    # 8x8 RGB PPM: 15-byte header + 192 raster bytes taken from the
+    # document's UTF-8 bytes (repeated so short docs still fill 192)
+    raster = F.substring(
+        F.encode(F.repeat(F.substring(F.col("text"), 1, 192), 64), "utf-8"), 1, 192
+    )
     d = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select("doc_id", F.encode("text", "utf-8").alias("data"))
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            F.concat(F.encode(F.lit("P6\n8 8\n255\n"), "utf-8"), raster).alias("data"),
+        )
     )
-    d = attach_media_meta(d, "data", "fake/raw")
-    feats = decode_image(d, "data", fake=True)
+    d = attach_media_meta(d, "data", "image/x-portable-pixmap")
+    feats = decode_image(d, "data")  # REAL decode, no fake
     return feats.select(
         "doc_id",
         F.col("meta.n_bytes").alias("n_bytes"),
         F.size("features").alias("feat_dim"),
-        F.round(F.element_at("features", 1), 4).alias("f0"),
+        F.round(F.element_at("features", 1), 4).alias("width"),
+        F.round(F.element_at("features", 4), 4).alias("mean_r"),
     ).orderBy("doc_id")
 
 
@@ -1006,21 +1018,47 @@ def q105_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q108 — audio feature extraction plumbing (rows-only: the fake decoder
-# is engine-internal; see operators.multimodal.decode_audio).  Schema,
-# Arrow batching and partition preservation are the real contract.
+# q108 — audio feature extraction (rows-only): REAL PCM WAV payloads are
+# synthesized per document (text bytes → int16 samples → stdlib `wave`
+# encoder), then decoded back by the stdlib codec and feature-extracted
+# (true duration / RMS / ZCR / FFT bands).  Synthesis and decode are two
+# Arrow-batched stages over the same partitioning.
 # --------------------------------------------------------------------------
 @query("q108_audio_features", oracle=None)
 def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from swiftlake_spark.operators.multimodal import attach_media_meta, decode_audio
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from swiftlake_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_audio,
+        encode_wav,
+    )
 
     d = (
         load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select("doc_id", F.encode("text", "utf-8").alias("data"))
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+        .select("doc_id", "text")
     )
-    d = attach_media_meta(d, "data", "fake/pcm")
-    feats = decode_audio(d, "data", fake=True)
+
+    synth_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            data = []
+            for txt in pdf["text"]:
+                raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                samples = (raw.astype(np.float32) - 128.0) / 128.0
+                data.append(encode_wav(samples, rate=8_000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": data})
+
+    wavs = d.mapInPandas(synth, synth_schema)
+    wavs = attach_media_meta(wavs, "data", "audio/wav")
+    feats = decode_audio(wavs, "data")  # REAL stdlib WAV decode
     return feats.select(
         "doc_id",
         F.col("audio_features.duration_ms").alias("duration_ms"),
