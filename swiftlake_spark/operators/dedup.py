@@ -160,36 +160,40 @@ def connected_components(
       edge list);
     - lineage is truncated every round (``localCheckpoint``) so plans
       don't grow with iterations; convergence detection is a scalar
-      SUM(label) aggregate — labels only ever decrease, so an unchanged
-      sum ⟺ a fixpoint.  No row collect anywhere;
+      SUM(label) checksum FUSED into the materialization job via
+      ``observe()`` — labels only ever decrease, so an unchanged sum ⟺
+      a fixpoint.  One Spark job per round, no row collect anywhere;
     - the edge list is persisted once and reused every round.
     """
+    from pyspark.sql import Observation
+
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges.persist()
+
+    # decimal(38,0) keeps the checksum overflow-safe at billions of nodes
+    def _materialize(df):
+        obs = Observation()
+        out = df.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint(eager=True)
+        return out, obs.get["s"]
+
     # init = first propagation round: min over self + direct neighbors
-    labels = (
+    labels, prev_sum = _materialize(
         edges.groupBy("src")
         .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
         .select(F.col("src").alias("id"), "label")
-        .localCheckpoint(eager=True)
     )
-    # decimal(38,0) keeps the checksum overflow-safe at billions of nodes
-    _chk = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_chk).collect()[0][0]
     for _ in range(max_iter - 1):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
         )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        labels, new_sum = _materialize(
+            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
         )
-        new_sum = labels.agg(_chk).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -1079,6 +1079,14 @@ def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one on bigram (score join), one on doc (mean) — all partial-agg
 # friendly; the model join is a plain equi-join that scales with corpus
 # bigram cardinality, never O(n²).
+#
+# Materialization (measured at sf0.1/local[32], PERF.md): `grams` is
+# persisted and the corpus total is derived from the count model
+# (total = SUM of per-bigram counts — no third pass over grams), so the
+# corpus is scanned/exploded ONCE: 4.8 s unpersisted-3-consumer →
+# 2.8-3.3 s.  DISK_ONLY measures the same (3.2 s), which is the level
+# to prefer at 100 TB where the exploded grams (~3× corpus text) exceed
+# executor memory.
 # --------------------------------------------------------------------------
 @query(
     "q109_bigram_surprisal",
@@ -1112,9 +1120,11 @@ def q109_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(-1))),
         lambda i: F.concat_ws(" ", w[i], w[i + 1]),
     )
-    grams = d.select("doc_id", F.explode(arr).alias("bg"))
+    grams = d.select("doc_id", F.explode(arr).alias("bg")).persist()
     cnt = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
-    tot = grams.select(F.count(F.lit(1)).alias("n"))
+    # corpus total = sum of the model's counts: a tiny agg over cnt, not
+    # a third pass over the exploded corpus
+    tot = cnt.agg(F.sum("c").alias("n"))
     surprisal = (F.col("n").cast("double") / F.col("c")).cast("decimal(28,10)")
     scored = (
         grams.join(cnt, "bg")

@@ -1036,49 +1036,58 @@ def q29_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q33 — file metadata columns (reference exposes filename / file_row_number,
 # common.xml:36-59; Spark: hidden `_metadata.file_name` / `_metadata.row_index`
-# on parquet scans).  Absolute paths can't hash-match an oracle, so the query
-# projects engine-independent derivatives instead: lineitem is rewritten
-# partitioned by l_returnflag with one file per partition (repartition on the
-# partition key ⇒ each key's rows land in exactly one task ⇒ one file per
-# directory), then read back and aggregated PER PHYSICAL FILE via the metadata
-# columns.  With one file per flag, per-file row count equals per-flag count
-# and row_index spans 0..n-1 — both computable by the DuckDB oracle from the
-# logical table alone.
+# on parquet scans).  Absolute paths can't hash-match an oracle, so the
+# check uses file-layout-INDEPENDENT invariants: per physical file the
+# row_index must be dense from 0, so per flag max(per-file min) == 0 and
+# sum(per-file max + 1) == count(*) — both computable by DuckDB from the
+# logical table no matter how many files each flag spans.  The partitioned
+# copy is a 2-column projection written ONCE per (session, sf_dir) and
+# salted across 8 shards per flag (repartition on flag alone would funnel
+# each 3-value key through a single task — unbounded skew at scale).
 # --------------------------------------------------------------------------
+_Q33_CACHE: dict[tuple[int, str], str] = {}
+
+
 @query(
     "q33_file_metadata",
     oracle="""
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(0 AS BIGINT) AS min_row_index,
-       CAST(count(*) - 1 AS BIGINT) AS max_row_index
+       CAST(0 AS BIGINT) AS zero_floor,
+       CAST(count(*) AS BIGINT) AS n_rows_via_index
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
 def q33_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    li = load(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="q33_files_") + "/lineitem_by_flag"
-    (
-        li.repartition("l_returnflag")
-        .write.mode("overwrite")
-        .partitionBy("l_returnflag")
-        .parquet(out)
-    )
+    out = _Q33_CACHE.get((id(spark), sf_dir))
+    if out is None:
+        li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+        out = tempfile.mkdtemp(prefix="q33_files_") + "/lineitem_by_flag"
+        (
+            li.repartition(F.col("l_returnflag"), F.pmod(F.col("l_orderkey"), F.lit(8)))
+            .write.partitionBy("l_returnflag")
+            .parquet(out)
+        )
+        _Q33_CACHE[(id(spark), sf_dir)] = out
     back = spark.read.parquet(out).select(
         "l_returnflag",
         F.col("_metadata.file_name").alias("_file"),
         F.col("_metadata.row_index").alias("_row_index"),
     )
+    per_file = back.groupBy("l_returnflag", "_file").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_row_index").alias("min_ri"),
+        F.max("_row_index").alias("max_ri"),
+    )
     return (
-        back.groupBy("l_returnflag", "_file")
+        per_file.groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("_row_index").alias("min_row_index"),
-            F.max("_row_index").alias("max_row_index"),
+            F.sum("n").alias("n_rows"),
+            F.max("min_ri").alias("zero_floor"),
+            F.sum(F.col("max_ri") + F.lit(1)).alias("n_rows_via_index"),
         )
-        .drop("_file")
         .orderBy("l_returnflag")
     )
 
