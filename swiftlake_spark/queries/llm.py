@@ -931,7 +931,9 @@ WITH words AS (
 )
 SELECT sh AS ngram, doc_freq
 FROM dfreq
-WHERE doc_freq >= 0.04 * (SELECT n_docs FROM n)
+-- integer arithmetic (100*freq >= 4*n) so the 4% boundary is exact on
+-- both engines even at scale factors where it lands on an integer
+WHERE 100 * doc_freq >= 4 * (SELECT n_docs FROM n)
 ORDER BY ngram
 """,
 )
@@ -944,7 +946,7 @@ def q104_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("doc_freq"))
     return (
         dfreq.crossJoin(F.broadcast(n_docs))
-        .filter(F.col("doc_freq") >= 0.04 * F.col("n_docs"))
+        .filter(F.col("doc_freq") * 100 >= F.col("n_docs") * 4)
         .select(F.col("sh").alias("ngram"), "doc_freq")
         .orderBy("ngram")
     )

@@ -865,8 +865,10 @@ def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS exact_parts,
-       abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
-         <= 0.15 * COUNT(DISTINCT l_partkey) AS approx_ok
+       -- integer arithmetic (100*|diff| <= 15*exact): the bound is
+       -- exact on both engines even when it lands on an integer
+       100 * abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+         <= 15 * COUNT(DISTINCT l_partkey) AS approx_ok
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -881,8 +883,8 @@ def q25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(
                     F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
-                )
-                <= 0.15 * F.countDistinct("l_partkey")
+                ) * 100
+                <= F.countDistinct("l_partkey") * 15
             ).alias("approx_ok"),
         )
         .orderBy("l_returnflag")
