@@ -991,3 +991,64 @@ def q112_murmur3_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") == 42) & ~(F.col("c_acctbal") > 9000.0)
     )
     return rich.unionByName(point).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# q113 — Iceberg-format interop: a spec-conformant Iceberg v2 table
+# (parquet data files with PARQUET:field_id stamps, Avro manifests +
+# manifest list via the stdlib codec cross-validated against Apache
+# avro-1.12, v<N>.metadata.json) is built from `nation` with a column
+# RENAME between two appends, then read back WITHOUT any Iceberg
+# runtime by sources/iceberg.IcebergTable — gen-1 files resolve the
+# renamed column by parquet field id (spec "Column Projection").  The
+# oracle recomputes the expected relation from raw nation parquet.
+# Built once per (session, sf_dir); 25 rows, so the driver-side fixture
+# write is bounded (the scale path reads, never writes, Iceberg).
+# --------------------------------------------------------------------------
+_Q113_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _q113_table(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+
+    key = (id(spark), sf_dir)
+    loc = _Q113_CACHE.get(key)
+    if loc is not None:
+        return loc
+    loc = tempfile.mkdtemp(prefix="swiftlake_q113_") + "/ice"
+    w = IcebergWriter(loc)
+    nation = load(spark, sf_dir, "nation")
+    gen1 = nation.filter("n_nationkey <= 12").select(
+        F.col("n_nationkey").cast("bigint").alias("id"),
+        F.col("n_name").alias("nm"),
+        F.col("n_regionkey").cast("bigint").alias("rk"),
+    )
+    w.append(gen1)
+    w.rename_column("rk", "region_key")  # gen-1 files keep the old name
+    gen2 = nation.filter("n_nationkey > 12").select(
+        F.col("n_nationkey").cast("bigint").alias("id"),
+        F.col("n_name").alias("nm"),
+        F.col("n_regionkey").cast("bigint").alias("region_key"),
+    )
+    w.append(gen2)
+    _Q113_CACHE[key] = loc
+    return loc
+
+
+@query(
+    "q113_iceberg_read",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS id,
+       n_name AS nm,
+       CAST(n_regionkey AS BIGINT) AS region_key
+FROM nation
+ORDER BY id
+""",
+)
+def q113_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, _q113_table(spark, sf_dir))
+    return t.scan().select("id", "nm", "region_key").orderBy("id")

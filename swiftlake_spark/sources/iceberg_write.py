@@ -1,0 +1,251 @@
+"""Minimal Iceberg v2 table writer (spec-conformant layout, small tables).
+
+Produces a directory any Iceberg runtime can read: parquet data files
+with ``PARQUET:field_id`` column metadata, Avro manifests + manifest
+list (sources/avro.py), ``v<N>.metadata.json`` and
+``version-hint.text``.  Exists for interop round-trip tests (the reader
+in sources/iceberg.py must be exercised against real wire format) and
+for exporting small dimension tables to Iceberg consumers.
+
+SCALE CAVEAT: rows pass through the driver via Arrow (`toArrow`), so
+this is for bounded tables only — the distributed write path of this
+engine is the native format (tables/table.py); exporting 100 TB to
+Iceberg would need a Spark-side writer stamping field IDs, which plain
+``df.write.parquet`` cannot do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from swiftlake_spark.sources.avro import write_container
+
+_SPARK_TO_ICEBERG = {
+    T.BooleanType(): "boolean",
+    T.IntegerType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.DateType(): "date",
+    T.StringType(): "string",
+    T.BinaryType(): "binary",
+    T.TimestampType(): "timestamptz",
+    T.TimestampNTZType(): "timestamp",
+}
+
+# Avro schemas: the v2 manifest-list / manifest_entry subset every
+# reader must understand (Iceberg spec "Manifests" / "Manifest Lists").
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _manifest_schema() -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {"type": "record", "name": "r102", "fields": []},
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+def _iceberg_schema_json(schema: T.StructType, ids: dict[str, int], schema_id: int) -> dict:
+    fields = []
+    for f in schema.fields:
+        it = _SPARK_TO_ICEBERG.get(f.dataType)
+        if it is None:
+            if isinstance(f.dataType, T.DecimalType):
+                it = f"decimal({f.dataType.precision},{f.dataType.scale})"
+            else:
+                raise ValueError(f"no Iceberg mapping for {f.dataType}")
+        fields.append(
+            {"id": ids[f.name], "name": f.name, "required": False, "type": it}
+        )
+    return {"type": "struct", "schema-id": schema_id, "fields": fields}
+
+
+class IcebergWriter:
+    """Build an Iceberg v2 table directory snapshot-by-snapshot."""
+
+    def __init__(self, location: str) -> None:
+        self.location = location
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        self.table_uuid = str(uuid.uuid4())
+        self.version = 0
+        self.snapshots: list[dict] = []
+        self.schemas: list[dict] = []
+        self.field_ids: dict[str, int] = {}
+        self.next_id = 1
+        self.seq = 0
+        self._manifests: list[dict] = []  # live manifest-list entries
+
+    def _assign_ids(self, schema: T.StructType) -> None:
+        for f in schema.fields:
+            if f.name not in self.field_ids:
+                self.field_ids[f.name] = self.next_id
+                self.next_id += 1
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only rename: same field id, new name (spec rename)."""
+        self.field_ids[new] = self.field_ids.pop(old)
+
+    def append(self, df: DataFrame) -> int:
+        """Append a snapshot from a (bounded) DataFrame; returns its id."""
+        self._assign_ids(df.schema)
+        self.seq += 1
+        snap_id = int(time.time() * 1000) * 1000 + self.seq
+
+        # data file: arrow with PARQUET:field_id on every column
+        at = df.toArrow()
+        fields = [
+            f.with_metadata({b"PARQUET:field_id": str(self.field_ids[f.name]).encode()})
+            for f in at.schema
+        ]
+        at = at.cast(pa.schema(fields))
+        rel = f"data/{uuid.uuid4().hex[:12]}.parquet"
+        fpath = os.path.join(self.location, rel)
+        pq.write_table(at, fpath)
+
+        # manifest (one per snapshot, containing the new file)
+        man_rel = f"metadata/manifest-{snap_id}.avro"
+        entry = {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": f"file://{fpath}",
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": at.num_rows,
+                "file_size_in_bytes": os.path.getsize(fpath),
+            },
+        }
+        write_container(os.path.join(self.location, man_rel), _manifest_schema(), [entry])
+
+        self._manifests.append(
+            {
+                "manifest_path": f"file://{os.path.join(self.location, man_rel)}",
+                "manifest_length": os.path.getsize(os.path.join(self.location, man_rel)),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": self.seq,
+                "min_sequence_number": self.seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": at.num_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+        ml_rel = f"metadata/snap-{snap_id}.avro"
+        write_container(
+            os.path.join(self.location, ml_rel),
+            MANIFEST_LIST_SCHEMA,
+            list(self._manifests),
+        )
+
+        schema_id = len(self.schemas)
+        self.schemas.append(_iceberg_schema_json(df.schema, self.field_ids, schema_id))
+        self.snapshots.append(
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": self.seq,
+                "timestamp-ms": int(time.time() * 1000) + self.seq,
+                "summary": {"operation": "append"},
+                "manifest-list": f"file://{os.path.join(self.location, ml_rel)}",
+                "schema-id": schema_id,
+            }
+        )
+        self._write_metadata()
+        return snap_id
+
+    def commit_schema(self, schema: T.StructType) -> None:
+        """Record a schema change (e.g. after rename_column) without data."""
+        self._assign_ids(schema)
+        self.schemas.append(
+            _iceberg_schema_json(schema, self.field_ids, len(self.schemas))
+        )
+        self._write_metadata()
+
+    def _write_metadata(self) -> None:
+        self.version += 1
+        meta: dict[str, Any] = {
+            "format-version": 2,
+            "table-uuid": self.table_uuid,
+            "location": self.location,
+            "last-sequence-number": self.seq,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": self.next_id - 1,
+            "current-schema-id": len(self.schemas) - 1,
+            "schemas": self.schemas,
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {},
+            "current-snapshot-id": (
+                self.snapshots[-1]["snapshot-id"] if self.snapshots else -1
+            ),
+            "snapshots": self.snapshots,
+        }
+        with open(
+            os.path.join(self.location, "metadata", f"v{self.version}.metadata.json"), "w"
+        ) as f:
+            json.dump(meta, f)
+        with open(
+            os.path.join(self.location, "metadata", "version-hint.text"), "w"
+        ) as f:
+            f.write(str(self.version))

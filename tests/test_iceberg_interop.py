@@ -1,0 +1,172 @@
+"""Iceberg interop: read real Iceberg-v2 wire format without the runtime.
+
+The Avro codec under these fixtures is cross-validated against Apache
+avro-1.12 (both directions, deflate codec) — see sources/avro.py; the
+fixtures here are written through that codec plus spec-conformant
+metadata JSON and parquet field_id stamps, so the reader is exercised
+against the genuine public formats (Iceberg spec: "Table Metadata",
+"Manifests", "Manifest Lists", "Column Projection").
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def rows(df, *cols):
+    out = df.select(*cols) if cols else df
+    return sorted([tuple(r) for r in out.collect()])
+
+
+def test_avro_container_roundtrip_unions_and_blocks(tmp_path):
+    from swiftlake_spark.sources.avro import read_container, write_container
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "double"}},
+            {"name": "b", "type": "boolean"},
+        ],
+    }
+    recs = [
+        {"id": i * 997, "s": None if i % 3 == 0 else f"s{i}-ü",
+         "xs": list(range(i % 5)), "m": {f"k{i}": i / 7.0}, "b": i % 2 == 0}
+        for i in range(200)
+    ]
+    p = str(tmp_path / "t.avro")
+    write_container(p, schema, recs)
+    s2, r2 = read_container(p)
+    assert s2 == schema and r2 == recs
+
+
+@pytest.fixture()
+def iceberg_table(spark, tmp_path):
+    """Three-generation Iceberg v2 table: append, rename, append —
+    the rename means gen-1 files carry the OLD column name and must
+    resolve by parquet field id."""
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+
+    loc = str(tmp_path / "ice")
+    w = IcebergWriter(loc)
+    g1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id BIGINT, name STRING, amt DOUBLE"
+    )
+    s1 = w.append(g1)
+    w.rename_column("amt", "amount")
+    g2 = spark.createDataFrame(
+        [(3, "c", 30.0)], "id BIGINT, name STRING, amount DOUBLE"
+    )
+    s2 = w.append(g2)
+    return loc, s1, s2
+
+
+def test_iceberg_scan_resolves_rename_by_field_id(spark, iceberg_table):
+    from swiftlake_spark.sources.iceberg import IcebergTable
+
+    loc, s1, s2 = iceberg_table
+    t = IcebergTable(spark, loc)
+    assert t.format_version == 2
+    got = rows(t.scan(), "id", "name", "amount")
+    assert got == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+
+
+def test_iceberg_time_travel(spark, iceberg_table):
+    from swiftlake_spark.sources.iceberg import IcebergTable
+
+    loc, s1, s2 = iceberg_table
+    t = IcebergTable(spark, loc)
+    # snapshot 1 predates the rename; reads under the CURRENT schema
+    got = rows(t.scan(snapshot_id=s1), "id", "amount")
+    assert got == [(1, 10.0), (2, 20.0)]
+    hist = t.history()
+    assert [h["snapshot_id"] for h in hist] == [s1, s2]
+    assert all(h["operation"] == "append" for h in hist)
+    # as-of resolution picks the latest snapshot at/before the timestamp
+    ts1 = hist[0]["timestamp_ms"]
+    got = rows(t.scan(as_of_ms=ts1), "id")
+    assert got == [(1,), (2,)]
+
+
+def test_iceberg_added_column_null_fills(spark, tmp_path):
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+
+    loc = str(tmp_path / "ice2")
+    w = IcebergWriter(loc)
+    w.append(spark.createDataFrame([(1, "a")], "id BIGINT, name STRING"))
+    w.append(
+        spark.createDataFrame([(2, "b", 99.0)], "id BIGINT, name STRING, score DOUBLE")
+    )
+    t = IcebergTable(spark, loc)
+    got = rows(t.scan(), "id", "name", "score")
+    assert got == [(1, "a", None), (2, "b", 99.0)]
+
+
+def test_iceberg_metadata_discovery_without_hint(spark, iceberg_table):
+    from swiftlake_spark.sources.iceberg import IcebergTable
+
+    loc, s1, s2 = iceberg_table
+    os.remove(os.path.join(loc, "metadata", "version-hint.text"))
+    t = IcebergTable(spark, loc)  # falls back to latest *.metadata.json
+    assert t.scan().count() == 3
+
+
+def test_iceberg_delete_manifest_refused(spark, iceberg_table):
+    from swiftlake_spark.sources.avro import read_container, write_container
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import MANIFEST_LIST_SCHEMA
+
+    loc, s1, s2 = iceberg_table
+    t = IcebergTable(spark, loc)
+    snap = t._resolve_snapshot()
+    ml_path = snap["manifest-list"][len("file://"):]
+    _, manifests = read_container(ml_path)
+    manifests[0]["content"] = 1  # pretend it's a delete manifest
+    write_container(ml_path, MANIFEST_LIST_SCHEMA, manifests)
+    with pytest.raises(NotImplementedError, match="merge-on-read"):
+        IcebergTable(spark, loc).data_files()
+
+
+def test_iceberg_schema_conversion_types():
+    from swiftlake_spark.sources.iceberg import iceberg_type_to_spark
+    from pyspark.sql import types as T
+
+    s = iceberg_type_to_spark(
+        {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "d", "required": True, "type": "decimal(12,3)"},
+                {"id": 2, "name": "u", "required": False, "type": "uuid"},
+                {"id": 3, "name": "tm", "required": False, "type": "time"},
+                {
+                    "id": 4,
+                    "name": "xs",
+                    "required": False,
+                    "type": {"type": "list", "element": "long", "element-required": False},
+                },
+                {
+                    "id": 5,
+                    "name": "kv",
+                    "required": False,
+                    "type": {
+                        "type": "map",
+                        "key": "string",
+                        "value": "double",
+                        "value-required": False,
+                    },
+                },
+            ],
+        }
+    )
+    assert s["d"].dataType == T.DecimalType(12, 3)
+    assert s["u"].dataType == T.StringType()
+    assert s["tm"].dataType == T.LongType()
+    assert s["xs"].dataType == T.ArrayType(T.LongType(), True)
+    assert s["kv"].dataType == T.MapType(T.StringType(), T.DoubleType(), True)
+    assert not s["d"].nullable
