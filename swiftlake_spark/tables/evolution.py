@@ -65,16 +65,6 @@ def iter_struct_paths(schema: T.StructType) -> Iterator[tuple[str, T.StructField
     yield from _walk(schema, "")
 
 
-def assign_field_ids(schema: T.StructType) -> tuple[dict[str, int], int]:
-    """Fresh table: give every (nested) struct field a stable ID."""
-    ids: dict[str, int] = {}
-    nxt = 1
-    for path, _f in iter_struct_paths(schema):
-        ids[path] = nxt
-        nxt += 1
-    return ids, nxt
-
-
 # --------------------------------------------------------------- editing
 
 def _rebuild_at(
