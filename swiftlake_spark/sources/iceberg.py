@@ -31,11 +31,14 @@ import json
 import os
 from typing import Any
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from swiftlake_spark.sources.avro import read_container
+from swiftlake_spark.tables import expressions as E
 
 _PRIMITIVES = {
     "boolean": T.BooleanType(),
@@ -204,9 +207,110 @@ class IcebergTable:
                 files.append(df_)
         return files
 
+    # ------------------------------------------------------------ pruning
+    def _spec_fields(self) -> list[dict]:
+        sid = self.meta.get("default-spec-id", 0)
+        for spec in self.meta.get("partition-specs", []):
+            if spec.get("spec-id", 0) == sid:
+                return spec.get("fields", [])
+        return []
+
+    def _file_may_match(self, filter: E.Expr | None, partition: dict) -> bool:
+        """Conservative partition pruning per the Iceberg spec's transform
+        value encodings (identity / bucket=murmur3 / truncate / year /
+        month / day / hour as ordinals from 1970).  True = keep; only a
+        definitely-false projection prunes."""
+        if filter is None or not partition:
+            return True
+        src_name = self.field_ids()
+        by_source: dict[str, list[dict]] = {}
+        for f in self._spec_fields():
+            col = src_name.get(f["source-id"])
+            if col is not None:
+                by_source.setdefault(col, []).append(f)
+
+        def project(value: Any, transform: str) -> Any:
+            from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
+
+            if transform == "identity":
+                return value
+            if transform.startswith("bucket["):
+                n = int(transform[len("bucket["):-1])
+                return (murmur3_32(_mm3_serialize(value)) & 0x7FFFFFFF) % n
+            if transform.startswith("truncate["):
+                w = int(transform[len("truncate["):-1])
+                return value[:w] if isinstance(value, str) else value - (value % w)
+            d = value
+            if isinstance(d, dt.datetime):
+                if transform == "hour":
+                    epoch = dt.datetime(1970, 1, 1, tzinfo=d.tzinfo)
+                    return int((d - epoch).total_seconds() // 3600)
+                d = d.date()
+            if not isinstance(d, dt.date):
+                raise ValueError(f"cannot project {value!r} through {transform}")
+            if transform == "year":
+                return d.year - 1970
+            if transform == "month":
+                return (d.year - 1970) * 12 + d.month - 1
+            if transform == "day":
+                return (d - dt.date(1970, 1, 1)).days
+            raise ValueError(f"unknown iceberg transform {transform!r}")
+
+        _ORDERED = ("identity", "truncate", "year", "month", "day", "hour")
+
+        def may(e: E.Expr) -> bool:
+            if isinstance(e, E.And):
+                return may(e.left) and may(e.right)
+            if isinstance(e, E.Or):
+                return may(e.left) or may(e.right)
+            if isinstance(e, E.InPredicate) and not e.negated:
+                for f in by_source.get(e.col, []):
+                    pv = partition.get(f["name"])
+                    try:
+                        pool = {project(v, f["transform"]) for v in e.values}
+                    except (ValueError, TypeError):
+                        continue
+                    if pv not in pool:
+                        return False
+                return True
+            if isinstance(e, E.Predicate):
+                for f in by_source.get(e.col, []):
+                    tr = f["transform"]
+                    pv = partition.get(f["name"])
+                    if e.op == "is_null":
+                        # every transform maps NULL source → NULL partition
+                        if pv is not None:
+                            return False
+                        continue
+                    if e.op in ("not_null", "is_nan", "not_nan", "ne"):
+                        continue
+                    try:
+                        lit = project(e.value, tr)
+                    except (ValueError, TypeError):
+                        continue
+                    if pv is None:
+                        return False  # file holds only NULL source values
+                    if e.op == "eq" and pv != lit:
+                        return False
+                    ordered = tr == "identity" or any(
+                        tr.startswith(p) for p in _ORDERED[1:]
+                    )
+                    if ordered:
+                        if e.op in ("lt", "le") and pv > lit:
+                            return False
+                        if e.op in ("gt", "ge") and pv < lit:
+                            return False
+                return True
+            return True  # unknown shapes never prune
+
+        return may(filter)
+
     # ------------------------------------------------------------ reading
     def scan(
-        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+        self,
+        filter: E.Expr | None = None,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Current-schema DataFrame over the snapshot's data files.
 
@@ -214,14 +318,22 @@ class IcebergTable:
         and resolved BY ID against the current schema — renamed columns
         re-alias, columns added since a file was written NULL-fill, so
         evolved Iceberg tables read correctly (spec "Column Projection").
+        ``filter`` prunes partitions on the manifest (identity / murmur3
+        bucket / truncate / temporal-ordinal transforms) before any file
+        is listed, AND applies as a row filter.
         """
         import pyarrow.parquet as pq
 
         schema = self.spark_schema()
         want = self.field_ids()  # id -> current name
-        files = self.data_files(snapshot_id, as_of_ms)
+        files = [
+            f
+            for f in self.data_files(snapshot_id, as_of_ms)
+            if self._file_may_match(filter, f.get("partition") or {})
+        ]
         if not files:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            return df.filter(filter.column()) if filter is not None else df
         by_name = {f.name: f for f in schema.fields}
 
         groups: dict[tuple, list[str]] = {}
@@ -256,7 +368,7 @@ class IcebergTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return out.filter(filter.column()) if filter is not None else out
 
     # ------------------------------------------------------------ history
     def history(self) -> list[dict]:

@@ -66,7 +66,17 @@ MANIFEST_LIST_SCHEMA = {
 }
 
 
-def _manifest_schema() -> dict:
+_AVRO_PRIM = {
+    T.IntegerType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.StringType(): "string",
+    T.BooleanType(): "boolean",
+}
+
+
+def _manifest_schema(partition_fields: list[dict] | None = None) -> dict:
     data_file = {
         "type": "record",
         "name": "r2",
@@ -76,7 +86,11 @@ def _manifest_schema() -> dict:
             {"name": "file_format", "type": "string", "field-id": 101},
             {
                 "name": "partition",
-                "type": {"type": "record", "name": "r102", "fields": []},
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": partition_fields or [],
+                },
                 "field-id": 102,
             },
             {"name": "record_count", "type": "long", "field-id": 103},
@@ -114,7 +128,10 @@ def _iceberg_schema_json(schema: T.StructType, ids: dict[str, int], schema_id: i
 class IcebergWriter:
     """Build an Iceberg v2 table directory snapshot-by-snapshot."""
 
-    def __init__(self, location: str) -> None:
+    def __init__(self, location: str, partition_spec: list[dict] | None = None) -> None:
+        """``partition_spec``: [{"name", "transform", "source"}] with
+        transform ∈ {identity, bucket[N]} (the fixture subset; the READER
+        additionally prunes truncate/year/month/day/hour)."""
         self.location = location
         os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
@@ -126,6 +143,7 @@ class IcebergWriter:
         self.next_id = 1
         self.seq = 0
         self._manifests: list[dict] = []  # live manifest-list entries
+        self.partition_spec = partition_spec or []
 
     def _assign_ids(self, schema: T.StructType) -> None:
         for f in schema.fields:
@@ -137,40 +155,92 @@ class IcebergWriter:
         """Metadata-only rename: same field id, new name (spec rename)."""
         self.field_ids[new] = self.field_ids.pop(old)
 
+    def _partition_value(self, row: dict, pf: dict) -> Any:
+        from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
+
+        v = row[pf["source"]]
+        tr = pf["transform"]
+        if v is None:
+            return None
+        if tr == "identity":
+            return v
+        if tr.startswith("bucket["):
+            n = int(tr[len("bucket["):-1])
+            return (murmur3_32(_mm3_serialize(v)) & 0x7FFFFFFF) % n
+        raise ValueError(f"fixture writer supports identity/bucket, not {tr!r}")
+
+    def _partition_avro_fields(self, df_schema: T.StructType) -> list[dict]:
+        out = []
+        for i, pf in enumerate(self.partition_spec):
+            if pf["transform"] == "identity":
+                src = df_schema[pf["source"]].dataType
+                at = _AVRO_PRIM.get(src)
+                if at is None:
+                    raise ValueError(f"no avro mapping for partition {src}")
+            else:
+                at = "int"  # bucket ordinal
+            out.append(
+                {"name": pf["name"], "type": ["null", at], "field-id": 1000 + i}
+            )
+        return out
+
     def append(self, df: DataFrame) -> int:
-        """Append a snapshot from a (bounded) DataFrame; returns its id."""
+        """Append a snapshot from a (bounded) DataFrame; returns its id.
+        With a partition spec, rows split into one data file per distinct
+        partition tuple and manifests record the typed partition values."""
         self._assign_ids(df.schema)
         self.seq += 1
         snap_id = int(time.time() * 1000) * 1000 + self.seq
 
-        # data file: arrow with PARQUET:field_id on every column
         at = df.toArrow()
         fields = [
             f.with_metadata({b"PARQUET:field_id": str(self.field_ids[f.name]).encode()})
             for f in at.schema
         ]
         at = at.cast(pa.schema(fields))
-        rel = f"data/{uuid.uuid4().hex[:12]}.parquet"
-        fpath = os.path.join(self.location, rel)
-        pq.write_table(at, fpath)
 
-        # manifest (one per snapshot, containing the new file)
+        # split into per-partition file groups
+        groups: dict[tuple, list[int]] = {}
+        if self.partition_spec:
+            rows = at.to_pylist()
+            for i, row in enumerate(rows):
+                key = tuple(self._partition_value(row, pf) for pf in self.partition_spec)
+                groups.setdefault(key, []).append(i)
+        else:
+            groups[()] = list(range(at.num_rows))
+
+        entries = []
+        for key, idxs in groups.items():
+            part_tbl = at.take(idxs)
+            rel = f"data/{uuid.uuid4().hex[:12]}.parquet"
+            fpath = os.path.join(self.location, rel)
+            pq.write_table(part_tbl, fpath)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"file://{fpath}",
+                        "file_format": "PARQUET",
+                        "partition": {
+                            pf["name"]: key[i]
+                            for i, pf in enumerate(self.partition_spec)
+                        },
+                        "record_count": part_tbl.num_rows,
+                        "file_size_in_bytes": os.path.getsize(fpath),
+                    },
+                }
+            )
+
         man_rel = f"metadata/manifest-{snap_id}.avro"
-        entry = {
-            "status": 1,
-            "snapshot_id": snap_id,
-            "sequence_number": None,
-            "file_sequence_number": None,
-            "data_file": {
-                "content": 0,
-                "file_path": f"file://{fpath}",
-                "file_format": "PARQUET",
-                "partition": {},
-                "record_count": at.num_rows,
-                "file_size_in_bytes": os.path.getsize(fpath),
-            },
-        }
-        write_container(os.path.join(self.location, man_rel), _manifest_schema(), [entry])
+        write_container(
+            os.path.join(self.location, man_rel),
+            _manifest_schema(self._partition_avro_fields(df.schema)),
+            entries,
+        )
 
         self._manifests.append(
             {
@@ -181,7 +251,7 @@ class IcebergWriter:
                 "sequence_number": self.seq,
                 "min_sequence_number": self.seq,
                 "added_snapshot_id": snap_id,
-                "added_files_count": 1,
+                "added_files_count": len(entries),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
                 "added_rows_count": at.num_rows,
@@ -231,7 +301,20 @@ class IcebergWriter:
             "current-schema-id": len(self.schemas) - 1,
             "schemas": self.schemas,
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": pf["name"],
+                            "transform": pf["transform"],
+                            "source-id": self.field_ids[pf["source"]],
+                            "field-id": 1000 + i,
+                        }
+                        for i, pf in enumerate(self.partition_spec)
+                    ],
+                }
+            ],
             "last-partition-id": 999,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],

@@ -170,3 +170,100 @@ def test_iceberg_schema_conversion_types():
     assert s["xs"].dataType == T.ArrayType(T.LongType(), True)
     assert s["kv"].dataType == T.MapType(T.StringType(), T.DoubleType(), True)
     assert not s["d"].nullable
+
+
+def test_iceberg_partition_pruning_identity_and_bucket(spark, tmp_path):
+    """Partitioned Iceberg table: scans with filters must read only the
+    matching partitions (manifest-level pruning, before listing), and
+    results stay exact.  Bucket pruning exercises the murmur3 parity
+    path (Iceberg's own bucket function)."""
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+    from swiftlake_spark.tables import expressions as E
+    from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
+
+    loc = str(tmp_path / "icep")
+    w = IcebergWriter(
+        loc,
+        partition_spec=[
+            {"name": "region", "transform": "identity", "source": "region"},
+            {"name": "id_bucket", "transform": "bucket[4]", "source": "id"},
+        ],
+    )
+    rows_in = [
+        (1, "EU", 1.0), (2, "EU", 2.0), (3, "US", 3.0),
+        (4, "AP", 4.0), (5, None, 5.0),
+    ]
+    w.append(spark.createDataFrame(rows_in, "id BIGINT, region STRING, v DOUBLE"))
+    t = IcebergTable(spark, loc)
+
+    # full read sees all rows, one file per (region, bucket) pair
+    assert t.scan().count() == 5
+    n_files = len(t.data_files())
+    assert n_files >= 4
+
+    # identity pruning on region
+    kept = [
+        f for f in t.data_files()
+        if t._file_may_match(E.col_eq("region", "EU"), f["partition"])
+    ]
+    assert 0 < len(kept) < n_files
+    assert all(f["partition"]["region"] == "EU" for f in kept)
+    got = rows(t.scan(E.col_eq("region", "EU")), "id")
+    assert got == [(1,), (2,)]
+
+    # NULL region: only the null-partition file survives pruning
+    kept_null = [
+        f for f in t.data_files()
+        if t._file_may_match(E.is_null("region"), f["partition"])
+    ]
+    assert all(f["partition"]["region"] is None for f in kept_null)
+    assert rows(t.scan(E.is_null("region")), "id") == [(5,)]
+
+    # murmur3 bucket pruning on id: eq keeps only the literal's bucket
+    b3 = (murmur3_32(_mm3_serialize(3)) & 0x7FFFFFFF) % 4
+    kept_b = [
+        f for f in t.data_files()
+        if t._file_may_match(E.col_eq("id", 3), f["partition"])
+    ]
+    assert all(f["partition"]["id_bucket"] == b3 for f in kept_b)
+    assert rows(t.scan(E.col_eq("id", 3)), "id", "region") == [(3, "US")]
+
+
+def test_iceberg_temporal_transform_projection():
+    """Ordinal encodings of the temporal transforms (spec 'Partition
+    Transforms'): year/month/day/hour count from 1970-01-01."""
+    import datetime as dt
+
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.tables import expressions as E
+
+    t = IcebergTable.__new__(IcebergTable)  # no table needed for projection
+    t.meta = {
+        "format-version": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [{"id": 1, "name": "ts", "required": False, "type": "timestamp"}],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "ts_day", "transform": "day", "source-id": 1, "field-id": 1000}
+                ],
+            }
+        ],
+    }
+    day_ord = (dt.date(2024, 3, 5) - dt.date(1970, 1, 1)).days
+    f = E.col_eq("ts", dt.datetime(2024, 3, 5, 10, 30))
+    assert t._file_may_match(f, {"ts_day": day_ord})
+    assert not t._file_may_match(f, {"ts_day": day_ord + 1})
+    # range predicates prune on the ordinal order
+    lt = E.lt("ts", dt.datetime(2024, 3, 5))
+    assert not t._file_may_match(lt, {"ts_day": day_ord + 10})
+    assert t._file_may_match(lt, {"ts_day": day_ord - 1})
