@@ -208,6 +208,105 @@ class IcebergTable:
         return files
 
     # ------------------------------------------------------------ pruning
+    def _field_types(self) -> dict[int, Any]:
+        """top-level field id → iceberg type (for bound decoding)."""
+        return {f["id"]: f["type"] for f in self.schema_json()["fields"]}
+
+    @staticmethod
+    def _decode_bound(raw: bytes, ice_type: Any) -> Any:
+        """Iceberg single-value binary serialization (spec Appendix D)."""
+        import struct as _s
+
+        if not isinstance(ice_type, str):
+            return None  # no bounds for nested types
+        if ice_type == "int" or ice_type == "date":
+            return _s.unpack("<i", raw)[0]
+        if ice_type in ("long", "time", "timestamp", "timestamptz"):
+            return _s.unpack("<q", raw)[0]
+        if ice_type == "float":
+            return _s.unpack("<f", raw)[0]
+        if ice_type == "double":
+            return _s.unpack("<d", raw)[0]
+        if ice_type == "string":
+            return raw.decode("utf-8")
+        if ice_type == "boolean":
+            return raw == b"\x01"
+        return None  # decimal/fixed/uuid bounds: skip (conservative)
+
+    @staticmethod
+    def _to_comparable(v: Any, ice_type: Any) -> Any:
+        """Literal → the bound encoding's comparable domain."""
+        if ice_type == "date" and isinstance(v, dt.date):
+            return (v - dt.date(1970, 1, 1)).days
+        if ice_type in ("timestamp", "timestamptz") and isinstance(v, dt.datetime):
+            epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return (v - epoch) // dt.timedelta(microseconds=1)
+        return v
+
+    def _kv(self, entry_field: Any) -> dict[int, bytes]:
+        """Manifest k/v lists ({"key","value"} records, avro array-as-map)
+        → dict; tolerate plain dicts from non-spec writers."""
+        if entry_field is None:
+            return {}
+        if isinstance(entry_field, dict):
+            return {int(k): v for k, v in entry_field.items()}
+        return {e["key"]: e["value"] for e in entry_field}
+
+    def _stats_may_match(self, filter: E.Expr, df_entry: dict) -> bool:
+        """File-level min/max + null-count pruning from manifest stats."""
+        types = self._field_types()
+        name_to_id = {n: i for i, n in self.field_ids().items()}
+        lower = self._kv(df_entry.get("lower_bounds"))
+        upper = self._kv(df_entry.get("upper_bounds"))
+        nulls = self._kv(df_entry.get("null_value_counts"))
+        records = df_entry.get("record_count")
+
+        def may(e: E.Expr) -> bool:
+            if isinstance(e, E.And):
+                return may(e.left) and may(e.right)
+            if isinstance(e, E.Or):
+                return may(e.left) or may(e.right)
+            if not isinstance(e, E.Predicate):
+                return True
+            fid = name_to_id.get(e.col)
+            if fid is None:
+                return True
+            if e.op == "is_null":
+                return nulls.get(fid, 1) != 0  # 0 recorded nulls → prune
+            if e.op == "not_null":
+                nc = nulls.get(fid)
+                return not (nc is not None and records is not None and nc == records)
+            if e.op not in ("eq", "lt", "le", "gt", "ge"):
+                return True
+            it = types.get(fid)
+            lo = self._decode_bound(lower[fid], it) if fid in lower else None
+            hi = self._decode_bound(upper[fid], it) if fid in upper else None
+            try:
+                lit = self._to_comparable(e.value, it)
+            except TypeError:
+                return True
+            if isinstance(lit, float) and lit != lit:
+                return True  # NaN never prunes on bounds
+            try:
+                if e.op == "eq":
+                    if lo is not None and lit < lo:
+                        return False
+                    if hi is not None and lit > hi:
+                        return False
+                elif e.op == "lt" and lo is not None and lo >= lit:
+                    return False
+                elif e.op == "le" and lo is not None and lo > lit:
+                    return False
+                elif e.op == "gt" and hi is not None and hi <= lit:
+                    return False
+                elif e.op == "ge" and hi is not None and hi < lit:
+                    return False
+            except TypeError:
+                return True  # incomparable literal/bound: keep
+            return True
+
+        return may(filter)
+
     def _spec_fields(self) -> list[dict]:
         sid = self.meta.get("default-spec-id", 0)
         for spec in self.meta.get("partition-specs", []):
@@ -330,6 +429,7 @@ class IcebergTable:
             f
             for f in self.data_files(snapshot_id, as_of_ms)
             if self._file_may_match(filter, f.get("partition") or {})
+            and (filter is None or self._stats_may_match(filter, f))
         ]
         if not files:
             df = self.spark.createDataFrame([], schema)

@@ -76,6 +76,22 @@ _AVRO_PRIM = {
 }
 
 
+def _kv_array(name: str, value_type: str) -> dict:
+    """Iceberg's array-as-map wire shape: array<record{key, value}>."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": value_type},
+            ],
+        },
+        "logicalType": "map",
+    }
+
+
 def _manifest_schema(partition_fields: list[dict] | None = None) -> dict:
     data_file = {
         "type": "record",
@@ -95,6 +111,21 @@ def _manifest_schema(partition_fields: list[dict] | None = None) -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "null_value_counts",
+                "type": ["null", _kv_array("k121_v122", "long")],
+                "field-id": 110,
+            },
+            {
+                "name": "lower_bounds",
+                "type": ["null", _kv_array("k126_v127", "bytes")],
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _kv_array("k129_v130", "bytes")],
+                "field-id": 128,
+            },
         ],
     }
     return {
@@ -169,6 +200,35 @@ class IcebergWriter:
             return (murmur3_32(_mm3_serialize(v)) & 0x7FFFFFFF) % n
         raise ValueError(f"fixture writer supports identity/bucket, not {tr!r}")
 
+    def _column_stats(self, tbl: pa.Table, schema: T.StructType):
+        """Per-column null counts + min/max bounds in the Iceberg
+        single-value binary serialization (spec Appendix D)."""
+        import struct as _s
+
+        _ENC = {
+            T.IntegerType(): lambda v: _s.pack("<i", v),
+            T.LongType(): lambda v: _s.pack("<q", v),
+            T.FloatType(): lambda v: _s.pack("<f", v),
+            T.DoubleType(): lambda v: _s.pack("<d", v),
+            T.StringType(): lambda v: v.encode("utf-8"),
+            T.BooleanType(): lambda v: b"\x01" if v else b"\x00",
+        }
+        nulls, lowers, uppers = [], [], []
+        for f in schema.fields:
+            fid = self.field_ids[f.name]
+            col = tbl.column(f.name)
+            nulls.append({"key": fid, "value": col.null_count})
+            enc = _ENC.get(f.dataType)
+            if enc is None or col.null_count == len(col):
+                continue
+            import pyarrow.compute as pc
+
+            lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+            if lo is not None:
+                lowers.append({"key": fid, "value": enc(lo)})
+                uppers.append({"key": fid, "value": enc(hi)})
+        return nulls, lowers, uppers
+
     def _partition_avro_fields(self, df_schema: T.StructType) -> list[dict]:
         out = []
         for i, pf in enumerate(self.partition_spec):
@@ -215,6 +275,7 @@ class IcebergWriter:
             rel = f"data/{uuid.uuid4().hex[:12]}.parquet"
             fpath = os.path.join(self.location, rel)
             pq.write_table(part_tbl, fpath)
+            nulls, lowers, uppers = self._column_stats(part_tbl, df.schema)
             entries.append(
                 {
                     "status": 1,
@@ -231,6 +292,9 @@ class IcebergWriter:
                         },
                         "record_count": part_tbl.num_rows,
                         "file_size_in_bytes": os.path.getsize(fpath),
+                        "null_value_counts": nulls,
+                        "lower_bounds": lowers,
+                        "upper_bounds": uppers,
                     },
                 }
             )

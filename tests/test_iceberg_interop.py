@@ -267,3 +267,43 @@ def test_iceberg_temporal_transform_projection():
     lt = E.lt("ts", dt.datetime(2024, 3, 5))
     assert not t._file_may_match(lt, {"ts_day": day_ord + 10})
     assert t._file_may_match(lt, {"ts_day": day_ord - 1})
+
+
+def test_iceberg_stats_pruning_min_max_and_nulls(spark, tmp_path):
+    """File-level min/max + null-count pruning from manifest stats
+    (Iceberg spec Appendix D single-value serialization)."""
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+    from swiftlake_spark.tables import expressions as E
+
+    loc = str(tmp_path / "ices")
+    # region-partitioned so each file carries a disjoint id range
+    w = IcebergWriter(
+        loc, partition_spec=[{"name": "region", "transform": "identity", "source": "region"}]
+    )
+    w.append(
+        spark.createDataFrame(
+            [(1, "EU", "a"), (2, "EU", None), (100, "US", "c"), (200, "US", "d")],
+            "id BIGINT, region STRING, s STRING",
+        )
+    )
+    t = IcebergTable(spark, loc)
+    files = t.data_files()
+    assert all(f.get("lower_bounds") for f in files)
+
+    def kept(fl):
+        return [
+            f for f in files
+            if t._file_may_match(fl, f["partition"]) and t._stats_may_match(fl, f)
+        ]
+
+    # id range: only the US file admits id >= 100
+    assert len(kept(E.ge("id", 100))) == 1
+    assert len(kept(E.col_eq("id", 2))) == 1
+    assert len(kept(E.col_eq("id", 50))) == 0  # between the ranges: both pruned
+    # null counts: s IS NULL only possible in the EU file
+    k = kept(E.is_null("s"))
+    assert len(k) == 1 and k[0]["partition"]["region"] == "EU"
+    # results stay exact through the pruned scan
+    assert rows(t.scan(E.ge("id", 100)), "id") == [(100,), (200,)]
+    assert rows(t.scan(E.col_eq("id", 50)), "id") == []
