@@ -88,13 +88,14 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
-    """Binary PPM (P6) → (H,W,3) uint8; PGM (P5) → (H,W) uint8.
+def _parse_ppm_at(data: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Parse one P6/P5 frame starting at ``pos``; → (array, next offset).
     Header parsing tolerates comments and arbitrary whitespace."""
-    magic = data[:2]
+    magic = data[pos: pos + 2]
     if magic not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM payload")
-    pos, fields = 2, []
+    pos += 2
+    fields: list[int] = []
     while len(fields) < 3:
         while pos < len(data) and data[pos: pos + 1].isspace():
             pos += 1
@@ -111,8 +112,31 @@ def decode_ppm(data: bytes) -> np.ndarray:
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
     ch = 3 if magic == b"P6" else 1
-    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos)
-    return raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w))
+    n = w * h * ch
+    raster = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    arr = raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w))
+    return arr, pos + n
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H,W,3) uint8; PGM (P5) → (H,W) uint8."""
+    arr, _ = _parse_ppm_at(data, 0)
+    return arr
+
+
+def encode_ppm_stream(frames: list[np.ndarray]) -> bytes:
+    """Concatenated-PPM video container: frames back-to-back, each a
+    self-delimiting P6/P5 block (the 'raw video' of the netpbm world)."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_ppm_stream(data: bytes) -> list[np.ndarray]:
+    """Concatenated-PPM container → list of frames."""
+    frames, pos = [], 0
+    while pos < len(data):
+        arr, pos = _parse_ppm_at(data, pos)
+        frames.append(arr)
+    return frames
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -310,17 +334,22 @@ def sample_frames(
     data_col: str = "data",
     *,
     every_ms: int,
+    fps: float = 25.0,
     fake: bool = False,
     out_col: str = "frames",
 ) -> DataFrame:
-    """STUB video frame sampling: emits one fake frame-feature per
-    ``every_ms`` of (fake) duration; real path needs ffmpeg."""
-    if not fake:
-        raise NotImplementedError("frame sampling requires ffmpeg bindings")
+    """Video frame sampling + per-frame features via ``mapInPandas``.
+
+    Real path (default): payloads are concatenated-PPM streams
+    (encode_ppm_stream) — every ``every_ms`` of footage at ``fps`` one
+    frame is kept and feature-extracted (image_features).  Compressed
+    video (mp4/webm) needs ffmpeg and raises inside the task;
+    ``fake=True`` keeps the payload-seeded double."""
     out_fields = df.schema.fields + [
         T.StructField(out_col, T.ArrayType(T.ArrayType(T.FloatType())))
     ]
     out_schema = T.StructType(out_fields)
+    step = max(1, round(every_ms * fps / 1000.0))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -330,10 +359,17 @@ def sample_frames(
                     frames.append(None)
                     continue
                 payload = bytes(b)
-                n = max(1, (len(payload) % 5000) // max(every_ms, 1) + 1)
-                frames.append(
-                    [_fake_features(payload + bytes([i % 256])).tolist() for i in range(n)]
-                )
+                if fake:
+                    n = max(1, (len(payload) % 5000) // max(every_ms, 1) + 1)
+                    frames.append(
+                        [_fake_features(payload + bytes([i % 256])).tolist()
+                         for i in range(n)]
+                    )
+                else:
+                    fs = decode_ppm_stream(payload)
+                    frames.append(
+                        [image_features(f).tolist() for f in fs[::step]]
+                    )
             pdf[out_col] = frames
             yield pdf
 

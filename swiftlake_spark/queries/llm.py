@@ -1175,3 +1175,51 @@ def q110_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+# --------------------------------------------------------------------------
+# q114 — video pipeline (rows-only): REAL concatenated-PPM clips are
+# synthesized per document (text bytes → 8x8 RGB frames, one frame per
+# 192-byte chunk), then frame-sampled by time (1 s @ 25 fps → every
+# 25th frame... here every_ms=120 → every 3rd) and feature-extracted
+# per frame — completing the image/audio/video triad on real codecs
+# (operators/multimodal.py).  Two Arrow stages, partitioning preserved.
+# --------------------------------------------------------------------------
+@query("q114_video_frames", oracle=None)
+def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from swiftlake_spark.operators.multimodal import encode_ppm_stream, sample_frames
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+    synth_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            data = []
+            for txt in pdf["text"]:
+                raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                n_frames = max(1, min(len(raw) // 192, 40))
+                reps = int(np.ceil(n_frames * 192 / max(len(raw), 1)))
+                raw = np.tile(raw, reps)[: n_frames * 192]
+                frames = [raw[i * 192: (i + 1) * 192].reshape(8, 8, 3)
+                          for i in range(n_frames)]
+                data.append(encode_ppm_stream(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": data})
+
+    clips = d.mapInPandas(synth, synth_schema)
+    out = sample_frames(clips, "data", every_ms=120, fps=25.0)  # every 3rd frame
+    return out.select(
+        "doc_id",
+        F.size("frames").alias("n_sampled"),
+        F.round(F.element_at(F.element_at("frames", 1), 4), 4).alias("f0_mean_r"),
+    ).orderBy("doc_id")

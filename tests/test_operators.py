@@ -524,3 +524,33 @@ def test_real_decode_in_spark_pipeline(spark):
     assert all(feats[i]["duration_ms"] == 500 for i in range(3))
     assert all(len(feats[i]["mel"]) == 16 for i in range(3))
     assert feats[0]["rms"] > 0.5  # full-scale sine
+
+
+def test_ppm_stream_video_sampling(spark):
+    """Real video path: concatenated-PPM streams, frame sampling by
+    time at a given fps, per-frame pixel features."""
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        decode_ppm_stream,
+        encode_ppm_stream,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(5)
+    clips = []
+    for i in range(2):
+        n_frames = 50 + i * 25  # 2s / 3s of 25fps footage
+        frames = [rng.randint(0, 256, (4, 4, 3), dtype=np.uint8) for _ in range(n_frames)]
+        clips.append((i, bytearray(encode_ppm_stream(frames))))
+    # container roundtrip
+    back = decode_ppm_stream(bytes(clips[0][1]))
+    assert len(back) == 50 and back[0].shape == (4, 4, 3)
+
+    d = spark.createDataFrame(clips, "id bigint, data binary")
+    # 1000 ms @ 25 fps -> every 25th frame: 2 frames from 50, 3 from 75
+    out = {r["id"]: r["frames"] for r in
+           sample_frames(d, "data", every_ms=1000, fps=25.0).collect()}
+    assert len(out[0]) == 2 and len(out[1]) == 3
+    assert all(len(f) == 16 for f in out[0])  # real per-frame features
+    assert out[0][0][0] == 4.0 and out[0][0][1] == 4.0  # true width/height
