@@ -86,6 +86,18 @@ class SwiftLakeEngine:
         df.createOrReplaceTempView(view)
         return df
 
+    def register_iceberg(self, view: str, location: str, **scan_kw) -> DataFrame:
+        """Expose an EXISTING Apache Iceberg table (v1/v2 directory) as a
+        SQL view — read through sources/iceberg.py (no Iceberg runtime
+        needed; field-ID column resolution, time travel via
+        ``snapshot_id=``/``as_of_ms=`` scan kwargs).  Reference parity:
+        SwiftLakeEngine.java:374-402 resolves Iceberg tables by name."""
+        from swiftlake_spark.sources.iceberg import IcebergTable
+
+        df = IcebergTable(self.spark, location).scan(**scan_kw)
+        df.createOrReplaceTempView(view)
+        return df
+
     def register_testdata(self, sf_dir: str) -> None:
         from swiftlake_spark.queries.base import TABLES, load
 

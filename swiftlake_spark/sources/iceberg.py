@@ -417,25 +417,42 @@ class IcebergTable:
         and resolved BY ID against the current schema — renamed columns
         re-alias, columns added since a file was written NULL-fill, so
         evolved Iceberg tables read correctly (spec "Column Projection").
-        ``filter`` prunes partitions on the manifest (identity / murmur3
-        bucket / truncate / temporal-ordinal transforms) before any file
-        is listed, AND applies as a row filter.
+        ``filter`` prunes partitions AND file-level min/max stats on the
+        manifest (identity / murmur3 bucket / truncate / temporal-ordinal
+        transforms; Appendix D bound decoding) before any file is listed,
+        then applies as a row filter.
         """
-        import pyarrow.parquet as pq
-
-        schema = self.spark_schema()
-        want = self.field_ids()  # id -> current name
         files = [
             f
             for f in self.data_files(snapshot_id, as_of_ms)
             if self._file_may_match(filter, f.get("partition") or {})
             and (filter is None or self._stats_may_match(filter, f))
         ]
-        if not files:
-            df = self.spark.createDataFrame([], schema)
-            return df.filter(filter.column()) if filter is not None else df
-        by_name = {f.name: f for f in schema.fields}
+        out = self._read_files(files)
+        return out.filter(filter.column()) if filter is not None else out
 
+    # ------------------------------------------------------------ incremental
+    def incremental_scan(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Rows appended after ``from_snapshot_id`` up to ``to`` (or the
+        current snapshot): the file-level set difference of the two
+        snapshots, read under the current schema — same contract as the
+        native table's incremental append scan (Table.incremental_scan)."""
+        before = {f["file_path"] for f in self.data_files(snapshot_id=from_snapshot_id)}
+        after = self.data_files(snapshot_id=to_snapshot_id) if to_snapshot_id \
+            else self.data_files()
+        new = [f for f in after if f["file_path"] not in before]
+        return self._read_files(new)
+
+    def _read_files(self, files: list[dict]) -> DataFrame:
+        import pyarrow.parquet as pq
+
+        schema = self.spark_schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        want = self.field_ids()
+        by_name = {f.name: f for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
         for df_ in files:
             path = _local(df_["file_path"], self.location)
@@ -446,7 +463,6 @@ class IcebergTable:
                 if fid is not None:
                     mapping.append((int(fid), fld.name))
             groups.setdefault(tuple(sorted(mapping)), []).append(path)
-
         parts: list[DataFrame] = []
         for key, paths in groups.items():
             id_to_fname = dict(key)
@@ -459,16 +475,15 @@ class IcebergTable:
                 else:
                     read_fields.append(T.StructField(fname, fld.dataType, True))
                     selects.append(F.col(f"`{fname}`").alias(cur_name))
-            part = (
+            parts.append(
                 self.spark.read.schema(T.StructType(read_fields))
                 .parquet(*paths)
                 .select(*selects)
             )
-            parts.append(part)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.filter(filter.column()) if filter is not None else out
+        return out
 
     # ------------------------------------------------------------ history
     def history(self) -> list[dict]:

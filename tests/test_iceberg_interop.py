@@ -307,3 +307,22 @@ def test_iceberg_stats_pruning_min_max_and_nulls(spark, tmp_path):
     # results stay exact through the pruned scan
     assert rows(t.scan(E.ge("id", 100)), "id") == [(100,), (200,)]
     assert rows(t.scan(E.col_eq("id", 50)), "id") == []
+
+
+def test_iceberg_sql_registration_and_incremental(spark, iceberg_table):
+    """Engine-level glue: an Iceberg table participates in SQL, and the
+    incremental scan returns exactly the rows appended between two
+    snapshots (file-level set difference, current schema)."""
+    from swiftlake_spark.engine import SwiftLakeEngine
+    from swiftlake_spark.sources.iceberg import IcebergTable
+
+    loc, s1, s2 = iceberg_table
+    eng = SwiftLakeEngine(spark=spark, warehouse=loc + "_wh")
+    eng.register_iceberg("ice_t", loc)
+    got = rows(spark.sql("SELECT id, amount FROM ice_t ORDER BY id"))
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]
+
+    t = IcebergTable(spark, loc)
+    inc = rows(t.incremental_scan(from_snapshot_id=s1), "id", "amount")
+    assert inc == [(3, 30.0)]
+    assert t.incremental_scan(from_snapshot_id=s2).count() == 0
