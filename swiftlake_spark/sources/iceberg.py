@@ -99,6 +99,28 @@ def _local(path: str, base: str) -> str:
     return path if os.path.isabs(path) else os.path.join(base, path)
 
 
+def _decode_manifest(path: str) -> list[dict]:
+    """Decode one manifest's live parquet data-file entries (module-level
+    so it cloudpickles cleanly into the distributed planning job)."""
+    from swiftlake_spark.sources.avro import read_container as _rc
+
+    _, entries = _rc(path)
+    out = []
+    for e in entries:
+        if e.get("status", 0) == 2:  # DELETED
+            continue
+        df_ = e["data_file"]
+        if df_.get("content", 0) != 0:
+            raise NotImplementedError(
+                "Iceberg delete files (merge-on-read) are not supported"
+            )
+        fmt = str(df_.get("file_format", "PARQUET")).upper()
+        if fmt != "PARQUET":
+            raise NotImplementedError(f"Iceberg {fmt} data files unsupported")
+        out.append(df_)
+    return out
+
+
 class IcebergTable:
     """Read-side handle on an existing Iceberg table directory."""
 
@@ -174,6 +196,12 @@ class IcebergTable:
         return self._resolve_snapshot(snapshot_id=cur)
 
     # ------------------------------------------------------------ planning
+    # above this many manifests, decode them in a Spark job instead of a
+    # driver loop (a 100 TB Iceberg table can carry thousands of
+    # manifests; the avro codec is pure stdlib, so it ships to executors
+    # with the package)
+    DISTRIBUTED_PLAN_THRESHOLD = 64
+
     def data_files(
         self, snapshot_id: int | None = None, as_of_ms: int | None = None
     ) -> list[dict]:
@@ -181,7 +209,6 @@ class IcebergTable:
         snap = self._resolve_snapshot(snapshot_id, as_of_ms)
         if snap is None:
             return []
-        files: list[dict] = []
         if "manifest-list" in snap:
             _, manifests = read_container(_local(snap["manifest-list"], self.location))
         else:  # ancient v1 writers inline the manifest paths
@@ -192,19 +219,16 @@ class IcebergTable:
                     "Iceberg merge-on-read delete manifests are not supported "
                     "(this engine is copy-on-write, like the reference)"
                 )
-            _, entries = read_container(_local(m["manifest_path"], self.location))
-            for e in entries:
-                if e.get("status", 0) == 2:  # DELETED
-                    continue
-                df_ = e["data_file"]
-                if df_.get("content", 0) != 0:
-                    raise NotImplementedError(
-                        "Iceberg delete files (merge-on-read) are not supported"
-                    )
-                fmt = str(df_.get("file_format", "PARQUET")).upper()
-                if fmt != "PARQUET":
-                    raise NotImplementedError(f"Iceberg {fmt} data files unsupported")
-                files.append(df_)
+        paths = [_local(m["manifest_path"], self.location) for m in manifests]
+        if len(paths) > self.DISTRIBUTED_PLAN_THRESHOLD:
+            sc = self.spark.sparkContext
+            chunks = sc.parallelize(paths, max(1, len(paths) // 8)).flatMap(
+                _decode_manifest
+            )
+            return chunks.collect()
+        files: list[dict] = []
+        for p in paths:
+            files.extend(_decode_manifest(p))
         return files
 
     # ------------------------------------------------------------ pruning

@@ -326,3 +326,21 @@ def test_iceberg_sql_registration_and_incremental(spark, iceberg_table):
     inc = rows(t.incremental_scan(from_snapshot_id=s1), "id", "amount")
     assert inc == [(3, 30.0)]
     assert t.incremental_scan(from_snapshot_id=s2).count() == 0
+
+
+def test_iceberg_distributed_manifest_planning(spark, tmp_path):
+    """Above the threshold, manifest decoding runs as a Spark job; the
+    plan result must be identical to the driver-loop path."""
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+
+    loc = str(tmp_path / "icem")
+    w = IcebergWriter(loc)
+    for i in range(6):  # 6 snapshots -> 6 manifests in the latest list
+        w.append(spark.createDataFrame([(i, f"n{i}")], "id BIGINT, name STRING"))
+    t = IcebergTable(spark, loc)
+    serial = sorted(f["file_path"] for f in t.data_files())
+    t.DISTRIBUTED_PLAN_THRESHOLD = 2  # force the Spark-job path
+    dist = sorted(f["file_path"] for f in t.data_files())
+    assert dist == serial and len(dist) == 6
+    assert t.scan().count() == 6

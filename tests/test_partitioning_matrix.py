@@ -187,3 +187,43 @@ def test_murmur3_spark_and_python_faces_agree(spark):
     df2 = spark.createDataFrame([(s,) for s in strs], "s STRING")
     got2 = [r[0] for r in df2.select(ts_.column("string")).collect()]
     assert got2 == [ts_.apply(s) for s in strs]
+
+
+def test_murmur3_property_faces_agree(spark):
+    """Property-based cross-check of the two murmur3 faces (hypothesis
+    generates adversarial strings incl. multi-byte boundaries and longs
+    at two's-complement edges)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.tables.transforms import Transform
+
+    tl = Transform("mbucket", "v", 64)
+    ts_ = Transform("mbucket", "s", 64)
+
+    collected_longs: list[int] = []
+    collected_strs: list[str] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def gather_longs(v):
+        collected_longs.append(v)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=40))
+    def gather_strs(s):
+        collected_strs.append(s)
+
+    gather_longs()
+    gather_strs()
+
+    df = spark.createDataFrame([(v,) for v in collected_longs], "v BIGINT")
+    got = [r[0] for r in df.select(tl.column("bigint")).collect()]
+    assert got == [tl.apply(v) for v in collected_longs]
+
+    # Spark strings are UTF-8; surrogates can't round-trip — filter them
+    clean = [s for s in collected_strs if not any(0xD800 <= ord(c) <= 0xDFFF for c in s)]
+    df2 = spark.createDataFrame([(s,) for s in clean], "s STRING")
+    got2 = [r[0] for r in df2.select(ts_.column("string")).collect()]
+    assert got2 == [ts_.apply(s) for s in clean]
