@@ -141,6 +141,49 @@ def _manifest_schema(partition_fields: list[dict] | None = None) -> dict:
     }
 
 
+def _pvalue(v: Any, transform: str) -> Any:
+    from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
+
+    if v is None:
+        return None
+    if transform == "identity":
+        return v
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket["):-1])
+        return (murmur3_32(_mm3_serialize(v)) & 0x7FFFFFFF) % n
+    raise ValueError(f"writer supports identity/bucket, not {transform!r}")
+
+
+def _stats_for(tbl: pa.Table, schema: T.StructType, field_ids: dict[str, int]):
+    """Per-column null counts + min/max bounds in the Iceberg
+    single-value binary serialization (spec Appendix D)."""
+    import struct as _s
+
+    import pyarrow.compute as pc
+
+    _ENC = {
+        T.IntegerType(): lambda v: _s.pack("<i", v),
+        T.LongType(): lambda v: _s.pack("<q", v),
+        T.FloatType(): lambda v: _s.pack("<f", v),
+        T.DoubleType(): lambda v: _s.pack("<d", v),
+        T.StringType(): lambda v: v.encode("utf-8"),
+        T.BooleanType(): lambda v: b"\x01" if v else b"\x00",
+    }
+    nulls, lowers, uppers = [], [], []
+    for f in schema.fields:
+        fid = field_ids[f.name]
+        col = tbl.column(f.name)
+        nulls.append({"key": fid, "value": col.null_count})
+        enc = _ENC.get(f.dataType)
+        if enc is None or col.null_count == len(col):
+            continue
+        lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+        if lo is not None:
+            lowers.append({"key": fid, "value": enc(lo)})
+            uppers.append({"key": fid, "value": enc(hi)})
+    return nulls, lowers, uppers
+
+
 def _iceberg_schema_json(schema: T.StructType, ids: dict[str, int], schema_id: int) -> dict:
     fields = []
     for f in schema.fields:
@@ -187,47 +230,10 @@ class IcebergWriter:
         self.field_ids[new] = self.field_ids.pop(old)
 
     def _partition_value(self, row: dict, pf: dict) -> Any:
-        from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
-
-        v = row[pf["source"]]
-        tr = pf["transform"]
-        if v is None:
-            return None
-        if tr == "identity":
-            return v
-        if tr.startswith("bucket["):
-            n = int(tr[len("bucket["):-1])
-            return (murmur3_32(_mm3_serialize(v)) & 0x7FFFFFFF) % n
-        raise ValueError(f"fixture writer supports identity/bucket, not {tr!r}")
+        return _pvalue(row[pf["source"]], pf["transform"])
 
     def _column_stats(self, tbl: pa.Table, schema: T.StructType):
-        """Per-column null counts + min/max bounds in the Iceberg
-        single-value binary serialization (spec Appendix D)."""
-        import struct as _s
-
-        _ENC = {
-            T.IntegerType(): lambda v: _s.pack("<i", v),
-            T.LongType(): lambda v: _s.pack("<q", v),
-            T.FloatType(): lambda v: _s.pack("<f", v),
-            T.DoubleType(): lambda v: _s.pack("<d", v),
-            T.StringType(): lambda v: v.encode("utf-8"),
-            T.BooleanType(): lambda v: b"\x01" if v else b"\x00",
-        }
-        nulls, lowers, uppers = [], [], []
-        for f in schema.fields:
-            fid = self.field_ids[f.name]
-            col = tbl.column(f.name)
-            nulls.append({"key": fid, "value": col.null_count})
-            enc = _ENC.get(f.dataType)
-            if enc is None or col.null_count == len(col):
-                continue
-            import pyarrow.compute as pc
-
-            lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
-            if lo is not None:
-                lowers.append({"key": fid, "value": enc(lo)})
-                uppers.append({"key": fid, "value": enc(hi)})
-        return nulls, lowers, uppers
+        return _stats_for(tbl, schema, self.field_ids)
 
     def _partition_avro_fields(self, df_schema: T.StructType) -> list[dict]:
         out = []
@@ -299,10 +305,126 @@ class IcebergWriter:
                 }
             )
 
+        return self._commit_snapshot(entries, df.schema, snap_id, at.num_rows)
+
+    def append_distributed(self, df: DataFrame) -> int:
+        """Distributed append: each Spark task writes its partitions'
+        parquet files with pyarrow (field IDs stamped, per-file bounds
+        computed executor-side); only file METADATA returns to the
+        driver for the snapshot commit — the 100 TB export shape.
+        Requires storage visible to all executors (shared FS, or
+        local mode)."""
+        import pandas as pd
+
+        self._assign_ids(df.schema)
+        self.seq += 1
+        snap_id = int(time.time() * 1000) * 1000 + self.seq
+        loc = self.location
+        fids = dict(self.field_ids)
+        spec = list(self.partition_spec)
+        schema = df.schema
+
+        info_schema = T.StructType(
+            [
+                T.StructField("rel", T.StringType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("size", T.LongType()),
+                T.StructField("partition_json", T.StringType()),
+                T.StructField("stats_pickle", T.BinaryType()),
+            ]
+        )
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # build against the Spark-derived arrow schema: pandas widens
+        # nullable ints to float64, and from_pandas(schema=...) restores
+        # the true types (NaN → null) before the field-id stamp
+        target = pa.schema(
+            [
+                f.with_metadata({b"PARQUET:field_id": str(fids[f.name]).encode()})
+                for f in to_arrow_schema(schema)
+            ]
+        )
+
+        def write_files(batches):
+            import pickle
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                at = pa.Table.from_pandas(pdf, schema=target, preserve_index=False)
+                groups: dict[tuple, list[int]] = {}
+                if spec:
+                    for i, row in enumerate(at.to_pylist()):
+                        key = tuple(
+                            _pvalue(row[pf["source"]], pf["transform"]) for pf in spec
+                        )
+                        groups.setdefault(key, []).append(i)
+                else:
+                    groups[()] = list(range(at.num_rows))
+                out = []
+                for key, idxs in groups.items():
+                    part = at.take(idxs)
+                    rel = f"data/{uuid.uuid4().hex[:12]}.parquet"
+                    fpath = os.path.join(loc, rel)
+                    pq.write_table(part, fpath)
+                    out.append(
+                        {
+                            "rel": rel,
+                            "rows": part.num_rows,
+                            "size": os.path.getsize(fpath),
+                            "partition_json": json.dumps(
+                                {pf["name"]: key[i] for i, pf in enumerate(spec)}
+                            ),
+                            "stats_pickle": pickle.dumps(
+                                _stats_for(part, schema, fids)
+                            ),
+                        }
+                    )
+                yield pd.DataFrame(out)
+
+        src = df
+        if spec:
+            # co-locate rows of a partition so files don't fragment
+            from pyspark.sql import functions as F
+
+            src = df.repartition(*[F.col(pf["source"]) for pf in spec])
+        infos = src.mapInPandas(write_files, info_schema).collect()
+
+        import pickle
+
+        entries, n_rows = [], 0
+        for r in infos:
+            nulls, lowers, uppers = pickle.loads(bytes(r["stats_pickle"]))
+            n_rows += r["rows"]
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"file://{os.path.join(loc, r['rel'])}",
+                        "file_format": "PARQUET",
+                        "partition": json.loads(r["partition_json"]),
+                        "record_count": r["rows"],
+                        "file_size_in_bytes": r["size"],
+                        "null_value_counts": nulls,
+                        "lower_bounds": lowers,
+                        "upper_bounds": uppers,
+                    },
+                }
+            )
+        return self._commit_snapshot(entries, df.schema, snap_id, n_rows)
+
+    def _commit_snapshot(
+        self, entries: list[dict], df_schema: T.StructType, snap_id: int, n_rows: int
+    ) -> int:
         man_rel = f"metadata/manifest-{snap_id}.avro"
         write_container(
             os.path.join(self.location, man_rel),
-            _manifest_schema(self._partition_avro_fields(df.schema)),
+            _manifest_schema(self._partition_avro_fields(df_schema)),
             entries,
         )
 
@@ -318,7 +440,7 @@ class IcebergWriter:
                 "added_files_count": len(entries),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": at.num_rows,
+                "added_rows_count": n_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
@@ -331,7 +453,7 @@ class IcebergWriter:
         )
 
         schema_id = len(self.schemas)
-        self.schemas.append(_iceberg_schema_json(df.schema, self.field_ids, schema_id))
+        self.schemas.append(_iceberg_schema_json(df_schema, self.field_ids, schema_id))
         self.snapshots.append(
             {
                 "snapshot-id": snap_id,
