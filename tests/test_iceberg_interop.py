@@ -375,3 +375,16 @@ def test_iceberg_distributed_append_roundtrip(spark, tmp_path):
     assert all(f["partition"] for f in files) and all(f["lower_bounds"] for f in files)
     assert rows(t.scan(E.col_eq("cat", "b")), "id") == [(3,), (4,)]
     assert rows(t.scan(E.ge("v", 40)), "id") == [(4,), (5,)]
+
+
+def test_iceberg_scan_pushes_filters_to_parquet(spark, iceberg_table):
+    """The row filter must reach the parquet scan (PushedFilters) so
+    row-group skipping applies on top of manifest pruning."""
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.tables import expressions as E
+
+    loc, s1, s2 = iceberg_table
+    t = IcebergTable(spark, loc)
+    plan = t.scan(E.gt("id", 1))._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(id,1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
