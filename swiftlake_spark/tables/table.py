@@ -886,6 +886,19 @@ class Table:
         max_rec = self.meta.properties.get("write.max-records-per-file")
         if max_rec:
             writer = writer.option("maxRecordsPerFile", int(max_rec))
+        # parquet bloom filters for point-lookup columns (row-group skip
+        # on high-cardinality keys where min/max stats don't discriminate)
+        bloom = self.meta.properties.get("write.bloom-filter-columns")
+        if bloom:
+            ndv = self.meta.properties.get("write.bloom-filter-ndv")
+            for c in (s.strip() for s in bloom.split(",")):
+                if not c:
+                    continue
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+                if ndv:
+                    writer = writer.option(
+                        f"parquet.bloom.filter.expected.ndv#{c}", int(ndv)
+                    )
         writer.parquet(abs_dir, mode="errorifexists")
 
         entries: list[ManifestEntry] = []
