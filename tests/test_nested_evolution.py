@@ -262,3 +262,86 @@ def test_evolution_plan_stays_jvm_side(nested_table, spark):
     )
     plan = t.scan()._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property: any sequence of nested evolution ops preserves per-field-ID
+# value identity.  Every append records, per row, {field_id: value}; a
+# scan under the FINAL schema must show, for every live leaf, exactly
+# the value its field ID carried when the row was written (or NULL if
+# the ID did not exist yet) — rename moves names, never values; drop +
+# re-add never resurrects.  Mirrors the invariant the reference's
+# SchemaEvolutionTest pins case-by-case, but over random histories.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.sampled_from(["add", "drop", "rename", "widen"]), min_size=1, max_size=6
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS, data=st.data())
+def test_nested_evolution_value_identity_property(catalog, spark, ops, data):
+    import itertools
+
+    name = f"db.prop_{abs(hash(tuple(ops))) % 10**9}_{data.draw(st.integers(0, 10**6))}"
+    t = catalog.create_table(name, "id BIGINT, s STRUCT<a: INT, b: STRING>")
+    fresh = (f"f{i}" for i in itertools.count())
+    appended: list[tuple[int, dict[int, object]]] = []
+
+    def leaf_fields(table):
+        st_ = table.schema["s"].dataType
+        return {f.name: f.dataType.simpleString() for f in st_.fields}
+
+    def append_row(k):
+        t2 = catalog.table(name)
+        fields = leaf_fields(t2)
+        vals, rec = {}, {}
+        for fname, dtype in fields.items():
+            fid = t2.meta.field_ids[f"s.{fname}"]
+            v = f"v{k}_{fid}" if dtype == "string" else k * 1000 + fid
+            vals[fname] = v
+            rec[fid] = v
+        from pyspark.sql import Row
+
+        t2.append(
+            spark.createDataFrame([(k, Row(**vals))], schema=t2.schema)
+        )
+        appended.append((k, rec))
+
+    append_row(0)
+    for i, op in enumerate(ops, start=1):
+        t2 = catalog.table(name)
+        fields = leaf_fields(t2)
+        names = sorted(fields)
+        if op == "add":
+            t2.add_column(f"s.{next(fresh)}", "int")
+        elif op == "drop" and len(names) > 1:
+            t2.drop_column(f"s.{data.draw(st.sampled_from(names))}")
+        elif op == "rename":
+            t2.rename_column(f"s.{data.draw(st.sampled_from(names))}", next(fresh))
+        elif op == "widen":
+            ints = [n for n in names if fields[n] == "int"]
+            if ints:
+                t2.widen_column(f"s.{data.draw(st.sampled_from(ints))}", "bigint")
+        append_row(i)
+
+    # expected: value by CURRENT path's field ID at each row's write time
+    t3 = catalog.table(name)
+    current = {
+        f.name: t3.meta.field_ids[f"s.{f.name}"]
+        for f in t3.schema["s"].dataType.fields
+    }
+    got = {
+        r["id"]: r["s"].asDict() if r["s"] is not None else {}
+        for r in t3.scan().collect()
+    }
+    for k, rec in appended:
+        want = {fname: rec.get(fid) for fname, fid in current.items()}
+        assert got[k] == want, f"row {k}: {got[k]} != {want} (ops={ops})"
