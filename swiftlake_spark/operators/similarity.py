@@ -385,3 +385,64 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cosine", "rn")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with the IVF coarse quantizer, then compare pairs
+    ONLY within a cluster; any pair with cosine ≥ ``threshold`` marks
+    the higher id a duplicate.  → (id, keep, dup_of).
+
+    Scale: the all-pairs comparison is confined to clusters — one
+    shuffle on ``centroid_id``, per-cluster work is |cluster|² which the
+    cluster count bounds (SemDeDup's own trick); no global O(n²) stage
+    exists.  The join is expressed relationally so Catalyst plans a
+    shuffled hash join on the cluster key; cosine is a ``zip_with``
+    fold, JVM-side."""
+    indexed, _ = ivf_index(
+        emb, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    v = indexed.select(
+        F.col(id_col).alias("id"),
+        "centroid_id",
+        F.col(vec_col).alias("vec"),
+        norm.alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    dup_of = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        emb.select(F.col(id_col).alias("id"))
+        .join(dup_of, "id", "left")
+        .select("id", F.col("dup_of").isNull().alias("keep"), "dup_of")
+    )

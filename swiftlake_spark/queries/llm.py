@@ -1223,3 +1223,27 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("frames").alias("n_sampled"),
         F.round(F.element_at(F.element_at("frames", 1), 4), 4).alias("f0_mean_r"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q115 — semantic deduplication (SemDeDup, Abbas et al. 2023): IVF
+# cluster the embedding corpus, compare pairs only within clusters,
+# drop cosine≥τ near-copies keeping the lowest id.  Rows-only: the
+# k-means quantizer is not SQL-expressible (pytest pins planted-dup
+# recall; operators/similarity.semantic_dedup).  One shuffle on the
+# cluster key; no global pairwise stage.
+# --------------------------------------------------------------------------
+@query("q115_semantic_dedup", oracle=None)
+def q115_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.similarity import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = semantic_dedup(e, n_clusters=16, threshold=0.9)
+    return (
+        out.agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
+            F.min(F.when(~F.col("keep"), F.col("id"))).alias("first_dropped"),
+        )
+    )

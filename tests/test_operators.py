@@ -554,3 +554,33 @@ def test_ppm_stream_video_sampling(spark):
     assert len(out[0]) == 2 and len(out[1]) == 3
     assert all(len(f) == 16 for f in out[0])  # real per-frame features
     assert out[0][0][0] == 4.0 and out[0][0][1] == 4.0  # true width/height
+
+
+def test_semantic_dedup_finds_planted_duplicates(spark, emb):
+    """SemDeDup shape: planted near-identical embeddings must be caught
+    (same cluster, cosine ~1); unrelated random vectors survive."""
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.operators.similarity import semantic_dedup
+
+    base = emb.filter(F.col("vec_id") < 60)
+    # plant two near-copies of vector 0 (tiny perturbation on one slot)
+    clones = base.filter(F.col("vec_id") == 0).select(
+        F.lit(9001).cast("bigint").alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(1e-4)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+    ).unionByName(
+        base.filter(F.col("vec_id") == 1).select(
+            F.lit(9002).cast("bigint").alias("vec_id"),
+            F.col("embedding"),
+        )
+    )
+    allv = base.select("vec_id", "embedding").unionByName(clones)
+    out = {r["id"]: r for r in semantic_dedup(allv, threshold=0.98).collect()}
+    assert not out[9001]["keep"] and out[9001]["dup_of"] == 0
+    assert not out[9002]["keep"] and out[9002]["dup_of"] == 1
+    assert out[0]["keep"] and out[1]["keep"]
+    # random 64-dim vectors are near-orthogonal: everything else survives
+    dropped = [k for k, r in out.items() if not r["keep"]]
+    assert sorted(dropped) == [9001, 9002]
