@@ -60,6 +60,7 @@ def test_pandas_udf_only_in_sanctioned_queries(spark, queries):
         "q53_multimodal_features",
         "q55_embedding_neardup",
         "q58_ivf_topk",  # centroid-assignment matmul (map-only)
+        "q115_semantic_dedup",  # same IVF centroid assignment
     }, arrow_users
 
 
