@@ -75,6 +75,7 @@ _GATE_PRIORITY = [
     'q100_sales_opportunity',
     # new in round 5
     'q111_nested_evolution', 'q112_murmur3_bucket', 'q113_iceberg_read',
+    'q116_simhash_md5',
     # rows-only (weaker driver check)
     'q49_simhash_neardup', 'q50_ann_lsh_topk', 'q58_ivf_topk', 'q53_multimodal_features',
     'q55_embedding_neardup', 'q108_audio_features', 'q114_video_frames', 'q115_semantic_dedup',

@@ -1247,3 +1247,85 @@ def q115_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(~F.col("keep"), F.col("id"))).alias("first_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q116 — PORTABLE SimHash (oracle-checked): 32-bit signature from MD5
+# token hashes, so DuckDB reproduces it bit-for-bit — the hash-certified
+# counterpart of q49's fast xxhash SimHash (engine-internal).  Per
+# token, bit b of the signature weights +1/-1 by bit b of md5(token);
+# signature bit = sign of the sum.  Shuffles: (doc, bit) partial-agg
+# then doc — both map-side combinable; the 32× bit explode is a
+# constant row multiplier, not data-dependent.
+# --------------------------------------------------------------------------
+@query(
+    "q116_simhash_md5",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 300 AND text <> ''
+), bits AS (
+  SELECT doc_id, tok, b,
+         (instr('0123456789abcdef',
+                substr(md5(tok), 1 + CAST(b // 4 AS INT), 1)) - 1) AS nib
+  FROM toks, UNNEST(generate_series(0, 31)) AS t(b)
+), weights AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (nib // (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                           WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS w
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN w >= 0
+                THEN CAST(POW(2, 31 - b) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash32
+FROM weights
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q116_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 300) & (F.col("text") != ""))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    bits = d.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).withColumn(
+        "nib",
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5("tok"), F.lit(1) + F.expr("CAST(b div 4 AS INT)"), 1),
+        )
+        - 1,
+    )
+    pw = F.expr(
+        "CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"
+    )
+    weights = (
+        bits.withColumn(
+            "sgn",
+            F.when((F.col("nib").cast("int") / pw).cast("int") % 2 == 1, F.lit(1))
+            .otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("sgn").alias("w"))
+    )
+    return (
+        weights.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("w") >= 0,
+                    F.pow(F.lit(2.0), F.lit(31) - F.col("b")).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("simhash32")
+        )
+        .orderBy("doc_id")
+    )
