@@ -65,7 +65,8 @@ def _load_all() -> None:
 #   2. q98/q99/q100 (hash-checkable, zero driver rows ever — they sat at
 #      positions 51-53 of the round-4 list and missed the 50-slot window);
 #   3. queries NEW this round (never had a driver row by construction);
-#   4. the six rows-only entries (weaker check, but still worth rows);
+#   4. the rows-only entries (weaker check, but still worth rows) — the
+#      round-5 additions q114 (video) and q115 (semantic dedup) included;
 #   5. everything else follows in registration order, which is exactly the
 #      r1-r3-certified relational block (least-recently certified first) —
 #      the r4-certified LLM/extended block registers later, so it naturally

@@ -99,6 +99,40 @@ def _local(path: str, base: str) -> str:
     return path if os.path.isabs(path) else os.path.join(base, path)
 
 
+def _arrow_field_paths(schema: Any) -> dict[str, int]:
+    """Parquet footer → {dotted path: field id} at every depth, reading
+    the PARQUET:field_id key Iceberg writers stamp on each field."""
+    import pyarrow as pa
+
+    out: dict[str, int] = {}
+
+    def fid(field: Any) -> int | None:
+        v = (field.metadata or {}).get(b"PARQUET:field_id")
+        return int(v) if v is not None else None
+
+    def walk(field: Any, path: str) -> None:
+        t = field.type
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                sub = t.field(i)
+                p = f"{path}.{sub.name}"
+                if fid(sub) is not None:
+                    out[p] = fid(sub)
+                walk(sub, p)
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            walk(t.value_field, f"{path}.element")
+        elif pa.types.is_map(t):
+            walk(t.key_field, f"{path}.key")
+            walk(t.item_field, f"{path}.value")
+
+    for i in range(len(schema.names)):
+        f = schema.field(i)
+        if fid(f) is not None:
+            out[f.name] = fid(f)
+        walk(f, f.name)
+    return out
+
+
 def _decode_manifest(path: str) -> list[dict]:
     """Decode one manifest's live parquet data-file entries (module-level
     so it cloudpickles cleanly into the distributed planning job)."""
@@ -171,6 +205,30 @@ class IcebergTable:
         return {
             f["id"]: f["name"] for f in self.schema_json(schema_id)["fields"]
         }
+
+    def field_paths(self, schema_id: int | None = None) -> dict[str, int]:
+        """Dotted path → field id for EVERY struct field at every depth
+        (lists descend as ``.element``, maps as ``.key``/``.value`` —
+        the same convention as the native format's evolution module)."""
+        out: dict[str, int] = {}
+
+        def walk(t: Any, prefix: str) -> None:
+            if not isinstance(t, dict):
+                return
+            kind = t.get("type")
+            if kind == "struct":
+                for f in t["fields"]:
+                    p = f"{prefix}.{f['name']}" if prefix else f["name"]
+                    out[p] = f["id"]
+                    walk(f["type"], p)
+            elif kind == "list":
+                walk(t["element"], f"{prefix}.element")
+            elif kind == "map":
+                walk(t["key"], f"{prefix}.key")
+                walk(t["value"], f"{prefix}.value")
+
+        walk(self.schema_json(schema_id), "")
+        return out
 
     # ------------------------------------------------------------ snapshots
     def snapshots(self) -> list[dict]:
@@ -470,39 +528,30 @@ class IcebergTable:
         return self._read_files(new)
 
     def _read_files(self, files: list[dict]) -> DataFrame:
+        """Field-ID-resolved read of a file set under the current schema:
+        files group by their footer path→id mapping (nested fields
+        included) and each group goes through the SAME Catalyst read-plan
+        builder the native format uses (evolution.build_read_plan) —
+        renames re-alias at any depth, added fields NULL-fill, widened
+        leaves upcast (Iceberg spec "Column Projection")."""
         import pyarrow.parquet as pq
+
+        from swiftlake_spark.tables import evolution as EV
 
         schema = self.spark_schema()
         if not files:
             return self.spark.createDataFrame([], schema)
-        want = self.field_ids()
-        by_name = {f.name: f for f in schema.fields}
+        current = self.field_paths()
         groups: dict[tuple, list[str]] = {}
         for df_ in files:
             path = _local(df_["file_path"], self.location)
-            fschema = pq.read_schema(path)
-            mapping = []
-            for fld in fschema:
-                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                if fid is not None:
-                    mapping.append((int(fid), fld.name))
-            groups.setdefault(tuple(sorted(mapping)), []).append(path)
+            mapping = _arrow_field_paths(pq.read_schema(path))
+            groups.setdefault(tuple(sorted(mapping.items())), []).append(path)
         parts: list[DataFrame] = []
         for key, paths in groups.items():
-            id_to_fname = dict(key)
-            read_fields, selects = [], []
-            for fid, cur_name in want.items():
-                fld = by_name[cur_name]
-                fname = id_to_fname.get(fid)
-                if fname is None:
-                    selects.append(F.lit(None).cast(fld.dataType).alias(cur_name))
-                else:
-                    read_fields.append(T.StructField(fname, fld.dataType, True))
-                    selects.append(F.col(f"`{fname}`").alias(cur_name))
+            read_schema, selects = EV.build_read_plan(schema, current, dict(key))
             parts.append(
-                self.spark.read.schema(T.StructType(read_fields))
-                .parquet(*paths)
-                .select(*selects)
+                self.spark.read.schema(read_schema).parquet(*paths).select(*selects)
             )
         out = parts[0]
         for p in parts[1:]:

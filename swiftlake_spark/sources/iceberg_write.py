@@ -141,6 +141,37 @@ def _manifest_schema(partition_fields: list[dict] | None = None) -> dict:
     }
 
 
+def _stamp_arrow_schema(schema: pa.Schema, ids: dict[str, int]) -> pa.Schema:
+    """Attach PARQUET:field_id metadata to every (nested) struct field,
+    descending lists as ``.element`` and maps as ``.key``/``.value`` —
+    the same path convention the reader resolves by."""
+
+    def stamp_field(field: pa.Field, path: str) -> pa.Field:
+        f2 = pa.field(field.name, stamp_type(field.type, path), field.nullable)
+        fid = ids.get(path)
+        if fid is not None:
+            f2 = f2.with_metadata({b"PARQUET:field_id": str(fid).encode()})
+        return f2
+
+    def stamp_type(t: pa.DataType, path: str) -> pa.DataType:
+        if pa.types.is_struct(t):
+            return pa.struct(
+                [stamp_field(t.field(i), f"{path}.{t.field(i).name}" if path else t.field(i).name)
+                 for i in range(t.num_fields)]
+            )
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return pa.list_(stamp_type(t.value_type, f"{path}.element"))
+        if pa.types.is_map(t):
+            return pa.map_(
+                stamp_type(t.key_type, f"{path}.key"),
+                stamp_type(t.item_type, f"{path}.value"),
+            )
+        return t
+
+    return pa.schema([stamp_field(schema.field(i), schema.field(i).name)
+                      for i in range(len(schema.names))])
+
+
 def _pvalue(v: Any, transform: str) -> Any:
     from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
 
@@ -184,19 +215,55 @@ def _stats_for(tbl: pa.Table, schema: T.StructType, field_ids: dict[str, int]):
     return nulls, lowers, uppers
 
 
-def _iceberg_schema_json(schema: T.StructType, ids: dict[str, int], schema_id: int) -> dict:
-    fields = []
-    for f in schema.fields:
-        it = _SPARK_TO_ICEBERG.get(f.dataType)
-        if it is None:
-            if isinstance(f.dataType, T.DecimalType):
-                it = f"decimal({f.dataType.precision},{f.dataType.scale})"
-            else:
-                raise ValueError(f"no Iceberg mapping for {f.dataType}")
-        fields.append(
-            {"id": ids[f.name], "name": f.name, "required": False, "type": it}
-        )
-    return {"type": "struct", "schema-id": schema_id, "fields": fields}
+def _ice_type(dtype: T.DataType, prefix: str, ids: dict[str, int], alloc) -> Any:
+    """Spark type → Iceberg JSON type with per-field ids at every depth
+    (struct fields carry ``id``; lists/maps carry element/key/value ids,
+    allocated with stable synthetic keys so re-serialization is stable)."""
+    if isinstance(dtype, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": ids[f"{prefix}.{f.name}" if prefix else f.name],
+                    "name": f.name,
+                    "required": False,
+                    "type": _ice_type(
+                        f.dataType, f"{prefix}.{f.name}" if prefix else f.name, ids, alloc
+                    ),
+                }
+                for f in dtype.fields
+            ],
+        }
+    if isinstance(dtype, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": alloc(f"{prefix}#element"),
+            "element": _ice_type(dtype.elementType, f"{prefix}.element", ids, alloc),
+            "element-required": False,
+        }
+    if isinstance(dtype, T.MapType):
+        return {
+            "type": "map",
+            "key-id": alloc(f"{prefix}#key"),
+            "key": _ice_type(dtype.keyType, f"{prefix}.key", ids, alloc),
+            "value-id": alloc(f"{prefix}#value"),
+            "value": _ice_type(dtype.valueType, f"{prefix}.value", ids, alloc),
+            "value-required": False,
+        }
+    it = _SPARK_TO_ICEBERG.get(dtype)
+    if it is None:
+        if isinstance(dtype, T.DecimalType):
+            it = f"decimal({dtype.precision},{dtype.scale})"
+        else:
+            raise ValueError(f"no Iceberg mapping for {dtype}")
+    return it
+
+
+def _iceberg_schema_json(
+    schema: T.StructType, ids: dict[str, int], schema_id: int, alloc
+) -> dict:
+    body = _ice_type(schema, "", ids, alloc)
+    return {"type": "struct", "schema-id": schema_id, "fields": body["fields"]}
 
 
 class IcebergWriter:
@@ -220,14 +287,27 @@ class IcebergWriter:
         self.partition_spec = partition_spec or []
 
     def _assign_ids(self, schema: T.StructType) -> None:
-        for f in schema.fields:
-            if f.name not in self.field_ids:
-                self.field_ids[f.name] = self.next_id
+        from swiftlake_spark.tables.evolution import iter_struct_paths
+
+        for path, _f in iter_struct_paths(schema):
+            if path not in self.field_ids:
+                self.field_ids[path] = self.next_id
                 self.next_id += 1
 
+    def _alloc(self, key: str) -> int:
+        """Stable id for container nodes (list element / map key/value)."""
+        if key not in self.field_ids:
+            self.field_ids[key] = self.next_id
+            self.next_id += 1
+        return self.field_ids[key]
+
     def rename_column(self, old: str, new: str) -> None:
-        """Metadata-only rename: same field id, new name (spec rename)."""
-        self.field_ids[new] = self.field_ids.pop(old)
+        """Metadata-only rename: same field id, new name — top-level or
+        nested dotted path; descendants keep their ids (spec rename)."""
+        from swiftlake_spark.tables.evolution import rekey_renamed
+
+        new_path = f"{old.rsplit('.', 1)[0]}.{new}" if "." in old else new
+        self.field_ids = rekey_renamed(self.field_ids, old, new_path)
 
     def _partition_value(self, row: dict, pf: dict) -> Any:
         return _pvalue(row[pf["source"]], pf["transform"])
@@ -259,11 +339,7 @@ class IcebergWriter:
         snap_id = int(time.time() * 1000) * 1000 + self.seq
 
         at = df.toArrow()
-        fields = [
-            f.with_metadata({b"PARQUET:field_id": str(self.field_ids[f.name]).encode()})
-            for f in at.schema
-        ]
-        at = at.cast(pa.schema(fields))
+        at = at.cast(_stamp_arrow_schema(at.schema, self.field_ids))
 
         # split into per-partition file groups
         groups: dict[tuple, list[int]] = {}
@@ -339,12 +415,7 @@ class IcebergWriter:
         # build against the Spark-derived arrow schema: pandas widens
         # nullable ints to float64, and from_pandas(schema=...) restores
         # the true types (NaN → null) before the field-id stamp
-        target = pa.schema(
-            [
-                f.with_metadata({b"PARQUET:field_id": str(fids[f.name]).encode()})
-                for f in to_arrow_schema(schema)
-            ]
-        )
+        target = _stamp_arrow_schema(to_arrow_schema(schema), fids)
 
         def write_files(batches):
             import pickle
@@ -453,7 +524,9 @@ class IcebergWriter:
         )
 
         schema_id = len(self.schemas)
-        self.schemas.append(_iceberg_schema_json(df_schema, self.field_ids, schema_id))
+        self.schemas.append(
+            _iceberg_schema_json(df_schema, self.field_ids, schema_id, self._alloc)
+        )
         self.snapshots.append(
             {
                 "snapshot-id": snap_id,
@@ -471,7 +544,7 @@ class IcebergWriter:
         """Record a schema change (e.g. after rename_column) without data."""
         self._assign_ids(schema)
         self.schemas.append(
-            _iceberg_schema_json(schema, self.field_ids, len(self.schemas))
+            _iceberg_schema_json(schema, self.field_ids, len(self.schemas), self._alloc)
         )
         self._write_metadata()
 

@@ -388,3 +388,53 @@ def test_iceberg_scan_pushes_filters_to_parquet(spark, iceberg_table):
     plan = t.scan(E.gt("id", 1))._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(id,1)" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_iceberg_nested_rename_and_add_resolve_by_field_id(spark, tmp_path):
+    """Nested schema evolution on an Iceberg table: a struct field
+    renamed between appends resolves by parquet field id (gen-1 files
+    carry the old nested name); a nested field added later NULL-fills
+    old files — the spec's Column Projection at depth, through the same
+    Catalyst read-plan builder as the native format."""
+    from pyspark.sql import Row
+
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+
+    loc = str(tmp_path / "icen")
+    w = IcebergWriter(loc)
+    g1 = spark.createDataFrame(
+        [(1, Row(amt=10, note="a"), [Row(k="t", w=5)])],
+        "id BIGINT, payload STRUCT<amt: BIGINT, note: STRING>, "
+        "tags ARRAY<STRUCT<k: STRING, w: BIGINT>>",
+    )
+    w.append(g1)
+    w.rename_column("payload.amt", "amount")
+    w.rename_column("tags.element.w", "weight")
+    g2 = spark.createDataFrame(
+        [(2, Row(amount=20, note="b"), [Row(k="u", weight=7)])],
+        "id BIGINT, payload STRUCT<amount: BIGINT, note: STRING>, "
+        "tags ARRAY<STRUCT<k: STRING, weight: BIGINT>>",
+    )
+    w.append(g2)
+
+    t = IcebergTable(spark, loc)
+    # nested ids present on both sides of the contract
+    assert "payload.amount" in t.field_paths()
+    got = rows(t.scan(), "id", "payload.amount", "payload.note")
+    assert got == [(1, 10, "a"), (2, 20, "b")]
+    # struct-in-list rename resolved element-wise
+    tags = {r["id"]: r["tags"] for r in t.scan().select("id", "tags").collect()}
+    assert tags[1] == [Row(k="t", weight=5)]
+    assert tags[2] == [Row(k="u", weight=7)]
+
+    # nested add after the fact: old generations NULL-fill
+    w.commit_schema(
+        spark.createDataFrame(
+            [], "id BIGINT, payload STRUCT<amount: BIGINT, note: STRING, score: DOUBLE>, "
+            "tags ARRAY<STRUCT<k: STRING, weight: BIGINT>>"
+        ).schema
+    )
+    t2 = IcebergTable(spark, loc)
+    got = rows(t2.scan(), "id", "payload.score")
+    assert got == [(1, None), (2, None)]
