@@ -280,6 +280,12 @@ _OPS = st.lists(
     st.sampled_from(["add", "drop", "rename", "widen"]), min_size=1, max_size=6
 )
 
+# unique per example AND per hypothesis replay/shrink attempt — deriving
+# the name from drawn values collides when an example is replayed
+import itertools as _it
+
+_PROP_SEQ = _it.count()
+
 
 @settings(
     max_examples=8,
@@ -290,7 +296,7 @@ _OPS = st.lists(
 def test_nested_evolution_value_identity_property(catalog, spark, ops, data):
     import itertools
 
-    name = f"db.prop_{abs(hash(tuple(ops))) % 10**9}_{data.draw(st.integers(0, 10**6))}"
+    name = f"db.prop_{next(_PROP_SEQ)}"
     t = catalog.create_table(name, "id BIGINT, s STRUCT<a: INT, b: STRING>")
     fresh = (f"f{i}" for i in itertools.count())
     appended: list[tuple[int, dict[int, object]]] = []
