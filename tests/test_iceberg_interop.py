@@ -239,6 +239,7 @@ def test_iceberg_temporal_transform_projection():
     from swiftlake_spark.tables import expressions as E
 
     t = IcebergTable.__new__(IcebergTable)  # no table needed for projection
+    t._memo = {}
     t.meta = {
         "format-version": 2,
         "current-schema-id": 0,
@@ -438,3 +439,41 @@ def test_iceberg_nested_rename_and_add_resolve_by_field_id(spark, tmp_path):
     t2 = IcebergTable(spark, loc)
     got = rows(t2.scan(), "id", "payload.score")
     assert got == [(1, None), (2, None)]
+
+
+def test_iceberg_rename_visible_without_append(spark, tmp_path):
+    """rename_column commits metadata immediately — a reader opened
+    right after sees the new name (no append required)."""
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+
+    loc = str(tmp_path / "icer")
+    w = IcebergWriter(loc)
+    w.append(spark.createDataFrame([(1, "a")], "id BIGINT, nm STRING"))
+    w.rename_column("nm", "name")
+    t = IcebergTable(spark, loc)
+    assert rows(t.scan(), "id", "name") == [(1, "a")]
+
+
+def test_iceberg_no_field_id_files_fall_back_by_name(spark, tmp_path):
+    """Files without PARQUET:field_id stamps (e.g. Hive parquet migrated
+    via add_files) must read by NAME under the declared schema — never
+    silently NULL-fill every column."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+
+    loc = str(tmp_path / "icenm")
+    w = IcebergWriter(loc)
+    w.append(spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, name STRING"))
+    # strip the field-id metadata from the data file in place
+    fpath = glob.glob(loc + "/data/*.parquet")[0]
+    tbl = pq.read_table(fpath)
+    bare = pa.schema([pa.field(f.name, f.type, f.nullable) for f in tbl.schema])
+    pq.write_table(tbl.cast(bare), fpath)
+    t = IcebergTable(spark, loc)
+    assert rows(t.scan(), "id", "name") == [(1, "a"), (2, "b")]
