@@ -165,23 +165,50 @@ def ann_cosine_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: LSH-bucket both sides, exact cosine only where
-    buckets match.  Recall < 1 by construction; n_planes trades recall
-    for candidate-set size."""
-    e = lsh_bucketize(emb, vec_col=vec_col, dim=dim, n_planes=n_planes)
-    q = lsh_bucketize(
-        queries.withColumnRenamed(query_vec_col, "__qv"),
-        vec_col="__qv",
-        dim=dim,
-        n_planes=n_planes,
-    )
-    cand = e.join(F.broadcast(q), "bucket").select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("__ev"),
-        F.col(query_id_col).alias("query_id"),
-        F.col("__qv"),
-    )
+    buckets match.  Recall < 1 by construction; ``n_planes`` trades
+    recall for candidate-set size within a table, ``n_tables`` > 1 adds
+    OR-amplification (a candidate matches if ANY table buckets it with
+    the query — recall 1-(1-p)^T for per-table collision rate p) at the
+    cost of T bucket keys per vector.  Candidates are distinct-ed before
+    scoring so multi-table hits are verified once."""
+    if n_tables > 1:
+        e = lsh_bucketize_multi(
+            emb, vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables
+        )
+        q = lsh_bucketize_multi(
+            queries.withColumnRenamed(query_vec_col, "__qv"),
+            vec_col="__qv",
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+        )
+        cand = (
+            e.join(F.broadcast(q), ["table", "bucket"])
+            .select(
+                F.col(id_col).alias("cand_id"),
+                F.col(vec_col).alias("__ev"),
+                F.col(query_id_col).alias("query_id"),
+                F.col("__qv"),
+            )
+            .dropDuplicates(["query_id", "cand_id"])
+        )
+    else:
+        e = lsh_bucketize(emb, vec_col=vec_col, dim=dim, n_planes=n_planes)
+        q = lsh_bucketize(
+            queries.withColumnRenamed(query_vec_col, "__qv"),
+            vec_col="__qv",
+            dim=dim,
+            n_planes=n_planes,
+        )
+        cand = e.join(F.broadcast(q), "bucket").select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("__ev"),
+            F.col(query_id_col).alias("query_id"),
+            F.col("__qv"),
+        )
     dot = F.aggregate(
         F.zip_with("__ev", "__qv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),

@@ -7,7 +7,7 @@ read side of the PUBLIC Iceberg table spec directly:
 
 - metadata discovery: ``metadata/version-hint.text`` →
   ``v<N>.metadata.json`` (Hadoop layout), falling back to the
-  lexicographically-latest ``*.metadata.json`` (REST/Glue layout);
+  numerically-latest ``*.metadata.json`` (REST/Glue layout);
 - snapshot resolution by id / timestamp / current;
 - manifest list + manifests decoded with the stdlib Avro codec
   (sources/avro.py — cross-validated against Apache avro-1.12);
@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any
 
 import datetime as dt
@@ -188,12 +189,24 @@ class IcebergTable:
                 v = f.read().strip()
             path = os.path.join(mdir, f"v{v}.metadata.json")
         else:
-            cands = sorted(
-                n for n in os.listdir(mdir) if n.endswith(".metadata.json")
-            )
+            cands = [n for n in os.listdir(mdir) if n.endswith(".metadata.json")]
             if not cands:
                 raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
-            path = os.path.join(mdir, cands[-1])
+
+            # latest by VERSION NUMBER, not lexicographically: Hadoop-layout
+            # v9.metadata.json sorts after v10.metadata.json as a string, so
+            # tables with >=10 versions would silently resolve stale
+            # metadata.  Parse v<N> / NNNNN-<uuid> prefixes numerically;
+            # unparseable names fall back to mtime (and always lose to a
+            # parseable version number).
+            def _ver_key(n: str):
+                stem = n[: -len(".metadata.json")]
+                m = re.fullmatch(r"v(\d+)", stem) or re.match(r"(\d+)-", stem)
+                if m:
+                    return (1, int(m.group(1)), n)
+                return (0, os.path.getmtime(os.path.join(mdir, n)), n)
+
+            path = os.path.join(mdir, max(cands, key=_ver_key))
         with open(path) as f:
             return json.load(f)
 
@@ -304,16 +317,28 @@ class IcebergTable:
                     "Iceberg merge-on-read delete manifests are not supported "
                     "(this engine is copy-on-write, like the reference)"
                 )
-        paths = [_local(m["manifest_path"], self.location) for m in manifests]
-        if len(paths) > self.DISTRIBUTED_PLAN_THRESHOLD:
+        default_spec = self.meta.get("default-spec-id", 0)
+        # each manifest records the partition SPEC its files were written
+        # under (manifest-list partition_spec_id) — stamp it on every file
+        # so pruning evaluates each file against ITS OWN spec, not the
+        # table's default (files under an older spec simply lack the new
+        # spec's field names in their partition record)
+        tagged = [
+            (
+                _local(m["manifest_path"], self.location),
+                m.get("partition_spec_id", default_spec),
+            )
+            for m in manifests
+        ]
+        if len(tagged) > self.DISTRIBUTED_PLAN_THRESHOLD:
             sc = self.spark.sparkContext
-            chunks = sc.parallelize(paths, max(1, len(paths) // 8)).flatMap(
-                _decode_manifest
+            chunks = sc.parallelize(tagged, max(1, len(tagged) // 8)).flatMap(
+                lambda ps: [dict(f, _spec_id=ps[1]) for f in _decode_manifest(ps[0])]
             )
             return chunks.collect()
         files: list[dict] = []
-        for p in paths:
-            files.extend(_decode_manifest(p))
+        for p, sid in tagged:
+            files.extend(dict(f, _spec_id=sid) for f in _decode_manifest(p))
         return files
 
     # ------------------------------------------------------------ pruning
@@ -421,31 +446,39 @@ class IcebergTable:
 
         return may(filter)
 
-    def _spec_fields(self) -> list[dict]:
-        sid = self.meta.get("default-spec-id", 0)
+    def _spec_fields(self, spec_id: int | None = None) -> list[dict]:
+        sid = self.meta.get("default-spec-id", 0) if spec_id is None else spec_id
         for spec in self.meta.get("partition-specs", []):
             if spec.get("spec-id", 0) == sid:
                 return spec.get("fields", [])
+        if spec_id is None or sid == self.meta.get("default-spec-id", 0):
+            # ancient v1 writers inline a single spec under "partition-spec"
+            return self.meta.get("partition-spec", [])
         return []
 
-    def _file_may_match(self, filter: E.Expr | None, partition: dict) -> bool:
+    def _file_may_match(
+        self, filter: E.Expr | None, partition: dict, spec_id: int | None = None
+    ) -> bool:
         """Conservative partition pruning per the Iceberg spec's transform
         value encodings (identity / bucket=murmur3 / truncate / year /
         month / day / hour as ordinals from 1970).  True = keep; only a
-        definitely-false projection prunes."""
+        definitely-false projection prunes.  ``spec_id`` is the spec the
+        file's manifest was written under — pruning must use that spec,
+        and a spec field name ABSENT from the file's partition record
+        (older-spec file) never prunes (absent-key ≠ null-value)."""
         if filter is None or not partition:
             return True
 
         def _build_by_source() -> dict[str, list[dict]]:
             src_name = self.field_ids()
             out: dict[str, list[dict]] = {}
-            for f in self._spec_fields():
+            for f in self._spec_fields(spec_id):
                 col = src_name.get(f["source-id"])
                 if col is not None:
                     out.setdefault(col, []).append(f)
             return out
 
-        by_source = self._memoized("by_source", _build_by_source)
+        by_source = self._memoized(f"by_source:{spec_id}", _build_by_source)
 
         def project(value: Any, transform: str) -> Any:
             from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
@@ -483,7 +516,9 @@ class IcebergTable:
                 return may(e.left) or may(e.right)
             if isinstance(e, E.InPredicate) and not e.negated:
                 for f in by_source.get(e.col, []):
-                    pv = partition.get(f["name"])
+                    if f["name"] not in partition:
+                        continue  # older-spec file: field absent, not NULL
+                    pv = partition[f["name"]]
                     try:
                         pool = {project(v, f["transform"]) for v in e.values}
                     except (ValueError, TypeError):
@@ -494,7 +529,9 @@ class IcebergTable:
             if isinstance(e, E.Predicate):
                 for f in by_source.get(e.col, []):
                     tr = f["transform"]
-                    pv = partition.get(f["name"])
+                    if f["name"] not in partition:
+                        continue  # older-spec file: field absent, not NULL
+                    pv = partition[f["name"]]
                     if e.op == "is_null":
                         # every transform maps NULL source → NULL partition
                         if pv is not None:
@@ -544,7 +581,9 @@ class IcebergTable:
         files = [
             f
             for f in self.data_files(snapshot_id, as_of_ms)
-            if self._file_may_match(filter, f.get("partition") or {})
+            if self._file_may_match(
+                filter, f.get("partition") or {}, f.get("_spec_id")
+            )
             and (filter is None or self._stats_may_match(filter, f))
         ]
         out = self._read_files(files)
@@ -559,8 +598,11 @@ class IcebergTable:
         snapshots, read under the current schema — same contract as the
         native table's incremental append scan (Table.incremental_scan)."""
         before = {f["file_path"] for f in self.data_files(snapshot_id=from_snapshot_id)}
-        after = self.data_files(snapshot_id=to_snapshot_id) if to_snapshot_id \
+        after = (
+            self.data_files(snapshot_id=to_snapshot_id)
+            if to_snapshot_id is not None
             else self.data_files()
+        )
         new = [f for f in after if f["file_path"] not in before]
         return self._read_files(new)
 
@@ -600,15 +642,18 @@ class IcebergTable:
                 # no field-id stamps anywhere (e.g. Hive files migrated via
                 # add_files + name mapping): fall back to name-matched
                 # reads under the declared schema — NEVER fabricate NULLs
-                part = self.spark.read.schema(schema).parquet(*gpaths)
+                parts.append(self.spark.read.schema(schema).parquet(*gpaths))
             else:
-                read_schema, selects = EV.build_read_plan(schema, current, dict(key))
-                part = (
-                    self.spark.read.schema(read_schema)
-                    .parquet(*gpaths)
-                    .select(*selects)
-                )
-            parts.append(part)
+                # plan_file_group re-plans with footer-derived physical
+                # types when a zero-overlap struct needs a nullness carrier
+                for read_schema, selects, sub_paths in EV.plan_file_group(
+                    schema, current, dict(key), gpaths
+                ):
+                    parts.append(
+                        self.spark.read.schema(read_schema)
+                        .parquet(*sub_paths)
+                        .select(*selects)
+                    )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

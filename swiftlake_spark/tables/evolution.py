@@ -208,10 +208,101 @@ def drop_keys(field_ids: dict[str, int], path: str) -> dict[str, int]:
 
 # ------------------------------------------------------------- read plan
 
+
+class FileTypesNeeded(Exception):
+    """Raised during planning when a struct's declared children all
+    postdate a file: reading back per-row struct nullness requires one
+    surviving file-side leaf, whose physical type is not in the manifest
+    (only path→ID is stamped).  The caller reads the parquet footer(s)
+    and re-plans with ``file_types``.  Rare path: only zero-overlap
+    structs (add-then-drop-everything histories) hit it."""
+
+    def __init__(self, file_path: str):
+        super().__init__(
+            f"file-side types needed to carry struct nullness at {file_path!r}"
+        )
+        self.file_path = file_path
+
+
+def parquet_file_types(path: str) -> dict[str, "T.DataType"]:
+    """Footer-only probe: dotted file-side path → Spark DataType for every
+    struct field in the file (arrays descend ``.element``, maps
+    ``.key``/``.value`` — same convention as ``iter_struct_paths``).
+    Driver-side, metadata-only; invoked only for zero-overlap groups."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    arrow = pq.read_schema(path)
+    spark_schema = T.StructType(
+        [
+            T.StructField(f.name, from_arrow_type(f.type, prefer_timestamp_ntz=True), f.nullable)
+            for f in arrow
+        ]
+    )
+    out: dict[str, T.DataType] = {}
+
+    def walk(dtype: T.DataType, prefix: str) -> None:
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                p = f"{prefix}.{f.name}" if prefix else f.name
+                out[p] = f.dataType
+                walk(f.dataType, p)
+        elif isinstance(dtype, T.ArrayType):
+            walk(dtype.elementType, f"{prefix}.element")
+        elif isinstance(dtype, T.MapType):
+            walk(dtype.keyType, f"{prefix}.key")
+            walk(dtype.valueType, f"{prefix}.value")
+
+    walk(spark_schema, "")
+    return out
+
+
+# cheapest-leaf preference for the nullness carrier (read cost rank)
+_CARRIER_COST = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "date": 4,
+    "float": 4, "bigint": 8, "double": 8, "timestamp": 8,
+    "timestamp_ntz": 8, "string": 20, "binary": 20,
+}
+
+
+def _carrier_cost(dtype: "T.DataType | None") -> int:
+    if dtype is None:
+        return 1_000_000
+    return _CARRIER_COST.get(dtype.simpleString(), 100)
+
+
+def plan_file_group(
+    schema: T.StructType,
+    field_ids: dict[str, int],
+    file_ids: dict[str, int],
+    paths: list[str],
+) -> list[tuple[T.StructType, list[Column], list[str]]]:
+    """Plan one file group, transparently re-planning with footer-derived
+    physical types when a zero-overlap struct needs a nullness carrier
+    (see ``FileTypesNeeded``).  Sub-splits the group per distinct physical
+    schema so pre/post-widen files each get a correctly-typed carrier.
+    Returns ``[(read_schema, select_cols, subgroup_paths)]``."""
+    try:
+        rs, sc = build_read_plan(schema, field_ids, file_ids)
+        return [(rs, sc, list(paths))]
+    except FileTypesNeeded:
+        by_types: dict[tuple, tuple[dict, list[str]]] = {}
+        for p in paths:
+            ft = parquet_file_types(p)
+            tk = tuple(sorted((k, v.simpleString()) for k, v in ft.items()))
+            by_types.setdefault(tk, (ft, []))[1].append(p)
+        out = []
+        for ft, fpaths in by_types.values():
+            rs, sc = build_read_plan(schema, field_ids, file_ids, ft)
+            out.append((rs, sc, fpaths))
+        return out
+
+
 def build_read_plan(
     schema: T.StructType,
     field_ids: dict[str, int],
     file_ids: dict[str, int],
+    file_types: dict[str, "T.DataType"] | None = None,
 ) -> tuple[T.StructType, list[Column]]:
     """Plan one file-group's scan: the parquet read schema in the file's
     own (write-time) names/shape, and the projection rebuilding it into
@@ -235,13 +326,8 @@ def build_read_plan(
             selects.append(F.lit(None).cast(f.dataType).alias(f.name))
             continue
         rtype, build, changed = _resolve(
-            f.dataType, f.name, fpath, field_ids, id_to_fpath, file_ids
+            f.dataType, f.name, fpath, field_ids, id_to_fpath, file_ids, file_types
         )
-        if isinstance(rtype, T.StructType) and not rtype.fields:
-            # none of the declared children exist in this file (all were
-            # added after it was written): nothing to read — NULL-fill
-            selects.append(F.lit(None).cast(f.dataType).alias(f.name))
-            continue
         read_fields.append(T.StructField(fpath, rtype, True))
         col = F.col(f"`{fpath}`")
         selects.append((build(col) if changed else col).alias(f.name))
@@ -255,6 +341,7 @@ def _resolve(
     field_ids: dict[str, int],
     id_to_fpath: dict[int, str],
     file_ids: dict[str, int],
+    file_types: dict[str, "T.DataType"] | None = None,
 ) -> tuple[T.DataType, Callable[[Column], Column], bool]:
     """Returns (read_type, builder, changed): ``read_type`` is the type to
     request from parquet (file-time names, declared/widened leaf types);
@@ -279,11 +366,47 @@ def _resolve(
                 continue
             fname = sub_fpath[len(child_pfx):]
             s_rtype, s_build, s_changed = _resolve(
-                sub.dataType, sub_cur, sub_fpath, field_ids, id_to_fpath, file_ids
+                sub.dataType, sub_cur, sub_fpath, field_ids, id_to_fpath, file_ids,
+                file_types,
             )
             read_subs.append(T.StructField(fname, s_rtype, True))
             subs.append((sub, fname, s_build, s_changed))
             changed = changed or s_changed or fname != sub.name
+        if not read_subs:
+            # Empty overlap: every declared child postdates this file, but
+            # the struct itself was written (its file children just retired).
+            # A struct that was non-NULL at write time must read back as a
+            # struct of NULLs, not NULL (reference rebuilds element-wise,
+            # sql/SchemaEvolution.java:511-587) — so read ONE surviving
+            # file child, cheapest first, purely to carry per-row struct
+            # nullness, then project
+            # when(isNotNull, struct(<typed NULLs>)).otherwise(NULL).
+            if file_types is None:
+                raise FileTypesNeeded(file_path)
+            direct = [
+                p for p in file_ids
+                if p.startswith(child_pfx) and "." not in p[len(child_pfx):]
+            ]
+            carrier = min(direct, key=lambda p: _carrier_cost(file_types.get(p)))
+            if carrier not in file_types:
+                raise FileTypesNeeded(file_path)
+            carrier_name = carrier[len(child_pfx):]
+            read_type = T.StructType(
+                [T.StructField(carrier_name, file_types[carrier], True)]
+            )
+
+            def build_nulls(c: Column) -> Column:
+                return F.when(
+                    c.isNotNull(),
+                    F.struct(
+                        *[
+                            F.lit(None).cast(s.dataType).alias(s.name)
+                            for s in decl.fields
+                        ]
+                    ),
+                ).otherwise(F.lit(None).cast(decl))
+
+            return read_type, build_nulls, True
         read_type = T.StructType(read_subs)
         if not changed:
             return read_type, _identity, False
@@ -306,9 +429,8 @@ def _resolve(
     if isinstance(decl, T.ArrayType):
         e_rtype, e_build, e_changed = _resolve(
             decl.elementType, f"{cur_path}.element", f"{file_path}.element",
-            field_ids, id_to_fpath, file_ids,
+            field_ids, id_to_fpath, file_ids, file_types,
         )
-        _refuse_empty_struct(e_rtype, f"{cur_path}.element")
         read_type = T.ArrayType(e_rtype, decl.containsNull)
         if not e_changed:
             return read_type, _identity, False
@@ -317,14 +439,12 @@ def _resolve(
     if isinstance(decl, T.MapType):
         k_rtype, k_build, k_changed = _resolve(
             decl.keyType, f"{cur_path}.key", f"{file_path}.key",
-            field_ids, id_to_fpath, file_ids,
+            field_ids, id_to_fpath, file_ids, file_types,
         )
         v_rtype, v_build, v_changed = _resolve(
             decl.valueType, f"{cur_path}.value", f"{file_path}.value",
-            field_ids, id_to_fpath, file_ids,
+            field_ids, id_to_fpath, file_ids, file_types,
         )
-        _refuse_empty_struct(k_rtype, f"{cur_path}.key")
-        _refuse_empty_struct(v_rtype, f"{cur_path}.value")
         read_type = T.MapType(k_rtype, v_rtype, decl.valueContainsNull)
         if not (k_changed or v_changed):
             return read_type, _identity, False
@@ -345,17 +465,3 @@ def _resolve(
 
 def _identity(c: Column) -> Column:
     return c
-
-
-def _refuse_empty_struct(rtype: T.DataType, at: str) -> None:
-    """A struct nested inside a container with NO readable children in
-    some file (every declared child postdates the file) cannot be read:
-    parquet has no empty group, and NULL-filling would lose the
-    container's lengths/nullity.  Refuse with guidance — top-level
-    columns in the same state NULL-fill instead (build_read_plan)."""
-    if isinstance(rtype, T.StructType) and not rtype.fields:
-        raise ValidationError(
-            f"cannot read struct at {at!r}: none of its current fields "
-            "exist in some live data file (all were added after it was "
-            "written); run compact() to rewrite old files first"
-        )

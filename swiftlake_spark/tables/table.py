@@ -221,24 +221,26 @@ class Table:
         for key, es in groups.items():
             paths = [os.path.join(self.location, e.path) for e in es]
             if not key:  # legacy files: names match current schema
-                df = self.spark.read.schema(schema).parquet(*paths)
+                plans = [(None, None, paths)]
             else:
                 # ID-based resolution at every depth: renamed fields read
                 # under their file-time names and re-alias, retired IDs
                 # NULL-fill, widened leaves upcast in the parquet reader;
                 # nested rebuilds are Catalyst struct/transform expressions
                 # (evolution.build_read_plan, ≙ SchemaEvolution.java:511-587)
-                read_schema, select_cols = EV.build_read_plan(
-                    schema, self.meta.field_ids, dict(key)
-                )
-                df = (
-                    self.spark.read.schema(read_schema)
-                    .parquet(*paths)
-                    .select(*select_cols)
-                )
-            if with_file_name:
-                df = df.withColumn("_file", F.input_file_name())
-            parts.append(df)
+                plans = EV.plan_file_group(schema, self.meta.field_ids, dict(key), paths)
+            for read_schema, select_cols, fpaths in plans:
+                if read_schema is None:
+                    df = self.spark.read.schema(schema).parquet(*fpaths)
+                else:
+                    df = (
+                        self.spark.read.schema(read_schema)
+                        .parquet(*fpaths)
+                        .select(*select_cols)
+                    )
+                if with_file_name:
+                    df = df.withColumn("_file", F.input_file_name())
+                parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -593,9 +595,13 @@ class Table:
             except OSError:
                 continue
             # parquet leaf paths use "a.b.c" with "list.element"/"key_value.
-            # key|value" spellings for containers; normalize both sides
-            norm = fpath.replace(".element", ".list.element").replace(
-                ".key", ".key_value.key").replace(".value", ".key_value.value")
+            # key|value" spellings for containers; normalization is
+            # TYPE-DRIVEN from the declared schema (like evolution.
+            # _rebuild_at's descent), so a struct field legitimately named
+            # "element"/"key"/"value" is not mistaken for a container token
+            norm = froot + self._physical_tail(
+                self.schema[root].dataType, path.split(".")[1:]
+            )
             if any(n == fpath or n == norm or n.startswith(fpath + ".") or n.startswith(norm + ".")
                    for n in names):
                 raise ValidationError(
@@ -604,6 +610,30 @@ class Table:
                     "that name (re-adding would resurrect it); run compact() "
                     "and expire_snapshots() first"
                 )
+
+    @staticmethod
+    def _physical_tail(dtype: T.DataType, segs: list[str]) -> str:
+        """Logical path segments under ``dtype`` → the Spark-parquet
+        physical spelling suffix (starting with ".").  Containers insert
+        their wrapper groups ("list.element", "key_value.key|value");
+        struct segments pass through verbatim.  The FINAL segment may be
+        a field that does not exist yet (the add target)."""
+        out: list[str] = []
+        for seg in segs:
+            if isinstance(dtype, T.ArrayType) and seg == "element":
+                out += ["list", "element"]
+                dtype = dtype.elementType
+            elif isinstance(dtype, T.MapType) and seg in ("key", "value"):
+                out += ["key_value", seg]
+                dtype = dtype.keyType if seg == "key" else dtype.valueType
+            elif isinstance(dtype, T.StructType):
+                out.append(seg)
+                dtype = (
+                    dtype[seg].dataType if seg in dtype.fieldNames() else T.NullType()
+                )
+            else:
+                out.append(seg)  # new leaf under a non-struct: raw
+        return "." + ".".join(out)
 
     def drop_column(self, name: str) -> None:
         from swiftlake_spark.tables import evolution as EV

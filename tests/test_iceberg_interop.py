@@ -477,3 +477,70 @@ def test_iceberg_no_field_id_files_fall_back_by_name(spark, tmp_path):
     pq.write_table(tbl.cast(bare), fpath)
     t = IcebergTable(spark, loc)
     assert rows(t.scan(), "id", "name") == [(1, "a"), (2, "b")]
+
+
+def test_iceberg_metadata_discovery_sorts_numerically(spark, tmp_path):
+    """Without version-hint, discovery must pick the numerically-latest
+    metadata version: v9.metadata.json sorts AFTER v10.metadata.json as a
+    string, so >=10 versions caught the lexicographic fallback resolving
+    stale metadata."""
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+
+    loc = str(tmp_path / "icev10")
+    w = IcebergWriter(loc)
+    for i in range(11):  # metadata versions reach v11 > 9
+        w.append(spark.createDataFrame([(i, f"n{i}")], "id BIGINT, name STRING"))
+    os.remove(os.path.join(loc, "metadata", "version-hint.text"))
+    t = IcebergTable(spark, loc)
+    assert t.scan().count() == 11  # stale v9 would see only 9 rows
+
+
+def test_iceberg_partition_spec_evolution_does_not_prune_old_files(spark, tmp_path):
+    """Files written under an OLDER partition spec lack the current
+    spec's field names in their partition record; a filtered scan must
+    still return their matching rows (absent-key != null-value), and
+    pruning must evaluate each file against its manifest's own spec."""
+    import glob
+
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+    from swiftlake_spark.tables import expressions as E
+
+    loc = str(tmp_path / "icespec")
+    w = IcebergWriter(loc)  # spec 0: unpartitioned
+    w.append(
+        spark.createDataFrame(
+            [(1, "EU", 1.0), (2, "US", 2.0)], "id BIGINT, region STRING, v DOUBLE"
+        )
+    )
+    # evolve the table to a region-partitioned spec (spec 1) by editing
+    # metadata in place — old manifests stay under spec 0
+    mpath = max(
+        glob.glob(os.path.join(loc, "metadata", "v*.metadata.json")),
+        key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
+    )
+    with open(mpath) as f:
+        meta = json.load(f)
+    fid = next(f["id"] for f in meta["schemas"][0]["fields"] if f["name"] == "region")
+    meta["partition-specs"].append(
+        {
+            "spec-id": 1,
+            "fields": [
+                {"name": "region", "transform": "identity", "source-id": fid, "field-id": 1000}
+            ],
+        }
+    )
+    meta["default-spec-id"] = 1
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+
+    t = IcebergTable(spark, loc)
+    # the old-spec file's partition record has no "region" key: the scan
+    # must NOT prune it (pre-fix: absent key read as NULL -> pruned)
+    assert rows(t.scan(E.col_eq("region", "EU")), "id") == [(1,)]
+    # unit level: file under spec 0 with an unrelated old field name
+    assert t._file_may_match(E.col_eq("region", "EU"), {"old_bucket": 3}, spec_id=0)
+    assert t._file_may_match(E.col_eq("region", "EU"), {"old_bucket": 3}, spec_id=1)
+    # a genuine NULL partition value under the CURRENT spec still prunes
+    assert not t._file_may_match(E.col_eq("region", "EU"), {"region": None}, spec_id=1)

@@ -287,8 +287,10 @@ import itertools as _it
 _PROP_SEQ = _it.count()
 
 
+import os as _os
+
 @settings(
-    max_examples=8,
+    max_examples=int(_os.environ.get("SWIFTLAKE_HYPOTHESIS_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -351,3 +353,36 @@ def test_nested_evolution_value_identity_property(catalog, spark, ops, data):
     for k, rec in appended:
         want = {fname: rec.get(fid) for fname, fid in current.items()}
         assert got[k] == want, f"row {k}: {got[k]} != {want} (ops={ops})"
+
+
+def test_resurrection_guard_field_literally_named_element(catalog, spark):
+    """A struct field legitimately NAMED 'element'/'value' must still be
+    guarded: the physical-path normalization is type-driven, so the name
+    is not mistaken for a container token (old blanket str.replace turned
+    's.element' into 's.list.element', missing the real leaf)."""
+    t = catalog.create_table(
+        "db.tok_guard", "id BIGINT, s STRUCT<element: INT, ok: INT>, "
+        "tags ARRAY<STRUCT<k: STRING, w: INT>>"
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, Row(element=5, ok=1), [Row(k="a", w=2)])], schema=t.schema
+        )
+    )
+    snap = t.meta.current_snapshot()
+    entries = t.meta.read_manifest(snap)
+    for e in entries:
+        e.column_ids = {k: v for k, v in e.column_ids.items() if "." not in k}
+    _rewrite_manifest(t, snap, entries)
+    t2 = t.refresh()
+    # struct field named "element": physical path is plain "s.element"
+    t2.drop_column("s.element")
+    with pytest.raises(ValidationError, match="resurrect"):
+        t2.add_column("s.element", "int")
+    # genuine container descent still normalizes ("tags.list.element.w")
+    t3 = t2.refresh()
+    t3.drop_column("tags.element.w")
+    with pytest.raises(ValidationError, match="resurrect"):
+        t3.add_column("tags.element.w", "int")
+    # a fresh name under the container is fine
+    t3.add_column("tags.element.brand_new", "int")
