@@ -55,31 +55,49 @@ def _load_all() -> None:
     from swiftlake_spark.queries import tpch  # noqa: F401
 
 
-# Driver-gate rotation (round 5).  The correctness driver hash-checks only
+# Driver-gate rotation (round 6).  The correctness driver hash-checks only
 # the FIRST 50 entries of queries() in iteration order, so certification must
 # rotate: names in _GATE_PRIORITY are emitted first, everything else follows
-# in registration order.  Rebuilt per README.md "Driver-gate rotation" from
-# the CORRECTNESS_r01..r04 union:
-#   1. q76 (the lone red row all 4 rounds — oracle now pins BIGINT over
-#      DuckDB's HUGEINT window SUM; needs a green row to confirm);
-#   2. q98/q99/q100 (hash-checkable, zero driver rows ever — they sat at
-#      positions 51-53 of the round-4 list and missed the 50-slot window);
-#   3. queries NEW this round (never had a driver row by construction);
-#   4. the rows-only entries (weaker check, but still worth rows) — the
-#      round-5 additions q114 (video) and q115 (semantic dedup) included;
-#   5. everything else follows in registration order, which is exactly the
-#      r1-r3-certified relational block (least-recently certified first) —
-#      the r4-certified LLM/extended block registers later, so it naturally
-#      falls outside the 50-slot window this round.
+# in registration order.  Rebuilt from the CORRECTNESS_r01..r05 union by
+# last-certified round (staleness-first):
+#   1. the 8 queries that were rows-only through r5 and carry NEW verdict
+#      oracles this round (planted-dup exactness / recall-vs-brute /
+#      codec-roundtrip checks) — never hash-certified, so they lead;
+#   2. r2-certified (q46, q47), then the r3-certified block (16);
+#   3. the r4-certified block (48, registration order) fills the window —
+#      its tail rolls to round 7;
+#   4. the r5-certified block (42) follows and sits outside the window.
 _GATE_PRIORITY = [
-    'q76_pack_sequences', 'q98_excess_shippers', 'q99_waiting_orders',
-    'q100_sales_opportunity',
-    # new in round 5
-    'q111_nested_evolution', 'q112_murmur3_bucket', 'q113_iceberg_read',
-    'q116_simhash_md5',
-    # rows-only (weaker driver check)
-    'q49_simhash_neardup', 'q50_ann_lsh_topk', 'q58_ivf_topk', 'q53_multimodal_features',
-    'q55_embedding_neardup', 'q108_audio_features', 'q114_video_frames', 'q115_semantic_dedup',
+    # newly verdict-oracled (never hash-certified)
+    'q49_simhash_neardup', 'q50_ann_lsh_topk', 'q58_ivf_topk',
+    'q53_multimodal_features', 'q55_embedding_neardup', 'q108_audio_features',
+    'q114_video_frames', 'q115_semantic_dedup',
+    # last certified r2
+    'q46_cosine_topk', 'q47_embedding_stats',
+    # last certified r3
+    'q30_tumbling_window', 'q31_sessionization', 'q32_json_props',
+    'q38_scd_diff_classify', 'q39_map_funcs', 'q40_dedup_exact',
+    'q41_dedup_keeper', 'q42_text_stats', 'q43_ngram_jaccard',
+    'q44_fingerprint', 'q45_langid_score', 'q60_lateral_join',
+    'q61_scalar_subquery', 'q62_grouping_sets', 'q106_decimal_exact',
+    'q107_approx_percentile',
+    # last certified r4 (first 24 land inside the 50-slot window)
+    'q48_minhash_lsh', 'q51_text_quality', 'q52_langid_pred', 'q54_bpe_tokens',
+    'q56_hash_split', 'q57_quantiles', 'q59_vocab_topk', 'q63_exists_subquery',
+    'q64_explode_tokens', 'q65_string_agg', 'q66_unpivot', 'q67_regexp',
+    'q68_sequence', 'q69_bitwise', 'q70_date_arith', 'q71_array_funcs',
+    'q72_local_volume', 'q73_window_extras', 'q74_conditional_agg',
+    'q75_gopher_rules', 'q77_contamination', 'q78_returned_revenue',
+    'q79_median_stats', 'q80_set_ops_all', 'q81_grouping_id',
+    'q82_nation_volume', 'q83_important_stock', 'q84_uuid_type',
+    'q85_time_type', 'q86_min_cost_supplier', 'q87_order_priority',
+    'q88_forecast_revenue', 'q89_market_share', 'q90_nation_profit',
+    'q91_customer_distribution', 'q92_promo_revenue', 'q93_top_supplier',
+    'q94_part_supplier_count', 'q95_small_qty_revenue',
+    'q96_large_volume_customer', 'q97_disjunctive_revenue',
+    'q101_recursive_spine', 'q102_dup_clusters', 'q103_pii_redaction',
+    'q104_boilerplate_ngrams', 'q105_dedup_corpus', 'q109_bigram_surprisal',
+    'q110_length_histogram',
 ]
 
 

@@ -7,10 +7,15 @@ DataFrame, shuffle-partitioned, no driver materialization; the declared
 queries here are the oracle-checked entry points, the reusable operator
 API lives in ``swiftlake_spark.operators``.
 
-Hash-portability note: every hash used in an oracle-checked query is MD5
-(identical hex output in Spark and DuckDB).  Engine-internal variants
-(xxhash/murmur via ``F.hash``) are faster but engine-specific, so they
-appear only in rows-only-checked operators.
+Hash-portability note: every hash whose VALUE reaches an oracle compare
+is MD5 (identical hex output in Spark and DuckDB).  Engine-internal
+variants (xxhash/murmur via ``F.hash``) are faster but engine-specific,
+so queries built on them certify through VERDICT oracles instead (q25's
+pattern): the query computes the operator output AND a deterministic
+check of it in one plan — planted-duplicate exactness, recall vs the
+exact brute-force path, codec-roundtrip feature equality — and emits a
+single verdict row the DuckDB oracle derives independently from the raw
+tables (counts, data-derived invariants, expected booleans).
 """
 
 from __future__ import annotations
@@ -543,58 +548,165 @@ def q102_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q49 — SimHash near-dup pairs (rows-only: xxhash64 is engine-internal).
-# Banded LSH: full recall at max_hamming via pigeonhole (n_bands =
-# max_hamming + 1 bands; any pair within distance agrees on ≥1 band),
-# bucket key space n_bands·2^(48/n_bands) — no O(bucket²) hazard.
+# q49 — SimHash near-dup pairs, VERDICT oracle (q25's pattern: the
+# xxhash64 signature is engine-internal, so the hash-compared columns
+# are deterministic CHECKS of the operator, not the signature itself).
+# The query plants one exact duplicate per document (doc_id + 10000,
+# same text); banded LSH has FULL recall at max_hamming via pigeonhole
+# (n_bands = max_hamming + 1: any pair within distance agrees on ≥1
+# band), so every planted pair — Hamming 0 — MUST come back.  Verdict:
+# planted_found equals the SQL-derived document count, every reported
+# pair respects the Hamming bound and the id_a < id_b canonical order.
 # --------------------------------------------------------------------------
-@query("q49_simhash_neardup", oracle=None)
+@query(
+    "q49_simhash_neardup",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 500 AND text IS NOT NULL) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 500 AND text IS NOT NULL) AS BIGINT) AS planted_found,
+       true AS all_within_bound,
+       true AS ordered_ok
+""",
+)
 def q49_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.dedup import simhash_near_dups
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return simhash_near_dups(d, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 500) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    planted = d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    pairs = simhash_near_dups(
+        d.unionByName(planted), "doc_id", "text", max_hamming=3
+    )
+    n_docs = d.count()
+    return pairs.agg(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("id_b") == F.col("id_a") + 10_000)
+                    & (F.col("id_a") < 500)
+                ).cast("bigint")
+            ),
+            F.lit(0),
+        ).alias("planted_found"),
+        F.coalesce(F.bool_and(F.col("hamming") <= 3), F.lit(True)).alias(
+            "all_within_bound"
+        ),
+        F.coalesce(F.bool_and(F.col("id_a") < F.col("id_b")), F.lit(True)).alias(
+            "ordered_ok"
+        ),
     )
 
 
 # --------------------------------------------------------------------------
-# q50 — ANN via random-hyperplane LSH buckets + exact re-rank (rows-only:
-# bucket assignment is engine-internal, recall < 1 by design).
+# q50 — ANN via multi-table random-hyperplane LSH + exact re-rank,
+# VERDICT oracle: bucket assignment is engine-internal, so the query
+# runs the ANN path AND the exact brute-force path (cosine_topk — the
+# q46-certified baseline) in one plan and hash-compares deterministic
+# checks: recall vs brute ≥ 0.4 (measured 0.47-0.60 at sf0.001/0.01,
+# deterministic: fixed hyperplane seed, fixed data), every query's
+# top-1 is itself at cosine ≈ 1, and the result shape is exact.
 # --------------------------------------------------------------------------
-@query("q50_ann_lsh_topk", oracle=None)
+@query(
+    "q50_ann_lsh_topk",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS n_queries,
+       CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS brute_rows,
+       true AS recall_ok,
+       true AS self_hit_ok
+""",
+)
 def q50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from swiftlake_spark.operators.similarity import ann_cosine_topk
+    from swiftlake_spark.operators.similarity import ann_cosine_topk, cosine_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return ann_cosine_topk(
-        emb, queries_df, dim=64, k=5, n_planes=6
-    ).orderBy("query_id", "rn")
+    ann = ann_cosine_topk(emb, queries_df, dim=64, k=5, n_planes=5, n_tables=6)
+    brute = cosine_topk(emb, queries_df, k=5)
+    hits = brute.select("query_id", "cand_id").join(
+        ann.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    )
+    self_top = ann.filter(F.col("rn") == 1)
+    stats = (
+        brute.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("brute_rows"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(
+            self_top.agg(
+                F.bool_and(
+                    (F.col("cand_id") == F.col("query_id"))
+                    & (F.abs(F.col("cosine") - 1.0) < 1e-9)
+                ).alias("self_hit_ok")
+            )
+        )
+    )
+    return stats.select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        F.col("brute_rows").cast("bigint").alias("brute_rows"),
+        (F.col("n_hits") * 10 >= F.col("brute_rows") * 4).alias("recall_ok"),
+        "self_hit_ok",
+    )
 
 
 # --------------------------------------------------------------------------
-# q58 — IVF index + probe search (rows-only: k-means centroid assignment
-# is engine-internal; fixed seed keeps it deterministic run-to-run).
-# Scan fraction ≈ n_probe/n_clusters of the corpus; the probe set joins
-# broadcast, candidates score with Catalyst folds, window top-k.  A
-# query vector is its own nearest neighbor (cosine 1.0 in its own
-# inverted list), so results are guaranteed non-empty.
+# q58 — IVF index + probe search, VERDICT oracle (same pattern as q50):
+# the k-means quantizer is engine-internal, so the query runs IVF AND
+# the exact brute-force baseline in one plan and hash-compares checks:
+# recall vs brute ≥ 0.6 (measured 0.67-0.73 at sf0.001/0.01 with
+# n_probe=2 of 8 clusters; deterministic, fixed k-means seed), each
+# query's top-1 is itself (a query vector sits in its own inverted
+# list at cosine 1.0), and the result shape is exact.
 # --------------------------------------------------------------------------
-@query("q58_ivf_topk", oracle=None)
+@query(
+    "q58_ivf_topk",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS n_queries,
+       CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS brute_rows,
+       true AS recall_ok,
+       true AS self_hit_ok
+""",
+)
 def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from swiftlake_spark.operators.similarity import ivf_index, ivf_topk
+    from swiftlake_spark.operators.similarity import cosine_topk, ivf_index, ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     indexed, centroids = ivf_index(emb, n_clusters=8, seed=42)
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return ivf_topk(
-        indexed, centroids, queries_df, k=5, n_probe=2
-    ).orderBy("query_id", "rn")
+    ivf = ivf_topk(indexed, centroids, queries_df, k=5, n_probe=2)
+    brute = cosine_topk(emb, queries_df, k=5)
+    hits = brute.select("query_id", "cand_id").join(
+        ivf.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    )
+    self_top = ivf.filter(F.col("rn") == 1)
+    stats = (
+        brute.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("brute_rows"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(
+            self_top.agg(
+                F.bool_and(
+                    (F.col("cand_id") == F.col("query_id"))
+                    & (F.abs(F.col("cosine") - 1.0) < 1e-9)
+                ).alias("self_hit_ok")
+            )
+        )
+    )
+    return stats.select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        F.col("brute_rows").cast("bigint").alias("brute_rows"),
+        (F.col("n_hits") * 10 >= F.col("brute_rows") * 6).alias("recall_ok"),
+        "self_hit_ok",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -673,14 +785,31 @@ def q52_langid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q53 — multimodal image pipeline (rows-only): REAL binary PPM payloads
-# are synthesized from text bytes with pure Column ops (header concat +
-# byte-substring — all JVM-side), then decoded by the stdlib netpbm
-# codec and feature-extracted (pixel means/stds/histogram) in one
-# Arrow-batched mapInPandas (operators/multimodal.py).
+# q53 — multimodal image pipeline, VERDICT oracle: REAL binary PPM
+# payloads are synthesized from text bytes with pure Column ops (header
+# concat + byte-substring — all JVM-side), then decoded by the stdlib
+# netpbm codec and feature-extracted in one Arrow-batched mapInPandas.
+# The verdict cross-checks the CODEC path against an INDEPENDENT
+# recompute: expected mean-R is taken straight from the raw text bytes
+# (numpy slice, no PPM parsing) and must match the decoded feature for
+# every row; dimensions/byte counts are checked exactly; the row count
+# is SQL-derived.
 # --------------------------------------------------------------------------
-@query("q53_multimodal_features", oracle=None)
+@query(
+    "q53_multimodal_features",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 100 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
+       true AS width_ok,
+       true AS nbytes_ok,
+       true AS featdim_ok,
+       true AS mean_r_ok
+""",
+)
 def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
     from swiftlake_spark.operators.multimodal import attach_media_meta, decode_image
 
     # 8x8 RGB PPM: 15-byte header + 192 raster bytes taken from the
@@ -690,23 +819,57 @@ def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     raster = F.substring(
         F.encode(F.repeat(F.substring(F.col("text"), 1, 192), 192), "utf-8"), 1, 192
     )
-    d = (
+    base = (
         load(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
         .select(
             "doc_id",
+            "text",
             F.concat(F.encode(F.lit("P6\n8 8\n255\n"), "utf-8"), raster).alias("data"),
         )
     )
-    d = attach_media_meta(d, "data", "image/x-portable-pixmap")
+
+    # independent expectation: mean of the R-channel bytes computed from
+    # the text directly (same repeat/slice semantics as the Column ops
+    # above), WITHOUT touching the PPM codec under test
+    exp_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("expected_mean_r", T.DoubleType()),
+        ]
+    )
+
+    def expect(batches):
+        import numpy as np
+
+        for pdf in batches:
+            exp = []
+            for txt in pdf["text"]:
+                raw = (txt[:192] * 192).encode("utf-8")[:192]
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                exp.append(float(arr[0::3].astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "data": pdf["data"],
+                    "expected_mean_r": exp,
+                }
+            )
+
+    d = attach_media_meta(base.mapInPandas(expect, exp_schema), "data",
+                          "image/x-portable-pixmap")
     feats = decode_image(d, "data")  # REAL decode, no fake
-    return feats.select(
-        "doc_id",
-        F.col("meta.n_bytes").alias("n_bytes"),
-        F.size("features").alias("feat_dim"),
-        F.round(F.element_at("features", 1), 4).alias("width"),
-        F.round(F.element_at("features", 4), 4).alias("mean_r"),
-    ).orderBy("doc_id")
+    ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        ok(F.element_at("features", 1) == 8.0).alias("width_ok"),
+        ok(F.col("meta.n_bytes") == 203).alias("nbytes_ok"),  # 11B header + 192B raster
+        ok(F.size("features") == 16).alias("featdim_ok"),
+        ok(
+            F.abs(F.element_at("features", 4) - F.col("expected_mean_r")) < 0.01
+        ).alias("mean_r_ok"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -736,16 +899,23 @@ def q54_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q55 — embedding near-duplicate pairs via multi-table LSH (rows-only:
-# buckets depend on the engine's deterministic hyperplane seed).
-# n_planes=16 bounds each table at 2^16 buckets; n_tables=4 independent
-# tables restore the recall a single fine table loses.  The fixture
-# corpus has no true near-dups, so the query plants exact duplicates of
-# vec_id < 10 (id + 1_000_000): identical vectors share every table's
-# bucket, so all 10 planted pairs MUST come back — a recall self-check
-# the zero-row vacuity guard enforces.
+# q55 — embedding near-duplicate pairs via multi-table LSH, VERDICT
+# oracle: buckets depend on the engine's hyperplane seed, so the
+# hash-compared columns are checks.  The corpus has no true near-dups;
+# the query plants exact duplicates of vec_id < 10 (id + 1_000_000):
+# identical vectors share every table's bucket, so ALL planted pairs
+# MUST come back at cosine 1 — planted_found is SQL-derived; every
+# reported pair is further checked against the threshold and the
+# canonical id order.
 # --------------------------------------------------------------------------
-@query("q55_embedding_neardup", oracle=None)
+@query(
+    "q55_embedding_neardup",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS planted_found,
+       true AS all_above_threshold,
+       true AS ordered_ok
+""",
+)
 def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.similarity import embedding_near_dups
 
@@ -754,9 +924,25 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
-    return (
-        embedding_near_dups(corpus, dim=64, threshold=0.95, n_planes=16, n_tables=4)
-        .orderBy("id_a", "id_b")
+    pairs = embedding_near_dups(
+        corpus, dim=64, threshold=0.95, n_planes=16, n_tables=4
+    )
+    return pairs.agg(
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("id_b") == F.col("id_a") + 1_000_000)
+                    & (F.col("id_a") < 10)
+                ).cast("bigint")
+            ),
+            F.lit(0),
+        ).alias("planted_found"),
+        F.coalesce(F.bool_and(F.col("cosine") >= 0.95), F.lit(True)).alias(
+            "all_above_threshold"
+        ),
+        F.coalesce(F.bool_and(F.col("id_a") < F.col("id_b")), F.lit(True)).alias(
+            "ordered_ok"
+        ),
     )
 
 
@@ -1022,13 +1208,25 @@ def q105_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q108 — audio feature extraction (rows-only): REAL PCM WAV payloads are
-# synthesized per document (text bytes → int16 samples → stdlib `wave`
-# encoder), then decoded back by the stdlib codec and feature-extracted
-# (true duration / RMS / ZCR / FFT bands).  Synthesis and decode are two
-# Arrow-batched stages over the same partitioning.
+# q108 — audio feature extraction, VERDICT oracle: REAL PCM WAV payloads
+# are synthesized per document (text bytes → int16 samples → stdlib
+# `wave` encoder), then decoded back by the stdlib codec and
+# feature-extracted (true duration / RMS / ZCR / FFT bands).  The
+# verdict cross-checks the WAV container roundtrip: expected duration /
+# RMS / ZCR are computed at SYNTHESIS time from the quantized samples
+# (numpy only, no `wave` parsing) and must match what the decode path
+# recovers from the bytes, row by row; the row count is SQL-derived.
 # --------------------------------------------------------------------------
-@query("q108_audio_features", oracle=None)
+@query(
+    "q108_audio_features",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 100 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
+       true AS duration_ok,
+       true AS rms_ok,
+       true AS zcr_ok,
+       true AS meldim_ok
+""",
+)
 def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
@@ -1048,28 +1246,59 @@ def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     synth_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())]
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("exp_duration_ms", T.LongType()),
+            T.StructField("exp_rms", T.DoubleType()),
+            T.StructField("exp_zcr", T.DoubleType()),
+        ]
     )
 
     def synth(batches):
         for pdf in batches:
-            data = []
+            data, durs, rmss, zcrs = [], [], [], []
             for txt in pdf["text"]:
                 raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
                 samples = (raw.astype(np.float32) - 128.0) / 128.0
                 data.append(encode_wav(samples, rate=8_000))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": data})
+                # independent expectation from the QUANTIZED samples —
+                # replicates the int16 clip/scale the encoder applies but
+                # never parses the WAV container under test
+                q = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int16)
+                qf = q.astype(np.float32) / 32768.0
+                durs.append(int(len(qf) * 1000 / 8_000))
+                rmss.append(float(np.sqrt(np.mean(qf**2))) if len(qf) else 0.0)
+                zcrs.append(
+                    float((np.diff(np.sign(qf)) != 0).mean()) if len(qf) > 1 else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "data": data,
+                    "exp_duration_ms": durs,
+                    "exp_rms": rmss,
+                    "exp_zcr": zcrs,
+                }
+            )
 
     wavs = d.mapInPandas(synth, synth_schema)
     wavs = attach_media_meta(wavs, "data", "audio/wav")
     feats = decode_audio(wavs, "data")  # REAL stdlib WAV decode
-    return feats.select(
-        "doc_id",
-        F.col("audio_features.duration_ms").alias("duration_ms"),
-        F.round("audio_features.rms", 4).alias("rms"),
-        F.round("audio_features.zcr", 4).alias("zcr"),
-        F.size("audio_features.mel").alias("mel_dim"),
-    ).orderBy("doc_id")
+    ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        ok(
+            F.col("audio_features.duration_ms") == F.col("exp_duration_ms")
+        ).alias("duration_ok"),
+        ok(
+            F.abs(F.col("audio_features.rms") - F.col("exp_rms")) < 1e-4
+        ).alias("rms_ok"),
+        ok(
+            F.abs(F.col("audio_features.zcr") - F.col("exp_zcr")) < 1e-4
+        ).alias("zcr_ok"),
+        ok(F.size("audio_features.mel") == 16).alias("meldim_ok"),
+    )
 
 
 _Q109_GRAMS_CACHE: dict[tuple[int, str], "DataFrame"] = {}
@@ -1189,14 +1418,27 @@ def q110_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q114 — video pipeline (rows-only): REAL concatenated-PPM clips are
-# synthesized per document (text bytes → 8x8 RGB frames, one frame per
-# 192-byte chunk), then frame-sampled by time (1 s @ 25 fps → every
-# 25th frame... here every_ms=120 → every 3rd) and feature-extracted
-# per frame — completing the image/audio/video triad on real codecs
-# (operators/multimodal.py).  Two Arrow stages, partitioning preserved.
+# q114 — video pipeline, VERDICT oracle with a DATA-DERIVED invariant:
+# REAL concatenated-PPM clips are synthesized per document (text bytes →
+# 8x8 RGB frames, one frame per 192-byte chunk), then frame-sampled by
+# time (every_ms=120 @ 25 fps → every 3rd frame) and feature-extracted
+# per frame.  The sampled-frame count per doc is a pure function of the
+# text's UTF-8 byte length — ceil(max(1, min(len//192, 40)) / 3) — so
+# DuckDB computes the corpus total INDEPENDENTLY from the raw data and
+# the hash compare certifies the whole decode→sample path end-to-end;
+# frame-0 mean-R is additionally cross-checked against a codec-free
+# recompute from the raw bytes.
 # --------------------------------------------------------------------------
-@query("q114_video_frames", oracle=None)
+@query(
+    "q114_video_frames",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((GREATEST(LEAST(octet_length(encode(text)) // 192, 40), 1) + 2) // 3) AS BIGINT)
+         AS total_sampled,
+       true AS f0_mean_ok
+FROM documents WHERE doc_id < 100 AND LENGTH(text) > 0
+""",
+)
 def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
@@ -1211,12 +1453,16 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     synth_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("data", T.BinaryType())]
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("exp_f0_mean_r", T.DoubleType()),
+        ]
     )
 
     def synth(batches):
         for pdf in batches:
-            data = []
+            data, exp = [], []
             for txt in pdf["text"]:
                 raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
                 n_frames = max(1, min(len(raw) // 192, 40))
@@ -1225,38 +1471,66 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frames = [raw[i * 192: (i + 1) * 192].reshape(8, 8, 3)
                           for i in range(n_frames)]
                 data.append(encode_ppm_stream(frames))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": data})
+                # frame 0's R-channel mean straight from the bytes — no
+                # PPM codec involved
+                exp.append(float(raw[0:192][0::3].astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "data": data, "exp_f0_mean_r": exp}
+            )
 
     clips = d.mapInPandas(synth, synth_schema)
     out = sample_frames(clips, "data", every_ms=120, fps=25.0)  # every 3rd frame
-    return out.select(
-        "doc_id",
-        F.size("frames").alias("n_sampled"),
-        F.round(F.element_at(F.element_at("frames", 1), 4), 4).alias("f0_mean_r"),
-    ).orderBy("doc_id")
+    ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("frames")).cast("bigint").alias("total_sampled"),
+        ok(
+            F.abs(
+                F.element_at(F.element_at("frames", 1), 4) - F.col("exp_f0_mean_r")
+            )
+            < 0.01
+        ).alias("f0_mean_ok"),
+    )
 
 
 # --------------------------------------------------------------------------
-# q115 — semantic deduplication (SemDeDup, Abbas et al. 2023): IVF
-# cluster the embedding corpus, compare pairs only within clusters,
-# drop cosine≥τ near-copies keeping the lowest id.  Rows-only: the
-# k-means quantizer is not SQL-expressible (pytest pins planted-dup
-# recall; operators/similarity.semantic_dedup).  One shuffle on the
-# cluster key; no global pairwise stage.
+# q115 — semantic deduplication (SemDeDup, Abbas et al. 2023), VERDICT
+# oracle: IVF-cluster the embedding corpus, compare pairs only within
+# clusters, drop cosine≥τ near-copies keeping the lowest id.  The
+# k-means quantizer is engine-internal, so the query plants exact
+# duplicates of vec_id < 10 (id + 1_000_000): an identical vector lands
+# in the same cluster by construction and pairs at cosine 1 ≥ τ, so
+# every planted copy MUST be dropped — planted_dropped is SQL-derived.
+# keep/drop must partition the corpus and each victim's keeper must
+# precede it.  One shuffle on the cluster key; no global pairwise stage.
 # --------------------------------------------------------------------------
-@query("q115_semantic_dedup", oracle=None)
+@query(
+    "q115_semantic_dedup",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM embeddings) + (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_vectors,
+       CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS planted_dropped,
+       true AS partition_ok,
+       true AS keeper_precedes
+""",
+)
 def q115_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.similarity import semantic_dedup
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    out = semantic_dedup(e, n_clusters=16, threshold=0.9)
-    return (
-        out.agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
-            F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
-            F.min(F.when(~F.col("keep"), F.col("id"))).alias("first_dropped"),
-        )
+    planted = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(e.unionByName(planted), n_clusters=16, threshold=0.9)
+    ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(
+            ((~F.col("keep")) & (F.col("id") >= 1_000_000)).cast("bigint")
+        ).alias("planted_dropped"),
+        ok(F.col("keep") == F.col("dup_of").isNull()).alias("partition_ok"),
+        ok(F.col("keep") | (F.col("dup_of") < F.col("id"))).alias(
+            "keeper_precedes"
+        ),
     )
 
 
