@@ -73,6 +73,19 @@ def main() -> int:
         .save()
     )
 
+    # Machine-state floor: a `spark.range(10)` noop job measures the
+    # fixed per-job cost (scheduling + commit round-trip) the current
+    # sandbox imposes — emitted with every run so environmental drift
+    # across rounds is QUANTIFIED, not asserted (same-code totals have
+    # varied 80-115 s round-to-round; the floor separates machine state
+    # from plan regressions).  Median of 9 after warmup.
+    floor_samples = []
+    for _ in range(9):
+        f0 = time.perf_counter()
+        spark.range(10).write.format("noop").mode("overwrite").save()
+        floor_samples.append(time.perf_counter() - f0)
+    floor = round(sorted(floor_samples)[len(floor_samples) // 2], 3)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -96,10 +109,15 @@ def main() -> int:
     # queries sharing a qNN prefix can't silently collide in "errors"
     all_keys = set(timings) | set(errors)
     use_short = len({_short(k) for k in all_keys}) == len(all_keys)
+    # value_adj = total minus one floor per query: the machine-state-
+    # independent residual (what the plans themselves cost)
+    value_adj = round(max(total - floor * len(timings), 0.0), 3)
     out = {
         "metric": "query-surface wall clock",
         "value": total,
         "unit": "sec",
+        "floor": floor,
+        "value_adj": value_adj,
         "queries": {
             (_short(k) if use_short else k): round(v, 2)
             for k, v in timings.items()
@@ -114,7 +132,18 @@ def main() -> int:
     try:
         with open(os.path.join(_REPO, "bench_last.json"), "w") as fh:
             json.dump(
-                {"value": total, "sf": sf, "queries": timings, "errors": errors},
+                {
+                    "value": total,
+                    "sf": sf,
+                    "floor": floor,
+                    "floor_samples": [round(x, 3) for x in floor_samples],
+                    "value_adj": value_adj,
+                    "queries": timings,
+                    "queries_adj": {
+                        k: round(max(v - floor, 0.0), 3) for k, v in timings.items()
+                    },
+                    "errors": errors,
+                },
                 fh,
                 indent=1,
             )

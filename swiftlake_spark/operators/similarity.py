@@ -422,34 +422,83 @@ def semantic_dedup(
     n_clusters: int | None = None,
     threshold: float = 0.95,
     seed: int = 42,
+    max_cluster_size: int = 4096,
+    max_split_rounds: int = 3,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster embeddings with the IVF coarse quantizer, then compare pairs
     ONLY within a cluster; any pair with cosine ≥ ``threshold`` marks
-    the higher id a duplicate.  → (id, keep, dup_of).
+    the higher id a duplicate (``dup_of`` = lowest qualifying earlier
+    id).  → (id, keep, dup_of).
 
     Scale: within-cluster pair work is Σ|cluster|² ≈ n²/k, so the
     cluster count must GROW with the corpus (SemDeDup's own scaling) —
     the default sizes k ≈ n/512 (≥16), keeping expected per-cluster
-    membership ~512 and total pair work ~O(n · 512) regardless of
-    corpus size.  Pass ``n_clusters`` explicitly to override.  One
-    shuffle on ``centroid_id``; the join is relational so Catalyst
-    plans a shuffled hash join on the cluster key; cosine is a
-    ``zip_with`` fold, JVM-side."""
+    membership ~512 and total pair work ~O(n · 512).  Two guards bound
+    the SKEWED case where one centroid swallows a popular region:
+
+    1. **Exact-duplicate pre-reduction**: vectors are grouped by value
+       first and only each group's minimum-id representative enters the
+       pair stage.  Identical vectors — the common skew driver, and the
+       one k-means can never split — cost one groupBy instead of a
+       |group|² self-join; members inherit ``dup_of =
+       coalesce(dup_of(rep), rep)``, which is provably the same answer
+       the all-pairs formulation gives (any qualifying earlier id has a
+       representative that also qualifies and is no larger).
+    2. **Oversized-cluster re-splitting**: clusters still above
+       ``max_cluster_size`` after (1) are re-quantized with fresh
+       finer centroids (composite cluster key, up to
+       ``max_split_rounds`` rounds) — SemDeDup's own recursive
+       refinement.  Near-dup pairs split across sub-clusters are missed,
+       the same within-cluster-only recall tradeoff the base algorithm
+       already makes.
+
+    Shuffles: one groupBy on the vector value, one per split round on
+    the cluster key, one for the pair join; cosine is a ``zip_with``
+    fold, JVM-side."""
+    v0 = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    groups = v0.groupBy("vec").agg(F.min("id").alias("rep_id"))
+    members = v0.join(groups, "vec").select("id", "rep_id", "vec")
+    reps = members.filter(F.col("id") == F.col("rep_id")).select("id", "vec")
+
     if n_clusters is None:
-        n_clusters = max(16, int(emb.count() // 512) + 1)
+        n_clusters = max(16, int(reps.count() // 512) + 1)
     indexed, _ = ivf_index(
-        emb, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+        reps, id_col="id", vec_col="vec", n_clusters=n_clusters, seed=seed
     )
-    norm = F.sqrt(
-        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x)
+    assigned = indexed.select(
+        "id", "vec", F.col("centroid_id").cast("string").alias("ckey")
     )
-    v = indexed.select(
-        F.col(id_col).alias("id"),
-        "centroid_id",
-        F.col(vec_col).alias("vec"),
-        norm.alias("nrm"),
-    )
+
+    # re-split clusters that exceed the pair-work bound (skewed centroid):
+    # re-quantize ONLY the oversized clusters' members with fresh finer
+    # centroids; the composite key keeps refinement within each cluster
+    prev = None
+    for rnd in range(max_split_rounds):
+        sizes = assigned.groupBy("ckey").agg(F.count(F.lit(1)).alias("n"))
+        big = [r["ckey"] for r in sizes.filter(F.col("n") > max_cluster_size).collect()]
+        if not big:
+            break
+        over = assigned.filter(F.col("ckey").isin(big))
+        rest = assigned.filter(~F.col("ckey").isin(big))
+        n_over = over.count()
+        sub_k = max(2, int(n_over // max(max_cluster_size // 2, 1)) + 1)
+        sub, _ = ivf_index(
+            over, id_col="id", vec_col="vec", n_clusters=sub_k, seed=seed + rnd + 1
+        )
+        refined = sub.select(
+            "id",
+            "vec",
+            F.concat_ws("/", "ckey", F.col("centroid_id").cast("string")).alias("ckey"),
+        )
+        assigned = rest.unionByName(refined).persist()
+        assigned.count()  # materialize before unpersisting the parent
+        if prev is not None:
+            prev.unpersist()
+        prev = assigned
+
+    norm = F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x))
+    v = assigned.select("id", "ckey", "vec", norm.alias("nrm"))
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
@@ -459,8 +508,7 @@ def semantic_dedup(
     pairs = (
         a.join(
             b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.ckey") == F.col("b.ckey")) & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -469,11 +517,13 @@ def semantic_dedup(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    dup_of = pairs.groupBy(F.col("id_b").alias("id")).agg(
-        F.min("id_a").alias("dup_of")
+    rep_dup = pairs.groupBy(F.col("id_b").alias("rep_id")).agg(
+        F.min("id_a").alias("rep_dup_of")
     )
-    return (
-        emb.select(F.col(id_col).alias("id"))
-        .join(dup_of, "id", "left")
-        .select("id", F.col("dup_of").isNull().alias("keep"), "dup_of")
+    out = members.join(rep_dup, "rep_id", "left").select(
+        "id",
+        F.when(F.col("id") == F.col("rep_id"), F.col("rep_dup_of"))
+        .otherwise(F.coalesce(F.col("rep_dup_of"), F.col("rep_id")))
+        .alias("dup_of"),
     )
+    return out.select("id", F.col("dup_of").isNull().alias("keep"), "dup_of")

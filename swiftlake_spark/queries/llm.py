@@ -1320,9 +1320,12 @@ _Q109_GRAMS_CACHE: dict[tuple[int, str], "DataFrame"] = {}
 # persisted and the corpus total is derived from the count model
 # (total = SUM of per-bigram counts — no third pass over grams), so the
 # corpus is scanned/exploded ONCE: 4.8 s unpersisted-3-consumer →
-# 2.8-3.3 s.  DISK_ONLY measures the same (3.2 s), which is the level
-# to prefer at 100 TB where the exploded grams (~3× corpus text) exceed
-# executor memory.
+# 2.8-3.3 s.  The persist level DEFAULTS to DISK_ONLY — measured at
+# parity locally (PERF.md round-5/6 rows) and the only safe level at
+# 100 TB, where the exploded grams (~3× corpus text) would evict the
+# executor cache or OOM under MEMORY_AND_DISK's deserialized-heap
+# attempt.  Override with SWIFTLAKE_GRAMS_STORAGE for RAM-rich local
+# runs.
 # --------------------------------------------------------------------------
 @query(
     "q109_bigram_surprisal",
@@ -1355,13 +1358,21 @@ def q109_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted copy each call (which would leak until executor OOM)
     grams = _Q109_GRAMS_CACHE.get((id(spark), sf_dir))
     if grams is None:
+        import os as _os
+
+        from pyspark import StorageLevel
+
+        level = getattr(
+            StorageLevel,
+            _os.environ.get("SWIFTLAKE_GRAMS_STORAGE", "DISK_ONLY"),
+        )
         d = load(spark, sf_dir, "documents")
         w = F.split("text", " ")
         arr = F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(-1))),
             lambda i: F.concat_ws(" ", w[i], w[i + 1]),
         )
-        grams = d.select("doc_id", F.explode(arr).alias("bg")).persist()
+        grams = d.select("doc_id", F.explode(arr).alias("bg")).persist(level)
         _Q109_GRAMS_CACHE[(id(spark), sf_dir)] = grams
     cnt = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     # corpus total = sum of the model's counts: a tiny agg over cnt, not

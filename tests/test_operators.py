@@ -584,3 +584,67 @@ def test_semantic_dedup_finds_planted_duplicates(spark, emb):
     # random 64-dim vectors are near-orthogonal: everything else survives
     dropped = [k for k, r in out.items() if not r["keep"]]
     assert sorted(dropped) == [9001, 9002]
+
+
+def test_semantic_dedup_skewed_cluster_guards(spark, emb):
+    """Centroid-skew guards: (a) a flood of IDENTICAL vectors — the case
+    k-means can never split — is pre-reduced to one representative by
+    the exact-value groupBy, so pair work stays linear in the flood and
+    every copy is dropped against the lowest id; (b) a dense cluster of
+    DISTINCT near-identical vectors above max_cluster_size is re-split
+    into sub-clusters (composite keys) instead of one quadratic
+    self-join, and planted exact duplicates are still all caught."""
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.operators.similarity import semantic_dedup
+
+    base = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+
+    # (a) 200 exact copies of vector 0
+    flood = (
+        base.filter(F.col("vec_id") == 0)
+        .crossJoin(spark.range(1, 201).select(F.col("id").alias("k")))
+        .select((F.lit(50_000) + F.col("k")).alias("vec_id"), "embedding")
+    )
+    out = {
+        r["id"]: r
+        for r in semantic_dedup(
+            base.unionByName(flood), threshold=0.98, max_cluster_size=50
+        ).collect()
+    }
+    assert out[0]["keep"]
+    for k in range(1, 201):
+        assert not out[50_000 + k]["keep"] and out[50_000 + k]["dup_of"] == 0
+    assert sum(1 for r in out.values() if not r["keep"]) == 200
+
+    # (b) 200 DISTINCT near-identical vectors (orthogonal-ish tiny noise
+    # per slot keeps cosine ~1 pairwise) — forces the re-split path
+    dense = (
+        base.filter(F.col("vec_id") == 1)
+        .crossJoin(spark.range(1, 201).select(F.col("id").alias("k")))
+        .select(
+            (F.lit(60_000) + F.col("k")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i == (F.col("k") % 64).cast("int"), F.lit(0.05)).otherwise(
+                    F.lit(0.0)
+                ),
+            ).alias("embedding"),
+        )
+    )
+    # planted exact duplicate of one dense member
+    copy = dense.filter(F.col("vec_id") == 60_001).select(
+        F.lit(70_001).cast("bigint").alias("vec_id"), "embedding"
+    )
+    allv = base.unionByName(dense).unionByName(copy)
+    out2 = {
+        r["id"]: r
+        for r in semantic_dedup(
+            allv, threshold=0.999999, max_cluster_size=50
+        ).collect()
+    }
+    # the exact copy is caught through the representative reduction
+    assert not out2[70_001]["keep"] and out2[70_001]["dup_of"] == 60_001
+    # base vectors are near-orthogonal to everything: all keep
+    assert all(out2[i]["keep"] for i in range(2, 40))
