@@ -72,11 +72,24 @@ class InsertBuilder:
         self._snapshot_meta = dict(props)
         return self
 
+    def execute_source_sql_once(self, flag: bool = True, how: str = "checkpoint") -> "InsertBuilder":
+        """Materialize the source once so non-deterministic expressions
+        (rand(), now()) are evaluated a single time even though the
+        insert pipeline consumes the source more than once (overwrite
+        filter-columns probe + write) — ≙ reference
+        ``executeSourceSqlOnceOnly`` (commands/Insert.java:208-218)."""
+        self._source_once = how if flag else None
+        return self
+
     def execute(self):
         if self._df is None:
             raise ValidationError("insert needs a source (sql or dataframe)")
         tbl = self._engine.catalog.table(self._table_name)
         df = self._df
+        if getattr(self, "_source_once", None):
+            from swiftlake_spark.dml.scd_common import materialize_source
+
+            df = materialize_source(df, self._source_once, tmp_dir=tbl.location + "/tmp")
         schema = tbl.schema
         if self._columns is not None:
             missing = set(self._columns) - set(df.columns)

@@ -124,10 +124,24 @@ class SCD1Builder:
         return self
 
     # -- execute ----------------------------------------------------------
+    def execute_source_sql_once(self, flag: bool = True, how: str = "checkpoint") -> "SCD1Builder":
+        """Materialize the source once before the merge so rand()/now()
+        evaluate a single time across the boundary probe, diff join,
+        cardinality check and write — ≙ reference
+        ``executeSourceSqlOnceOnly`` (commands/SCD1Merge.java:185-203)."""
+        self._source_once = how if flag else None
+        return self
+
     def execute(self):
         require(self._source is not None, "source is required")
         require(bool(self._keys), "key columns are required")
         tbl = self._engine.catalog.table(self._table_name)
+        if getattr(self, "_source_once", None):
+            from swiftlake_spark.dml.scd_common import materialize_source
+
+            self._source = materialize_source(
+                self._source, self._source_once, tmp_dir=tbl.location + "/tmp"
+            )
         if self._filter is None and self._filter_columns:
             self._filter = filter_from_source_values(
                 self._source, self._filter_columns, tbl.schema

@@ -147,8 +147,23 @@ class SCD2Builder:
         return self
 
     # -- execute ----------------------------------------------------------
+    def execute_source_sql_once(self, flag: bool = True, how: str = "checkpoint") -> "SCD2Builder":
+        """Materialize the source once before the merge (reference
+        ``executeSourceSqlOnceOnly``, commands/SCD1Merge.java:185-203 —
+        SCD2 shares the property via MergeProperties)."""
+        self._source_once = how if flag else None
+        return self
+
     def execute(self):
         require(self._source is not None, "source is required")
+        if getattr(self, "_source_once", None):
+            from swiftlake_spark.dml.scd_common import materialize_source
+
+            self._source = materialize_source(
+                self._source,
+                self._source_once,
+                tmp_dir=self._engine.catalog.table(self._table_name).location + "/tmp",
+            )
         if self._filter is None and self._filter_columns:
             self._filter = filter_from_source_values(
                 self._source,

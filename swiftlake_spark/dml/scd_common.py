@@ -236,6 +236,37 @@ def filter_from_source_values(src: DataFrame, cols: list[str], schema) -> E.Expr
     return E.or_(*disjuncts) if len(disjuncts) > 1 else disjuncts[0]
 
 
+def materialize_source(df: DataFrame, how: str = "checkpoint", tmp_dir: str | None = None) -> DataFrame:
+    """Evaluate a possibly non-deterministic source exactly once and hand
+    every downstream consumer (boundary probe, diff join, cardinality
+    check, write) the same materialized rows — ≙ reference
+    ``executeSourceSqlOnceOnly`` (commands/Insert.java:208-218,
+    commands/SCD1Merge.java:185-203: the source SQL is written to temp
+    parquet once and all merge stages read those files).
+
+    ``how``:
+    - ``"checkpoint"`` (default) — ``localCheckpoint(eager=True)``:
+      evaluates now, stores blocks on executor storage, truncates
+      lineage.  Fast; blocks are re-replicated, not recomputed, on
+      normal reads.
+    - ``"parquet"`` — durable temp-parquet round-trip (the reference's
+      exact strategy).  Preferred at very large scale where executor
+      block storage for the whole source is not guaranteed; requires
+      ``tmp_dir``.
+    """
+    if how == "checkpoint":
+        return df.localCheckpoint(eager=True)
+    if how == "parquet":
+        require(tmp_dir is not None, "materialize_source(how='parquet') needs tmp_dir")
+        import os
+        import uuid as _uuid
+
+        path = os.path.join(tmp_dir, f"source_once_{_uuid.uuid4().hex[:12]}")
+        df.write.parquet(path, mode="errorifexists")
+        return df.sparkSession.read.parquet(path)
+    raise ValidationError(f"unknown materialize_source mode {how!r}")
+
+
 def require(cond: bool, msg: str) -> None:
     if not cond:
         raise ValidationError(msg)

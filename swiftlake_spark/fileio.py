@@ -1,0 +1,298 @@
+"""Storage seam (FileIO) for table metadata, manifests and file staging.
+
+≙ reference ``FileIO`` + the S3 implementation
+(aws/src/main/java/com/arcesium/swiftlake/aws/SwiftLakeS3FileIO.java:
+109-117 — ``newInputFiles`` downloads remote objects into a local
+staging directory before the engine touches them, and written files are
+uploaded back).  The native format here routes every metadata/manifest
+byte through this interface, so adding a real object-store backend is
+one class, not a rewrite.
+
+Backends:
+
+- :class:`LocalFileIO` — plain filesystem.  Atomic claim =
+  ``O_CREAT|O_EXCL`` (POSIX create-exclusive); atomic replace =
+  ``os.replace``.
+- :class:`MemoryFileIO` — in-process object-store fake with S3-like
+  semantics: a flat key space, NO rename primitive, claim via
+  conditional put (if-none-match) under a lock, and ``local_path``
+  staging downloads for anything a JVM/Arrow reader must open (exactly
+  the reference's S3 staging strategy).  Used by tests to prove the
+  commit protocol and the Iceberg reader work without POSIX semantics.
+
+Commit protocol per backend (documented here because correctness hangs
+on it): the claim of ``v<N+1>.json`` must be *create-if-absent*.
+Locally that is ``O_EXCL``.  On an object store it is a conditional put
+(S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``); stores without
+conditional put need an external lock service — the reference leans on
+Iceberg's catalog (JDBC/Glue) for the same reason.
+
+Scheme dispatch: ``mem://<store>/<key>`` → a named in-process store;
+``file://`` or bare paths → local.  Other schemes raise — honestly, not
+silently.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import uuid
+from typing import Any
+
+
+class StorageError(IOError):
+    pass
+
+
+class FileIO:
+    """Interface.  Paths are backend-native strings; directories are a
+    convention (prefixes), not objects — mirrors object stores."""
+
+    scheme: str = ""
+
+    # -- reads
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list(self, prefix: str) -> list[str]:
+        """Immediate child names under a directory-ish prefix."""
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        raise NotImplementedError
+
+    # -- writes
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Create-or-replace (last writer wins)."""
+        raise NotImplementedError
+
+    def write_text(self, path: str, data: str) -> None:
+        self.write_bytes(path, data.encode("utf-8"))
+
+    def try_claim(self, path: str, data: str) -> None:
+        """Atomic create-if-absent — THE commit primitive.  Raises
+        FileExistsError when another writer already claimed ``path``."""
+        raise NotImplementedError
+
+    def replace_text(self, path: str, data: str) -> None:
+        """Atomic create-or-replace for advisory files (version hints).
+        Readers must never see a torn write; last writer wins."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    # -- staging
+    def local_path(self, path: str) -> str:
+        """A filesystem path holding ``path``'s bytes, for readers that
+        need a real file (Spark scans, Arrow footer reads).  Local
+        backend: identity.  Remote backends: download-to-staging
+        (≙ SwiftLakeS3FileIO.newInputFiles)."""
+        raise NotImplementedError
+
+    def upload(self, local_src: str, path: str) -> None:
+        """Publish a locally-written file into the store."""
+        raise NotImplementedError
+
+
+class LocalFileIO(FileIO):
+    scheme = "file"
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list(self, prefix: str) -> list[str]:
+        try:
+            return os.listdir(prefix)
+        except FileNotFoundError:
+            return []
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def try_claim(self, path: str, data: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # raises FileExistsError
+        with os.fdopen(fd, "w") as f:
+            f.write(data)
+
+    def replace_text(self, path: str, data: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(os.path.dirname(path), f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def delete(self, path: str) -> None:
+        os.remove(path)
+
+    def local_path(self, path: str) -> str:
+        if path.startswith("file://"):
+            return path[len("file://"):]
+        return path
+
+    def upload(self, local_src: str, path: str) -> None:
+        if os.path.abspath(local_src) != os.path.abspath(path):
+            self.write_bytes(path, LocalFileIO().read_bytes(local_src))
+
+
+class _MemStore:
+    """One named in-process object store: key → (bytes, mtime)."""
+
+    def __init__(self) -> None:
+        self.objects: dict[str, tuple[bytes, float]] = {}
+        self.lock = threading.Lock()
+
+
+_MEM_STORES: dict[str, _MemStore] = {}
+_MEM_STORES_LOCK = threading.Lock()
+
+
+def _mem_store(name: str) -> _MemStore:
+    with _MEM_STORES_LOCK:
+        return _MEM_STORES.setdefault(name, _MemStore())
+
+
+def reset_memory_store(name: str) -> None:
+    """Test hook: drop a named store's contents."""
+    with _MEM_STORES_LOCK:
+        _MEM_STORES.pop(name, None)
+
+
+class MemoryFileIO(FileIO):
+    """S3-semantics fake: flat keys, conditional-put claim, staging
+    downloads.  ``mem://<store>/<key...>``."""
+
+    scheme = "mem"
+
+    def __init__(self, staging_dir: str | None = None) -> None:
+        self._staging = staging_dir or os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), f"swiftlake_mem_stage_{os.getpid()}"
+        )
+        self._staged: dict[str, str] = {}
+
+    @staticmethod
+    def _split(path: str) -> tuple[_MemStore, str]:
+        if not path.startswith("mem://"):
+            raise StorageError(f"not a mem:// path: {path}")
+        rest = path[len("mem://"):]
+        store, _, key = rest.partition("/")
+        return _mem_store(store), key
+
+    def read_bytes(self, path: str) -> bytes:
+        store, key = self._split(path)
+        with store.lock:
+            if key not in store.objects:
+                raise FileNotFoundError(path)
+            return store.objects[key][0]
+
+    def exists(self, path: str) -> bool:
+        store, key = self._split(path)
+        with store.lock:
+            return key in store.objects
+
+    def list(self, prefix: str) -> list[str]:
+        store, key = self._split(prefix)
+        key = key.rstrip("/") + "/" if key else ""
+        with store.lock:
+            names = {
+                k[len(key):].split("/", 1)[0]
+                for k in store.objects
+                if k.startswith(key)
+            }
+        return sorted(names)
+
+    def mtime(self, path: str) -> float:
+        store, key = self._split(path)
+        with store.lock:
+            if key not in store.objects:
+                raise FileNotFoundError(path)
+            return store.objects[key][1]
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        import time
+
+        store, key = self._split(path)
+        with store.lock:
+            store.objects[key] = (data, time.time())
+        self._staged.pop(path, None)
+
+    def try_claim(self, path: str, data: str) -> None:
+        """Conditional put (If-None-Match: *): atomicity comes from the
+        store, not from POSIX — the semantics a real S3 backend provides."""
+        import time
+
+        store, key = self._split(path)
+        with store.lock:
+            if key in store.objects:
+                raise FileExistsError(path)
+            store.objects[key] = (data.encode("utf-8"), time.time())
+
+    def replace_text(self, path: str, data: str) -> None:
+        # object stores have atomic PUT per key; no rename needed
+        self.write_bytes(path, data.encode("utf-8"))
+
+    def delete(self, path: str) -> None:
+        store, key = self._split(path)
+        with store.lock:
+            store.objects.pop(key, None)
+        self._staged.pop(path, None)
+
+    def local_path(self, path: str) -> str:
+        if path in self._staged and os.path.exists(self._staged[path]):
+            return self._staged[path]
+        data = self.read_bytes(path)
+        os.makedirs(self._staging, exist_ok=True)
+        _, key = self._split(path)
+        dst = os.path.join(
+            self._staging, uuid.uuid4().hex[:8] + "_" + key.replace("/", "__")
+        )
+        with open(dst, "wb") as f:
+            f.write(data)
+        self._staged[path] = dst
+        return dst
+
+    def upload(self, local_src: str, path: str) -> None:
+        with open(local_src, "rb") as f:
+            self.write_bytes(path, f.read())
+
+
+_LOCAL = LocalFileIO()
+
+
+def fileio_for(path: str) -> FileIO:
+    """Scheme dispatch.  MemoryFileIO instances are cheap wrappers over
+    the shared named store, so per-call construction is fine."""
+    if path.startswith("mem://"):
+        return MemoryFileIO()
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"no FileIO backend for {path!r} — implement a FileIO subclass "
+            "(conditional-put claim + staging downloads) and register it here"
+        )
+    return _LOCAL
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that keeps URI schemes intact ('/' separator)."""
+    if "://" in base:
+        out = base.rstrip("/")
+        for p in parts:
+            out += "/" + p.strip("/")
+        return out
+    return os.path.join(base, *parts)

@@ -91,12 +91,20 @@ def iceberg_type_to_spark(t: Any) -> T.DataType:
 
 
 def _local(path: str, base: str) -> str:
-    """Manifest paths are absolute URIs; map file:// to the filesystem
-    and resolve relative paths against the table root."""
+    """Manifest paths are absolute URIs; map file:// to the filesystem,
+    stage other known schemes through their FileIO (≙ the reference's
+    S3 FileIO download-to-staging, SwiftLakeS3FileIO.java:109-117), and
+    resolve relative paths against the table root.  Unknown schemes
+    raise (fileio.fileio_for).  Scale note: staging is for metadata,
+    manifests and the in-process fake store; a production object store
+    whose scheme Spark's Hadoop FS understands (s3a://…) should hand
+    data-file URIs to Spark directly instead of driver-side staging."""
     if path.startswith("file://"):
         return path[len("file://"):]
     if "://" in path:
-        raise NotImplementedError(f"non-local Iceberg storage: {path}")
+        from swiftlake_spark import fileio as _fio
+
+        return _fio.fileio_for(path).local_path(path)
     return path if os.path.isabs(path) else os.path.join(base, path)
 
 
@@ -182,14 +190,16 @@ class IcebergTable:
 
     # ------------------------------------------------------------ metadata
     def _load_metadata(self) -> dict:
-        mdir = os.path.join(self.location, "metadata")
-        hint = os.path.join(mdir, "version-hint.text")
-        if os.path.exists(hint):
-            with open(hint) as f:
-                v = f.read().strip()
-            path = os.path.join(mdir, f"v{v}.metadata.json")
+        from swiftlake_spark import fileio as _fio
+
+        io = _fio.fileio_for(self.location)
+        mdir = _fio.join(self.location, "metadata")
+        hint = _fio.join(mdir, "version-hint.text")
+        if io.exists(hint):
+            v = io.read_text(hint).strip()
+            path = _fio.join(mdir, f"v{v}.metadata.json")
         else:
-            cands = [n for n in os.listdir(mdir) if n.endswith(".metadata.json")]
+            cands = [n for n in io.list(mdir) if n.endswith(".metadata.json")]
             if not cands:
                 raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
 
@@ -204,11 +214,10 @@ class IcebergTable:
                 m = re.fullmatch(r"v(\d+)", stem) or re.match(r"(\d+)-", stem)
                 if m:
                     return (1, int(m.group(1)), n)
-                return (0, os.path.getmtime(os.path.join(mdir, n)), n)
+                return (0, io.mtime(_fio.join(mdir, n)), n)
 
-            path = os.path.join(mdir, max(cands, key=_ver_key))
-        with open(path) as f:
-            return json.load(f)
+            path = _fio.join(mdir, max(cands, key=_ver_key))
+        return json.loads(io.read_text(path))
 
     @property
     def format_version(self) -> int:

@@ -269,11 +269,24 @@ def _iceberg_schema_json(
 class IcebergWriter:
     """Build an Iceberg v2 table directory snapshot-by-snapshot."""
 
-    def __init__(self, location: str, partition_spec: list[dict] | None = None) -> None:
+    def __init__(
+        self,
+        location: str,
+        partition_spec: list[dict] | None = None,
+        uri_base: str | None = None,
+    ) -> None:
         """``partition_spec``: [{"name", "transform", "source"}] with
         transform ∈ {identity, bucket[N]} (the fixture subset; the READER
-        additionally prunes truncate/year/month/day/hour)."""
+        additionally prunes truncate/year/month/day/hour).
+
+        ``uri_base``: the URI prefix embedded in manifests/metadata for
+        every file.  Defaults to ``file://<location>``.  Pass the table's
+        FINAL object-store location (e.g. ``mem://store/tbl``) to write
+        locally and :meth:`publish` afterwards — the reference's S3 flow:
+        files are staged on local disk, then uploaded, and the metadata
+        refers to the remote URIs (SwiftLakeS3FileIO.java upload path)."""
         self.location = location
+        self.uri_base = uri_base or f"file://{location}"
         os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         self.table_uuid = str(uuid.uuid4())
@@ -285,6 +298,11 @@ class IcebergWriter:
         self.seq = 0
         self._manifests: list[dict] = []  # live manifest-list entries
         self.partition_spec = partition_spec or []
+
+    def _uri(self, rel: str) -> str:
+        """Embedded URI for a file written at <location>/<rel> — remote
+        when uri_base points at an object store (publish() uploads)."""
+        return f"{self.uri_base.rstrip('/')}/{rel}"
 
     def _assign_ids(self, schema: T.StructType) -> None:
         from swiftlake_spark.tables.evolution import iter_struct_paths
@@ -388,7 +406,7 @@ class IcebergWriter:
                     "file_sequence_number": None,
                     "data_file": {
                         "content": 0,
-                        "file_path": f"file://{fpath}",
+                        "file_path": self._uri(rel),
                         "file_format": "PARQUET",
                         "partition": {
                             pf["name"]: key[i]
@@ -418,6 +436,7 @@ class IcebergWriter:
         self.seq += 1
         snap_id = int(time.time() * 1000) * 1000 + self.seq
         loc = self.location
+        ub = self.uri_base.rstrip("/")
         fids = dict(self.field_ids)
         spec = list(self.partition_spec)
         schema = df.schema
@@ -498,7 +517,7 @@ class IcebergWriter:
                     "file_sequence_number": None,
                     "data_file": {
                         "content": 0,
-                        "file_path": f"file://{os.path.join(loc, r['rel'])}",
+                        "file_path": f"{ub}/{r['rel']}",
                         "file_format": "PARQUET",
                         "partition": json.loads(r["partition_json"]),
                         "record_count": r["rows"],
@@ -523,7 +542,7 @@ class IcebergWriter:
 
         self._manifests.append(
             {
-                "manifest_path": f"file://{os.path.join(self.location, man_rel)}",
+                "manifest_path": self._uri(man_rel),
                 "manifest_length": os.path.getsize(os.path.join(self.location, man_rel)),
                 "partition_spec_id": 0,
                 "content": 0,
@@ -555,12 +574,28 @@ class IcebergWriter:
                 "sequence-number": self.seq,
                 "timestamp-ms": int(time.time() * 1000) + self.seq,
                 "summary": {"operation": "append"},
-                "manifest-list": f"file://{os.path.join(self.location, ml_rel)}",
+                "manifest-list": self._uri(ml_rel),
                 "schema-id": schema_id,
             }
         )
         self._write_metadata()
         return snap_id
+
+    def publish(self, remote_location: str) -> str:
+        """Upload every file of the locally-staged table to
+        ``remote_location`` (any fileio scheme) — the reference's S3
+        write flow: stage locally, upload, metadata already refers to
+        the remote URIs when the writer was built with
+        ``uri_base=remote_location``.  Returns the remote location."""
+        from swiftlake_spark import fileio as _fio
+
+        io = _fio.fileio_for(remote_location)
+        for root, _dirs, files in os.walk(self.location):
+            for fn in files:
+                src = os.path.join(root, fn)
+                rel = os.path.relpath(src, self.location)
+                io.upload(src, _fio.join(remote_location, rel))
+        return remote_location
 
     def commit_schema(self, schema: T.StructType) -> None:
         """Record a schema change (e.g. after rename_column) without data."""

@@ -21,12 +21,12 @@ swapping to a columnar manifest format touches only this module.
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
+from swiftlake_spark import fileio as _io
 from swiftlake_spark.tables.expressions import FileStatsView
 
 
@@ -52,11 +52,18 @@ class ManifestEntry:
 
     def stats_view(self, rename: dict[str, str] | None = None) -> FileStatsView:
         """``rename`` maps file-time column names → current names so
-        stats pruning keeps working across renames."""
+        stats pruning keeps working across renames.  Opaque ``#u…``
+        indirection tokens (>150-char partition values,
+        transforms.encode_partition_path_col) carry no comparable value —
+        they are dropped so pruning falls back to the file's own column
+        min/max stats (inclusive, never over-prunes)."""
+        from swiftlake_spark.tables.transforms import is_opaque_pvalue
+
+        part = {k: v for k, v in self.partition.items() if not is_opaque_pvalue(v)}
         stats = self.stats
         if rename:
             stats = {rename.get(k, k): v for k, v in stats.items()}
-        return FileStatsView(self.partition, stats, self.records)
+        return FileStatsView(part, stats, self.records)
 
     def to_json(self) -> dict:
         out = {
@@ -144,7 +151,7 @@ class TableMetadata:
     # ------------------------------------------------------------------ io
     @property
     def metadata_dir(self) -> str:
-        return os.path.join(self.location, "metadata")
+        return _io.join(self.location, "metadata")
 
     def snapshot_by_id(self, sid: int) -> Snapshot:
         for s in self.snapshots:
@@ -168,8 +175,9 @@ class TableMetadata:
     def read_manifest(self, snapshot: Snapshot | None) -> list[ManifestEntry]:
         if snapshot is None:
             return []
-        with open(os.path.join(self.location, snapshot.manifest)) as f:
-            return [ManifestEntry.from_json(d) for d in json.load(f)]
+        io = _io.fileio_for(self.location)
+        data = io.read_text(_io.join(self.location, snapshot.manifest))
+        return [ManifestEntry.from_json(d) for d in json.loads(data)]
 
     def to_json(self) -> dict:
         return {
@@ -206,43 +214,41 @@ class TableMetadata:
 # ---------------------------------------------------------------------- io
 
 def load_metadata(location: str) -> TableMetadata:
-    mdir = os.path.join(location, "metadata")
-    version = _current_version(mdir)
+    io = _io.fileio_for(location)
+    mdir = _io.join(location, "metadata")
+    version = _current_version(io, mdir)
     if version is None:
         raise FileNotFoundError(f"no table at {location}")
-    with open(os.path.join(mdir, f"v{version}.json")) as f:
-        return TableMetadata.from_json(json.load(f), version)
+    data = io.read_text(_io.join(mdir, f"v{version}.json"))
+    return TableMetadata.from_json(json.loads(data), version)
 
 
-def _current_version(mdir: str) -> int | None:
+def _current_version(io: "_io.FileIO", mdir: str) -> int | None:
     """Highest vN.json present (version-hint is advisory only)."""
     try:
-        hint = int(open(os.path.join(mdir, "version-hint.txt")).read().strip())
+        hint = int(io.read_text(_io.join(mdir, "version-hint.txt")).strip())
     except (FileNotFoundError, ValueError):
         hint = 0
     v = hint
-    while os.path.exists(os.path.join(mdir, f"v{v + 1}.json")):
+    while io.exists(_io.join(mdir, f"v{v + 1}.json")):
         v += 1
-    return v if os.path.exists(os.path.join(mdir, f"v{v}.json")) else None
+    return v if io.exists(_io.join(mdir, f"v{v}.json")) else None
 
 
 def write_new_version(meta: TableMetadata) -> TableMetadata:
-    """Atomically claim the next metadata version.  Raises CommitConflict
-    if someone else got there first."""
+    """Atomically claim the next metadata version via the backend's
+    create-if-absent primitive (LocalFileIO: O_CREAT|O_EXCL; object
+    stores: conditional put — see fileio module docstring).  Raises
+    CommitConflict if someone else got there first."""
+    io = _io.fileio_for(meta.location)
     mdir = meta.metadata_dir
-    os.makedirs(mdir, exist_ok=True)
     next_v = meta.version + 1
-    path = os.path.join(mdir, f"v{next_v}.json")
+    path = _io.join(mdir, f"v{next_v}.json")
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        io.try_claim(path, json.dumps(meta.to_json(), indent=1, default=str))
     except FileExistsError as exc:
         raise CommitConflict(f"metadata version v{next_v} already committed") from exc
-    with os.fdopen(fd, "w") as f:
-        json.dump(meta.to_json(), f, indent=1, default=str)
-    tmp = os.path.join(mdir, f".hint.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(next_v))
-    os.replace(tmp, os.path.join(mdir, "version-hint.txt"))
+    io.replace_text(_io.join(mdir, "version-hint.txt"), str(next_v))
     meta.version = next_v
     return meta
 
@@ -252,9 +258,11 @@ def write_manifest(location: str, snapshot_id: int, entries: Iterable[ManifestEn
     # manifest when they race for the same snapshot id (the loser's
     # metadata write fails, but its manifest file must not damage the
     # winner's)
-    rel = os.path.join("metadata", f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.json")
-    with open(os.path.join(location, rel), "w") as f:
-        json.dump([e.to_json() for e in entries], f, default=str)
+    io = _io.fileio_for(location)
+    rel = f"metadata/manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.json"
+    io.write_text(
+        _io.join(location, rel), json.dumps([e.to_json() for e in entries], default=str)
+    )
     return rel
 
 

@@ -52,6 +52,7 @@ from swiftlake_spark.tables.metadata import (
     write_manifest,
     write_new_version,
 )
+from swiftlake_spark.tables import transforms as TR
 from swiftlake_spark.tables.transforms import Transform
 
 _PCOL = "__p__"  # physical partition-column prefix (keeps source cols in files)
@@ -895,9 +896,16 @@ class Table:
 
         out = df
         pcols: list[str] = []
+        ptypes = self._partition_result_types()
         for t in transforms:
             pname = _PCOL + t.partition_name
-            out = out.withColumn(pname, t.column(self._dtype(t.source)))
+            pc = t.column(self._dtype(t.source))
+            if ptypes.get(t.partition_name) == "string":
+                # '#n'/'#e'/'#'-escape/'#u'-indirection so NULL, "",
+                # "null"-alikes and >150-char values survive the hive
+                # path round-trip (≙ PartitionedDataFileWriter.java:683-702)
+                pc = TR.encode_partition_path_col(pc)
+            out = out.withColumn(pname, pc)
             pcols.append(pname)
 
         if pcols:
@@ -986,9 +994,15 @@ class Table:
             if k.startswith(_PCOL):
                 k = k[len(_PCOL):]
             v = urllib.parse.unquote(v)
-            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else _parse_pvalue(
-                v, ptypes.get(k, "string")
-            )
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                out[k] = None
+            elif ptypes.get(k, "string") == "string":
+                # string partition values are path-encoded on write
+                # (encode_partition_path_col); '#u…' stays verbatim —
+                # opaque token, stats_view masks it from pruning
+                out[k] = TR.decode_partition_path_value(v)
+            else:
+                out[k] = _parse_pvalue(v, ptypes.get(k, "string"))
         return out
 
     def _partition_result_types(self) -> dict[str, str]:

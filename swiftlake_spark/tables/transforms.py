@@ -359,3 +359,58 @@ def parse_spec(spec: str) -> Transform:
 def spark_partition_column(t: Transform, dtype: str) -> Column:
     """Dtype-aware Spark face (use this on the write path)."""
     return t.column(dtype)
+
+
+# ------------------------- partition path value encoding (string results)
+# ≙ reference writer/PartitionedDataFileWriter.java:67-70,683-702:
+# '#' escape prefix, '#n' = NULL, values whose URL-encoded length exceeds
+# 150 are replaced by an indirection token.  Deviations (documented):
+# - the reference mints '#u' + random UUID with a driver-side lookup map;
+#   here the token is '#u' + sha256[:16] of the escaped value —
+#   deterministic, so executors compute it with no coordination and
+#   retries/identical values map to the same directory.
+# - '#e' encodes the empty string, which Spark's hive-style partitionBy
+#   would otherwise collapse into __HIVE_DEFAULT_PARTITION__ (i.e. NULL).
+PARTITION_VALUE_MAX_LENGTH = 150
+_OPAQUE_RE = re.compile(r"^#u[0-9a-f]{16}$")
+
+
+def encode_partition_path_col(c: Column) -> Column:
+    """Column expression form of the encoder, applied to string-typed
+    physical partition columns just before ``partitionBy``."""
+    esc = F.when(
+        c.startswith("#") | (F.lower(c) == F.lit("null")),
+        F.concat(F.lit("#"), c),
+    ).otherwise(c)
+    return (
+        F.when(c.isNull(), F.lit("#n"))
+        .when(c == F.lit(""), F.lit("#e"))
+        .when(
+            F.length(F.url_encode(esc)) > PARTITION_VALUE_MAX_LENGTH,
+            F.concat(F.lit("#u"), F.substring(F.sha2(esc, 256), 1, 16)),
+        )
+        .otherwise(esc)
+    )
+
+
+def decode_partition_path_value(v: str):
+    """Inverse of :func:`encode_partition_path_col` for manifest
+    harvesting.  Opaque ``#u`` tokens are kept verbatim (the value is not
+    recoverable from the path; pruning treats them as no-information —
+    see ``ManifestEntry.stats_view``).  Unescaped values never start with
+    ``#``, so a leading ``#u`` at decode time is always a token."""
+    if v == "#n":
+        return None
+    if v == "#e":
+        return ""
+    if v.startswith("##"):
+        return v[1:]
+    if v.startswith("#u"):
+        return v  # opaque indirection token
+    if v.startswith("#"):
+        return v[1:]  # '#null' and friends
+    return v
+
+
+def is_opaque_pvalue(v) -> bool:
+    return isinstance(v, str) and bool(_OPAQUE_RE.match(v))

@@ -561,3 +561,92 @@ def test_scd2_branch_merge_diffs_against_branch_state(engine, spark):
     ]
     main = sorted(tuple(r) for r in t.scan().collect())
     assert main == [(1, "base", t0, None), (2, "main-only", t0, None)]
+
+
+# ------------------------------------------------- execute_source_sql_once
+def _counting_source(spark, counter_path, data, ddl):
+    """Source whose full-pipeline evaluations are observable: mapInPandas
+    is the last stage, so every action over the DF appends one line per
+    partition (repartition(1) → one line per evaluation)."""
+    base = spark.createDataFrame(data, ddl).repartition(1)
+
+    def tick(batches):
+        with open(counter_path, "a") as f:
+            f.write("x\n")
+        for pdf in batches:
+            yield pdf
+
+    return base.mapInPandas(tick, base.schema)
+
+
+def _evals(counter_path):
+    try:
+        with open(counter_path) as f:
+            return sum(1 for _ in f)
+    except FileNotFoundError:
+        return 0
+
+
+def test_scd1_source_evaluated_exactly_once(engine, spark, tmp_path):
+    """≙ reference executeSourceSqlOnceOnly (SCD1Merge.java:185-203): a
+    non-deterministic source must be evaluated once across the boundary
+    probe, diff join and write."""
+    name = scd1_seed(engine, spark, "db.dim_once")
+    data = [(1, "A", "one!", 1.5), (2, "A", "two", 2.0)]
+
+    # without the option the boundary probe + merge evaluate separately
+    c0 = str(tmp_path / "evals_off")
+    engine.apply_snapshot_as_scd1(name).source_dataframe(
+        _counting_source(spark, c0, data, SCD1_DDL)
+    ).key_columns(["id"]).table_filter_columns(["cat"]).execute()
+    assert _evals(c0) >= 2
+
+    # with it: exactly one evaluation, same result
+    c1 = str(tmp_path / "evals_on")
+    engine.apply_snapshot_as_scd1(name).source_dataframe(
+        _counting_source(spark, c1, data, SCD1_DDL)
+    ).key_columns(["id"]).table_filter_columns(["cat"]).\
+        execute_source_sql_once().execute()
+    assert _evals(c1) == 1
+    got = rows(
+        engine.catalog.load(name).filter("cat = 'A'"), "id", "name", "v"
+    )
+    assert got == [(1, "one!", 1.5), (2, "two", 2.0)]
+
+
+def test_insert_source_once_parquet_mode(engine, spark, tmp_path):
+    """Insert overwrite-by-filter-columns consumes the source twice
+    (distinct probe + write); how='parquet' is the reference's exact
+    temp-file strategy (Insert.java:208-218)."""
+    engine.catalog.create_table("db.ins_once", SCD1_DDL, partition_spec=["cat"])
+    data = [(1, "A", "one", 1.0), (2, "B", "two", 2.0)]
+    c = str(tmp_path / "evals_ins")
+    engine.insert_overwrite("db.ins_once").dataframe(
+        _counting_source(spark, c, data, SCD1_DDL)
+    ).overwrite_by_filter_columns(["cat"]).\
+        execute_source_sql_once(how="parquet").execute()
+    assert _evals(c) == 1
+    assert rows(engine.catalog.load("db.ins_once"), "id", "cat") == [
+        (1, "A"), (2, "B"),
+    ]
+
+
+def test_scd2_source_once_with_rand_is_consistent(engine, spark, tmp_path):
+    """A rand()-bearing source merged as SCD2 must produce rows whose
+    stored values came from ONE evaluation — verified by the counter."""
+    engine.catalog.create_table(
+        "db.s2_once",
+        "id BIGINT, v DOUBLE, effective_start TIMESTAMP, effective_end TIMESTAMP",
+    )
+    c = str(tmp_path / "evals_s2")
+    src = _counting_source(
+        spark, c, [(1, 0.0), (2, 0.0)], "id BIGINT, v DOUBLE"
+    ).withColumn("v", F.rand(seed=None))
+    engine.apply_snapshot_as_scd2("db.s2_once").table_filter_sql(
+        "id IS NOT NULL"
+    ).source_dataframe(src).key_columns(["id"]).effective_timestamp(
+        dt.datetime(2024, 6, 1)
+    ).execute_source_sql_once().execute()
+    assert _evals(c) == 1
+    out = rows(engine.catalog.load("db.s2_once"), "id")
+    assert out == [(1,), (2,)]

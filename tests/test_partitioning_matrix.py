@@ -227,3 +227,79 @@ def test_murmur3_property_faces_agree(spark):
     df2 = spark.createDataFrame([(s,) for s in clean], "s STRING")
     got2 = [r[0] for r in df2.select(ts_.column("string")).collect()]
     assert got2 == [ts_.apply(s) for s in clean]
+
+
+# -------------------------- partition path value encoding (reference
+# PartitionedDataFileWriter.java:67-70,683-702: '#' escape, '#n' null,
+# '#u' indirection for >150-char URL-encoded values)
+def test_partition_value_encoding_null_empty_and_escapes(catalog, spark):
+    t = catalog.create_table("db.penc", "id BIGINT, s STRING", partition_spec=["s"])
+    vals = [
+        (1, None),
+        (2, ""),
+        (3, "null"),
+        (4, "NULL"),
+        (5, "#weird"),
+        (6, "#u" + "a" * 16),  # looks like a token — must round-trip via escape
+        (7, "plain"),
+    ]
+    t.append(spark.createDataFrame(vals, schema=t.schema))
+    man = t.meta.read_manifest(t.meta.current_snapshot())
+    pvals = {e.partition["s"] for e in man}
+    # every value round-trips through the path exactly — incl. "" (which
+    # raw hive-style partitionBy collapses into NULL) and '#'-prefixed
+    assert pvals == {None, "", "null", "NULL", "#weird", "#u" + "a" * 16, "plain"}
+
+    # pruning on the decoded values stays exact
+    for probe, want in [("", [2]), ("null", [3]), ("#weird", [5]), ("#u" + "a" * 16, [6])]:
+        got = sorted(r["id"] for r in t.scan(E.col_eq("s", probe)).select("id").collect())
+        assert got == want, probe
+        pruned = t.prune(man, E.col_eq("s", probe))
+        assert {e.partition["s"] for e in pruned} == {probe}
+    assert sorted(r["id"] for r in t.scan(E.is_null("s")).select("id").collect()) == [1]
+
+
+def test_partition_value_long_string_indirection(catalog, spark):
+    """A >150-char partition value must not become a >150-char directory
+    name: it is replaced by a deterministic '#u'+sha256[:16] token (the
+    reference mints '#u'+UUID).  Scan results are unaffected (source
+    columns live in the data files); pruning falls back to column stats."""
+    t = catalog.create_table("db.plong", "id BIGINT, s STRING", partition_spec=["s"])
+    long_a = "x" * 200
+    long_b = "y" * 300
+    t.append(spark.createDataFrame(
+        [(1, long_a), (2, long_b), (3, "short")], schema=t.schema
+    ))
+    man = t.meta.read_manifest(t.meta.current_snapshot())
+    from swiftlake_spark.tables.transforms import is_opaque_pvalue
+
+    pvals = {e.partition["s"] for e in man}
+    opaque = {v for v in pvals if is_opaque_pvalue(v)}
+    assert len(opaque) == 2 and "short" in pvals
+    # no path segment anywhere under the table exceeds 255 bytes
+    import os
+
+    for root, dirs, files in os.walk(t.location):
+        for seg in dirs + files:
+            assert len(seg.encode("utf-8")) <= 255
+    # same value → same token (deterministic across writes)
+    t.append(spark.createDataFrame([(4, long_a)], schema=t.schema))
+    man2 = t.meta.read_manifest(t.meta.current_snapshot())
+    toks = sorted(
+        e.partition["s"] for e in man2 if is_opaque_pvalue(e.partition["s"])
+    )
+    assert len(toks) == 3 and len(set(toks)) == 2
+
+    # correctness: equality filter on the long value returns exactly its rows
+    got = sorted(r["id"] for r in t.scan(E.col_eq("s", long_a)).select("id").collect())
+    assert got == [1, 4]
+    # pruning is inclusive: the matching files are kept (footer stats may
+    # or may not discriminate, but a file holding the value is never dropped)
+    pruned_paths = {e.path for e in t.prune(man2, E.col_eq("s", long_a))}
+    holding = {e.path for e in man2 if e.partition["s"] == toks[0] or e.partition["s"] == toks[-1]}
+    # files whose token matches encode(long_a) must survive
+    import hashlib
+
+    expect_tok = "#u" + hashlib.sha256(long_a.encode()).hexdigest()[:16]
+    must_keep = {e.path for e in man2 if e.partition["s"] == expect_tok}
+    assert must_keep and must_keep <= pruned_paths
