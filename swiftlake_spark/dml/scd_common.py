@@ -261,6 +261,10 @@ def materialize_source(df: DataFrame, how: str = "checkpoint", tmp_dir: str | No
         import os
         import uuid as _uuid
 
+        if "://" in tmp_dir:  # remote table: Spark writes the temp locally
+            import tempfile
+
+            tmp_dir = tempfile.mkdtemp(prefix="swiftlake_source_once_")
         path = os.path.join(tmp_dir, f"source_once_{_uuid.uuid4().hex[:12]}")
         df.write.parquet(path, mode="errorifexists")
         return df.sparkSession.read.parquet(path)

@@ -64,6 +64,10 @@ class FileIO:
         """Immediate child names under a directory-ish prefix."""
         raise NotImplementedError
 
+    def list_recursive(self, prefix: str) -> list[str]:
+        """All file paths under ``prefix``, relative to it ('/'-joined)."""
+        raise NotImplementedError
+
     def mtime(self, path: str) -> float:
         raise NotImplementedError
 
@@ -116,6 +120,13 @@ class LocalFileIO(FileIO):
             return os.listdir(prefix)
         except FileNotFoundError:
             return []
+
+    def list_recursive(self, prefix: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(prefix):
+            for fn in files:
+                out.append(os.path.relpath(os.path.join(root, fn), prefix))
+        return sorted(out)
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
@@ -185,6 +196,7 @@ class MemoryFileIO(FileIO):
             os.environ.get("TMPDIR", "/tmp"), f"swiftlake_mem_stage_{os.getpid()}"
         )
         self._staged: dict[str, str] = {}
+        self._origins: dict[str, str] = {}
 
     @staticmethod
     def _split(path: str) -> tuple[_MemStore, str]:
@@ -217,6 +229,12 @@ class MemoryFileIO(FileIO):
             }
         return sorted(names)
 
+    def list_recursive(self, prefix: str) -> list[str]:
+        store, key = self._split(prefix)
+        key = key.rstrip("/") + "/" if key else ""
+        with store.lock:
+            return sorted(k[len(key):] for k in store.objects if k.startswith(key))
+
     def mtime(self, path: str) -> float:
         store, key = self._split(path)
         with store.lock:
@@ -230,7 +248,9 @@ class MemoryFileIO(FileIO):
         store, key = self._split(path)
         with store.lock:
             store.objects[key] = (data, time.time())
-        self._staged.pop(path, None)
+        stale = self._staged.pop(path, None)
+        if stale:
+            self._origins.pop(stale, None)
 
     def try_claim(self, path: str, data: str) -> None:
         """Conditional put (If-None-Match: *): atomicity comes from the
@@ -251,7 +271,9 @@ class MemoryFileIO(FileIO):
         store, key = self._split(path)
         with store.lock:
             store.objects.pop(key, None)
-        self._staged.pop(path, None)
+        stale = self._staged.pop(path, None)
+        if stale:
+            self._origins.pop(stale, None)
 
     def local_path(self, path: str) -> str:
         if path in self._staged and os.path.exists(self._staged[path]):
@@ -265,7 +287,14 @@ class MemoryFileIO(FileIO):
         with open(dst, "wb") as f:
             f.write(data)
         self._staged[path] = dst
+        self._origins[dst] = path
         return dst
+
+    def staged_origin(self, local_path: str) -> str | None:
+        """Reverse of :meth:`local_path`: the store URI a staged file
+        came from (needed to map ``input_file_name()`` of a staged scan
+        back to table-relative paths)."""
+        return self._origins.get(local_path)
 
     def upload(self, local_src: str, path: str) -> None:
         with open(local_src, "rb") as f:
@@ -273,13 +302,19 @@ class MemoryFileIO(FileIO):
 
 
 _LOCAL = LocalFileIO()
+_MEM_IO: "MemoryFileIO | None" = None
 
 
 def fileio_for(path: str) -> FileIO:
-    """Scheme dispatch.  MemoryFileIO instances are cheap wrappers over
-    the shared named store, so per-call construction is fine."""
+    """Scheme dispatch.  The MemoryFileIO is a process singleton so its
+    staging cache (and origin reverse-map) is shared — staged objects
+    are immutable by convention (uuid-named data files; metadata goes
+    through read_text, never staging)."""
+    global _MEM_IO
     if path.startswith("mem://"):
-        return MemoryFileIO()
+        if _MEM_IO is None:
+            _MEM_IO = MemoryFileIO()
+        return _MEM_IO
     if "://" in path and not path.startswith("file://"):
         raise NotImplementedError(
             f"no FileIO backend for {path!r} — implement a FileIO subclass "

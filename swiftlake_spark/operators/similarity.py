@@ -458,7 +458,13 @@ def semantic_dedup(
     fold, JVM-side."""
     v0 = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     groups = v0.groupBy("vec").agg(F.min("id").alias("rep_id"))
-    members = v0.join(groups, "vec").select("id", "rep_id", "vec")
+    # members feeds BOTH the pair stage (via reps) and the final
+    # inheritance join; assigned feeds the size probe AND both sides of
+    # the pair self-join — persist each or the groupBy+join+IVF lineage
+    # recomputes up to 4×.  (At sf0.1's 2k vectors the call is fixed-
+    # overhead-dominated and the persist is noise; the recompute factor
+    # is what matters when the corpus is the cost.)
+    members = v0.join(groups, "vec").select("id", "rep_id", "vec").persist()
     reps = members.filter(F.col("id") == F.col("rep_id")).select("id", "vec")
 
     if n_clusters is None:
@@ -468,7 +474,7 @@ def semantic_dedup(
     )
     assigned = indexed.select(
         "id", "vec", F.col("centroid_id").cast("string").alias("ckey")
-    )
+    ).persist()
 
     # re-split clusters that exceed the pair-work bound (skewed centroid):
     # re-quantize ONLY the oversized clusters' members with fresh finer

@@ -22,6 +22,7 @@ from swiftlake_spark.tables.metadata import (
     write_new_version,
 )
 from swiftlake_spark.tables.table import Table
+from swiftlake_spark import fileio as _io
 from swiftlake_spark.tables.transforms import parse_spec
 
 _SUFFIX_RE = re.compile(
@@ -32,9 +33,12 @@ _SUFFIX_RE = re.compile(
 class Catalog:
     def __init__(self, spark: SparkSession, warehouse: str, guard=None) -> None:
         self.spark = spark
-        self.warehouse = os.path.abspath(warehouse)
+        # remote warehouses (fileio schemes, e.g. mem://) keep their URI;
+        # local paths normalize to absolute
+        self.warehouse = warehouse if "://" in warehouse else os.path.abspath(warehouse)
         self.guard = guard  # plans.guards.ScanGuard | None, applied to scans
-        os.makedirs(self.warehouse, exist_ok=True)
+        if "://" not in self.warehouse:
+            os.makedirs(self.warehouse, exist_ok=True)
 
     # ------------------------------------------------------------- ddl
     def create_table(
@@ -67,9 +71,10 @@ class Catalog:
                 parts.append(" ".join(toks))
             schema = T.StructType.fromDDL(", ".join(parts))
         location = self._location(name)
-        if os.path.exists(os.path.join(location, "metadata")):
+        if _io.fileio_for(location).list(_io.join(location, "metadata")):
             raise ValueError(f"table {name} already exists")
-        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        if "://" not in location:
+            os.makedirs(os.path.join(location, "data"), exist_ok=True)
         spec = [
             {"name": t.name, "source": t.source, "param": t.param}
             for t in (parse_spec(s) for s in (partition_spec or []))
@@ -96,21 +101,29 @@ class Catalog:
         return Table(self.spark, meta, guard=self.guard)
 
     def drop_table(self, name: str) -> None:
+        loc = self._location(name)
+        io = _io.fileio_for(loc)
+        if "://" in loc:
+            for rel in io.list_recursive(loc):
+                io.delete(_io.join(loc, rel))
+            return
         import shutil
 
-        shutil.rmtree(self._location(name))
+        shutil.rmtree(loc)
 
     def table_exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._location(name), "metadata"))
+        loc = self._location(name)
+        return bool(_io.fileio_for(loc).list(_io.join(loc, "metadata")))
 
     def list_tables(self) -> list[str]:
+        io = _io.fileio_for(self.warehouse)
         out = []
-        for db in sorted(os.listdir(self.warehouse)):
-            dbdir = os.path.join(self.warehouse, db)
-            if not os.path.isdir(dbdir):
+        for db in io.list(self.warehouse):
+            dbdir = _io.join(self.warehouse, db)
+            if "://" not in dbdir and not os.path.isdir(dbdir):
                 continue
-            for t in sorted(os.listdir(dbdir)):
-                if os.path.exists(os.path.join(dbdir, t, "metadata")):
+            for t in io.list(dbdir):
+                if io.list(_io.join(dbdir, t, "metadata")):
                     out.append(f"{db}.{t}")
         return out
 
@@ -165,7 +178,7 @@ class Catalog:
         parts = name.split(".")
         if len(parts) != 2:
             raise ValueError(f"table name must be db.table, got {name!r}")
-        return os.path.join(self.warehouse, *parts)
+        return _io.join(self.warehouse, *parts)
 
     @staticmethod
     def _parse_name(name: str) -> tuple[str, str | None, str | None]:

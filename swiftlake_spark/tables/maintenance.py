@@ -257,23 +257,22 @@ def vacuum(table: Table, *, dry_run: bool = False) -> dict[str, Any]:
         for e in meta.read_manifest(s):
             live_data.add(os.path.normpath(e.path))
 
-    orphan_data: list[str] = []
-    data_root = os.path.join(meta.location, "data")
-    for root, _dirs, files in os.walk(data_root):
-        for fn in files:
-            rel = os.path.normpath(
-                os.path.relpath(os.path.join(root, fn), meta.location)
-            )
-            if fn.endswith(".parquet") and rel not in live_data:
-                orphan_data.append(rel)
+    from swiftlake_spark import fileio as _fio
+
+    io = _fio.fileio_for(meta.location)
+    orphan_data: list[str] = [
+        "data/" + sub
+        for sub in io.list_recursive(_fio.join(meta.location, "data"))
+        if sub.endswith(".parquet") and os.path.normpath("data/" + sub) not in live_data
+    ]
     orphan_manifests = [
         fn
-        for fn in os.listdir(meta.metadata_dir)
+        for fn in io.list(meta.metadata_dir)
         if fn.startswith("manifest-") and fn not in live_manifests
     ]
     if not dry_run:
         for rel in orphan_data:
-            os.remove(os.path.join(meta.location, rel))
+            io.delete(_fio.join(meta.location, rel))
         for fn in orphan_manifests:
-            os.remove(os.path.join(meta.metadata_dir, fn))
+            io.delete(_fio.join(meta.metadata_dir, fn))
     return {"data_files": sorted(orphan_data), "manifests": sorted(orphan_manifests)}

@@ -89,6 +89,29 @@ class Table:
     def _dtype(self, col: str) -> str:
         return self.schema[col].dataType.simpleString()
 
+    # --------------------------------------------------------- storage
+    @property
+    def _remote(self) -> bool:
+        """True when the table lives on a non-filesystem FileIO backend
+        (currently the mem:// object-store fake)."""
+        loc = self.location
+        return "://" in loc and not loc.startswith("file://")
+
+    def _abs_paths(self, rels: list[str]) -> list[str]:
+        """Local filesystem paths for table-relative data files, staging
+        through FileIO for remote tables (≙ SwiftLakeS3FileIO
+        newInputFiles download-to-staging).  Scale note: driver-side
+        staging fits the in-process fake; a production object store
+        whose scheme Spark reads natively (s3a://) should pass URIs to
+        the scan directly — that's a new FileIO subclass whose
+        local_path is identity for Spark-readable paths."""
+        if not self._remote:
+            return [os.path.join(self.location, r) for r in rels]
+        from swiftlake_spark import fileio as _fio
+
+        io = _fio.fileio_for(self.location)
+        return [io.local_path(_fio.join(self.location, r)) for r in rels]
+
     # ------------------------------------------------------------ scan
     def scan(
         self,
@@ -220,7 +243,7 @@ class Table:
 
         parts: list[DataFrame] = []
         for key, es in groups.items():
-            paths = [os.path.join(self.location, e.path) for e in es]
+            paths = self._abs_paths([e.path for e in es])
             if not key:  # legacy files: names match current schema
                 plans = [(None, None, paths)]
             else:
@@ -591,7 +614,7 @@ class Table:
             # the footer for a physical leaf under the target path
             fpath = froot + path[len(root):]
             try:
-                fschema = pq.ParquetFile(os.path.join(self.location, e.path)).schema
+                fschema = pq.ParquetFile(self._abs_paths([e.path])[0]).schema
                 names = {fschema.column(i).path for i in range(len(fschema.names))}
             except OSError:
                 continue
@@ -890,7 +913,16 @@ class Table:
         mirrors the reference's ``skipDataSorting`` (Insert.java builder):
         trade read-locality for write speed."""
         commit_dir = f"data/{uuid.uuid4().hex[:12]}"
-        abs_dir = os.path.join(self.location, commit_dir)
+        if self._remote:
+            # write to a local staging root, upload after harvest — the
+            # reference's S3 write flow (stage locally, then upload)
+            import tempfile
+
+            stage_root = tempfile.mkdtemp(prefix="swiftlake_write_stage_")
+            abs_dir = os.path.join(stage_root, commit_dir)
+        else:
+            stage_root = self.location
+            abs_dir = os.path.join(self.location, commit_dir)
         transforms = self.transforms
         sort_cols = [] if skip_sort else self._sort_columns()
 
@@ -940,13 +972,22 @@ class Table:
         writer.parquet(abs_dir, mode="errorifexists")
 
         entries: list[ManifestEntry] = []
+        remote_io = None
+        if self._remote:
+            from swiftlake_spark import fileio as _fio
+
+            remote_io = _fio.fileio_for(self.location)
         for root, _dirs, files in os.walk(abs_dir):
             for fn in files:
                 if not fn.endswith(".parquet"):
                     continue
                 abs_path = os.path.join(root, fn)
-                rel = os.path.relpath(abs_path, self.location)
+                rel = os.path.relpath(abs_path, stage_root)
                 partition = self._parse_partition_path(os.path.relpath(root, abs_dir))
+                if remote_io is not None:
+                    from swiftlake_spark import fileio as _fio
+
+                    remote_io.upload(abs_path, _fio.join(self.location, rel))
                 entries.append(self._manifest_entry(abs_path, rel, partition))
         return entries
 
@@ -1018,6 +1059,16 @@ class Table:
 
     def _rel_path(self, file_uri: str) -> str:
         p = urllib.parse.unquote(urllib.parse.urlparse(file_uri).path)
+        if self._remote:
+            # staged scans report the STAGING path in input_file_name();
+            # map it back to the store URI, then strip the table root
+            from swiftlake_spark import fileio as _fio
+
+            io = _fio.fileio_for(self.location)
+            origin = getattr(io, "staged_origin", lambda _p: None)(p)
+            if origin is None:
+                raise ValueError(f"not a staged file of this table: {file_uri}")
+            return origin[len(self.location.rstrip("/")) + 1:]
         return os.path.relpath(p, self.location)
 
 

@@ -171,3 +171,92 @@ def test_iceberg_read_through_memory_store(spark, tmp_path):
     w.publish(remote)
     t2 = IcebergTable(spark, remote)
     assert t2.scan().count() == 4
+
+
+# ------------------------------------- native table format on the fake
+def test_native_table_end_to_end_on_memory_store(spark):
+    """The own table format runs fully against the object-store fake:
+    create → partitioned append (staged write + upload) → pruned scan →
+    SCD1 merge (touched-file COW) → time travel → vacuum.  Proves the
+    engine needs only FileIO semantics (conditional put, list, staging),
+    not POSIX."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.engine import SwiftLakeEngine
+    from swiftlake_spark.tables import expressions as E
+    from swiftlake_spark.tables.maintenance import vacuum
+
+    fio.reset_memory_store("wh")
+    eng = SwiftLakeEngine(spark=spark, warehouse="mem://wh/lake")
+    t = eng.catalog.create_table(
+        "db.remote1", "id BIGINT, cat STRING, v DOUBLE", partition_spec=["cat"]
+    )
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", 2.0), (3, "B", 3.0), (4, None, 4.0)],
+        schema=t.schema,
+    )
+    t.append(df)
+
+    # everything lives in the store, nothing under a local 'mem:' dir
+    io = fio.fileio_for("mem://wh/")
+    keys = io.list_recursive("mem://wh/lake/db/remote1")
+    assert any(k.startswith("metadata/v") for k in keys)
+    assert any(k.endswith(".parquet") for k in keys)
+    assert not __import__("os").path.exists("mem:")
+
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 2, 3, 4]
+    # partition pruning against staged manifests
+    got = sorted(r["id"] for r in t.scan(E.col_eq("cat", "A")).collect())
+    assert got == [1, 2]
+    assert [r["id"] for r in t.scan(E.is_null("cat")).collect()] == [4]
+
+    # COW update via touched-file probe (_rel_path reverse-maps staging)
+    t.update(E.col_eq("id", 2), {"v": F.lit(20.0)})
+    assert t.scan(E.col_eq("id", 2)).collect()[0]["v"] == 20.0
+    t.delete_where(E.col_eq("id", 3))
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 2, 4]
+
+    # SCD1 snapshot merge
+    src = spark.createDataFrame([(1, "A", 1.5), (5, "A", 5.0)], schema=t.schema)
+    eng.apply_snapshot_as_scd1("db.remote1").table_filter_sql(
+        "cat = 'A'"
+    ).source_dataframe(src).key_columns(["id"]).execute()
+    assert sorted((r["id"], r["v"]) for r in t.refresh().scan().collect()) == [
+        (1, 1.5), (4, 4.0), (5, 5.0),
+    ]
+
+    # time travel to the first snapshot
+    first = t.meta.snapshots[0]
+    old = t.scan(snapshot_id=first.snapshot_id)
+    assert sorted(r["id"] for r in old.collect()) == [1, 2, 3, 4]
+
+    # concurrent commit conflict through the store
+    t2 = eng.catalog.table("db.remote1")
+    t.append(spark.createDataFrame([(9, "C", 9.0)], schema=t.schema))
+    from swiftlake_spark.tables.metadata import CommitConflict
+
+    with pytest.raises(CommitConflict):
+        t2.meta.version -= 0  # stale handle
+        from swiftlake_spark.tables.metadata import write_new_version
+
+        write_new_version(t2.meta)
+
+    # snapshot expiry + vacuum delete through FileIO
+    from swiftlake_spark.tables.maintenance import expire_snapshots
+
+    expire_snapshots(t.refresh(), older_than_ms=2**62, keep_last=1)
+    rep = vacuum(t.refresh())
+    assert rep["data_files"]  # old COW generations became orphans
+    for rel in rep["data_files"]:
+        assert not io.exists(f"mem://wh/lake/db/remote1/{rel}")
+    # (id 2 was dropped by the SCD1 snapshot merge: inside the cat='A'
+    # boundary but absent from the source)
+    assert sorted(r["id"] for r in t.refresh().scan().collect()) == [1, 4, 5, 9]
+
+    assert eng.catalog.table_exists("db.remote1")
+    assert "db.remote1" in eng.catalog.list_tables()
+    eng.catalog.drop_table("db.remote1")
+    assert not eng.catalog.table_exists("db.remote1")
+    fio.reset_memory_store("wh")
