@@ -977,6 +977,8 @@ class Table:
             from swiftlake_spark import fileio as _fio
 
             remote_io = _fio.fileio_for(self.location)
+        opaque_fix: dict[str, Any] = {}  # '#u' token → true partition value
+        by_name = {t.partition_name: t for t in transforms}
         for root, _dirs, files in os.walk(abs_dir):
             for fn in files:
                 if not fn.endswith(".parquet"):
@@ -984,6 +986,25 @@ class Table:
                 abs_path = os.path.join(root, fn)
                 rel = os.path.relpath(abs_path, stage_root)
                 partition = self._parse_partition_path(os.path.relpath(root, abs_dir))
+                # Recover TRUE values behind '#u' indirection tokens so the
+                # MANIFEST carries exact partition values (only the path is
+                # lossy) — ≙ the reference's transformValueLookupMap
+                # (PartitionedDataFileWriter.java:655-663), except the
+                # lookup is rebuilt from the data files themselves: every
+                # row in the file shares the partition value, so one
+                # footer-cheap first-row read per distinct token suffices.
+                for pname, pval in list(partition.items()):
+                    if not TR.is_opaque_pvalue(pval):
+                        continue
+                    if pval not in opaque_fix:
+                        import pyarrow.parquet as _pq
+
+                        t = by_name[pname]
+                        src_val = _pq.read_table(
+                            abs_path, columns=[t.source]
+                        ).column(0)[0].as_py()
+                        opaque_fix[pval] = t.apply(src_val)
+                    partition[pname] = opaque_fix[pval]
                 if remote_io is not None:
                     from swiftlake_spark import fileio as _fio
 

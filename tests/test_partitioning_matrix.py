@@ -261,9 +261,10 @@ def test_partition_value_encoding_null_empty_and_escapes(catalog, spark):
 
 def test_partition_value_long_string_indirection(catalog, spark):
     """A >150-char partition value must not become a >150-char directory
-    name: it is replaced by a deterministic '#u'+sha256[:16] token (the
-    reference mints '#u'+UUID).  Scan results are unaffected (source
-    columns live in the data files); pruning falls back to column stats."""
+    name: the PATH uses a deterministic '#u'+sha256[:16] token (the
+    reference mints '#u'+UUID) while the MANIFEST recovers the true
+    value from the data file (≙ the reference's transformValueLookupMap)
+    — so pruning stays exact and scans are unaffected."""
     t = catalog.create_table("db.plong", "id BIGINT, s STRING", partition_spec=["s"])
     long_a = "x" * 200
     long_b = "y" * 300
@@ -271,38 +272,34 @@ def test_partition_value_long_string_indirection(catalog, spark):
         [(1, long_a), (2, long_b), (3, "short")], schema=t.schema
     ))
     man = t.meta.read_manifest(t.meta.current_snapshot())
-    from swiftlake_spark.tables.transforms import is_opaque_pvalue
-
-    pvals = {e.partition["s"] for e in man}
-    opaque = {v for v in pvals if is_opaque_pvalue(v)}
-    assert len(opaque) == 2 and "short" in pvals
-    # no path segment anywhere under the table exceeds 255 bytes
+    # manifest holds TRUE values; only the directory name is tokenized
+    assert {e.partition["s"] for e in man} == {long_a, long_b, "short"}
+    import hashlib
     import os
 
+    expect_tok = "#u" + hashlib.sha256(long_a.encode()).hexdigest()[:16]
+    seen_dirs = set()
     for root, dirs, files in os.walk(t.location):
         for seg in dirs + files:
             assert len(seg.encode("utf-8")) <= 255
-    # same value → same token (deterministic across writes)
+            seen_dirs.add(seg)
+    import urllib.parse
+
+    assert any(expect_tok in urllib.parse.unquote(seg) for seg in seen_dirs)
+
+    # same value → same token dir across writes (deterministic digest)
     t.append(spark.createDataFrame([(4, long_a)], schema=t.schema))
     man2 = t.meta.read_manifest(t.meta.current_snapshot())
-    toks = sorted(
-        e.partition["s"] for e in man2 if is_opaque_pvalue(e.partition["s"])
-    )
-    assert len(toks) == 3 and len(set(toks)) == 2
+    assert sorted(
+        e.partition["s"] for e in man2 if e.partition["s"] == long_a
+    ) == [long_a, long_a]
 
-    # correctness: equality filter on the long value returns exactly its rows
+    # equality filter on the long value returns exactly its rows, and
+    # pruning is EXACT (manifest values are real, not tokens)
     got = sorted(r["id"] for r in t.scan(E.col_eq("s", long_a)).select("id").collect())
     assert got == [1, 4]
-    # pruning is inclusive: the matching files are kept (footer stats may
-    # or may not discriminate, but a file holding the value is never dropped)
-    pruned_paths = {e.path for e in t.prune(man2, E.col_eq("s", long_a))}
-    holding = {e.path for e in man2 if e.partition["s"] == toks[0] or e.partition["s"] == toks[-1]}
-    # files whose token matches encode(long_a) must survive
-    import hashlib
-
-    expect_tok = "#u" + hashlib.sha256(long_a.encode()).hexdigest()[:16]
-    must_keep = {e.path for e in man2 if e.partition["s"] == expect_tok}
-    assert must_keep and must_keep <= pruned_paths
+    pruned = t.prune(man2, E.col_eq("s", long_a))
+    assert {e.partition["s"] for e in pruned} == {long_a}
 
 
 def test_partition_value_encoding_property_roundtrip(catalog, spark):
@@ -353,14 +350,15 @@ def test_partition_value_encoding_property_roundtrip(catalog, spark):
     man = t.meta.read_manifest(t.meta.current_snapshot())
     got = {e.partition["s"] for e in man}
 
-    def expected(v: str) -> str:
+    # manifests hold TRUE values for every input — >150-char values use a
+    # '#u' token only in the directory name (recovered from the data file)
+    assert got == set(vals)
+
+    def expected(v: str) -> str:  # the PATH-side encoding, for dir checks
         esc = "#" + v if (v.startswith("#") or v.lower() == "null") else v
         if len(urllib.parse.quote_plus(esc)) > 150:
             return "#u" + hashlib.sha256(esc.encode()).hexdigest()[:16]
         return v
-
-    want = {expected(v) for v in vals}
-    assert got == want
     # every encoded dir segment stays under the 255-byte filesystem bound
     import os
 
@@ -371,15 +369,10 @@ def test_partition_value_encoding_property_roundtrip(catalog, spark):
     # value scans back exactly, long ones included
     back = {(r["id"], r["s"]) for r in t.scan().collect()}
     assert back == set(rows_in)
-    # equality pruning stays exact for non-opaque values
+    # equality pruning is exact for EVERY value — true manifest values
+    # make even >150-char partitions exactly prunable
     from swiftlake_spark.tables import expressions as EE
 
     for v in vals:
-        if is_opaque_pvalue(expected(v)):
-            continue
         pruned = {e.partition["s"] for e in t.prune(man, EE.col_eq("s", v))}
-        # sound: the matching file is never dropped
-        assert v in pruned, repr(v)
-        # exact over non-opaque files; opaque tokens may be retained
-        # (inclusive fallback — their footer stats need not discriminate)
-        assert all(p == v or is_opaque_pvalue(p) for p in pruned), repr(v)
+        assert pruned == {v}, repr(v)
