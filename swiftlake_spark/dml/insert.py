@@ -84,12 +84,22 @@ class InsertBuilder:
     def execute(self):
         if self._df is None:
             raise ValidationError("insert needs a source (sql or dataframe)")
+        if not getattr(self, "_source_once", None):
+            return self._execute_impl()
+        from swiftlake_spark.dml.scd_common import (
+            cleanup_materialized_source,
+            materialize_source,
+        )
+
+        self._df = materialize_source(self._df, self._source_once)
+        try:
+            return self._execute_impl()
+        finally:
+            cleanup_materialized_source(self._df)
+
+    def _execute_impl(self):
         tbl = self._engine.catalog.table(self._table_name)
         df = self._df
-        if getattr(self, "_source_once", None):
-            from swiftlake_spark.dml.scd_common import materialize_source
-
-            df = materialize_source(df, self._source_once, tmp_dir=tbl.location + "/tmp")
         schema = tbl.schema
         if self._columns is not None:
             missing = set(self._columns) - set(df.columns)

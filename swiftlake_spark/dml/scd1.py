@@ -133,15 +133,24 @@ class SCD1Builder:
         return self
 
     def execute(self):
+        if not getattr(self, "_source_once", None):
+            return self._execute_impl()
+        require(self._source is not None, "source is required")
+        from swiftlake_spark.dml.scd_common import (
+            cleanup_materialized_source,
+            materialize_source,
+        )
+
+        self._source = materialize_source(self._source, self._source_once)
+        try:
+            return self._execute_impl()
+        finally:
+            cleanup_materialized_source(self._source)
+
+    def _execute_impl(self):
         require(self._source is not None, "source is required")
         require(bool(self._keys), "key columns are required")
         tbl = self._engine.catalog.table(self._table_name)
-        if getattr(self, "_source_once", None):
-            from swiftlake_spark.dml.scd_common import materialize_source
-
-            self._source = materialize_source(
-                self._source, self._source_once, tmp_dir=tbl.location + "/tmp"
-            )
         if self._filter is None and self._filter_columns:
             self._filter = filter_from_source_values(
                 self._source, self._filter_columns, tbl.schema

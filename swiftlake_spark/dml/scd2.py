@@ -155,15 +155,22 @@ class SCD2Builder:
         return self
 
     def execute(self):
+        if not getattr(self, "_source_once", None):
+            return self._execute_impl()
         require(self._source is not None, "source is required")
-        if getattr(self, "_source_once", None):
-            from swiftlake_spark.dml.scd_common import materialize_source
+        from swiftlake_spark.dml.scd_common import (
+            cleanup_materialized_source,
+            materialize_source,
+        )
 
-            self._source = materialize_source(
-                self._source,
-                self._source_once,
-                tmp_dir=self._engine.catalog.table(self._table_name).location + "/tmp",
-            )
+        self._source = materialize_source(self._source, self._source_once)
+        try:
+            return self._execute_impl()
+        finally:
+            cleanup_materialized_source(self._source)
+
+    def _execute_impl(self):
+        require(self._source is not None, "source is required")
         if self._filter is None and self._filter_columns:
             self._filter = filter_from_source_values(
                 self._source,

@@ -257,18 +257,32 @@ def materialize_source(df: DataFrame, how: str = "checkpoint", tmp_dir: str | No
     if how == "checkpoint":
         return df.localCheckpoint(eager=True)
     if how == "parquet":
-        require(tmp_dir is not None, "materialize_source(how='parquet') needs tmp_dir")
         import os
+        import tempfile
         import uuid as _uuid
 
-        if "://" in tmp_dir:  # remote table: Spark writes the temp locally
-            import tempfile
-
+        # always a private local temp dir — never inside the table
+        # location (vacuum doesn't know about it, and the reference
+        # cleans its temp files after the merge; the builder deletes
+        # this dir once execute() commits, via the attribute below)
+        if tmp_dir is None or "://" in tmp_dir:
             tmp_dir = tempfile.mkdtemp(prefix="swiftlake_source_once_")
         path = os.path.join(tmp_dir, f"source_once_{_uuid.uuid4().hex[:12]}")
         df.write.parquet(path, mode="errorifexists")
-        return df.sparkSession.read.parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        out._swiftlake_source_once_path = path  # builder cleanup hook
+        return out
     raise ValidationError(f"unknown materialize_source mode {how!r}")
+
+
+def cleanup_materialized_source(df: DataFrame | None) -> None:
+    """Delete the temp-parquet copy behind a materialized source, called
+    by the builders AFTER their commit (every consumer has run by then)."""
+    path = getattr(df, "_swiftlake_source_once_path", None)
+    if path:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def require(cond: bool, msg: str) -> None:

@@ -117,7 +117,7 @@ class LocalFileIO(FileIO):
 
     def list(self, prefix: str) -> list[str]:
         try:
-            return os.listdir(prefix)
+            return sorted(os.listdir(prefix))  # deterministic, like mem
         except FileNotFoundError:
             return []
 
@@ -281,9 +281,16 @@ class MemoryFileIO(FileIO):
         data = self.read_bytes(path)
         os.makedirs(self._staging, exist_ok=True)
         _, key = self._split(path)
-        dst = os.path.join(
-            self._staging, uuid.uuid4().hex[:8] + "_" + key.replace("/", "__")
-        )
+        # flat staging name bounded to the 255-byte filename limit: long
+        # keys (hive-escaped partition dirs) hash, keeping the basename
+        # tail for debuggability
+        flat = key.replace("/", "__")
+        if len(flat.encode("utf-8")) > 160:
+            import hashlib
+
+            tail = os.path.basename(key)[-80:]
+            flat = hashlib.sha256(key.encode("utf-8")).hexdigest()[:32] + "_" + tail
+        dst = os.path.join(self._staging, uuid.uuid4().hex[:8] + "_" + flat)
         with open(dst, "wb") as f:
             f.write(data)
         self._staged[path] = dst
@@ -313,7 +320,9 @@ def fileio_for(path: str) -> FileIO:
     global _MEM_IO
     if path.startswith("mem://"):
         if _MEM_IO is None:
-            _MEM_IO = MemoryFileIO()
+            with _MEM_STORES_LOCK:  # two racing first-callers must not
+                if _MEM_IO is None:  # split the staging/origin maps
+                    _MEM_IO = MemoryFileIO()
         return _MEM_IO
     if "://" in path and not path.startswith("file://"):
         raise NotImplementedError(

@@ -479,7 +479,7 @@ def semantic_dedup(
     # re-split clusters that exceed the pair-work bound (skewed centroid):
     # re-quantize ONLY the oversized clusters' members with fresh finer
     # centroids; the composite key keeps refinement within each cluster
-    prev = None
+    prev = assigned  # pre-loop cache, released when a refinement replaces it
     for rnd in range(max_split_rounds):
         sizes = assigned.groupBy("ckey").agg(F.count(F.lit(1)).alias("n"))
         big = [r["ckey"] for r in sizes.filter(F.col("n") > max_cluster_size).collect()]
@@ -499,8 +499,7 @@ def semantic_dedup(
         )
         assigned = rest.unionByName(refined).persist()
         assigned.count()  # materialize before unpersisting the parent
-        if prev is not None:
-            prev.unpersist()
+        prev.unpersist()
         prev = assigned
 
     norm = F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x))
@@ -532,4 +531,11 @@ def semantic_dedup(
         .otherwise(F.coalesce(F.col("rep_dup_of"), F.col("rep_id")))
         .alias("dup_of"),
     )
-    return out.select("id", F.col("dup_of").isNull().alias("keep"), "dup_of")
+    out = out.select("id", F.col("dup_of").isNull().alias("keep"), "dup_of")
+    # materialize the (narrow, one-row-per-vector) verdict, then release
+    # the working caches — without this every call leaks 2-3 persisted
+    # frames for the session lifetime
+    out = out.localCheckpoint(eager=True)
+    members.unpersist()
+    assigned.unpersist()
+    return out

@@ -594,7 +594,13 @@ class IcebergWriter:
             for fn in files:
                 src = os.path.join(root, fn)
                 rel = os.path.relpath(src, self.location)
-                io.upload(src, _fio.join(remote_location, rel))
+                dst = _fio.join(remote_location, rel)
+                # incremental publish: data files and avro manifests are
+                # immutable (uuid/snapshot-id named) — skip re-uploading
+                # existing ones; metadata json/hint always overwrite
+                if (rel.startswith("data/") or rel.endswith(".avro")) and io.exists(dst):
+                    continue
+                io.upload(src, dst)
         return remote_location
 
     def commit_schema(self, schema: T.StructType) -> None:

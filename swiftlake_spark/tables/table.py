@@ -1010,6 +1010,12 @@ class Table:
 
                     remote_io.upload(abs_path, _fio.join(self.location, rel))
                 entries.append(self._manifest_entry(abs_path, rel, partition))
+        if remote_io is not None:
+            # stats + uploads are harvested; drop the local staging copy
+            # or every remote write leaks a full dataset under /tmp
+            import shutil
+
+            shutil.rmtree(stage_root, ignore_errors=True)
         return entries
 
     def _manifest_entry(

@@ -373,20 +373,41 @@ def spark_partition_column(t: Transform, dtype: str) -> Column:
 #   would otherwise collapse into __HIVE_DEFAULT_PARTITION__ (i.e. NULL).
 PARTITION_VALUE_MAX_LENGTH = 150
 _OPAQUE_RE = re.compile(r"^#u[0-9a-f]{16}$")
+# The chars Spark's hive path escaping rewrites to %XX (ExternalCatalogUtils
+# escape list: controls, DEL, and the reserved set).  The length guard must
+# measure THIS escaping, not URLEncoder's — they disagree on '*' (hive
+# escapes it, URLEncoder does not), and the guard exists to bound the
+# physical directory-segment bytes, which hive escaping determines.
+_HIVE_ESCAPED_RE = "[\\x00-\\x1f\\x7f\"#%'*/:=?\\\\{\\[\\]^]"
+
+
+def _hive_escaped_len(c: Column) -> Column:
+    """Byte length of the hive-escaped form: each escaped ASCII char
+    becomes %XX (3 bytes); everything else keeps its UTF-8 bytes."""
+    return F.octet_length(F.regexp_replace(c, _HIVE_ESCAPED_RE, "xxx"))
+
+
+def hive_escaped_len_py(v: str) -> int:
+    """Python face of :func:`_hive_escaped_len` (tests cross-check; the
+    char-class pattern parses identically in Java and Python regex)."""
+    return len(re.sub(_HIVE_ESCAPED_RE, "xxx", v).encode("utf-8"))
 
 
 def encode_partition_path_col(c: Column) -> Column:
     """Column expression form of the encoder, applied to string-typed
     physical partition columns just before ``partitionBy``."""
     esc = F.when(
-        c.startswith("#") | (F.lower(c) == F.lit("null")),
+        c.startswith("#")
+        | (F.lower(c) == F.lit("null"))
+        # Spark's own NULL sentinel must not collide with a real value
+        | (c == F.lit("__HIVE_DEFAULT_PARTITION__")),
         F.concat(F.lit("#"), c),
     ).otherwise(c)
     return (
         F.when(c.isNull(), F.lit("#n"))
         .when(c == F.lit(""), F.lit("#e"))
         .when(
-            F.length(F.url_encode(esc)) > PARTITION_VALUE_MAX_LENGTH,
+            _hive_escaped_len(esc) > PARTITION_VALUE_MAX_LENGTH,
             F.concat(F.lit("#u"), F.substring(F.sha2(esc, 256), 1, 16)),
         )
         .otherwise(esc)

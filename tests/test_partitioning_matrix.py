@@ -339,7 +339,10 @@ def test_partition_value_encoding_property_roundtrip(catalog, spark):
         "tab\tsep",
         "quote\"s'q",
         "[brackets]{braces}^caret",
-        "x" * 150,  # at the URL-encoded boundary for ascii
+        "__HIVE_DEFAULT_PARTITION__",  # Spark's own NULL sentinel
+        "*" * 90,   # '*' is hive-escaped (3 bytes each) but NOT URL-encoded
+        "*" * 40,
+        "x" * 150,  # at the escaped-length boundary for ascii
         "x" * 151,  # just over
         "ü" * 60,   # 60 chars but URL-encodes to 360 chars → over
         "y" * 500,
@@ -354,9 +357,16 @@ def test_partition_value_encoding_property_roundtrip(catalog, spark):
     # '#u' token only in the directory name (recovered from the data file)
     assert got == set(vals)
 
+    from swiftlake_spark.tables.transforms import hive_escaped_len_py
+
     def expected(v: str) -> str:  # the PATH-side encoding, for dir checks
-        esc = "#" + v if (v.startswith("#") or v.lower() == "null") else v
-        if len(urllib.parse.quote_plus(esc)) > 150:
+        esc = (
+            "#" + v
+            if (v.startswith("#") or v.lower() == "null"
+                or v == "__HIVE_DEFAULT_PARTITION__")
+            else v
+        )
+        if hive_escaped_len_py(esc) > 150:
             return "#u" + hashlib.sha256(esc.encode()).hexdigest()[:16]
         return v
     # every encoded dir segment stays under the 255-byte filesystem bound
