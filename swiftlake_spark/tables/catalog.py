@@ -102,6 +102,9 @@ class Catalog:
 
     def drop_table(self, name: str) -> None:
         loc = self._location(name)
+        from swiftlake_spark.catalog_service import default_catalog_service
+
+        default_catalog_service().drop(loc)
         io = _io.fileio_for(loc)
         if "://" in loc:
             for rel in io.list_recursive(loc):

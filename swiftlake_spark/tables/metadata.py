@@ -127,6 +127,9 @@ class TableMetadata:
     # the ID; resolution of old files goes through ManifestEntry.column_ids.
     field_ids: dict[str, int] = field(default_factory=dict)
     next_field_id: int = 0
+    # catalog-cas protocol only: the metadata file this instance was
+    # loaded from (the CAS expected-value).  Runtime state, not persisted.
+    pointer_file: str | None = None
 
     def __post_init__(self) -> None:
         # IDs cover every struct-field *path* (nested fields included,
@@ -216,6 +219,18 @@ class TableMetadata:
 def load_metadata(location: str) -> TableMetadata:
     io = _io.fileio_for(location)
     mdir = _io.join(location, "metadata")
+    # catalog-CAS tables: the catalog service owns the current pointer
+    # (≙ Glue/JDBC-catalog Iceberg; see catalog_service module docstring)
+    from swiftlake_spark.catalog_service import default_catalog_service
+
+    ptr = default_catalog_service().current(location)
+    if ptr is not None:
+        meta = TableMetadata.from_json(
+            json.loads(io.read_text(_io.join(mdir, ptr))),
+            int(ptr[1:].split("-", 1)[0]),
+        )
+        meta.pointer_file = ptr
+        return meta
     version = _current_version(io, mdir)
     if version is None:
         raise FileNotFoundError(f"no table at {location}")
@@ -236,16 +251,47 @@ def _current_version(io: "_io.FileIO", mdir: str) -> int | None:
 
 
 def write_new_version(meta: TableMetadata) -> TableMetadata:
-    """Atomically claim the next metadata version via the backend's
-    create-if-absent primitive (LocalFileIO: O_CREAT|O_EXCL; object
-    stores: conditional put — see fileio module docstring).  Raises
-    CommitConflict if someone else got there first."""
+    """Commit the next metadata version.  Two protocols:
+
+    - storage claim (default): create-if-absent of ``v<N+1>.json``
+      (LocalFileIO: O_CREAT|O_EXCL; object stores: conditional put —
+      see fileio module docstring).
+    - ``commit.protocol = catalog-cas``: write a uniquely-named
+      ``v<N+1>-<uuid>.json`` with a PLAIN put (no storage atomicity
+      needed), then CAS the catalog service's pointer — the Glue/JDBC
+      Iceberg commit shape (catalog_service module).
+
+    Raises CommitConflict if someone else got there first."""
     io = _io.fileio_for(meta.location)
     mdir = meta.metadata_dir
     next_v = meta.version + 1
+    body = json.dumps(meta.to_json(), indent=1, default=str)
+
+    if meta.properties.get("commit.protocol") == "catalog-cas":
+        from swiftlake_spark.catalog_service import default_catalog_service
+
+        svc = default_catalog_service()
+        fname = f"v{next_v}-{uuid.uuid4().hex[:8]}.json"
+        io.write_text(_io.join(mdir, fname), body)
+        if meta.version == 0 and meta.pointer_file is None:
+            try:
+                svc.register(meta.location, fname)
+            except FileExistsError as exc:
+                raise CommitConflict(
+                    f"table already registered: {meta.location}"
+                ) from exc
+        elif not svc.cas(meta.location, meta.pointer_file, fname):
+            raise CommitConflict(
+                f"catalog pointer moved for {meta.location} "
+                f"(expected {meta.pointer_file})"
+            )
+        meta.pointer_file = fname
+        meta.version = next_v
+        return meta
+
     path = _io.join(mdir, f"v{next_v}.json")
     try:
-        io.try_claim(path, json.dumps(meta.to_json(), indent=1, default=str))
+        io.try_claim(path, body)
     except FileExistsError as exc:
         raise CommitConflict(f"metadata version v{next_v} already committed") from exc
     io.replace_text(_io.join(mdir, "version-hint.txt"), str(next_v))

@@ -260,3 +260,75 @@ def test_native_table_end_to_end_on_memory_store(spark):
     eng.catalog.drop_table("db.remote1")
     assert not eng.catalog.table_exists("db.remote1")
     fio.reset_memory_store("wh")
+
+
+# --------------------------------- catalog-service (CAS) commit protocol
+def test_catalog_cas_commit_protocol(spark, tmp_path):
+    """commit.protocol=catalog-cas: metadata files get unique names with
+    plain puts; the catalog service's pointer CAS decides the winner —
+    the Glue/JDBC Iceberg commit shape. Storage needs no conditional
+    put, so this protocol works on ANY FileIO backend."""
+    from swiftlake_spark.catalog_service import default_catalog_service
+    from swiftlake_spark.engine import SwiftLakeEngine
+    from swiftlake_spark.tables import expressions as E
+
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "wh"))
+    t = eng.catalog.create_table(
+        "db.cas1",
+        "id BIGINT, v STRING",
+        properties={"commit.protocol": "catalog-cas"},
+    )
+    loc = t.location
+    svc = default_catalog_service()
+    try:
+        ptr1 = svc.current(loc)
+        assert ptr1 and ptr1.startswith("v1-")
+
+        t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema=t.schema))
+        ptr2 = svc.current(loc)
+        assert ptr2 and ptr2.startswith("v2-") and ptr2 != ptr1
+
+        # reload resolves through the pointer
+        t2 = eng.catalog.table("db.cas1")
+        assert t2.meta.version == 2
+        assert sorted(r["id"] for r in t2.scan().collect()) == [1, 2]
+
+        # stale handle loses the CAS; conflict-retry inside append wins
+        stale = eng.catalog.table("db.cas1")
+        t2.append(spark.createDataFrame([(3, "c")], schema=t.schema))
+        stale.append(spark.createDataFrame([(4, "d")], schema=t.schema))
+        final = eng.catalog.table("db.cas1")
+        assert sorted(r["id"] for r in final.scan().collect()) == [1, 2, 3, 4]
+        assert svc.current(loc).startswith("v4-")
+
+        # COW update + SCD1 run through the same protocol
+        final.update(E.col_eq("id", 1), {"v": __import__("pyspark.sql.functions", fromlist=["lit"]).lit("a!")})
+        assert eng.catalog.table("db.cas1").scan(E.col_eq("id", 1)).collect()[0]["v"] == "a!"
+
+        # a raw double-commit at the metadata layer conflicts via CAS
+        from swiftlake_spark.tables.metadata import (
+            CommitConflict,
+            load_metadata,
+            write_new_version,
+        )
+
+        a, b = load_metadata(loc), load_metadata(loc)
+        write_new_version(a)
+        with pytest.raises(CommitConflict):
+            write_new_version(b)
+    finally:
+        eng.catalog.drop_table("db.cas1")
+    assert svc.current(loc) is None
+
+
+def test_catalog_cas_register_race():
+    """Creating the same CAS table twice races on register()."""
+    from swiftlake_spark.catalog_service import MemoryCatalogCommitService
+
+    svc = MemoryCatalogCommitService()
+    svc.register("k", "v1-a")
+    with pytest.raises(FileExistsError):
+        svc.register("k", "v1-b")
+    assert not svc.cas("k", "v1-WRONG", "v2-x")
+    assert svc.cas("k", "v1-a", "v2-x")
+    assert svc.current("k") == "v2-x"
