@@ -332,3 +332,46 @@ def test_catalog_cas_register_race():
     assert not svc.cas("k", "v1-WRONG", "v2-x")
     assert svc.cas("k", "v1-a", "v2-x")
     assert svc.current("k") == "v2-x"
+
+
+def test_streaming_upsert_into_remote_table(spark, tmp_path):
+    """Structured Streaming foreachBatch CDC-apply lands in a table on
+    the object-store fake: every micro-batch's SCD1 merge commits via
+    conditional put, data files staged+uploaded — streaming and the
+    FileIO seam compose."""
+    from swiftlake_spark.engine import SwiftLakeEngine
+    from swiftlake_spark.streaming import stream_upsert_into_table
+
+    fio.reset_memory_store("swh")
+    eng = SwiftLakeEngine(spark=spark, warehouse="mem://swh/lake")
+    t = eng.catalog.create_table("db.sup", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "old")], schema=t.schema))
+
+    src = str(tmp_path / "sup_src")
+    schema = "id BIGINT, v STRING, ver BIGINT, op STRING"
+    spark.createDataFrame(
+        [(1, "new", 1, "U"), (2, "ins", 1, "U")], schema
+    ).write.parquet(src)
+
+    q = stream_upsert_into_table(
+        spark.readStream.schema(schema).parquet(src),
+        eng,
+        "db.sup",
+        ["id"],
+        str(tmp_path / "sup_ck"),
+        version_column="ver",
+        op_column="op",
+        delete_value="D",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["id"], r["v"]) for r in eng.catalog.table("db.sup").scan().collect()
+    )
+    assert got == [(1, "new"), (2, "ins")]
+    keys = fio.fileio_for("mem://swh/").list_recursive("mem://swh/lake/db/sup")
+    assert sum(1 for k in keys if k.startswith("metadata/v")) >= 2
+    fio.reset_memory_store("swh")
