@@ -13,9 +13,10 @@ from swiftlake_spark.dml.sqlfilter import parse_filter
 
 
 class DeleteBuilder:
-    def __init__(self, engine, table_name: str) -> None:
+    def __init__(self, engine, table_name: str | None, batch=None) -> None:
         self._engine = engine
         self._table_name = table_name
+        self._batch = batch  # TableBatchTransaction target (deferred commit)
         self._condition: E.Expr | None = None
         self._branch = "main"
 
@@ -24,9 +25,13 @@ class DeleteBuilder:
         return self
 
     def condition_sql(self, cond: str) -> "DeleteBuilder":
-        tbl = self._engine.catalog.table(self._table_name)
-        self._condition = parse_filter(cond, tbl.schema)
+        self._condition = parse_filter(cond, self._resolve_table().schema)
         return self
+
+    def _resolve_table(self):
+        if self._batch is not None:
+            return self._batch.table
+        return self._engine.catalog.table(self._table_name)
 
     def branch(self, b: str) -> "DeleteBuilder":
         self._branch = b
@@ -35,5 +40,7 @@ class DeleteBuilder:
     def execute(self):
         if self._condition is None:
             raise ValidationError("delete needs a condition")
-        tbl = self._engine.catalog.table(self._table_name)
-        return tbl.delete_where(self._condition, branch=self._branch)
+        tbl = self._resolve_table()
+        return tbl.delete_where(
+            self._condition, branch=self._branch, batch=self._batch
+        )

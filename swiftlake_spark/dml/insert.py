@@ -16,10 +16,14 @@ from swiftlake_spark.dml.sqlfilter import parse_filter
 
 
 class InsertBuilder:
-    def __init__(self, engine, table_name: str, overwrite: bool) -> None:
+    def __init__(self, engine, table_name: str | None, overwrite: bool, batch=None) -> None:
         self._engine = engine
         self._table_name = table_name
         self._overwrite = overwrite
+        # TableBatchTransaction target: the write lands in the txn's
+        # pending set instead of committing (reference
+        # insertInto(TableBatchTransaction), commands/Insert.java)
+        self._batch = batch
         self._df: DataFrame | None = None
         self._columns: list[str] | None = None
         self._branch = "main"
@@ -98,7 +102,11 @@ class InsertBuilder:
             cleanup_materialized_source(self._df)
 
     def _execute_impl(self):
-        tbl = self._engine.catalog.table(self._table_name)
+        tbl = (
+            self._batch.table
+            if self._batch is not None
+            else self._engine.catalog.table(self._table_name)
+        )
         df = self._df
         schema = tbl.schema
         if self._columns is not None:
@@ -134,6 +142,8 @@ class InsertBuilder:
                 df, self._filter, branch=self._branch, skip_sort=self._skip_sort,
                 extra_summary=self._snapshot_meta,
             )
+        if self._batch is not None:
+            return self._batch.append(df)
         return tbl.append(
             df, branch=self._branch, skip_sort=self._skip_sort,
             extra_summary=self._snapshot_meta,

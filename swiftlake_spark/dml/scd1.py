@@ -42,10 +42,14 @@ from swiftlake_spark.tables import expressions as E
 
 
 class SCD1Builder:
-    def __init__(self, engine, table_name: str, mode: str) -> None:
+    def __init__(self, engine, table_name: str | None, mode: str, batch=None) -> None:
         assert mode in ("changes", "snapshot")
         self._engine = engine
         self._table_name = table_name
+        # TableBatchTransaction target: the merge outcome lands in the
+        # txn's pending set instead of committing (reference
+        # applyChangesAsSCD1(TableBatchTransaction))
+        self._batch = batch
         self._mode = mode
         self._filter: E.Expr | None = None
         self._source: DataFrame | None = None
@@ -66,9 +70,13 @@ class SCD1Builder:
         return self
 
     def table_filter_sql(self, cond: str) -> "SCD1Builder":
-        tbl = self._engine.catalog.table(self._table_name)
-        self._filter = parse_filter(cond, tbl.schema)
+        self._filter = parse_filter(cond, self._resolve_table().schema)
         return self
+
+    def _resolve_table(self):
+        if self._batch is not None:
+            return self._batch.table
+        return self._engine.catalog.table(self._table_name)
 
     def source_sql(self, sql: str) -> "SCD1Builder":
         self._source = self._engine.sql(sql)
@@ -150,7 +158,7 @@ class SCD1Builder:
     def _execute_impl(self):
         require(self._source is not None, "source is required")
         require(bool(self._keys), "key columns are required")
-        tbl = self._engine.catalog.table(self._table_name)
+        tbl = self._resolve_table()
         if self._filter is None and self._filter_columns:
             self._filter = filter_from_source_values(
                 self._source, self._filter_columns, tbl.schema
@@ -223,7 +231,7 @@ class SCD1Builder:
             new_data = (
                 inserts_updates.unionByName(carried) if carried is not None else inserts_updates
             )
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths)
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths, batch=self._batch)
         finally:
             diffs.unpersist()
 
@@ -263,6 +271,6 @@ class SCD1Builder:
                 (F.col(OP) == "N") & F.col(TOUCHED)
             ).select(*cols) if touched else None
             new_data = upserts.unionByName(carried) if carried is not None else upserts
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths)
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths, batch=self._batch)
         finally:
             diffs.unpersist()

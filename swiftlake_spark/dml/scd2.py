@@ -44,10 +44,12 @@ from swiftlake_spark.tables.metadata import ValidationError
 
 
 class SCD2Builder:
-    def __init__(self, engine, table_name: str, mode: str) -> None:
+    def __init__(self, engine, table_name: str | None, mode: str, batch=None) -> None:
         assert mode in ("changes", "snapshot")
         self._engine = engine
         self._table_name = table_name
+        # TableBatchTransaction target (deferred commit)
+        self._batch = batch
         self._mode = mode
         self._filter: E.Expr | None = None
         self._source: DataFrame | None = None
@@ -73,9 +75,13 @@ class SCD2Builder:
         return self
 
     def table_filter_sql(self, cond: str) -> "SCD2Builder":
-        tbl = self._engine.catalog.table(self._table_name)
-        self._filter = parse_filter(cond, tbl.schema)
+        self._filter = parse_filter(cond, self._resolve_table().schema)
         return self
+
+    def _resolve_table(self):
+        if self._batch is not None:
+            return self._batch.table
+        return self._engine.catalog.table(self._table_name)
 
     def source_sql(self, sql: str) -> "SCD2Builder":
         self._source = self._engine.sql(sql)
@@ -175,7 +181,7 @@ class SCD2Builder:
             self._filter = filter_from_source_values(
                 self._source,
                 self._filter_columns,
-                self._engine.catalog.table(self._table_name).schema,
+                self._resolve_table().schema,
             )
         require(self._filter is not None, "table filter is mandatory for SCD2 merge")
         self._base_paths = None  # set below once the table is loaded
@@ -183,7 +189,7 @@ class SCD2Builder:
         if self._ts is None:
             require(self._generate_ts, "effective timestamp required (or generate)")
             self._ts = dt.datetime.utcnow().replace(tzinfo=None)
-        tbl = self._engine.catalog.table(self._table_name)
+        tbl = self._resolve_table()
         all_cols = tbl.schema.fieldNames()
         missing_keys = set(self._keys) - set(all_cols)
         require(not missing_keys, f"key columns not in table: {sorted(missing_keys)}")
@@ -308,7 +314,7 @@ class SCD2Builder:
             new_data = self._align(inserts, tbl).unionByName(
                 self._align(carried, tbl)
             )
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths)
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths, batch=self._batch)
         finally:
             diffs.unpersist()
 
@@ -365,7 +371,7 @@ class SCD2Builder:
             new_data = self._align(new_versions, tbl).unionByName(
                 self._align(carried, tbl)
             )
-            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths)
+            return commit_merge(tbl, new_data, touched, self._branch, op="overwrite", skip_sort=self._skip_sort, isolation=self._isolation, conflict_filter=self._filter, base_paths=self._base_paths, batch=self._batch)
         finally:
             diffs.unpersist()
 

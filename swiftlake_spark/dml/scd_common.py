@@ -155,7 +155,7 @@ def with_touched_flag(diffs: DataFrame, touched: list[str]) -> DataFrame:
 def commit_merge(
     tbl: Table, new_data: DataFrame | None, touched: list[str], branch: str, op: str,
     skip_sort: bool = False, isolation: str = "snapshot",
-    conflict_filter=None, base_paths: set[str] | None = None,
+    conflict_filter=None, base_paths: set[str] | None = None, batch=None,
 ) -> Any:
     """Replace the touched files with freshly written ones.  ``touched``
     holds file URIs from ``input_file_name()``; the manifest keys are
@@ -164,6 +164,13 @@ def commit_merge(
         tbl._write_files(new_data, skip_sort=skip_sort) if new_data is not None else []
     )
     removed = {tbl._rel_path(f) for f in touched}
+
+    if batch is not None:
+        # defer into the batch transaction (reference
+        # applyChangesAsSCD1/2(TableBatchTransaction)); cross-transaction
+        # validation and the combined commit happen there
+        batch.add_overwrite(new_entries, removed, conflict_filter, isolation)
+        return None
 
     def mutate(cur):
         return [e for e in cur if e.path not in removed] + new_entries

@@ -16,9 +16,10 @@ from swiftlake_spark.dml.sqlfilter import parse_filter
 
 
 class UpdateBuilder:
-    def __init__(self, engine, table_name: str) -> None:
+    def __init__(self, engine, table_name: str | None, batch=None) -> None:
         self._engine = engine
         self._table_name = table_name
+        self._batch = batch  # TableBatchTransaction target (deferred commit)
         self._condition: E.Expr | None = None
         self._sets: dict[str, Column] = {}
         self._branch = "main"
@@ -28,9 +29,13 @@ class UpdateBuilder:
         return self
 
     def condition_sql(self, cond: str) -> "UpdateBuilder":
-        tbl = self._engine.catalog.table(self._table_name)
-        self._condition = parse_filter(cond, tbl.schema)
+        self._condition = parse_filter(cond, self._resolve_table().schema)
         return self
+
+    def _resolve_table(self):
+        if self._batch is not None:
+            return self._batch.table
+        return self._engine.catalog.table(self._table_name)
 
     def update_sets(self, sets: dict[str, Any]) -> "UpdateBuilder":
         self._sets = {
@@ -47,8 +52,10 @@ class UpdateBuilder:
             raise ValidationError("update needs a condition")
         if not self._sets:
             raise ValidationError("update needs update_sets")
-        tbl = self._engine.catalog.table(self._table_name)
+        tbl = self._resolve_table()
         unknown = set(self._sets) - set(tbl.schema.fieldNames())
         if unknown:
             raise ValidationError(f"unknown update columns {sorted(unknown)}")
-        return tbl.update(self._condition, self._sets, branch=self._branch)
+        return tbl.update(
+            self._condition, self._sets, branch=self._branch, batch=self._batch
+        )

@@ -180,9 +180,15 @@ class SwiftLakeEngine:
                 self._query_sem.release()
 
     # -- DML builders (wired to the table format) -------------------------
-    def insert_into(self, table: str):
+    def insert_into(self, table):
+        """``table``: a ``db.t`` name, or a :class:`TableBatchTransaction`
+        to accumulate this insert into one deferred commit (reference
+        ``insertInto(TableBatchTransaction)``, SwiftLakeEngine.java:763)."""
         from swiftlake_spark.dml.insert import InsertBuilder
+        from swiftlake_spark.tables.batch import TableBatchTransaction
 
+        if isinstance(table, TableBatchTransaction):
+            return InsertBuilder(self, None, overwrite=False, batch=table)
         return InsertBuilder(self, table, overwrite=False)
 
     def insert_overwrite(self, table: str):
@@ -190,32 +196,48 @@ class SwiftLakeEngine:
 
         return InsertBuilder(self, table, overwrite=True)
 
-    def update(self, table: str):
+    def _name_or_batch(self, table):
+        """Factories accept a ``db.t`` name or a TableBatchTransaction
+        (reference DML overloads on TableBatchTransaction —
+        SwiftLakeEngine.java:763,815,845,876)."""
+        from swiftlake_spark.tables.batch import TableBatchTransaction
+
+        if isinstance(table, TableBatchTransaction):
+            return None, table
+        return table, None
+
+    def update(self, table):
         from swiftlake_spark.dml.update import UpdateBuilder
 
-        return UpdateBuilder(self, table)
+        name, batch = self._name_or_batch(table)
+        return UpdateBuilder(self, name, batch=batch)
 
-    def delete_from(self, table: str):
+    def delete_from(self, table):
         from swiftlake_spark.dml.delete import DeleteBuilder
 
-        return DeleteBuilder(self, table)
+        name, batch = self._name_or_batch(table)
+        return DeleteBuilder(self, name, batch=batch)
 
-    def apply_changes_as_scd1(self, table: str):
+    def apply_changes_as_scd1(self, table):
         from swiftlake_spark.dml.scd1 import SCD1Builder
 
-        return SCD1Builder(self, table, mode="changes")
+        name, batch = self._name_or_batch(table)
+        return SCD1Builder(self, name, mode="changes", batch=batch)
 
-    def apply_snapshot_as_scd1(self, table: str):
+    def apply_snapshot_as_scd1(self, table):
         from swiftlake_spark.dml.scd1 import SCD1Builder
 
-        return SCD1Builder(self, table, mode="snapshot")
+        name, batch = self._name_or_batch(table)
+        return SCD1Builder(self, name, mode="snapshot", batch=batch)
 
-    def apply_changes_as_scd2(self, table: str):
+    def apply_changes_as_scd2(self, table):
         from swiftlake_spark.dml.scd2 import SCD2Builder
 
-        return SCD2Builder(self, table, mode="changes")
+        name, batch = self._name_or_batch(table)
+        return SCD2Builder(self, name, mode="changes", batch=batch)
 
-    def apply_snapshot_as_scd2(self, table: str):
+    def apply_snapshot_as_scd2(self, table):
         from swiftlake_spark.dml.scd2 import SCD2Builder
 
-        return SCD2Builder(self, table, mode="snapshot")
+        name, batch = self._name_or_batch(table)
+        return SCD2Builder(self, name, mode="snapshot", batch=batch)

@@ -370,8 +370,10 @@ class Table:
         set_exprs: dict[str, Column],
         branch: str = "main",
         isolation: str = "snapshot",
+        batch=None,
     ) -> Snapshot:
-        """Copy-on-write UPDATE: rewrite only files containing matches."""
+        """Copy-on-write UPDATE: rewrite only files containing matches.
+        ``batch``: a TableBatchTransaction to defer the commit into."""
         return self._cow_rewrite(
             condition,
             branch,
@@ -389,10 +391,12 @@ class Table:
             ),
             drop_fully_matching=False,
             isolation=isolation,
+            batch=batch,
         )
 
     def delete_where(
-        self, condition: Expr, branch: str = "main", isolation: str = "snapshot"
+        self, condition: Expr, branch: str = "main", isolation: str = "snapshot",
+        batch=None,
     ) -> Snapshot:
         """Copy-on-write DELETE: drop fully-matching files from metadata
         alone; rewrite partially-matching files with NOT(cond)."""
@@ -403,6 +407,7 @@ class Table:
             rewrite=lambda df: df.filter(~condition.column()),
             drop_fully_matching=True,
             isolation=isolation,
+            batch=batch,
         )
 
     def _cow_rewrite(
@@ -413,6 +418,7 @@ class Table:
         rewrite: Callable[[DataFrame], DataFrame],
         drop_fully_matching: bool,
         isolation: str = "snapshot",
+        batch=None,
     ) -> Snapshot:
         current = self.meta.read_manifest(self.meta.current_snapshot(branch))
         base_paths = {e.path for e in current}
@@ -451,6 +457,13 @@ class Table:
             if snap is None:
                 raise ValidationError("table has no snapshot")
             return snap
+
+        if batch is not None:
+            # defer into the batch transaction (reference
+            # update/deleteFrom(TableBatchTransaction)); validation and
+            # the single combined commit happen there
+            batch.add_overwrite(new_entries, removed, condition, isolation)
+            return None
 
         def mutate(cur: list[ManifestEntry]) -> list[ManifestEntry]:
             return [e for e in cur if e.path not in removed] + new_entries

@@ -650,3 +650,104 @@ def test_scd2_source_once_with_rand_is_consistent(engine, spark, tmp_path):
     assert _evals(c) == 1
     out = rows(engine.catalog.load("db.s2_once"), "id")
     assert out == [(1,), (2,)]
+
+
+def test_insert_into_batch_transaction(engine, spark):
+    """Reference insertInto(TableBatchTransaction) (SwiftLakeEngine.java:763):
+    multiple builder inserts accumulate into ONE commit."""
+    engine.catalog.create_table("db.bt_ins", SCD1_DDL)
+    txn = engine.batch_transaction("db.bt_ins")
+    engine.insert_into(txn).dataframe(
+        spark.createDataFrame([(1, "A", "one", 1.0)], SCD1_DDL)
+    ).execute()
+    engine.insert_into(txn).dataframe(
+        spark.createDataFrame([(2, "B", "two", 2.0)], SCD1_DDL)
+    ).columns(["id", "cat", "name", "v"]).execute()
+    t = engine.catalog.table("db.bt_ins")
+    assert t.meta.current_snapshot() is None  # nothing visible yet
+    txn.commit()
+    t = engine.catalog.table("db.bt_ins")
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 2]
+    assert len(t.meta.snapshots) == 1  # one snapshot for both inserts
+
+
+def test_batch_transaction_overwrite_mode(engine, spark):
+    """Reference TableBatchTransaction overwrite batching
+    (TableBatchTransaction.java:112-210): multiple COW rewrites merge
+    into ONE snapshot, with add-time validation — no mixing with
+    appends, no duplicate file deletions, no overlapping transactions."""
+    engine.catalog.create_table("db.bt_ow", SCD1_DDL, partition_spec=["cat"])
+    engine.insert_into("db.bt_ow").dataframe(
+        spark.createDataFrame(
+            [(1, "A", "one", 1.0), (2, "B", "two", 2.0), (3, "C", "three", 3.0)],
+            SCD1_DDL,
+        )
+    ).execute()
+
+    txn = engine.batch_transaction("db.bt_ow")
+    engine.update(txn).condition_sql("cat = 'A'").update_sets({"v": 10.0}).execute()
+    engine.delete_from(txn).condition_sql("cat = 'B'").execute()
+
+    # nothing visible until commit; mixing in an append is rejected
+    t = engine.catalog.table("db.bt_ow")
+    assert sorted(r["v"] for r in t.scan().collect()) == [1.0, 2.0, 3.0]
+    with pytest.raises(ValidationError):
+        txn.append(spark.createDataFrame([(9, "Z", "z", 9.0)], SCD1_DDL))
+
+    n_before = len(t.meta.snapshots)
+    txn.commit()
+    t = engine.catalog.table("db.bt_ow")
+    assert len(t.meta.snapshots) == n_before + 1
+    assert rows(t.scan(), "id", "v") == [(1, 10.0), (3, 3.0)]
+
+
+def test_batch_transaction_overwrite_conflicts(engine, spark):
+    engine.catalog.create_table("db.bt_cf", SCD1_DDL, partition_spec=["cat"])
+    engine.insert_into("db.bt_cf").dataframe(
+        spark.createDataFrame(
+            [(1, "A", "one", 1.0), (2, "A", "uno", 1.5), (3, "B", "two", 2.0)],
+            SCD1_DDL,
+        )
+    ).execute()
+
+    # duplicate deletion: both updates touch the same cat='A' file
+    txn = engine.batch_transaction("db.bt_cf")
+    engine.update(txn).condition_sql("id = 1").update_sets({"v": 9.0}).execute()
+    with pytest.raises(ValidationError):
+        engine.update(txn).condition_sql("id = 2").update_sets({"v": 8.0}).execute()
+
+    # equivalent conflict filters are rejected outright
+    txn2 = engine.batch_transaction("db.bt_cf")
+    engine.delete_from(txn2).condition_sql("cat = 'B'").execute()
+    with pytest.raises(ValidationError):
+        engine.delete_from(txn2).condition_sql("cat = 'B'").execute()
+
+
+def test_batch_transaction_scd1_merges(engine, spark):
+    """Two SCD1 snapshot merges over DISJOINT boundaries batched into one
+    commit (reference applySnapshotAsSCD1(TableBatchTransaction))."""
+    engine.catalog.create_table("db.bt_scd", SCD1_DDL, partition_spec=["cat"])
+    engine.insert_into("db.bt_scd").dataframe(
+        spark.createDataFrame(
+            [(1, "A", "one", 1.0), (2, "B", "two", 2.0)], SCD1_DDL
+        )
+    ).execute()
+
+    txn = engine.batch_transaction("db.bt_scd")
+    engine.apply_snapshot_as_scd1(txn).table_filter_sql("cat = 'A'").\
+        source_dataframe(
+            spark.createDataFrame([(1, "A", "one!", 1.1)], SCD1_DDL)
+        ).key_columns(["id"]).execute()
+    engine.apply_snapshot_as_scd1(txn).table_filter_sql("cat = 'B'").\
+        source_dataframe(
+            spark.createDataFrame([(2, "B", "two!", 2.2), (4, "B", "four", 4.0)], SCD1_DDL)
+        ).key_columns(["id"]).execute()
+
+    t = engine.catalog.table("db.bt_scd")
+    n_before = len(t.meta.snapshots)
+    txn.commit()
+    t = engine.catalog.table("db.bt_scd")
+    assert len(t.meta.snapshots) == n_before + 1
+    assert rows(t.scan(), "id", "name") == [
+        (1, "one!"), (2, "two!"), (4, "four"),
+    ]
