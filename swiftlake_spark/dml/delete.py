@@ -37,10 +37,30 @@ class DeleteBuilder:
         self._branch = b
         return self
 
+    def skip_data_sorting(self, flag: bool = True) -> "DeleteBuilder":
+        """Rewrite files without the table sort order (reference
+        Delete.skipDataSorting, Delete.java:350)."""
+        self._skip_sort = flag
+        return self
+
+    def snapshot_metadata(self, props: dict) -> "DeleteBuilder":
+        """Custom key/values on the commit's snapshot summary (reference
+        Delete.java:365)."""
+        self._snapshot_meta = dict(props)
+        return self
+
+    def isolation_level(self, level: str) -> "DeleteBuilder":
+        assert level in ("snapshot", "serializable")
+        self._isolation = level
+        return self
+
     def execute(self):
         if self._condition is None:
             raise ValidationError("delete needs a condition")
         tbl = self._resolve_table()
         return tbl.delete_where(
-            self._condition, branch=self._branch, batch=self._batch
+            self._condition, branch=self._branch, batch=self._batch,
+            isolation=getattr(self, "_isolation", "snapshot"),
+            skip_sort=getattr(self, "_skip_sort", False),
+            extra_summary=getattr(self, "_snapshot_meta", None),
         )

@@ -47,6 +47,23 @@ class UpdateBuilder:
         self._branch = b
         return self
 
+    def skip_data_sorting(self, flag: bool = True) -> "UpdateBuilder":
+        """Rewrite files without the table sort order (reference
+        Update.skipDataSorting, Update.java:404)."""
+        self._skip_sort = flag
+        return self
+
+    def snapshot_metadata(self, props: dict) -> "UpdateBuilder":
+        """Custom key/values on the commit's snapshot summary (reference
+        Update.java:419)."""
+        self._snapshot_meta = dict(props)
+        return self
+
+    def isolation_level(self, level: str) -> "UpdateBuilder":
+        assert level in ("snapshot", "serializable")
+        self._isolation = level
+        return self
+
     def execute(self):
         if self._condition is None:
             raise ValidationError("update needs a condition")
@@ -57,5 +74,8 @@ class UpdateBuilder:
         if unknown:
             raise ValidationError(f"unknown update columns {sorted(unknown)}")
         return tbl.update(
-            self._condition, self._sets, branch=self._branch, batch=self._batch
+            self._condition, self._sets, branch=self._branch, batch=self._batch,
+            isolation=getattr(self, "_isolation", "snapshot"),
+            skip_sort=getattr(self, "_skip_sort", False),
+            extra_summary=getattr(self, "_snapshot_meta", None),
         )

@@ -371,6 +371,8 @@ class Table:
         branch: str = "main",
         isolation: str = "snapshot",
         batch=None,
+        skip_sort: bool = False,
+        extra_summary: dict | None = None,
     ) -> Snapshot:
         """Copy-on-write UPDATE: rewrite only files containing matches.
         ``batch``: a TableBatchTransaction to defer the commit into."""
@@ -392,11 +394,13 @@ class Table:
             drop_fully_matching=False,
             isolation=isolation,
             batch=batch,
+            skip_sort=skip_sort,
+            extra_summary=extra_summary,
         )
 
     def delete_where(
         self, condition: Expr, branch: str = "main", isolation: str = "snapshot",
-        batch=None,
+        batch=None, skip_sort: bool = False, extra_summary: dict | None = None,
     ) -> Snapshot:
         """Copy-on-write DELETE: drop fully-matching files from metadata
         alone; rewrite partially-matching files with NOT(cond)."""
@@ -408,6 +412,8 @@ class Table:
             drop_fully_matching=True,
             isolation=isolation,
             batch=batch,
+            skip_sort=skip_sort,
+            extra_summary=extra_summary,
         )
 
     def _cow_rewrite(
@@ -419,6 +425,8 @@ class Table:
         drop_fully_matching: bool,
         isolation: str = "snapshot",
         batch=None,
+        skip_sort: bool = False,
+        extra_summary: dict | None = None,
     ) -> Snapshot:
         current = self.meta.read_manifest(self.meta.current_snapshot(branch))
         base_paths = {e.path for e in current}
@@ -448,7 +456,7 @@ class Table:
             if touched:
                 to_rewrite = [e for e in maybe if e.path in touched]
                 src = self._read_entries(to_rewrite)
-                new_entries = self._write_files(rewrite(src))
+                new_entries = self._write_files(rewrite(src), skip_sort=skip_sort)
 
         removed = dropped | touched
         if not removed and not new_entries:
@@ -482,6 +490,7 @@ class Table:
             summary={
                 "deleted-files": len(removed),
                 "added-files": len(new_entries),
+                **(extra_summary or {}),
             },
             isolation=isolation,
             conflict_filter=condition,

@@ -751,3 +751,31 @@ def test_batch_transaction_scd1_merges(engine, spark):
     assert rows(t.scan(), "id", "name") == [
         (1, "one!"), (2, "two!"), (4, "four"),
     ]
+
+
+def test_update_delete_builder_options(engine, spark):
+    """Reference Update/Delete builder surface (Update.java:404-429,
+    Delete.java:350-375): skip_data_sorting, snapshot_metadata,
+    isolation_level flow through the COW rewrite."""
+    engine.catalog.create_table(
+        "db.udopt", SCD1_DDL, sort_order=["id ASC"]
+    )
+    engine.insert_into("db.udopt").dataframe(
+        spark.createDataFrame(
+            [(1, "A", "one", 1.0), (2, "B", "two", 2.0)], SCD1_DDL
+        )
+    ).execute()
+
+    engine.update("db.udopt").condition_sql("id = 1").update_sets(
+        {"v": 11.0}
+    ).skip_data_sorting().snapshot_metadata({"job": "u-42"}).\
+        isolation_level("serializable").execute()
+    t = engine.catalog.table("db.udopt")
+    assert t.meta.current_snapshot().summary.get("job") == "u-42"
+    assert t.scan(E.col_eq("id", 1)).collect()[0]["v"] == 11.0
+
+    engine.delete_from("db.udopt").condition_sql("id = 2").\
+        snapshot_metadata({"job": "d-43"}).execute()
+    t = engine.catalog.table("db.udopt")
+    assert t.meta.current_snapshot().summary.get("job") == "d-43"
+    assert sorted(r["id"] for r in t.scan().collect()) == [1]
