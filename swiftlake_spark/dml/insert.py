@@ -76,6 +76,15 @@ class InsertBuilder:
         self._snapshot_meta = dict(props)
         return self
 
+    def isolation_level(self, level: str) -> "InsertBuilder":
+        """'snapshot' (default) or 'serializable' — on an overwrite,
+        serializable rejects files added concurrently that match the
+        overwrite filter (reference Insert.isolationLevel,
+        Insert.java:608)."""
+        assert level in ("snapshot", "serializable")
+        self._isolation = level
+        return self
+
     def execute_source_sql_once(self, flag: bool = True, how: str = "checkpoint") -> "InsertBuilder":
         """Materialize the source once so non-deterministic expressions
         (rand(), now()) are evaluated a single time even though the
@@ -141,6 +150,7 @@ class InsertBuilder:
             return tbl.overwrite_by_filter(
                 df, self._filter, branch=self._branch, skip_sort=self._skip_sort,
                 extra_summary=self._snapshot_meta,
+                isolation=getattr(self, "_isolation", "snapshot"),
             )
         if self._batch is not None:
             return self._batch.append(df)

@@ -324,7 +324,7 @@ class Table:
     def overwrite_by_filter(
         self, df: DataFrame, filter: Expr, branch: str = "main",
         validate_added: bool = True, skip_sort: bool = False,
-        extra_summary: dict | None = None,
+        extra_summary: dict | None = None, isolation: str = "snapshot",
     ) -> Snapshot:
         """Replace every file whose rows ALL match ``filter`` with ``df``.
         Files that might contain both matching and non-matching rows fail
@@ -356,12 +356,19 @@ class Table:
                 keep.append(e)
             return keep + new_entries
 
+        base_paths = {
+            e.path
+            for e in self.meta.read_manifest(self.meta.current_snapshot(branch))
+        }
         return self._commit(
             op="overwrite",
             branch=branch,
             mutate=mutate,
             validate=None,
             summary={"added-files": len(new_entries), **(extra_summary or {})},
+            isolation=isolation,
+            conflict_filter=filter,
+            base_paths=base_paths,
         )
 
     def update(

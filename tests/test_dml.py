@@ -779,3 +779,54 @@ def test_update_delete_builder_options(engine, spark):
     t = engine.catalog.table("db.udopt")
     assert t.meta.current_snapshot().summary.get("job") == "d-43"
     assert sorted(r["id"] for r in t.scan().collect()) == [1]
+
+
+def test_insert_overwrite_serializable_isolation(engine, spark):
+    """Reference Insert.isolationLevel (Insert.java:608): a SERIALIZABLE
+    overwrite fails when another writer concurrently adds rows matching
+    the overwrite filter; SNAPSHOT would not notice."""
+    engine.catalog.create_table("db.ow_iso", SCD1_DDL, partition_spec=["cat"])
+    engine.insert_into("db.ow_iso").dataframe(
+        spark.createDataFrame([(1, "A", "one", 1.0)], SCD1_DDL)
+    ).execute()
+
+    b = (
+        engine.insert_overwrite("db.ow_iso")
+        .overwrite_by_filter_sql("cat = 'A'")
+        .dataframe(spark.createDataFrame([(5, "A", "five", 5.0)], SCD1_DDL))
+        .isolation_level("serializable")
+    )
+    # concurrent matching append after the builder captured the table
+    tbl = b._engine.catalog.table("db.ow_iso")
+    b._engine = engine  # unchanged; capture happens inside execute
+    engine.insert_into("db.ow_iso").dataframe(
+        spark.createDataFrame([(2, "A", "sneak", 2.0)], SCD1_DDL)
+    ).execute()
+    # the builder's execute reloads the table fresh, so to race we commit
+    # between load and commit via the table handle inside _commit's
+    # retry loop — instead verify the PASSING path and the conflicting
+    # path at the Table API level:
+    from swiftlake_spark.dml.sqlfilter import parse_filter
+
+    t_stale = engine.catalog.table("db.ow_iso")
+    base = {e.path for e in t_stale.meta.read_manifest(t_stale.meta.current_snapshot())}
+    # another writer adds a matching row AFTER t_stale snapshotted base
+    engine.insert_into("db.ow_iso").dataframe(
+        spark.createDataFrame([(3, "A", "late", 3.0)], SCD1_DDL)
+    ).execute()
+    f = parse_filter("cat = 'A'", t_stale.schema)
+    with pytest.raises(ValidationError):
+        t_stale._commit(
+            op="overwrite",
+            branch="main",
+            mutate=lambda cur: cur,
+            validate=None,
+            summary={},
+            isolation="serializable",
+            conflict_filter=f,
+            base_paths=base,
+        )
+    # and the builder path succeeds (fresh load sees everything)
+    b.execute()
+    got = sorted(r["id"] for r in engine.catalog.load("db.ow_iso").collect())
+    assert got == [5]
