@@ -18,7 +18,7 @@ class DeleteBuilder:
         self._table_name = table_name
         self._batch = batch  # TableBatchTransaction target (deferred commit)
         self._condition: E.Expr | None = None
-        self._branch = "main"
+        self._branch = batch.branch if batch is not None else "main"
 
     def condition(self, expr: E.Expr) -> "DeleteBuilder":
         self._condition = expr
@@ -34,6 +34,10 @@ class DeleteBuilder:
         return self._engine.catalog.table(self._table_name)
 
     def branch(self, b: str) -> "DeleteBuilder":
+        if self._batch is not None and b != self._batch.branch:
+            raise ValidationError(
+                "branch is fixed by the batch transaction; set it there"
+            )
         self._branch = b
         return self
 

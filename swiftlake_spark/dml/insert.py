@@ -26,7 +26,8 @@ class InsertBuilder:
         self._batch = batch
         self._df: DataFrame | None = None
         self._columns: list[str] | None = None
-        self._branch = "main"
+        # a batch-targeted builder reads and commits on the BATCH's branch
+        self._branch = batch.branch if batch is not None else "main"
         self._filter: E.Expr | None = None
         self._skip_sort = False
         self._filter_columns: list[str] | None = None
@@ -45,6 +46,10 @@ class InsertBuilder:
         return self
 
     def branch(self, b: str) -> "InsertBuilder":
+        if self._batch is not None and b != self._batch.branch:
+            raise ValidationError(
+                "branch is fixed by the batch transaction; set it there"
+            )
         self._branch = b
         return self
 
@@ -153,7 +158,9 @@ class InsertBuilder:
                 isolation=getattr(self, "_isolation", "snapshot"),
             )
         if self._batch is not None:
-            return self._batch.append(df)
+            return self._batch.append(
+                df, skip_sort=self._skip_sort, extra_summary=self._snapshot_meta
+            )
         return tbl.append(
             df, branch=self._branch, skip_sort=self._skip_sort,
             extra_summary=self._snapshot_meta,

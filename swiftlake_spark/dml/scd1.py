@@ -39,6 +39,7 @@ from swiftlake_spark.dml.scd_common import (
 )
 from swiftlake_spark.dml.sqlfilter import parse_filter
 from swiftlake_spark.tables import expressions as E
+from swiftlake_spark.tables.metadata import ValidationError
 
 
 class SCD1Builder:
@@ -58,7 +59,7 @@ class SCD1Builder:
         self._delete_value = None
         self._value_columns: list[str] | None = None
         self._value_meta: dict[str, ValueColumnMeta] = {}
-        self._branch = "main"
+        self._branch = batch.branch if batch is not None else "main"
         self._columns: list[str] | None = None
         self._filter_columns: list[str] | None = None
         self._skip_sort = False
@@ -104,6 +105,10 @@ class SCD1Builder:
         return self
 
     def branch(self, b: str) -> "SCD1Builder":
+        if self._batch is not None and b != self._batch.branch:
+            raise ValidationError(
+                "branch is fixed by the batch transaction; set it there"
+            )
         self._branch = b
         return self
 

@@ -63,7 +63,7 @@ class SCD2Builder:
         self._delete_value = None
         self._tracking_cols: list[str] | None = None
         self._tracking_meta: dict[str, ValueColumnMeta] = {}
-        self._branch = "main"
+        self._branch = batch.branch if batch is not None else "main"
         self._columns: list[str] | None = None
         self._filter_columns: list[str] | None = None
         self._skip_sort = False
@@ -125,6 +125,10 @@ class SCD2Builder:
         return self
 
     def branch(self, b: str) -> "SCD2Builder":
+        if self._batch is not None and b != self._batch.branch:
+            raise ValidationError(
+                "branch is fixed by the batch transaction; set it there"
+            )
         self._branch = b
         return self
 

@@ -156,6 +156,7 @@ def commit_merge(
     tbl: Table, new_data: DataFrame | None, touched: list[str], branch: str, op: str,
     skip_sort: bool = False, isolation: str = "snapshot",
     conflict_filter=None, base_paths: set[str] | None = None, batch=None,
+    extra_summary: dict | None = None,
 ) -> Any:
     """Replace the touched files with freshly written ones.  ``touched``
     holds file URIs from ``input_file_name()``; the manifest keys are
@@ -169,7 +170,13 @@ def commit_merge(
         # defer into the batch transaction (reference
         # applyChangesAsSCD1/2(TableBatchTransaction)); cross-transaction
         # validation and the combined commit happen there
-        batch.add_overwrite(new_entries, removed, conflict_filter, isolation)
+        if not new_entries and not removed:
+            batch.note_noop()
+        else:
+            batch.add_overwrite(
+                new_entries, removed, conflict_filter, isolation,
+                extra_summary=extra_summary,
+            )
         return None
 
     def mutate(cur):
@@ -190,6 +197,7 @@ def commit_merge(
             "deleted-files": len(removed),
             "added-files": len(new_entries),
             "added-records": sum(e.records for e in new_entries),
+            **(extra_summary or {}),
         },
         isolation=isolation,
         conflict_filter=conflict_filter,

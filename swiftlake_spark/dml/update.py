@@ -22,7 +22,7 @@ class UpdateBuilder:
         self._batch = batch  # TableBatchTransaction target (deferred commit)
         self._condition: E.Expr | None = None
         self._sets: dict[str, Column] = {}
-        self._branch = "main"
+        self._branch = batch.branch if batch is not None else "main"
 
     def condition(self, expr: E.Expr) -> "UpdateBuilder":
         self._condition = expr
@@ -44,6 +44,10 @@ class UpdateBuilder:
         return self
 
     def branch(self, b: str) -> "UpdateBuilder":
+        if self._batch is not None and b != self._batch.branch:
+            raise ValidationError(
+                "branch is fixed by the batch transaction; set it there"
+            )
         self._branch = b
         return self
 

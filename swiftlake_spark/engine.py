@@ -185,16 +185,22 @@ class SwiftLakeEngine:
         to accumulate this insert into one deferred commit (reference
         ``insertInto(TableBatchTransaction)``, SwiftLakeEngine.java:763)."""
         from swiftlake_spark.dml.insert import InsertBuilder
-        from swiftlake_spark.tables.batch import TableBatchTransaction
 
-        if isinstance(table, TableBatchTransaction):
-            return InsertBuilder(self, None, overwrite=False, batch=table)
-        return InsertBuilder(self, table, overwrite=False)
+        name, batch = self._name_or_batch(table)
+        return InsertBuilder(self, name, overwrite=False, batch=batch)
 
-    def insert_overwrite(self, table: str):
+    def insert_overwrite(self, table):
         from swiftlake_spark.dml.insert import InsertBuilder
 
-        return InsertBuilder(self, table, overwrite=True)
+        name, batch = self._name_or_batch(table)
+        if batch is not None:
+            # the reference has no insertOverwrite(TableBatchTransaction)
+            # overload either — the strict-overwrite file replacement is
+            # a standalone commit by design
+            raise ValueError(
+                "insert_overwrite does not accept a batch transaction"
+            )
+        return InsertBuilder(self, name, overwrite=True)
 
     def _name_or_batch(self, table):
         """Factories accept a ``db.t`` name or a TableBatchTransaction

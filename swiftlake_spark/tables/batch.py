@@ -40,6 +40,8 @@ class TableBatchTransaction:
         self._txn_entries: list[list[ManifestEntry]] = []  # per overwrite txn
         self._base_paths: set[str] | None = None
         self._isolation = "snapshot"
+        self._extra_summary: dict = {}
+        self._noops = 0
 
     def _set_mode(self, mode: str) -> None:
         if self._committed:
@@ -52,12 +54,23 @@ class TableBatchTransaction:
                 "(reference TableBatchTransaction.java:112-117)"
             )
 
-    def append(self, df: DataFrame) -> "TableBatchTransaction":
+    def append(
+        self, df: DataFrame, skip_sort: bool = False,
+        extra_summary: dict | None = None,
+    ) -> "TableBatchTransaction":
         self._set_mode("append")
-        entries = self.table._write_files(df)
+        entries = self.table._write_files(df, skip_sort=skip_sort)
         self._pending.extend(entries)
         self._records += sum(e.records for e in entries)
+        if extra_summary:
+            self._extra_summary.update(extra_summary)
         return self
+
+    def note_noop(self) -> None:
+        """A batched operation matched nothing — recorded so an
+        all-no-op batch commits as a clean no-op (reference commit()
+        returns empty metrics for an empty batch rather than failing)."""
+        self._noops += 1
 
     def add_overwrite(
         self,
@@ -65,9 +78,12 @@ class TableBatchTransaction:
         removed_paths: set[str],
         conflict_filter: E.Expr | None,
         isolation: str = "snapshot",
+        extra_summary: dict | None = None,
     ) -> "TableBatchTransaction":
         """Queue one COW rewrite (update/delete/SCD merge outcome)."""
         self._set_mode("overwrite")
+        if extra_summary:
+            self._extra_summary.update(extra_summary)
         if isolation == "serializable":
             self._isolation = "serializable"
         if self._base_paths is None:
@@ -116,7 +132,11 @@ class TableBatchTransaction:
         if self._committed:
             raise ValidationError("batch transaction already committed")
         if not self._pending and not self._removed:
-            raise ValidationError("nothing to commit")
+            # empty batch (nothing queued, or every op was a no-op):
+            # commit is a clean no-op — reference commit() returns empty
+            # CommitMetrics for an empty batch (TableBatchTransaction.java:138)
+            self._committed = True
+            return self.table.meta.current_snapshot(self.branch)
         pending = list(self._pending)
         removed = set(self._removed)
 
@@ -130,6 +150,7 @@ class TableBatchTransaction:
                     "added-files": len(pending),
                     "added-records": self._records,
                     "batched-writes": True,
+                    **self._extra_summary,
                 },
             )
             self._committed = True
@@ -163,6 +184,7 @@ class TableBatchTransaction:
                 "added-files": len(pending),
                 "added-records": self._records,
                 "batched-writes": True,
+                **self._extra_summary,
             },
             isolation=self._isolation,
             conflict_filter=conflict,

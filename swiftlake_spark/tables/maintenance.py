@@ -270,9 +270,29 @@ def vacuum(table: Table, *, dry_run: bool = False) -> dict[str, Any]:
         for fn in io.list(meta.metadata_dir)
         if fn.startswith("manifest-") and fn not in live_manifests
     ]
+    # catalog-cas loser metadata: uniquely-named files at or above the
+    # current pointer's version that are not the pointer are definite
+    # losers of a CAS race (plain puts happen before the CAS decides) —
+    # without GC they accumulate forever under contention.  Files below
+    # the current version are history, like old v<N>.json, and kept.
+    orphan_meta: list[str] = []
+    if meta.pointer_file is not None:
+        from swiftlake_spark.tables.metadata import _CAS_FILE_RE
+
+        cur_v = int(meta.pointer_file[1:].split("-", 1)[0])
+        for fn in io.list(meta.metadata_dir):
+            m = _CAS_FILE_RE.match(fn)
+            if m and fn != meta.pointer_file and int(m.group(1)) >= cur_v:
+                orphan_meta.append(fn)
     if not dry_run:
         for rel in orphan_data:
             io.delete(_fio.join(meta.location, rel))
         for fn in orphan_manifests:
             io.delete(_fio.join(meta.metadata_dir, fn))
-    return {"data_files": sorted(orphan_data), "manifests": sorted(orphan_manifests)}
+        for fn in orphan_meta:
+            io.delete(_fio.join(meta.metadata_dir, fn))
+    return {
+        "data_files": sorted(orphan_data),
+        "manifests": sorted(orphan_manifests),
+        "metadata_files": sorted(orphan_meta),
+    }

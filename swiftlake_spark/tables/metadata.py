@@ -21,6 +21,7 @@ swapping to a columnar manifest format touches only this module.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -216,6 +217,9 @@ class TableMetadata:
 
 # ---------------------------------------------------------------------- io
 
+_CAS_FILE_RE = re.compile(r"^v(\d+)-[0-9a-f]{8}\.json$")
+
+
 def load_metadata(location: str) -> TableMetadata:
     io = _io.fileio_for(location)
     mdir = _io.join(location, "metadata")
@@ -232,10 +236,46 @@ def load_metadata(location: str) -> TableMetadata:
         meta.pointer_file = ptr
         return meta
     version = _current_version(io, mdir)
-    if version is None:
+    if version is not None:
+        data = io.read_text(_io.join(mdir, f"v{version}.json"))
+        return TableMetadata.from_json(json.loads(data), version)
+    # CAS recovery: the (in-process) catalog service lost its pointers —
+    # e.g. a fresh process opening a catalog-cas table.  The hint written
+    # after every successful CAS names the pointer file; failing that,
+    # the highest version number wins (mtime tie-break).  A lost race at
+    # the same version is indistinguishable here — which is exactly why
+    # the protocol requires a DURABLE catalog service in production; this
+    # path restores best-effort access for the fake.
+    ptr = _recover_cas_pointer(io, mdir)
+    if ptr is None:
         raise FileNotFoundError(f"no table at {location}")
-    data = io.read_text(_io.join(mdir, f"v{version}.json"))
-    return TableMetadata.from_json(json.loads(data), version)
+    meta = TableMetadata.from_json(
+        json.loads(io.read_text(_io.join(mdir, ptr))),
+        int(ptr[1:].split("-", 1)[0]),
+    )
+    meta.pointer_file = ptr
+    return meta
+
+
+def _recover_cas_pointer(io: "_io.FileIO", mdir: str) -> str | None:
+    try:
+        hint = io.read_text(_io.join(mdir, "version-hint.txt")).strip()
+        if _CAS_FILE_RE.match(hint) and io.exists(_io.join(mdir, hint)):
+            return hint
+    except FileNotFoundError:
+        pass
+    cands = [n for n in io.list(mdir) if _CAS_FILE_RE.match(n)]
+    if not cands:
+        return None
+
+    def key(n: str):
+        try:
+            mt = io.mtime(_io.join(mdir, n))
+        except (FileNotFoundError, OSError):
+            mt = 0.0
+        return (int(_CAS_FILE_RE.match(n).group(1)), mt, n)
+
+    return max(cands, key=key)
 
 
 def _current_version(io: "_io.FileIO", mdir: str) -> int | None:
@@ -280,11 +320,24 @@ def write_new_version(meta: TableMetadata) -> TableMetadata:
                 raise CommitConflict(
                     f"table already registered: {meta.location}"
                 ) from exc
+        elif svc.current(meta.location) is None and meta.pointer_file is not None:
+            # service lost its pointers (in-process fake after restart) —
+            # this loader recovered the pointer from storage; re-seat it.
+            # A durable catalog backend never reaches this branch.
+            try:
+                svc.register(meta.location, fname)
+            except FileExistsError as exc:
+                raise CommitConflict(
+                    f"catalog pointer re-seated concurrently: {meta.location}"
+                ) from exc
         elif not svc.cas(meta.location, meta.pointer_file, fname):
             raise CommitConflict(
                 f"catalog pointer moved for {meta.location} "
                 f"(expected {meta.pointer_file})"
             )
+        # hint = pointer FILE NAME (recovery anchor; the claim protocol's
+        # hint holds a bare number, contents disambiguate)
+        io.replace_text(_io.join(mdir, "version-hint.txt"), fname)
         meta.pointer_file = fname
         meta.version = next_v
         return meta

@@ -468,6 +468,11 @@ class Table:
         removed = dropped | touched
         if not removed and not new_entries:
             # no-op: nothing matched
+            if batch is not None:
+                # keep the batched contract (execute() returns None and
+                # nothing commits until batch.commit())
+                batch.note_noop()
+                return None
             snap = self.meta.current_snapshot(branch)
             if snap is None:
                 raise ValidationError("table has no snapshot")
@@ -477,7 +482,10 @@ class Table:
             # defer into the batch transaction (reference
             # update/deleteFrom(TableBatchTransaction)); validation and
             # the single combined commit happen there
-            batch.add_overwrite(new_entries, removed, condition, isolation)
+            batch.add_overwrite(
+                new_entries, removed, condition, isolation,
+                extra_summary=extra_summary,
+            )
             return None
 
         def mutate(cur: list[ManifestEntry]) -> list[ManifestEntry]:

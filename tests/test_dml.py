@@ -796,16 +796,11 @@ def test_insert_overwrite_serializable_isolation(engine, spark):
         .dataframe(spark.createDataFrame([(5, "A", "five", 5.0)], SCD1_DDL))
         .isolation_level("serializable")
     )
-    # concurrent matching append after the builder captured the table
-    tbl = b._engine.catalog.table("db.ow_iso")
-    b._engine = engine  # unchanged; capture happens inside execute
     engine.insert_into("db.ow_iso").dataframe(
         spark.createDataFrame([(2, "A", "sneak", 2.0)], SCD1_DDL)
     ).execute()
-    # the builder's execute reloads the table fresh, so to race we commit
-    # between load and commit via the table handle inside _commit's
-    # retry loop — instead verify the PASSING path and the conflicting
-    # path at the Table API level:
+    # the builder's execute reloads the table fresh, so the race is
+    # staged at the Table API level with an explicitly stale base:
     from swiftlake_spark.dml.sqlfilter import parse_filter
 
     t_stale = engine.catalog.table("db.ow_iso")

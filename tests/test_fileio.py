@@ -375,3 +375,47 @@ def test_streaming_upsert_into_remote_table(spark, tmp_path):
     keys = fio.fileio_for("mem://swh/").list_recursive("mem://swh/lake/db/sup")
     assert sum(1 for k in keys if k.startswith("metadata/v")) >= 2
     fio.reset_memory_store("swh")
+
+
+def test_catalog_cas_recovery_without_service(spark, tmp_path):
+    """A catalog-cas table must survive loss of the in-process service's
+    pointers (fresh process): the post-commit hint (pointer file name)
+    restores access, commits re-seat the pointer, and vacuum GCs
+    definite CAS losers at the head version."""
+    from swiftlake_spark import catalog_service as cs
+    from swiftlake_spark.engine import SwiftLakeEngine
+    from swiftlake_spark.tables.maintenance import vacuum
+    from swiftlake_spark.tables.metadata import load_metadata, write_new_version
+
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "wh"))
+    t = eng.catalog.create_table(
+        "db.casrec", "id BIGINT, v STRING",
+        properties={"commit.protocol": "catalog-cas"},
+    )
+    t.append(spark.createDataFrame([(1, "a")], schema=t.schema))
+    loc = t.location
+
+    # simulate process restart: brand-new (empty) service
+    prev = cs.set_default_catalog_service(cs.MemoryCatalogCommitService())
+    try:
+        m = load_metadata(loc)  # recovered via the hint
+        assert m.version == 2 and m.pointer_file.startswith("v2-")
+        # a commit after recovery re-seats the pointer and works
+        t2 = eng.catalog.table("db.casrec")
+        t2.append(spark.createDataFrame([(2, "b")], schema=t2.schema))
+        assert sorted(r["id"] for r in eng.catalog.table("db.casrec").scan().collect()) == [1, 2]
+
+        # a lost race leaves a v3-<other> loser file; vacuum GCs it
+        loser = load_metadata(loc)
+        loser.version = 2  # stale: current is 3
+        loser.pointer_file = "v2-00000000"  # wrong expected → CAS loses
+        import pytest as _pt
+
+        from swiftlake_spark.tables.metadata import CommitConflict
+
+        with _pt.raises(CommitConflict):
+            write_new_version(loser)
+        rep = vacuum(eng.catalog.table("db.casrec"))
+        assert rep["metadata_files"], "loser metadata file must be GC'd"
+    finally:
+        cs.set_default_catalog_service(prev)
