@@ -187,7 +187,14 @@ def reset_memory_store(name: str) -> None:
 
 class MemoryFileIO(FileIO):
     """S3-semantics fake: flat keys, conditional-put claim, staging
-    downloads.  ``mem://<store>/<key...>``."""
+    downloads.  ``mem://<store>/<key...>``.
+
+    Staging-cache growth: staged copies live under the staging dir for
+    the process lifetime (objects are immutable by convention — uuid
+    data files — so the cache never goes stale, but it is never trimmed
+    either).  This is a test fake; a production FileIO should bound its
+    staging directory (the reference's S3 FileIO stages into a
+    deleteOnExit temp dir per engine)."""
 
     scheme = "mem"
 
