@@ -99,6 +99,10 @@ class InsertBuilder:
         self._source_once = how if flag else None
         return self
 
+    # reference Insert names the same knob executeSqlOnceOnly
+    # (Insert.java:558); the merges name it executeSourceSqlOnceOnly
+    execute_sql_once = execute_source_sql_once
+
     def execute(self):
         if self._df is None:
             raise ValidationError("insert needs a source (sql or dataframe)")

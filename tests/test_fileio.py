@@ -419,3 +419,36 @@ def test_catalog_cas_recovery_without_service(spark, tmp_path):
         assert rep["metadata_files"], "loser metadata file must be GC'd"
     finally:
         cs.set_default_catalog_service(prev)
+
+
+def test_iceberg_distributed_write_published_to_store(spark, tmp_path):
+    """The DISTRIBUTED Iceberg write path (executors write parquet,
+    driver commits metadata) also publishes to the object-store fake
+    with remote URIs embedded, and publish() skips re-uploading the
+    immutable files on the second snapshot."""
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+
+    fio.reset_memory_store("iced")
+    remote = "mem://iced/t2"
+    stage = str(tmp_path / "iced_stage")
+    w = IcebergWriter(stage, uri_base=remote)
+    df = spark.range(0, 500).selectExpr("id", "CAST(id % 7 AS STRING) AS g")
+    w.append_distributed(df)
+    w.publish(remote)
+    t = IcebergTable(spark, remote)
+    assert t.scan().count() == 500
+
+    io = fio.fileio_for(remote)
+    mtimes_before = {
+        k: io.mtime(f"{remote}/{k}")
+        for k in io.list_recursive(remote)
+        if k.startswith("data/") or k.endswith(".avro")
+    }
+    w.append_distributed(spark.range(500, 600).selectExpr("id", "CAST(id % 7 AS STRING) AS g"))
+    w.publish(remote)
+    assert IcebergTable(spark, remote).scan().count() == 600
+    # immutable files from snapshot 1 were not re-uploaded
+    for k, mt in mtimes_before.items():
+        assert io.mtime(f"{remote}/{k}") == mt, k
+    fio.reset_memory_store("iced")
