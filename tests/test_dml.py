@@ -825,3 +825,43 @@ def test_insert_overwrite_serializable_isolation(engine, spark):
     b.execute()
     got = sorted(r["id"] for r in engine.catalog.load("db.ow_iso").collect())
     assert got == [5]
+
+
+def test_batch_transaction_scd2_merge(engine, spark):
+    """SCD2 snapshot merge into a batch transaction: versions close and
+    open inside ONE deferred commit."""
+    import datetime as dt
+
+    engine.catalog.create_table(
+        "db.bt_s2",
+        "id BIGINT, cat STRING, v DOUBLE, effective_start TIMESTAMP, effective_end TIMESTAMP",
+        partition_spec=["cat"],
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    engine.insert_into("db.bt_s2").dataframe(
+        spark.createDataFrame(
+            [(1, "A", 1.0, t0, None), (2, "B", 2.0, t0, None)],
+            engine.catalog.table("db.bt_s2").schema,
+        )
+    ).execute()
+
+    txn = engine.batch_transaction("db.bt_s2")
+    engine.apply_snapshot_as_scd2(txn).table_filter_sql("cat = 'A'").\
+        source_dataframe(
+            spark.createDataFrame([(1, "A", 1.5)], "id BIGINT, cat STRING, v DOUBLE")
+        ).key_columns(["id"]).effective_timestamp(dt.datetime(2024, 6, 1)).execute()
+    engine.apply_snapshot_as_scd2(txn).table_filter_sql("cat = 'B'").\
+        source_dataframe(
+            spark.createDataFrame([(2, "B", 2.5)], "id BIGINT, cat STRING, v DOUBLE")
+        ).key_columns(["id"]).effective_timestamp(dt.datetime(2024, 6, 1)).execute()
+    n_before = len(engine.catalog.table("db.bt_s2").meta.snapshots)
+    txn.commit()
+    t = engine.catalog.table("db.bt_s2")
+    assert len(t.meta.snapshots) == n_before + 1
+    got = sorted(
+        (r["id"], r["v"], r["effective_end"] is None) for r in t.scan().collect()
+    )
+    assert got == [
+        (1, 1.0, False), (1, 1.5, True),
+        (2, 2.0, False), (2, 2.5, True),
+    ]

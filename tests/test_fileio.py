@@ -452,3 +452,34 @@ def test_iceberg_distributed_write_published_to_store(spark, tmp_path):
     for k, mt in mtimes_before.items():
         assert io.mtime(f"{remote}/{k}") == mt, k
     fio.reset_memory_store("iced")
+
+
+def test_catalog_cas_on_memory_store_with_compaction(spark):
+    """Protocol × backend composition: a catalog-cas table on the
+    object-store fake — commits are pointer CAS (no conditional put
+    used), data staged+uploaded, compaction rewrites through the same
+    seam."""
+    from swiftlake_spark.engine import SwiftLakeEngine
+    from swiftlake_spark.tables.maintenance import compact
+
+    fio.reset_memory_store("cwh")
+    eng = SwiftLakeEngine(spark=spark, warehouse="mem://cwh/lake")
+    t = eng.catalog.create_table(
+        "db.casmem", "id BIGINT, v DOUBLE",
+        properties={"commit.protocol": "catalog-cas"},
+    )
+    for i in range(3):  # three small appends → compactable
+        t.append(spark.createDataFrame([(i, float(i))], schema=t.schema))
+    assert t.scan().count() == 3
+
+    snap = compact(t.refresh(), target_file_size_bytes=10 * 1024 * 1024)
+    assert snap is not None
+    t = eng.catalog.table("db.casmem")
+    assert t.scan().count() == 3
+    man = t.meta.read_manifest(t.meta.current_snapshot())
+    assert len(man) == 1  # binpacked into one file
+    from swiftlake_spark.catalog_service import default_catalog_service
+
+    assert default_catalog_service().current(t.location).startswith("v")
+    eng.catalog.drop_table("db.casmem")
+    fio.reset_memory_store("cwh")
