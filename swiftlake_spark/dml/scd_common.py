@@ -175,7 +175,7 @@ def commit_merge(
         else:
             batch.add_overwrite(
                 new_entries, removed, conflict_filter, isolation,
-                extra_summary=extra_summary,
+                extra_summary=extra_summary, base_paths=base_paths,
             )
         return None
 

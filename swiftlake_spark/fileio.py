@@ -118,7 +118,7 @@ class LocalFileIO(FileIO):
     def list(self, prefix: str) -> list[str]:
         try:
             return sorted(os.listdir(prefix))  # deterministic, like mem
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
             return []
 
     def list_recursive(self, prefix: str) -> list[str]:

@@ -41,7 +41,6 @@ class TableBatchTransaction:
         self._base_paths: set[str] | None = None
         self._isolation = "snapshot"
         self._extra_summary: dict = {}
-        self._noops = 0
 
     def _set_mode(self, mode: str) -> None:
         if self._committed:
@@ -67,10 +66,9 @@ class TableBatchTransaction:
         return self
 
     def note_noop(self) -> None:
-        """A batched operation matched nothing — recorded so an
-        all-no-op batch commits as a clean no-op (reference commit()
-        returns empty metrics for an empty batch rather than failing)."""
-        self._noops += 1
+        """Hook: a batched operation matched nothing.  Nothing to record
+        — commit() treats an empty batch as a clean no-op regardless
+        (reference commit() returns empty metrics for an empty batch)."""
 
     def add_overwrite(
         self,
@@ -79,18 +77,26 @@ class TableBatchTransaction:
         conflict_filter: E.Expr | None,
         isolation: str = "snapshot",
         extra_summary: dict | None = None,
+        base_paths: set[str] | None = None,
     ) -> "TableBatchTransaction":
-        """Queue one COW rewrite (update/delete/SCD merge outcome)."""
+        """Queue one COW rewrite (update/delete/SCD merge outcome).
+        ``base_paths``: the caller's base-snapshot file set (every caller
+        already computed it — passing it avoids a second manifest read
+        and pins the batch's serializable base to the SAME metadata
+        state the rewrite was planned against)."""
         self._set_mode("overwrite")
         if extra_summary:
             self._extra_summary.update(extra_summary)
         if isolation == "serializable":
             self._isolation = "serializable"
         if self._base_paths is None:
-            snap = self.table.meta.current_snapshot(self.branch)
-            self._base_paths = {
-                e.path for e in self.table.meta.read_manifest(snap)
-            }
+            if base_paths is not None:
+                self._base_paths = set(base_paths)
+            else:
+                snap = self.table.meta.current_snapshot(self.branch)
+                self._base_paths = {
+                    e.path for e in self.table.meta.read_manifest(snap)
+                }
         dup = removed_paths & self._removed
         if dup:
             raise ValidationError(
@@ -136,7 +142,11 @@ class TableBatchTransaction:
             # commit is a clean no-op — reference commit() returns empty
             # CommitMetrics for an empty batch (TableBatchTransaction.java:138)
             self._committed = True
-            return self.table.meta.current_snapshot(self.branch)
+            snap = self.table.meta.current_snapshot(self.branch)
+            if snap is None:
+                # same contract as the unbatched no-op path (table.py)
+                raise ValidationError("table has no snapshot")
+            return snap
         pending = list(self._pending)
         removed = set(self._removed)
 

@@ -34,7 +34,11 @@ class Catalog:
     def __init__(self, spark: SparkSession, warehouse: str, guard=None) -> None:
         self.spark = spark
         # remote warehouses (fileio schemes, e.g. mem://) keep their URI;
-        # local paths normalize to absolute
+        # file:// is the LOCAL filesystem — normalize it to a plain path
+        # so the write path (which treats file:// as local) and the
+        # metadata path agree on one root; bare paths become absolute
+        if warehouse.startswith("file://"):
+            warehouse = warehouse[len("file://"):]
         self.warehouse = warehouse if "://" in warehouse else os.path.abspath(warehouse)
         self.guard = guard  # plans.guards.ScanGuard | None, applied to scans
         if "://" not in self.warehouse:

@@ -270,19 +270,23 @@ def vacuum(table: Table, *, dry_run: bool = False) -> dict[str, Any]:
         for fn in io.list(meta.metadata_dir)
         if fn.startswith("manifest-") and fn not in live_manifests
     ]
-    # catalog-cas loser metadata: uniquely-named files at or above the
-    # current pointer's version that are not the pointer are definite
-    # losers of a CAS race (plain puts happen before the CAS decides) —
-    # without GC they accumulate forever under contention.  Files below
-    # the current version are history, like old v<N>.json, and kept.
+    # catalog-cas loser metadata: only files AT an already-decided head
+    # version that are not that version's winner are DEFINITE losers —
+    # files above the current version may be in-flight winners (uploaded
+    # before their CAS lands), and past-version duplicates are ambiguous
+    # (the winner of an old race is unrecorded), so both are kept.  The
+    # pointer is re-fetched from the catalog service at vacuum time: a
+    # stale handle must never GC around a newer head.
     orphan_meta: list[str] = []
     if meta.pointer_file is not None:
+        from swiftlake_spark.catalog_service import default_catalog_service
         from swiftlake_spark.tables.metadata import _CAS_FILE_RE
 
-        cur_v = int(meta.pointer_file[1:].split("-", 1)[0])
+        live_ptr = default_catalog_service().current(meta.location) or meta.pointer_file
+        cur_v = int(live_ptr[1:].split("-", 1)[0])
         for fn in io.list(meta.metadata_dir):
             m = _CAS_FILE_RE.match(fn)
-            if m and fn != meta.pointer_file and int(m.group(1)) >= cur_v:
+            if m and fn != live_ptr and int(m.group(1)) == cur_v:
                 orphan_meta.append(fn)
     if not dry_run:
         for rel in orphan_data:

@@ -60,7 +60,11 @@ class ManifestEntry:
         min/max stats (inclusive, never over-prunes)."""
         from swiftlake_spark.tables.transforms import is_opaque_pvalue
 
-        part = {k: v for k, v in self.partition.items() if not is_opaque_pvalue(v)}
+        part = self.partition
+        # opaque values exist only in legacy manifests (new writes resolve
+        # them at harvest); skip the per-entry dict copy on the hot path
+        if any(is_opaque_pvalue(v) for v in part.values()):
+            part = {k: v for k, v in part.items() if not is_opaque_pvalue(v)}
         stats = self.stats
         if rename:
             stats = {rename.get(k, k): v for k, v in stats.items()}

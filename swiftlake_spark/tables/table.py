@@ -484,7 +484,7 @@ class Table:
             # the single combined commit happen there
             batch.add_overwrite(
                 new_entries, removed, condition, isolation,
-                extra_summary=extra_summary,
+                extra_summary=extra_summary, base_paths=base_paths,
             )
             return None
 
@@ -1037,10 +1037,15 @@ class Table:
                         import pyarrow.parquet as _pq
 
                         t = by_name[pname]
-                        src_val = _pq.read_table(
-                            abs_path, columns=[t.source]
-                        ).column(0)[0].as_py()
-                        opaque_fix[pval] = t.apply(src_val)
+                        # one row suffices (all rows in the dir share the
+                        # partition value) — read a single small batch,
+                        # never the whole column
+                        batch0 = next(
+                            _pq.ParquetFile(abs_path).iter_batches(
+                                batch_size=1, columns=[t.source]
+                            )
+                        )
+                        opaque_fix[pval] = t.apply(batch0.column(0)[0].as_py())
                     partition[pname] = opaque_fix[pval]
                 if remote_io is not None:
                     from swiftlake_spark import fileio as _fio

@@ -483,3 +483,22 @@ def test_catalog_cas_on_memory_store_with_compaction(spark):
     assert default_catalog_service().current(t.location).startswith("v")
     eng.catalog.drop_table("db.casmem")
     fio.reset_memory_store("cwh")
+
+
+def test_file_scheme_warehouse_and_stray_files(spark, tmp_path):
+    """file:// warehouses normalize to one local root (metadata and data
+    agree), and stray regular files inside a database dir don't break
+    listing."""
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    eng = SwiftLakeEngine(spark=spark, warehouse=f"file://{tmp_path}/wh2")
+    t = eng.catalog.create_table("db.f1", "id BIGINT")
+    t.append(spark.createDataFrame([(1,), (2,)], schema=t.schema))
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 2]
+    import os
+
+    assert os.path.isdir(f"{tmp_path}/wh2/db/f1/metadata")  # one real root
+    assert not os.path.exists("file:")  # no cwd-relative ghost tree
+
+    (tmp_path / "wh2" / "db" / ".stray").write_text("junk")
+    assert eng.catalog.list_tables() == ["db.f1"]
