@@ -199,9 +199,8 @@ class SCD1Builder:
 
     def _execute_snapshot(self, tbl, cols):
         value_cols = self._value_columns or [c for c in cols if c not in self._keys]
-        src = self._source.select(*cols).withColumn("__src__", F.lit(True))
         # boundary applies to the source too (SCD1Merge.java:406-413)
-        src = src.filter(self._filter.column())
+        src = self._source.select(*cols).filter(self._filter.column())
         j = build_joined(
             tbl, src, self._keys, self._filter.column(), self._filter, "full_outer",
             branch=self._branch,

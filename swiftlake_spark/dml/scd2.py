@@ -241,7 +241,7 @@ class SCD2Builder:
         start, end = F.col(self._start_col), F.col(self._end_col)
         ts = F.lit(self._ts)
         bad = (
-            tbl.scan(self._filter)
+            tbl.scan(self._filter, branch=self._branch)
             .filter((start >= ts) | (end >= ts))
             .limit(1)
             .count()

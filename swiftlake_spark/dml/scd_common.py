@@ -56,6 +56,11 @@ def value_diff_condition(
         me, other = F.col(f"me.{c}"), F.col(f"other.{c}")
         m = meta.get(c)
         if m is not None and m.max_delta is not None:
+            # NULL coalesces to 0 on BOTH sides — deliberate reference
+            # parity (scd1_merge.xml:154-155: abs(coalesce(me.c,0) -
+            # coalesce(other.c,0)) > delta), so NULL vs a value within
+            # delta of 0 classifies as no-change there too; max_delta
+            # wins over null_replacement, also like the reference
             conds.append(
                 F.abs(F.coalesce(me, F.lit(0)) - F.coalesce(other, F.lit(0)))
                 > m.max_delta

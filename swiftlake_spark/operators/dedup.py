@@ -20,12 +20,19 @@ from pyspark.sql import functions as F
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (id, sh)."""
+    """Distinct k-word shingles per document: (id, sh).  Documents with
+    fewer than k words yield NO shingles — Spark's sequence(0, -1) is
+    the DESCENDING list [0, -1], not empty, so the short case must be
+    guarded explicitly or w[i+j] indexes past the array (ANSI error /
+    bogus partial shingles)."""
     w = F.split(F.col(text_col), " ")
-    arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[w[i + j] for j in range(k)]),
-    )
+    arr = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(" ", *[w[i + j] for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(F.col(id_col).alias("id"), F.explode(arr).alias("sh")).distinct()
 
 

@@ -38,17 +38,31 @@ def asof_join(
     ``ASOF JOIN … ON l.k = r.k AND l.ts >= r.ts``.
     """
     lcols = left.columns
+    rtypes = dict(right.dtypes)
+    # Carry the whole matched right row as ONE struct: carrying columns
+    # independently with last(..., ignorenulls) would substitute an OLDER
+    # row's value wherever the latest right row holds a legitimate NULL —
+    # a frankenrow mixing two right rows.  A struct is non-null as a
+    # whole for right rows and NULL for left filler rows, so ignorenulls
+    # skips fillers while NULL fields inside the matched row survive.
+    rrow_null = F.lit(None).cast(
+        "struct<__mts:" + dict(right.dtypes)[right_ts] + ","
+        + ",".join(f"`{c}`:{rtypes[c]}" for c in right_cols) + ">"
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        rrow_null.alias("__rrow"),
     )
     r = right.select(
         *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) if c not in on else F.col(c) for c in lcols],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias("__mts"),
+            *[F.col(c) for c in right_cols],
+        ).alias("__rrow"),
     )
     u = l.unionByName(r)
     # right rows sort before left rows at the same ts → "at or before"
@@ -61,31 +75,20 @@ def asof_join(
         *lcols,
         "__ts",
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in right_cols
-        ],
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("__match_ts"),
+        F.last("__rrow", ignorenulls=True).over(w).alias("__crow"),
     ).filter(F.col("__side") == 1)
+    match = F.col("__crow")
     if tolerance_ms is not None:
         in_tol = (
-            F.col("__match_ts").isNotNull()
+            match.isNotNull()
             & (
-                (F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__match_ts")))
+                (F.unix_micros(F.col("__ts")) - F.unix_micros(match["__mts"]))
                 <= tolerance_ms * 1000
             )
         )
-        carried = carried.select(
-            *lcols,
-            *[
-                F.when(in_tol, F.col(f"__c_{c}")).alias(f"__c_{c}")
-                for c in right_cols
-            ],
-        )
+        match = F.when(in_tol, match)
     out = carried.select(
-        *lcols, *[F.col(f"__c_{c}").alias(f"right_{c}") for c in right_cols]
+        *lcols, *[match[c].alias(f"right_{c}") for c in right_cols]
     )
     return out
 
@@ -129,7 +132,14 @@ def salted_join(
     """Equi-join with salting for skewed keys: the (big) left side gets a
     random-free deterministic salt from its row content, the (small)
     right side is replicated across all salts.  Result identical to a
-    plain join; task sizes bounded by ~1/salt of the hot key."""
+    plain join for ``inner``/``left``; ``right``/``full`` are refused —
+    the replicated right side would surface every unmatched right row
+    once per salt (use AQE skew-join for those shapes)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', not {how!r}: the "
+            "salt-replicated right side duplicates unmatched right rows"
+        )
     l = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
     )

@@ -51,10 +51,13 @@ def cosine_topk(
     sc = emb.sparkSession.sparkContext
     bc = sc.broadcast((q_ids, q_norm))
 
+    # query ids keep their ACTUAL type — hard-coding long would crash on
+    # string/uuid ids, which nothing in this contract forbids
+    qid_type = queries.schema[query_id_col].dataType
     out_schema = T.ArrayType(
         T.StructType(
             [
-                T.StructField("query_id", T.LongType()),
+                T.StructField("query_id", qid_type),
                 T.StructField("cosine", T.DoubleType()),
             ]
         )
@@ -69,7 +72,7 @@ def cosine_topk(
         cos = (m / norms) @ qn.T  # batch × n_queries
         return pd.Series(
             [
-                [{"query_id": int(ids[j]), "cosine": float(row[j])} for j in range(len(ids))]
+                [{"query_id": ids[j], "cosine": float(row[j])} for j in range(len(ids))]
                 for row in cos
             ]
         )
@@ -377,7 +380,7 @@ def ivf_topk(
         qn = qv / max(np.linalg.norm(qv), 1e-12)
         order = np.argsort(-(cn @ qn))[:n_probe]
         for cid in order:
-            probe_rows.append((int(r[query_id_col]), int(cid), qv.tolist()))
+            probe_rows.append((r[query_id_col], int(cid), qv.tolist()))
     spark = indexed.sparkSession
     probes = spark.createDataFrame(
         probe_rows, "query_id BIGINT, centroid_id INT, __qv ARRAY<DOUBLE>"

@@ -22,6 +22,12 @@ _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens_whitespace(text: Column) -> Column:
+    """DuckDB-parity token split: the empty string yields one empty
+    token and leading whitespace yields empty leading tokens — matching
+    ``string_split`` in the DuckDB oracles that certify every consumer
+    (q42/q51/q52/q54/...).  "Fixing" the edge here without changing all
+    oracles would break hash certification; the fixtures are
+    single-space separated, so counts agree in practice."""
     return F.split(text, r"\s+")
 
 
@@ -99,14 +105,16 @@ def fingerprint(
     from swiftlake_spark.operators.dedup import shingles
 
     sh = shingles(df, id_col, text_col, shingle_k)
+    # the sketch key gets a reserved name so a caller whose id column is
+    # itself named 'id' doesn't hit AMBIGUOUS_REFERENCE on the join
     sketch = sh.groupBy("id").agg(
         F.min(F.xxhash64("sh")).alias("min_shingle_hash"),
         F.max(F.xxhash64("sh")).alias("max_shingle_hash"),
-    )
+    ).withColumnRenamed("id", "__fp_id")
     return (
         df.withColumn("content_hash", F.xxhash64(F.col(text_col)))
-        .join(sketch, F.col(id_col) == F.col("id"), "left")
-        .drop("id")
+        .join(sketch, F.col(id_col) == F.col("__fp_id"), "left")
+        .drop("__fp_id")
     )
 
 

@@ -96,3 +96,73 @@ def test_salted_join_equivalent_to_plain(spark):
     )
     plain = sorted((x["id"], x["v"]) for x in l.join(r, "k").collect())
     assert fast == plain
+
+
+def test_asof_join_null_in_latest_right_row(spark):
+    """The matched right row must be carried WHOLE: a legitimate NULL in
+    the latest right row must not be back-filled from an older row."""
+    from swiftlake_spark.operators.joins import asof_join
+    import datetime as dt
+
+    right = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, 0, 0, 1), 5.0, 10.0),
+         ("k", dt.datetime(2024, 1, 1, 0, 0, 2), None, 20.0)],
+        "k STRING, ts TIMESTAMP, a DOUBLE, b DOUBLE",
+    )
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, 0, 0, 3))], "k STRING, ts TIMESTAMP"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["a", "b"],
+    ).collect()[0]
+    assert out["right_a"] is None and out["right_b"] == 20.0
+
+
+def test_salted_join_refuses_right_full(spark):
+    from swiftlake_spark.operators.joins import salted_join
+    import pytest
+
+    l = spark.createDataFrame([(1, "x")], "id BIGINT, v STRING")
+    r = spark.createDataFrame([(2, "y")], "id BIGINT, w STRING")
+    for how in ("right", "full"):
+        with pytest.raises(ValueError):
+            salted_join(l, r, on="id", how=how)
+
+
+def test_shingles_short_documents(spark):
+    """Documents shorter than k words yield no shingles (sequence(0,-1)
+    is [0,-1] in Spark — the guarded path must not index past the
+    array or emit partial shingles)."""
+    from swiftlake_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d")], "doc_id BIGINT, text STRING"
+    )
+    got = sorted(
+        (r["id"], r["sh"]) for r in shingles(df, "doc_id", "text", k=3).collect()
+    )
+    assert got == [(3, "a b c"), (3, "b c d")]
+
+
+def test_fingerprint_with_id_named_id(spark):
+    from swiftlake_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "id BIGINT, text STRING"
+    )
+    out = fingerprint(df, "id").collect()[0]
+    assert out["min_shingle_hash"] is not None
+
+
+def test_cosine_topk_string_query_ids(spark):
+    from swiftlake_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    q = spark.createDataFrame(
+        [("q-001", [1.0, 0.0])], "query_id STRING, q_emb ARRAY<DOUBLE>"
+    )
+    out = cosine_topk(emb, q, k=1).collect()
+    assert out[0]["query_id"] == "q-001" and out[0]["cand_id"] == 1
