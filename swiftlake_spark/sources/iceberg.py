@@ -101,6 +101,9 @@ def _local(path: str, base: str) -> str:
     data-file URIs to Spark directly instead of driver-side staging."""
     if path.startswith("file://"):
         return path[len("file://"):]
+    if path.startswith("file:/"):
+        # Hadoop Path normalization emits the single-slash form
+        return path[len("file:"):]
     if "://" in path:
         from swiftlake_spark import fileio as _fio
 
@@ -233,6 +236,11 @@ class IcebergTable:
             for s in self.meta["schemas"]:
                 if s.get("schema-id", 0) == sid:
                     return s
+            if "schema" not in self.meta:
+                raise ValueError(
+                    f"unknown schema-id {sid} (schemas list has "
+                    f"{[x.get('schema-id', 0) for x in self.meta['schemas']]})"
+                )
         return self.meta["schema"]  # v1
 
     def spark_schema(self, schema_id: int | None = None) -> T.StructType:
@@ -493,6 +501,15 @@ class IcebergTable:
             from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
 
             if transform == "identity":
+                # manifest partition values for date/timestamp columns are
+                # Avro-decoded ORDINALS (int days / long micros); project
+                # the literal into the same domain or eq-pruning silently
+                # drops matching files and range compares raise TypeError
+                if isinstance(value, dt.datetime):
+                    epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+                    return (value - epoch) // dt.timedelta(microseconds=1)
+                if isinstance(value, dt.date):
+                    return (value - dt.date(1970, 1, 1)).days
                 return value
             if transform.startswith("bucket["):
                 n = int(transform[len("bucket["):-1])
@@ -554,16 +571,19 @@ class IcebergTable:
                         continue
                     if pv is None:
                         return False  # file holds only NULL source values
-                    if e.op == "eq" and pv != lit:
-                        return False
-                    ordered = tr == "identity" or any(
-                        tr.startswith(p) for p in _ORDERED[1:]
-                    )
-                    if ordered:
-                        if e.op in ("lt", "le") and pv > lit:
+                    try:
+                        if e.op == "eq" and pv != lit:
                             return False
-                        if e.op in ("gt", "ge") and pv < lit:
-                            return False
+                        ordered = tr == "identity" or any(
+                            tr.startswith(p) for p in _ORDERED[1:]
+                        )
+                        if ordered:
+                            if e.op in ("lt", "le") and pv > lit:
+                                return False
+                            if e.op in ("gt", "ge") and pv < lit:
+                                return False
+                    except TypeError:
+                        continue  # incomparable domains: keep (conservative)
                 return True
             return True  # unknown shapes never prune
 
@@ -603,9 +623,68 @@ class IcebergTable:
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> DataFrame:
         """Rows appended after ``from_snapshot_id`` up to ``to`` (or the
-        current snapshot): the file-level set difference of the two
-        snapshots, read under the current schema — same contract as the
-        native table's incremental append scan (Table.incremental_scan)."""
+        current snapshot) — same contract as the native table's
+        incremental append scan (Table.incremental_scan): the range must
+        be an unbroken parent chain of APPEND snapshots, otherwise a
+        rewrite/overwrite inside it would surface rewritten OLD rows as
+        if newly appended (double-processing downstream)."""
+        all_snaps = self.meta.get("snapshots", [])
+        snaps = {s["snapshot-id"]: s for s in all_snaps}
+        end_id = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else self.meta.get("current-snapshot-id")
+        )
+
+        def _check_append(s_: dict) -> None:
+            op = (s_.get("summary") or {}).get("operation", "append")
+            if op != "append":
+                raise ValueError(
+                    f"incremental scan range contains a {op!r} snapshot "
+                    f"({s_['snapshot-id']}); only unbroken append chains "
+                    "are incremental"
+                )
+
+        if any("parent-snapshot-id" in s for s in all_snaps):
+            # walk end → from along parent ids; every step must be append
+            sid = end_id
+            seen = 0
+            while sid is not None and sid != from_snapshot_id:
+                s_ = snaps.get(sid)
+                if s_ is None:
+                    raise ValueError(
+                        f"snapshot {from_snapshot_id} is not an ancestor of {end_id}"
+                    )
+                _check_append(s_)
+                sid = s_.get("parent-snapshot-id")
+                seen += 1
+                if seen > len(snaps):
+                    raise ValueError(
+                        f"snapshot {from_snapshot_id} is not an ancestor of {end_id}"
+                    )
+            if sid is None:
+                raise ValueError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of {end_id}"
+                )
+        else:
+            # writers that omit parent ids: the log is a linear history —
+            # validate by sequence order instead
+            ordered = sorted(
+                all_snaps,
+                key=lambda s: (s.get("sequence-number", 0), s.get("timestamp-ms", 0)),
+            )
+            ids = [s["snapshot-id"] for s in ordered]
+            if from_snapshot_id not in ids or end_id not in ids:
+                raise ValueError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of {end_id}"
+                )
+            i_from, i_end = ids.index(from_snapshot_id), ids.index(end_id)
+            if i_from > i_end:
+                raise ValueError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of {end_id}"
+                )
+            for s_ in ordered[i_from + 1 : i_end + 1]:
+                _check_append(s_)
         before = {f["file_path"] for f in self.data_files(snapshot_id=from_snapshot_id)}
         after = (
             self.data_files(snapshot_id=to_snapshot_id)

@@ -173,11 +173,20 @@ def _stamp_arrow_schema(schema: pa.Schema, ids: dict[str, int]) -> pa.Schema:
 
 
 def _pvalue(v: Any, transform: str) -> Any:
+    import datetime as _dt
+
     from swiftlake_spark.tables.transforms import _mm3_serialize, murmur3_32
 
     if v is None:
         return None
     if transform == "identity":
+        # spec partition-value encoding: dates as int days, timestamps as
+        # long micros (what readers decode from avro manifests)
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return (v - epoch) // _dt.timedelta(microseconds=1)
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
         return v
     if transform.startswith("bucket["):
         n = int(transform[len("bucket["):-1])
@@ -360,7 +369,12 @@ class IcebergWriter:
         for i, pf in enumerate(self.partition_spec):
             if pf["transform"] == "identity":
                 src = df_schema[pf["source"]].dataType
-                at = _AVRO_PRIM.get(src)
+                if isinstance(src, T.DateType):
+                    at = "int"  # date ordinal (days since epoch)
+                elif isinstance(src, (T.TimestampType, T.TimestampNTZType)):
+                    at = "long"  # micros since epoch
+                else:
+                    at = _AVRO_PRIM.get(src)
                 if at is None:
                     raise ValueError(f"no avro mapping for partition {src}")
             else:
@@ -571,6 +585,12 @@ class IcebergWriter:
         self.snapshots.append(
             {
                 "snapshot-id": snap_id,
+                # spec field: consumers walk ancestry through it
+                **(
+                    {"parent-snapshot-id": self.snapshots[-1]["snapshot-id"]}
+                    if self.snapshots
+                    else {}
+                ),
                 "sequence-number": self.seq,
                 "timestamp-ms": int(time.time() * 1000) + self.seq,
                 "summary": {"operation": "append"},
@@ -616,7 +636,14 @@ class IcebergWriter:
         meta: dict[str, Any] = {
             "format-version": 2,
             "table-uuid": self.table_uuid,
-            "location": self.location,
+            # the table's REAL root: the publish target when staging for
+            # a remote store, not the local staging dir (readers resolve
+            # relative paths and record metadata against this)
+            "location": (
+                self.uri_base[len("file://"):]
+                if self.uri_base.startswith("file://")
+                else self.uri_base
+            ),
             "last-sequence-number": self.seq,
             "last-updated-ms": int(time.time() * 1000),
             "last-column-id": self.next_id - 1,

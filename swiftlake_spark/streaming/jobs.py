@@ -316,16 +316,24 @@ def stream_upsert_into_table(
             b = (
                 b.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .drop("__rn", version_column)
+                # keep the version column: if it IS a table column the
+                # merge needs it; if not, the merge's projection drops it
+                .drop("__rn")
             )
+        oc, dv = op_column, delete_value
+        if oc is None:
+            # pure-upsert batch: changes mode requires an operation-type
+            # column, so stamp every row as an upsert with a delete
+            # sentinel no row carries
+            oc, dv = "__op_upsert__", "__never__"
+            b = b.withColumn(oc, F.lit("U"))
         m = (
             engine.apply_changes_as_scd1(table_name)
             .table_filter_columns(list(key_columns))
             .source_dataframe(b)
             .key_columns(list(key_columns))
+            .operation_type_column(oc, dv)
         )
-        if op_column is not None:
-            m = m.operation_type_column(op_column, delete_value)
         m.execute()
 
     return (

@@ -524,3 +524,32 @@ def test_stream_upsert_into_table(engine, spark, tmp_path):
         tuple(r) for r in engine.catalog.table("db.up").scan().collect()
     )
     assert got == [(1, "new-b"), (3, "ins")]
+
+
+def test_stream_upsert_without_op_column(engine, spark, tmp_path):
+    """The advertised pure-upsert default (op_column=None) must work:
+    every batch row is an upsert, no delete sentinel required."""
+    from swiftlake_spark.streaming import stream_upsert_into_table
+
+    t = engine.catalog.create_table("db.up2", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "old")], schema=t.schema))
+
+    src = str(tmp_path / "up2_src")
+    schema = "id BIGINT, v STRING, ver BIGINT"
+    spark.createDataFrame([(1, "new", 2), (1, "mid", 1), (2, "ins", 1)], schema)\
+        .write.parquet(src)
+
+    q = stream_upsert_into_table(
+        spark.readStream.schema(schema).parquet(src),
+        engine,
+        "db.up2",
+        ["id"],
+        str(tmp_path / "up2_ck"),
+        version_column="ver",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r["id"], r["v"]) for r in engine.catalog.load("db.up2").collect())
+    assert got == [(1, "new"), (2, "ins")]

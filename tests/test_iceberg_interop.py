@@ -544,3 +544,74 @@ def test_iceberg_partition_spec_evolution_does_not_prune_old_files(spark, tmp_pa
     assert t._file_may_match(E.col_eq("region", "EU"), {"old_bucket": 3}, spec_id=1)
     # a genuine NULL partition value under the CURRENT spec still prunes
     assert not t._file_may_match(E.col_eq("region", "EU"), {"region": None}, spec_id=1)
+
+
+def test_iceberg_date_identity_partition_pruning(spark, tmp_path):
+    """Identity partitions on DATE columns: the manifest stores int-day
+    ordinals (spec encoding) and pruning projects filter literals into
+    the same domain — eq keeps the matching file, ranges neither crash
+    nor over-prune."""
+    import datetime as dt
+
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+    from swiftlake_spark.tables import expressions as E
+
+    loc = str(tmp_path / "ice_date")
+    w = IcebergWriter(
+        loc, partition_spec=[{"name": "d", "transform": "identity", "source": "d"}]
+    )
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 3, 5)), (2, dt.date(2024, 3, 6)), (3, dt.date(2024, 3, 7))],
+        "id BIGINT, d DATE",
+    )
+    w.append(df)
+    t = IcebergTable(spark, loc)
+
+    assert rows(t.scan(E.col_eq("d", dt.date(2024, 3, 6))), "id") == [(2,)]
+    # pruning projects the date literal into the int-ordinal domain:
+    # exactly one of the three single-date files may match
+    kept = [
+        f for f in t.data_files()
+        if t._file_may_match(
+            E.col_eq("d", dt.date(2024, 3, 6)), f.get("partition") or {},
+            f.get("_spec_id"),
+        )
+    ]
+    assert len(kept) == 1
+    # range predicate on the partition source must not crash and must keep
+    # exactly the qualifying files
+    got = rows(t.scan(E.lt("d", dt.date(2024, 3, 7))), "id")
+    assert got == [(1,), (2,)]
+
+
+def test_iceberg_incremental_scan_rejects_non_append_ranges(spark, tmp_path):
+    """Ranges containing overwrite/replace snapshots must refuse (the
+    native table's contract): a rewrite inside the range would surface
+    old rows as new appends."""
+    import json
+
+    from swiftlake_spark.sources.iceberg import IcebergTable
+    from swiftlake_spark.sources.iceberg_write import IcebergWriter
+
+    loc = str(tmp_path / "ice_inc")
+    w = IcebergWriter(loc)
+    df1 = spark.createDataFrame([(1, "a")], "id BIGINT, v STRING")
+    s1 = w.append(df1)
+    w.append(spark.createDataFrame([(2, "b")], df1.schema))
+
+    # appends-only range works
+    t = IcebergTable(spark, loc)
+    assert t.incremental_scan(s1).count() == 1
+
+    # doctor the latest snapshot's operation to simulate a rewrite
+    mpath = f"{loc}/metadata/v{w.version}.metadata.json"
+    meta = json.load(open(mpath))
+    meta["snapshots"][-1]["summary"]["operation"] = "replace"
+    json.dump(meta, open(mpath, "w"))
+    t2 = IcebergTable(spark, loc)
+    with pytest.raises(ValueError):
+        t2.incremental_scan(s1)
+    # a from-id outside the ancestry also refuses
+    with pytest.raises(ValueError):
+        IcebergTable(spark, loc).incremental_scan(99999)
