@@ -63,7 +63,11 @@ class MemoryCatalogCommitService(CatalogCommitService):
 
     def cas(self, table_key: str, expected: str | None, new: str) -> bool:
         with self._lock:
-            if self._pointers.get(table_key) != expected:
+            cur = self._pointers.get(table_key)
+            # strict precondition semantics, like a conforming backend
+            # (Glue VersionId / JDBC UPDATE … WHERE metadata_location=?):
+            # no row → fail; creation goes through register()
+            if cur is None or cur != expected:
                 return False
             self._pointers[table_key] = new
             return True

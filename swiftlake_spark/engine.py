@@ -115,8 +115,10 @@ class SwiftLakeEngine:
         (``?``) parameter markers — the Spark-native counterpart of the
         reference's typed JDBC prepared statements
         (sql/SwiftLakePreparedStatement.java:179-500, A25)."""
-        if self._catalog is not None:
-            sql = self._catalog.resolve_sql(sql)
+        if self.warehouse is not None:
+            # instantiate the catalog if needed — resolution must not
+            # depend on whether something touched engine.catalog first
+            sql = self.catalog.resolve_sql(sql)
         if args is not None:
             return self.spark.sql(sql, args=args)
         return self.spark.sql(sql)
@@ -157,10 +159,14 @@ class SwiftLakeEngine:
             out: dict = {}
 
             def run() -> None:
-                # job-group properties are thread-local: set in the thread
-                # that triggers the jobs so cancelJobGroup finds them
-                sc.setJobGroup(group, "SwiftLakeEngine.execute", interruptOnCancel=True)
                 try:
+                    # job-group properties are thread-local: set in the
+                    # thread that triggers the jobs so cancelJobGroup
+                    # finds them (inside the try — a py4j failure here
+                    # must surface as the real error, not KeyError)
+                    sc.setJobGroup(
+                        group, "SwiftLakeEngine.execute", interruptOnCancel=True
+                    )
                     out["rows"] = df.collect()
                 except Exception as exc:  # noqa: BLE001 — reraised below
                     out["err"] = exc

@@ -108,20 +108,30 @@ class FileIO:
 class LocalFileIO(FileIO):
     scheme = "file"
 
+    @staticmethod
+    def _p(path: str) -> str:
+        """Every method accepts the file:// URI form — strip it so the
+        scheme-dispatch promise ('file:// or bare paths → local') holds
+        for ALL operations, not just local_path."""
+        if path.startswith("file://"):
+            return path[len("file://"):]
+        return path
+
     def read_bytes(self, path: str) -> bytes:
-        with open(path, "rb") as f:
+        with open(self._p(path), "rb") as f:
             return f.read()
 
     def exists(self, path: str) -> bool:
-        return os.path.exists(path)
+        return os.path.exists(self._p(path))
 
     def list(self, prefix: str) -> list[str]:
         try:
-            return sorted(os.listdir(prefix))  # deterministic, like mem
+            return sorted(os.listdir(self._p(prefix)))  # deterministic, like mem
         except (FileNotFoundError, NotADirectoryError):
             return []
 
     def list_recursive(self, prefix: str) -> list[str]:
+        prefix = self._p(prefix)
         out = []
         for root, _dirs, files in os.walk(prefix):
             for fn in files:
@@ -129,20 +139,32 @@ class LocalFileIO(FileIO):
         return sorted(out)
 
     def mtime(self, path: str) -> float:
-        return os.path.getmtime(path)
+        return os.path.getmtime(self._p(path))
 
     def write_bytes(self, path: str, data: bytes) -> None:
+        path = self._p(path)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
             f.write(data)
 
     def try_claim(self, path: str, data: str) -> None:
+        """Write the full body to a tmp file, then hard-link it into
+        place: link(2) fails with EEXIST if the claim is taken, and a
+        successful claim is visible to readers ONLY with its complete
+        contents — O_CREAT|O_EXCL alone exposes a created-but-empty
+        window where a concurrent loader would JSON-parse a torn file."""
+        path = self._p(path)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # raises FileExistsError
-        with os.fdopen(fd, "w") as f:
+        tmp = os.path.join(os.path.dirname(path), f".claim.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
             f.write(data)
+        try:
+            os.link(tmp, path)  # atomic create-if-absent, full contents
+        finally:
+            os.unlink(tmp)
 
     def replace_text(self, path: str, data: str) -> None:
+        path = self._p(path)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = os.path.join(os.path.dirname(path), f".tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -150,16 +172,15 @@ class LocalFileIO(FileIO):
         os.replace(tmp, path)
 
     def delete(self, path: str) -> None:
-        os.remove(path)
+        os.remove(self._p(path))
 
     def local_path(self, path: str) -> str:
-        if path.startswith("file://"):
-            return path[len("file://"):]
-        return path
+        return self._p(path)
 
     def upload(self, local_src: str, path: str) -> None:
+        path = self._p(path)
         if os.path.abspath(local_src) != os.path.abspath(path):
-            self.write_bytes(path, LocalFileIO().read_bytes(local_src))
+            self.write_bytes(path, self.read_bytes(local_src))
 
 
 class _MemStore:
@@ -180,9 +201,17 @@ def _mem_store(name: str) -> _MemStore:
 
 
 def reset_memory_store(name: str) -> None:
-    """Test hook: drop a named store's contents."""
+    """Test hook: drop a named store's contents AND the singleton's
+    staged copies of them — otherwise local_path would keep serving
+    bytes of deleted objects across tests."""
     with _MEM_STORES_LOCK:
         _MEM_STORES.pop(name, None)
+        if _MEM_IO is not None:
+            prefix = f"mem://{name}/"
+            stale = [k for k in _MEM_IO._staged if k.startswith(prefix)]
+            for k in stale:
+                dst = _MEM_IO._staged.pop(k)
+                _MEM_IO._origins.pop(dst, None)
 
 
 class MemoryFileIO(FileIO):

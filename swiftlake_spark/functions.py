@@ -23,12 +23,13 @@ def uuid_from_hex(hex32: Column) -> Column:
     """Canonical UUID string from 32 hex chars (e.g. an md5 digest):
     lowercase, dash-grouped 8-4-4-4-12 — the reference's storage form."""
     h = F.lower(hex32)
-    return F.concat_ws(
-        "-",
-        F.substring(h, 1, 8),
-        F.substring(h, 9, 4),
-        F.substring(h, 13, 4),
-        F.substring(h, 17, 4),
+    # F.concat (not concat_ws): NULL input must yield NULL, not '' —
+    # concat_ws skips NULL arguments and would corrupt nullity
+    return F.concat(
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
         F.substring(h, 21, 12),
     )
 
