@@ -324,7 +324,10 @@ def resize_image(
             F.col("meta")
             .withField("width", F.lit(width).cast("int"))
             .withField("height", F.lit(height).cast("int"))
-            .withField("n_bytes", F.length(F.col(data_col)).cast("bigint")),
+            .withField("n_bytes", F.length(F.col(data_col)).cast("bigint"))
+            # the real path transcodes every input to PPM — the metadata
+            # must describe the payload it sits next to, not the source
+            .withField("format", F.lit("ppm")),
         )
     return out
 

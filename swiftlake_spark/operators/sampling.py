@@ -25,9 +25,16 @@ _BUCKETS = 1_000_000
 def _bucket(key: Column, salt: str, hash_fn: str) -> Column:
     if hash_fn == "xxhash64":
         return F.pmod(F.xxhash64(F.lit(salt), key), F.lit(_BUCKETS))
-    # portable: first 8 hex chars of md5 → int
+    # portable: first 8 hex chars of md5 → int.  NULL keys hash a
+    # sentinel instead of propagating — a NULL bucket would silently
+    # DROP every NULL-key row from hash_sample and pin them to the last
+    # split in hash_split, diverging from the xxhash64 path (which
+    # hashes NULL deterministically); the sentinel keeps both paths
+    # deterministic-per-key on NULLs and portable to a SQL oracle
+    # (coalesce(k, '\x00NULL') spells the same there)
+    k = F.coalesce(key.cast("string"), F.lit("\x00NULL"))
     return F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10).cast(
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), k)), 1, 8), 16, 10).cast(
             "bigint"
         ),
         F.lit(_BUCKETS),

@@ -216,15 +216,45 @@ class _Writer:
 
 
 def _union_branch(union: list, v: Any) -> int:
+    """Branch index for ``v``: null → the null branch; otherwise the
+    first branch whose type matches the Python value (first-non-null
+    alone would pick 'long' for a string in ['null','long','string'] and
+    corrupt the encoding).  Falls back to the first non-null branch for
+    complex shapes (records/arrays) — the two-branch unions this module
+    writes are unambiguous there."""
+
     def name(s: Any) -> str:
         return s if isinstance(s, str) else s["type"]
 
+    _MATCH = {
+        "boolean": bool,
+        "int": int,
+        "long": int,
+        "float": float,
+        "double": float,
+        "string": str,
+        "bytes": (bytes, bytearray),
+    }
+    non_null = [(i, name(s)) for i, s in enumerate(union) if name(s) != "null"]
     for i, s in enumerate(union):
-        n = name(s)
-        if v is None and n == "null":
+        if v is None and name(s) == "null":
             return i
-        if v is not None and n != "null":
+    if v is None:
+        raise ValueError(f"no union branch for {v!r} in {union}")
+    # exact type match first (bool before int: bool is an int subclass)
+    if isinstance(v, bool):
+        for i, n in non_null:
+            if n == "boolean":
+                return i
+    for i, n in non_null:
+        t = _MATCH.get(n)
+        if t is not None and not isinstance(v, bool) and isinstance(v, t):
             return i
+    for i, n in non_null:
+        if n not in _MATCH:  # record/array/map/fixed/enum
+            return i
+    if non_null:
+        return non_null[0][0]
     raise ValueError(f"no union branch for {v!r} in {union}")
 
 

@@ -126,7 +126,12 @@ def add_field(schema: T.StructType, path: str, dtype: str) -> T.StructType:
     def edit(st: T.StructType) -> T.StructType:
         if leaf in st.fieldNames():
             raise ValidationError(f"field {path!r} already exists")
-        return st.add(leaf, parsed, True)
+        # NOT st.add(...): StructType.add MUTATES self and returns it, so
+        # the caller's input schema would silently grow the field too —
+        # build a fresh StructType like every other edit here
+        return T.StructType(
+            list(st.fields) + [T.StructField(leaf, parsed, True)]
+        )
 
     return _rebuild_at(schema, parent, edit)  # type: ignore[return-value]
 

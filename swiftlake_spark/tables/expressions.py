@@ -113,9 +113,39 @@ def _is_nan(v: Any) -> bool:
     return isinstance(v, float) and math.isnan(v)
 
 
+def _prefix_successor(p: str) -> str | None:
+    """Smallest string greater than EVERY string with prefix ``p``: bump
+    the last non-maximal char (dropping the tail), skipping surrogates.
+    None when all chars are U+10FFFF (no successor exists)."""
+    for i in range(len(p) - 1, -1, -1):
+        cp = ord(p[i])
+        if cp < 0x10FFFF:
+            ncp = cp + 1
+            if 0xD800 <= ncp <= 0xDFFF:
+                ncp = 0xE000
+            return p[:i] + chr(ncp)
+    return None
+
+
+def _iso(v: Any) -> Any:
+    """File stats store date/timestamp bounds as ISO strings
+    (stats._portable); predicate literals arrive as date/datetime
+    objects.  Normalize BOTH to the ISO string domain so pruning on the
+    most common filter-column types actually fires (lexicographic ISO
+    order ≡ chronological order for the uniform format used)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
 def _cmp(a: Any, b: Any) -> int | None:
     """Total-order compare with NaN greatest (Spark/DuckDB order).
-    None when values are incomparable (mixed types we don't coerce)."""
+    None when values are incomparable (mixed types we don't coerce —
+    except date/datetime vs their own ISO string stats encoding)."""
     if _is_nan(a) and _is_nan(b):
         return 0
     if _is_nan(a):
@@ -127,6 +157,11 @@ def _cmp(a: Any, b: Any) -> int | None:
             return 0
         return -1 if a < b else 1
     except TypeError:
+        a2, b2 = _iso(a), _iso(b)
+        if a2 is a and b2 is b:
+            return None
+        if isinstance(a2, str) and isinstance(b2, str):
+            return 0 if a2 == b2 else (-1 if a2 < b2 else 1)
         return None
 
 
@@ -375,11 +410,18 @@ class StartsWith(Expr):
             return None
         p = self.prefix
         if self.negated:
-            # all-match/none-match reasoning for NOT LIKE is only safe when
-            # the whole range shares the prefix or provably avoids it
-            if mn.startswith(p) and mx.startswith(p) and mn[: len(p)] == mx[: len(p)]:
-                return None  # some rows share prefix; can't prove all
-            if mx < p or mn > p + "￿":
+            if mn.startswith(p) and mx.startswith(p):
+                # every value between two p-prefixed bounds is p-prefixed
+                # (lexicographic interval property) → NOT prefix matches
+                # zero rows: prune
+                return False
+            # no value has prefix p iff the range is entirely below p or
+            # entirely at/above the SUCCESSOR prefix.  p+U+FFFF is NOT
+            # that successor — code points above U+FFFF sort after it, so
+            # p-prefixed astral-plane strings would wrongly prove
+            # all-match (and a delete would drop rows it must keep).
+            succ = _prefix_successor(p)
+            if mx < p or (succ is not None and mn >= succ):
                 return True if nulls == 0 else None
             return None
         if mx < p or (not mn.startswith(p) and mn > p):

@@ -184,3 +184,78 @@ def row_matches_dt(p, v):
         "eq": v == p.value, "ne": v != p.value, "lt": v < p.value,
         "le": v <= p.value, "gt": v > p.value, "ge": v >= p.value,
     }[p.op]
+
+
+def test_null_count_sound_with_all_null_row_group(spark, tmp_path):
+    """A row group that is ALL NULL has a null count but no min/max; its
+    count must reach the manifest (or the nulls stat must be absent) —
+    recording nulls=0 would let a delete drop the whole file on an
+    unsound not_null verdict, silently losing the NULL rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swiftlake_spark.tables.stats import collect_file_stats
+
+    path = str(tmp_path / "nullgroups.parquet")
+    t1 = pa.table({"id": pa.array([1, 2], pa.int64()),
+                   "v": pa.array(["a", "b"], pa.string())})
+    t2 = pa.table({"id": pa.array([3, 4], pa.int64()),
+                   "v": pa.array([None, None], pa.string())})
+    w = pq.ParquetWriter(path, t1.schema)
+    w.write_table(t1)   # row group 1: 0 nulls, has min/max
+    w.write_table(t2)   # row group 2: all NULL, no min/max
+    w.close()
+
+    _, _, stats = collect_file_stats(path)
+    v = stats.get("v", {})
+    # either the true total (2) or absent — NEVER a partial 0
+    assert v.get("nulls") in (2, None)
+
+    from swiftlake_spark.tables import expressions as E
+    from swiftlake_spark.tables.expressions import FileStatsView
+
+    verdict = E.not_null("v").eval_stats(FileStatsView({}, stats, 4))
+    assert verdict is not True  # file contains NULLs: must not claim all-match
+    verdict2 = E.is_null("v").eval_stats(FileStatsView({}, stats, 4))
+    assert verdict2 is not False  # must not prune the file from IS NULL reads
+
+
+def test_negated_startswith_astral_plane_soundness():
+    """NOT startswith must not claim all-match for a file whose values
+    carry the prefix followed by astral-plane characters (they sort
+    after U+FFFF, which the old p+'\\uffff' bound missed), and must
+    prune when both bounds share the prefix."""
+    from swiftlake_spark.tables import expressions as E
+    from swiftlake_spark.tables.expressions import FileStatsView, StartsWith
+
+    # all values start with 'a' + emoji → NOT startswith('a') matches 0
+    sv = FileStatsView({}, {"s": {"min": "a\U0001F600x", "max": "a\U0001F600z", "nulls": 0}}, 2)
+    got = StartsWith("s", "a", negated=True).eval_stats(sv)
+    assert got is not True  # old code claimed all-match → deleted kept rows
+    assert got is False  # both bounds share the prefix → provably zero match
+
+    # range provably above the successor prefix: all-match is sound
+    sv2 = FileStatsView({}, {"s": {"min": "b0", "max": "b9", "nulls": 0}}, 2)
+    assert StartsWith("s", "a", negated=True).eval_stats(sv2) is True
+
+
+def test_date_literal_prunes_string_encoded_bounds():
+    """Stats store date/timestamp bounds as ISO strings; date/datetime
+    predicate literals must still prune (the common filter shape)."""
+    import datetime as dt
+
+    from swiftlake_spark.tables import expressions as E
+    from swiftlake_spark.tables.expressions import FileStatsView
+
+    sv = FileStatsView(
+        {}, {"d": {"min": "2024-01-01", "max": "2024-01-31", "nulls": 0}}, 10
+    )
+    assert E.gt("d", dt.date(2024, 2, 1)).eval_stats(sv) is False  # prune
+    assert E.lt("d", dt.date(2024, 1, 15)).eval_stats(sv) is None  # may match
+    sv2 = FileStatsView(
+        {},
+        {"ts": {"min": "2024-01-01 00:00:00", "max": "2024-01-01 12:00:00",
+                "nulls": 0}},
+        10,
+    )
+    assert E.gt("ts", dt.datetime(2024, 6, 1)).eval_stats(sv2) is False
