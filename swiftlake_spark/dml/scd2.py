@@ -112,6 +112,10 @@ class SCD2Builder:
         return self
 
     def operation_type_column(self, col: str, delete_value) -> "SCD2Builder":
+        # the delete marker is mandatory (reference operationTypeColumn
+        # signature): a None would make `op != None` NULL for every row
+        # and silently empty the upsert set while still rewriting files
+        require(delete_value is not None, "operation_type_column needs a delete value")
         self._op_column = col
         self._delete_value = delete_value
         return self

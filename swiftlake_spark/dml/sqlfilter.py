@@ -201,7 +201,17 @@ class _Parser:
     def literal(self, col: str) -> Any:  # noqa: C901
         k, v = self.next()
         if k == "kw" and v == "NULL":
-            return None
+            # a NULL literal inside a comparison / IN list / BETWEEN is
+            # never satisfiable under SQL three-valued logic, and folding
+            # it (e.g. dropping NULL from an IN list) INVERTS under NOT —
+            # "x NOT IN (1, NULL)" would return rows where SQL returns
+            # none.  These Exprs drive DML row filters, so refuse loudly
+            # instead of mutating the wrong rows.  (IS [NOT] NULL and
+            # IS [NOT] DISTINCT FROM NULL are handled before this point.)
+            raise FilterParseError(
+                "NULL literal in a comparison/IN/BETWEEN is never "
+                "satisfiable; use IS [NOT] NULL or IS [NOT] DISTINCT FROM"
+            )
         if k == "kw" and v == "TRUE":
             return True
         if k == "kw" and v == "FALSE":

@@ -25,7 +25,10 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     the DESCENDING list [0, -1], not empty, so the short case must be
     guarded explicitly or w[i+j] indexes past the array (ANSI error /
     bogus partial shingles)."""
-    w = F.split(F.col(text_col), " ")
+    # \s+ regex: newline/tab/multi-space variants must shingle the same
+    # (a literal single-space split minted ''/embedded-\n tokens, so
+    # whitespace-variant near-duplicates escaped MinHash/SimHash)
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
     arr = F.when(
         F.size(w) >= k,
         F.transform(
@@ -41,8 +44,13 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one row per distinct content (lowest/highest id wins).
     Returns df + ``is_keeper``/``group_size`` columns."""
+    # two independently-seeded 64-bit hashes ≈ a 128-bit key: at the
+    # documented billions-of-documents scale, a single 64-bit key makes a
+    # birthday collision (two DISTINCT documents sharing a group, one
+    # silently dropped as a "duplicate") plausible; 2^128 does not
     h = F.xxhash64(*content_cols)
-    wp = W.partitionBy(h)
+    h2 = F.xxhash64(F.lit(1), *content_cols)
+    wp = W.partitionBy(h, h2)
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
     return (
         df.withColumn("__rn", F.row_number().over(wp.orderBy(order)))
@@ -80,6 +88,12 @@ def lsh_candidate_pairs(
     """Band the signature and self-join on (band_idx, band_hash) →
     distinct candidate pairs (id_a < id_b).  One shuffle on the band key;
     hot buckets are bounded by the band width choice."""
+    if bands <= 0 or bands > n_hashes or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands must evenly divide n_hashes ({n_hashes}); got {bands} — "
+            "a remainder would silently drop trailing hashes from every "
+            "band and change the tuned S-curve"
+        )
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -136,8 +150,11 @@ def minhash_lsh_dedup(
     threshold: float = 0.7,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → MinHash → LSH bands →
-    exact-Jaccard verification."""
-    sh = shingles(df, id_col, text_col, shingle_k)
+    exact-Jaccard verification.  ``sh`` feeds the signature pass AND the
+    verify stage twice (size aggregate + common-shingle join) — persist
+    it, or the full split/explode/distinct corpus pass runs three times
+    (the same reason connected_components persists its edge list)."""
+    sh = shingles(df, id_col, text_col, shingle_k).persist()
     sig = minhash_signatures(sh, n_hashes)
     cand = lsh_candidate_pairs(sig, n_hashes, bands)
     return jaccard_verify(cand, sh, threshold)

@@ -305,6 +305,12 @@ def stream_upsert_into_table(
     """
     from pyspark.sql import Window
 
+    if op_column is not None and delete_value is None:
+        raise ValueError(
+            "op_column requires delete_value (a None marker would drop "
+            "every upsert via SQL three-valued logic)"
+        )
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return

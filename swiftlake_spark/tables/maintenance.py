@@ -58,7 +58,13 @@ def compact(
     # coalesce toward the target size: estimate output file count from
     # input bytes (compressed) and write that many partitions per group
     total = sum(e.size_bytes for e in to_rewrite)
-    n_out = max(1, total // target_file_size_bytes + 1)
+    # ceil, not floor+1: floor+1 always yields sub-target outputs, so the
+    # same partition re-selects on EVERY maintenance run (non-convergent
+    # full rewrites forever); also skip when rewriting wouldn't reduce
+    # the file count
+    n_out = max(1, -(-total // target_file_size_bytes))
+    if len(to_rewrite) <= n_out:
+        return None
     new_entries = table._write_files(src.coalesce(int(n_out)) if not table.transforms else src)
     removed = {e.path for e in to_rewrite}
 
@@ -230,7 +236,12 @@ def expire_snapshots(
     stops working (Iceberg's expire semantics).  Returns expired ids."""
     meta = table.meta
     keep: set[int] = set(meta.refs.values())
-    recent = sorted(meta.snapshots, key=lambda s: s.timestamp_ms)[-keep_last:]
+    # [-0:] slices EVERYTHING — keep_last=0 must keep nothing extra
+    recent = (
+        sorted(meta.snapshots, key=lambda s: s.timestamp_ms)[-keep_last:]
+        if keep_last > 0
+        else []
+    )
     keep.update(s.snapshot_id for s in recent)
 
     cutoff = older_than_ms if older_than_ms is not None else now_ms() + 1
@@ -246,10 +257,27 @@ def expire_snapshots(
     return expired
 
 
-def vacuum(table: Table, *, dry_run: bool = False) -> dict[str, Any]:
+def vacuum(
+    table: Table,
+    *,
+    dry_run: bool = False,
+    older_than_ms: int | None = 3 * 24 * 3600 * 1000,
+) -> dict[str, Any]:
     """Delete data files and manifests referenced by NO remaining
-    snapshot.  Returns {'data_files': [...], 'manifests': [...]}."""
-    meta = table.meta
+    snapshot.  Returns {'data_files', 'manifests', 'metadata_files'}.
+
+    Safety (both matter at any concurrency):
+    - liveness is computed against FRESHLY LOADED metadata, never the
+      handle's snapshot — a stale handle must not classify files of a
+      concurrent commit as orphans;
+    - ``older_than_ms`` (default 3 days, Iceberg's remove_orphan_files
+      default) skips young files: writers stage parquet under data/
+      BEFORE their commit, so an age gate is what keeps vacuum from
+      deleting an in-flight write.  Pass 0/None only when no writer can
+      be active (tests, offline maintenance windows)."""
+    from swiftlake_spark.tables.metadata import load_metadata as _load
+
+    meta = _load(table.location)
     live_data: set[str] = set()
     live_manifests: set[str] = set()
     for s in meta.snapshots:
@@ -260,10 +288,28 @@ def vacuum(table: Table, *, dry_run: bool = False) -> dict[str, Any]:
     from swiftlake_spark import fileio as _fio
 
     io = _fio.fileio_for(meta.location)
+    import time as _time
+
+    cutoff = (
+        _time.time() - older_than_ms / 1000.0
+        if older_than_ms
+        else None
+    )
+
+    def _old_enough(rel: str) -> bool:
+        if cutoff is None:
+            return True
+        try:
+            return io.mtime(_fio.join(meta.location, rel)) <= cutoff
+        except (FileNotFoundError, OSError):
+            return False
+
     orphan_data: list[str] = [
         "data/" + sub
         for sub in io.list_recursive(_fio.join(meta.location, "data"))
-        if sub.endswith(".parquet") and os.path.normpath("data/" + sub) not in live_data
+        if sub.endswith(".parquet")
+        and os.path.normpath("data/" + sub) not in live_data
+        and _old_enough("data/" + sub)
     ]
     orphan_manifests = [
         fn

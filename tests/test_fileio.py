@@ -247,7 +247,7 @@ def test_native_table_end_to_end_on_memory_store(spark):
     from swiftlake_spark.tables.maintenance import expire_snapshots
 
     expire_snapshots(t.refresh(), older_than_ms=2**62, keep_last=1)
-    rep = vacuum(t.refresh())
+    rep = vacuum(t.refresh(), older_than_ms=0)
     assert rep["data_files"]  # old COW generations became orphans
     for rel in rep["data_files"]:
         assert not io.exists(f"mem://wh/lake/db/remote1/{rel}")
@@ -415,7 +415,7 @@ def test_catalog_cas_recovery_without_service(spark, tmp_path):
 
         with _pt.raises(CommitConflict):
             write_new_version(loser)
-        rep = vacuum(eng.catalog.table("db.casrec"))
+        rep = vacuum(eng.catalog.table("db.casrec"), older_than_ms=0)
         assert rep["metadata_files"], "loser metadata file must be GC'd"
     finally:
         cs.set_default_catalog_service(prev)

@@ -95,10 +95,10 @@ def test_compact_expire_vacuum(spark, tmp_path):
     # expire everything but the head, then vacuum the replaced files
     expired = t.expire_snapshots(keep_last=1)
     assert len(expired) == 4  # the four pre-compaction snapshots
-    report = t.vacuum(dry_run=True)
+    report = t.vacuum(dry_run=True, older_than_ms=0)
     assert len(report["data_files"]) == 4  # the small files, now orphaned
-    t.vacuum()
-    assert t.vacuum(dry_run=True)["data_files"] == []
+    t.vacuum(older_than_ms=0)
+    assert t.vacuum(dry_run=True, older_than_ms=0)["data_files"] == []
     assert t.scan().count() == 4  # current data untouched
 
     # further writes still work after maintenance

@@ -91,7 +91,7 @@ def test_document_pipeline_end_to_end(engine, spark):
     t.compact(target_file_size_bytes=1 << 26)
     t.refresh()
     t.expire_snapshots(keep_last=1)
-    t.vacuum()
+    t.vacuum(older_than_ms=0)
     assert t.scan().count() == n_final  # nothing lost
     hist = [r["operation"] for r in t.history().collect()]
     assert "append" in hist
