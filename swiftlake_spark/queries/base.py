@@ -35,10 +35,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}")
-    key = (id(spark.sparkContext), sf_dir, name)
+    # applicationId, not id(): CPython reuses object addresses after GC,
+    # so a fresh session could hit a dead session's cached DataFrames
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key in _LOAD_CACHE:
         return _LOAD_CACHE[key]
     if name == "events":
+        # NOTE: the nanosAsLong flag stays set on the session afterwards —
+        # it must hold at SCAN time for the lazy plan, so a set/restore
+        # scope would break execution.  Side effect: later reads of OTHER
+        # nanos-timestamp parquet return bigint instead of erroring
+        # (micros files are unaffected).
         # events.parquet has varied across fixture generations: INT64
         # TIMESTAMP(NANOS) (which the Spark vectorized reader rejects —
         # read nanos as long, truncate to micros like DuckDB's ns→µs) or

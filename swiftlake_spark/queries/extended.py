@@ -533,7 +533,7 @@ def q76_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q77_contamination",
     oracle="""
 WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
 ), grams AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
   FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 2, 0))) AS t(i)
@@ -871,7 +871,7 @@ def _q111_table(spark: SparkSession, sf_dir: str):
 
     from swiftlake_spark.tables.catalog import Catalog
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     wh = _Q111_CACHE.get(key)
     if wh is not None:
         return Catalog(spark, wh).table("db.q111")
@@ -946,7 +946,7 @@ def _q112_table(spark: SparkSession, sf_dir: str):
 
     from swiftlake_spark.tables.catalog import Catalog
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     wh = _Q112_CACHE.get(key)
     if wh is not None:
         return Catalog(spark, wh).table("db.q112")
@@ -1013,7 +1013,7 @@ def _q113_table(spark: SparkSession, sf_dir: str) -> str:
 
     from swiftlake_spark.sources.iceberg_write import IcebergWriter
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     loc = _Q113_CACHE.get(key)
     if loc is not None:
         return loc

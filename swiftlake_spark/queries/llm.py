@@ -218,7 +218,8 @@ def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q44_fingerprint",
     oracle="""
 WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 100
 ), shingles AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
   FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 2, 0))) AS t(i)
@@ -445,7 +446,11 @@ def _minhash_pair_ctes() -> str:
         for b in range(_MINHASH_BANDS)
     )
     return f"""words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 300
+  -- regexp split matches the operators' tokenization (trim + \s+); a
+  -- literal-space split would certify a DIFFERENT function than the
+  -- engine computes the moment fixtures carry tabs/newlines/double spaces
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 300
 ), shingles AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
   FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 2, 0))) AS t(i)
@@ -561,8 +566,10 @@ def q102_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q49_simhash_neardup",
     oracle="""
-SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 500 AND text IS NOT NULL) AS BIGINT) AS n_docs,
-       CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 500 AND text IS NOT NULL) AS BIGINT) AS planted_found,
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+              AND LEN(regexp_split_to_array(trim(text), '\s+')) >= 3) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+              AND LEN(regexp_split_to_array(trim(text), '\s+')) >= 3) AS BIGINT) AS planted_found,
        true AS all_within_bound,
        true AS ordered_ok
 """,
@@ -572,16 +579,24 @@ def q49_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         load(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") < 500) & F.col("text").isNotNull())
+        .filter(
+            (F.col("doc_id") < 500)
+            & F.col("text").isNotNull()
+            # docs under 3 tokens yield NO shingles → no signature → no
+            # planted pair; both sides must exclude them from the count
+            & (F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+        )
         .select("doc_id", "text")
     )
     planted = d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
     pairs = simhash_near_dups(
         d.unionByName(planted), "doc_id", "text", max_hamming=3
     )
-    n_docs = d.count()
+    # the doc count folds into the ONE returned plan (crossJoin of a
+    # 1-row aggregate) — an eager d.count() here would run a separate
+    # full scan at plan-construction time on every invocation
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     return pairs.agg(
-        F.lit(n_docs).cast("bigint").alias("n_docs"),
         F.coalesce(
             F.sum(
                 (
@@ -597,6 +612,8 @@ def q49_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.bool_and(F.col("id_a") < F.col("id_b")), F.lit(True)).alias(
             "ordered_ok"
         ),
+    ).crossJoin(F.broadcast(n_docs)).select(
+        "n_docs", "planted_found", "all_within_bound", "ordered_ok"
     )
 
 
@@ -719,9 +736,9 @@ def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (
   SELECT doc_id,
-         LEN(string_split(text, ' ')) AS n_tokens,
+         LEN(regexp_split_to_array(text, '\s+')) AS n_tokens,
          LENGTH(text) AS n_chars_m,
-         LEN(list_distinct(string_split(text, ' '))) AS n_distinct,
+         LEN(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct,
          LENGTH(regexp_replace(text, '[^\\.,;:!?]', '', 'g')) AS n_punct,
          LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
   FROM documents WHERE doc_id < 200
@@ -759,10 +776,10 @@ def q51_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH scored AS (
   SELECT doc_id, lang,
          [
-           {'score': CAST(LEN(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS DOUBLE) / LEN(string_split(text,' ')), 'lang': 'de'},
-           {'score': CAST(LEN(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of','is'))) AS DOUBLE) / LEN(string_split(text,' ')), 'lang': 'en'},
-           {'score': CAST(LEN(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y','es'))) AS DOUBLE) / LEN(string_split(text,' ')), 'lang': 'es'},
-           {'score': CAST(LEN(list_filter(string_split(text,' '), w -> w IN ('le','la','les','et','est'))) AS DOUBLE) / LEN(string_split(text,' ')), 'lang': 'fr'}
+           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('der','die','das','und','ist'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'de'},
+           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('the','a','and','of','is'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'en'},
+           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('el','la','los','y','es'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'es'},
+           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('le','la','les','et','est'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'fr'}
          ] AS scores
   FROM documents
 )
@@ -1108,7 +1125,7 @@ def q103_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q104_boilerplate_ngrams",
     oracle="""
 WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
 ), shingles AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS sh
   FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 1, 0))) AS t(i)
@@ -1356,7 +1373,7 @@ def q109_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one persisted grams relation per (session, sf_dir): repeated
     # invocations reuse the same cache entry instead of stacking a new
     # persisted copy each call (which would leak until executor OOM)
-    grams = _Q109_GRAMS_CACHE.get((id(spark), sf_dir))
+    grams = _Q109_GRAMS_CACHE.get((spark.sparkContext.applicationId, sf_dir))
     if grams is None:
         import os as _os
 
@@ -1373,7 +1390,7 @@ def q109_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", w[i], w[i + 1]),
         )
         grams = d.select("doc_id", F.explode(arr).alias("bg")).persist(level)
-        _Q109_GRAMS_CACHE[(id(spark), sf_dir)] = grams
+        _Q109_GRAMS_CACHE[(spark.sparkContext.applicationId, sf_dir)] = grams
     cnt = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     # corpus total = sum of the model's counts: a tiny agg over cnt, not
     # a third pass over the exploded corpus

@@ -1064,7 +1064,7 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 def q33_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    out = _Q33_CACHE.get((id(spark), sf_dir))
+    out = _Q33_CACHE.get((spark.sparkContext.applicationId, sf_dir))
     if out is None:
         # bounded slice: the metadata-column semantics under test are
         # layout-local (per-file dense row_index after partitionBy), so a
@@ -1082,7 +1082,7 @@ def q33_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.partitionBy("l_returnflag")
             .parquet(out)
         )
-        _Q33_CACHE[(id(spark), sf_dir)] = out
+        _Q33_CACHE[(spark.sparkContext.applicationId, sf_dir)] = out
     back = spark.read.parquet(out).select(
         "l_returnflag",
         F.col("_metadata.file_name").alias("_file"),
@@ -1210,15 +1210,18 @@ def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q37_struct_key_join",
     oracle="""
 WITH o AS (
-  SELECT {'ck': o_custkey, 'seg_hint': o_orderpriority[1:1]} AS k, o_totalprice
+  -- seg_hint derives from ck IDENTICALLY on both sides, so equality of
+  -- the WHOLE struct is meaningful (the old "AND o.k = o.k" conjunct
+  -- was a tautology — the declared struct-key-join coverage was vacuous)
+  SELECT {'ck': o_custkey, 'seg_hint': CAST(o_custkey % 3 AS VARCHAR)} AS k, o_totalprice
   FROM orders
 ), c AS (
-  SELECT {'ck': c_custkey, 'seg_hint': substr(c_mktsegment, 1, 1)} AS k, c_mktsegment
+  SELECT {'ck': c_custkey, 'seg_hint': CAST(c_custkey % 3 AS VARCHAR)} AS k, c_mktsegment
   FROM customer
 )
 SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-FROM o JOIN c ON o.k.ck = c.k.ck AND o.k = o.k
+FROM o JOIN c ON o.k = c.k
 GROUP BY c.c_mktsegment
 ORDER BY seg
 """,
@@ -1227,20 +1230,21 @@ def q37_struct_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         F.struct(
             F.col("o_custkey").alias("ck"),
-            F.substring("o_orderpriority", 1, 1).alias("seg_hint"),
+            (F.col("o_custkey") % 3).cast("string").alias("seg_hint"),
         ).alias("k"),
         "o_totalprice",
     )
     c = load(spark, sf_dir, "customer").select(
         F.struct(
             F.col("c_custkey").alias("ck"),
-            F.substring("c_mktsegment", 1, 1).alias("seg_hint"),
+            (F.col("c_custkey") % 3).cast("string").alias("seg_hint"),
         ).alias("k"),
         "c_mktsegment",
     )
     return (
         o.alias("o")
-        .join(F.broadcast(c.alias("c")), F.col("o.k.ck") == F.col("c.k.ck"))
+        # full STRUCT equality — the capability this query certifies
+        .join(F.broadcast(c.alias("c")), F.col("o.k") == F.col("c.k"))
         .groupBy(F.col("c_mktsegment").alias("seg"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -70,8 +70,17 @@ def q86_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
     pf = p.filter((F.col("p_type") == "SMALL") & F.col("p_size").between(10, 15))
+    # restrict the (part, supplier) universe to QUALIFYING parts before
+    # the distinct/aggregate/self-join — the oracle's correlated subquery
+    # likewise evaluates only for filtered parts; without the semi-join
+    # the min-acctbal aggregate shuffles every part in lineitem
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pf.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .distinct()
+    )
     # decorrelated min: per-part minimum acctbal over that part's suppliers
     with_bal = ps.join(s, ps.l_suppkey == s.s_suppkey)
     min_bal = with_bal.groupBy("l_partkey").agg(F.min("s_acctbal").alias("__min_bal"))
