@@ -180,10 +180,18 @@ ORDER BY doc_a, doc_b
 )
 def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    w = F.split("text", " ")
-    shingle_arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(-1))),
-        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+    # literal-space split (this query's oracle is pinned to string_split);
+    # let-bound so the split evaluates once per doc, not once per token ref
+    shingle_arr = F.aggregate(
+        F.array(F.split("text", " ")),
+        F.array().cast("array<string>"),
+        lambda _acc, w: F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1), F.get(w, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     shingles = (
         d.select("doc_id", F.explode(shingle_arr).alias("sh")).distinct()
