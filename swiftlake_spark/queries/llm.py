@@ -1392,10 +1392,19 @@ def q109_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             _os.environ.get("SWIFTLAKE_GRAMS_STORAGE", "DISK_ONLY"),
         )
         d = load(spark, sf_dir, "documents")
-        w = F.split("text", " ")
-        arr = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(-1))),
-            lambda i: F.concat_ws(" ", w[i], w[i + 1]),
+        # let-bound split (evaluates once per doc) + short-doc guard: the
+        # oracle's generate_series(1, LEN-1) is EMPTY for 1-word docs,
+        # while greatest(-1) minted two bogus partial grams per short doc
+        arr = F.aggregate(
+            F.array(F.split("text", " ")),
+            F.array().cast("array<string>"),
+            lambda _acc, w: F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         )
         grams = d.select("doc_id", F.explode(arr).alias("bg")).persist(level)
         _Q109_GRAMS_CACHE[(spark.sparkContext.applicationId, sf_dir)] = grams
