@@ -244,10 +244,18 @@ ORDER BY d.doc_id
 )
 def q44_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    w = F.split("text", " ")
-    shingle_arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(-1))),
-        lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+    # trim+\s+ tokenization, matching this query's oracle CTE and the
+    # fingerprint operator; let-bound split, short-doc guard
+    shingle_arr = F.aggregate(
+        F.array(F.split(F.trim("text"), r"\s+")),
+        F.array().cast("array<string>"),
+        lambda _acc, w: F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(" ", F.get(w, i), F.get(w, i + 1), F.get(w, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     sigs = (
         d.select("doc_id", F.explode(shingle_arr).alias("sh"))
