@@ -259,3 +259,75 @@ def test_date_literal_prunes_string_encoded_bounds():
         10,
     )
     assert E.gt("ts", dt.datetime(2024, 6, 1)).eval_stats(sv2) is False
+
+
+# -------------------------- REAL-footer soundness (strings, NULL chunks)
+# The two data-loss bugs this round both lived OUTSIDE the synthetic-stats
+# fuzz above: partial null counts in collect_file_stats (real parquet,
+# multiple row groups) and StartsWith bound reasoning on exotic strings.
+# This fuzzer drives the REAL pipeline: rows → multi-row-group parquet →
+# collect_file_stats → eval_stats, checked against row-level truth.
+_STR_ALPHABET = ["a", "ab", "b", "", "ü", "\U0001F600", "a\U0001F600", "aa",
+                 "x" * 70, "#n", "null", "a b", "z￿"]
+
+_string_values = st.one_of(st.none(), st.sampled_from(_STR_ALPHABET))
+
+
+def _str_row_matches(e, v) -> bool:
+    if isinstance(e, E.StartsWith):
+        if v is None:
+            return False
+        hit = v.startswith(e.prefix)
+        return (not hit) if e.negated else hit
+    return row_matches(e, v)
+
+
+@st.composite
+def _str_exprs(draw):
+    kind = draw(st.sampled_from(
+        ["eq", "ne", "lt", "ge", "is_null", "not_null", "sw", "nsw", "in"]
+    ))
+    v = draw(st.sampled_from(_STR_ALPHABET))
+    if kind == "is_null":
+        return E.is_null("c")
+    if kind == "not_null":
+        return E.not_null("c")
+    if kind == "sw":
+        return E.StartsWith("c", v)
+    if kind == "nsw":
+        return E.StartsWith("c", v, negated=True)
+    if kind == "in":
+        return E.in_("c", draw(st.lists(st.sampled_from(_STR_ALPHABET), max_size=3)))
+    return {"eq": E.col_eq, "ne": E.col_ne, "lt": E.lt, "ge": E.ge}[kind]("c", v)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    g1=st.lists(_string_values, min_size=1, max_size=5),
+    g2=st.lists(_string_values, min_size=1, max_size=5),
+    e=_str_exprs(),
+)
+def test_real_footer_stats_sound_on_strings(tmp_path_factory, g1, g2, e):
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from swiftlake_spark.tables.stats import collect_file_stats
+
+    path = str(
+        tmp_path_factory.mktemp("fuzz") / f"f{_uuid.uuid4().hex[:8]}.parquet"
+    )
+    schema = pa.schema([("c", pa.string())])
+    w = pq.ParquetWriter(path, schema)
+    w.write_table(pa.table({"c": pa.array(g1, pa.string())}))
+    w.write_table(pa.table({"c": pa.array(g2, pa.string())}))  # 2nd row group
+    w.close()
+    rows = g1 + g2
+    _, _, stats = collect_file_stats(path)
+    verdict = e.eval_stats(FileStatsView(None, stats, records=len(rows)))
+    truths = [_str_row_matches(e, v) for v in rows]
+    if verdict is False:
+        assert not any(truths), (e, rows, stats, "pruned matches")
+    elif verdict is True:
+        assert all(truths), (e, rows, stats, "claimed all-match falsely")
