@@ -69,7 +69,10 @@ class Catalog:
             parts = []
             for coldef in schema.split(","):
                 toks = coldef.strip().split()
-                if len(toks) == 2 and toks[1].upper() in ("UUID", "TIME"):
+                # match 'col UUID' with or without trailing constraint
+                # tokens (NOT NULL, COMMENT ...) — a 2-token-only check
+                # broke the documented logical types on any constraint
+                if len(toks) >= 2 and toks[1].upper() in ("UUID", "TIME"):
                     logical[toks[0]] = toks[1].lower()
                     toks[1] = {"UUID": "STRING", "TIME": "BIGINT"}[toks[1].upper()]
                 parts.append(" ".join(toks))
@@ -86,12 +89,16 @@ class Catalog:
         for d in spec:
             if d["source"] not in schema.fieldNames():
                 raise ValueError(f"partition source column {d['source']!r} not in schema")
+        parsed_sort = [_parse_sort(x) for x in (sort_order or [])]
+        for d in parsed_sort:
+            if d["col"] not in schema.fieldNames():
+                raise ValueError(f"sort column {d['col']!r} not in schema")
         meta = TableMetadata(
             table_uuid=uuid.uuid4().hex,
             location=location,
             schema_json=schema.jsonValue(),
             partition_spec=spec,
-            sort_order=[_parse_sort(s) for s in (sort_order or [])],
+            sort_order=parsed_sort,
             properties={
                 **{f"logical-type.{c}": t for c, t in logical.items()},
                 **(properties or {}),
@@ -169,7 +176,14 @@ class Catalog:
             base = ref.split("$")[0]
             if not self.table_exists(base):
                 return ref
-            view = "swl_" + re.sub(r"[^\w]", "_", ref)
+            # a short digest disambiguates refs that collapse to the same
+            # sanitized name (db.t$branch_x vs a real table db.t_branch_x)
+            import hashlib as _hl
+
+            view = (
+                "swl_" + re.sub(r"[^\w]", "_", ref)
+                + "_" + _hl.md5(ref.encode()).hexdigest()[:6]
+            )
             self.load(ref).createOrReplaceTempView(view)
             return view
 
@@ -204,7 +218,10 @@ def _parse_sort(s: str) -> dict:
     if "DESC" in up:
         asc = False
     if "NULLS" in up:
-        nulls_first = up[up.index("NULLS") + 1] == "FIRST"
+        i = up.index("NULLS")
+        if i + 1 >= len(up) or up[i + 1] not in ("FIRST", "LAST"):
+            raise ValueError(f"bad sort term {s!r}: NULLS needs FIRST|LAST")
+        nulls_first = up[i + 1] == "FIRST"
     if nulls_first is None:
         nulls_first = asc
     return {"col": col, "asc": asc, "nulls_first": nulls_first}

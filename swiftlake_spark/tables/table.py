@@ -215,7 +215,16 @@ class Table:
         the file's names already match (fast path)."""
         if not e.column_ids:
             return None
-        id_to_current = {fid: n for n, fid in self.meta.field_ids.items()}
+        # the inverse map is per-metadata-state, not per-entry: memoize it
+        # (prune calls this once per manifest entry — O(files × columns)
+        # dict builds otherwise)
+        key = (self.meta.version, len(self.meta.field_ids))
+        cached = self.__dict__.get("_id_map_cache")
+        if cached is not None and cached[0] == key:
+            id_to_current = cached[1]
+        else:
+            id_to_current = {fid: n for n, fid in self.meta.field_ids.items()}
+            self.__dict__["_id_map_cache"] = (key, id_to_current)
         m = {
             fname: id_to_current[fid]
             for fname, fid in e.column_ids.items()
@@ -284,6 +293,10 @@ class Table:
             if sid is None:
                 raise ValueError(f"unknown tag {tag!r}")
             return self.meta.snapshot_by_id(sid)
+        if branch != "main" and f"branch:{branch}" not in self.meta.refs:
+            # consistent with unknown tags: a typo'd branch must raise,
+            # not silently read as an empty table
+            raise ValueError(f"unknown branch {branch!r}")
         if as_of_ms is not None:
             return self.meta.snapshot_as_of(as_of_ms, branch)
         return self.meta.current_snapshot(branch)
@@ -330,7 +343,10 @@ class Table:
         Files that might contain both matching and non-matching rows fail
         the operation (strict semantics, reference A11)."""
         if validate_added and df is not None:
-            bad = df.filter(~filter.column()).limit(1).count()
+            # non-match = NOT TRUE, which includes NULL-evaluating rows —
+            # a bare ~cond would let rows outside the filter domain slip
+            # past the strict check (3VL: ~NULL is NULL, filtered out)
+            bad = df.filter(~F.coalesce(filter.column(), F.lit(False))).limit(1).count()
             if bad:
                 raise ValidationError("added rows do not all match the overwrite filter")
         new_entries = self._write_files(df, skip_sort=skip_sort) if df is not None else []
@@ -338,14 +354,20 @@ class Table:
         def mutate(current: list[ManifestEntry]) -> list[ManifestEntry]:
             keep: list[ManifestEntry] = []
             for e in current:
-                v = filter.eval_stats(e.stats_view())
+                v = filter.eval_stats(e.stats_view(self._rename_map(e)))
                 if v is True:
                     continue  # fully replaced
                 if v is None:
                     # strict check could not prove all-or-nothing from
-                    # stats → verify row-level (reads just this file)
+                    # stats → verify row-level (reads just this file).
+                    # "doesn't match" must include NULL-evaluating rows
+                    # (3VL): a file holding {match, NULL} rows is PARTIAL
+                    # — with a bare ~cond the NULL rows were invisible and
+                    # the whole file (NULL rows included) was dropped
                     part = self._read_entries([e])
-                    n_no = part.filter(~filter.column()).limit(1).count()
+                    n_no = part.filter(
+                        ~F.coalesce(filter.column(), F.lit(False))
+                    ).limit(1).count()
                     n_yes = part.filter(filter.column()).limit(1).count()
                     if n_yes and n_no:
                         raise ValidationError(
@@ -383,6 +405,12 @@ class Table:
     ) -> Snapshot:
         """Copy-on-write UPDATE: rewrite only files containing matches.
         ``batch``: a TableBatchTransaction to defer the commit into."""
+        unknown = set(set_exprs) - set(self.schema.fieldNames())
+        if unknown:
+            raise ValidationError(
+                f"update sets unknown columns {sorted(unknown)} — the "
+                "rewrite would commit without applying them"
+            )
         return self._cow_rewrite(
             condition,
             branch,
@@ -410,7 +438,13 @@ class Table:
         batch=None, skip_sort: bool = False, extra_summary: dict | None = None,
     ) -> Snapshot:
         """Copy-on-write DELETE: drop fully-matching files from metadata
-        alone; rewrite partially-matching files with NOT(cond)."""
+        alone; rewrite partially-matching files with NOT(cond).
+
+        3VL note (deliberate reference parity, dao/delete.xml:11-15:
+        ``SELECT * WHERE NOT (cond)``): rows where ``cond`` evaluates to
+        NULL are dropped by the rewrite — i.e. DELETED — exactly as the
+        reference's DuckDB rewrite behaves.  Standard SQL DELETE keeps
+        them; callers needing that use an explicit null-safe condition."""
         return self._cow_rewrite(
             condition,
             branch,
@@ -441,7 +475,9 @@ class Table:
         dropped: set[str] = set()
         maybe: list[ManifestEntry] = []
         for e in candidates:
-            v = condition.eval_stats(e.stats_view())
+            # rename-aware, like prune(): stats keyed by file-time names
+            # must not be read under a recycled current name
+            v = condition.eval_stats(e.stats_view(self._rename_map(e)))
             if v is True and drop_fully_matching:
                 dropped.add(e.path)
             else:
@@ -518,6 +554,12 @@ class Table:
         against its parent; file metadata only on the driver)."""
         s = self.meta.snapshot_by_id(snapshot_id)
         by_id = {x.snapshot_id: x for x in self.meta.snapshots}
+        if s.parent_id is not None and s.parent_id not in by_id:
+            raise ValidationError(
+                f"parent snapshot {s.parent_id} has been expired — the "
+                f"delta of {snapshot_id} is no longer derivable (an empty "
+                "parent would misreport the full file set as added)"
+            )
         parent_paths = {
             e.path for e in self.meta.read_manifest(by_id.get(s.parent_id))
         }
@@ -559,7 +601,10 @@ class Table:
                 conflicting = [
                     e.path
                     for e in added
-                    if conflict_filter.eval_stats(e.stats_view()) is not False
+                    if conflict_filter.eval_stats(
+                        e.stats_view(self._rename_map(e))
+                    )
+                    is not False
                 ]
                 if conflicting:
                     raise ValidationError(
@@ -587,6 +632,17 @@ class Table:
             except CommitConflict:
                 # lost the race: reload and retry on top of the winner
                 self.meta = load_metadata(self.location)
+            except BaseException:
+                # storage failure mid-commit (disk full, store outage):
+                # the in-memory snapshot/ref mutation must not survive —
+                # a later commit on this handle would silently persist
+                # the FAILED operation as a phantom snapshot
+                self.meta.snapshots.pop()
+                if parent is not None:
+                    self.meta.refs[ref_key] = parent.snapshot_id
+                else:
+                    self.meta.refs.pop(ref_key, None)
+                raise
         raise CommitConflict(f"gave up after {_MAX_COMMIT_RETRIES} retries")
 
     # --------------------------------------------------- schema evolution

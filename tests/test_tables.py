@@ -446,3 +446,52 @@ def test_bloom_filter_table_property(catalog, spark):
     assert data_bytes(t1) > data_bytes(t2)
     got = rows(t1.scan(E.col_eq("k", "key-00042")), "id")
     assert got == [(42,)]
+
+
+def test_delete_overwrite_3vl_and_misc_guards(catalog, spark):
+    """Round-6 review pins: strict overwrite must classify a {match,NULL}
+    file as PARTIAL (not drop it whole), update rejects unknown set
+    columns, unknown branches raise like unknown tags, and expired-parent
+    snapshot deltas refuse instead of reporting the world as added."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.tables import expressions as E
+    from swiftlake_spark.tables.metadata import ValidationError
+
+    t = catalog.create_table("db.tvl", "id BIGINT, c STRING")
+    t.append(spark.createDataFrame([(1, "x"), (2, None)], schema=t.schema).coalesce(1))
+    assert len(t.meta.read_manifest(t.meta.current_snapshot())) == 1
+
+    # strict overwrite on c='x': the single file holds a match AND a NULL
+    # row → partial → must refuse (the NULL row does NOT match)
+    with pytest.raises(ValidationError):
+        t.overwrite_by_filter(
+            spark.createDataFrame([(9, "x")], schema=t.schema), E.col_eq("c", "x")
+        )
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 2]
+
+    # added-row validation: a NULL-filter row in df is not a match
+    t2 = catalog.create_table("db.tvl2", "id BIGINT, c STRING")
+    t2.append(spark.createDataFrame([(1, "x")], schema=t2.schema))
+    with pytest.raises(ValidationError):
+        t2.overwrite_by_filter(
+            spark.createDataFrame([(9, "x"), (10, None)], schema=t2.schema),
+            E.col_eq("c", "x"),
+        )
+
+    with pytest.raises(ValidationError):
+        t.update(E.col_eq("id", 1), {"nope": F.lit(1)})
+    with pytest.raises(ValueError):
+        t.scan(branch="mian")
+
+    # expired parent → snapshot_changes refuses
+    from swiftlake_spark.tables.maintenance import expire_snapshots
+
+    t.append(spark.createDataFrame([(3, "y")], schema=t.schema))
+    t.append(spark.createDataFrame([(4, "z")], schema=t.schema))
+    mid = t.meta.snapshots[-2]
+    last = t.meta.snapshots[-1]
+    t.meta.snapshots = [s for s in t.meta.snapshots if s.snapshot_id != mid.snapshot_id]
+    with pytest.raises(ValidationError):
+        t.snapshot_changes(last.snapshot_id)
