@@ -724,9 +724,13 @@ def q81_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q82 — TPC-H Q7 shape: volume shipped between two specific nation pairs
-# (OR of cross pairs on a doubled nation dim).  Both nation sides
-# broadcast; the fact join shuffles once; the OR-pair predicate prunes
-# pairs before aggregation.
+# (OR of cross pairs on a doubled nation dim).  The OR-of-pairs predicate
+# references BOTH sides, so Catalyst cannot push it below the joins on its
+# own — the classic Q7 plan pre-filters each nation copy to the two names
+# BEFORE joining (~92% of rows never reach the fact joins; the cross-pair
+# filter stays afterwards for exactness).  Supplier⋈nation₂ broadcasts
+# into lineitem so the big fact shrinks map-side, before any shuffle;
+# customer⋈nation₁ broadcasts likewise, shrinking the orders shuffle.
 # --------------------------------------------------------------------------
 @query(
     "q82_nation_volume",
@@ -752,18 +756,27 @@ def q82_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    names = ["NATION_18", "NATION_19"]
+    n1 = n.filter(F.col("n_name").isin(names)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(names)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
     pair = (
         (F.col("cust_nation") == "NATION_19") & (F.col("supp_nation") == "NATION_18")
     ) | ((F.col("cust_nation") == "NATION_18") & (F.col("supp_nation") == "NATION_19"))
+    s2 = s.join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key")).select(
+        "c_custkey", "cust_nation"
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        li.join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c2, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy("cust_nation", "supp_nation", F.year("o_orderdate").alias("yr"))
         .agg(as_double(F.sum(rev)).alias("volume"))

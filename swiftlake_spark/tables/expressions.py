@@ -25,6 +25,7 @@ Semantics preserved exactly (reference citations):
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 from typing import Any, Sequence
 
@@ -142,6 +143,20 @@ def _iso(v: Any) -> Any:
     return v
 
 
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_ISO_DATETIME_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?$")
+
+
+def _iso_class(s: str) -> str | None:
+    """'date' / 'datetime' when ``s`` is exactly one ISO encoding (the
+    formats _iso/stats._portable emit), else None."""
+    if _ISO_DATE_RE.match(s):
+        return "date"
+    if _ISO_DATETIME_RE.match(s):
+        return "datetime"
+    return None
+
+
 def _cmp(a: Any, b: Any) -> int | None:
     """Total-order compare with NaN greatest (Spark/DuckDB order).
     None when values are incomparable (mixed types we don't coerce —
@@ -160,9 +175,26 @@ def _cmp(a: Any, b: Any) -> int | None:
         a2, b2 = _iso(a), _iso(b)
         if a2 is a and b2 is b:
             return None
-        if isinstance(a2, str) and isinstance(b2, str):
-            return 0 if a2 == b2 else (-1 if a2 < b2 else 1)
-        return None
+        if not (isinstance(a2, str) and isinstance(b2, str)):
+            return None
+        # Lexicographic ISO order is chronological only WITHIN one
+        # format class.  Across classes it is not: a date literal
+        # '2020-01-01' sorts strictly below the equal-instant timestamp
+        # stat '2020-01-01 00:00:00', so Eq(ts_col, date(2020,1,1))
+        # would conclude lit < min and prune a file whose midnight row
+        # Spark (date upcast to timestamp) matches.  Pad the date side
+        # to the timestamp domain — exactly Spark's upcast — and refuse
+        # non-ISO strings (a temporal literal against a plain string
+        # stat is a type mismatch we must not order lexicographically).
+        ka, kb = _iso_class(a2), _iso_class(b2)
+        if ka is None or kb is None:
+            return None
+        if ka != kb:
+            if ka == "date":
+                a2 = a2 + " 00:00:00"
+            else:
+                b2 = b2 + " 00:00:00"
+        return 0 if a2 == b2 else (-1 if a2 < b2 else 1)
 
 
 @dataclass(frozen=True)

@@ -311,10 +311,19 @@ def vacuum(
         and os.path.normpath("data/" + sub) not in live_data
         and _old_enough("data/" + sub)
     ]
+    # Manifests get the same age gate as data files and for the same
+    # reason: Table._commit writes the manifest BEFORE the metadata
+    # version that references it, so a vacuum whose fresh metadata load
+    # races ahead of a concurrent commit would otherwise classify that
+    # commit's just-staged manifest as orphan and delete it while the
+    # commit still succeeds — leaving the new current snapshot pointing
+    # at a missing manifest (permanent corruption).
     orphan_manifests = [
         fn
         for fn in io.list(meta.metadata_dir)
-        if fn.startswith("manifest-") and fn not in live_manifests
+        if fn.startswith("manifest-")
+        and fn not in live_manifests
+        and _old_enough("metadata/" + fn)
     ]
     # catalog-cas loser metadata: only files AT an already-decided head
     # version that are not that version's winner are DEFINITE losers —

@@ -1070,7 +1070,6 @@ class Table:
             from swiftlake_spark import fileio as _fio
 
             remote_io = _fio.fileio_for(self.location)
-        opaque_fix: dict[str, Any] = {}  # '#u' token → true partition value
         by_name = {t.partition_name: t for t in transforms}
         for root, _dirs, files in os.walk(abs_dir):
             for fn in files:
@@ -1083,26 +1082,28 @@ class Table:
                 # MANIFEST carries exact partition values (only the path is
                 # lossy) — ≙ the reference's transformValueLookupMap
                 # (PartitionedDataFileWriter.java:655-663), except the
-                # lookup is rebuilt from the data files themselves: every
-                # row in the file shares the partition value, so one
-                # footer-cheap first-row read per distinct token suffices.
+                # lookup is rebuilt from the data files themselves.
+                # Recovery is PER FILE, never cached per token: two long
+                # values colliding on the token would land in the same
+                # directory, and a token-keyed cache would then stamp the
+                # first file's value onto every file in it — silently
+                # wrong manifest values.  Per-file first-row reads make a
+                # collision at worst split (each file reports its own
+                # value); the 256-bit token makes even that infeasible.
+                # The read is footer-cheap: one 1-row batch of one column,
+                # and only for values >150 escaped chars (rare).
                 for pname, pval in list(partition.items()):
                     if not TR.is_opaque_pvalue(pval):
                         continue
-                    if pval not in opaque_fix:
-                        import pyarrow.parquet as _pq
+                    import pyarrow.parquet as _pq
 
-                        t = by_name[pname]
-                        # one row suffices (all rows in the dir share the
-                        # partition value) — read a single small batch,
-                        # never the whole column
-                        batch0 = next(
-                            _pq.ParquetFile(abs_path).iter_batches(
-                                batch_size=1, columns=[t.source]
-                            )
+                    t = by_name[pname]
+                    batch0 = next(
+                        _pq.ParquetFile(abs_path).iter_batches(
+                            batch_size=1, columns=[t.source]
                         )
-                        opaque_fix[pval] = t.apply(batch0.column(0)[0].as_py())
-                    partition[pname] = opaque_fix[pval]
+                    )
+                    partition[pname] = t.apply(batch0.column(0)[0].as_py())
                 if remote_io is not None:
                     from swiftlake_spark import fileio as _fio
 

@@ -366,13 +366,20 @@ def spark_partition_column(t: Transform, dtype: str) -> Column:
 # '#' escape prefix, '#n' = NULL, values whose URL-encoded length exceeds
 # 150 are replaced by an indirection token.  Deviations (documented):
 # - the reference mints '#u' + random UUID with a driver-side lookup map;
-#   here the token is '#u' + sha256[:16] of the escaped value —
+#   here the token is '#u' + the FULL 64-hex sha256 of the escaped value —
 #   deterministic, so executors compute it with no coordination and
-#   retries/identical values map to the same directory.
+#   retries/identical values map to the same directory.  The full digest
+#   (not a truncated prefix) matters: partitionBy splits directories by
+#   the TOKEN, so two long values colliding on it would be physically
+#   merged into one directory — unrecoverable downstream.  256 bits makes
+#   that cryptographically infeasible; 66 path chars stays well under the
+#   150-char guard this token exists to enforce.
 # - '#e' encodes the empty string, which Spark's hive-style partitionBy
 #   would otherwise collapse into __HIVE_DEFAULT_PARTITION__ (i.e. NULL).
 PARTITION_VALUE_MAX_LENGTH = 150
-_OPAQUE_RE = re.compile(r"^#u[0-9a-f]{16}$")
+# 64-hex current form; 16-hex accepted for directories written by older
+# versions of this writer.
+_OPAQUE_RE = re.compile(r"^#u([0-9a-f]{64}|[0-9a-f]{16})$")
 # The chars Spark's hive path escaping rewrites to %XX (ExternalCatalogUtils
 # escape list: controls, DEL, and the reserved set).  The length guard must
 # measure THIS escaping, not URLEncoder's — they disagree on '*' (hive
@@ -408,7 +415,7 @@ def encode_partition_path_col(c: Column) -> Column:
         .when(c == F.lit(""), F.lit("#e"))
         .when(
             _hive_escaped_len(esc) > PARTITION_VALUE_MAX_LENGTH,
-            F.concat(F.lit("#u"), F.substring(F.sha2(esc, 256), 1, 16)),
+            F.concat(F.lit("#u"), F.sha2(esc, 256)),
         )
         .otherwise(esc)
     )

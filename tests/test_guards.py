@@ -254,3 +254,61 @@ def test_concurrent_query_cap(spark):
     release.set()
     th.join(timeout=10)
     assert eng.execute("SELECT 1 AS one")[0]["one"] == 1
+
+
+def test_vacuum_age_gate_protects_young_manifests(spark, tmp_path):
+    """A manifest not referenced by the (possibly stale) metadata load
+    must survive vacuum while young: Table._commit stages the manifest
+    BEFORE the metadata version that references it, so deleting a young
+    unreferenced manifest can destroy an in-flight commit (ADVICE r6,
+    maintenance.py).  Age-gated vacuum keeps it; older_than_ms=0 (the
+    no-writers-active promise) removes it."""
+    import os
+
+    eng = SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "whvm"))
+    t = eng.catalog.create_table("db.vm", "id BIGINT")
+    t.append(spark.createDataFrame([(1,)], schema=t.schema))
+    mdir = os.path.join(t.location, "metadata")
+    # simulate a concurrent commit's just-staged (not yet referenced)
+    # manifest: same naming scheme, fresh mtime
+    staged = os.path.join(mdir, "manifest-99999999-staged.json")
+    with open(staged, "w") as f:
+        f.write("[]")
+
+    report = t.vacuum(dry_run=True)  # default 3-day gate
+    assert report["manifests"] == []  # young orphan manifest protected
+    t.vacuum()  # really run it
+    assert os.path.exists(staged)
+
+    # a genuinely old orphan IS collected once aged out
+    old = 5 * 24 * 3600
+    os.utime(staged, (os.path.getmtime(staged) - old,) * 2)
+    report = t.vacuum(dry_run=True)
+    assert report["manifests"] == [os.path.basename(staged)]
+    t.vacuum()
+    assert not os.path.exists(staged)
+    assert t.scan().count() == 1  # table intact throughout
+
+
+def test_cmp_date_datetime_cross_class_soundness():
+    """Pruning compare must not order a date literal lexicographically
+    against a timestamp stat: '2020-01-01' < '2020-01-01 00:00:00' as
+    strings, but they are the SAME instant under Spark's date→timestamp
+    upcast (ADVICE r6, expressions.py)."""
+    import datetime as dt
+
+    from swiftlake_spark.tables.expressions import _cmp
+
+    midnight = dt.datetime(2020, 1, 1)
+    d = dt.date(2020, 1, 1)
+    assert _cmp(d, midnight) == 0
+    assert _cmp(midnight, d) == 0
+    assert _cmp(d, dt.datetime(2019, 12, 31, 23, 59, 59)) == 1
+    assert _cmp(d, dt.datetime(2020, 1, 1, 0, 0, 1)) == -1
+    # against string-encoded stats bounds (the persisted form)
+    assert _cmp(d, "2020-01-01 00:00:00") == 0
+    assert _cmp(midnight, "2020-01-01") == 0
+    assert _cmp(dt.datetime(2020, 1, 1, 0, 0, 0, 1), "2020-01-01 00:00:00") == 1
+    # non-ISO strings are a type mismatch, not a lexicographic compare
+    assert _cmp(midnight, "not-a-date") is None
+    assert _cmp(d, "20200101") is None

@@ -261,7 +261,7 @@ def test_partition_value_encoding_null_empty_and_escapes(catalog, spark):
 
 def test_partition_value_long_string_indirection(catalog, spark):
     """A >150-char partition value must not become a >150-char directory
-    name: the PATH uses a deterministic '#u'+sha256[:16] token (the
+    name: the PATH uses a deterministic '#u'+sha256 (full 64-hex) token (the
     reference mints '#u'+UUID) while the MANIFEST recovers the true
     value from the data file (≙ the reference's transformValueLookupMap)
     — so pruning stays exact and scans are unaffected."""
@@ -277,7 +277,7 @@ def test_partition_value_long_string_indirection(catalog, spark):
     import hashlib
     import os
 
-    expect_tok = "#u" + hashlib.sha256(long_a.encode()).hexdigest()[:16]
+    expect_tok = "#u" + hashlib.sha256(long_a.encode()).hexdigest()
     seen_dirs = set()
     for root, dirs, files in os.walk(t.location):
         for seg in dirs + files:
@@ -367,7 +367,7 @@ def test_partition_value_encoding_property_roundtrip(catalog, spark):
             else v
         )
         if hive_escaped_len_py(esc) > 150:
-            return "#u" + hashlib.sha256(esc.encode()).hexdigest()[:16]
+            return "#u" + hashlib.sha256(esc.encode()).hexdigest()
         return v
     # every encoded dir segment stays under the 255-byte filesystem bound
     import os
