@@ -28,7 +28,7 @@ from swiftlake_spark.queries.base import as_double, dec, load
 # --------------------------------------------------------------------------
 @query(
     "q63_exists_subquery",
-    oracle="""
+    oracle=r"""
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -66,7 +66,7 @@ def q63_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q64_explode_tokens",
-    oracle="""
+    oracle=r"""
 SELECT token, COUNT(*) AS n
 FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
 WHERE length(token) > 3
@@ -94,7 +94,7 @@ def q64_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q65_string_agg",
-    oracle="""
+    oracle=r"""
 SELECT n_name,
        COUNT(*) AS n_custs,
        string_agg(c_name, ',' ORDER BY c_name) AS members
@@ -124,7 +124,7 @@ def q65_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q66_unpivot",
-    oracle="""
+    oracle=r"""
 SELECT p_partkey, metric, value FROM (
   SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
   UNION ALL
@@ -154,7 +154,7 @@ def q66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q67_regexp",
-    oracle="""
+    oracle=r"""
 SELECT p_partkey,
        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
        regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
@@ -184,7 +184,7 @@ def q67_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q68_sequence",
-    oracle="""
+    oracle=r"""
 SELECT n_nationkey, i, n_nationkey * 10 + i AS rank_code
 FROM nation, UNNEST(generate_series(1, n_nationkey % 4 + 1)) AS t(i)
 ORDER BY n_nationkey, i
@@ -208,7 +208,7 @@ def q68_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q69_bitwise",
-    oracle="""
+    oracle=r"""
 SELECT o_orderkey,
        o_orderkey & 255  AS low_byte,
        o_orderkey | 4096 AS with_flag,
@@ -238,7 +238,7 @@ def q69_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q70_date_arith",
-    oracle="""
+    oracle=r"""
 SELECT o_orderkey,
        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
        o_orderdate + INTERVAL 10 DAY    AS plus10,
@@ -272,7 +272,7 @@ def q70_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q71_array_funcs",
-    oracle="""
+    oracle=r"""
 SELECT vec_id,
        len(embedding)                    AS dim,
        embedding[1]                      AS first_val,
@@ -305,7 +305,7 @@ def q71_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q72_local_volume",
-    oracle="""
+    oracle=r"""
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
 FROM customer
@@ -355,7 +355,7 @@ def q72_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q73_window_extras",
-    oracle="""
+    oracle=r"""
 SELECT o_orderkey, o_orderstatus,
        ntile(4)       OVER w AS quartile,
        percent_rank() OVER w AS pr,
@@ -393,7 +393,7 @@ def q73_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q74_conditional_agg",
-    oracle="""
+    oracle=r"""
 SELECT l_returnflag,
        COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
        COUNT(*) FILTER (WHERE l_quantity >= 25)  AS n_bulk,
@@ -431,7 +431,7 @@ def q74_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q75_gopher_rules",
-    oracle="""
+    oracle=r"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS w,
          LENGTH(REPLACE(text, ' ', '')) AS letters
@@ -483,7 +483,7 @@ def q75_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q76_pack_sequences",
-    oracle="""
+    oracle=r"""
 WITH t AS (
   SELECT doc_id, source,
          CASE WHEN text = '' THEN 0
@@ -531,7 +531,7 @@ def q76_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q77_contamination",
-    oracle="""
+    oracle=r"""
 WITH words AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
 ), grams AS (
@@ -593,7 +593,7 @@ def q77_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q78_returned_revenue",
-    oracle="""
+    oracle=r"""
 SELECT c_custkey, c_name,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
        c_acctbal, n_name
@@ -638,7 +638,7 @@ def q78_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q79_median_stats",
-    oracle="""
+    oracle=r"""
 SELECT l_returnflag, l_linestatus,
        median(l_quantity)  AS med_qty,
        median(l_orderkey)  AS med_key,
@@ -671,7 +671,7 @@ def q79_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q80_set_ops_all",
-    oracle="""
+    oracle=r"""
 SELECT v, COUNT(*) AS n FROM (
   SELECT l_quantity AS v FROM lineitem WHERE l_orderkey <= 400
   EXCEPT ALL
@@ -699,7 +699,7 @@ def q80_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q81_grouping_id",
-    oracle="""
+    oracle=r"""
 SELECT o_orderstatus,
        GROUPING(o_orderstatus) AS is_total,
        COUNT(*) AS n
@@ -734,7 +734,7 @@ def q81_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q82_nation_volume",
-    oracle="""
+    oracle=r"""
 SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
        CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS volume
@@ -791,7 +791,7 @@ def q82_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q83_important_stock",
-    oracle="""
+    oracle=r"""
 SELECT l_partkey,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
 FROM lineitem
@@ -829,7 +829,7 @@ def q83_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q101_recursive_spine",
-    oracle="""
+    oracle=r"""
 WITH RECURSIVE months(m) AS (
   SELECT TIMESTAMP '1995-01-01'
   UNION ALL
@@ -920,7 +920,7 @@ def _q111_table(spark: SparkSession, sf_dir: str):
 
 @query(
     "q111_nested_evolution",
-    oracle="""
+    oracle=r"""
 SELECT CAST(n_nationkey AS BIGINT) AS id,
        n_name AS name,
        CAST(n_regionkey AS BIGINT) AS region_key,
@@ -984,7 +984,7 @@ def _q112_table(spark: SparkSession, sf_dir: str):
 
 @query(
     "q112_murmur3_bucket",
-    oracle="""
+    oracle=r"""
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
        CAST(c_nationkey AS INT) AS c_nationkey,
        c_acctbal, c_mktsegment
@@ -1052,7 +1052,7 @@ def _q113_table(spark: SparkSession, sf_dir: str) -> str:
 
 @query(
     "q113_iceberg_read",
-    oracle="""
+    oracle=r"""
 SELECT CAST(n_nationkey AS BIGINT) AS id,
        n_name AS nm,
        CAST(n_regionkey AS BIGINT) AS region_key

@@ -33,7 +33,7 @@ from swiftlake_spark.queries.base import as_double, dec, load
 # --------------------------------------------------------------------------
 @query(
     "q40_dedup_exact",
-    oracle="""
+    oracle=r"""
 SELECT source,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(text)) AS n_unique,
@@ -62,7 +62,7 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q41_dedup_keeper",
-    oracle="""
+    oracle=r"""
 WITH ranked AS (
   SELECT doc_id, source, md5(text) AS content_hash,
          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
@@ -101,7 +101,7 @@ def q41_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q42_text_stats",
-    oracle="""
+    oracle=r"""
 WITH toks AS (
   SELECT doc_id, lang, n_chars,
          LEN(string_split(text, ' ')) AS n_tokens,
@@ -155,7 +155,7 @@ def q42_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q43_ngram_jaccard",
-    oracle="""
+    oracle=r"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200
 ), shingles AS (
@@ -224,7 +224,7 @@ def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q44_fingerprint",
-    oracle="""
+    oracle=r"""
 WITH words AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
   FROM documents WHERE doc_id < 100
@@ -277,7 +277,7 @@ def q44_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q45_langid_score",
-    oracle="""
+    oracle=r"""
 WITH scored AS (
   SELECT doc_id, lang,
          LEN(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS en_markers,
@@ -325,7 +325,7 @@ def q45_langid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q46_cosine_topk",
-    oracle="""
+    oracle=r"""
 WITH pairs AS (
   SELECT q.vec_id AS query_id, e.vec_id AS cand_id, e.label,
          CAST(SUM(CAST(CAST(qe.x AS DOUBLE) * CAST(ee.x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) AS dot,
@@ -395,7 +395,7 @@ def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q47_embedding_stats",
-    oracle="""
+    oracle=r"""
 WITH norms AS (
   SELECT vec_id, label,
          CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) AS sq_norm
@@ -461,7 +461,7 @@ def _minhash_pair_ctes() -> str:
         f"SELECT doc_id, {b} AS band, md5({' || '.join(f'h{b*r+j}' for j in range(r))}) AS bh FROM sig"
         for b in range(_MINHASH_BANDS)
     )
-    return f"""words AS (
+    return rf"""words AS (
   -- regexp split matches the operators' tokenization (trim + \s+); a
   -- literal-space split would certify a DIFFERENT function than the
   -- engine computes the moment fixtures carry tabs/newlines/double spaces
@@ -581,7 +581,7 @@ def q102_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q49_simhash_neardup",
-    oracle="""
+    oracle=r"""
 SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 500 AND text IS NOT NULL
               AND LEN(regexp_split_to_array(trim(text), '\s+')) >= 3) AS BIGINT) AS n_docs,
        CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 500 AND text IS NOT NULL
@@ -644,7 +644,7 @@ def q49_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q50_ann_lsh_topk",
-    oracle="""
+    oracle=r"""
 SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS n_queries,
        CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS brute_rows,
        true AS recall_ok,
@@ -698,7 +698,7 @@ def q50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q58_ivf_topk",
-    oracle="""
+    oracle=r"""
 SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS n_queries,
        CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS brute_rows,
        true AS recall_ok,
@@ -749,13 +749,13 @@ def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q51_text_quality",
-    oracle="""
+    oracle=r"""
 WITH q AS (
   SELECT doc_id,
          LEN(regexp_split_to_array(text, '\s+')) AS n_tokens,
          LENGTH(text) AS n_chars_m,
          LEN(list_distinct(regexp_split_to_array(text, '\s+'))) AS n_distinct,
-         LENGTH(regexp_replace(text, '[^\\.,;:!?]', '', 'g')) AS n_punct,
+         LENGTH(regexp_replace(text, '[^\.,;:!?]', '', 'g')) AS n_punct,
          LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
   FROM documents WHERE doc_id < 200
 )
@@ -788,7 +788,7 @@ def q51_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q52_langid_pred",
-    oracle="""
+    oracle=r"""
 WITH scored AS (
   SELECT doc_id, lang,
          [
@@ -830,7 +830,7 @@ def q52_langid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q53_multimodal_features",
-    oracle="""
+    oracle=r"""
 SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 100 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
        true AS width_ok,
        true AS nbytes_ok,
@@ -911,9 +911,9 @@ def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q54_bpe_tokens",
-    oracle="""
+    oracle=r"""
 SELECT doc_id,
-       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
        LEN(string_split(text, ' ')) AS n_ws
 FROM documents
 WHERE doc_id < 100
@@ -943,7 +943,7 @@ def q54_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q55_embedding_neardup",
-    oracle="""
+    oracle=r"""
 SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS planted_found,
        true AS all_above_threshold,
        true AS ordered_ok
@@ -986,7 +986,7 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q56_hash_split",
-    oracle="""
+    oracle=r"""
 WITH b AS (
   SELECT doc_id, lang,
          CAST(CONCAT('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -1022,7 +1022,7 @@ def q56_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q57_quantiles",
-    oracle="""
+    oracle=r"""
 SELECT lang,
        quantile_cont(n_chars, 0.5)  AS med_chars,
        quantile_cont(n_chars, 0.9)  AS p90_chars,
@@ -1139,7 +1139,7 @@ def q103_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q104_boilerplate_ngrams",
-    oracle="""
+    oracle=r"""
 WITH words AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
 ), shingles AS (
@@ -1181,7 +1181,7 @@ def q104_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q59_vocab_topk",
-    oracle="""
+    oracle=r"""
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS tok FROM documents
 )
@@ -1252,7 +1252,7 @@ def q105_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q108_audio_features",
-    oracle="""
+    oracle=r"""
 SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 100 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
        true AS duration_ok,
        true AS rms_ok,
@@ -1362,7 +1362,7 @@ _Q109_GRAMS_CACHE: dict[tuple[int, str], "DataFrame"] = {}
 # --------------------------------------------------------------------------
 @query(
     "q109_bigram_surprisal",
-    oracle="""
+    oracle=r"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), grams AS (
@@ -1444,7 +1444,7 @@ def q109_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q110_length_histogram",
-    oracle="""
+    oracle=r"""
 SELECT CAST(FLOOR(LEN(string_split(text, ' ')) / 10) AS BIGINT) * 10 AS bucket_lo,
        COUNT(*) AS n_docs,
        CAST(MIN(n_chars) AS BIGINT) AS min_chars,
@@ -1484,7 +1484,7 @@ def q110_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q114_video_frames",
-    oracle="""
+    oracle=r"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM((GREATEST(LEAST(octet_length(encode(text)) // 192, 40), 1) + 2) // 3) AS BIGINT)
          AS total_sampled,
@@ -1559,7 +1559,7 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q115_semantic_dedup",
-    oracle="""
+    oracle=r"""
 SELECT CAST((SELECT COUNT(*) FROM embeddings) + (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_vectors,
        CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS planted_dropped,
        true AS partition_ok,
@@ -1598,7 +1598,7 @@ def q115_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q116_simhash_md5",
-    oracle="""
+    oracle=r"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok
   FROM documents WHERE doc_id < 300 AND text <> ''
