@@ -46,6 +46,10 @@ class SwiftLakeEngine:
         self.spark = spark or build_session(self.config)
         self.warehouse = warehouse
         self._catalog = None
+        # metric collector seam (≙ reference metrics/MetricCollector.java,
+        # MetricCollectorProvider): callables receiving every ScanMetrics
+        # and CommitMetrics produced by this engine's tables
+        self.metric_collectors: list = []
         self._query_sem = (
             threading.Semaphore(self.config.max_concurrent_queries)
             if self.config.max_concurrent_queries
@@ -65,8 +69,21 @@ class SwiftLakeEngine:
                 allow_full_table_scan=self.config.allow_full_table_scan,
                 total_scan_size_limit_mib=self.config.total_scan_size_limit_mib,
             )
-            self._catalog = Catalog(self.spark, self.warehouse, guard=guard)
+            self._catalog = Catalog(
+                self.spark,
+                self.warehouse,
+                guard=guard,
+                metric_collectors=self.metric_collectors,
+            )
         return self._catalog
+
+    def add_metric_collector(self, collector) -> None:
+        """Register a callable ``collector(metrics)`` that receives every
+        ScanMetrics and CommitMetrics (with per-partition rollups) the
+        engine produces (reference MetricCollector.collectMetrics).  The
+        list is shared by reference with all table handles, so
+        registration order vs. table creation does not matter."""
+        self.metric_collectors.append(collector)
 
     def batch_transaction(self, table_name: str, branch: str = "main"):
         """Accumulate multiple appends into one commit (reference A22)."""

@@ -31,7 +31,10 @@ _SUFFIX_RE = re.compile(
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, warehouse: str, guard=None) -> None:
+    def __init__(
+        self, spark: SparkSession, warehouse: str, guard=None,
+        metric_collectors=None,
+    ) -> None:
         self.spark = spark
         # remote warehouses (fileio schemes, e.g. mem://) keep their URI;
         # file:// is the LOCAL filesystem — normalize it to a plain path
@@ -41,6 +44,10 @@ class Catalog:
             warehouse = warehouse[len("file://"):]
         self.warehouse = warehouse if "://" in warehouse else os.path.abspath(warehouse)
         self.guard = guard  # plans.guards.ScanGuard | None, applied to scans
+        # engine-owned shared list of callables (plans.metrics.dispatch
+        # targets); passed by REFERENCE into every Table so collectors
+        # registered later still observe existing handles
+        self.metric_collectors = metric_collectors if metric_collectors is not None else []
         if "://" not in self.warehouse:
             os.makedirs(self.warehouse, exist_ok=True)
 
@@ -109,7 +116,8 @@ class Catalog:
         )
         # v1 is the create (version counter starts at 0 → claim v1)
         write_new_version(meta)
-        return Table(self.spark, meta, guard=self.guard)
+        return Table(self.spark, meta, guard=self.guard,
+                     metric_collectors=self.metric_collectors)
 
     def drop_table(self, name: str) -> None:
         loc = self._location(name)
@@ -144,12 +152,14 @@ class Catalog:
     # ------------------------------------------------------------- read
     def table(self, name: str) -> Table:
         base, _, _ = self._parse_name(name)
-        return Table(self.spark, load_metadata(self._location(base)), guard=self.guard)
+        return Table(self.spark, load_metadata(self._location(base)), guard=self.guard,
+                     metric_collectors=self.metric_collectors)
 
     def load(self, name: str, filter=None) -> DataFrame:
         """Load a table as a DataFrame, honoring time-travel suffixes."""
         base, kind, arg = self._parse_name(name)
-        t = Table(self.spark, load_metadata(self._location(base)), guard=self.guard)
+        t = Table(self.spark, load_metadata(self._location(base)), guard=self.guard,
+                  metric_collectors=self.metric_collectors)
         kwargs: dict[str, Any] = {}
         if kind == "timestamp":
             kwargs["as_of_ms"] = int(arg)

@@ -60,11 +60,23 @@ _MAX_COMMIT_RETRIES = 5
 
 
 class Table:
-    def __init__(self, spark: SparkSession, meta: TableMetadata, guard=None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        meta: TableMetadata,
+        guard=None,
+        metric_collectors=None,
+    ) -> None:
         self.spark = spark
         self.meta = meta
         self.guard = guard  # plans.guards.ScanGuard | None
         self.last_scan_metrics = None  # plans.metrics.ScanMetrics | None
+        # shared list (engine-owned): callables receiving ScanMetrics /
+        # CommitMetrics (≙ reference metrics/MetricCollector.java) —
+        # held by reference so collectors added after table creation
+        # still see this table's events
+        self.metric_collectors = metric_collectors if metric_collectors is not None else []
+        self.last_commit_metrics = None  # plans.metrics.CommitMetrics | None
 
     # ------------------------------------------------------------ basics
     @property
@@ -144,6 +156,10 @@ class Table:
             scanned_records=sum(e.records for e in entries),
             planning_ms=(_time.perf_counter() - t0) * 1000,
         )
+        if self.metric_collectors:
+            from swiftlake_spark.plans.metrics import dispatch
+
+            dispatch(self.metric_collectors, self.last_scan_metrics)
         df = self._read_entries(entries, with_file_name=with_file_name)
         if filter is not None:
             df = df.filter(filter.column())
@@ -588,7 +604,10 @@ class Table:
           ``conflict_filter`` (reference validateNoConflictingData,
           writer/Transaction.java:266-298).
         """
+        import time as _time
+
         ref_key = branch if branch == "main" else f"branch:{branch}"
+        t0 = _time.perf_counter()
         for _ in range(_MAX_COMMIT_RETRIES):
             parent = self.meta.current_snapshot(branch)
             current = self.meta.read_manifest(parent)
@@ -628,6 +647,29 @@ class Table:
             self.meta.refs[ref_key] = sid
             try:
                 write_new_version(self.meta)
+                # commit metrics: manifest delta vs the WINNING parent
+                # (per-partition added/removed rollups, reference
+                # CommitMetrics/PartitionCommitMetrics) — derived and
+                # dispatched only after the version is durably written,
+                # and never allowed to raise: the commit already
+                # succeeded on storage, so a metrics failure must not
+                # trip the rollback handler below
+                try:
+                    from swiftlake_spark.plans.metrics import commit_metrics, dispatch
+
+                    self.last_commit_metrics = commit_metrics(
+                        table=self.meta.location,
+                        operation=op,
+                        snapshot_id=sid,
+                        duration_ms=(_time.perf_counter() - t0) * 1000,
+                        before=current,
+                        after=entries,
+                    )
+                    dispatch(self.metric_collectors, self.last_commit_metrics)
+                except Exception as _mexc:  # noqa: BLE001
+                    import warnings as _w
+
+                    _w.warn(f"commit metrics derivation failed: {_mexc!r}")
                 return snap
             except CommitConflict:
                 # lost the race: reload and retry on top of the winner
