@@ -1,0 +1,70 @@
+"""Differential SQL fuzz: ≥200 seeded query shapes executed verbatim on
+Spark AND DuckDB over the same parquet, compared with the oracle gate's
+canonicalization (VERDICT r6 ask #7).
+
+Batched 25-per-test so a failure pins a seed range; each failing query
+prints its seed and SQL for exact reproduction.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from scripts.check_oracle import canon_rows, make_oracle_con  # noqa: E402
+from tests.sql_fuzz import generate_corpus, sample_pools  # noqa: E402
+
+SF_DIR = os.environ.get("SWIFTLAKE_FUZZ_SF_DIR", "/root/testdata/sf0.001")
+N_TOTAL = 200
+BATCH = 25
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark):
+    from swiftlake_spark.queries.base import load
+
+    con = make_oracle_con(SF_DIR)
+    pools = sample_pools(con)
+    for t in (
+        "region nation customer supplier part orders lineitem documents"
+    ).split():
+        load(spark, SF_DIR, t).createOrReplaceTempView(t)
+    queries = generate_corpus(N_TOTAL, pools)
+    yield spark, con, queries
+    con.close()
+
+
+@pytest.mark.parametrize("batch", range(N_TOTAL // BATCH))
+def test_sql_fuzz_batch(fuzz_env, batch):
+    spark, con, queries = fuzz_env
+    failures = []
+    for k in range(batch * BATCH, (batch + 1) * BATCH):
+        sql = queries[k]
+        sdf = spark.sql(sql)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(sql)
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+        sc, sr = canon_rows(s_cols, s_rows)
+        dc, dr = canon_rows([c.lower() for c in d_cols], d_rows)
+        sc = [c.lower() for c in sc]
+        if sc != dc:
+            failures.append(f"seed {k}: columns spark={sc} duckdb={dc}\n  {sql}")
+            continue
+        if len(sr) != len(dr):
+            failures.append(
+                f"seed {k}: rowcount spark={len(sr)} duckdb={len(dr)}\n  {sql}"
+            )
+            continue
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if bad:
+            failures.append(
+                f"seed {k}: {len(bad)}/{len(sr)} rows differ; "
+                f"first spark={bad[0][0]} duckdb={bad[0][1]}\n  {sql}"
+            )
+    assert not failures, "\n".join(failures)
