@@ -37,7 +37,12 @@ class EngineConfig:
     master: str | None = None            # default: local[cpus]
     cpus: int = field(default_factory=_default_cpus)
     shuffle_partitions: int | None = None  # default: = cpus in local mode
-    driver_memory: str | None = None       # e.g. "8g"; None = Spark default
+    # local[N] runs driver AND all executor threads in ONE JVM heap;
+    # Spark's 1g default OOMs broadcast-hash builds once a few frames are
+    # persisted (observed at 50k docs + 20k vectors in the skew stress).
+    # 8g is still conservative for the 128 GiB target box; cluster
+    # deployments override per executor as usual.
+    driver_memory: str | None = "8g"
     session_timezone: str = "UTC"          # reference pins UTC (SwiftLakeEngine.java:426)
     adaptive: bool = True
     arrow: bool = True

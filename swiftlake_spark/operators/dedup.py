@@ -93,11 +93,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, n_hashes: int, bands: int
+    sig: DataFrame, n_hashes: int, bands: int, *, star_edges: bool = False
 ) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_hash) →
     distinct candidate pairs (id_a < id_b).  One shuffle on the band key;
-    hot buckets are bounded by the band width choice."""
+    hot buckets are bounded by the band width choice — EXCEPT when the
+    corpus genuinely contains a mega-cluster of near-identical documents:
+    those share every band, so one bucket holds the whole cluster and
+    the self-join is |cluster|² no matter how the bands are tuned.
+
+    ``star_edges=True`` is the scale guard for that case (exposed by the
+    10× skew stress, scripts/skew_stress.py): each bucket emits only
+    (bucket-min, member) edges — O(corpus) instead of Σ|bucket|².  Star
+    edges are the right contract for CLUSTERING (connected components
+    union the bucket exactly as the full clique would); they are NOT the
+    full pair list, and after per-edge verification recall can drop for
+    members near the threshold whose similarity to the bucket minimum
+    differs from their similarity to a neighbor.  Multi-band OR keeps
+    several independent stars per doc, which restores most of that.
+    Pair-exact callers (q48's oracle surface) keep the default."""
     if bands <= 0 or bands > n_hashes or n_hashes % bands != 0:
         raise ValueError(
             f"bands must evenly divide n_hashes ({n_hashes}); got {bands} — "
@@ -114,6 +128,14 @@ def lsh_candidate_pairs(
     banded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", "bk.band", "bk.bh")
+    if star_edges:
+        hubs = banded.groupBy("band", "bh").agg(F.min("id").alias("id_a"))
+        return (
+            banded.join(hubs, ["band", "bh"])
+            .filter(F.col("id") > F.col("id_a"))
+            .select("id_a", F.col("id").alias("id_b"))
+            .distinct()
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -158,15 +180,21 @@ def minhash_lsh_dedup(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    star_edges: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → MinHash → LSH bands →
     exact-Jaccard verification.  ``sh`` feeds the signature pass AND the
     verify stage twice (size aggregate + common-shingle join) — persist
     it, or the full split/explode/distinct corpus pass runs three times
-    (the same reason connected_components persists its edge list)."""
+    (the same reason connected_components persists its edge list).
+
+    ``star_edges=True``: the mega-cluster guard (see
+    :func:`lsh_candidate_pairs`) — use for corpus DEDUP at scale, where
+    verified star edges feed connected components; keep the default for
+    the exact pair-list contract."""
     sh = shingles(df, id_col, text_col, shingle_k).persist()
     sig = minhash_signatures(sh, n_hashes)
-    cand = lsh_candidate_pairs(sig, n_hashes, bands)
+    cand = lsh_candidate_pairs(sig, n_hashes, bands, star_edges=star_edges)
     return jaccard_verify(cand, sh, threshold)
 
 

@@ -247,6 +247,7 @@ def embedding_near_dups(
     n_planes: int = 16,
     n_tables: int = 4,
     seed: int = 42,
+    star_edges: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) via multi-table LSH.
 
@@ -255,26 +256,55 @@ def embedding_near_dups(
     tables restore recall (a pair is a candidate if ANY table buckets it
     together).  Candidates are distinct-ed before the exact cosine check
     so a pair matched by several tables is verified once.
-    """
+
+    ``star_edges=True`` is the mega-cluster guard (10× skew stress: one
+    semantic topic holding ~half the corpus shares hyperplane signs, so
+    its bucket's pair list is |cluster|² — 115× wall-time at 10× data
+    before this guard).  Each (table, bucket) emits only (bucket-min,
+    member) edges: O(corpus · n_tables) candidates, verified exactly,
+    the right contract when the output feeds clustering/dedup rather
+    than an exhaustive pair report (same tradeoff as
+    operators.dedup.lsh_candidate_pairs)."""
     b = lsh_bucketize_multi(
         emb, vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
     )
-    l, r = b.alias("l"), b.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.table") == F.col("r.table"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if star_edges:
+        hubs = b.groupBy("table", "bucket").agg(
+            F.min(id_col).alias("__hub_id")
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("__va"),
-            F.col(f"r.{vec_col}").alias("__vb"),
+        hub_vecs = b.select(
+            F.col(id_col).alias("__hub_id"), F.col(vec_col).alias("__va"),
+            "table", "bucket",
+        ).dropDuplicates(["__hub_id", "table", "bucket"])
+        pairs = (
+            b.join(hubs, ["table", "bucket"])
+            .filter(F.col(id_col) > F.col("__hub_id"))
+            .join(hub_vecs, ["__hub_id", "table", "bucket"])
+            .select(
+                F.col("__hub_id").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                "__va",
+                F.col(vec_col).alias("__vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    else:
+        l, r = b.alias("l"), b.alias("r")
+        pairs = (
+            l.join(
+                r,
+                (F.col("l.table") == F.col("r.table"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col(f"l.{vec_col}").alias("__va"),
+                F.col(f"r.{vec_col}").alias("__vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
     dot = F.aggregate(
         F.zip_with(
             F.col("__va"), F.col("__vb"),
@@ -427,6 +457,7 @@ def semantic_dedup(
     seed: int = 42,
     max_cluster_size: int = 4096,
     max_split_rounds: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster embeddings with the IVF coarse quantizer, then compare pairs
@@ -458,20 +489,37 @@ def semantic_dedup(
 
     Shuffles: one groupBy on the vector value, one per split round on
     the cluster key, one for the pair join; cosine is a ``zip_with``
-    fold, JVM-side."""
+    fold, JVM-side.
+
+    ``stats``: pass a dict to receive guard observability (n_reps,
+    n_clusters, one entry per split round with the oversized-cluster
+    count and member total, and the final max cluster size) — the
+    skew-stress suite asserts on these instead of re-deriving them."""
     v0 = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    groups = v0.groupBy("vec").agg(F.min("id").alias("rep_id"))
+    # rep assignment is a WINDOW min over the vector value, not a
+    # groupBy+self-join: the join form hashes the raw float array as a
+    # join key, and when Catalyst's (parquet-size-based) estimate puts
+    # the grouped side under the broadcast threshold it builds a hashed
+    # relation of boxed arrays — observed to blow the heap at corpus
+    # sizes whose on-disk footprint looks tiny.  The window is one
+    # shuffle on the same key with no driver-side build at any size.
     # members feeds BOTH the pair stage (via reps) and the final
     # inheritance join; assigned feeds the size probe AND both sides of
-    # the pair self-join — persist each or the groupBy+join+IVF lineage
+    # the pair self-join — persist each or the window+IVF lineage
     # recomputes up to 4×.  (At sf0.1's 2k vectors the call is fixed-
     # overhead-dominated and the persist is noise; the recompute factor
     # is what matters when the corpus is the cost.)
-    members = v0.join(groups, "vec").select("id", "rep_id", "vec").persist()
+    members = v0.withColumn(
+        "rep_id", F.min("id").over(W.partitionBy("vec"))
+    ).persist()
     reps = members.filter(F.col("id") == F.col("rep_id")).select("id", "vec")
 
     if n_clusters is None:
         n_clusters = max(16, int(reps.count() // 512) + 1)
+    if stats is not None:
+        stats["n_reps"] = reps.count()
+        stats["n_clusters"] = n_clusters
+        stats["split_rounds"] = []
     indexed, _ = ivf_index(
         reps, id_col="id", vec_col="vec", n_clusters=n_clusters, seed=seed
     )
@@ -491,6 +539,10 @@ def semantic_dedup(
         over = assigned.filter(F.col("ckey").isin(big))
         rest = assigned.filter(~F.col("ckey").isin(big))
         n_over = over.count()
+        if stats is not None:
+            stats["split_rounds"].append(
+                {"oversized_clusters": len(big), "members": n_over}
+            )
         sub_k = max(2, int(n_over // max(max_cluster_size // 2, 1)) + 1)
         sub, _ = ivf_index(
             over, id_col="id", vec_col="vec", n_clusters=sub_k, seed=seed + rnd + 1
@@ -505,6 +557,15 @@ def semantic_dedup(
         prev.unpersist()
         prev = assigned
 
+    if stats is not None:
+        row = (
+            assigned.groupBy("ckey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()[0]
+        )
+        stats["final_max_cluster"] = row["m"] or 0
+
     norm = F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x))
     v = assigned.select("id", "ckey", "vec", norm.alias("nrm"))
     a, b = v.alias("a"), v.alias("b")
@@ -514,8 +575,12 @@ def semantic_dedup(
         lambda acc, x: acc + x,
     )
     pairs = (
+        # shuffle-hash, never broadcast: both sides are the full rep
+        # corpus (with vectors) — broadcasting one is exactly wrong at
+        # scale, and size estimates on array columns undershoot badly
+        # enough that Catalyst sometimes tries
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.ckey") == F.col("b.ckey")) & (F.col("a.id") < F.col("b.id")),
         )
         .select(
