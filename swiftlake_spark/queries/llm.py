@@ -490,9 +490,11 @@ ORDER BY id_a, id_b
 """
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs over documents (md5 oracle-portable
-    path; mirrors ``_minhash_pair_ctes``)."""
+def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bh) band keys over documents — md5 oracle-portable
+    path, mirrors ``_minhash_pair_ctes``'s ``bands`` CTE.  Shared by the
+    pair self-join (q48/q102/q105) and the star-edge construction
+    (q117)."""
     from swiftlake_spark.operators.dedup import minhash_signatures, shingles
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -506,9 +508,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_MINHASH_BANDS)
     ]
-    banded = sig.select(
+    return sig.select(
         F.col("id").alias("doc_id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "bk.band", "bk.bh")
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over documents (md5 oracle-portable
+    path; mirrors ``_minhash_pair_ctes``)."""
+    banded = _minhash_banded(spark, sf_dir)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -563,6 +571,72 @@ def q102_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.select(F.col("id").alias("doc_id"), "cluster_id")
         .withColumn(
             "cluster_size", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q117 — star-edge corpus dedup: the mega-cluster guard
+# (operators/dedup.py lsh_candidate_pairs(star_edges=True), round-7 10×
+# skew stress) certified end-to-end.  Each (band, bh) bucket emits only
+# (bucket-min, member) edges — O(corpus) where the full pair list is
+# Σ|bucket|² — and connected components close the stars into the SAME
+# keeper partition the clique edges produce.  Oracle: identical star
+# construction + recursive-CTE min-label closure in DuckDB.
+# --------------------------------------------------------------------------
+@query(
+    "q117_star_dedup",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pair_ctes()}, hubs AS (
+  SELECT band, bh, MIN(doc_id) AS hub FROM bands GROUP BY band, bh
+), star AS (
+  SELECT DISTINCT h.hub AS id_a, b.doc_id AS id_b
+  FROM bands b JOIN hubs h ON b.band = h.band AND b.bh = h.bh
+  WHERE b.doc_id > h.hub
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM star
+  UNION
+  SELECT id_b, id_a FROM star
+), reach(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+), comp AS (
+  SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+LEFT JOIN comp c ON c.id = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q117_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import connected_components
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    banded = _minhash_banded(spark, sf_dir)
+    hubs = banded.groupBy("band", "bh").agg(F.min("doc_id").alias("hub"))
+    star = (
+        banded.join(hubs, ["band", "bh"])
+        .filter(F.col("doc_id") > F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    comp = connected_components(star, "id_a", "id_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+    return (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias(
+                "is_keeper"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -898,6 +972,80 @@ def q53_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         ok(F.element_at("features", 1) == 8.0).alias("width_ok"),
         ok(F.col("meta.n_bytes") == 203).alias("nbytes_ok"),  # 11B header + 192B raster
+        ok(F.size("features") == 16).alias("featdim_ok"),
+        ok(
+            F.abs(F.element_at("features", 4) - F.col("expected_mean_r")) < 0.01
+        ).alias("mean_r_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q118 — PNG image pipeline, VERDICT oracle (q53's pattern for the
+# round-7 stdlib PNG codec, operators/multimodal.py decode_png): REAL
+# zlib-compressed PNG payloads are synthesized executor-side from text
+# bytes (PNG needs zlib, so synthesis is Arrow-batched Python — unlike
+# q53's pure-Column PPM), decoded by the stdlib codec, feature-extracted
+# in mapInPandas.  Verdict: decoded dimensions, feature dim, and mean-R
+# against an independent numpy recompute that never touches the codec.
+# --------------------------------------------------------------------------
+@query(
+    "q118_png_features",
+    oracle=r"""
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 100 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
+       true AS width_ok,
+       true AS height_ok,
+       true AS featdim_ok,
+       true AS mean_r_ok
+""",
+)
+def q118_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from swiftlake_spark.operators.multimodal import attach_media_meta, decode_image
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    exp_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("expected_mean_r", T.DoubleType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from swiftlake_spark.operators.multimodal import encode_png
+
+        H, W_, C = 6, 7, 3
+        n = H * W_ * C
+        for pdf in batches:
+            data, exp = [], []
+            for txt in pdf["text"]:
+                raw = (txt[:n] * n).encode("utf-8")[:n]
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(H, W_, C)
+                data.append(encode_png(arr))
+                # independent expectation straight from the bytes — no
+                # PNG parsing involved
+                exp.append(float(arr[:, :, 0].astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "data": data, "expected_mean_r": exp}
+            )
+
+    d = attach_media_meta(base.mapInPandas(synth, exp_schema), "data", "image/png")
+    feats = decode_image(d, "data")  # REAL stdlib zlib+unfilter decode
+    ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        ok(F.element_at("features", 1) == 7.0).alias("width_ok"),
+        ok(F.element_at("features", 2) == 6.0).alias("height_ok"),
         ok(F.size("features") == 16).alias("featdim_ok"),
         ok(
             F.abs(F.element_at("features", 4) - F.col("expected_mean_r")) < 0.01
