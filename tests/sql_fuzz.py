@@ -299,6 +299,111 @@ class FuzzGen:
         )
         return sql
 
+    def window_query(self) -> str:
+        """Window functions with a TOTAL order inside each partition
+        (unique key cols in the OVER ORDER BY — ties would let the two
+        engines legally disagree on rank/lag rows)."""
+        table = self.rng.choice(list(SCHEMA))
+        keys, cols = SCHEMA[table]
+        groupable = [c for c, k in cols.items() if k in ("i", "s") and c not in keys]
+        g = self.rng.choice(groupable) if groupable else keys[0]
+        ints = [c for c, k in cols.items() if k == "i"]
+        order = ", ".join(keys)
+        over = f"OVER (PARTITION BY {g} ORDER BY {order})"
+        wfn = self.rng.choice(
+            [
+                f"ROW_NUMBER() {over}",
+                f"RANK() {over}",
+                f"DENSE_RANK() {over}",
+                f"CAST(SUM({self.rng.choice(ints)}) {over} AS BIGINT)",
+                f"COUNT(*) {over}",
+                f"LAG({self.rng.choice(ints)}, 1) {over}",
+                f"LEAD({self.rng.choice(ints)}, 1) {over}",
+            ]
+        )
+        key_list = ", ".join(keys)
+        return (
+            f"SELECT {key_list}, {g}, {wfn} AS w0 FROM {table} "
+            f"WHERE {self._pred(table)}"
+        )
+
+    def subquery_query(self) -> str:
+        """EXISTS / NOT EXISTS / IN / NOT IN over an FK edge.  NOT IN is
+        only generated against a NOT NULL key side (TPC-H dims) — a NULL
+        in the subquery legally empties the result on both engines but
+        adds nothing while making shrinkage analysis murky."""
+        left, right, lk, rk = self.rng.choice(FK_JOINS)
+        keys, _ = SCHEMA[left]
+        proj = ", ".join(keys)
+        inner_pred = self._pred(right)
+        form = self.rng.choice(["EXISTS", "NOT EXISTS", "IN", "NOT IN"])
+        if form in ("EXISTS", "NOT EXISTS"):
+            sub = (
+                f"{form} (SELECT 1 FROM {right} r WHERE r.{rk} = {left}.{lk} "
+                f"AND ({inner_pred}))"
+            )
+        else:
+            sub = f"{lk} {form} (SELECT {rk} FROM {right} WHERE {inner_pred})"
+        outer = self._pred(left)
+        return (
+            f"SELECT {proj} FROM {left} WHERE ({outer}) AND {sub} "
+            f"ORDER BY {proj} LIMIT 500"
+        )
+
+    def rollup_query(self) -> str:
+        """KNOWN DIVERGENCE, found by this fuzz (seeds 115/125 of the
+        first expanded run): GROUP BY ROLLUP over an EMPTY input yields
+        the grand-total row (all-NULL groups, cnt=0) on DuckDB — the
+        SQL-standard grouping-set-() semantics, same as a scalar
+        aggregate — but ZERO rows on Spark (grouping sets expand via
+        Expand+groupBy, so no input → no groups).  Spark-core behavior,
+        not ours to fix; the generator pins ROLLUP inputs non-empty by
+        OR-ing a pool literal known to match, keeping the rest of the
+        predicate space adversarial."""
+        table = self.rng.choice(list(SCHEMA))
+        _keys, cols = SCHEMA[table]
+        groupable = [c for c, k in cols.items() if k in ("i", "s")]
+        gb = self.rng.sample(groupable, k=self.rng.randint(1, min(2, len(groupable))))
+        ints = [c for c, k in cols.items() if k == "i"]
+        gcols = ", ".join(gb)
+        gflags = ", ".join(
+            f"CAST(GROUPING({c}) AS BIGINT) AS gf{i}" for i, c in enumerate(gb)
+        )
+        anchor_col = self.rng.choice(
+            [c for c, k in cols.items() if k in ("i", "s")]
+        )
+        anchor = f"{anchor_col} = {self._lit(table, anchor_col, cols[anchor_col])}"
+        return (
+            f"SELECT {gcols}, {gflags}, COUNT(*) AS cnt, "
+            f"CAST(SUM({self.rng.choice(ints)}) AS BIGINT) AS s0 "
+            f"FROM {table} WHERE ({self._pred(table)}) OR ({anchor}) "
+            f"GROUP BY ROLLUP ({gcols})"
+        )
+
+    def conditional_agg_query(self) -> str:
+        """FILTER-clause and CASE-form conditional aggregation."""
+        table = self.rng.choice(list(SCHEMA))
+        _keys, cols = SCHEMA[table]
+        groupable = [c for c, k in cols.items() if k in ("i", "s")]
+        g = self.rng.choice(groupable)
+        cond = self._cmp_pred(table)
+        ints = [c for c, k in cols.items() if k == "i"]
+        i0 = self.rng.choice(ints)
+        if self.rng.random() < 0.5:
+            aggs = (
+                f"COUNT(*) FILTER (WHERE {cond}) AS c0, "
+                f"CAST(SUM({i0}) FILTER (WHERE {cond}) AS BIGINT) AS s0"
+            )
+        else:
+            aggs = (
+                f"CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS c0, "
+                f"CAST(SUM(CASE WHEN {cond} THEN {i0} END) AS BIGINT) AS s0"
+            )
+        return (
+            f"SELECT {g}, {aggs} FROM {table} GROUP BY {g} "
+            f"HAVING COUNT(*) >= {self.rng.randint(1, 2)}"
+        )
+
     def set_op_query(self) -> str:
         table = self.rng.choice(list(SCHEMA))
         _keys, cols = SCHEMA[table]
@@ -320,8 +425,12 @@ class FuzzGen:
                 self.agg_query,
                 self.join_agg_query,
                 self.set_op_query,
+                self.window_query,
+                self.subquery_query,
+                self.rollup_query,
+                self.conditional_agg_query,
             ],
-            weights=[30, 25, 25, 10, 10],
+            weights=[20, 16, 16, 8, 8, 10, 10, 6, 6],
         )[0]
         return shape()
 

@@ -68,3 +68,29 @@ def test_sql_fuzz_batch(fuzz_env, batch):
                 f"first spark={bad[0][0]} duckdb={bad[0][1]}\n  {sql}"
             )
     assert not failures, "\n".join(failures)
+
+
+def test_rollup_on_empty_input_known_divergence(fuzz_env):
+    """Pin the cross-engine divergence the expanded fuzz discovered:
+    ROLLUP over empty input emits the SQL-standard grand-total row on
+    DuckDB and zero rows on Spark (Expand+groupBy has no input rows).
+    The generator works around it (rollup_query docstring); this test
+    makes the workaround's reason checkable — if a future Spark aligns
+    with the standard, this fails and the generator can drop the anchor."""
+    spark, con, _ = fuzz_env
+    q = "SELECT n_name, COUNT(*) AS c FROM nation WHERE n_nationkey = -1 GROUP BY ROLLUP (n_name)"
+    assert spark.sql(q).count() == 0  # Spark: no rows
+    assert len(con.execute(q).fetchall()) == 1  # DuckDB: grand-total row
+
+
+def test_fuzz_corpus_health(fuzz_env):
+    """The corpus must stay adversarial: mostly non-empty results and
+    every shape family represented — a fuzz that compares empty sets
+    proves nothing."""
+    _spark, con, queries = fuzz_env
+    nonzero = sum(1 for q in queries if con.execute(q).fetchall())
+    assert nonzero >= len(queries) * 0.5
+    text = "\n".join(queries)
+    for marker in ("ROLLUP", "OVER (PARTITION BY", "EXISTS", " IN (SELECT",
+                   "FILTER (WHERE", "UNION", "INTERSECT", "LEFT JOIN"):
+        assert marker in text, f"shape family missing from corpus: {marker}"
