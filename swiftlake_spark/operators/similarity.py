@@ -277,9 +277,11 @@ def embedding_near_dups(
             "table", "bucket",
         ).dropDuplicates(["__hub_id", "table", "bucket"])
         pairs = (
+            # hub_vecs carries full vectors and is corpus-proportional —
+            # shuffle_hash, same reasoning as semantic_dedup's pair join
             b.join(hubs, ["table", "bucket"])
             .filter(F.col(id_col) > F.col("__hub_id"))
-            .join(hub_vecs, ["__hub_id", "table", "bucket"])
+            .join(hub_vecs.hint("shuffle_hash"), ["__hub_id", "table", "bucket"])
             .select(
                 F.col("__hub_id").alias("id_a"),
                 F.col(id_col).alias("id_b"),
@@ -291,8 +293,11 @@ def embedding_near_dups(
     else:
         l, r = b.alias("l"), b.alias("r")
         pairs = (
+            # both sides are the full bucketized corpus: broadcasting one
+            # is wrong at every scale — shuffle-hash co-partitions on the
+            # bucket key instead
             l.join(
-                r,
+                r.hint("shuffle_hash"),
                 (F.col("l.table") == F.col("r.table"))
                 & (F.col("l.bucket") == F.col("r.bucket"))
                 & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),

@@ -122,11 +122,16 @@ def sample_pools(con) -> dict[str, list]:
             if kind == "t":
                 continue
             step = max(n // 7, 1)
+            # (rn-1) % step = 0, NOT rn % step = 1: the latter never
+            # matches when step=1, leaving small tables (region=5,
+            # supplier=10 at sf0.001) with EMPTY pools — their literals
+            # fell back to '0' and every predicate went vacuous (caught
+            # by the 1000-seed sweep as ROLLUP-on-empty mismatches)
             vals = [
                 r[0]
                 for r in con.execute(
                     f"SELECT {c} FROM (SELECT {c}, ROW_NUMBER() OVER (ORDER BY {c}) rn "
-                    f"FROM {t} WHERE {c} IS NOT NULL) WHERE rn % {step} = 1 LIMIT 7"
+                    f"FROM {t} WHERE {c} IS NOT NULL) WHERE (rn - 1) % {step} = 0 LIMIT 7"
                 ).fetchall()
             ]
             pools[f"{t}.{c}"] = vals
