@@ -124,3 +124,43 @@ def test_q101_recursion_bounded_and_joined(spark, queries):
     plan = formatted_plan(queries["q101_recursive_spine"](spark, SF))
     read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert all("o_orderpriority" not in l for l in read_schemas)
+
+
+def test_corpus_self_joins_never_broadcast(spark):
+    """The LSH/semantic pair stages join corpus-proportional sides;
+    broadcasting one is wrong at every scale (and size estimates on
+    array columns undershoot badly enough that Catalyst sometimes
+    tries — the round-7 skew stress OOMed on exactly that).  The
+    shuffle_hash hints must hold in the physical plan."""
+    import numpy as np
+
+    from swiftlake_spark.operators.similarity import (
+        embedding_near_dups,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(0)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(200)],
+        schema="vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    for d in (
+        embedding_near_dups(df, dim=8, threshold=0.9),
+        embedding_near_dups(df, dim=8, threshold=0.9, star_edges=True),
+    ):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+    # semantic_dedup localCheckpoints its result, so assert on the PAIR
+    # stage the same way the operator builds it: the hint must survive
+    # into the executed plan of the un-checkpointed lineage
+    from pyspark.sql import functions as F
+
+    v = df.select("vec_id", F.lit("c0").alias("ckey"), F.col("embedding").alias("vec"))
+    a, b = v.alias("a"), v.alias("b")
+    j = a.join(
+        b.hint("shuffle_hash"),
+        (F.col("a.ckey") == F.col("b.ckey")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
