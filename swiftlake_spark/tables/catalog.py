@@ -48,6 +48,10 @@ class Catalog:
         # targets); passed by REFERENCE into every Table so collectors
         # registered later still observe existing handles
         self.metric_collectors = metric_collectors if metric_collectors is not None else []
+        # kill-switch for resolve_sql's WHERE-conjunct manifest pruning
+        # (extraction is inclusive-by-construction, but an operator
+        # escape hatch costs nothing)
+        self.sql_pruning = True
         if "://" not in self.warehouse:
             os.makedirs(self.warehouse, exist_ok=True)
 
@@ -155,12 +159,12 @@ class Catalog:
         return Table(self.spark, load_metadata(self._location(base)), guard=self.guard,
                      metric_collectors=self.metric_collectors)
 
-    def load(self, name: str, filter=None) -> DataFrame:
+    def load(self, name: str, filter=None, *, filter_rows: bool = True) -> DataFrame:
         """Load a table as a DataFrame, honoring time-travel suffixes."""
         base, kind, arg = self._parse_name(name)
         t = Table(self.spark, load_metadata(self._location(base)), guard=self.guard,
                   metric_collectors=self.metric_collectors)
-        kwargs: dict[str, Any] = {}
+        kwargs: dict[str, Any] = {"filter_rows": filter_rows}
         if kind == "timestamp":
             kwargs["as_of_ms"] = int(arg)
         elif kind == "snapshot":
@@ -172,37 +176,144 @@ class Catalog:
         return t.scan(filter, **kwargs)
 
     # -------------------------------------------------------------- sql
+    _REF_RE = re.compile(
+        r"(?<![\w.])([A-Za-z_]\w*\.[A-Za-z_]\w*(?:\$(?:timestamp|snapshot|branch|tag)_[\w.-]+)?)"
+    )
+
     def resolve_sql(self, sql: str) -> str:
         """Replace ``db.table[$suffix]`` references with registered temp
-        views so ``spark.sql`` can run the query.  The Spark analog of the
-        reference's placeholder rewrite (SqlQueryProcessor.java:130-236) —
-        except Catalyst does all real analysis; we only bridge names."""
-        pattern = re.compile(
-            r"(?<![\w.])([A-Za-z_]\w*\.[A-Za-z_]\w*(?:\$(?:timestamp|snapshot|branch|tag)_[\w.-]+)?)"
-        )
+        views so ``spark.sql`` can run the query — and prune each view's
+        manifest with the WHERE conjuncts provably local to that table
+        (tables/sqlextract.py; ≙ SqlQueryProcessor.java:130-236, which
+        extracts per-table conditions before planning file lists).
+        Catalyst does all real analysis; extraction only shrinks the
+        file list (never re-applied to rows — filter_rows=False), so a
+        skipped or unparseable conjunct costs pruning, not correctness."""
+        import hashlib as _hl
 
-        def repl(m: re.Match) -> str:
-            ref = m.group(1)
-            base = ref.split("$")[0]
-            if not self.table_exists(base):
-                return ref
+        from swiftlake_spark.dml.sqlfilter import parse_filter
+        from swiftlake_spark.tables import expressions as E
+        from swiftlake_spark.tables.sqlextract import analyze, mask_literals
+
+        masked = mask_literals(sql)
+        exists_cache: dict[str, bool] = {}
+
+        def _exists(base: str) -> bool:
+            if base not in exists_cache:
+                try:
+                    exists_cache[base] = self.table_exists(base)
+                except Exception:
+                    exists_cache[base] = False
+            return exists_cache[base]
+
+        # literal masking replaces quoted content with 'xxx' (no dots),
+        # so refs can no longer match inside string literals
+        occs = [
+            m for m in self._REF_RE.finditer(masked)
+            if _exists(m.group(1).split("$")[0])
+        ]
+        if not occs:
+            return sql
+
+        struct_cache: dict[str, T.StructType | None] = {}
+
+        def _struct_of(base: str) -> T.StructType | None:
+            if base not in struct_cache:
+                try:
+                    meta = load_metadata(self._location(base))
+                    struct_cache[base] = T.StructType.fromJson(meta.schema_json)
+                except Exception:
+                    struct_cache[base] = None
+            return struct_cache[base]
+
+        def _columns_of(name: str) -> set[str] | None:
+            base = name.split("$")[0]
+            if "." in base and _exists(base):
+                st = _struct_of(base)
+                return {f.name for f in st.fields} if st is not None else None
+            try:
+                return {f.name for f in self.spark.table(name).schema.fields}
+            except Exception:
+                return None
+
+        infos: dict = {}
+        if self.sql_pruning:
+            try:
+                infos = analyze(sql, masked, _columns_of, _exists)
+            except Exception:  # noqa: BLE001 — extraction is best-effort
+                infos = {}
+
+        # group occurrences per ref text: an occurrence is a FROM table
+        # (analysis matched its span), a column qualifier (followed by
+        # ``.word``), or other.  Filters are only safe per-occurrence when
+        # EVERY occurrence is a FROM ref; with exactly one FROM ref the
+        # qualifiers denote that same instance and share its view; any
+        # other mix falls back to one shared unpruned view.
+        by_ref: dict[str, dict[str, list]] = {}
+        for m in occs:
+            g = by_ref.setdefault(m.group(1), {"from": [], "qual": [], "other": []})
+            if m.span(1) in infos:
+                g["from"].append(m)
+            else:
+                nxt = masked[m.end(1):m.end(1) + 2]
+                if len(nxt) == 2 and nxt[0] == "." and (nxt[1].isalpha() or nxt[1] == "_"):
+                    g["qual"].append(m)
+                else:
+                    g["other"].append(m)
+
+        registered: dict[tuple[str, str], str] = {}
+
+        def _register(ref: str, info) -> str:
+            exprs, texts = [], []
+            if info is not None and info.conjuncts:
+                st = _struct_of(ref.split("$")[0])
+                for c in info.conjuncts:
+                    try:
+                        exprs.append(parse_filter(c, st))
+                        texts.append(c)
+                    except Exception:  # unparseable conjunct → skip it
+                        pass
+            ftext = " AND ".join(texts)
+            key = (ref, ftext)
+            if key in registered:
+                return registered[key]
             # a short digest disambiguates refs that collapse to the same
-            # sanitized name (db.t$branch_x vs a real table db.t_branch_x)
-            import hashlib as _hl
-
+            # sanitized name (db.t$branch_x vs a real table db.t_branch_x);
+            # the filter text joins the digest so differently-pruned views
+            # of one table never collide (same text → same name → safe
+            # re-registration with identical content)
+            digest = ref if not ftext else ref + "\x00" + ftext
             view = (
                 "swl_" + re.sub(r"[^\w]", "_", ref)
-                + "_" + _hl.md5(ref.encode()).hexdigest()[:6]
+                + "_" + _hl.md5(digest.encode()).hexdigest()[:6]
             )
-            self.load(ref).createOrReplaceTempView(view)
+            expr = E.and_(*exprs) if exprs else None
+            self.load(ref, expr, filter_rows=False).createOrReplaceTempView(view)
+            registered[key] = view
             return view
 
-        # never rewrite inside string literals: split on quoted segments
-        # ('' escapes included) and substitute only outside them
-        parts = re.split(r"('(?:[^']|'')*')", sql)
-        return "".join(
-            p if i % 2 else pattern.sub(repl, p) for i, p in enumerate(parts)
-        )
+        occ_view: dict[int, str] = {}
+        for ref, g in by_ref.items():
+            all_ms = g["from"] + g["qual"] + g["other"]
+            if not g["qual"] and not g["other"]:
+                for m in g["from"]:
+                    occ_view[id(m)] = _register(ref, infos[m.span(1)])
+            elif len(g["from"]) == 1 and not g["other"]:
+                view = _register(ref, infos[g["from"][0].span(1)])
+                for m in all_ms:
+                    occ_view[id(m)] = view
+            else:
+                view = _register(ref, None)
+                for m in all_ms:
+                    occ_view[id(m)] = view
+
+        out, last = [], 0
+        for m in sorted(occs, key=lambda m: m.start(1)):
+            out.append(sql[last:m.start(1)])
+            out.append(occ_view[id(m)])
+            last = m.end(1)
+        out.append(sql[last:])
+        return "".join(out)
 
     # ----------------------------------------------------------- helpers
     def _location(self, name: str) -> str:

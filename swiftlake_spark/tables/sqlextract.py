@@ -1,0 +1,457 @@
+"""Conservative per-table predicate extraction from SQL text.
+
+``engine.sql("SELECT ... FROM db.t WHERE ...")`` resolves lakehouse
+names to temp views (catalog.resolve_sql); without extraction those
+views are UNPRUNED scans — Catalyst pushes the filter into the parquet
+reader, but the manifest prune (skip whole files/partitions before
+Spark ever lists them) never fires.  At 100 TB that is the difference
+between planning 40 files and planning 400,000.
+
+Reference parity: SqlQueryProcessor extracts each table's WHERE
+condition from the statement text and plans a pruned file list before
+execution (sql/SqlQueryProcessor.java:130-236 collects table refs,
+:580-780 parses the condition grammar).  The Spark translation keeps
+Catalyst as the real analyzer — this module only proves, conjunct by
+conjunct, that a predicate references exactly one FROM table, and hands
+the proven text to dml/sqlfilter's pushdown grammar.  The extracted
+expression is used for MANIFEST PRUNING ONLY (never re-applied as a row
+filter — the original SQL keeps full row semantics), so the worst
+possible outcome of skipping a conjunct is an unpruned scan, and the
+stats evaluation itself is the inclusive 3VL engine fuzzed in
+test_pruning_soundness.py.
+
+Bail-out rules (every "return None"/SKIP below) make the analysis
+inclusive by construction:
+
+- any token the scanner doesn't recognize (backticks, ``--`` comments,
+  parameter markers, semicolons) → no extraction for the whole
+  statement;
+- a conjunct containing a subquery, a column of unknown provenance, a
+  qualifier that is not a visible alias, or columns of two tables → that
+  conjunct is skipped;
+- a table on the null-extended side of an outer join never receives a
+  filter (``WHERE r.x IS NULL`` over ``LEFT JOIN r`` matches rows the
+  pre-join filter would create, not restrict);
+- a top-level OR collapses the WHERE to a single all-or-nothing unit.
+
+Soundness of the whole path is certified differentially: the SQL fuzz
+corpus (tests/sql_fuzz.py) runs through engine.sql against PARTITIONED
+native tables and must match DuckDB on the original text
+(tests/test_engine_sql_fuzz.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+# ----------------------------------------------------------------- scanner
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<str>'(?:[^']|'')*')
+      | (?P<word>[A-Za-z_][A-Za-z0-9_$.]*)
+      | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<lp>\()
+      | (?P<rp>\))
+      | (?P<comma>,)
+      | (?P<op><=|>=|<>|!=|=|<|>|\|\||[+\-*/%.])
+    )""",
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    start: int
+    end: int
+
+    @property
+    def up(self) -> str:
+        return self.text.upper()
+
+
+def mask_literals(sql: str) -> str:
+    """Same-length copy with every quoted literal's content turned to
+    'x' runs — positions line up with the original, and literal text can
+    no longer fake keywords, refs, or parens."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(
+        p if i % 2 == 0 else "'" + "x" * (len(p) - 2) + "'"
+        for i, p in enumerate(parts)
+    )
+
+
+def _scan(masked: str) -> list[_Tok] | None:
+    """Tokenize; None if anything unrecognized appears (conservative)."""
+    out: list[_Tok] = []
+    pos = 0
+    n = len(masked)
+    while pos < n:
+        m = _TOKEN_RE.match(masked, pos)
+        if not m or m.end() == m.start():
+            if masked[pos:].strip() == "":
+                break
+            return None
+        pos = m.end()
+        for kind in ("str", "word", "num", "lp", "rp", "comma", "op"):
+            g = m.group(kind)
+            if g is not None:
+                out.append(_Tok(kind, g, m.start() + len(m.group(0)) - len(g), pos))
+                break
+    return out
+
+
+# ------------------------------------------------------------ block model
+
+_CLAUSE_KWS = {
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "WINDOW", "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "MINUS", "FETCH",
+    "DISTRIBUTE", "CLUSTER", "SORT", "LATERAL",
+}
+
+# words that may follow a table name without being its alias
+_AFTER_TABLE_KWS = {
+    "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "OUTER", "ON",
+    "USING", "NATURAL", "SEMI", "ANTI", "AS", "TABLESAMPLE",
+}
+
+# words inside a condition that are never column identifiers
+_COND_KWS = {
+    "AND", "OR", "NOT", "IS", "NULL", "IN", "BETWEEN", "LIKE", "ILIKE",
+    "RLIKE", "DISTINCT", "FROM", "TRUE", "FALSE", "DATE", "TIMESTAMP",
+    "INTERVAL", "ESCAPE", "CASE", "WHEN", "THEN", "ELSE", "END", "CAST",
+    "AS", "EXISTS", "ANY", "ALL", "SOME", "SELECT",
+}
+
+
+@dataclass
+class _FromRef:
+    name: str | None          # None for derived tables (unknown schema)
+    alias: str | None
+    null_extended: bool
+    tok: _Tok | None          # the table-name token (None for derived)
+    columns: set[str] | None = None  # None = schema unknown
+
+
+@dataclass
+class _Block:
+    depth: int
+    from_span: tuple[int, int] | None = None   # token-index half-open
+    where_span: tuple[int, int] | None = None
+    _clause: str = "SELECT"
+    _clause_start: int = -1
+
+    def transition(self, kw: str, i: int) -> None:
+        if self._clause == "FROM":
+            self.from_span = (self._clause_start, i)
+        elif self._clause == "WHERE":
+            self.where_span = (self._clause_start, i)
+        self._clause = kw
+        self._clause_start = i + 1
+
+    def close(self, i: int) -> None:
+        self.transition("__END__", i)
+
+
+@dataclass
+class FromInfo:
+    """Extraction result for one lakehouse FROM occurrence."""
+    ref: str
+    span: tuple[int, int]               # char span of the name token
+    alias: str | None
+    conjuncts: list[str] = field(default_factory=list)  # qualifier-stripped
+
+
+# ----------------------------------------------------------- FROM parsing
+
+def _parse_from(tokens: list[_Tok]) -> list[_FromRef] | None:
+    refs: list[_FromRef] = []
+    i, n = 0, len(tokens)
+    pending_null_ext = False
+    expect_table = True
+
+    def _skip_group(j: int) -> int:  # j at '('; returns index past ')'
+        d = 1
+        j += 1
+        while j < n and d:
+            if tokens[j].kind == "lp":
+                d += 1
+            elif tokens[j].kind == "rp":
+                d -= 1
+            j += 1
+        return j
+
+    while i < n:
+        t = tokens[i]
+        if t.kind == "lp":
+            if not expect_table:
+                return None
+            i = _skip_group(i)
+            alias = None
+            if i < n and tokens[i].kind == "word" and tokens[i].up == "AS":
+                i += 1
+            if i < n and tokens[i].kind == "word" and tokens[i].up not in _AFTER_TABLE_KWS:
+                alias = tokens[i].text
+                i += 1
+            refs.append(_FromRef(None, alias, pending_null_ext, None))
+            pending_null_ext = False
+            expect_table = False
+            continue
+        if t.kind == "comma":
+            expect_table = True
+            i += 1
+            continue
+        if t.kind != "word":
+            return None
+        up = t.up
+        if up == "JOIN":
+            expect_table = True
+            i += 1
+            continue
+        if up == "LEFT":
+            pending_null_ext = True
+            i += 1
+            continue
+        if up == "RIGHT":
+            for r in refs:
+                r.null_extended = True
+            i += 1
+            continue
+        if up == "FULL":
+            for r in refs:
+                r.null_extended = True
+            pending_null_ext = True
+            i += 1
+            continue
+        if up in ("INNER", "CROSS", "OUTER", "SEMI", "ANTI"):
+            i += 1
+            continue
+        if up in ("NATURAL", "LATERAL", "TABLESAMPLE"):
+            return None  # exotic: bail rather than reason about it
+        if up == "ON":
+            i += 1
+            d = 0
+            while i < n:
+                tt = tokens[i]
+                if tt.kind == "lp":
+                    d += 1
+                elif tt.kind == "rp":
+                    d -= 1
+                elif d == 0 and tt.kind == "word" and tt.up in (
+                    "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+                    "NATURAL", "SEMI", "ANTI",
+                ):
+                    break
+                i += 1
+            continue
+        if up == "USING":
+            i += 1
+            if i < n and tokens[i].kind == "lp":
+                i = _skip_group(i)
+            continue
+        if not expect_table:
+            return None
+        name = t.text
+        i += 1
+        alias = None
+        if i < n and tokens[i].kind == "word" and tokens[i].up == "AS":
+            i += 1
+        if i < n and tokens[i].kind == "word" and tokens[i].up not in _AFTER_TABLE_KWS:
+            alias = tokens[i].text
+            i += 1
+        refs.append(_FromRef(name, alias, pending_null_ext, t))
+        pending_null_ext = False
+        expect_table = False
+    return refs
+
+
+# ------------------------------------------------------- WHERE conjuncts
+
+def _conjuncts(tokens: list[_Tok]) -> list[list[_Tok]]:
+    """Split on top-level AND.  A top-level OR makes the whole WHERE one
+    unit (splitting across an OR would change precedence); the AND of a
+    BETWEEN never splits."""
+    depth = 0
+    for t in tokens:
+        if t.kind == "lp":
+            depth += 1
+        elif t.kind == "rp":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.up == "OR":
+            return [tokens]
+    out: list[list[_Tok]] = []
+    cur: list[_Tok] = []
+    depth = 0
+    pending_between = 0
+    for t in tokens:
+        if t.kind == "lp":
+            depth += 1
+        elif t.kind == "rp":
+            depth -= 1
+        elif depth == 0 and t.kind == "word":
+            if t.up == "BETWEEN":
+                pending_between += 1
+            elif t.up == "AND":
+                if pending_between:
+                    pending_between -= 1
+                else:
+                    out.append(cur)
+                    cur = []
+                    continue
+        cur.append(t)
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _attribute(conj: list[_Tok], refs: list[_FromRef]) -> _FromRef | None:
+    """The single FROM table this conjunct provably references, else None."""
+    target: _FromRef | None = None
+    unknown_schema = any(r.columns is None for r in refs)
+    for idx, t in enumerate(conj):
+        if t.kind != "word" or t.up in _COND_KWS:
+            if t.kind == "word" and t.up == "SELECT":
+                return None
+            continue
+        if idx + 1 < len(conj) and conj[idx + 1].kind == "lp":
+            continue  # function name, not a column
+        parts = t.text.split(".")
+        resolved: _FromRef | None = None
+        if len(parts) == 1:
+            if unknown_schema:
+                return None  # cannot prove the bare column is unique
+            cands = [r for r in refs if r.columns and t.text in r.columns]
+            if len(cands) == 1:
+                resolved = cands[0]
+        elif len(parts) == 2:
+            q = parts[0].lower()
+            cands = [
+                r for r in refs
+                if (r.alias or "").lower() == q
+                or (r.alias is None and r.name is not None and r.name.lower() == q)
+            ]
+            if len(cands) == 1:
+                resolved = cands[0]
+        else:
+            q = ".".join(parts[:-1]).lower()
+            cands = [
+                r for r in refs
+                if r.alias is None and r.name is not None and r.name.lower() == q
+            ]
+            if len(cands) == 1:
+                resolved = cands[0]
+        if resolved is None:
+            return None  # outer correlation / unknown qualifier / ambiguity
+        if target is None:
+            target = resolved
+        elif target is not resolved:
+            return None  # spans two tables
+    return target
+
+
+def _strip_qualifiers(cond: str, quals: list[str]) -> str:
+    """Drop ``alias.`` / ``db.t.`` prefixes (outside string literals)."""
+    if not quals:
+        return cond
+    pat = re.compile(
+        r"(?<![\w.])(?:"
+        + "|".join(re.escape(q) for q in sorted(set(quals), key=len, reverse=True))
+        + r")\.",
+        re.IGNORECASE,
+    )
+    parts = re.split(r"('(?:[^']|'')*')", cond)
+    return "".join(p if i % 2 else pat.sub("", p) for i, p in enumerate(parts))
+
+
+# ----------------------------------------------------------------- driver
+
+def analyze(
+    sql: str,
+    masked: str,
+    columns_of: Callable[[str], "set[str] | None"],
+    is_lakehouse: Callable[[str], bool],
+) -> dict[tuple[int, int], FromInfo]:
+    """Map each lakehouse FROM occurrence's char span to its provable
+    single-table conjuncts (qualifier-stripped, original literal text).
+    Empty dict on any statement-level bail-out."""
+    tokens = _scan(masked)
+    if tokens is None:
+        return {}
+
+    # ---- block structure ------------------------------------------------
+    blocks: list[_Block] = []
+    stack: list[_Block] = []
+    depth = 0
+    for i, t in enumerate(tokens):
+        if t.kind == "lp":
+            depth += 1
+            continue
+        if t.kind == "rp":
+            depth -= 1
+            while stack and stack[-1].depth > depth:
+                stack[-1].close(i)
+                blocks.append(stack.pop())
+            continue
+        if t.kind != "word":
+            continue
+        up = t.up
+        if up == "SELECT":
+            if stack and stack[-1].depth == depth:
+                stack[-1].close(i)
+                blocks.append(stack.pop())
+            b = _Block(depth=depth)
+            b._clause_start = i + 1
+            stack.append(b)
+        elif stack and stack[-1].depth == depth and up in _CLAUSE_KWS:
+            stack[-1].transition(up, i)
+    while stack:
+        stack[-1].close(len(tokens))
+        blocks.append(stack.pop())
+
+    # ---- per-block extraction -------------------------------------------
+    out: dict[tuple[int, int], FromInfo] = {}
+    for b in blocks:
+        if b.from_span is None:
+            continue
+        refs = _parse_from(tokens[b.from_span[0]:b.from_span[1]])
+        if refs is None or not refs:
+            continue
+        lake = []
+        for r in refs:
+            if r.name is None:
+                continue
+            base = r.name.split("$")[0]
+            if "." in base and is_lakehouse(base):
+                r.columns = columns_of(r.name)
+                lake.append(r)
+            else:
+                r.columns = columns_of(r.name)
+        if not lake:
+            continue
+        infos = {
+            id(r): FromInfo(
+                ref=r.name, span=(r.tok.start, r.tok.end), alias=r.alias
+            )
+            for r in lake
+        }
+        if b.where_span is not None:
+            wtokens = tokens[b.where_span[0]:b.where_span[1]]
+            if wtokens:
+                for conj in _conjuncts(wtokens):
+                    if not conj:
+                        continue
+                    tgt = _attribute(conj, refs)
+                    if tgt is None or id(tgt) not in infos or tgt.null_extended:
+                        continue
+                    text = sql[conj[0].start:conj[-1].end]
+                    quals = [q for q in (tgt.alias, tgt.name) if q]
+                    infos[id(tgt)].conjuncts.append(
+                        _strip_qualifiers(text, quals)
+                    )
+        for info in infos.values():
+            out[info.span] = info
+    return out

@@ -134,9 +134,14 @@ class Table:
         branch: str = "main",
         tag: str | None = None,
         with_file_name: bool = False,
+        filter_rows: bool = True,
     ) -> DataFrame:
         """Pruned read.  ``filter`` prunes at the manifest level AND is
-        applied as a row filter (files may contain non-matching rows)."""
+        applied as a row filter (files may contain non-matching rows).
+        ``filter_rows=False`` keeps the manifest prune but skips the row
+        filter — for callers whose own query re-applies the predicate
+        verbatim (resolve_sql's extracted conjuncts), so the pruning
+        expression can never alter row semantics, only the file list."""
         import time as _time
 
         from swiftlake_spark.plans.metrics import ScanMetrics
@@ -161,7 +166,7 @@ class Table:
 
             dispatch(self.metric_collectors, self.last_scan_metrics)
         df = self._read_entries(entries, with_file_name=with_file_name)
-        if filter is not None:
+        if filter is not None and filter_rows:
             df = df.filter(filter.column())
         return df
 

@@ -9,8 +9,16 @@ is the correctness moat for the declared surface.
 
 Determinism rules baked into the generator (each prevents a known
 false-positive class, not a real divergence):
-- LIMIT only ever appears under an ORDER BY over a unique integer key
-  set (ties would make row choice legal-but-different on each engine);
+- LIMIT only ever appears under an ORDER BY that totally orders the
+  OUTPUT: every projected alias plus the declared key columns, each
+  with explicit NULLS FIRST (Spark and DuckDB default opposite null
+  placement).  The declared "keys" alone are NOT unique in the
+  synthetic data — (l_orderkey, l_linenumber) has ~1200 duplicate
+  groups at sf0.001 — so ordering by keys only left the LIMIT choice
+  to physical row order, which agreed between engines reading the same
+  parquet but diverged the moment the engine-path fuzz re-partitioned
+  the data into native tables.  Ordering by every output column makes
+  any remaining ties identical rows, so the multiset is deterministic;
 - no SUM/AVG over doubles (accumulation order differs; MIN/MAX and raw
   projections of doubles are exact and stay);
 - SUM of integers is CAST to BIGINT (DuckDB widens to HUGEINT);
@@ -241,13 +249,21 @@ class FuzzGen:
         return out
 
     # ------------------------------------------------------------ shapes
+    @staticmethod
+    def _total_order(aliases: list[str], keys: list[str]) -> str:
+        """ORDER BY clause that totally orders the output (see module
+        docstring): all projected aliases, then the key columns, each
+        NULLS FIRST."""
+        return ", ".join(f"{x} NULLS FIRST" for x in [*aliases, *keys])
+
     def filter_project(self) -> str:
         table = self.rng.choice(list(SCHEMA))
         keys, _cols = SCHEMA[table]
         proj = self._scalar_exprs(table)
         sql = f"SELECT {', '.join(proj)} FROM {table} WHERE {self._pred(table)}"
         if self.rng.random() < 0.5:
-            sql += f" ORDER BY {', '.join(keys)} LIMIT {self.rng.randint(1, 200)}"
+            order = self._total_order([p.split(" AS ")[-1] for p in proj], keys)
+            sql += f" ORDER BY {order} LIMIT {self.rng.randint(1, 200)}"
         return sql
 
     def join_query(self) -> str:
@@ -274,7 +290,10 @@ class FuzzGen:
             f"{jt} {right} r ON l.{lk} = r.{rk} WHERE {where}"
         )
         if self.rng.random() < 0.5:
-            order = ", ".join(f"l.{k}" for k in lkeys)
+            order = self._total_order(
+                [p.split(" AS ")[-1] for p in proj],
+                [f"l.{k}" for k in lkeys],
+            )
             sql += f" ORDER BY {order} LIMIT {self.rng.randint(1, 200)}"
         return sql
 
@@ -313,22 +332,28 @@ class FuzzGen:
         groupable = [c for c, k in cols.items() if k in ("i", "s") and c not in keys]
         g = self.rng.choice(groupable) if groupable else keys[0]
         ints = [c for c, k in cols.items() if k == "i"]
-        order = ", ".join(keys)
-        over = f"OVER (PARTITION BY {g} ORDER BY {order})"
+        ci = self.rng.choice(ints)
+        # the declared keys are NOT unique (module docstring), so the
+        # OVER ORDER BY also includes the function's input column: any
+        # remaining peers are then identical in every output-determining
+        # value — rank ties are equal, RANGE frames include all peers,
+        # LAG/LEAD see the same neighbor value — so the output multiset
+        # is engine-independent
+        over = f"OVER (PARTITION BY {g} ORDER BY {', '.join(keys)}, {ci})"
         wfn = self.rng.choice(
             [
                 f"ROW_NUMBER() {over}",
                 f"RANK() {over}",
                 f"DENSE_RANK() {over}",
-                f"CAST(SUM({self.rng.choice(ints)}) {over} AS BIGINT)",
+                f"CAST(SUM({ci}) {over} AS BIGINT)",
                 f"COUNT(*) {over}",
-                f"LAG({self.rng.choice(ints)}, 1) {over}",
-                f"LEAD({self.rng.choice(ints)}, 1) {over}",
+                f"LAG({ci}, 1) {over}",
+                f"LEAD({ci}, 1) {over}",
             ]
         )
         key_list = ", ".join(keys)
         return (
-            f"SELECT {key_list}, {g}, {wfn} AS w0 FROM {table} "
+            f"SELECT {key_list}, {g}, {ci}, {wfn} AS w0 FROM {table} "
             f"WHERE {self._pred(table)}"
         )
 
