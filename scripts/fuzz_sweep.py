@@ -1,0 +1,87 @@
+"""Offline differential-fuzz sweep: many seeds, both execution paths.
+
+Runs the generated corpus over BOTH the plain-parquet path (spark.sql)
+and the engine path (native partitioned tables via engine.sql, WHERE
+extraction + manifest pruning) against DuckDB on the same data.
+
+Usage:
+    python scripts/fuzz_sweep.py [n_seeds] [seed0] [sf_dir]
+
+Not part of the pytest suite (wall-clock); the suite pins seeds 0-199.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scripts.check_oracle import canon_rows, make_oracle_con  # noqa: E402
+from tests.sql_fuzz import generate_corpus, sample_pools  # noqa: E402
+from tests.test_engine_sql_fuzz import (  # noqa: E402
+    PARTITION_SPECS,
+    _TABLES,
+    to_engine_sql,
+)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+
+    from swiftlake_spark.config import EngineConfig
+    from swiftlake_spark.engine import SwiftLakeEngine
+    from swiftlake_spark.queries.base import load
+    from swiftlake_spark.session import build_session
+
+    spark = build_session(
+        EngineConfig(app_name="fuzz-sweep", cpus=8, shuffle_partitions=8)
+    )
+    import tempfile
+
+    eng = SwiftLakeEngine(spark, warehouse=tempfile.mkdtemp(prefix="fuzz_wh_"))
+    for t in _TABLES:
+        df = load(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+        eng.catalog.create_table(
+            f"fuzz.{t}", df.schema, partition_spec=PARTITION_SPECS.get(t)
+        )
+        eng.insert_into(f"fuzz.{t}").dataframe(df).execute()
+
+    con = make_oracle_con(sf_dir)
+    queries = generate_corpus(n, sample_pools(con), seed0=seed0)
+    t0 = time.time()
+    bad = 0
+    for k, sql in enumerate(queries):
+        seed = seed0 + k
+        try:
+            res = con.execute(sql)
+            d_cols = [d[0].lower() for d in res.description]
+            d_rows = res.fetchall()
+            dc, dr = canon_rows(d_cols, d_rows)
+            for label, frame in (
+                ("spark", spark.sql(sql)),
+                ("engine", eng.sql(to_engine_sql(sql))),
+            ):
+                sc, sr = canon_rows(frame.columns, [tuple(r) for r in frame.collect()])
+                sc = [c.lower() for c in sc]
+                if sc != dc or len(sr) != len(dr) or any(
+                    a != b for a, b in zip(sr, dr)
+                ):
+                    bad += 1
+                    print(f"MISMATCH seed {seed} [{label}]\n  {sql}", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            bad += 1
+            print(f"ERROR seed {seed}: {exc}\n  {sql}", flush=True)
+        if (k + 1) % 50 == 0:
+            print(f"... {k + 1}/{n} ({time.time() - t0:.0f}s)", flush=True)
+    print(f"sweep done: {n} seeds, {bad} failures, {time.time() - t0:.0f}s")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -459,18 +459,29 @@ class Table:
         batch=None, skip_sort: bool = False, extra_summary: dict | None = None,
     ) -> Snapshot:
         """Copy-on-write DELETE: drop fully-matching files from metadata
-        alone; rewrite partially-matching files with NOT(cond).
+        alone; rewrite partially-matching files keeping the survivors.
 
-        3VL note (deliberate reference parity, dao/delete.xml:11-15:
-        ``SELECT * WHERE NOT (cond)``): rows where ``cond`` evaluates to
-        NULL are dropped by the rewrite — i.e. DELETED — exactly as the
-        reference's DuckDB rewrite behaves.  Standard SQL DELETE keeps
-        them; callers needing that use an explicit null-safe condition."""
+        3VL note — DELIBERATE deviation from the reference: rows where
+        ``cond`` evaluates to NULL are KEPT (standard SQL DELETE).  The
+        reference rewrites only files that contain a TRUE row with
+        ``WHERE NOT (cond)`` (dao/delete.xml:5-15), which deletes the
+        NULL-evaluating rows of those files while identical rows in
+        files with no TRUE match survive — whether a row dies depends on
+        what else shares its file, i.e. on physical layout.  This engine
+        prunes inclusively on maybe-TRUE and keeps ``cond IS NOT TRUE``
+        survivors, so the answer is layout-independent; the stats-only
+        full-file drop stays sound because a True verdict already
+        requires a null-free file (expressions.Predicate.eval_stats).
+        Differentially certified against DuckDB in tests/test_dml_fuzz.py,
+        which is what exposed the layout dependence."""
         return self._cow_rewrite(
             condition,
             branch,
             op="delete",
-            rewrite=lambda df: df.filter(~condition.column()),
+            # keep cond IS NOT TRUE (FALSE *and* NULL rows survive)
+            rewrite=lambda df: df.filter(
+                ~F.coalesce(condition.column(), F.lit(False))
+            ),
             drop_fully_matching=True,
             isolation=isolation,
             batch=batch,

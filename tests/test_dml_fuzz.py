@@ -1,0 +1,203 @@
+"""Differential DML state-machine fuzz.
+
+The read path is fuzzed by tests/test_sql_fuzz.py and
+tests/test_engine_sql_fuzz.py; this harness fuzzes the WRITE path: a
+seeded random sequence of append / overwrite-by-filter / update /
+delete ops runs against a partitioned native table AND a DuckDB mirror
+executing the equivalent plain SQL, comparing the FULL table state
+after every commit.  A copy-on-write bug — a file dropped that held
+non-matching rows, a 3VL slip that deletes NULL-evaluating rows, an
+overwrite that misses a partition — shows up as a state diff at the op
+that introduced it (the failure message pins seed + op index + op).
+
+Every state in the history is also recorded against its snapshot id,
+and after the run a sample of old snapshots is re-read via time travel
+— catching any COW op that rewrites files in place instead of creating
+new ones (snapshot-isolation regression the per-op diff can't see).
+
+Conditions come from a small generator emitting only shapes the
+pushdown grammar (dml/sqlfilter.py) accepts, so the engine side runs
+them through condition_sql — the same path users hit.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from scripts.check_oracle import canon_rows  # noqa: E402
+
+SCHEMA = "id BIGINT, cat STRING, ts TIMESTAMP, v DOUBLE, n BIGINT"
+COLS = ["id", "cat", "ts", "v", "n"]
+CATS = ["A", "B", "C", "D", "E"]
+
+
+def _rand_rows(rng: random.Random, k: int, cats=CATS):
+    rows = []
+    for _ in range(k):
+        rows.append((
+            rng.randrange(0, 1000),
+            rng.choice(cats),
+            dt.datetime(2024, 1, 1) + dt.timedelta(hours=rng.randrange(0, 2000)),
+            None if rng.random() < 0.1 else rng.randrange(0, 400) / 4.0,
+            None if rng.random() < 0.15 else rng.randrange(-50, 50),
+        ))
+    return rows
+
+
+def _rand_cond(rng: random.Random) -> str:
+    def leaf() -> str:
+        roll = rng.random()
+        if roll < 0.2:
+            return f"cat = '{rng.choice(CATS)}'"
+        if roll < 0.35:
+            cs = ", ".join(f"'{c}'" for c in sorted(rng.sample(CATS, rng.randint(1, 3))))
+            return f"cat IN ({cs})"
+        if roll < 0.5:
+            a = rng.randrange(0, 900)
+            return f"id BETWEEN {a} AND {a + rng.randrange(0, 300)}"
+        if roll < 0.6:
+            return f"n IS {'NOT ' if rng.random() < 0.5 else ''}NULL"
+        if roll < 0.75:
+            op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+            return f"v {op} {rng.randrange(0, 400) / 4.0}"
+        op = rng.choice(["<", ">", "="])
+        return f"n {op} {rng.randrange(-50, 50)}"
+
+    cond = leaf()
+    for _ in range(rng.randrange(0, 2)):
+        cond = f"({cond}) {rng.choice(['AND', 'OR'])} ({leaf()})"
+    return cond
+
+
+class _Mirror:
+    """DuckDB twin executing the plain-SQL equivalent of each op."""
+
+    def __init__(self) -> None:
+        self.con = duckdb.connect()
+        self.con.execute(
+            "CREATE TABLE m (id BIGINT, cat VARCHAR, ts TIMESTAMP, "
+            "v DOUBLE, n BIGINT)"
+        )
+
+    def append(self, rows) -> None:
+        if rows:
+            self.con.executemany("INSERT INTO m VALUES (?,?,?,?,?)", rows)
+
+    def overwrite(self, cats, rows) -> None:
+        cs = ", ".join(f"'{c}'" for c in cats)
+        self.con.execute(f"DELETE FROM m WHERE cat IN ({cs})")
+        self.append(rows)
+
+    def update(self, cond, col, val) -> None:
+        self.con.execute(f"UPDATE m SET {col} = ? WHERE {cond}", [val])
+
+    def delete(self, cond) -> None:
+        self.con.execute(f"DELETE FROM m WHERE {cond}")
+
+    def state(self):
+        return self.con.execute(f"SELECT {', '.join(COLS)} FROM m").fetchall()
+
+
+def _engine_state(eng, name):
+    df = eng.catalog.load(name).select(*COLS)
+    return [tuple(r) for r in df.collect()]
+
+
+def _diff(engine_rows, duck_rows) -> str | None:
+    _, er = canon_rows(COLS, engine_rows)
+    _, dr = canon_rows(COLS, duck_rows)
+    if len(er) != len(dr):
+        return f"rowcount engine={len(er)} duckdb={len(dr)}"
+    for a, b in zip(er, dr):
+        if a != b:
+            return f"first differing row engine={a} duckdb={b}"
+    return None
+
+
+@pytest.mark.parametrize("seed", [11, 42, 1007])
+def test_dml_sequence_matches_mirror(spark, tmp_path, seed):
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    rng = random.Random(seed)
+    eng = SwiftLakeEngine(spark, warehouse=str(tmp_path / "wh"))
+    name = "db.fuzz"
+    eng.catalog.create_table(
+        name, SCHEMA, partition_spec=["cat"], sort_order=["id"]
+    )
+    mirror = _Mirror()
+    history: list[tuple[int, list]] = []  # (snapshot_id, duckdb state)
+
+    def snap_id() -> int:
+        return eng.catalog.table(name).meta.current_snapshot().snapshot_id
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, schema=SCHEMA)
+
+    ops_log = []
+    # seed data so early conditional ops have something to chew on
+    rows = _rand_rows(rng, 40)
+    eng.insert_into(name).dataframe(mkdf(rows)).execute()
+    mirror.append(rows)
+    ops_log.append("seed append 40")
+    history.append((snap_id(), mirror.state()))
+
+    for opi in range(14):
+        roll = rng.random()
+        if roll < 0.35:
+            rows = _rand_rows(rng, rng.randrange(1, 30))
+            eng.insert_into(name).dataframe(mkdf(rows)).execute()
+            mirror.append(rows)
+            ops_log.append(f"append {len(rows)}")
+        elif roll < 0.55:
+            cats = sorted(rng.sample(CATS, rng.randint(1, 2)))
+            rows = _rand_rows(rng, rng.randrange(0, 20), cats=cats)
+            cs = ", ".join(f"'{c}'" for c in cats)
+            (eng.insert_overwrite(name).dataframe(mkdf(rows))
+             .overwrite_by_filter_sql(f"cat IN ({cs})").execute())
+            mirror.overwrite(cats, rows)
+            ops_log.append(f"overwrite cats={cats} rows={len(rows)}")
+        elif roll < 0.8:
+            cond = _rand_cond(rng)
+            col, val = rng.choice([
+                ("v", rng.randrange(0, 400) / 4.0),
+                ("n", rng.randrange(-50, 50)),
+                ("cat", None),  # placeholder, replaced below
+            ])
+            if col == "cat":
+                # updating the PARTITION column moves rows across
+                # partitions — the nastiest COW case
+                val = rng.choice(CATS)
+            (eng.update(name).condition_sql(cond)
+             .update_sets({col: val}).execute())
+            mirror.update(cond, col, val)
+            ops_log.append(f"update {col}={val} where {cond}")
+        else:
+            cond = _rand_cond(rng)
+            eng.delete_from(name).condition_sql(cond).execute()
+            mirror.delete(cond)
+            ops_log.append(f"delete where {cond}")
+
+        d = _diff(_engine_state(eng, name), mirror.state())
+        assert d is None, (
+            f"seed {seed} diverged at op {opi}: {ops_log[-1]}\n  {d}\n"
+            f"  full op log: {ops_log}"
+        )
+        history.append((snap_id(), mirror.state()))
+
+    # ---- time travel: COW must never have mutated an old snapshot ----
+    for sid, expected in rng.sample(history, min(4, len(history))):
+        got = [
+            tuple(r)
+            for r in eng.catalog.table(name).scan(snapshot_id=sid)
+            .select(*COLS).collect()
+        ]
+        d = _diff(got, expected)
+        assert d is None, f"seed {seed}: snapshot {sid} changed after the fact: {d}"
