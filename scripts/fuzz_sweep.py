@@ -5,9 +5,15 @@ and the engine path (native partitioned tables via engine.sql, WHERE
 extraction + manifest pruning) against DuckDB on the same data.
 
 Usage:
-    python scripts/fuzz_sweep.py [n_seeds] [seed0] [sf_dir]
+    python scripts/fuzz_sweep.py [n_seeds] [seed0] [sf_dir]   # read path
+    python scripts/fuzz_sweep.py --dml [n_seeds] [seed0]      # write path
 
-Not part of the pytest suite (wall-clock); the suite pins seeds 0-199.
+--dml sweeps the DML state machine (tests/test_dml_fuzz.run_sequence):
+random append / overwrite / SCD1 / update / delete sequences against a
+DuckDB mirror, one fresh table per seed.
+
+Not part of the pytest suite (wall-clock); the suite pins seeds 0-199
+(read) and three write seeds.
 """
 
 from __future__ import annotations
@@ -28,10 +34,40 @@ from tests.test_engine_sql_fuzz import (  # noqa: E402
 )
 
 
+def main_dml(n: int, seed0: int) -> int:
+    import tempfile
+
+    from swiftlake_spark.config import EngineConfig
+    from swiftlake_spark.session import build_session
+    from tests.test_dml_fuzz import run_sequence
+
+    spark = build_session(
+        EngineConfig(app_name="dml-fuzz-sweep", cpus=8, shuffle_partitions=8)
+    )
+    t0 = time.time()
+    bad = 0
+    for k in range(n):
+        seed = seed0 + k
+        try:
+            run_sequence(spark, tempfile.mkdtemp(prefix="dmlfuzz_"), seed)
+        except Exception as exc:  # noqa: BLE001
+            bad += 1
+            print(f"DML FAILURE seed {seed}: {exc}", flush=True)
+        if (k + 1) % 5 == 0:
+            print(f"... {k + 1}/{n} ({time.time() - t0:.0f}s)", flush=True)
+    print(f"dml sweep done: {n} seeds, {bad} failures, {time.time() - t0:.0f}s")
+    return 1 if bad else 0
+
+
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] == "--dml":
+        n = int(args[1]) if len(args) > 1 else 30
+        seed0 = int(args[2]) if len(args) > 2 else 2000
+        return main_dml(n, seed0)
+    n = int(args[0]) if args else 500
+    seed0 = int(args[1]) if len(args) > 1 else 200
+    sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.001"
 
     from swiftlake_spark.config import EngineConfig
     from swiftlake_spark.engine import SwiftLakeEngine

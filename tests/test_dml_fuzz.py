@@ -102,6 +102,22 @@ class _Mirror:
     def delete(self, cond) -> None:
         self.con.execute(f"DELETE FROM m WHERE {cond}")
 
+    def scd1_snapshot(self, cats, rows) -> None:
+        # within the table filter the final state IS the source
+        self.overwrite(cats, rows)
+
+    def scd1_changes(self, cats, rows_with_op) -> None:
+        # matched keys within the filter are replaced or deleted; other
+        # source rows insert; target rows outside the filter untouched
+        cs = ", ".join(f"'{c}'" for c in cats)
+        ids = [r[0] for r in rows_with_op]
+        if ids:
+            marks = ", ".join(str(i) for i in ids)
+            self.con.execute(
+                f"DELETE FROM m WHERE cat IN ({cs}) AND id IN ({marks})"
+            )
+        self.append([r[:-1] for r in rows_with_op if r[-1] != "D"])
+
     def state(self):
         return self.con.execute(f"SELECT {', '.join(COLS)} FROM m").fetchall()
 
@@ -122,12 +138,13 @@ def _diff(engine_rows, duck_rows) -> str | None:
     return None
 
 
-@pytest.mark.parametrize("seed", [11, 42, 1007])
-def test_dml_sequence_matches_mirror(spark, tmp_path, seed):
+def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
+    """Seeded op sequence against table + mirror; raises on divergence.
+    Shared by the pytest seeds below and scripts/fuzz_sweep.py --dml."""
     from swiftlake_spark.engine import SwiftLakeEngine
 
     rng = random.Random(seed)
-    eng = SwiftLakeEngine(spark, warehouse=str(tmp_path / "wh"))
+    eng = SwiftLakeEngine(spark, warehouse=warehouse)
     name = "db.fuzz"
     eng.catalog.create_table(
         name, SCHEMA, partition_spec=["cat"], sort_order=["id"]
@@ -149,14 +166,22 @@ def test_dml_sequence_matches_mirror(spark, tmp_path, seed):
     ops_log.append("seed append 40")
     history.append((snap_id(), mirror.state()))
 
-    for opi in range(14):
+    def _scd_source(rng, cats, with_op: bool):
+        k = rng.randrange(1, 15)
+        ids = rng.sample(range(0, 1000), k)  # cardinality: unique keys
+        rows = [(i, *r[1:]) for i, r in zip(ids, _rand_rows(rng, k, cats=cats))]
+        if with_op:
+            rows = [(*r, "D" if rng.random() < 0.3 else "U") for r in rows]
+        return rows
+
+    for opi in range(n_ops):
         roll = rng.random()
-        if roll < 0.35:
+        if roll < 0.25:
             rows = _rand_rows(rng, rng.randrange(1, 30))
             eng.insert_into(name).dataframe(mkdf(rows)).execute()
             mirror.append(rows)
             ops_log.append(f"append {len(rows)}")
-        elif roll < 0.55:
+        elif roll < 0.4:
             cats = sorted(rng.sample(CATS, rng.randint(1, 2)))
             rows = _rand_rows(rng, rng.randrange(0, 20), cats=cats)
             cs = ", ".join(f"'{c}'" for c in cats)
@@ -164,6 +189,26 @@ def test_dml_sequence_matches_mirror(spark, tmp_path, seed):
              .overwrite_by_filter_sql(f"cat IN ({cs})").execute())
             mirror.overwrite(cats, rows)
             ops_log.append(f"overwrite cats={cats} rows={len(rows)}")
+        elif roll < 0.55:
+            cats = sorted(rng.sample(CATS, rng.randint(1, 2)))
+            cs = ", ".join(f"'{c}'" for c in cats)
+            if rng.random() < 0.5:
+                rows = _scd_source(rng, cats, with_op=False)
+                (eng.apply_snapshot_as_scd1(name)
+                 .table_filter_sql(f"cat IN ({cs})")
+                 .source_dataframe(mkdf(rows)).key_columns(["id"]).execute())
+                mirror.scd1_snapshot(cats, rows)
+                ops_log.append(f"scd1 snapshot cats={cats} rows={len(rows)}")
+            else:
+                rows = _scd_source(rng, cats, with_op=True)
+                (eng.apply_changes_as_scd1(name)
+                 .table_filter_sql(f"cat IN ({cs})")
+                 .source_dataframe(spark.createDataFrame(
+                     rows, schema=SCHEMA + ", op STRING"))
+                 .key_columns(["id"])
+                 .operation_type_column("op", "D").execute())
+                mirror.scd1_changes(cats, rows)
+                ops_log.append(f"scd1 changes cats={cats} rows={len(rows)}")
         elif roll < 0.8:
             cond = _rand_cond(rng)
             col, val = rng.choice([
@@ -201,3 +246,8 @@ def test_dml_sequence_matches_mirror(spark, tmp_path, seed):
         ]
         d = _diff(got, expected)
         assert d is None, f"seed {seed}: snapshot {sid} changed after the fact: {d}"
+
+
+@pytest.mark.parametrize("seed", [11, 42, 1007])
+def test_dml_sequence_matches_mirror(spark, tmp_path, seed):
+    run_sequence(spark, str(tmp_path / "wh"), seed)
