@@ -251,3 +251,126 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
 @pytest.mark.parametrize("seed", [11, 42, 1007])
 def test_dml_sequence_matches_mirror(spark, tmp_path, seed):
     run_sequence(spark, str(tmp_path / "wh"), seed)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_concurrent_dml_serial_replay(spark, tmp_path, seed):
+    """Concurrent writers under SERIALIZABLE isolation must be
+    equivalent to SOME serial order — and the commit lineage names it.
+    Threads fire random append/delete/update ops; serializable COW ops
+    that lose a race abort with ValidationError and are re-executed from
+    scratch (fresh base snapshot), exactly as a user would.  Afterwards
+    every successful op is replayed into DuckDB in snapshot-lineage
+    order; any divergence means a committed op saw a state other than
+    its parent snapshot (isolation bug) or clobbered a concurrent
+    commit (lost update)."""
+    import threading
+
+    from swiftlake_spark.engine import SwiftLakeEngine
+    from swiftlake_spark.tables.metadata import CommitConflict, ValidationError
+
+    rng = random.Random(seed)
+    eng = SwiftLakeEngine(spark, warehouse=str(tmp_path / "wh"))
+    name = "db.cfuzz"
+    eng.catalog.create_table(name, SCHEMA, partition_spec=["cat"])
+    seed_rows = _rand_rows(rng, 30)
+    eng.insert_into(name).dataframe(
+        spark.createDataFrame(seed_rows, schema=SCHEMA)
+    ).execute()
+
+    # pre-generate each thread's op list (rng is not thread-safe)
+    def gen_op(r: random.Random):
+        roll = r.random()
+        if roll < 0.45:
+            return ("append", _rand_rows(r, r.randrange(1, 12)))
+        if roll < 0.75:
+            return ("delete", _rand_cond(r))
+        col, val = r.choice([("v", r.randrange(0, 400) / 4.0),
+                             ("n", r.randrange(-50, 50))])
+        return ("update", (_rand_cond(r), col, val))
+
+    thread_ops = [
+        [(f"t{t}op{i}", gen_op(random.Random(seed * 100 + t * 10 + i)))
+         for i in range(4)]
+        for t in range(3)
+    ]
+    ops_by_uid = {uid: op for ops in thread_ops for uid, op in ops}
+    errors: list = []
+
+    # a COW op that matches nothing is a NO-OP: it returns the current
+    # snapshot without committing.  Tagging each execution with a unique
+    # op_id in the snapshot summary lets the lineage walk identify which
+    # snapshots are real commits of which op — a no-op's returned
+    # snapshot carries someone else's (or no) op_id and drops out.
+    def run_ops(ops):
+        try:
+            for uid, op in ops:
+                meta = {"op_id": uid}
+                for attempt in range(6):
+                    try:
+                        if op[0] == "append":
+                            (eng.insert_into(name).dataframe(
+                                spark.createDataFrame(op[1], schema=SCHEMA))
+                                .snapshot_metadata(meta).execute())
+                        elif op[0] == "delete":
+                            (eng.delete_from(name)
+                             .condition_sql(op[1])
+                             .snapshot_metadata(meta)
+                             .isolation_level("serializable").execute())
+                        else:
+                            cond, col, val = op[1]
+                            (eng.update(name).condition_sql(cond)
+                             .update_sets({col: val})
+                             .snapshot_metadata(meta)
+                             .isolation_level("serializable").execute())
+                        break
+                    except (ValidationError, CommitConflict):
+                        # ValidationError: serializable saw a conflicting
+                        # concurrent add.  CommitConflict: a file this COW
+                        # planned to replace was replaced first.  Both are
+                        # the designed "recompute from a fresh snapshot"
+                        # signals — re-execute the whole op, as a client
+                        # would (reference CommitFailedException contract).
+                        if attempt == 5:
+                            raise
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run_ops, args=(ops,))
+               for ops in thread_ops]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # lineage order: walk parents from the final snapshot
+    meta = eng.catalog.table(name).meta
+    by_id = {s.snapshot_id: s for s in meta.snapshots}
+    chain = []
+    cur = by_id[meta.refs["main"]]
+    while cur is not None:
+        chain.append(cur)
+        cur = by_id.get(cur.parent_id)
+    chain.reverse()
+    replay_order = [s.summary["op_id"] for s in chain
+                    if s.summary.get("op_id") in ops_by_uid]
+    # appends can never no-op: every one must appear exactly once
+    append_uids = [u for u, op in ops_by_uid.items() if op[0] == "append"]
+    assert sorted(u for u in replay_order
+                  if ops_by_uid[u][0] == "append") == sorted(append_uids)
+    assert len(replay_order) == len(set(replay_order)), "op committed twice"
+
+    mirror = _Mirror()
+    mirror.append(seed_rows)
+    for uid in replay_order:
+        op = ops_by_uid[uid]
+        if op[0] == "append":
+            mirror.append(op[1])
+        elif op[0] == "delete":
+            mirror.delete(op[1])
+        else:
+            cond, col, val = op[1]
+            mirror.update(cond, col, val)
+    d = _diff(_engine_state(eng, name), mirror.state())
+    assert d is None, f"serial replay diverged: {d}"
