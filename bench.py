@@ -86,6 +86,21 @@ def main() -> int:
         floor_samples.append(time.perf_counter() - f0)
     floor = round(sorted(floor_samples)[len(floor_samples) // 2], 3)
 
+    # Sustained-throughput probe: the latency floor catches scheduler/IO
+    # stalls but NOT slow sustained CPU (frequency scaling, co-tenant
+    # steal) — same-code runs have differed 25% with identical floors.
+    # A fixed CPU-bound job (sum over 200M longs, all cores) gives the
+    # judge a second normalizer: seconds here scale ~linearly with any
+    # whole-run CPU slowdown.  Median of 3.
+    cpu_samples = []
+    for _ in range(3):
+        c0 = time.perf_counter()
+        spark.range(2_000_000_000).selectExpr(
+            "sum(id % 7)", "sum(xxhash64(id))"
+        ).collect()
+        cpu_samples.append(time.perf_counter() - c0)
+    cpu_probe = round(sorted(cpu_samples)[1], 3)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -117,6 +132,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "floor": floor,
+        "cpu_probe": cpu_probe,
         "value_adj": value_adj,
         "queries": {
             (_short(k) if use_short else k): round(v, 2)
@@ -137,6 +153,8 @@ def main() -> int:
                     "sf": sf,
                     "floor": floor,
                     "floor_samples": [round(x, 3) for x in floor_samples],
+                    "cpu_probe": cpu_probe,
+                    "cpu_samples": [round(x, 3) for x in cpu_samples],
                     "value_adj": value_adj,
                     "queries": timings,
                     "queries_adj": {
