@@ -1,0 +1,206 @@
+"""Crash-consistency fuzz: injected storage failures mid-commit.
+
+The FileIO seam makes every byte the table format persists pass through
+one interface — so a fault-injecting proxy can kill the Nth mutating
+storage call of an operation (a data-file upload, a manifest write, the
+version claim itself) and the table afterwards must be ATOMIC: a fresh
+client reading from storage sees exactly the pre-op state or exactly
+the post-op state, never a torn one.  The commit protocol's atomic
+boundary is the version-file claim (everything before it is invisible
+staging; tables/metadata.py), and the in-memory handle rolls back its
+snapshot list on storage failure (table.py _commit) — this fuzz checks
+both from the outside, across every failure offset of every op shape.
+
+After each injected crash the sequence also proves the table is not
+just readable but USABLE: vacuum runs clean (orphaned staging from the
+failed op must not take live data with it) and the next op commits.
+
+Mirrors the state in plain Python + DuckDB per op (pre/post candidate
+states), reusing the op generators of tests/test_dml_fuzz.py.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from swiftlake_spark import fileio as fio  # noqa: E402
+from tests.test_dml_fuzz import (  # noqa: E402
+    CATS,
+    COLS,
+    SCHEMA,
+    _diff,
+    _rand_cond,
+    _rand_rows,
+)
+
+_MUTATING = (
+    "write_bytes", "write_text", "try_claim", "replace_text", "delete",
+    "upload",
+)
+
+
+class FlakyIO:
+    """Delegating FileIO proxy that raises StorageError on the Nth
+    mutating call once armed.  Reads never fail (read-side faults are
+    retried/propagated trivially and don't threaten durability)."""
+
+    def __init__(self, inner: fio.FileIO) -> None:
+        self._inner = inner
+        self.fail_after: int | None = None
+        self.calls = 0
+
+    def arm(self, fail_after: int) -> None:
+        self.fail_after = fail_after
+        self.calls = 0
+
+    def disarm(self) -> None:
+        self.fail_after = None
+
+    def _maybe_fail(self) -> None:
+        if self.fail_after is not None:
+            self.calls += 1
+            if self.calls > self.fail_after:
+                raise fio.StorageError("injected storage failure")
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name in _MUTATING:
+            def wrapped(*a, **kw):
+                self._maybe_fail()
+                return attr(*a, **kw)
+            return wrapped
+        return attr
+
+
+def _apply(pre: list, op) -> list:
+    """Expected post-state via a throwaway DuckDB table."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (id BIGINT, cat VARCHAR, ts TIMESTAMP, "
+                "v DOUBLE, n BIGINT)")
+    if pre:
+        con.executemany("INSERT INTO m VALUES (?,?,?,?,?)", pre)
+    kind = op[0]
+    if kind == "append":
+        if op[1]:
+            con.executemany("INSERT INTO m VALUES (?,?,?,?,?)", op[1])
+    elif kind == "overwrite":
+        cats, rows = op[1]
+        cs = ", ".join(f"'{c}'" for c in cats)
+        con.execute(f"DELETE FROM m WHERE cat IN ({cs})")
+        if rows:
+            con.executemany("INSERT INTO m VALUES (?,?,?,?,?)", rows)
+    elif kind == "delete":
+        con.execute(f"DELETE FROM m WHERE {op[1]}")
+    else:
+        cond, col, val = op[1]
+        con.execute(f"UPDATE m SET {col} = ? WHERE {cond}", [val])
+    out = con.execute(f"SELECT {', '.join(COLS)} FROM m").fetchall()
+    con.close()
+    return out
+
+
+def _run_op(eng, spark, name, op):
+    kind = op[0]
+    if kind == "append":
+        eng.insert_into(name).dataframe(
+            spark.createDataFrame(op[1], schema=SCHEMA)).execute()
+    elif kind == "overwrite":
+        cats, rows = op[1]
+        cs = ", ".join(f"'{c}'" for c in cats)
+        (eng.insert_overwrite(name)
+         .dataframe(spark.createDataFrame(rows, schema=SCHEMA))
+         .overwrite_by_filter_sql(f"cat IN ({cs})").execute())
+    elif kind == "delete":
+        eng.delete_from(name).condition_sql(op[1]).execute()
+    else:
+        cond, col, val = op[1]
+        eng.update(name).condition_sql(cond).update_sets({col: val}).execute()
+
+
+def _state(eng, name):
+    return [tuple(r)
+            for r in eng.catalog.load(name).select(*COLS).collect()]
+
+
+@pytest.mark.parametrize("seed", [3, 91])
+def test_injected_crashes_preserve_atomicity(spark, seed):
+    from swiftlake_spark.engine import SwiftLakeEngine
+    from swiftlake_spark.tables.maintenance import vacuum
+
+    store = f"crashfuzz{seed}"
+    fio.reset_memory_store(store)
+    # install the proxy where fileio_for hands out the singleton
+    real = fio.fileio_for("mem://x")
+    flaky = FlakyIO(real)
+    fio._MEM_IO = flaky
+    try:
+        rng = random.Random(seed)
+        eng = SwiftLakeEngine(spark, warehouse=f"mem://{store}/wh")
+        name = "db.t"
+        eng.catalog.create_table(name, SCHEMA, partition_spec=["cat"])
+        state = _rand_rows(rng, 25)
+        eng.insert_into(name).dataframe(
+            spark.createDataFrame(state, schema=SCHEMA)).execute()
+
+        def gen_op(r):
+            roll = r.random()
+            if roll < 0.35:
+                return ("append", _rand_rows(r, r.randrange(1, 10)))
+            if roll < 0.55:
+                cats = sorted(r.sample(CATS, r.randint(1, 2)))
+                return ("overwrite", (cats, _rand_rows(r, r.randrange(0, 8),
+                                                       cats=cats)))
+            if roll < 0.8:
+                return ("delete", _rand_cond(r))
+            col, val = r.choice([("v", r.randrange(0, 400) / 4.0),
+                                 ("n", r.randrange(-50, 50))])
+            return ("update", (_rand_cond(r), col, val))
+
+        crashes = 0
+        for opi in range(10):
+            op = gen_op(rng)
+            post = _apply(state, op)
+            flaky.arm(rng.randrange(0, 8))
+            failed = False
+            try:
+                _run_op(eng, spark, name, op)
+            except Exception:  # noqa: BLE001 — the injected fault class
+                failed = True
+                crashes += 1
+            finally:
+                flaky.disarm()
+
+            got = _state(eng, name)
+            if _diff(got, post) is None:
+                state = post  # op won the race with the fault (or no fault)
+            else:
+                d_pre = _diff(got, state)
+                assert failed, "op reported success but state is not post"
+                assert d_pre is None, (
+                    f"seed {seed} op {opi} {op[0]}: torn state after injected "
+                    f"crash — matches neither pre nor post ({d_pre})"
+                )
+            # the table must stay USABLE: vacuum never removes live data
+            # (staged orphans of the failed op may go), and a fresh client
+            # sees the same state
+            rep = vacuum(eng.catalog.table(name), older_than_ms=0)
+            assert rep is not None
+            assert _diff(_state(eng, name), state) is None
+
+        assert crashes >= 3, f"only {crashes} injected crashes fired — " \
+                             "fault offsets too large to test anything"
+        # clean op after all the carnage
+        final_rows = _rand_rows(rng, 5)
+        eng.insert_into(name).dataframe(
+            spark.createDataFrame(final_rows, schema=SCHEMA)).execute()
+        assert _diff(_state(eng, name), state + final_rows) is None
+    finally:
+        fio._MEM_IO = real
+        fio.reset_memory_store(store)
