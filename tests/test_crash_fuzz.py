@@ -129,12 +129,13 @@ def _state(eng, name):
             for r in eng.catalog.load(name).select(*COLS).collect()]
 
 
+@pytest.mark.parametrize("protocol", ["storage-claim", "catalog-cas"])
 @pytest.mark.parametrize("seed", [3, 91])
-def test_injected_crashes_preserve_atomicity(spark, seed):
+def test_injected_crashes_preserve_atomicity(spark, seed, protocol):
     from swiftlake_spark.engine import SwiftLakeEngine
     from swiftlake_spark.tables.maintenance import vacuum
 
-    store = f"crashfuzz{seed}"
+    store = f"crashfuzz{seed}{protocol.replace('-', '')}"
     fio.reset_memory_store(store)
     # install the proxy where fileio_for hands out the singleton
     real = fio.fileio_for("mem://x")
@@ -144,7 +145,10 @@ def test_injected_crashes_preserve_atomicity(spark, seed):
         rng = random.Random(seed)
         eng = SwiftLakeEngine(spark, warehouse=f"mem://{store}/wh")
         name = "db.t"
-        eng.catalog.create_table(name, SCHEMA, partition_spec=["cat"])
+        props = {"commit.protocol": protocol} if protocol == "catalog-cas" else None
+        eng.catalog.create_table(
+            name, SCHEMA, partition_spec=["cat"], properties=props
+        )
         state = _rand_rows(rng, 25)
         eng.insert_into(name).dataframe(
             spark.createDataFrame(state, schema=SCHEMA)).execute()
