@@ -149,11 +149,15 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
     eng.catalog.create_table(
         name, SCHEMA, partition_spec=["cat"], sort_order=["id"]
     )
-    mirror = _Mirror()
-    history: list[tuple[int, list]] = []  # (snapshot_id, duckdb state)
+    mirrors = {"main": _Mirror()}
+    history: list[tuple[str, int, list]] = []  # (branch, sid, duckdb state)
 
-    def snap_id() -> int:
-        return eng.catalog.table(name).meta.current_snapshot().snapshot_id
+    def snap_id(br: str = "main") -> int:
+        return eng.catalog.table(name).meta.current_snapshot(br).snapshot_id
+
+    def engine_state(br: str):
+        ref = name if br == "main" else f"{name}$branch_{br}"
+        return _engine_state(eng, ref)
 
     def mkdf(rows):
         return spark.createDataFrame(rows, schema=SCHEMA)
@@ -162,9 +166,16 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
     # seed data so early conditional ops have something to chew on
     rows = _rand_rows(rng, 40)
     eng.insert_into(name).dataframe(mkdf(rows)).execute()
-    mirror.append(rows)
+    mirrors["main"].append(rows)
     ops_log.append("seed append 40")
-    history.append((snap_id(), mirror.state()))
+    history.append(("main", snap_id(), mirrors["main"].state()))
+
+    # branch off: ~30% of ops land on dev; after every op BOTH branches
+    # must match their mirrors (cross-branch contamination is the bug
+    # class under test), and maintenance must never disturb either
+    eng.catalog.table(name).create_branch("dev")
+    mirrors["dev"] = _Mirror()
+    mirrors["dev"].append(mirrors["main"].state())
 
     def _scd_source(rng, cats, with_op: bool):
         k = rng.randrange(1, 15)
@@ -175,20 +186,22 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
         return rows
 
     for opi in range(n_ops):
+        br = "dev" if rng.random() < 0.3 else "main"
+        mirror = mirrors[br]
         roll = rng.random()
         if roll < 0.25:
             rows = _rand_rows(rng, rng.randrange(1, 30))
-            eng.insert_into(name).dataframe(mkdf(rows)).execute()
+            eng.insert_into(name).dataframe(mkdf(rows)).branch(br).execute()
             mirror.append(rows)
-            ops_log.append(f"append {len(rows)}")
+            ops_log.append(f"[{br}] append {len(rows)}")
         elif roll < 0.4:
             cats = sorted(rng.sample(CATS, rng.randint(1, 2)))
             rows = _rand_rows(rng, rng.randrange(0, 20), cats=cats)
             cs = ", ".join(f"'{c}'" for c in cats)
             (eng.insert_overwrite(name).dataframe(mkdf(rows))
-             .overwrite_by_filter_sql(f"cat IN ({cs})").execute())
+             .overwrite_by_filter_sql(f"cat IN ({cs})").branch(br).execute())
             mirror.overwrite(cats, rows)
-            ops_log.append(f"overwrite cats={cats} rows={len(rows)}")
+            ops_log.append(f"[{br}] overwrite cats={cats} rows={len(rows)}")
         elif roll < 0.55:
             cats = sorted(rng.sample(CATS, rng.randint(1, 2)))
             cs = ", ".join(f"'{c}'" for c in cats)
@@ -196,9 +209,10 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                 rows = _scd_source(rng, cats, with_op=False)
                 (eng.apply_snapshot_as_scd1(name)
                  .table_filter_sql(f"cat IN ({cs})")
-                 .source_dataframe(mkdf(rows)).key_columns(["id"]).execute())
+                 .source_dataframe(mkdf(rows)).key_columns(["id"])
+                 .branch(br).execute())
                 mirror.scd1_snapshot(cats, rows)
-                ops_log.append(f"scd1 snapshot cats={cats} rows={len(rows)}")
+                ops_log.append(f"[{br}] scd1 snapshot cats={cats} rows={len(rows)}")
             else:
                 rows = _scd_source(rng, cats, with_op=True)
                 (eng.apply_changes_as_scd1(name)
@@ -206,9 +220,9 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                  .source_dataframe(spark.createDataFrame(
                      rows, schema=SCHEMA + ", op STRING"))
                  .key_columns(["id"])
-                 .operation_type_column("op", "D").execute())
+                 .operation_type_column("op", "D").branch(br).execute())
                 mirror.scd1_changes(cats, rows)
-                ops_log.append(f"scd1 changes cats={cats} rows={len(rows)}")
+                ops_log.append(f"[{br}] scd1 changes cats={cats} rows={len(rows)}")
         elif roll < 0.8:
             cond = _rand_cond(rng)
             col, val = rng.choice([
@@ -221,24 +235,46 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                 # partitions — the nastiest COW case
                 val = rng.choice(CATS)
             (eng.update(name).condition_sql(cond)
-             .update_sets({col: val}).execute())
+             .update_sets({col: val}).branch(br).execute())
             mirror.update(cond, col, val)
-            ops_log.append(f"update {col}={val} where {cond}")
+            ops_log.append(f"[{br}] update {col}={val} where {cond}")
         else:
             cond = _rand_cond(rng)
-            eng.delete_from(name).condition_sql(cond).execute()
+            eng.delete_from(name).condition_sql(cond).branch(br).execute()
             mirror.delete(cond)
-            ops_log.append(f"delete where {cond}")
+            ops_log.append(f"[{br}] delete where {cond}")
 
-        d = _diff(_engine_state(eng, name), mirror.state())
-        assert d is None, (
-            f"seed {seed} diverged at op {opi}: {ops_log[-1]}\n  {d}\n"
-            f"  full op log: {ops_log}"
-        )
-        history.append((snap_id(), mirror.state()))
+        for b in ("main", "dev"):
+            d = _diff(engine_state(b), mirrors[b].state())
+            assert d is None, (
+                f"seed {seed} diverged on branch {b} at op {opi}: "
+                f"{ops_log[-1]}\n  {d}\n  full op log: {ops_log}"
+            )
+        history.append((br, snap_id(br), mirror.state()))
+
+        if rng.random() < 0.2:
+            # maintenance mid-flight: snapshot expiry + aggressive vacuum
+            # must never disturb either branch head (vacuum keeps every
+            # ref target; expired snapshots drop from the travel history)
+            from swiftlake_spark.tables.maintenance import (
+                expire_snapshots,
+                vacuum,
+            )
+
+            t = eng.catalog.table(name)
+            expired = set(expire_snapshots(t, keep_last=3))
+            vacuum(t.refresh(), older_than_ms=0)
+            history = [h for h in history if h[1] not in expired]
+            for b in ("main", "dev"):
+                d = _diff(engine_state(b), mirrors[b].state())
+                assert d is None, (
+                    f"seed {seed}: maintenance after op {opi} disturbed "
+                    f"branch {b}: {d}"
+                )
+            ops_log.append("maintenance")
 
     # ---- time travel: COW must never have mutated an old snapshot ----
-    for sid, expected in rng.sample(history, min(4, len(history))):
+    for _br, sid, expected in rng.sample(history, min(4, len(history))):
         got = [
             tuple(r)
             for r in eng.catalog.table(name).scan(snapshot_id=sid)
