@@ -253,16 +253,19 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
         history.append((br, snap_id(br), mirror.state()))
 
         if rng.random() < 0.2:
-            # maintenance mid-flight: snapshot expiry + aggressive vacuum
-            # must never disturb either branch head (vacuum keeps every
-            # ref target; expired snapshots drop from the travel history)
+            # maintenance mid-flight: compaction on a random branch, then
+            # snapshot expiry + aggressive vacuum — none of it may
+            # disturb either branch head (vacuum keeps every ref target;
+            # expired snapshots drop from the travel history)
             from swiftlake_spark.tables.maintenance import (
+                compact,
                 expire_snapshots,
                 vacuum,
             )
 
             t = eng.catalog.table(name)
-            expired = set(expire_snapshots(t, keep_last=3))
+            compact(t, branch=rng.choice(["main", "dev"]))
+            expired = set(expire_snapshots(t.refresh(), keep_last=3))
             vacuum(t.refresh(), older_than_ms=0)
             history = [h for h in history if h[1] not in expired]
             for b in ("main", "dev"):
