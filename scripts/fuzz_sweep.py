@@ -7,6 +7,7 @@ extraction + manifest pruning) against DuckDB on the same data.
 Usage:
     python scripts/fuzz_sweep.py [n_seeds] [seed0] [sf_dir]   # read path
     python scripts/fuzz_sweep.py --dml [n_seeds] [seed0]      # write path
+    python scripts/fuzz_sweep.py --scd2 [n_seeds] [seed0]     # SCD2 model
 
 --dml sweeps the DML state machine (tests/test_dml_fuzz.run_sequence):
 random append / overwrite / SCD1 / update / delete sequences against a
@@ -59,12 +60,51 @@ def main_dml(n: int, seed0: int) -> int:
     return 1 if bad else 0
 
 
+def main_scd2(n: int, seed0: int) -> int:
+    import tempfile
+
+    from swiftlake_spark.config import EngineConfig
+    from swiftlake_spark.session import build_session
+    from tests.test_scd2_model_fuzz import test_scd2_merges_match_model
+
+    spark = build_session(
+        EngineConfig(app_name="scd2-fuzz-sweep", cpus=8, shuffle_partitions=8)
+    )
+
+    class _P:  # tmp_path stand-in
+        def __init__(self, d):
+            self._d = d
+
+        def __truediv__(self, other):
+            return os.path.join(self._d, other)
+
+    t0 = time.time()
+    bad = 0
+    for k in range(n):
+        seed = seed0 + k
+        try:
+            test_scd2_merges_match_model(
+                spark, _P(tempfile.mkdtemp(prefix="scd2fuzz_")), seed
+            )
+        except Exception as exc:  # noqa: BLE001
+            bad += 1
+            print(f"SCD2 FAILURE seed {seed}: {exc}", flush=True)
+        if (k + 1) % 5 == 0:
+            print(f"... {k + 1}/{n} ({time.time() - t0:.0f}s)", flush=True)
+    print(f"scd2 sweep done: {n} seeds, {bad} failures, {time.time() - t0:.0f}s")
+    return 1 if bad else 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     if args and args[0] == "--dml":
         n = int(args[1]) if len(args) > 1 else 30
         seed0 = int(args[2]) if len(args) > 2 else 2000
         return main_dml(n, seed0)
+    if args and args[0] == "--scd2":
+        n = int(args[1]) if len(args) > 1 else 30
+        seed0 = int(args[2]) if len(args) > 2 else 5000
+        return main_scd2(n, seed0)
     n = int(args[0]) if args else 500
     seed0 = int(args[1]) if len(args) > 1 else 200
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.001"
