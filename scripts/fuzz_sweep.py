@@ -8,6 +8,7 @@ Usage:
     python scripts/fuzz_sweep.py [n_seeds] [seed0] [sf_dir]   # read path
     python scripts/fuzz_sweep.py --dml [n_seeds] [seed0]      # write path
     python scripts/fuzz_sweep.py --scd2 [n_seeds] [seed0]     # SCD2 model
+    python scripts/fuzz_sweep.py --evo [n_seeds] [seed0]      # schema evolution
 
 --dml sweeps the DML state machine (tests/test_dml_fuzz.run_sequence):
 random append / overwrite / SCD1 / update / delete sequences against a
@@ -60,15 +61,19 @@ def main_dml(n: int, seed0: int) -> int:
     return 1 if bad else 0
 
 
-def main_scd2(n: int, seed0: int) -> int:
+def main_pytest_style(n: int, seed0: int, module: str, fn_name: str,
+                      label: str) -> int:
+    """Sweep a (spark, tmp_path, seed)-style pytest fuzz over many seeds."""
+    import importlib
     import tempfile
 
     from swiftlake_spark.config import EngineConfig
     from swiftlake_spark.session import build_session
-    from tests.test_scd2_model_fuzz import test_scd2_merges_match_model
 
+    fn = getattr(importlib.import_module(module), fn_name)
     spark = build_session(
-        EngineConfig(app_name="scd2-fuzz-sweep", cpus=8, shuffle_partitions=8)
+        EngineConfig(app_name=f"{label}-fuzz-sweep", cpus=8,
+                     shuffle_partitions=8)
     )
 
     class _P:  # tmp_path stand-in
@@ -83,16 +88,22 @@ def main_scd2(n: int, seed0: int) -> int:
     for k in range(n):
         seed = seed0 + k
         try:
-            test_scd2_merges_match_model(
-                spark, _P(tempfile.mkdtemp(prefix="scd2fuzz_")), seed
-            )
+            fn(spark, _P(tempfile.mkdtemp(prefix=f"{label}fuzz_")), seed)
         except Exception as exc:  # noqa: BLE001
             bad += 1
-            print(f"SCD2 FAILURE seed {seed}: {exc}", flush=True)
+            print(f"{label.upper()} FAILURE seed {seed}: {exc}", flush=True)
         if (k + 1) % 5 == 0:
             print(f"... {k + 1}/{n} ({time.time() - t0:.0f}s)", flush=True)
-    print(f"scd2 sweep done: {n} seeds, {bad} failures, {time.time() - t0:.0f}s")
+    print(f"{label} sweep done: {n} seeds, {bad} failures, "
+          f"{time.time() - t0:.0f}s")
     return 1 if bad else 0
+
+
+def main_scd2(n: int, seed0: int) -> int:
+    return main_pytest_style(
+        n, seed0, "tests.test_scd2_model_fuzz",
+        "test_scd2_merges_match_model", "scd2",
+    )
 
 
 def main() -> int:
@@ -105,6 +116,13 @@ def main() -> int:
         n = int(args[1]) if len(args) > 1 else 30
         seed0 = int(args[2]) if len(args) > 2 else 5000
         return main_scd2(n, seed0)
+    if args and args[0] == "--evo":
+        n = int(args[1]) if len(args) > 1 else 30
+        seed0 = int(args[2]) if len(args) > 2 else 7000
+        return main_pytest_style(
+            n, seed0, "tests.test_evolution_fuzz",
+            "test_evolution_sequences_match_mirror", "evo",
+        )
     n = int(args[0]) if args else 500
     seed0 = int(args[1]) if len(args) > 1 else 200
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.001"
