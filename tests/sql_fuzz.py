@@ -434,6 +434,26 @@ class FuzzGen:
             f"HAVING COUNT(*) >= {self.rng.randint(1, 2)}"
         )
 
+    def cte_query(self) -> str:
+        """WITH bodies over one or two tables; the outer query joins or
+        aggregates the CTEs.  No LIMIT (full-result compare), so no
+        ordering constraints apply."""
+        left, right, lk, rk = self.rng.choice(FK_JOINS)
+        lcols = SCHEMA[left][1]
+        rcols = SCHEMA[right][1]
+        g = self.rng.choice([c for c, k in rcols.items() if k in ("i", "s")])
+        ints = [c for c, k in lcols.items() if k == "i"]
+        i0 = self.rng.choice(ints)
+        return (
+            f"WITH lf AS (SELECT {lk} AS k, {i0} AS m FROM {left} "
+            f"WHERE {self._pred(left)}), "
+            f"rf AS (SELECT {rk} AS k, {g} AS g FROM {right} "
+            f"WHERE {self._pred(right)}) "
+            f"SELECT rf.g AS g0, COUNT(*) AS cnt, "
+            f"CAST(SUM(lf.m) AS BIGINT) AS s0 "
+            f"FROM lf JOIN rf ON lf.k = rf.k GROUP BY rf.g"
+        )
+
     def set_op_query(self) -> str:
         table = self.rng.choice(list(SCHEMA))
         _keys, cols = SCHEMA[table]
@@ -459,8 +479,9 @@ class FuzzGen:
                 self.subquery_query,
                 self.rollup_query,
                 self.conditional_agg_query,
+                self.cte_query,
             ],
-            weights=[20, 16, 16, 8, 8, 10, 10, 6, 6],
+            weights=[20, 16, 16, 8, 8, 10, 10, 6, 6, 8],
         )[0]
         return shape()
 

@@ -92,5 +92,6 @@ def test_fuzz_corpus_health(fuzz_env):
     assert nonzero >= len(queries) * 0.5
     text = "\n".join(queries)
     for marker in ("ROLLUP", "OVER (PARTITION BY", "EXISTS", " IN (SELECT",
-                   "FILTER (WHERE", "UNION", "INTERSECT", "LEFT JOIN"):
+                   "FILTER (WHERE", "UNION", "INTERSECT", "LEFT JOIN",
+                   "WITH lf AS"):
         assert marker in text, f"shape family missing from corpus: {marker}"

@@ -150,6 +150,27 @@ class TestAnalyze:
         )
         assert got == {"db.orders": ["o_totalprice > 3"]}
 
+    def test_cte_bodies_extract(self):
+        got = _an(
+            "WITH a AS (SELECT l_orderkey AS k FROM db.lineitem "
+            "WHERE l_quantity > 2), b AS (SELECT o_orderkey FROM db.orders "
+            "WHERE o_custkey = 5) "
+            "SELECT COUNT(*) AS n FROM a JOIN b ON a.k = b.o_orderkey"
+        )
+        assert got == {
+            "db.lineitem": ["l_quantity > 2"],
+            "db.orders": ["o_custkey = 5"],
+        }
+
+    def test_cte_alias_columns_do_not_leak_to_outer(self):
+        # outer WHERE references the CTE's column; must not be attributed
+        # to any lakehouse table
+        got = _an(
+            "WITH a AS (SELECT l_orderkey AS k FROM db.lineitem "
+            "WHERE l_quantity > 2) SELECT k FROM a WHERE k < 100"
+        )
+        assert got == {"db.lineitem": ["l_quantity > 2"]}
+
     def test_function_names_not_columns(self):
         got = _an("SELECT * FROM db.orders "
                   "WHERE LENGTH(o_orderpriority) > 2 AND o_custkey = 1")
