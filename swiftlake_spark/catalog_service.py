@@ -77,6 +77,88 @@ class MemoryCatalogCommitService(CatalogCommitService):
             self._pointers.pop(table_key, None)
 
 
+class HttpCatalogCommitService(CatalogCommitService):
+    """Pointer authority over an S3-compatible HTTP object store — the
+    network-boundary twin of HttpFileIO (≙ the reference's Glue/JDBC
+    catalog wiring, README.md:100-118, where a commit is an atomic
+    pointer swap with a precondition).
+
+    Each table's pointer lives at ``<base>/<prefix>/<quoted table key>``:
+
+    - ``register`` = conditional create (``If-None-Match: *`` → 412 on
+      the create-table race);
+    - ``cas`` = read the pointer WITH its ETag, verify the content
+      equals the caller's expected value, then PUT ``If-Match: <etag>``
+      — the store checks the precondition atomically, so two racers
+      from the same basis get exactly one 200 and one 412.  (Glue's
+      VersionId / a JDBC ``UPDATE … WHERE metadata_location = ?`` are
+      the same shape; S3 conditional writes support If-Match natively.)
+
+    Stdlib urllib only; auth (SigV4, bearer) is a ``_request`` override
+    in a subclass, mirroring HttpFileIO's seam.
+    """
+
+    def __init__(self, base_url: str, prefix: str = "__catalog__") -> None:
+        self._base = base_url.rstrip("/")
+        self._prefix = prefix.strip("/")
+
+    # -- transport (override point for auth) ----------------------------
+    def _request(self, method: str, url: str, data: bytes | None = None,
+                 headers: dict | None = None):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=data, method=method, headers=headers or {}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers or {}), b""
+
+    def _url(self, table_key: str) -> str:
+        import urllib.parse
+
+        return (self._base + "/" + self._prefix + "/"
+                + urllib.parse.quote(table_key, safe=""))
+
+    # -- CatalogCommitService -------------------------------------------
+    def current(self, table_key: str) -> str | None:
+        status, _h, body = self._request("GET", self._url(table_key))
+        return body.decode("utf-8") if status == 200 else None
+
+    def _current_with_etag(self, table_key: str):
+        status, h, body = self._request("GET", self._url(table_key))
+        if status != 200:
+            return None, None
+        etag = {k.lower(): v for k, v in h.items()}.get("etag")
+        return body.decode("utf-8"), etag
+
+    def register(self, table_key: str, pointer: str) -> None:
+        status, _h, _b = self._request(
+            "PUT", self._url(table_key), pointer.encode("utf-8"),
+            {"If-None-Match": "*"},
+        )
+        if status == 412:
+            raise FileExistsError(table_key)
+        if status >= 300:
+            raise IOError(f"catalog register failed: HTTP {status}")
+
+    def cas(self, table_key: str, expected: str | None, new: str) -> bool:
+        cur, etag = self._current_with_etag(table_key)
+        if cur is None or etag is None or cur != expected:
+            return False
+        status, _h, _b = self._request(
+            "PUT", self._url(table_key), new.encode("utf-8"),
+            {"If-Match": etag},
+        )
+        return status == 200
+
+    def drop(self, table_key: str) -> None:
+        self._request("DELETE", self._url(table_key))
+
+
 # Process-default service — a deployment would install its Glue/JDBC
 # implementation here at engine startup.
 _DEFAULT = MemoryCatalogCommitService()

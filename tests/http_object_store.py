@@ -4,16 +4,27 @@
 object-store REST subset HttpFileIO consumes — GET/HEAD/PUT/DELETE per
 key, conditional PUT via ``If-None-Match: *`` (412 when the key
 exists), and ``GET /?prefix=`` listing returning ``key\tmtime`` lines.
-ThreadingHTTPServer so concurrent commit races cross a REAL network
-boundary and the 412 arbitration happens under genuine parallelism.
+Responses carry an ``ETag`` (md5 of the body) and PUT honors
+``If-Match: <etag>`` — 412 unless the key exists with exactly that
+etag, checked atomically — which is the compare-and-swap primitive
+HttpCatalogCommitService builds its pointer CAS on (S3 has supported
+conditional writes incl. If-Match since 2024; GCS/R2 equivalents
+exist).  ThreadingHTTPServer so concurrent commit races cross a REAL
+network boundary and the 412 arbitration happens under genuine
+parallelism.
 """
 
 from __future__ import annotations
 
+import hashlib
 import threading
 import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _etag(body: bytes) -> str:
+    return hashlib.md5(body).hexdigest()
 
 
 class _Store:
@@ -59,7 +70,8 @@ def _make_handler(store: _Store):
             if obj is None:
                 self._send(404)
             else:
-                self._send(200, obj[0], {"X-Mtime": repr(obj[1])})
+                self._send(200, obj[0],
+                           {"X-Mtime": repr(obj[1]), "ETag": _etag(obj[0])})
 
         def do_HEAD(self) -> None:
             key = self._key()
@@ -68,17 +80,24 @@ def _make_handler(store: _Store):
             if obj is None:
                 self._send(404)
             else:
-                self._send(200, obj[0], {"X-Mtime": repr(obj[1])})
+                self._send(200, obj[0],
+                           {"X-Mtime": repr(obj[1]), "ETag": _etag(obj[0])})
 
         def do_PUT(self) -> None:
             key = self._key()
             n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n)
-            conditional = self.headers.get("If-None-Match") == "*"
+            if_none = self.headers.get("If-None-Match") == "*"
+            if_match = self.headers.get("If-Match")
             with store.lock:  # the put+check is ATOMIC — that's the contract
-                if conditional and key in store.objects:
+                if if_none and key in store.objects:
                     self._send(412)
                     return
+                if if_match is not None:
+                    cur = store.objects.get(key)
+                    if cur is None or _etag(cur[0]) != if_match:
+                        self._send(412)
+                        return
                 store.objects[key] = (body, time.time())
             self._send(200)
 

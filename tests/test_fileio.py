@@ -635,3 +635,90 @@ def test_native_table_end_to_end_on_http_store(spark, http_store):
     assert eng.catalog.table_exists("db.h1")
     eng.catalog.drop_table("db.h1")
     assert not eng.catalog.table_exists("db.h1")
+
+
+def test_http_catalog_service_cas_race(http_store):
+    """CAS over the network boundary: N threads race the same expected
+    pointer; the store's atomic If-Match arbitration lets exactly one
+    win (≙ Glue VersionId / JDBC precondition semantics)."""
+    import threading
+
+    from swiftlake_spark.catalog_service import HttpCatalogCommitService
+
+    svc = HttpCatalogCommitService(http_store.base)
+    key = "/wh/db/t"
+    assert svc.cas(key, "v1-a", "v2-b") is False  # no pointer → no create
+    assert svc.current(key) is None
+    svc.register(key, "v1-a")
+    with pytest.raises(FileExistsError):
+        svc.register(key, "v1-other")
+    assert svc.current(key) == "v1-a"
+
+    wins = []
+    barrier = threading.Barrier(6)
+
+    def racer(i):
+        barrier.wait()
+        if svc.cas(key, "v1-a", f"v2-{i}"):
+            wins.append(i)
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1
+    assert svc.current(key) == f"v2-{wins[0]}"
+    assert svc.cas(key, "v1-a", "v3-x") is False  # stale basis loses
+    svc.drop(key)
+    assert svc.current(key) is None
+
+
+def test_http_catalog_cas_native_table_e2e(spark, http_store, tmp_path):
+    """Full catalog-cas lifecycle with BOTH seams remote: data+metadata
+    through HttpFileIO, pointer authority through
+    HttpCatalogCommitService — create, append, concurrent appends (all
+    must land via CAS retry), update, read back."""
+    import threading
+
+    from swiftlake_spark import catalog_service as cs
+    from swiftlake_spark.engine import SwiftLakeEngine
+    from swiftlake_spark.tables import expressions as E
+
+    prev = cs.set_default_catalog_service(
+        cs.HttpCatalogCommitService(http_store.base)
+    )
+    try:
+        eng = SwiftLakeEngine(spark=spark, warehouse=http_store.base + "/lake")
+        t = eng.catalog.create_table(
+            "db.hc", "id BIGINT, v DOUBLE",
+            properties={"commit.protocol": "catalog-cas"},
+        )
+        t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], schema=t.schema))
+
+        errs = []
+
+        def appender(i):
+            try:
+                tt = eng.catalog.table("db.hc")
+                tt.append(spark.createDataFrame([(10 + i, float(i))],
+                                                schema=tt.schema))
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        threads = [threading.Thread(target=appender, args=(i,))
+                   for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs, errs
+        got = sorted(r["id"] for r in eng.catalog.table("db.hc").scan().collect())
+        assert got == [1, 2, 10, 11, 12, 13]
+
+        eng.update("db.hc").condition_sql("id = 1").update_sets(
+            {"v": 9.5}).execute()
+        assert eng.catalog.table("db.hc").scan(
+            E.col_eq("id", 1)).collect()[0]["v"] == 9.5
+    finally:
+        cs.set_default_catalog_service(prev)
