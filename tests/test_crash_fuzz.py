@@ -132,18 +132,34 @@ def _state(eng, name):
 @pytest.mark.parametrize("protocol", ["storage-claim", "catalog-cas"])
 @pytest.mark.parametrize("seed", [3, 91])
 def test_injected_crashes_preserve_atomicity(spark, seed, protocol):
+    store = f"crashfuzz{seed}{protocol.replace('-', '')}"
+    fio.reset_memory_store(store)
+    _crash_sequence(spark, f"mem://{store}/wh", seed, protocol, "_MEM_IO",
+                    "mem://x")
+    fio.reset_memory_store(store)
+
+
+def test_injected_crashes_preserve_atomicity_over_http(spark):
+    """Same fuzz across a REAL network boundary: the HTTP FileIO's
+    staging/upload flow must have the same atomic boundary."""
+    from tests.http_object_store import HttpObjectStore
+
+    with HttpObjectStore() as s:
+        _crash_sequence(spark, s.base + "/wh", 17, "storage-claim",
+                        "_HTTP_IO", s.base + "/x")
+
+
+def _crash_sequence(spark, warehouse, seed, protocol, singleton, probe_url):
     from swiftlake_spark.engine import SwiftLakeEngine
     from swiftlake_spark.tables.maintenance import vacuum
 
-    store = f"crashfuzz{seed}{protocol.replace('-', '')}"
-    fio.reset_memory_store(store)
     # install the proxy where fileio_for hands out the singleton
-    real = fio.fileio_for("mem://x")
+    real = fio.fileio_for(probe_url)
     flaky = FlakyIO(real)
-    fio._MEM_IO = flaky
+    setattr(fio, singleton, flaky)
     try:
         rng = random.Random(seed)
-        eng = SwiftLakeEngine(spark, warehouse=f"mem://{store}/wh")
+        eng = SwiftLakeEngine(spark, warehouse=warehouse)
         name = "db.t"
         props = {"commit.protocol": protocol} if protocol == "catalog-cas" else None
         eng.catalog.create_table(
@@ -206,5 +222,4 @@ def test_injected_crashes_preserve_atomicity(spark, seed, protocol):
             spark.createDataFrame(final_rows, schema=SCHEMA)).execute()
         assert _diff(_state(eng, name), state + final_rows) is None
     finally:
-        fio._MEM_IO = real
-        fio.reset_memory_store(store)
+        setattr(fio, singleton, real)
