@@ -52,6 +52,12 @@ class Catalog:
         # (extraction is inclusive-by-construction, but an operator
         # escape hatch costs nothing)
         self.sql_pruning = True
+        # join-filter pushdown (reference README "Joining with a filter
+        # table"): for inner-join equi edges, collect the other side's
+        # distinct join keys (bounded) and prune this table's manifest
+        # with an IN filter — manifest-level dynamic partition pruning.
+        self.join_filter_pushdown = True
+        self.join_filter_max_keys = 200
         if "://" not in self.warehouse:
             os.makedirs(self.warehouse, exist_ok=True)
 
@@ -263,7 +269,7 @@ class Catalog:
 
         registered: dict[tuple[str, str], str] = {}
 
-        def _register(ref: str, info) -> str:
+        def _register(ref: str, info, extra=None, extra_tag: str = "") -> str:
             exprs, texts = [], []
             if info is not None and info.conjuncts:
                 st = _struct_of(ref.split("$")[0])
@@ -273,6 +279,9 @@ class Catalog:
                         texts.append(c)
                     except Exception:  # unparseable conjunct → skip it
                         pass
+            if extra is not None:
+                exprs.append(extra)
+                texts.append(extra_tag)
             ftext = " AND ".join(texts)
             key = (ref, ftext)
             if key in registered:
@@ -293,19 +302,96 @@ class Catalog:
             return view
 
         occ_view: dict[int, str] = {}
+        # FROM occurrences eligible for join-filter strengthening: their
+        # view is exclusively theirs (per-occurrence or single-FROM
+        # plan).  followers: occurrence ids (qualifiers) that must adopt
+        # a strengthened view name along with their FROM occurrence.
+        solo: list = []
+        followers: dict[int, list[int]] = {}
         for ref, g in by_ref.items():
             all_ms = g["from"] + g["qual"] + g["other"]
             if not g["qual"] and not g["other"]:
                 for m in g["from"]:
                     occ_view[id(m)] = _register(ref, infos[m.span(1)])
+                    solo.append(m)
+                    followers[id(m)] = []
             elif len(g["from"]) == 1 and not g["other"]:
                 view = _register(ref, infos[g["from"][0].span(1)])
                 for m in all_ms:
                     occ_view[id(m)] = view
+                solo.append(g["from"][0])
+                followers[id(g["from"][0])] = [
+                    id(m) for m in g["qual"]
+                ]
             else:
                 view = _register(ref, None)
                 for m in all_ms:
                     occ_view[id(m)] = view
+
+        # ---- join-filter pushdown (README "Joining with a filter
+        # table"): an inner-join equi edge lets this table's manifest be
+        # pruned by the OTHER side's distinct key set.  The keys are
+        # collected from the other side's already-registered PRUNE-ONLY
+        # view (a superset of its true rows — sound) or, for plain Spark
+        # relations, the raw view; collection is bounded by
+        # join_filter_max_keys and abandoned beyond it.  Like the base
+        # extraction this only shrinks file lists; rows still come from
+        # the original SQL.
+        if self.join_filter_pushdown and solo:
+            from pyspark.sql import functions as _F
+
+            span_to_view = {m.span(1): occ_view[id(m)] for m in occs}
+            cap = self.join_filter_max_keys
+            for m in solo:
+                info = infos[m.span(1)]
+                if not info.equi:
+                    continue
+                extra_exprs, tags = [], []
+                for my_col, other_name, other_span, other_col in info.equi:
+                    try:
+                        if other_span is not None and other_span in span_to_view:
+                            odf = self.spark.table(span_to_view[other_span])
+                            # the other side's view is PRUNE-ONLY; its
+                            # extracted conjuncts (implied by the real
+                            # WHERE) row-filter the KEY COLLECTION so the
+                            # key set reflects the dim's selectivity —
+                            # still a superset of the join-reachable keys
+                            oinfo = infos.get(other_span)
+                            if oinfo is not None and oinfo.conjuncts:
+                                ost = _struct_of(oinfo.ref.split("$")[0])
+                                for c in oinfo.conjuncts:
+                                    try:
+                                        odf = odf.where(
+                                            parse_filter(c, ost).column()
+                                        )
+                                    except Exception:  # noqa: BLE001
+                                        pass
+                        elif other_name is not None and "." not in other_name:
+                            odf = self.spark.table(other_name)
+                        else:
+                            continue
+                        rows = (
+                            odf.select(other_col)
+                            .where(_F.col(other_col).isNotNull())
+                            .distinct().limit(cap + 1).collect()
+                        )
+                        if len(rows) > cap:
+                            continue
+                        vals = [r[0] for r in rows]
+                        extra_exprs.append(E.in_(my_col, vals))
+                        digest = _hl.md5(
+                            repr(sorted(map(repr, vals))).encode()
+                        ).hexdigest()[:8]
+                        tags.append(f"__jf_{my_col}_{digest}")
+                    except Exception:  # noqa: BLE001 — pushdown is best-effort
+                        continue
+                if extra_exprs:
+                    view = _register(
+                        info.ref, info, E.and_(*extra_exprs), " AND ".join(tags)
+                    )
+                    occ_view[id(m)] = view
+                    for fid in followers.get(id(m), []):
+                        occ_view[fid] = view
 
         out, last = [], 0
         for m in sorted(occs, key=lambda m: m.start(1)):

@@ -164,12 +164,24 @@ class FromInfo:
     span: tuple[int, int]               # char span of the name token
     alias: str | None
     conjuncts: list[str] = field(default_factory=list)  # qualifier-stripped
+    # inner-join equi edges: (my_col, other_name, other_span, other_col).
+    # other_span is the other table's name-token span (None for derived
+    # tables / unnamed sides).  Only emitted when the BLOCK contains no
+    # outer join at all, so every ON/WHERE conjunct is filter-equivalent
+    # (a JOIN b ON c ≡ CROSS JOIN + WHERE c under inner semantics) and
+    # pruning either side by the other's key set is sound.
+    equi: list[tuple] = field(default_factory=list)
 
 
 # ----------------------------------------------------------- FROM parsing
 
-def _parse_from(tokens: list[_Tok]) -> list[_FromRef] | None:
+def _parse_from(
+    tokens: list[_Tok],
+) -> "tuple[list[_FromRef], list[list[_Tok]], bool] | None":
+    """Returns (refs, on_conjunct_token_lists, has_outer_join)."""
     refs: list[_FromRef] = []
+    on_lists: list[list[_Tok]] = []
+    has_outer = False
     i, n = 0, len(tokens)
     pending_null_ext = False
     expect_table = True
@@ -214,17 +226,20 @@ def _parse_from(tokens: list[_Tok]) -> list[_FromRef] | None:
             continue
         if up == "LEFT":
             pending_null_ext = True
+            has_outer = True
             i += 1
             continue
         if up == "RIGHT":
             for r in refs:
                 r.null_extended = True
+            has_outer = True
             i += 1
             continue
         if up == "FULL":
             for r in refs:
                 r.null_extended = True
             pending_null_ext = True
+            has_outer = True
             i += 1
             continue
         if up in ("INNER", "CROSS", "OUTER", "SEMI", "ANTI"):
@@ -235,6 +250,7 @@ def _parse_from(tokens: list[_Tok]) -> list[_FromRef] | None:
         if up == "ON":
             i += 1
             d = 0
+            on_toks: list[_Tok] = []
             while i < n:
                 tt = tokens[i]
                 if tt.kind == "lp":
@@ -246,7 +262,9 @@ def _parse_from(tokens: list[_Tok]) -> list[_FromRef] | None:
                     "NATURAL", "SEMI", "ANTI",
                 ):
                     break
+                on_toks.append(tt)
                 i += 1
+            on_lists.append(on_toks)
             continue
         if up == "USING":
             i += 1
@@ -266,7 +284,7 @@ def _parse_from(tokens: list[_Tok]) -> list[_FromRef] | None:
         refs.append(_FromRef(name, alias, pending_null_ext, t))
         pending_null_ext = False
         expect_table = False
-    return refs
+    return refs, on_lists, has_outer
 
 
 # ------------------------------------------------------- WHERE conjuncts
@@ -308,6 +326,30 @@ def _conjuncts(tokens: list[_Tok]) -> list[list[_Tok]]:
     return out
 
 
+def _resolve_ident(text: str, refs: list[_FromRef],
+                   unknown_schema: bool) -> _FromRef | None:
+    parts = text.split(".")
+    if len(parts) == 1:
+        if unknown_schema:
+            return None  # cannot prove the bare column is unique
+        cands = [r for r in refs if r.columns and text in r.columns]
+        return cands[0] if len(cands) == 1 else None
+    if len(parts) == 2:
+        q = parts[0].lower()
+        cands = [
+            r for r in refs
+            if (r.alias or "").lower() == q
+            or (r.alias is None and r.name is not None and r.name.lower() == q)
+        ]
+        return cands[0] if len(cands) == 1 else None
+    q = ".".join(parts[:-1]).lower()
+    cands = [
+        r for r in refs
+        if r.alias is None and r.name is not None and r.name.lower() == q
+    ]
+    return cands[0] if len(cands) == 1 else None
+
+
 def _attribute(conj: list[_Tok], refs: list[_FromRef]) -> _FromRef | None:
     """The single FROM table this conjunct provably references, else None."""
     target: _FromRef | None = None
@@ -319,31 +361,7 @@ def _attribute(conj: list[_Tok], refs: list[_FromRef]) -> _FromRef | None:
             continue
         if idx + 1 < len(conj) and conj[idx + 1].kind == "lp":
             continue  # function name, not a column
-        parts = t.text.split(".")
-        resolved: _FromRef | None = None
-        if len(parts) == 1:
-            if unknown_schema:
-                return None  # cannot prove the bare column is unique
-            cands = [r for r in refs if r.columns and t.text in r.columns]
-            if len(cands) == 1:
-                resolved = cands[0]
-        elif len(parts) == 2:
-            q = parts[0].lower()
-            cands = [
-                r for r in refs
-                if (r.alias or "").lower() == q
-                or (r.alias is None and r.name is not None and r.name.lower() == q)
-            ]
-            if len(cands) == 1:
-                resolved = cands[0]
-        else:
-            q = ".".join(parts[:-1]).lower()
-            cands = [
-                r for r in refs
-                if r.alias is None and r.name is not None and r.name.lower() == q
-            ]
-            if len(cands) == 1:
-                resolved = cands[0]
+        resolved = _resolve_ident(t.text, refs, unknown_schema)
         if resolved is None:
             return None  # outer correlation / unknown qualifier / ambiguity
         if target is None:
@@ -351,6 +369,25 @@ def _attribute(conj: list[_Tok], refs: list[_FromRef]) -> _FromRef | None:
         elif target is not resolved:
             return None  # spans two tables
     return target
+
+
+def _equi_edge(conj: list[_Tok], refs: list[_FromRef]):
+    """(ref_a, col_a, ref_b, col_b) when the conjunct is exactly an
+    equality of two identifiers resolving to two DIFFERENT tables."""
+    toks = [t for t in conj if not (t.kind == "lp" or t.kind == "rp")]
+    if len(toks) != 3 or toks[1].kind != "op" or toks[1].text != "=":
+        return None
+    a, b = toks[0], toks[2]
+    if a.kind != "word" or b.kind != "word":
+        return None
+    if a.up in _COND_KWS or b.up in _COND_KWS:
+        return None
+    unknown_schema = any(r.columns is None for r in refs)
+    ra = _resolve_ident(a.text, refs, unknown_schema)
+    rb = _resolve_ident(b.text, refs, unknown_schema)
+    if ra is None or rb is None or ra is rb:
+        return None
+    return ra, a.text.split(".")[-1], rb, b.text.split(".")[-1]
 
 
 def _strip_qualifiers(cond: str, quals: list[str]) -> str:
@@ -417,9 +454,10 @@ def analyze(
     for b in blocks:
         if b.from_span is None:
             continue
-        refs = _parse_from(tokens[b.from_span[0]:b.from_span[1]])
-        if refs is None or not refs:
+        parsed = _parse_from(tokens[b.from_span[0]:b.from_span[1]])
+        if parsed is None or not parsed[0]:
             continue
+        refs, on_lists, has_outer = parsed
         lake = []
         for r in refs:
             if r.name is None:
@@ -438,20 +476,45 @@ def analyze(
             )
             for r in lake
         }
+        # conjunct pool: WHERE always; ON clauses join it only when the
+        # block is outer-join-free (then ON ≡ WHERE under inner
+        # semantics).  Equi edges come only from outer-join-free blocks.
+        pools: list[list[_Tok]] = []
         if b.where_span is not None:
             wtokens = tokens[b.where_span[0]:b.where_span[1]]
             if wtokens:
-                for conj in _conjuncts(wtokens):
-                    if not conj:
-                        continue
-                    tgt = _attribute(conj, refs)
-                    if tgt is None or id(tgt) not in infos or tgt.null_extended:
-                        continue
+                pools.append(wtokens)
+        if not has_outer:
+            pools.extend(on_lists)
+        for pool in pools:
+            for conj in _conjuncts(pool):
+                if not conj:
+                    continue
+                tgt = _attribute(conj, refs)
+                if tgt is not None and id(tgt) in infos and not tgt.null_extended:
                     text = sql[conj[0].start:conj[-1].end]
                     quals = [q for q in (tgt.alias, tgt.name) if q]
                     infos[id(tgt)].conjuncts.append(
                         _strip_qualifiers(text, quals)
                     )
+                    continue
+                if has_outer:
+                    continue
+                edge = _equi_edge(conj, refs)
+                if edge is None:
+                    continue
+                ra, ca, rb, cb = edge
+                for me, my_col, other, other_col in (
+                    (ra, ca, rb, cb), (rb, cb, ra, ca),
+                ):
+                    if id(me) in infos:
+                        ospan = (
+                            (other.tok.start, other.tok.end)
+                            if other.tok is not None else None
+                        )
+                        infos[id(me)].equi.append(
+                            (my_col, other.name, ospan, other_col)
+                        )
         for info in infos.values():
             out[info.span] = info
     return out
