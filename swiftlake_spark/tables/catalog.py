@@ -342,6 +342,19 @@ class Catalog:
 
             span_to_view = {m.span(1): occ_view[id(m)] for m in occs}
             cap = self.join_filter_max_keys
+            records_cache: dict[str, int] = {}
+
+            def _records_of(base: str) -> int:
+                if base not in records_cache:
+                    try:
+                        meta = load_metadata(self._location(base))
+                        records_cache[base] = sum(
+                            e.records
+                            for e in meta.read_manifest(meta.current_snapshot())
+                        )
+                    except Exception:  # noqa: BLE001
+                        records_cache[base] = 1 << 62
+                return records_cache[base]
             for m in solo:
                 info = infos[m.span(1)]
                 if not info.equi:
@@ -350,6 +363,18 @@ class Catalog:
                 for my_col, other_name, other_span, other_col in info.equi:
                     try:
                         if other_span is not None and other_span in span_to_view:
+                            # an UNFILTERED lakehouse other side offers
+                            # its full key domain — only worth collecting
+                            # when the table itself is tiny (a true dim,
+                            # per its manifest record count); otherwise
+                            # the IN set can't beat the base prune and
+                            # the distinct job is wasted
+                            oinfo0 = infos.get(other_span)
+                            if oinfo0 is None or not oinfo0.conjuncts:
+                                base_o = (oinfo0.ref.split("$")[0]
+                                          if oinfo0 is not None else None)
+                                if base_o is None or _records_of(base_o) > cap * 50:
+                                    continue
                             odf = self.spark.table(span_to_view[other_span])
                             # the other side's view is PRUNE-ONLY; its
                             # extracted conjuncts (implied by the real
