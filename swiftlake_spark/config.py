@@ -20,6 +20,44 @@ def _default_cpus() -> int:
     return os.cpu_count() or 4
 
 
+def _detected_memory_bytes() -> int | None:
+    """Best-effort host/container memory limit: min of physical RAM and
+    any cgroup (v2 then v1) hard cap."""
+    cands: list[int] = []
+    try:
+        cands.append(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES"))
+    except (ValueError, OSError, AttributeError):
+        pass
+    for path in ("/sys/fs/cgroup/memory.max",
+                 "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(path) as f:
+                raw = f.read().strip()
+            if raw.isdigit():
+                v = int(raw)
+                if v < 1 << 50:  # "max" / effectively-unlimited sentinels
+                    cands.append(v)
+        except OSError:
+            continue
+    return min(cands) if cands else None
+
+
+def _default_driver_memory() -> str:
+    """8g when the host can afford it, else ~half of the detected limit.
+
+    local[N] runs driver AND all executor threads in ONE JVM heap;
+    Spark's 1g default OOMs broadcast-hash builds once a few frames are
+    persisted (observed at 50k docs + 20k vectors in the skew stress), so
+    the default must be generous — but an unconditional 8g fails at JVM
+    launch on hosts whose hard memory limit is below heap + overhead.
+    Override via ``EngineConfig(driver_memory=...)`` either way."""
+    total = _detected_memory_bytes()
+    if total is None:
+        return "8g"
+    half_mib = total // (2 * 1024 * 1024)
+    return "%dm" % min(8192, max(512, half_mib))
+
+
 @dataclass
 class EngineConfig:
     """Tunables for a SwiftLakeEngine session.
@@ -37,12 +75,10 @@ class EngineConfig:
     master: str | None = None            # default: local[cpus]
     cpus: int = field(default_factory=_default_cpus)
     shuffle_partitions: int | None = None  # default: = cpus in local mode
-    # local[N] runs driver AND all executor threads in ONE JVM heap;
-    # Spark's 1g default OOMs broadcast-hash builds once a few frames are
-    # persisted (observed at 50k docs + 20k vectors in the skew stress).
-    # 8g is still conservative for the 128 GiB target box; cluster
-    # deployments override per executor as usual.
-    driver_memory: str | None = "8g"
+    # see _default_driver_memory: 8g clamped to ~half the detected
+    # host/cgroup memory limit so constrained containers still launch;
+    # cluster deployments override per executor as usual
+    driver_memory: str | None = field(default_factory=_default_driver_memory)
     session_timezone: str = "UTC"          # reference pins UTC (SwiftLakeEngine.java:426)
     adaptive: bool = True
     arrow: bool = True

@@ -87,6 +87,12 @@ def mask_literals(sql: str) -> str:
 
 def _scan(masked: str) -> list[_Tok] | None:
     """Tokenize; None if anything unrecognized appears (conservative)."""
+    # Comments first: '-' and '/' lex as operators, so without this check
+    # a commented-out predicate ("WHERE x = 1 -- AND y = 2") would scan as
+    # live tokens and become a pruning conjunct Spark never evaluates.
+    # Literal masking already ran, so '--' inside a string can't trip this.
+    if "--" in masked or "/*" in masked:
+        return None
     out: list[_Tok] = []
     pos = 0
     n = len(masked)
@@ -287,17 +293,83 @@ def _parse_from(
     return refs, on_lists, has_outer
 
 
+# --------------------------------------------------------------- CTE names
+
+def _cte_names(tokens: list[_Tok]) -> set[str] | None:
+    """Lowercased names bound by every WITH clause in the statement
+    (including WITHs nested in subqueries).  A FROM that references one of
+    these names must NOT be resolved through the session catalog — a temp
+    view of the same name would shadow the CTE and keys/columns would be
+    collected from the wrong relation.  Returns None (statement-level
+    bail) on any WITH whose shape the parser doesn't recognize."""
+    names: set[str] = set()
+    n = len(tokens)
+
+    def _skip_group(j: int) -> int | None:  # j at '('; index past ')'
+        d = 1
+        j += 1
+        while j < n and d:
+            if tokens[j].kind == "lp":
+                d += 1
+            elif tokens[j].kind == "rp":
+                d -= 1
+            j += 1
+        return j if d == 0 else None
+
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.up != "WITH":
+            continue
+        j = i + 1
+        if j < n and tokens[j].kind == "word" and tokens[j].up in (
+            "ROLLUP", "CUBE",
+        ):
+            continue  # GROUP BY ... WITH ROLLUP|CUBE — not a CTE list
+        if j < n and tokens[j].kind == "word" and tokens[j].up == "RECURSIVE":
+            j += 1
+        while True:
+            if j >= n or tokens[j].kind != "word":
+                return None
+            names.add(tokens[j].text.split(".")[-1].lower())
+            j += 1
+            if j < n and tokens[j].kind == "lp":  # optional column list
+                nxt = _skip_group(j)
+                if nxt is None:
+                    return None
+                j = nxt
+            if j >= n or tokens[j].kind != "word" or tokens[j].up != "AS":
+                return None
+            j += 1
+            if j >= n or tokens[j].kind != "lp":
+                return None
+            nxt = _skip_group(j)
+            if nxt is None:
+                return None
+            j = nxt
+            if j < n and tokens[j].kind == "comma":
+                j += 1
+                continue
+            break
+    return names
+
+
 # ------------------------------------------------------- WHERE conjuncts
 
 def _conjuncts(tokens: list[_Tok]) -> list[list[_Tok]]:
     """Split on top-level AND.  A top-level OR makes the whole WHERE one
     unit (splitting across an OR would change precedence); the AND of a
-    BETWEEN never splits."""
+    BETWEEN never splits.  CASE...END nests like parentheses: an AND (or
+    OR) between WHEN and THEN is inside the expression, and splitting
+    there would promote a CASE branch condition to a standalone pruning
+    conjunct — silently dropping rows the full WHERE keeps."""
     depth = 0
     for t in tokens:
         if t.kind == "lp":
             depth += 1
         elif t.kind == "rp":
+            depth -= 1
+        elif t.kind == "word" and t.up == "CASE":
+            depth += 1
+        elif t.kind == "word" and t.up == "END":
             depth -= 1
         elif depth == 0 and t.kind == "word" and t.up == "OR":
             return [tokens]
@@ -310,6 +382,14 @@ def _conjuncts(tokens: list[_Tok]) -> list[list[_Tok]]:
             depth += 1
         elif t.kind == "rp":
             depth -= 1
+        elif t.kind == "word" and t.up == "CASE":
+            depth += 1
+            cur.append(t)
+            continue
+        elif t.kind == "word" and t.up == "END":
+            depth -= 1
+            cur.append(t)
+            continue
         elif depth == 0 and t.kind == "word":
             if t.up == "BETWEEN":
                 pending_between += 1
@@ -418,6 +498,9 @@ def analyze(
     tokens = _scan(masked)
     if tokens is None:
         return {}
+    ctes = _cte_names(tokens)
+    if ctes is None:
+        return {}
 
     # ---- block structure ------------------------------------------------
     blocks: list[_Block] = []
@@ -458,6 +541,20 @@ def analyze(
         if parsed is None or not parsed[0]:
             continue
         refs, on_lists, has_outer = parsed
+        # a dotless FROM name bound by a WITH clause is the CTE, not
+        # whatever catalog relation shares its name — demote it to a
+        # derived table (unknown schema, never a key-collection source)
+        # BEFORE any columns_of lookup can read the shadowed relation
+        for r in refs:
+            if (
+                r.name is not None
+                and "." not in r.name
+                and r.name.lower() in ctes
+            ):
+                r.alias = r.alias or r.name
+                r.name = None
+                r.tok = None
+                r.columns = None
         lake = []
         for r in refs:
             if r.name is None:

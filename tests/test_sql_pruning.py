@@ -171,6 +171,84 @@ class TestAnalyze:
         )
         assert got == {"db.lineitem": ["l_quantity > 2"]}
 
+    # -- round-8 ADVICE regressions ------------------------------------
+    def test_line_comment_bails_entirely(self):
+        # '-' lexes as an operator, so without the explicit check the
+        # commented-out predicate would become a live pruning conjunct
+        assert _an("SELECT * FROM db.orders WHERE o_custkey = 1 "
+                   "-- AND o_totalprice = 2") == {}
+
+    def test_block_comment_bails_entirely(self):
+        assert _an("SELECT * FROM db.orders /* WHERE o_custkey = 9 */ "
+                   "WHERE o_custkey = 1") == {}
+
+    def test_comment_chars_inside_literal_are_inert(self):
+        got = _an("SELECT * FROM db.orders WHERE o_orderpriority = '--x/*'"
+                  " AND o_custkey = 1")
+        assert "o_custkey = 1" in got["db.orders"]
+
+    def test_case_end_nesting_does_not_split(self):
+        # an AND between WHEN and THEN is inside the CASE expression;
+        # splitting there would prune by a branch condition the WHERE
+        # does not imply (rows with o_totalprice <> 2 satisfy this WHERE)
+        got = _an(
+            "SELECT * FROM db.orders WHERE CASE WHEN o_custkey = 1 "
+            "AND o_totalprice = 2 THEN 1 ELSE 0 END = 0 AND o_orderkey = 5"
+        )
+        conjs = got["db.orders"]
+        assert "o_orderkey = 5" in conjs
+        assert not any(
+            c.replace(" ", "") in ("o_totalprice=2", "o_custkey=1")
+            for c in conjs
+        )
+        assert all("END" in c for c in conjs if "CASE" in c)
+
+    def test_or_inside_case_does_not_collapse_where(self):
+        got = _an(
+            "SELECT * FROM db.orders WHERE CASE WHEN o_custkey = 1 "
+            "OR o_custkey = 2 THEN 1 ELSE 0 END = 1 AND o_orderkey = 5"
+        )
+        assert "o_orderkey = 5" in got["db.orders"]
+
+    def test_cte_reference_is_never_a_key_source(self):
+        # FROM d must resolve to the CTE, not a same-named catalog
+        # relation: columns_of must not be consulted for 'd', and the
+        # equi edge's other side must be nameless (derived)
+        sql = ("WITH d AS (SELECT 1 AS k) SELECT * FROM db.lineitem l "
+               "JOIN d ON l.l_orderkey = d.k WHERE l.l_quantity > 2")
+        seen = []
+
+        def columns_of(name):
+            seen.append(name)
+            return SCHEMAS.get(name)
+
+        infos = analyze(sql, mask_literals(sql), columns_of,
+                        lambda b: b in ("db.lineitem", "db.orders"))
+        assert "d" not in seen
+        (fi,) = [f for f in infos.values() if f.ref == "db.lineitem"]
+        assert fi.conjuncts == ["l_quantity > 2"]
+        for _my_col, other_name, other_span, _oc in fi.equi:
+            assert other_name is None and other_span is None
+
+    def test_cte_shadowing_known_schema_name(self):
+        # the CTE is named like a real relation with a DIFFERENT schema;
+        # bare columns must not be attributed through the shadowed schema
+        got = _an(
+            "WITH nation AS (SELECT o_custkey AS n_nationkey FROM db.orders"
+            " WHERE o_totalprice > 9) "
+            "SELECT * FROM nation, db.lineitem WHERE n_nationkey = 3 "
+            "AND l_quantity > 2"
+        )
+        # unknown-schema FROM (the CTE) blocks bare-column attribution in
+        # the outer block; the CTE body still extracts
+        assert got == {"db.orders": ["o_totalprice > 9"],
+                       "db.lineitem": []}
+
+    def test_with_rollup_is_not_a_cte(self):
+        got = _an("SELECT o_custkey, COUNT(*) AS n FROM db.orders "
+                  "WHERE o_totalprice > 1 GROUP BY o_custkey WITH ROLLUP")
+        assert got == {"db.orders": ["o_totalprice > 1"]}
+
     def test_function_names_not_columns(self):
         got = _an("SELECT * FROM db.orders "
                   "WHERE LENGTH(o_orderpriority) > 2 AND o_custkey = 1")
