@@ -520,9 +520,187 @@ class HttpFileIO(_StagingCache, FileIO):
             self.write_bytes(path, f.read())
 
 
+# ------------------------------------------------------------- SigV4 auth
+
+def _sigv4_quote(s: str, safe: str = "-_.~") -> str:
+    import urllib.parse
+
+    return urllib.parse.quote(s, safe=safe)
+
+
+def sigv4_canonical_request(
+    method: str,
+    path: str,
+    query: str,
+    headers: "dict[str, str]",
+    signed_headers: "list[str]",
+    payload_hash: str,
+) -> str:
+    """AWS Signature Version 4 canonical request (public spec: AWS
+    General Reference, "Signature Version 4 signing process").  ``path``
+    and ``query`` are the wire forms; the S3 variant single-encodes the
+    decoded path (slashes preserved)."""
+    import urllib.parse
+
+    canon_uri = _sigv4_quote(urllib.parse.unquote(path or "/"), safe="/-_.~")
+    pairs = []
+    if query:
+        for part in query.split("&"):
+            if not part:
+                continue
+            k, _, v = part.partition("=")
+            pairs.append((
+                _sigv4_quote(urllib.parse.unquote_plus(k)),
+                _sigv4_quote(urllib.parse.unquote_plus(v)),
+            ))
+    canon_query = "&".join(f"{k}={v}" for k, v in sorted(pairs))
+    lowered = {k.lower(): " ".join(str(v).split()) for k, v in headers.items()}
+    canon_headers = "".join(f"{h}:{lowered.get(h, '')}\n" for h in signed_headers)
+    return "\n".join([
+        method.upper(),
+        canon_uri,
+        canon_query,
+        canon_headers,
+        ";".join(signed_headers),
+        payload_hash,
+    ])
+
+
+def sigv4_signature(
+    secret_key: str,
+    canonical_request: str,
+    amz_date: str,
+    region: str,
+    service: str,
+) -> tuple[str, str]:
+    """(scope, hex signature) for a canonical request at ``amz_date``
+    (``YYYYMMDDTHHMMSSZ``)."""
+    import hashlib
+    import hmac
+
+    datestamp = amz_date[:8]
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join([
+        "AWS4-HMAC-SHA256",
+        amz_date,
+        scope,
+        hashlib.sha256(canonical_request.encode("utf-8")).hexdigest(),
+    ])
+
+    def _h(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+    k = _h(("AWS4" + secret_key).encode("utf-8"), datestamp)
+    k = _h(k, region)
+    k = _h(k, service)
+    k = _h(k, "aws4_request")
+    return scope, hmac.new(
+        k, string_to_sign.encode("utf-8"), hashlib.sha256
+    ).hexdigest()
+
+
+class SigV4HttpFileIO(HttpFileIO):
+    """HttpFileIO with AWS Signature Version 4 request signing — the auth
+    scheme real S3 (and every S3-compatible store) requires.  ≙ reference
+    aws/src/main/java/com/arcesium/swiftlake/aws/SwiftLakeS3FileIO.java:
+    109-117, whose S3 clients sign through the AWS SDK; here the signing
+    is stdlib hmac/hashlib implementing the published SigV4 process.
+
+    Every wire call goes through the one ``_request`` seam: payload is
+    hashed (``x-amz-content-sha256``), ``host``/``x-amz-date`` (and the
+    session token, when present) are signed, and the ``Authorization``
+    header carries the credential scope + signature.  Engine-added
+    headers (``If-None-Match``/``If-Match`` conditional writes) ride
+    along unsigned, matching S3's rules for non-``x-amz-*`` headers.
+
+    Verified against a local fake that re-derives the signature with the
+    shared secret and rejects unsigned or mis-signed requests with 403
+    (tests/test_fileio.py) — the closest a sandbox without S3 can get to
+    the real authentication boundary."""
+
+    def __init__(
+        self,
+        access_key: str,
+        secret_key: str,
+        region: str = "us-east-1",
+        service: str = "s3",
+        session_token: str | None = None,
+        staging_dir: str | None = None,
+        clock=None,
+    ) -> None:
+        super().__init__(staging_dir)
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
+        self.service = service
+        self.session_token = session_token
+        self._clock = clock  # () -> datetime (UTC); None = wall clock
+
+    @classmethod
+    def from_env(cls, **kw) -> "SigV4HttpFileIO":
+        """Standard AWS environment variables (public convention)."""
+        return cls(
+            access_key=os.environ["AWS_ACCESS_KEY_ID"],
+            secret_key=os.environ["AWS_SECRET_ACCESS_KEY"],
+            region=os.environ.get("AWS_REGION", "us-east-1"),
+            session_token=os.environ.get("AWS_SESSION_TOKEN"),
+            **kw,
+        )
+
+    def _request(self, method: str, url: str, data: bytes | None = None,
+                 headers: dict | None = None):
+        import hashlib
+        import urllib.parse
+
+        u = urllib.parse.urlsplit(url)
+        now = self._clock() if self._clock is not None else __import__(
+            "datetime"
+        ).datetime.now(__import__("datetime").timezone.utc)
+        amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+        payload_hash = hashlib.sha256(data or b"").hexdigest()
+        hdrs = dict(headers or {})
+        hdrs["Host"] = u.netloc
+        hdrs["x-amz-date"] = amz_date
+        hdrs["x-amz-content-sha256"] = payload_hash
+        if self.session_token:
+            hdrs["x-amz-security-token"] = self.session_token
+        signed = sorted(
+            h for h in ("host", "x-amz-date", "x-amz-content-sha256",
+                        "x-amz-security-token")
+            if h == "host" or h in {k.lower() for k in hdrs}
+        )
+        creq = sigv4_canonical_request(
+            method, u.path, u.query, hdrs, signed, payload_hash
+        )
+        scope, sig = sigv4_signature(
+            self.secret_key, creq, amz_date, self.region, self.service
+        )
+        hdrs["Authorization"] = (
+            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+            f"SignedHeaders={';'.join(signed)}, Signature={sig}"
+        )
+        return super()._request(method, url, data, hdrs)
+
+
 _LOCAL = LocalFileIO()
 _MEM_IO: "MemoryFileIO | None" = None
 _HTTP_IO: "HttpFileIO | None" = None
+# explicit per-prefix registrations (e.g. a SigV4 client for one store's
+# base URL) consulted before scheme dispatch; longest prefix wins
+_REGISTERED: "list[tuple[str, FileIO]]" = []
+
+
+def register_fileio(prefix: str, io: FileIO) -> None:
+    """Route every path under ``prefix`` to ``io`` (authenticated
+    backends carry credentials, so they are registered per store rather
+    than guessed per scheme)."""
+    unregister_fileio(prefix)
+    _REGISTERED.append((prefix, io))
+    _REGISTERED.sort(key=lambda t: -len(t[0]))
+
+
+def unregister_fileio(prefix: str) -> None:
+    _REGISTERED[:] = [(p, io) for p, io in _REGISTERED if p != prefix]
 
 
 def fileio_for(path: str) -> FileIO:
@@ -531,6 +709,9 @@ def fileio_for(path: str) -> FileIO:
     are immutable by convention (uuid-named data files; metadata goes
     through read_text, never staging)."""
     global _MEM_IO, _HTTP_IO
+    for prefix, io in _REGISTERED:
+        if path.startswith(prefix):
+            return io
     if path.startswith("mem://"):
         if _MEM_IO is None:
             with _MEM_STORES_LOCK:  # two racing first-callers must not
