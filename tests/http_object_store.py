@@ -110,14 +110,104 @@ def _make_handler(store: _Store):
     return Handler
 
 
-class HttpObjectStore:
-    """Context manager: serves a fresh store on an ephemeral port."""
+def _verify_sigv4(handler, access_key: str, secret_key: str) -> str | None:
+    """Re-derive the SigV4 signature with the shared secret; an error
+    string means REJECT (403).  Mirrors what a real S3 endpoint checks:
+    credential scope, signed-header list, and the signature itself."""
+    import hmac as _hmac
+    import re
 
-    def __init__(self) -> None:
+    from swiftlake_spark.fileio import (
+        sigv4_canonical_request,
+        sigv4_signature,
+    )
+
+    auth = handler.headers.get("Authorization", "")
+    m = re.fullmatch(
+        r"AWS4-HMAC-SHA256 Credential=([^/]+)/(\d{8})/([^/]+)/([^/]+)"
+        r"/aws4_request, SignedHeaders=([^,]+), Signature=([0-9a-f]{64})",
+        auth,
+    )
+    if not m:
+        return "missing or malformed Authorization"
+    ak, datestamp, region, service, signed, sig = m.groups()
+    if ak != access_key:
+        return "unknown access key"
+    amz_date = handler.headers.get("x-amz-date", "")
+    if not amz_date.startswith(datestamp):
+        return "credential scope date mismatch"
+    required = {"host", "x-amz-date", "x-amz-content-sha256"}
+    signed_list = signed.split(";")
+    if not required <= set(signed_list):
+        return "required headers not signed"
+    payload_hash = handler.headers.get("x-amz-content-sha256", "")
+    path, _, query = handler.path.partition("?")
+    creq = sigv4_canonical_request(
+        handler.command, path, query, dict(handler.headers.items()),
+        signed_list, payload_hash,
+    )
+    _, expect = sigv4_signature(secret_key, creq, amz_date, region, service)
+    if not _hmac.compare_digest(expect, sig):
+        return "SignatureDoesNotMatch"
+    return None
+
+
+def _make_sigv4_handler(store: _Store, access_key: str, secret_key: str):
+    Base = _make_handler(store)
+
+    class Handler(Base):
+        def _rejected(self) -> bool:
+            err = _verify_sigv4(self, access_key, secret_key)
+            if err:
+                self._send(403, err.encode("utf-8"))
+                return True
+            return False
+
+        def do_GET(self):
+            if not self._rejected():
+                super().do_GET()
+
+        def do_HEAD(self):
+            if not self._rejected():
+                super().do_HEAD()
+
+        def do_DELETE(self):
+            if not self._rejected():
+                super().do_DELETE()
+
+        def do_PUT(self):
+            # the payload hash is SIGNED — hash the actual body and
+            # compare, so a tampered payload fails even with valid auth
+            import io as _io
+
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            self.rfile = _io.BytesIO(body)
+            if self._rejected():
+                return
+            if (hashlib.sha256(body).hexdigest()
+                    != self.headers.get("x-amz-content-sha256")):
+                self._send(403, b"payload hash mismatch")
+                return
+            super().do_PUT()
+
+    return Handler
+
+
+class HttpObjectStore:
+    """Context manager: serves a fresh store on an ephemeral port.
+    ``credentials=(access_key, secret_key)`` turns on SigV4 verification:
+    every request must carry a valid AWS-SigV4 Authorization header or
+    the store answers 403."""
+
+    def __init__(self, credentials: tuple[str, str] | None = None) -> None:
         self.store = _Store()
-        self.server = ThreadingHTTPServer(
-            ("127.0.0.1", 0), _make_handler(self.store)
+        handler = (
+            _make_sigv4_handler(self.store, *credentials)
+            if credentials
+            else _make_handler(self.store)
         )
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         self.base = f"http://127.0.0.1:{self.server.server_address[1]}"
         self._thread = threading.Thread(
             target=self.server.serve_forever, daemon=True
