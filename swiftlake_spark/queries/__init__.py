@@ -55,41 +55,38 @@ def _load_all() -> None:
     from swiftlake_spark.queries import tpch  # noqa: F401
 
 
-# Driver-gate rotation (round 8).  The correctness driver hash-checks only
+# Driver-gate rotation (round 9).  The correctness driver hash-checks only
 # the FIRST 50 entries of queries() in iteration order, so certification must
 # rotate: names in _GATE_PRIORITY are emitted first, everything else follows
-# in registration order.  Rebuilt from the CORRECTNESS_r01..r07 union by
-# last-certified round (staleness-first, VERDICT r7 ask #1):
-#   1. the 3 queries registered in r7 and never driver-certified
-#      (q117-q119) head the window;
-#   2. the 16 queries last certified in r5 (the r7 rotation's roll-over
-#      tail) follow;
-#   3. the first 31 of the 50 r6-certified queries (CORRECTNESS_r06 key
-#      order) fill the window; the remaining 19 r6-certified roll to
-#      round 9, where they head the window ahead of the r7/r8 blocks.
+# in registration order.  Rebuilt from the CORRECTNESS_r01..r08 union by
+# last-certified round (staleness-first, VERDICT r8 ask #1):
+#   1. the 19 queries last certified in r6 (the r8 rotation's roll-over
+#      tail: q57, q59, q63-q75, q77-q80) head the window;
+#   2. the first 31 of the 50 r7-certified queries (CORRECTNESS_r07 key
+#      order) fill it; the remaining 19 r7-certified roll to round 10,
+#      where they head the window ahead of the r8/r9 blocks.
 # Invariant: steady-state max staleness is 3 rounds for a 119-query
 # registry over a 50-slot window; nothing exceeds it under this order.
 _GATE_PRIORITY = [
-    # never driver-certified (registered r7)
-    'q117_star_dedup', 'q118_png_features', 'q119_sql_pruned_scan',
-    # last certified r5
-    'q27_casts', 'q28_range_frame', 'q29_math_funcs', 'q33_file_metadata',
-    'q34_select_except', 'q35_asof_join', 'q36_range_join',
-    'q37_struct_key_join', 'q76_pack_sequences', 'q98_excess_shippers',
-    'q99_waiting_orders', 'q100_sales_opportunity', 'q111_nested_evolution',
-    'q112_murmur3_bucket', 'q113_iceberg_read', 'q116_simhash_md5',
-    # last certified r6 (first 31 in CORRECTNESS_r06 key order)
-    'q49_simhash_neardup', 'q50_ann_lsh_topk', 'q58_ivf_topk',
-    'q53_multimodal_features', 'q55_embedding_neardup', 'q108_audio_features',
-    'q114_video_frames', 'q115_semantic_dedup', 'q46_cosine_topk',
-    'q47_embedding_stats', 'q30_tumbling_window', 'q31_sessionization',
-    'q32_json_props', 'q38_scd_diff_classify', 'q39_map_funcs',
-    'q40_dedup_exact', 'q41_dedup_keeper', 'q42_text_stats',
-    'q43_ngram_jaccard', 'q44_fingerprint', 'q45_langid_score',
-    'q60_lateral_join', 'q61_scalar_subquery', 'q62_grouping_sets',
-    'q106_decimal_exact', 'q107_approx_percentile', 'q48_minhash_lsh',
-    'q51_text_quality', 'q52_langid_pred', 'q54_bpe_tokens',
-    'q56_hash_split',
+    # last certified r6
+    'q57_quantiles', 'q59_vocab_topk', 'q63_exists_subquery',
+    'q64_explode_tokens', 'q65_string_agg', 'q66_unpivot', 'q67_regexp',
+    'q68_sequence', 'q69_bitwise', 'q70_date_arith', 'q71_array_funcs',
+    'q72_local_volume', 'q73_window_extras', 'q74_conditional_agg',
+    'q75_gopher_rules', 'q77_contamination', 'q78_returned_revenue',
+    'q79_median_stats', 'q80_set_ops_all',
+    # last certified r7 (first 31 in CORRECTNESS_r07 key order)
+    'q81_grouping_id', 'q82_nation_volume', 'q83_important_stock',
+    'q84_uuid_type', 'q85_time_type', 'q86_min_cost_supplier',
+    'q87_order_priority', 'q88_forecast_revenue', 'q89_market_share',
+    'q90_nation_profit', 'q91_customer_distribution', 'q92_promo_revenue',
+    'q93_top_supplier', 'q94_part_supplier_count', 'q95_small_qty_revenue',
+    'q96_large_volume_customer', 'q97_disjunctive_revenue',
+    'q101_recursive_spine', 'q102_dup_clusters', 'q103_pii_redaction',
+    'q104_boilerplate_ngrams', 'q105_dedup_corpus', 'q109_bigram_surprisal',
+    'q110_length_histogram', 'q01_pricing_summary', 'q02_filter_predicates',
+    'q03_shipping_priority', 'q04_semi_join', 'q05_anti_join',
+    'q06_left_outer_join', 'q07_full_outer_nullsafe',
 ]
 
 
