@@ -710,7 +710,11 @@ def fileio_for(path: str) -> FileIO:
     through read_text, never staging)."""
     global _MEM_IO, _HTTP_IO
     for prefix, io in _REGISTERED:
-        if path.startswith(prefix):
+        # Boundary-checked match: a registration for http://h:80 must NOT
+        # capture http://h:8012/... (that would route another store's
+        # requests — with the wrong credentials — through this client).
+        # A match is the prefix itself or a '/'-separated descendant.
+        if path == prefix or path.startswith(prefix.rstrip("/") + "/"):
             return io
     if path.startswith("mem://"):
         if _MEM_IO is None:

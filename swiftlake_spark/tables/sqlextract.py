@@ -323,7 +323,18 @@ def _cte_names(tokens: list[_Tok]) -> set[str] | None:
         if j < n and tokens[j].kind == "word" and tokens[j].up in (
             "ROLLUP", "CUBE",
         ):
-            continue  # GROUP BY ... WITH ROLLUP|CUBE — not a CTE list
+            # GROUP BY ... WITH ROLLUP|CUBE is not a CTE list — but a CTE
+            # may be literally named rollup/cube ("WITH rollup AS (...)").
+            # A real GROUP BY modifier is never followed by AS or '('
+            # (Spark's WITH ROLLUP/CUBE takes no parenthesized list), so
+            # only skip when neither follows (ADVICE r8).
+            k = j + 1
+            is_cte = k < n and (
+                tokens[k].kind == "lp"
+                or (tokens[k].kind == "word" and tokens[k].up == "AS")
+            )
+            if not is_cte:
+                continue
         if j < n and tokens[j].kind == "word" and tokens[j].up == "RECURSIVE":
             j += 1
         while True:
@@ -354,6 +365,80 @@ def _cte_names(tokens: list[_Tok]) -> set[str] | None:
 
 # ------------------------------------------------------- WHERE conjuncts
 
+# A bare CASE token is a column *identifier* (Spark keeps CASE/END
+# non-reserved) exactly when the next token could only follow a complete
+# operand: a comparison, a predicate keyword, a closing paren/comma, or
+# end of clause.  A real CASE expression is instead followed by WHEN or
+# by its comparand (word/literal/'(' — and, for `CASE -x WHEN`, a sign).
+_IDENT_CASE_NEXT_OPS = {"=", "<", ">", "<=", ">=", "<>", "!="}
+_IDENT_CASE_NEXT_KWS = {"AND", "OR", "IS", "IN", "NOT", "LIKE", "ILIKE", "BETWEEN"}
+# A bare END token is an *identifier* exactly when the previous token
+# could not terminate a CASE branch value: clause start, an operator, a
+# paren/comma opener, or a predicate/branch keyword.  A closing END is
+# always preceded by a value terminal (word/number/string/')').
+_IDENT_END_PREV_KWS = {
+    "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "IN", "LIKE", "ILIKE",
+    "BETWEEN", "IS", "CASE", "ESCAPE", "ALL", "ANY", "SOME", "DISTINCT",
+    "SELECT", "BY", "ON", "WHERE", "HAVING",
+}
+
+
+def _nesting(tokens: list[_Tok]) -> list[int] | None:
+    """Per-token nesting level combining parentheses and CASE...END, with
+    parens and CASE tracked in SEPARATE counters (ADVICE r8: a single
+    shared counter desyncs when `end` appears as a bare column name,
+    going negative and re-enabling conjunct splits inside a later CASE —
+    which promoted a WHEN-branch condition to a standalone pruning
+    conjunct).  Bare identifiers named `case`/`end` are recognized from
+    local context (see the tables above) so sibling conjuncts still
+    extract; anything unmatchable — END with no open CASE that isn't
+    provably an identifier, unbalanced parens — returns None and the
+    caller collapses the WHERE to one all-or-nothing unit."""
+    lvl: list[int] = []
+    depth = 0
+    case_depth = 0
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if t.kind == "lp":
+            lvl.append(depth + case_depth)
+            depth += 1
+        elif t.kind == "rp":
+            depth -= 1
+            if depth < 0:
+                return None
+            lvl.append(depth + case_depth)
+        elif t.kind == "word" and t.up == "CASE":
+            nxt = tokens[i + 1] if i + 1 < n else None
+            ident = (
+                nxt is None
+                or nxt.kind in ("rp", "comma")
+                or (nxt.kind == "op" and nxt.text in _IDENT_CASE_NEXT_OPS)
+                or (nxt.kind == "word" and nxt.up in _IDENT_CASE_NEXT_KWS)
+            )
+            lvl.append(depth + case_depth)
+            if not ident:
+                case_depth += 1
+        elif t.kind == "word" and t.up == "END":
+            prev = tokens[i - 1] if i else None
+            ident = (
+                prev is None
+                or prev.kind in ("lp", "comma", "op")
+                or (prev.kind == "word" and prev.up in _IDENT_END_PREV_KWS)
+            )
+            if ident:
+                lvl.append(depth + case_depth)
+            elif case_depth > 0:
+                case_depth -= 1
+                lvl.append(depth + case_depth)
+            else:
+                return None  # END closes a CASE we never saw open
+        else:
+            lvl.append(depth + case_depth)
+    if depth != 0 or case_depth != 0:
+        return None
+    return lvl
+
+
 def _conjuncts(tokens: list[_Tok]) -> list[list[_Tok]]:
     """Split on top-level AND.  A top-level OR makes the whole WHERE one
     unit (splitting across an OR would change precedence); the AND of a
@@ -361,36 +446,17 @@ def _conjuncts(tokens: list[_Tok]) -> list[list[_Tok]]:
     OR) between WHEN and THEN is inside the expression, and splitting
     there would promote a CASE branch condition to a standalone pruning
     conjunct — silently dropping rows the full WHERE keeps."""
-    depth = 0
-    for t in tokens:
-        if t.kind == "lp":
-            depth += 1
-        elif t.kind == "rp":
-            depth -= 1
-        elif t.kind == "word" and t.up == "CASE":
-            depth += 1
-        elif t.kind == "word" and t.up == "END":
-            depth -= 1
-        elif depth == 0 and t.kind == "word" and t.up == "OR":
+    lvl = _nesting(tokens)
+    if lvl is None:
+        return [tokens]
+    for t, d in zip(tokens, lvl):
+        if d == 0 and t.kind == "word" and t.up == "OR":
             return [tokens]
     out: list[list[_Tok]] = []
     cur: list[_Tok] = []
-    depth = 0
     pending_between = 0
-    for t in tokens:
-        if t.kind == "lp":
-            depth += 1
-        elif t.kind == "rp":
-            depth -= 1
-        elif t.kind == "word" and t.up == "CASE":
-            depth += 1
-            cur.append(t)
-            continue
-        elif t.kind == "word" and t.up == "END":
-            depth -= 1
-            cur.append(t)
-            continue
-        elif depth == 0 and t.kind == "word":
+    for t, d in zip(tokens, lvl):
+        if d == 0 and t.kind == "word":
             if t.up == "BETWEEN":
                 pending_between += 1
             elif t.up == "AND":

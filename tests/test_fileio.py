@@ -862,3 +862,55 @@ def test_sigv4_native_table_end_to_end(spark, signed_store, signed_io):
     assert sorted(r["id"] for r in t.refresh().scan().collect()) == [1, 2]
     eng.catalog.drop_table("db.s1")
     assert not eng.catalog.table_exists("db.s1")
+
+
+def test_sigv4_known_answer_vector():
+    """AWS's published SigV4 example (General Reference, "Signature
+    Version 4 signing process": GET iam.amazonaws.com ListUsers at
+    20150830T123600Z) pins canonicalization and key derivation against
+    the public spec itself — independent of our fake, which re-derives
+    signatures with the same helpers (ADVICE r8)."""
+    import hashlib
+
+    creq = fio.sigv4_canonical_request(
+        "GET",
+        "/",
+        "Action=ListUsers&Version=2010-05-08",
+        {
+            "Content-Type": "application/x-www-form-urlencoded; charset=utf-8",
+            "Host": "iam.amazonaws.com",
+            "X-Amz-Date": "20150830T123600Z",
+        },
+        ["content-type", "host", "x-amz-date"],
+        hashlib.sha256(b"").hexdigest(),
+    )
+    assert (
+        hashlib.sha256(creq.encode()).hexdigest()
+        == "f536975d06c0309214f805bb90ccff089219ecd68b2577efef23edd43b7e1a59"
+    )
+    scope, sig = fio.sigv4_signature(
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        creq,
+        "20150830T123600Z",
+        "us-east-1",
+        "iam",
+    )
+    assert scope == "20150830/us-east-1/iam/aws4_request"
+    assert sig == "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7"
+
+
+def test_registered_prefix_requires_path_boundary():
+    """A registration for http://h:80 must not capture http://h:8012/...
+    — that would route another store's requests through the signed
+    client with the wrong credentials (ADVICE r8)."""
+    io = fio.SigV4HttpFileIO("AK", "SK", region="r")
+    fio.register_fileio("http://h:80", io)
+    try:
+        assert fio.fileio_for("http://h:80/obj") is io
+        assert fio.fileio_for("http://h:80") is io
+        other = fio.fileio_for("http://h:8012/obj")
+        assert other is not io
+        assert isinstance(other, fio.HttpFileIO)
+        assert not isinstance(other, fio.SigV4HttpFileIO)
+    finally:
+        fio.unregister_fileio("http://h:80")

@@ -25,6 +25,8 @@ SCHEMAS = {
     "db.orders": {"o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
                   "o_orderpriority"},
     "nation": {"n_nationkey", "n_name"},
+    # non-reserved-keyword column names (Spark allows these bare)
+    "db.spans": {"id", "start", "width", "end", "case"},
 }
 
 
@@ -35,7 +37,7 @@ def _an(sql):
             sql,
             mask_literals(sql),
             lambda n: SCHEMAS.get(n),
-            lambda b: b in ("db.lineitem", "db.orders"),
+            lambda b: b in ("db.lineitem", "db.orders", "db.spans"),
         ).values()
     }
 
@@ -248,6 +250,64 @@ class TestAnalyze:
         got = _an("SELECT o_custkey, COUNT(*) AS n FROM db.orders "
                   "WHERE o_totalprice > 1 GROUP BY o_custkey WITH ROLLUP")
         assert got == {"db.orders": ["o_totalprice > 1"]}
+
+    # -- round-9 ADVICE regressions ------------------------------------
+    def test_bare_end_column_does_not_desync_case_tracking(self):
+        # ADVICE r8 (medium): the shared paren/CASE depth counter went to
+        # -1 on a bare `end` column, so the next CASE restored it to 0
+        # and WHEN-branch ANDs split as top-level conjuncts — a branch
+        # condition ('start = 2') became a pruning filter that silently
+        # dropped matching rows.
+        got = _an(
+            "SELECT * FROM db.spans WHERE end = 1 AND CASE WHEN id = 5 "
+            "AND start = 2 AND width = 3 THEN 1 ELSE 0 END = 0"
+        )
+        conjs = got["db.spans"]
+        assert not any(
+            c.replace(" ", "") in ("id=5", "start=2", "width=3")
+            for c in conjs
+        )
+
+    def test_bare_end_column_siblings_still_extract(self):
+        # VERDICT r8 ask #9: a column named `end` must not disable
+        # conjunct extraction for the rest of the statement
+        got = _an("SELECT * FROM db.spans WHERE end = 1 AND id = 3")
+        assert "id = 3" in got["db.spans"]
+
+    def test_qualified_end_column_siblings_still_extract(self):
+        got = _an(
+            "SELECT * FROM db.spans s WHERE s.end = 1 AND CASE WHEN "
+            "s.id = 5 AND s.start = 2 THEN 1 ELSE 0 END = 0 AND s.id = 3"
+        )
+        conjs = got["db.spans@s"]
+        assert "id = 3" in conjs
+        assert not any(
+            c.replace(" ", "") in ("id=5", "start=2") for c in conjs
+        )
+
+    def test_end_column_inside_when_branch_does_not_close_case(self):
+        # `end` as a column INSIDE an open CASE must not close it early
+        got = _an(
+            "SELECT * FROM db.spans WHERE CASE WHEN end = 1 AND start = 2 "
+            "THEN 1 ELSE 0 END = 0 AND id = 3"
+        )
+        conjs = got["db.spans"]
+        assert "id = 3" in conjs
+        assert not any(c.replace(" ", "") == "start=2" for c in conjs)
+
+    def test_case_named_column_siblings_still_extract(self):
+        got = _an("SELECT * FROM db.spans WHERE case = 1 AND id = 2")
+        assert "id = 2" in got["db.spans"]
+
+    def test_cte_named_rollup_is_recorded(self):
+        # ADVICE r8 (low): 'WITH rollup AS (...)' was mistaken for a
+        # GROUP BY modifier, so the CTE name was never recorded and a
+        # same-named catalog relation could shadow it
+        got = _an(
+            "WITH rollup AS (SELECT o_custkey AS k FROM db.orders "
+            "WHERE o_totalprice > 9) SELECT * FROM rollup WHERE k < 5"
+        )
+        assert got == {"db.orders": ["o_totalprice > 9"]}
 
     def test_function_names_not_columns(self):
         got = _an("SELECT * FROM db.orders "
