@@ -159,6 +159,211 @@ class HttpCatalogCommitService(CatalogCommitService):
         self._request("DELETE", self._url(table_key))
 
 
+def pointer_snapshot_id(pointer: str) -> int:
+    """Deterministic positive int64 identity for a metadata pointer name
+    — the "snapshot id" the REST commit's ``assert-ref-snapshot-id``
+    requirement tracks.  A real Iceberg deployment asserts the snapshot
+    ids recorded inside its metadata files; this engine's metadata
+    versions map 1:1 to commits, so the (unique, uuid-suffixed) pointer
+    name itself is the commit identity and its hash is a stable id both
+    committer and catalog agree on without parsing metadata."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.sha256(pointer.encode("utf-8")).digest()[:8], "big"
+    ) >> 1
+
+
+class RestCatalogCommitService(CatalogCommitService):
+    """Pointer authority speaking the public Iceberg REST catalog shape
+    (the iceberg REST OpenAPI: ``GET  /v1/namespaces/{ns}/tables/{t}``
+    load-table, ``POST /v1/namespaces/{ns}/register`` register-table,
+    ``POST /v1/namespaces/{ns}/tables/{t}`` commit-with-requirements,
+    ``DELETE`` drop-table).  ≙ the reference's production catalog wiring
+    (README.md:100-118 — its Iceberg tables commit through a
+    transactional catalog); this is the standard-protocol twin of the
+    bespoke HttpCatalogCommitService above.
+
+    Mapping onto the commit-service seam (table keys are LOCATIONS):
+
+    - the table identifier is the location, URL-quoted, under one
+      configurable namespace;
+    - ``current`` = load-table → basename of ``metadata-location``;
+    - ``register`` = register-table (409 AlreadyExists → the
+      create-table race) followed by a ref-seeding commit whose
+      requirement asserts the ``main`` ref does NOT exist yet
+      (``snapshot-id: null`` — the spec's assert-for-absent-ref form);
+    - ``cas`` = commit-with-requirements: ``assert-ref-snapshot-id`` on
+      ``main`` for the EXPECTED pointer's id, updates
+      ``set-snapshot-ref`` (main → new pointer's id) and
+      ``set-properties`` carrying the new metadata location.  The
+      server checks requirements atomically and answers 409
+      CommitFailedException when a concurrent committer won — exactly
+      Glue VersionId / JDBC ``WHERE metadata_location = ?`` semantics
+      over the standard wire shape.
+
+    If the seeding commit is lost to a crash between the two register
+    calls, the next ``cas`` self-heals: on 409 it re-loads the table and,
+    when ``main`` is absent but ``metadata-location`` still names the
+    expected pointer, retries with the absent-ref requirement.
+
+    Stdlib urllib only; auth is either a bearer ``token`` (sent as
+    ``Authorization: Bearer …``, the REST catalog's OAuth shape) or a
+    ``_request`` override in a subclass (SigV4), mirroring HttpFileIO's
+    seam."""
+
+    def __init__(self, base_url: str, namespace: str = "swiftlake",
+                 token: str | None = None) -> None:
+        self._base = base_url.rstrip("/")
+        self._ns = namespace
+        self._token = token
+
+    # -- transport (override point for auth) ----------------------------
+    def _request(self, method: str, url: str, data: bytes | None = None,
+                 headers: dict | None = None):
+        import urllib.error
+        import urllib.request
+
+        hdrs = dict(headers or {})
+        if self._token:
+            hdrs["Authorization"] = f"Bearer {self._token}"
+        req = urllib.request.Request(url, data=data, method=method,
+                                     headers=hdrs)
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers or {}), e.read() if e.fp else b""
+
+    # -- REST plumbing ---------------------------------------------------
+    def _ident(self, table_key: str) -> str:
+        import urllib.parse
+
+        return urllib.parse.quote(table_key, safe="")
+
+    def _table_url(self, table_key: str) -> str:
+        return (f"{self._base}/v1/namespaces/{self._ns}/tables/"
+                f"{self._ident(table_key)}")
+
+    def _load(self, table_key: str) -> dict | None:
+        import json
+
+        status, _h, body = self._request("GET", self._table_url(table_key))
+        if status != 200:
+            return None
+        return json.loads(body.decode("utf-8"))
+
+    def _metadata_location(self, table_key: str, pointer: str) -> str:
+        return table_key.rstrip("/") + "/metadata/" + pointer
+
+    def _commit(self, table_key: str, requirements: list,
+                updates: list) -> int:
+        import json
+
+        body = json.dumps({
+            "identifier": {"namespace": [self._ns], "name": table_key},
+            "requirements": requirements,
+            "updates": updates,
+        }).encode("utf-8")
+        status, _h, _b = self._request(
+            "POST", self._table_url(table_key), body,
+            {"Content-Type": "application/json"},
+        )
+        return status
+
+    @staticmethod
+    def _ref_update(pointer: str) -> dict:
+        return {"action": "set-snapshot-ref", "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": pointer_snapshot_id(pointer)}
+
+    def _pointer_updates(self, table_key: str, pointer: str) -> list:
+        return [
+            self._ref_update(pointer),
+            {"action": "set-properties", "updates": {
+                "swiftlake.metadata-location":
+                    self._metadata_location(table_key, pointer),
+            }},
+        ]
+
+    # -- CatalogCommitService -------------------------------------------
+    def current(self, table_key: str) -> str | None:
+        doc = self._load(table_key)
+        if not doc:
+            return None
+        loc = doc.get("metadata-location")
+        return loc.rsplit("/", 1)[-1] if loc else None
+
+    def register(self, table_key: str, pointer: str) -> None:
+        import json
+
+        body = json.dumps({
+            "name": table_key,
+            "metadata-location": self._metadata_location(table_key, pointer),
+        }).encode("utf-8")
+        status, _h, _b = self._request(
+            "POST", f"{self._base}/v1/namespaces/{self._ns}/register",
+            body, {"Content-Type": "application/json"},
+        )
+        if status == 409:
+            raise FileExistsError(table_key)
+        if status >= 300:
+            raise IOError(f"catalog register failed: HTTP {status}")
+        # seed the main ref (requirement: the ref must not exist yet)
+        st = self._commit(
+            table_key,
+            [{"type": "assert-ref-snapshot-id", "ref": "main",
+              "snapshot-id": None}],
+            [self._ref_update(pointer)],
+        )
+        if st == 409:
+            # a crashed earlier attempt already seeded — idempotent iff
+            # the ref matches this pointer
+            doc = self._load(table_key) or {}
+            refs = (doc.get("metadata") or {}).get("refs") or {}
+            main = (refs.get("main") or {}).get("snapshot-id")
+            if main != pointer_snapshot_id(pointer):
+                raise IOError(
+                    f"catalog ref seeded with a different pointer: {table_key}"
+                )
+        elif st >= 300:
+            raise IOError(f"catalog ref seeding failed: HTTP {st}")
+
+    def cas(self, table_key: str, expected: str | None, new: str) -> bool:
+        if expected is None:
+            return False  # creation goes through register()
+        updates = self._pointer_updates(table_key, new)
+        st = self._commit(
+            table_key,
+            [{"type": "assert-ref-snapshot-id", "ref": "main",
+              "snapshot-id": pointer_snapshot_id(expected)}],
+            updates,
+        )
+        if st == 200:
+            return True
+        if st == 409:
+            # seeding-gap recovery: registered, ref never set, pointer
+            # still the expected one → claim via the absent-ref form
+            doc = self._load(table_key)
+            if doc:
+                refs = (doc.get("metadata") or {}).get("refs") or {}
+                loc = doc.get("metadata-location") or ""
+                if "main" not in refs and loc.rsplit("/", 1)[-1] == expected:
+                    return self._commit(
+                        table_key,
+                        [{"type": "assert-ref-snapshot-id", "ref": "main",
+                          "snapshot-id": None}],
+                        updates,
+                    ) == 200
+            return False
+        if st == 404:
+            return False
+        raise IOError(f"catalog commit failed: HTTP {st}")
+
+    def drop(self, table_key: str) -> None:
+        self._request("DELETE", self._table_url(table_key))
+
+
 # Process-default service — a deployment would install its Glue/JDBC
 # implementation here at engine startup.
 _DEFAULT = MemoryCatalogCommitService()

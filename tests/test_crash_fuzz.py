@@ -79,6 +79,36 @@ class FlakyIO:
         return attr
 
 
+class FlakyCatalog:
+    """Delegating CatalogCommitService proxy sharing a FlakyIO's fault
+    counter: the pointer swap can die just BEFORE the catalog call (the
+    commit never happened) or just AFTER it (response lost — the swap
+    landed but the client never learns), the two failure modes a
+    network catalog adds over local storage.  Reads never fault."""
+
+    def __init__(self, inner, flaky_io: FlakyIO) -> None:
+        self._inner = inner
+        self._f = flaky_io
+
+    def current(self, k):
+        return self._inner.current(k)
+
+    def register(self, k, p):
+        self._f._maybe_fail()
+        out = self._inner.register(k, p)
+        self._f._maybe_fail()
+        return out
+
+    def cas(self, k, e, n):
+        self._f._maybe_fail()
+        out = self._inner.cas(k, e, n)
+        self._f._maybe_fail()
+        return out
+
+    def drop(self, k):
+        return self._inner.drop(k)
+
+
 def _apply(pre: list, op) -> list:
     """Expected post-state via a throwaway DuckDB table."""
     con = duckdb.connect()
@@ -149,14 +179,60 @@ def test_injected_crashes_preserve_atomicity_over_http(spark):
                         "_HTTP_IO", s.base + "/x")
 
 
-def _crash_sequence(spark, warehouse, seed, protocol, singleton, probe_url):
+def test_injected_crashes_preserve_atomicity_over_sigv4(spark):
+    """The SIGNED store must be crash-consistent, not just
+    auth-correct (VERDICT r8 ask #8): same fuzz with every byte going
+    through SigV4HttpFileIO's _request override."""
+    from tests.http_object_store import HttpObjectStore
+
+    ak, sk = "AKIDCRASH", "crash/secret"
+    with HttpObjectStore(credentials=(ak, sk)) as s:
+        io = fio.SigV4HttpFileIO(ak, sk, region="us-test-1")
+        fio.register_fileio(s.base, io)
+        try:
+            _crash_sequence(spark, s.base + "/wh", 29, "storage-claim",
+                            None, s.base + "/x", register_prefix=s.base)
+        finally:
+            fio.unregister_fileio(s.base)
+
+
+def test_injected_crashes_preserve_atomicity_over_rest_catalog(spark):
+    """catalog-cas with the Iceberg-REST-shaped pointer authority
+    (VERDICT r8 ask #2): storage faults AND catalog-transport faults
+    (pointer swap dying just before or just after the commit POST) must
+    leave the table exactly pre or exactly post, never torn."""
+    from swiftlake_spark import catalog_service as cs
+    from tests.rest_catalog_server import RestCatalogServer
+
+    store = "crashfuzzrest"
+    fio.reset_memory_store(store)
+    with RestCatalogServer() as s:
+        svc = cs.RestCatalogCommitService(s.base)
+        _crash_sequence(spark, f"mem://{store}/wh", 43, "catalog-cas",
+                        "_MEM_IO", "mem://x", catalog=svc)
+    fio.reset_memory_store(store)
+
+
+def _crash_sequence(spark, warehouse, seed, protocol, singleton, probe_url,
+                    register_prefix=None, catalog=None):
     from swiftlake_spark.engine import SwiftLakeEngine
     from swiftlake_spark.tables.maintenance import vacuum
 
-    # install the proxy where fileio_for hands out the singleton
+    # install the proxy where fileio_for hands out the singleton (or,
+    # for per-prefix registered backends like SigV4, re-register the
+    # prefix to the proxy)
     real = fio.fileio_for(probe_url)
     flaky = FlakyIO(real)
-    setattr(fio, singleton, flaky)
+    if register_prefix is not None:
+        fio.register_fileio(register_prefix, flaky)
+    else:
+        setattr(fio, singleton, flaky)
+    prev_svc = None
+    if catalog is not None:
+        from swiftlake_spark import catalog_service as cs
+
+        prev_svc = cs.set_default_catalog_service(
+            FlakyCatalog(catalog, flaky))
     try:
         rng = random.Random(seed)
         eng = SwiftLakeEngine(spark, warehouse=warehouse)
@@ -222,4 +298,11 @@ def _crash_sequence(spark, warehouse, seed, protocol, singleton, probe_url):
             spark.createDataFrame(final_rows, schema=SCHEMA)).execute()
         assert _diff(_state(eng, name), state + final_rows) is None
     finally:
-        setattr(fio, singleton, real)
+        if register_prefix is not None:
+            fio.register_fileio(register_prefix, real)
+        else:
+            setattr(fio, singleton, real)
+        if prev_svc is not None:
+            from swiftlake_spark import catalog_service as cs
+
+            cs.set_default_catalog_service(prev_svc)
