@@ -9,6 +9,7 @@ Usage:
     python scripts/fuzz_sweep.py --dml [n_seeds] [seed0]      # write path
     python scripts/fuzz_sweep.py --scd2 [n_seeds] [seed0]     # SCD2 model
     python scripts/fuzz_sweep.py --evo [n_seeds] [seed0]      # schema evolution
+    python scripts/fuzz_sweep.py --mixed [n_seeds] [seed0]    # DML x reads
 
 --dml sweeps the DML state machine (tests/test_dml_fuzz.run_sequence):
 random append / overwrite / SCD1 / update / delete sequences against a
@@ -116,6 +117,13 @@ def main() -> int:
         n = int(args[1]) if len(args) > 1 else 30
         seed0 = int(args[2]) if len(args) > 2 else 5000
         return main_scd2(n, seed0)
+    if args and args[0] == "--mixed":
+        n = int(args[1]) if len(args) > 1 else 40
+        seed0 = int(args[2]) if len(args) > 2 else 9000
+        return main_pytest_style(
+            n, seed0, "tests.test_mixed_fuzz",
+            "test_mixed_read_write_matches_mirror", "mixed",
+        )
     if args and args[0] == "--evo":
         n = int(args[1]) if len(args) > 1 else 30
         seed0 = int(args[2]) if len(args) > 2 else 7000
