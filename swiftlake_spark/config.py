@@ -84,6 +84,14 @@ class EngineConfig:
     arrow: bool = True
     broadcast_threshold: str = "64m"       # small-dim joins broadcast aggressively
     max_partition_bytes: str = "128m"      # split large files into tasks
+    # Relation-build file listing: Spark's default parallelism (10_000)
+    # schedules one near-empty task per path once a scan exceeds the
+    # discovery threshold, so a 2,000-file manifest costs ~2.8 s of pure
+    # scheduling PER VIEW REGISTRATION (measured, scripts/
+    # planning_stress.py).  Bounding it batches paths per task: 2,000
+    # files list in 0.47 s, and at object-store scale (400k files) 256
+    # tasks of ~1,500 batched stats beat 10k task launches.
+    listing_parallelism: int = 256
 
     # write-path defaults (reference BaseDataFileWriter.java:69-93)
     parquet_compression: str = "zstd"

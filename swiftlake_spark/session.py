@@ -33,6 +33,8 @@ def build_session(config: EngineConfig | None = None) -> SparkSession:
         # row-group sizing: parquet writer block size tracks the reference's
         # 122_880-row groups only approximately (Spark sizes by bytes);
         # 128 MiB blocks are the parquet-mr default and scan-friendly.
+        .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+                str(cfg.listing_parallelism))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
@@ -84,6 +86,9 @@ def tune_existing(spark: SparkSession, cfg: EngineConfig) -> SparkSession:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", str(cfg.adaptive).lower())
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", cfg.broadcast_threshold)
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.parallelism",
+            str(cfg.listing_parallelism))
     except Exception:
         pass  # conf may be static in some deployments; best-effort
     return spark
