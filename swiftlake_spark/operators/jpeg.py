@@ -1,0 +1,619 @@
+"""Stdlib baseline-JPEG codec (VERDICT r8 ask #5).
+
+Real corpora are JPEG-dominated, and the multimodal pipeline's
+zero-dependency floor previously stopped at PNG/BMP/PPM — JPEG required
+the optional PIL seam.  This module implements the baseline sequential
+DCT process from the public JPEG specification (ITU-T T.81): huffman
+entropy decode (with byte unstuffing and restart markers), dequantize,
+8x8 inverse DCT (vectorized — one einsum over all blocks per
+component), chroma upsampling, and JFIF YCbCr→RGB.  ≙ reference media
+handling intent (SURVEY §2 multimodal columns); the decode itself is
+public-spec math, no reference code involved.
+
+Scope (everything else raises NotImplementedError so
+``decode_image_bytes`` can fall through to the PIL seam):
+
+- baseline (SOF0) and extended sequential huffman (SOF1), 8-bit;
+- 1 (grayscale) or 3 (YCbCr) components, integer sampling ratios
+  (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...), single interleaved scan;
+- restart intervals (DRI + RST0-7);
+- progressive (SOF2), arithmetic coding, hierarchical, 12-bit → seam.
+
+An encoder (`encode_jpeg`) exists for tests and payload synthesis, like
+``encode_png``/``encode_ppm``: Annex-K quantization tables with libjpeg
+quality scaling, Annex-K huffman tables, optional 4:2:0 subsampling and
+restart intervals.  Encoder and decoder share only the constant tables,
+so a round trip crosses two independent transform implementations
+(FDCT vs IDCT, bit writer vs bit reader).
+
+Performance shape: entropy decode is a Python bit loop (inherently
+sequential per scan), the IDCT/color math is numpy-vectorized.  In the
+Spark pipeline this runs inside ``mapInPandas`` batches on executors —
+the per-image cost is the unit of parallelism, and the PIL seam remains
+the fast path when pillow is installed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------- constants
+
+_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# ITU-T T.81 Annex K quantization tables (quality-50 base)
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: coefficients = A @ block @
+    A.T; pixels = A.T @ coef @ A — exactly T.81's FDCT/IDCT pair."""
+    a = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else np.sqrt(0.25)
+        for x in range(8):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_A = _dct_matrix()
+
+
+# --------------------------------------------------------------- huffman
+
+def _build_decode_lut(bits, vals):
+    """(length, code) → value, per T.81 C.2 canonical code assignment."""
+    lut = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lut[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _build_encode_lut(bits, vals):
+    """value → (code, length)."""
+    lut = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lut[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _BitReader:
+    """Entropy-segment bit reader with FF00 unstuffing.  Hitting a real
+    marker mid-read is a structural error (the caller consumes RSTn at
+    byte boundaries via sync_restart)."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError(
+                    f"marker 0xFF{nxt:02X} inside entropy-coded segment")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def get_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def get_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.get_bit()
+        return v
+
+    def sync_restart(self, seq: int) -> None:
+        """Drop padding bits, consume the expected RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = self.data[self.pos + 1]
+        if m != 0xD0 + (seq & 7):
+            raise ValueError(f"expected RST{seq & 7}, got 0xFF{m:02X}")
+        self.pos += 2
+
+
+def _decode_huff(r: _BitReader, lut) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.get_bit()
+        v = lut.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to the signed value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+# --------------------------------------------------------------- decoder
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 (H,W,3) RGB or (H,W) grayscale."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    n = len(data)
+
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no segment
+            continue
+        if marker == 0xD9:  # EOI before any SOS: no segment either
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2: pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                off += 1
+                if pq:
+                    tab = np.frombuffer(body, dtype=">u2", count=64,
+                                        offset=off).astype(np.int32)
+                    off += 128
+                else:
+                    tab = np.frombuffer(body, dtype=np.uint8, count=64,
+                                        offset=off).astype(np.int32)
+                    off += 64
+                qt[tq] = tab  # zigzag order
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                bits = list(body[off + 1: off + 17])
+                cnt = sum(bits)
+                vals = list(body[off + 17: off + 17 + cnt])
+                (huff_ac if tc else huff_dc)[th] = _build_decode_lut(bits, vals)
+                off += 17 + cnt
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential huffman
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG needs PIL")
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG process SOF{marker - 0xC0} (progressive/arithmetic/"
+                "hierarchical) needs PIL")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG needs PIL")
+            scan = {}
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan[cs] = (tt >> 4, tt & 15)
+            return _decode_scan(data, pos, frame, scan, qt, huff_dc,
+                                huff_ac, restart_interval)
+
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval):
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {c['h']}x{c['v']} needs PIL")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    r = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    # per component: flat coefficient rows (mcu-major), positions
+    blocks = {c["id"]: [] for c in comps}
+    positions = {c["id"]: [] for c in comps}
+    zz = _ZIGZAG
+    mcu_count = 0
+    rst_seq = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                r.sync_restart(rst_seq)
+                rst_seq += 1
+                for k in pred:
+                    pred[k] = 0
+            mcu_count += 1
+            for c in comps:
+                cid = c["id"]
+                dc_lut = huff_dc[scan[cid][0]]
+                ac_lut = huff_ac[scan[cid][1]]
+                for cy in range(c["v"]):
+                    for cx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int32)
+                        t = _decode_huff(r, dc_lut)
+                        diff = _extend(r.get_bits(t), t) if t else 0
+                        pred[cid] += diff
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(r, ac_lut)
+                            rr, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            # coef stays in ZIGZAG order here; the
+                            # batched dequantize un-zigzags once below
+                            coef[k] = _extend(r.get_bits(s), s)
+                            k += 1
+                        blocks[cid].append(coef)
+                        positions[cid].append(
+                            (my * c["v"] + cy, mx * c["h"] + cx))
+
+    planes = []
+    for c in comps:
+        cid = c["id"]
+        q = qt[c["tq"]]
+        dq = np.zeros((len(blocks[cid]), 64), dtype=np.float64)
+        coefs = np.stack(blocks[cid]).astype(np.float64) * q[np.newaxis, :]
+        dq[:, zz] = coefs  # un-zigzag (both q and coef are zigzag-order)
+        mats = dq.reshape(-1, 8, 8)
+        pix = np.einsum("ij,njk,kl->nil", _A.T, mats, _A) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        bh, bw = mcuy * c["v"], mcux * c["h"]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for (by, bx), blk in zip(positions[cid], pix):
+            plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+        # upsample to full MCU grid resolution, then crop
+        plane = plane.repeat(vmax // c["v"], axis=0)
+        plane = plane.repeat(hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG needs PIL")
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------- encoder
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _encode_block(bw, coef_zz, pred, dc_lut, ac_lut):
+    diff = int(coef_zz[0]) - pred
+    s = abs(diff).bit_length()
+    code, ln = dc_lut[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coef_zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_lut[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_lut[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_lut[0x00]  # EOB
+        bw.write(code, ln)
+    return int(coef_zz[0])
+
+
+def _plane_coeffs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H,W) uint8, 8|H and 8|W → (nblocks, 64) quantized zigzag ints,
+    blocks in raster order."""
+    h, w = plane.shape
+    blocks = (plane.astype(np.float64) - 128.0).reshape(
+        h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coef = np.einsum("ij,njk,kl->nil", _A, blocks, _A.T).reshape(-1, 64)
+    zzc = coef[:, _ZIGZAG]
+    return np.round(zzc / q[np.newaxis, :]).astype(np.int32)
+
+
+def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult_y
+    pw = (-w) % mult_x
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge") if ph or pw \
+        else plane
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """uint8 (H,W,3) RGB or (H,W) gray → baseline JFIF bytes."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = a.shape[:2]
+    # wire/quantize order is ZIGZAG: the DQT payload byte k and the
+    # divisor of zigzag coefficient k are the same value (T.81 B.2.4.1)
+    ql = _scale_quant(_QUANT_LUMA, quality)[_ZIGZAG]
+    qc = _scale_quant(_QUANT_CHROMA, quality)[_ZIGZAG]
+
+    if gray:
+        planes = [a]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        f = a.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "4:2:0":
+            ph, pw = (h + 1) & ~1, (w + 1) & ~1
+            cbp = _pad_to(cb, 2, 2).reshape(ph // 2, 2, pw // 2, 2)
+            crp = _pad_to(cr, 2, 2).reshape(ph // 2, 2, pw // 2, 2)
+            cb = cbp.mean(axis=(1, 3))
+            cr = crp.mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        to8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
+        planes = [to8(y), to8(cb), to8(cr)]
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad every plane to its full MCU-grid size
+    coeffs = []
+    for p, (sh, sv) in zip(planes, samp):
+        p = _pad_to(p, mcuy * sv * 8, mcux * sh * 8)
+        coeffs.append(_plane_coeffs(p, ql if qsel[len(coeffs)] == 0 else qc))
+
+    dc_luts = [_build_encode_lut(_DC_LUMA_BITS, _DC_LUMA_VALS),
+               _build_encode_lut(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_luts = [_build_encode_lut(_AC_LUMA_BITS, _AC_LUMA_VALS),
+               _build_encode_lut(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    mcu_count = 0
+    rst_seq = 0
+    bws = []  # entropy segments split at restart boundaries
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()
+                bws.append(bytes(bw.out) + bytes([0xFF, 0xD0 + (rst_seq & 7)]))
+                rst_seq += 1
+                bw = _BitWriter()
+                pred = [0] * len(planes)
+            mcu_count += 1
+            for ci, (sh, sv) in enumerate(samp):
+                bwidth = mcux * sh  # blocks per row in this plane
+                t = 1 if (not gray and ci) else 0
+                for cy in range(sv):
+                    for cx in range(sh):
+                        bi = (my * sv + cy) * bwidth + (mx * sh + cx)
+                        pred[ci] = _encode_block(
+                            bw, coeffs[ci][bi], pred[ci],
+                            dc_luts[t], ac_luts[t])
+    bw.flush()
+    bws.append(bytes(bw.out))
+    entropy = b"".join(bws)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(ql.astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc.astype(np.uint8)))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += seg(0xC0, bytes(sof))
+
+    def dht(tc: int, th: int, bits, vals) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        t = 1 if (not gray and ci) else 0
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -7,13 +7,15 @@ shape) holds regardless of codec.
 
 Codecs: formats decodable with the Python stdlib are REAL —
 PPM/PGM (P6/P5 netpbm), uncompressed 24/32-bit BMP (``struct``),
-8-bit non-interlaced PNG (``zlib`` + unfilter), and PCM WAV
-(``wave``).  JPEG and exotic PNG variants go through the optional
-PIL seam (:func:`_pil_decode`): decoded for real when pillow is
-importable, honest ``NotImplementedError`` otherwise — no hard
-dependency either way.  MP3/MP4 still raise; ``fake=True``
-substitutes a deterministic payload-seeded feature vector so those
-pipelines exercise the identical Spark plumbing.
+8-bit non-interlaced PNG (``zlib`` + unfilter), baseline sequential
+JPEG (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
+PCM WAV (``wave``).  Progressive/arithmetic JPEG and exotic PNG
+variants go through the optional PIL seam (:func:`_pil_decode`):
+decoded for real when pillow is importable, honest
+``NotImplementedError`` otherwise — no hard dependency either way.
+MP3/MP4 still raise; ``fake=True`` substitutes a deterministic
+payload-seeded feature vector so those pipelines exercise the
+identical Spark plumbing.
 """
 
 from __future__ import annotations
@@ -310,9 +312,11 @@ def _pil_decode(data: bytes) -> np.ndarray:
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (H,W,3) or (H,W) uint8 array.
 
-    Stdlib-real: PPM/PGM, BMP, 8-bit non-interlaced PNG.  PIL-seam:
-    JPEG always; PNG variants the stdlib path refuses (16-bit, Adam7,
-    packed palettes).  Anything else raises."""
+    Stdlib-real: PPM/PGM, BMP, 8-bit non-interlaced PNG, and baseline
+    sequential JPEG (operators/jpeg.py — huffman + dequant + IDCT +
+    YCbCr, restart markers, integer chroma ratios).  PIL-seam: the
+    variants the stdlib paths refuse (16-bit/Adam7/packed-palette PNG;
+    progressive/arithmetic/12-bit JPEG).  Anything else raises."""
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
     if data[:2] == b"BM":
@@ -323,7 +327,12 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         except NotImplementedError:
             return _pil_decode(data)
     if data[:3] == b"\xff\xd8\xff":
-        return _pil_decode(data)
+        from swiftlake_spark.operators.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(data)
+        except NotImplementedError:
+            return _pil_decode(data)
     raise ValueError("unrecognized image payload")
 
 

@@ -774,14 +774,23 @@ def test_png_unsupported_variants_need_pil():
             decode_image_bytes(png16)
 
 
-def test_jpeg_needs_pil_seam():
-    """JPEG dispatch: PIL decode when importable, honest raise when not
-    (VERDICT r6 ask #4 — zero new hard dependencies)."""
+def test_jpeg_dispatch_stdlib_first_pil_seam_for_progressive():
+    """JPEG dispatch (r9: stdlib baseline decoder landed): baseline
+    decodes WITHOUT PIL; progressive routes to the PIL seam — real
+    decode when importable, honest raise when not (zero new hard
+    dependencies)."""
+    import numpy as np
     import pytest
 
+    from swiftlake_spark.operators.jpeg import encode_jpeg
     from swiftlake_spark.operators.multimodal import decode_image_bytes
 
-    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32  # JFIF-ish prefix
+    img = np.full((8, 8, 3), (10, 200, 60), dtype=np.uint8)
+    out = decode_image_bytes(encode_jpeg(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1  # DC rounding
+
+    progressive = bytearray(encode_jpeg(img))
+    progressive[progressive.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 → SOF2
     try:
         import PIL  # noqa: F401
 
@@ -789,11 +798,10 @@ def test_jpeg_needs_pil_seam():
     except ImportError:
         has_pil = False
     if has_pil:
-        # a real decode of a truncated payload fails inside PIL, not with
-        # our NotImplementedError — the seam is open
+        # PIL rejects the corrupted scan its own way — the seam is open
         with pytest.raises(Exception) as ei:
-            decode_image_bytes(jpeg_magic)
+            decode_image_bytes(bytes(progressive))
         assert not isinstance(ei.value, NotImplementedError)
     else:
         with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image_bytes(jpeg_magic)
+            decode_image_bytes(bytes(progressive))
