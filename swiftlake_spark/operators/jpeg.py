@@ -262,6 +262,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI before any SOS: no segment either
             break
         (seg_len,) = struct.unpack_from(">H", data, pos)
+        if seg_len < 2:
+            # a zero/one length would re-read the same marker forever
+            raise ValueError(f"invalid segment length {seg_len}")
         body = data[pos + 2: pos + seg_len]
         pos += seg_len
         if marker == 0xDB:  # DQT
@@ -333,6 +336,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
         if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
             raise NotImplementedError(
                 f"non-integer sampling ratio {c['h']}x{c['v']} needs PIL")
+    if w < 1 or h < 1 or w * h > (1 << 28):
+        # corrupted SOF dims must not drive a multi-GB allocation
+        raise ValueError(f"implausible JPEG dimensions {w}x{h}")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
@@ -361,8 +367,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                     for cx in range(c["h"]):
                         coef = np.zeros(64, dtype=np.int32)
                         t = _decode_huff(r, dc_lut)
+                        if t > 15:  # spec max DC category is 11
+                            raise ValueError(f"invalid DC category {t}")
                         diff = _extend(r.get_bits(t), t) if t else 0
                         pred[cid] += diff
+                        if not -(1 << 30) < pred[cid] < (1 << 30):
+                            raise ValueError("DC predictor out of range")
                         coef[0] = pred[cid]
                         k = 1
                         while k < 64:

@@ -149,3 +149,36 @@ def test_libjpeg_golden_both_directions():  # pragma: no cover
                 - np.asarray(Image.open(io.BytesIO(theirs)).convert("RGB"))
                 .astype(int))
     assert d2.mean() <= 1.5 and d2.max() <= 6
+
+
+def test_mutation_fuzz_fails_cleanly():
+    """Corrupted JPEGs must decode, or raise a clean error fast — never
+    hang or escape with an unexpected exception type.  400 seeded
+    single-byte mutations over two payload shapes."""
+    import random
+    import struct as _struct
+    import time
+
+    rng = random.Random(7)
+    payloads = [
+        encode_jpeg(_gradient(24, 40), quality=90),
+        encode_jpeg(_gradient(17, 19), quality=80, subsampling="4:2:0",
+                    restart_interval=2),
+    ]
+    t0 = time.time()
+    outcomes = {"ok": 0, "err": 0}
+    for i in range(400):
+        data = bytearray(rng.choice(payloads))
+        for _ in range(rng.choice((1, 1, 1, 3))):
+            data[rng.randrange(2, len(data))] = rng.randrange(256)
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError, IndexError, KeyError,
+                _struct.error):
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 400
+    # sanity: mutations actually exercised both branches
+    assert outcomes["err"] > 40, outcomes
+    assert time.time() - t0 < 120, "mutation decode too slow — lurking loop?"
