@@ -199,6 +199,16 @@ class FuzzGen:
             out = f"({out}) {self.rng.choice(['AND', 'OR'])} ({p})"
         if self.rng.random() < 0.2:
             out = f"NOT ({out})"
+        if self.rng.random() < 0.15:
+            # CASE...END as a top-level conjunct, un-parenthesized ANDs
+            # between WHEN and THEN: the extraction's nesting tracker
+            # (r9 rewrite, tables/sqlextract.py _nesting) must never
+            # promote a branch condition to a standalone pruning
+            # conjunct — a slip diverges from DuckDB here
+            inner = (f"{self._cmp_pred(table, alias)} AND "
+                     f"{self._cmp_pred(table, alias)}")
+            out = (f"({out}) AND CASE WHEN {inner} THEN 1 ELSE 0 END = "
+                   f"{self.rng.choice((0, 1))}")
         return out
 
     def _scalar_exprs(self, table: str, alias: str | None = None) -> list[str]:
