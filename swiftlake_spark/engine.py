@@ -247,6 +247,16 @@ class SwiftLakeEngine:
         name, batch = self._name_or_batch(table)
         return DeleteBuilder(self, name, batch=batch)
 
+    def merge_into(self, table):
+        """Generic SQL:2003 MERGE (beyond the reference surface — SwiftLake
+        only ships SCD1/SCD2 apply): ``engine.merge_into("db.t").using(src)
+        .key_columns([...]).table_filter_sql(...).when_matched_update(...)
+        .when_matched_delete(...).when_not_matched_insert(...).execute()``."""
+        from swiftlake_spark.dml.merge import MergeIntoBuilder
+
+        name, batch = self._name_or_batch(table)
+        return MergeIntoBuilder(self, name, batch=batch)
+
     def apply_changes_as_scd1(self, table):
         from swiftlake_spark.dml.scd1 import SCD1Builder
 

@@ -1146,3 +1146,92 @@ def q119_sql_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.pruned_files > 0 and m.scanned_files < m.total_files for m in scans
     )
     return df.withColumn("pruned_ok", F.lit(pruned_ok))
+
+
+# --------------------------------------------------------------------------
+# q121 — generic MERGE INTO end-to-end (dml/merge.py; beyond the
+# reference's SCD1/SCD2 surface): a bounded orders slice is written into
+# a native table ONCE per (session, sf_dir), then a three-clause merge
+# runs against an overlapping source slice — conditional DELETE,
+# computed UPDATE over target./source. namespaces, INSERT of unmatched
+# source rows.  The query returns the final table state; the oracle
+# recomputes it in DuckDB from raw `orders` parquet with the equivalent
+# join/anti-join decomposition, so any row misclassified, lost in the
+# copy-on-write rewrite, or double-applied breaks the hash.
+# Scale: the merge machinery is the SCD path's (manifest-pruned target
+# read, distinct-touched-file probe, file-level rewrite); rows never
+# reach the driver.
+# --------------------------------------------------------------------------
+_Q121_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q121_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    wh = _Q121_CACHE.get(key)
+    if wh is None:
+        wh = tempfile.mkdtemp(prefix="q121_wh_")
+        eng = SwiftLakeEngine(spark, warehouse=wh)
+        orders = load(spark, sf_dir, "orders")
+        tgt = orders.filter(F.col("o_orderkey") <= 5000).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        eng.catalog.create_table(
+            "db.q121_orders",
+            tgt.schema,
+            sort_order=["o_orderkey"],
+        )
+        eng.insert_into("db.q121_orders").dataframe(tgt).execute()
+        src = orders.filter(F.col("o_orderkey").between(2500, 7500)).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        eng.merge_into("db.q121_orders").using(src).key_columns(
+            ["o_orderkey"]
+        ).unbounded().when_matched_delete(
+            condition="source.o_totalprice > 200000.0"
+        ).when_matched_update(
+            sets={
+                "o_totalprice": "target.o_totalprice + source.o_totalprice",
+                "o_orderstatus": "'M'",
+            }
+        ).when_not_matched_insert().execute()
+        _Q121_CACHE[key] = wh
+    return wh
+
+
+@query(
+    "q121_merge_into",
+    oracle=r"""
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey <= 5000
+), s AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey BETWEEN 2500 AND 7500
+)
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM (
+  SELECT t.o_orderkey, t.o_custkey,
+         t.o_totalprice + s.o_totalprice AS o_totalprice,
+         'M' AS o_orderstatus
+  FROM t JOIN s USING (o_orderkey)
+  WHERE NOT (s.o_totalprice > 200000.0)
+  UNION ALL
+  SELECT t.* FROM t ANTI JOIN s USING (o_orderkey)
+  UNION ALL
+  SELECT s.* FROM s ANTI JOIN t USING (o_orderkey)
+)
+ORDER BY o_orderkey
+""",
+)
+def q121_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    eng = SwiftLakeEngine(spark, warehouse=_q121_warehouse(spark, sf_dir))
+    return (
+        eng.catalog.load("db.q121_orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
