@@ -90,6 +90,7 @@ class MergeIntoBuilder:
         self._keys: list[str] = []
         self._filter: E.Expr | None = None
         self._filter_columns: list[str] | None = None
+        self._filter_source = True
         self._unbounded = False
         self._matched: list[_MatchedClause] = []
         self._not_matched: list[_NotMatchedClause] = []
@@ -129,6 +130,17 @@ class MergeIntoBuilder:
 
     def unbounded(self, flag: bool = True) -> "MergeIntoBuilder":
         self._unbounded = flag
+        return self
+
+    def filter_source(self, flag: bool) -> "MergeIntoBuilder":
+        """When True (default) the boundary filter also restricts the
+        SOURCE — rows outside it neither match nor insert (the SCD
+        boundary contract).  ``filter_source(False)`` keeps the boundary
+        as a target-side restriction only (manifest prune + match
+        gating) while unmatched source rows stay insert-eligible —
+        standard-SQL MERGE semantics for a target-only conjunct in the
+        ON clause."""
+        self._filter_source = flag
         return self
 
     def when_matched_update(
@@ -254,11 +266,10 @@ class MergeIntoBuilder:
         # ``__present__`` sentinel: after the FULL OUTER join, target-only
         # rows carry NULL here — a structural "source side exists" probe
         # that stays correct even for an all-NULL source row
-        src = (
-            self._source.filter(self._filter.column())
-            .withColumn("__present__", F.lit(True))
-            .alias("source")
-        )
+        src = self._source
+        if self._filter_source:
+            src = src.filter(self._filter.column())
+        src = src.withColumn("__present__", F.lit(True)).alias("source")
         entries = tbl.prune(
             tbl.meta.read_manifest(tbl.meta.current_snapshot(self._branch)),
             self._filter,

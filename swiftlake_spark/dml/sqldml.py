@@ -1,0 +1,499 @@
+"""SQL DML statements through ``engine.sql``: UPDATE / DELETE / MERGE.
+
+The reference exposes DML only through fluent builders
+(SwiftLakeEngine.java — update/delete/applyChangesAsSCD*); its SQL
+surface is read-only DuckDB passthrough (README.md:723-727).  This
+module extends the Spark engine's ``sql()`` so the statement forms a
+real user expects also work textually:
+
+- ``UPDATE db.t SET a = <expr>, b = <expr> WHERE <cond>``
+- ``DELETE FROM db.t WHERE <cond>``
+- ``MERGE INTO db.t [AS] t USING (<query>)|<name> [AS] s
+  ON t.k = s.k [AND t.bound = 'x' ...]
+  WHEN MATCHED [AND <cond>] THEN UPDATE SET a = <expr>, ... | DELETE
+  WHEN NOT MATCHED [AND <cond>] THEN INSERT [*|(cols) VALUES (exprs)]``
+
+Each parses into the corresponding builder (dml/update.py, delete.py,
+merge.py) — the statement text is never handed to Catalyst, so COW
+rewrite, manifest pruning, conflict detection and snapshot commit all
+behave exactly as the builder API.  The parse reuses the conservative
+scanner from tables/sqlextract.py (literal masking, comment rejection);
+anything outside the supported grammar raises ValidationError with the
+reason, never a silent misread.
+
+MERGE ON-clause subset (sound by construction):
+
+- conjuncts of the form ``t.k = s.k`` become null-safe join keys
+  (differing column names rename the source side);
+- conjuncts referencing ONLY the target become the boundary filter —
+  manifest prune + match gating via ``filter_source(False)``, which
+  preserves standard semantics (a target row failing the conjunct is
+  simply never matched; unmatched source rows still insert);
+- any other conjunct shape (source-side residuals, ORs, functions over
+  both sides) is rejected: mapping it onto the clause conditions would
+  silently change NOT-MATCHED classification.
+
+Statement result: a one-row DataFrame ``(operation, snapshot_id)`` —
+the commit receipt, mirroring how the builders return the Snapshot.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from swiftlake_spark.dml.scd_common import require
+from swiftlake_spark.dml.sqlfilter import parse_filter
+from swiftlake_spark.tables.metadata import ValidationError
+from swiftlake_spark.tables.sqlextract import _scan, _Tok, mask_literals
+
+_DML_HEAD = re.compile(r"^\s*(UPDATE|DELETE|MERGE)\b", re.IGNORECASE)
+
+
+def is_dml(sql: str) -> bool:
+    return _DML_HEAD.match(sql) is not None
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _tokens(sql: str) -> list[_Tok]:
+    masked = mask_literals(sql)
+    toks = _scan(masked)
+    if toks is None:
+        raise ValidationError(
+            "could not tokenize DML statement (comments, backticks, "
+            "parameter markers and unrecognized characters are not "
+            "supported in DML)"
+        )
+    return toks
+
+
+def _slice(sql: str, toks: list[_Tok], lo: int, hi: int) -> str:
+    """Original text spanning tokens[lo:hi] (literals intact)."""
+    if lo >= hi:
+        return ""
+    return sql[toks[lo].start : toks[hi - 1].end]
+
+
+def _find_kw(toks: list[_Tok], kw: str, start: int, depth0: bool = True) -> int:
+    """Index of the next top-level keyword token, or -1."""
+    depth = 0
+    for i in range(start, len(toks)):
+        t = toks[i]
+        if t.kind == "lp":
+            depth += 1
+        elif t.kind == "rp":
+            depth -= 1
+        elif t.kind == "word" and t.up == kw and (depth == 0 or not depth0):
+            if depth == 0:
+                return i
+    return -1
+
+
+def _split_top(toks: list[_Tok], lo: int, hi: int, sep_up: str) -> list[tuple[int, int]]:
+    """Split tokens[lo:hi] on top-level separators (comma kind or keyword)."""
+    out = []
+    depth = 0
+    seg = lo
+    for i in range(lo, hi):
+        t = toks[i]
+        if t.kind == "lp":
+            depth += 1
+        elif t.kind == "rp":
+            depth -= 1
+        elif depth == 0 and (
+            (sep_up == "," and t.kind == "comma")
+            or (sep_up != "," and t.kind == "word" and t.up == sep_up)
+        ):
+            out.append((seg, i))
+            seg = i + 1
+    out.append((seg, hi))
+    return out
+
+
+def _rewrite_aliases(
+    sql: str, toks: list[_Tok], lo: int, hi: int, mapping: dict[str, str],
+    full: dict[str, str] | None = None,
+) -> str:
+    """Rebuild tokens[lo:hi] as text with ``alias.``-qualified word
+    tokens rewritten per ``mapping`` (case-insensitive on the alias) and
+    whole qualified names per ``full`` (e.g. a renamed source key).
+    Works on token spans so string literals are never touched."""
+    if lo >= hi:
+        return ""
+    out = []
+    pos = toks[lo].start
+    for i in range(lo, hi):
+        t = toks[i]
+        out.append(sql[pos : t.start])
+        # slice the ORIGINAL text — token .text carries masked literals
+        text = sql[t.start : t.end]
+        if t.kind == "word" and "." in text:
+            repl_full = (full or {}).get(text.lower())
+            if repl_full is not None:
+                text = repl_full
+            else:
+                head, rest = text.split(".", 1)
+                repl = mapping.get(head.lower())
+                if repl is not None:
+                    text = f"{repl}.{rest}"
+        out.append(text)
+        pos = t.end
+    return "".join(out)
+
+
+def _assignments(
+    sql: str, toks: list[_Tok], lo: int, hi: int, mapping: dict[str, str],
+    strip_quals: tuple[str, ...] = (), full: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Parse ``a = expr, b = expr`` between lo and hi."""
+    sets: dict[str, str] = {}
+    for s, e in _split_top(toks, lo, hi, ","):
+        require(e - s >= 3, f"malformed SET assignment near {_slice(sql, toks, s, e)!r}")
+        lhs = toks[s]
+        require(
+            lhs.kind == "word" and toks[s + 1].kind == "op" and toks[s + 1].text == "=",
+            f"malformed SET assignment near {_slice(sql, toks, s, e)!r}",
+        )
+        col = lhs.text
+        for q in strip_quals:
+            if col.lower().startswith(q.lower() + "."):
+                col = col[len(q) + 1 :]
+        require("." not in col, f"SET target must be a bare column, got {lhs.text!r}")
+        require(col not in sets, f"duplicate SET column {col!r}")
+        sets[col] = _rewrite_aliases(sql, toks, s + 2, e, mapping, full)
+    return sets
+
+
+def _receipt(spark, operation: str, snapshot) -> DataFrame:
+    sid = getattr(snapshot, "snapshot_id", None)
+    return spark.createDataFrame(
+        [(operation, sid)], "operation string, snapshot_id bigint"
+    )
+
+
+# -------------------------------------------------------------- UPDATE
+
+
+def _exec_update(engine, sql: str, toks: list[_Tok]) -> DataFrame:
+    require(len(toks) >= 2 and toks[1].kind == "word", "UPDATE needs a table name")
+    table = toks[1].text
+    require(
+        len(toks) > 2 and toks[2].up == "SET",
+        "UPDATE grammar: UPDATE <table> SET a = expr [, ...] WHERE <cond>",
+    )
+    wh = _find_kw(toks, "WHERE", 3)
+    require(
+        wh != -1,
+        "UPDATE through SQL requires a WHERE clause (the builder's "
+        "mandatory-condition guard); use engine.update(...) for other shapes",
+    )
+    sets = _assignments(sql, toks, 3, wh, {}, strip_quals=(table,))
+    cond = _slice(sql, toks, wh + 1, len(toks))
+    require(bool(cond.strip()), "empty WHERE clause")
+    tbl_schema = engine.catalog.table(table).schema
+    from pyspark.sql import functions as F
+
+    b = engine.update(table).condition(parse_filter(cond, tbl_schema)).update_sets(
+        {c: F.expr(e) for c, e in sets.items()}
+    )
+    return _receipt(engine.spark, "update", b.execute())
+
+
+# -------------------------------------------------------------- DELETE
+
+
+def _exec_delete(engine, sql: str, toks: list[_Tok]) -> DataFrame:
+    require(
+        len(toks) >= 3 and toks[1].up == "FROM" and toks[2].kind == "word",
+        "DELETE grammar: DELETE FROM <table> WHERE <cond>",
+    )
+    table = toks[2].text
+    wh = _find_kw(toks, "WHERE", 3)
+    require(
+        wh == 3,
+        "DELETE through SQL requires a WHERE clause immediately after the "
+        "table; use engine.delete_from(...) for other shapes",
+    )
+    cond = _slice(sql, toks, wh + 1, len(toks))
+    require(bool(cond.strip()), "empty WHERE clause")
+    tbl_schema = engine.catalog.table(table).schema
+    b = engine.delete_from(table).condition(parse_filter(cond, tbl_schema))
+    return _receipt(engine.spark, "delete", b.execute())
+
+
+# --------------------------------------------------------------- MERGE
+
+
+@dataclass
+class _OnAnalysis:
+    keys: list[tuple[str, str]]  # (target col, source col)
+    boundary: list[str]  # target-only conjunct texts (qualifiers stripped)
+
+
+def _ident_side(text: str, t_alias: str, s_alias: str) -> tuple[str | None, str]:
+    """('target'|'source'|None, bare-name) for a word token text."""
+    low = text.lower()
+    if low.startswith(t_alias.lower() + "."):
+        return "target", text[len(t_alias) + 1 :]
+    if low.startswith(s_alias.lower() + "."):
+        return "source", text[len(s_alias) + 1 :]
+    return None, text
+
+
+def _analyze_on(
+    sql: str, toks: list[_Tok], lo: int, hi: int, t_alias: str, s_alias: str
+) -> _OnAnalysis:
+    keys: list[tuple[str, str]] = []
+    boundary: list[str] = []
+    for s, e in _split_top(toks, lo, hi, "AND"):
+        span = _slice(sql, toks, s, e)
+        # key equality: <x>.<k> = <y>.<k2>
+        if (
+            e - s == 3
+            and toks[s].kind == "word"
+            and toks[s + 1].kind == "op"
+            and toks[s + 1].text == "="
+            and toks[s + 2].kind == "word"
+        ):
+            l_side, l_name = _ident_side(toks[s].text, t_alias, s_alias)
+            r_side, r_name = _ident_side(toks[s + 2].text, t_alias, s_alias)
+            if {l_side, r_side} == {"target", "source"}:
+                tcol, scol = (
+                    (l_name, r_name) if l_side == "target" else (r_name, l_name)
+                )
+                require(
+                    "." not in tcol and "." not in scol,
+                    f"nested key paths not supported in ON: {span!r}",
+                )
+                keys.append((tcol, scol))
+                continue
+        # target-only conjunct → boundary
+        sides = set()
+        ok = True
+        for i in range(s, e):
+            t = toks[i]
+            if t.kind == "word" and "." in t.text:
+                side, _ = _ident_side(t.text, t_alias, s_alias)
+                if side is None:
+                    ok = False
+                    break
+                sides.add(side)
+            elif t.kind == "word" and t.up not in _COND_WORDS and "." not in t.text:
+                # bare identifier of unknown provenance
+                if not _is_literal_word(t):
+                    ok = False
+                    break
+        if ok and sides == {"target"}:
+            # strip the target qualifier so parse_filter sees bare columns
+            # (span has literals masked out of reach — the sub runs on the
+            # original text, but the qualifier pattern can't occur inside
+            # a quoted literal without the alias-dot shape anyway; to be
+            # strict, rebuild from tokens instead)
+            stripped = _rewrite_aliases(
+                sql, toks, s, e, {t_alias.lower(): "\0"}
+            ).replace("\0.", "")
+            boundary.append(stripped)
+            continue
+        raise ValidationError(
+            f"unsupported ON conjunct {span!r}: MERGE through SQL accepts "
+            "target-key = source-key equalities and target-only boundary "
+            "predicates; use engine.merge_into(...) for other shapes"
+        )
+    require(bool(keys), "MERGE ON clause needs at least one key equality")
+    return _OnAnalysis(keys, boundary)
+
+
+_COND_WORDS = {
+    "AND", "OR", "NOT", "IS", "NULL", "IN", "BETWEEN", "LIKE", "TRUE",
+    "FALSE", "DATE", "TIMESTAMP", "INTERVAL", "CAST", "AS", "CASE",
+    "WHEN", "THEN", "ELSE", "END",
+}
+
+
+def _is_literal_word(t: _Tok) -> bool:
+    return t.kind in ("str", "num")
+
+
+def _parse_name_alias(
+    sql: str, toks: list[_Tok], i: int, stop_kws: set[str]
+) -> tuple[str, str, int]:
+    """<name> [AS] [alias] → (name, alias, next index)."""
+    require(i < len(toks) and toks[i].kind == "word", "expected a table name")
+    name = toks[i].text
+    i += 1
+    if i < len(toks) and toks[i].kind == "word" and toks[i].up == "AS":
+        i += 1
+        require(i < len(toks) and toks[i].kind == "word", "expected an alias after AS")
+        alias = toks[i].text
+        return name, alias, i + 1
+    if i < len(toks) and toks[i].kind == "word" and toks[i].up not in stop_kws:
+        return name, toks[i].text, i + 1
+    return name, name, i
+
+
+def _exec_merge(engine, sql: str, toks: list[_Tok]) -> DataFrame:
+    require(
+        len(toks) >= 2 and toks[1].up == "INTO",
+        "MERGE grammar: MERGE INTO <table> [alias] USING <source> [alias] "
+        "ON <cond> WHEN ...",
+    )
+    table, t_alias, i = _parse_name_alias(sql, toks, 2, {"USING"})
+    require(i < len(toks) and toks[i].up == "USING", "expected USING")
+    i += 1
+    # source: (subquery) or a name (lakehouse table or view)
+    if i < len(toks) and toks[i].kind == "lp":
+        depth, j = 1, i + 1
+        while j < len(toks) and depth:
+            if toks[j].kind == "lp":
+                depth += 1
+            elif toks[j].kind == "rp":
+                depth -= 1
+            j += 1
+        require(depth == 0, "unbalanced parens in USING subquery")
+        src_sql = _slice(sql, toks, i + 1, j - 1)
+        src_df = engine.sql(src_sql)
+        i = j
+        s_alias = None
+        if i < len(toks) and toks[i].kind == "word" and toks[i].up == "AS":
+            i += 1
+        if i < len(toks) and toks[i].kind == "word" and toks[i].up != "ON":
+            s_alias = toks[i].text
+            i += 1
+        require(s_alias is not None, "USING (subquery) needs an alias")
+    else:
+        src_name, s_alias, i = _parse_name_alias(sql, toks, i, {"ON"})
+        src_df = engine.sql(f"SELECT * FROM {src_name}")
+    require(i < len(toks) and toks[i].up == "ON", "expected ON after USING source")
+    on_end = _find_kw(toks, "WHEN", i + 1)
+    require(on_end != -1, "MERGE needs at least one WHEN clause")
+    on = _analyze_on(sql, toks, i + 1, on_end, t_alias, s_alias)
+
+    # rename source key columns to the target names where they differ
+    for tcol, scol in on.keys:
+        if tcol != scol:
+            require(
+                tcol not in src_df.columns,
+                f"cannot rename source key {scol!r} → {tcol!r}: source "
+                f"already has a column {tcol!r}",
+            )
+            src_df = src_df.withColumnRenamed(scol, tcol)
+
+    mapping = {t_alias.lower(): "target", s_alias.lower(): "source"}
+    # renamed source keys: rewrite whole qualified names in clause exprs
+    full = {
+        f"{s_alias}.{scol}".lower(): f"source.{tcol}"
+        for tcol, scol in on.keys
+        if tcol != scol
+    }
+    b = engine.merge_into(table).using(src_df).key_columns([k for k, _ in on.keys])
+    tbl_schema = engine.catalog.table(table).schema
+    if on.boundary:
+        b = b.table_filter(
+            parse_filter(" AND ".join(on.boundary), tbl_schema)
+        ).filter_source(False)
+    else:
+        b = b.unbounded()
+
+    # WHEN clauses
+    idx = on_end
+    while idx != -1 and idx < len(toks):
+        nxt = _find_kw(toks, "WHEN", idx + 1)
+        hi = nxt if nxt != -1 else len(toks)
+        _parse_when(engine, b, sql, toks, idx, hi, mapping, full)
+        idx = nxt
+    return _receipt(engine.spark, "merge", b.execute())
+
+
+def _parse_when(
+    engine, b, sql: str, toks: list[_Tok], lo: int, hi: int, mapping, full
+) -> None:
+    i = lo + 1  # past WHEN
+    require(i < hi, "empty WHEN clause")
+    negated = toks[i].up == "NOT"
+    if negated:
+        i += 1
+    require(i < hi and toks[i].up == "MATCHED", "expected MATCHED in WHEN clause")
+    i += 1
+    cond = None
+    if i < hi and toks[i].up == "AND":
+        then = _find_kw(toks, "THEN", i + 1)
+        require(then != -1 and then < hi, "WHEN ... AND <cond> needs THEN")
+        cond = _rewrite_aliases(sql, toks, i + 1, then, mapping, full)
+        i = then
+    require(i < hi and toks[i].up == "THEN", "expected THEN in WHEN clause")
+    i += 1
+    require(i < hi, "empty action after THEN")
+    action = toks[i].up
+    if not negated:
+        if action == "DELETE":
+            require(i + 1 == hi, "DELETE takes no arguments")
+            b.when_matched_delete(condition=cond)
+            return
+        require(action == "UPDATE", f"unsupported matched action {action!r}")
+        require(i + 1 < hi and toks[i + 1].up == "SET", "UPDATE needs SET")
+        sets = _assignments(sql, toks, i + 2, hi, mapping, full=full)
+        b.when_matched_update(sets=sets, condition=cond)
+        return
+    require(action == "INSERT", f"unsupported not-matched action {action!r}")
+    i += 1
+    if i < hi and toks[i].kind == "op" and toks[i].text == "*":
+        require(i + 1 == hi, "INSERT * takes no further arguments")
+        b.when_not_matched_insert(condition=cond)
+        return
+    require(
+        i < hi and toks[i].kind == "lp",
+        "INSERT grammar: INSERT * | INSERT (cols) VALUES (exprs)",
+    )
+    depth, j = 1, i + 1
+    while j < hi and depth:
+        if toks[j].kind == "lp":
+            depth += 1
+        elif toks[j].kind == "rp":
+            depth -= 1
+        j += 1
+    cols = []
+    for s, e in _split_top(toks, i + 1, j - 1, ","):
+        require(e - s == 1 and toks[s].kind == "word", "INSERT column list must be bare columns")
+        cols.append(toks[s].text)
+    require(j < hi and toks[j].up == "VALUES", "expected VALUES after INSERT column list")
+    require(j + 1 < hi and toks[j + 1].kind == "lp", "VALUES needs a parenthesized list")
+    depth, k = 1, j + 2
+    while k < hi and depth:
+        if toks[k].kind == "lp":
+            depth += 1
+        elif toks[k].kind == "rp":
+            depth -= 1
+        k += 1
+    exprs = [
+        _rewrite_aliases(sql, toks, s, e, mapping, full)
+        for s, e in _split_top(toks, j + 2, k - 1, ",")
+    ]
+    require(k == hi, "trailing tokens after VALUES list")
+    require(
+        len(cols) == len(exprs),
+        f"INSERT column/value count mismatch: {len(cols)} vs {len(exprs)}",
+    )
+    b.when_not_matched_insert(values=dict(zip(cols, exprs)), condition=cond)
+
+
+# --------------------------------------------------------------- driver
+
+
+def execute_dml(engine, sql: str) -> DataFrame:
+    """Parse + run a DML statement; raises ValidationError outside the
+    supported grammar."""
+    stmt = sql.strip().rstrip(";")
+    toks = _tokens(stmt)
+    require(bool(toks), "empty statement")
+    head = toks[0].up
+    if head == "UPDATE":
+        return _exec_update(engine, stmt, toks)
+    if head == "DELETE":
+        return _exec_delete(engine, stmt, toks)
+    if head == "MERGE":
+        return _exec_merge(engine, stmt, toks)
+    raise ValidationError(f"not a DML statement: {head}")

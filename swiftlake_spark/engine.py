@@ -131,7 +131,22 @@ class SwiftLakeEngine:
         sees the query.  ``args`` binds named (``:name``) or positional
         (``?``) parameter markers — the Spark-native counterpart of the
         reference's typed JDBC prepared statements
-        (sql/SwiftLakePreparedStatement.java:179-500, A25)."""
+        (sql/SwiftLakePreparedStatement.java:179-500, A25).
+
+        DML statements (UPDATE / DELETE FROM / MERGE INTO) route to the
+        corresponding builders (dml/sqldml.py — beyond the reference's
+        read-only SQL surface) and return a one-row commit receipt
+        ``(operation, snapshot_id)``."""
+        from swiftlake_spark.dml import sqldml
+
+        if self.warehouse is not None and sqldml.is_dml(sql):
+            if args is not None:
+                from swiftlake_spark.tables.metadata import ValidationError
+
+                raise ValidationError(
+                    "parameter markers are not supported in DML statements"
+                )
+            return sqldml.execute_dml(self, sql)
         if self.warehouse is not None:
             # instantiate the catalog if needed — resolution must not
             # depend on whether something touched engine.catalog first

@@ -60,17 +60,17 @@ def _load_all() -> None:
 # rotate: names in _GATE_PRIORITY are emitted first, everything else follows
 # in registration order.  Rebuilt from the CORRECTNESS_r01..r08 union by
 # last-certified round (staleness-first, VERDICT r8 ask #1):
-#   1. q120 + q121 (registered r9, never certified) head the window;
+#   1. q120-q122 (registered r9, never certified) head the window;
 #   2. the 19 queries last certified in r6 (the r8 rotation's roll-over
 #      tail: q57, q59, q63-q75, q77-q80) follow;
-#   3. the first 29 of the 50 r7-certified queries (CORRECTNESS_r07 key
+#   3. the first 28 of the 50 r7-certified queries (CORRECTNESS_r07 key
 #      order) fill the 50 slots; the remaining r7-certified roll to
 #      round 10, where they head the window ahead of the r8/r9 blocks.
-# Invariant: steady-state max staleness is 3 rounds for a 120-query
+# Invariant: steady-state max staleness is 3 rounds for a 122-query
 # registry over a 50-slot window; nothing exceeds it under this order.
 _GATE_PRIORITY = [
     # never driver-certified (registered r9)
-    'q120_jpeg_features', 'q121_merge_into',
+    'q120_jpeg_features', 'q121_merge_into', 'q122_sql_merge',
     # last certified r6
     'q57_quantiles', 'q59_vocab_topk', 'q63_exists_subquery',
     'q64_explode_tokens', 'q65_string_agg', 'q66_unpivot', 'q67_regexp',
@@ -78,7 +78,8 @@ _GATE_PRIORITY = [
     'q72_local_volume', 'q73_window_extras', 'q74_conditional_agg',
     'q75_gopher_rules', 'q77_contamination', 'q78_returned_revenue',
     'q79_median_stats', 'q80_set_ops_all',
-    # last certified r7 (first 31 in CORRECTNESS_r07 key order)
+    # last certified r7 (CORRECTNESS_r07 key order; the first 28 fit the
+    # 50-slot window, the tail rolls to the round-10 rotation)
     'q81_grouping_id', 'q82_nation_volume', 'q83_important_stock',
     'q84_uuid_type', 'q85_time_type', 'q86_min_cost_supplier',
     'q87_order_priority', 'q88_forecast_revenue', 'q89_market_share',

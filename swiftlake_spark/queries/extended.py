@@ -1235,3 +1235,95 @@ def q121_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q122 — MERGE INTO through SQL text (dml/sqldml.py; beyond the
+# reference's read-only SQL surface): the statement is parsed into the
+# merge builder — ON-clause key extraction, a target-only boundary
+# conjunct that becomes the manifest-prune filter over the
+# c_mktsegment-partitioned target (filter_source(False) keeps standard
+# NOT-MATCHED semantics: a source row whose key only exists outside the
+# boundary still inserts), alias rewriting into target./source.
+# namespaces, computed UPDATE, INSERT *.  The oracle recomputes the
+# final state from raw `customer` parquet, so a parse misread (wrong
+# keys, wrong boundary scope, wrong clause order) breaks the hash.
+# --------------------------------------------------------------------------
+_Q122_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q122_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    wh = _Q122_CACHE.get(key)
+    if wh is None:
+        wh = tempfile.mkdtemp(prefix="q122_wh_")
+        eng = SwiftLakeEngine(spark, warehouse=wh)
+        customer = load(spark, sf_dir, "customer")
+        tgt = customer.filter(F.col("c_custkey") <= 3000).select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        eng.catalog.create_table(
+            "db.q122_cust",
+            tgt.schema,
+            partition_spec=["c_mktsegment"],
+            sort_order=["c_custkey"],
+        )
+        eng.insert_into("db.q122_cust").dataframe(tgt).execute()
+        customer.filter(F.col("c_custkey").between(1500, 4500)).select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ).createOrReplaceTempView("q122_src")
+        eng.sql(
+            """
+            MERGE INTO db.q122_cust t
+            USING (SELECT c_custkey, c_mktsegment,
+                          c_acctbal + 1000.0 AS c_acctbal
+                   FROM q122_src) s
+            ON t.c_custkey = s.c_custkey AND t.c_mktsegment = 'BUILDING'
+            WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.c_acctbal
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+        _Q122_CACHE[key] = wh
+    return wh
+
+
+@query(
+    "q122_sql_merge",
+    oracle=r"""
+WITH t AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey <= 3000
+), s AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0 AS c_acctbal
+  FROM customer WHERE c_custkey BETWEEN 1500 AND 4500
+), tb AS (
+  SELECT * FROM t WHERE c_mktsegment = 'BUILDING'
+)
+SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+  SELECT tb.c_custkey, tb.c_mktsegment,
+         tb.c_acctbal + s.c_acctbal AS c_acctbal
+  FROM tb JOIN s USING (c_custkey)
+  UNION ALL
+  SELECT * FROM t
+  WHERE NOT (c_mktsegment = 'BUILDING'
+             AND c_custkey IN (SELECT c_custkey FROM s))
+  UNION ALL
+  SELECT s.* FROM s
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM tb)
+)
+ORDER BY c_custkey, c_mktsegment
+""",
+)
+def q122_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    eng = SwiftLakeEngine(spark, warehouse=_q122_warehouse(spark, sf_dir))
+    return (
+        eng.catalog.load("db.q122_cust")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey", "c_mktsegment")
+    )

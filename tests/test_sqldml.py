@@ -1,0 +1,184 @@
+"""SQL DML statements through engine.sql (dml/sqldml.py): UPDATE,
+DELETE FROM, MERGE INTO parsed into the fluent builders.  Semantics are
+the builders' (already pytest- and oracle-certified); these tests pin
+the PARSE — grammar coverage, alias rewriting, ON-clause analysis
+(keys / boundary / rejection), receipt shape, and the guardrails."""
+
+import pytest
+
+from swiftlake_spark.engine import SwiftLakeEngine
+from swiftlake_spark.tables.metadata import ValidationError
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return SwiftLakeEngine(spark=spark, warehouse=str(tmp_path / "wh"))
+
+
+def _key(t):
+    return tuple((x is None, str(x)) for x in t)
+
+
+def rows(df, *cols):
+    out = df.select(*cols) if cols else df
+    return sorted([tuple(r) for r in out.collect()], key=_key)
+
+
+DDL = "id BIGINT, cat STRING, qty BIGINT, price DOUBLE"
+
+
+def seed(engine, spark, name="db.m", data=None):
+    engine.catalog.create_table(name, DDL)
+    engine.insert_into(name).dataframe(
+        spark.createDataFrame(
+            data
+            or [
+                (1, "A", 10, 1.0),
+                (2, "A", 20, 2.0),
+                (3, "B", 30, 3.0),
+                (4, "B", 40, 4.0),
+            ],
+            DDL,
+        )
+    ).execute()
+
+
+def test_sql_update(engine, spark):
+    seed(engine, spark)
+    out = engine.sql("UPDATE db.m SET qty = qty * 2, cat = 'X' WHERE id >= 3")
+    r = out.collect()[0]
+    assert r.operation == "update" and r.snapshot_id is not None
+    assert rows(engine.catalog.load("db.m"), "id", "cat", "qty") == [
+        (1, "A", 10), (2, "A", 20), (3, "X", 60), (4, "X", 80),
+    ]
+
+
+def test_sql_update_requires_where(engine, spark):
+    seed(engine, spark)
+    with pytest.raises(ValidationError, match="WHERE"):
+        engine.sql("UPDATE db.m SET qty = 0")
+
+
+def test_sql_delete(engine, spark):
+    seed(engine, spark)
+    out = engine.sql("DELETE FROM db.m WHERE cat = 'B' AND qty > 30")
+    assert out.collect()[0].operation == "delete"
+    assert rows(engine.catalog.load("db.m"), "id") == [(1,), (2,), (3,)]
+
+
+def test_sql_merge_full(engine, spark):
+    seed(engine, spark)
+    engine.catalog.create_table("db.src", DDL)
+    engine.insert_into("db.src").dataframe(
+        spark.createDataFrame(
+            [(2, "A", 99, 9.9), (3, "B", 31, 3.1), (9, "C", 5, 0.5)], DDL
+        )
+    ).execute()
+    out = engine.sql(
+        """
+        MERGE INTO db.m t USING db.src s
+        ON t.id = s.id
+        WHEN MATCHED AND s.cat = 'B' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty, price = s.price
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert out.collect()[0].operation == "merge"
+    assert rows(engine.catalog.load("db.m"), "id", "qty", "price") == [
+        (1, 10, 1.0),
+        (2, 119, 9.9),
+        (4, 40, 4.0),
+        (9, 5, 0.5),
+    ]
+
+
+def test_sql_merge_subquery_source_and_insert_values(engine, spark):
+    seed(engine, spark)
+    engine.catalog.create_table("db.src2", "k BIGINT, amount BIGINT")
+    engine.insert_into("db.src2").dataframe(
+        spark.createDataFrame([(2, 7), (8, 80)], "k BIGINT, amount BIGINT")
+    ).execute()
+    engine.sql(
+        """
+        MERGE INTO db.m AS t
+        USING (SELECT k, amount FROM db.src2 WHERE amount > 0) AS s
+        ON t.id = s.k
+        WHEN MATCHED THEN UPDATE SET qty = t.qty + s.amount
+        WHEN NOT MATCHED THEN INSERT (id, cat, qty) VALUES (s.k, 'NEW', s.amount)
+        """
+    )
+    got = rows(engine.catalog.load("db.m"), "id", "cat", "qty", "price")
+    assert (2, "A", 27, 2.0) in got
+    assert (8, "NEW", 80, None) in got
+    assert len(got) == 5
+
+
+def test_sql_merge_boundary_conjunct_prunes_not_filters_source(engine, spark):
+    # ON t.id = s.id AND t.cat = 'A': target rows outside cat='A' never
+    # match (id=3 survives), but an unmatched source row still inserts
+    # even though its cat is 'B' — standard MERGE semantics.
+    seed(engine, spark, data=[(1, "A", 10, 1.0), (3, "B", 30, 3.0)])
+    engine.catalog.create_table("db.src3", DDL)
+    engine.insert_into("db.src3").dataframe(
+        spark.createDataFrame(
+            [(1, "A", 11, 1.1), (3, "B", 99, 9.9), (7, "B", 7, 0.7)], DDL
+        )
+    ).execute()
+    engine.sql(
+        """
+        MERGE INTO db.m t USING db.src3 s
+        ON t.id = s.id AND t.cat = 'A'
+        WHEN MATCHED THEN UPDATE SET qty = s.qty
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    got = rows(engine.catalog.load("db.m"), "id", "cat", "qty")
+    assert (1, "A", 11) in got          # matched within boundary
+    assert (3, "B", 30) in got          # outside boundary: untouched
+    assert (3, "B", 99) in got          # source row for id=3 didn't match → inserted
+    assert (7, "B", 7) in got           # plain insert
+    assert len(got) == 4
+
+
+def test_sql_merge_key_rename(engine, spark):
+    seed(engine, spark, data=[(1, "A", 10, 1.0)])
+    src = spark.createDataFrame([(1, 500)], "ident BIGINT, newqty BIGINT")
+    src.createOrReplaceTempView("renames")
+    engine.sql(
+        """
+        MERGE INTO db.m t USING renames s
+        ON t.id = s.ident
+        WHEN MATCHED THEN UPDATE SET qty = s.newqty
+        """
+    )
+    assert rows(engine.catalog.load("db.m"), "id", "qty") == [(1, 500)]
+
+
+def test_sql_merge_rejects_unsupported_on(engine, spark):
+    seed(engine, spark)
+    engine.catalog.create_table("db.src4", DDL)
+    with pytest.raises(ValidationError, match="unsupported ON conjunct"):
+        engine.sql(
+            "MERGE INTO db.m t USING db.src4 s ON t.id = s.id AND s.qty > 5 "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValidationError, match="key equality"):
+        engine.sql(
+            "MERGE INTO db.m t USING db.src4 s ON t.cat = 'A' "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_sql_dml_rejects_params_and_comments(engine, spark):
+    seed(engine, spark)
+    with pytest.raises(ValidationError, match="parameter markers"):
+        engine.sql("UPDATE db.m SET qty = 0 WHERE id = :id", args={"id": 1})
+    with pytest.raises(ValidationError, match="tokenize"):
+        engine.sql("DELETE FROM db.m WHERE id = 1 -- comment")
+
+
+def test_sql_select_still_works_and_literal_keyword_safe(engine, spark):
+    seed(engine, spark)
+    # a SELECT whose literal contains 'UPDATE' must not route to DML
+    df = engine.sql("SELECT COUNT(*) AS n FROM db.m WHERE cat <> 'UPDATE x'")
+    assert df.collect()[0].n == 4
