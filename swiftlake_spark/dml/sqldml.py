@@ -6,6 +6,7 @@ surface is read-only DuckDB passthrough (README.md:723-727).  This
 module extends the Spark engine's ``sql()`` so the statement forms a
 real user expects also work textually:
 
+- ``INSERT INTO db.t [(cols)] SELECT ...`` / ``VALUES (...), (...)``
 - ``UPDATE db.t SET a = <expr>, b = <expr> WHERE <cond>``
 - ``DELETE FROM db.t WHERE <cond>``
 - ``MERGE INTO db.t [AS] t USING (<query>)|<name> [AS] s
@@ -49,7 +50,7 @@ from swiftlake_spark.dml.sqlfilter import parse_filter
 from swiftlake_spark.tables.metadata import ValidationError
 from swiftlake_spark.tables.sqlextract import _scan, _Tok, mask_literals
 
-_DML_HEAD = re.compile(r"^\s*(UPDATE|DELETE|MERGE)\b", re.IGNORECASE)
+_DML_HEAD = re.compile(r"^\s*(UPDATE|DELETE|MERGE|INSERT)\b", re.IGNORECASE)
 
 
 def is_dml(sql: str) -> bool:
@@ -201,6 +202,65 @@ def _exec_update(engine, sql: str, toks: list[_Tok]) -> DataFrame:
         {c: F.expr(e) for c, e in sets.items()}
     )
     return _receipt(engine.spark, "update", b.execute())
+
+
+# -------------------------------------------------------------- INSERT
+
+
+def _exec_insert(engine, sql: str, toks: list[_Tok]) -> DataFrame:
+    """``INSERT INTO <table> [(cols)] SELECT ...|VALUES (...), ...`` —
+    positional column mapping per standard SQL; unlisted columns of an
+    explicit column list NULL-fill via the builder's ``columns()``."""
+    require(
+        len(toks) >= 3 and toks[1].up == "INTO" and toks[2].kind == "word",
+        "INSERT grammar: INSERT INTO <table> [(cols)] SELECT ... | VALUES ...",
+    )
+    table = toks[2].text
+    tbl_schema = engine.catalog.table(table).schema
+    i = 3
+    cols: list[str] | None = None
+    if i < len(toks) and toks[i].kind == "lp":
+        depth, j = 1, i + 1
+        while j < len(toks) and depth:
+            if toks[j].kind == "lp":
+                depth += 1
+            elif toks[j].kind == "rp":
+                depth -= 1
+            j += 1
+        cols = []
+        for s, e in _split_top(toks, i + 1, j - 1, ","):
+            require(
+                e - s == 1 and toks[s].kind == "word" and "." not in toks[s].text,
+                "INSERT column list must be bare columns",
+            )
+            cols.append(toks[s].text)
+        bad = set(cols) - set(tbl_schema.fieldNames())
+        require(not bad, f"INSERT columns not in table: {sorted(bad)}")
+        i = j
+    require(i < len(toks), "INSERT needs a source (SELECT or VALUES)")
+    names = cols or tbl_schema.fieldNames()
+    src_text = _slice(sql, toks, i, len(toks))
+    if toks[i].up == "VALUES":
+        # inline table: Spark's `FROM VALUES (..) AS v(c1, c2)` form
+        src_df = engine.spark.sql(
+            f"SELECT * FROM {src_text} AS __v({', '.join(names)})"
+        )
+    else:
+        require(
+            toks[i].up in ("SELECT", "WITH", "FROM", "TABLE"),
+            f"unsupported INSERT source starting at {toks[i].text!r}",
+        )
+        src_df = engine.sql(src_text)
+        require(
+            len(src_df.columns) == len(names),
+            f"INSERT column count mismatch: query returns "
+            f"{len(src_df.columns)} columns, target list has {len(names)}",
+        )
+        src_df = src_df.toDF(*names)
+    b = engine.insert_into(table).dataframe(src_df)
+    if cols is not None:
+        b = b.columns(cols)
+    return _receipt(engine.spark, "insert", b.execute())
 
 
 # -------------------------------------------------------------- DELETE
@@ -490,6 +550,8 @@ def execute_dml(engine, sql: str) -> DataFrame:
     toks = _tokens(stmt)
     require(bool(toks), "empty statement")
     head = toks[0].up
+    if head == "INSERT":
+        return _exec_insert(engine, stmt, toks)
     if head == "UPDATE":
         return _exec_update(engine, stmt, toks)
     if head == "DELETE":

@@ -106,6 +106,41 @@ class _Mirror:
         # within the table filter the final state IS the source
         self.overwrite(cats, rows)
 
+    def merge(self, cats, rows, del_pred, upd_pred) -> None:
+        """Generic three-clause merge twin (dml/merge.py SQL semantics,
+        boundary = cat IN cats with the default source filter): matched
+        candidates walk DELETE-if / UPDATE-if (whole-row replace) in
+        clause order; unmatched source rows insert.  Predicates are the
+        Python twins of the engine's source-only clause conditions."""
+        src = [r for r in rows if r[1] in cats]  # boundary filters source
+        ids = [r[0] for r in src]
+        if not ids:
+            return
+        cs = ", ".join(f"'{c}'" for c in cats)
+        marks = ", ".join(str(i) for i in ids)
+        # per-id match COUNT: appends can duplicate an id inside the
+        # boundary, and the engine updates EVERY matched copy (each
+        # target row classifies independently) — the mirror must too
+        matched = dict(
+            self.con.execute(
+                f"SELECT id, COUNT(*) FROM m WHERE cat IN ({cs}) "
+                f"AND id IN ({marks}) GROUP BY id"
+            ).fetchall()
+        )
+        del_ids = [r[0] for r in src if r[0] in matched and del_pred(r)]
+        upd = [
+            r for r in src
+            if r[0] in matched and not del_pred(r) and upd_pred(r)
+        ]
+        ins = [r for r in src if r[0] not in matched]
+        gone = del_ids + [r[0] for r in upd]
+        if gone:
+            gs = ", ".join(str(i) for i in gone)
+            self.con.execute(
+                f"DELETE FROM m WHERE cat IN ({cs}) AND id IN ({gs})"
+            )
+        self.append([r for r in upd for _ in range(matched[r[0]])] + ins)
+
     def scd1_changes(self, cats, rows_with_op) -> None:
         # matched keys within the filter are replaced or deleted; other
         # source rows insert; target rows outside the filter untouched
@@ -223,7 +258,38 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                  .operation_type_column("op", "D").branch(br).execute())
                 mirror.scd1_changes(cats, rows)
                 ops_log.append(f"[{br}] scd1 changes cats={cats} rows={len(rows)}")
-        elif roll < 0.8:
+        elif roll < 0.67:
+            # generic MERGE: conditional delete + conditional whole-row
+            # update + insert, bounded to 1-2 partitions.  Clause
+            # conditions reference only the source so the mirror's
+            # Python predicates are exact 3VL twins (NULL → no fire).
+            cats = sorted(rng.sample(CATS, rng.randint(1, 2)))
+            cs = ", ".join(f"'{c}'" for c in cats)
+            rows = _scd_source(rng, cats, with_op=False)
+            thr = rng.randrange(-50, 50)
+            vthr = rng.randrange(0, 400) / 4.0
+            b = (
+                eng.merge_into(name)
+                .using(mkdf(rows))
+                .key_columns(["id"])
+                .table_filter_sql(f"cat IN ({cs})")
+                .when_matched_delete(condition=f"source.n > {thr}")
+                .when_matched_update(condition=f"source.v <= {vthr}")
+                .when_not_matched_insert()
+                .branch(br)
+            )
+            b.execute()
+            mirror.merge(
+                cats,
+                rows,
+                del_pred=lambda r, t=thr: r[4] is not None and r[4] > t,
+                upd_pred=lambda r, t=vthr: r[3] is not None and r[3] <= t,
+            )
+            ops_log.append(
+                f"[{br}] merge cats={cats} rows={len(rows)} "
+                f"del:n>{thr} upd:v<={vthr}"
+            )
+        elif roll < 0.84:
             cond = _rand_cond(rng)
             col, val = rng.choice([
                 ("v", rng.randrange(0, 400) / 4.0),
@@ -234,15 +300,28 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                 # updating the PARTITION column moves rows across
                 # partitions — the nastiest COW case
                 val = rng.choice(CATS)
-            (eng.update(name).condition_sql(cond)
-             .update_sets({col: val}).branch(br).execute())
+            if br == "main" and rng.random() < 0.5:
+                # textual path: same builder underneath, but the parse
+                # (dml/sqldml.py) is in the loop
+                lit = f"'{val}'" if isinstance(val, str) else repr(val)
+                eng.sql(f"UPDATE {name} SET {col} = {lit} WHERE {cond}")
+                via = "sql"
+            else:
+                (eng.update(name).condition_sql(cond)
+                 .update_sets({col: val}).branch(br).execute())
+                via = "api"
             mirror.update(cond, col, val)
-            ops_log.append(f"[{br}] update {col}={val} where {cond}")
+            ops_log.append(f"[{br}] update({via}) {col}={val} where {cond}")
         else:
             cond = _rand_cond(rng)
-            eng.delete_from(name).condition_sql(cond).branch(br).execute()
+            if br == "main" and rng.random() < 0.5:
+                eng.sql(f"DELETE FROM {name} WHERE {cond}")
+                via = "sql"
+            else:
+                eng.delete_from(name).condition_sql(cond).branch(br).execute()
+                via = "api"
             mirror.delete(cond)
-            ops_log.append(f"[{br}] delete where {cond}")
+            ops_log.append(f"[{br}] delete({via}) where {cond}")
 
         for b in ("main", "dev"):
             d = _diff(engine_state(b), mirrors[b].state())

@@ -182,3 +182,35 @@ def test_sql_select_still_works_and_literal_keyword_safe(engine, spark):
     # a SELECT whose literal contains 'UPDATE' must not route to DML
     df = engine.sql("SELECT COUNT(*) AS n FROM db.m WHERE cat <> 'UPDATE x'")
     assert df.collect()[0].n == 4
+
+
+def test_sql_insert_select_and_values(engine, spark):
+    seed(engine, spark, name="db.i")
+    engine.catalog.create_table("db.i2", DDL)
+    engine.sql("INSERT INTO db.i2 SELECT id, cat, qty, price FROM db.i WHERE id <= 2")
+    assert rows(engine.catalog.load("db.i2"), "id") == [(1,), (2,)]
+    out = engine.sql("INSERT INTO db.i2 VALUES (9, 'Z', 90, 9.5), (10, 'Z', 100, 10.5)")
+    assert out.collect()[0].operation == "insert"
+    assert sorted(
+        rows(engine.catalog.load("db.i2"), "id", "cat", "qty", "price")
+    ) == [
+        (1, "A", 10, 1.0), (2, "A", 20, 2.0), (9, "Z", 90, 9.5), (10, "Z", 100, 10.5),
+    ]
+
+
+def test_sql_insert_column_list_null_fills(engine, spark):
+    engine.catalog.create_table("db.i3", DDL)
+    engine.sql("INSERT INTO db.i3 (id, qty) VALUES (5, 50)")
+    assert rows(engine.catalog.load("db.i3"), "id", "cat", "qty", "price") == [
+        (5, None, 50, None),
+    ]
+    # positional mapping for SELECT sources too
+    engine.sql("INSERT INTO db.i3 (id, cat) SELECT 6, 'C'")
+    got = rows(engine.catalog.load("db.i3"), "id", "cat", "qty")
+    assert (6, "C", None) in got
+
+
+def test_sql_insert_count_mismatch(engine, spark):
+    engine.catalog.create_table("db.i4", DDL)
+    with pytest.raises(ValidationError, match="count mismatch"):
+        engine.sql("INSERT INTO db.i4 (id, qty) SELECT 1, 2, 3")
