@@ -365,3 +365,134 @@ def simhash_near_dups(
         cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    split: str = " ",
+) -> DataFrame:
+    """Cross-document duplicated n-gram SPANS (substring-level dedup).
+
+    The Spark-native analogue of suffix-array training-data dedup (Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"):
+    instead of a global suffix array, every word position contributes its
+    n-gram; a gram occurring in ≥ ``min_docs`` distinct documents marks
+    its positions duplicated, and per document the overlapping marked
+    windows are merged into MAXIMAL spans (gaps-and-islands over
+    positions — two n-grams overlap iff their 1-based start positions
+    differ by < n).
+
+    Returns one row per maximal span: (id, span_start, span_end,
+    span_tokens, n_tokens) with 1-based inclusive token positions.
+
+    Scale (100 TB): the explode is ~n× the token count but grams travel
+    as 32-byte md5 keys only; duplicate detection is one hash shuffle on
+    the gram key with map-side partial counts; span merging is a per-doc
+    window (shuffle on id), never cross-doc.  No suffix array, no global
+    sort, no driver state.
+    """
+    w = F.split(F.col(text_col), split)
+    arr = F.aggregate(
+        F.array(w),
+        F.array().cast("array<string>"),
+        lambda _acc, wv: F.when(
+            F.size(wv) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(wv) - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(wv, i + 1, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.size(w).alias("n_tokens"),
+        F.posexplode(arr).alias("pos0", "gh"),
+    ).select("id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "gh")
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("id", "pos", "n_tokens")
+    wdoc = W.partitionBy("id").orderBy("pos")
+    prev_max = F.max("pos").over(wdoc.rowsBetween(W.unboundedPreceding, -1))
+    hit2 = hits.withColumn(
+        "__new",
+        (F.col("pos") > F.coalesce(prev_max, F.lit(-n)) + (n - 1)).cast("int"),
+    ).withColumn("__island", F.sum("__new").over(wdoc.rowsBetween(W.unboundedPreceding, 0)))
+    return (
+        hit2.groupBy("id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_tokens",
+        )
+    )
+
+
+def editdist_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_cols: list[str],
+    prefix: int = 60,
+    max_dist: int = 20,
+    len_col: str | None = None,
+    max_len_delta: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs with blocking.
+
+    Classic record-linkage shape: candidate pairs are generated ONLY
+    inside ``block_cols`` blocks (and optionally only when the raw
+    lengths differ by ≤ ``max_len_delta``), then verified with exact
+    Levenshtein distance over the first ``prefix`` characters — the
+    prefix bound caps the O(prefix²) DP cost per pair regardless of
+    document length.
+
+    Scale: the self-join shuffles on the block key; pair count is
+    Σ_block |block|², so blocks must be chosen to bound skew (at corpus
+    scale add a coarse length-bucket to ``block_cols`` — the length
+    filter alone does not bound the join).  Returns (id_a, id_b,
+    *block_cols, dist), id_a < id_b.
+    """
+    sel = [
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, prefix).alias("pfx"),
+        *[F.col(c) for c in block_cols],
+    ]
+    if len_col is not None:
+        sel.append(F.col(len_col).alias("__len"))
+    base = df.select(*sel)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    if len_col is not None and max_len_delta is not None:
+        cond = cond & (
+            F.abs(F.col("a.__len") - F.col("b.__len")) <= max_len_delta
+        )
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -5,7 +5,7 @@ the hot path) — these run as map-only stages with no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # Tiny marker-word profiles for the heuristic language scorer.  Real
@@ -153,3 +153,161 @@ def redact_pii(
         out = out.withColumn("__red", red)
         red = F.col("__red")
     return out.withColumnRenamed("__red", out_col)
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms,
+    with the RATIONAL idf variant ``(N - df + 0.5) / (df + 0.5)`` (the
+    raw odds ratio, no log).  Dropping the log keeps every arithmetic
+    step inside exactly-specified IEEE +,-,*,/ — bit-identical across
+    engines (libm ``ln`` is NOT), so the score hash-certifies against a
+    SQL oracle; the ranking it induces for single-term queries is
+    identical, and for multi-term queries it is the same family of
+    scores retrieval stacks tune anyway.
+
+    Per-term contributions are routed through DECIMAL(28,10) before the
+    per-doc sum so the aggregate is order-independent (FIXTURES.md §4).
+
+    Scale: tokens explode map-side but are filtered to the query terms
+    BEFORE the (id, term) count shuffle; df/N/avgdl are tiny aggregates
+    broadcast back.  Returns (id, score) for docs containing ≥1 term.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.size(F.split(F.col(text_col), " "))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # spelled EXACTLY like the SQL oracle: every operand double first
+    idf = (F.col("n").cast("double") - F.col("df") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        (idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom)
+    ).cast("decimal(28,10)")
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(F.sum(contrib).alias("__s"))
+        .select("id", F.col("__s").cast("double").alias("score"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf with the
+    rational idf ``N / df`` (no log — same engine-portability argument
+    as :func:`bm25_scores`; the per-document ranking is identical since
+    log is monotonic and idf enters each term's score once).
+
+    Returns (id, rnk, tok, tf, df, score), rnk 1..k, ties broken by
+    token text for determinism.
+
+    Scale: (id, tok) count shuffle with map-side combine; df is a
+    second small shuffle over distinct (tok); the final top-k is a
+    per-doc window — no global sort.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    n = df.count()
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf") * (F.lit(float(n)) / F.col("df"))
+    wd = W.partitionBy("id").orderBy(score.desc(), F.col("tok"))
+    return (
+        tf.join(dfreq, "tok")
+        .withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= k)
+        .select("id", "rnk", "tok", "tf", "df", score.alias("score"))
+    )
+
+
+def hashed_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_cond: Column,
+) -> DataFrame:
+    """DSIR-style data selection weights from hashed token features.
+
+    Tokens hash into 16 buckets (first hex char of md5 — portable to
+    every SQL engine); the target distribution is estimated from the
+    rows matching ``target_cond``, the raw distribution from all rows,
+    and each document's weight is the MEAN per-token probability ratio
+    p_target(bucket)/p_raw(bucket) — the rational-arithmetic sibling of
+    DSIR's mean log-ratio (log dropped for cross-engine bit-exactness;
+    the induced ordering is what selection uses, and a monotone map of
+    per-bucket ratios preserves single-bucket orderings).
+
+    Returns (id, n_tokens, weight); higher ⇒ more target-like.
+
+    Scale: one token-explode pass builds BOTH distributions (map-side
+    combine onto 16 keys ⇒ the distribution aggregate is effectively
+    free); the 16-row ratio table broadcasts back onto the token stream
+    and the per-doc mean is one shuffle on id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_cond.cast("int").alias("__is_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn(
+        "b",
+        F.expr("instr('0123456789abcdef', substring(md5(tok), 1, 1))"),
+    )
+    dist = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("__is_t").alias("ct"),
+    )
+    tot = dist.agg(
+        F.sum("c").alias("t"), F.sum("ct").alias("tt")
+    )
+    ratio = (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                (F.col("ct").cast("double") / F.col("tt"))
+                / (F.col("c").cast("double") / F.col("t"))
+            ).alias("r"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("r").cast("decimal(28,10)")).alias("__s"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("__s").cast("double") / F.col("n_tokens")).alias("weight"),
+        )
+    )

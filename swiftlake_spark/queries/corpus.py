@@ -1,0 +1,313 @@
+"""Corpus-pipeline operators, round 9: substring-span dedup, retrieval
+scoring (BM25 / TF-IDF), DSIR-style importance weights, edit-distance
+near-dup, stratified sampling.
+
+These extend the training-data surface of ``queries/llm.py`` with the
+remaining operators a 100 TB pipeline runs between crawl and training:
+span-level (not just document-level) dedup, per-document selection
+weights against a target distribution, retrieval scoring for corpus
+search, and reproducible stratified subsamples.  Reusable operator APIs
+live in ``swiftlake_spark.operators``; the queries here are the
+oracle-certified entry points.
+
+Float determinism (FIXTURES.md §4): no transcendentals anywhere — BM25
+and DSIR use rational (odds-ratio) variants so every step is IEEE
++,-,*,/ which is exactly specified; double literals in the oracles are
+CAST(... AS DOUBLE) because bare ``0.5`` parses as DECIMAL in DuckDB
+and decimal arithmetic rounds differently than IEEE; per-term/token
+contributions route through DECIMAL(28,10) before order-dependent sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swiftlake_spark.queries import query
+from swiftlake_spark.queries.base import load
+
+
+# --------------------------------------------------------------------------
+# q123 — substring-span dedup: maximal cross-document duplicated 8-gram
+# spans per doc (the suffix-array-dedup analogue, Spark-first: gram-hash
+# shuffle + per-doc gaps-and-islands window; no global suffix sort).
+# --------------------------------------------------------------------------
+@query(
+    "q123_span_dedup",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS gh,
+         LEN(w) AS n_tokens
+  FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 7, 0))) AS t(i)
+), dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos, g.n_tokens FROM grams g JOIN dup USING (gh)
+), isl AS (
+  SELECT doc_id, pos, n_tokens,
+         CASE WHEN pos > COALESCE(MAX(pos) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 7
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+), grp AS (
+  SELECT doc_id, pos, n_tokens,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e,
+         MAX(n_tokens) AS n_tokens
+  FROM grp GROUP BY doc_id, island
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       MAX(n_tokens) AS n_tokens,
+       CAST(SUM(e - s + 1) AS DOUBLE) / MAX(n_tokens) AS dup_ratio
+FROM spans
+GROUP BY doc_id
+ORDER BY dup_ratio DESC, doc_id
+LIMIT 100
+""",
+    doc="maximal duplicated 8-gram spans per document",
+)
+def q123_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import duplicate_spans
+
+    d = load(spark, sf_dir, "documents")
+    spans = duplicate_spans(d, "doc_id", "text", n=8, min_docs=2)
+    return (
+        spans.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").alias("dup_tokens"),
+            F.max("n_tokens").alias("n_tokens"),
+            (
+                F.sum("span_tokens").cast("double") / F.max("n_tokens")
+            ).alias("dup_ratio"),
+        )
+        .orderBy(F.col("dup_ratio").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q124 — BM25 retrieval scoring (rational-idf variant) for a fixed term
+# bag; top-20 docs.  operators.text.bm25_scores.
+# --------------------------------------------------------------------------
+@query(
+    "q124_bm25",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, LEN(string_split(text, ' ')) AS dl, string_split(text, ' ') AS w
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM toks
+), tf AS (
+  SELECT doc_id, t.tok, COUNT(*) AS tf
+  FROM toks, UNNEST(w) AS t(tok)
+  WHERE t.tok IN ('spark', 'join', 'window')
+  GROUP BY doc_id, t.tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(
+           ((CAST(stats.n AS DOUBLE) - dfreq.df + CAST(0.5 AS DOUBLE))
+              / (CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           / (tf.tf + CAST(1.2 AS DOUBLE)
+                * (CAST(0.25 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * toks.dl / stats.avgdl))
+           AS DECIMAL(28,10)) AS contrib
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN toks ON tf.doc_id = toks.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+    doc="BM25 (rational idf) top-20 for terms spark/join/window",
+)
+def q124_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import bm25_scores
+
+    d = load(spark, sf_dir, "documents")
+    out = bm25_scores(d, "doc_id", "text", ["spark", "join", "window"])
+    return (
+        out.select(F.col("id").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q125 — DSIR-style importance weights: mean per-token probability ratio
+# p_en(bucket)/p_raw(bucket) over 16 md5 feature buckets; top-40 most
+# target-like docs.  operators.text.hashed_importance_weights.
+# --------------------------------------------------------------------------
+@query(
+    "q125_dsir_weights",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, lang, t.tok,
+         strpos('0123456789abcdef', substr(md5(t.tok), 1, 1)) AS b
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       UNNEST(w) AS t(tok)
+), dist AS (
+  SELECT b, COUNT(*) AS c,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM tok GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(SUM(ct) AS BIGINT) AS tt FROM dist
+), ratio AS (
+  SELECT dist.b,
+         (CAST(dist.ct AS DOUBLE) / tot.tt) / (CAST(dist.c AS DOUBLE) / tot.t) AS r
+  FROM dist CROSS JOIN tot
+)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(ratio.r AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS weight
+FROM tok JOIN ratio ON tok.b = ratio.b
+GROUP BY tok.doc_id
+ORDER BY weight DESC, doc_id
+LIMIT 40
+""",
+    doc="DSIR hashed-feature importance weights, target = lang 'en'",
+)
+def q125_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import hashed_importance_weights
+
+    d = load(spark, sf_dir, "documents")
+    out = hashed_importance_weights(d, "doc_id", "text", F.col("lang") == "en")
+    return (
+        out.select(F.col("id").alias("doc_id"), "n_tokens", "weight")
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(40)
+    )
+
+
+# --------------------------------------------------------------------------
+# q126 — edit-distance near-dup pairs: (lang) blocking + length filter,
+# Levenshtein over 60-char prefixes ≤ 20.  operators.dedup.editdist_near_dups.
+# --------------------------------------------------------------------------
+@query(
+    "q126_editdist_neardup",
+    oracle=r"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+       CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS INT) AS dist
+FROM documents a
+JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 30
+WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 20
+ORDER BY id_a, id_b
+""",
+    doc="Levenshtein near-dup pairs, lang blocking + length filter",
+)
+def q126_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import editdist_near_dups
+
+    d = load(spark, sf_dir, "documents")
+    out = editdist_near_dups(
+        d,
+        "doc_id",
+        "text",
+        block_cols=["lang"],
+        prefix=60,
+        max_dist=20,
+        len_col="n_chars",
+        max_len_delta=30,
+    )
+    return out.select(
+        "id_a", "id_b", "lang", F.col("dist").cast("int").alias("dist")
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# q127 — TF-IDF top-3 characteristic terms per doc (rational idf N/df),
+# first 40 docs.  operators.text.tfidf_top_terms.
+# --------------------------------------------------------------------------
+@query(
+    "q127_tfidf_topterms",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, t.tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(w) AS t(tok)
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         tf.tf * (n.n / dfreq.df) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (n.n / dfreq.df) DESC, tf.tok) AS rnk
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, tok,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM scored
+WHERE rnk <= 3 AND doc_id < 40
+ORDER BY doc_id, rnk
+""",
+    doc="TF-IDF (rational idf) top-3 terms for docs 0..39",
+)
+def q127_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import tfidf_top_terms
+
+    d = load(spark, sf_dir, "documents")
+    out = tfidf_top_terms(d, "doc_id", "text", k=3)
+    return (
+        out.filter(F.col("id") < 40)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "tok",
+            "tf",
+            "df",
+            "score",
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q128 — reproducible stratified subsample: 5 docs per source by
+# deterministic md5-hashed order.  operators.sampling.stratified_limit.
+# --------------------------------------------------------------------------
+@query(
+    "q128_stratified_sample",
+    oracle=r"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(CONCAT('0x', substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000000 AS bucket
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 5
+ORDER BY source, doc_id
+""",
+    doc="5-per-source deterministic stratified sample",
+)
+def q128_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.sampling import stratified_limit
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = stratified_limit(
+        d, "source", 5, key_col="doc_id", hash_fn="md5"
+    )
+    return out.select("doc_id", "source").orderBy("source", "doc_id")

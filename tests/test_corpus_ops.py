@@ -1,0 +1,219 @@
+"""Round-9 corpus operators: substring-span dedup, BM25/TF-IDF scoring,
+DSIR importance weights, edit-distance near-dup.  Planted-fixture tests
+complement the DuckDB-oracle certification of q123-q128."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+# ------------------------------------------------------- duplicate_spans
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    from swiftlake_spark.operators.dedup import duplicate_spans
+
+    # docs 1 and 2 share a 12-token run inside otherwise-unique context;
+    # with n=8 the run contributes 5 overlapping dup grams per doc that
+    # must merge into ONE maximal span of exactly 12 tokens
+    shared = " ".join(f"s{i}" for i in range(12))
+    d1 = "a1 a2 a3 " + shared + " a4 a5"
+    d2 = "b1 b2 " + shared + " b3 b4 b5 b6"
+    d3 = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    out = duplicate_spans(
+        _mk(spark, [(1, d1), (2, d2), (3, d3)]), "doc_id", "text", n=8
+    ).collect()
+    spans = {r["id"]: r for r in out}
+    assert set(spans) == {1, 2}
+    # doc 1: shared run occupies 1-based token positions 4..15
+    assert (spans[1]["span_start"], spans[1]["span_end"]) == (4, 15)
+    assert spans[1]["span_tokens"] == 12 and spans[1]["n_tokens"] == 17
+    # doc 2: positions 3..14
+    assert (spans[2]["span_start"], spans[2]["span_end"]) == (3, 14)
+    assert spans[2]["span_tokens"] == 12
+
+
+def test_duplicate_spans_within_doc_repeat_not_flagged(spark):
+    from swiftlake_spark.operators.dedup import duplicate_spans
+
+    # the 8-gram repeats INSIDE doc 1 only — min_docs=2 counts distinct
+    # docs, so self-repetition is not a cross-doc duplicate
+    run = " ".join(f"r{i}" for i in range(8))
+    d1 = run + " x1 x2 " + run
+    out = duplicate_spans(
+        _mk(spark, [(1, d1), (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9")]),
+        "doc_id",
+        "text",
+        n=8,
+    ).collect()
+    assert out == []
+
+
+def test_duplicate_spans_disjoint_runs_stay_separate(spark):
+    from swiftlake_spark.operators.dedup import duplicate_spans
+
+    runA = " ".join(f"a{i}" for i in range(8))
+    runB = " ".join(f"b{i}" for i in range(8))
+    # doc 1 carries both runs separated by a 3-token unique gap (< n, so
+    # the spans are non-overlapping but nearby); docs 2/3 carry one each
+    d1 = runA + " g1 g2 g3 " + runB
+    out = duplicate_spans(
+        _mk(spark, [(1, d1), (2, runA), (3, runB)]), "doc_id", "text", n=8
+    )
+    got = {
+        (r["id"], r["span_start"], r["span_end"]) for r in out.collect()
+    }
+    assert (1, 1, 8) in got and (1, 12, 19) in got
+    assert (2, 1, 8) in got and (3, 1, 8) in got
+
+
+def test_duplicate_spans_short_docs_yield_nothing(spark):
+    from swiftlake_spark.operators.dedup import duplicate_spans
+
+    out = duplicate_spans(
+        _mk(spark, [(1, "a b c"), (2, "a b c")]), "doc_id", "text", n=8
+    ).collect()
+    assert out == []
+
+
+# --------------------------------------------------- editdist_near_dups
+
+
+def test_editdist_near_dups_blocking_and_threshold(spark):
+    from swiftlake_spark.operators.dedup import editdist_near_dups
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # dist 3
+        (3, "the quick brown fox jumps over the lazy dog", "de"),  # other block
+        (4, "completely different text that shares nothing", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+    out = editdist_near_dups(
+        df, "doc_id", "text", block_cols=["lang"], prefix=60, max_dist=5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in out}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 3
+
+
+def test_editdist_near_dups_length_filter_prunes(spark):
+    from swiftlake_spark.operators.dedup import editdist_near_dups
+
+    rows = [
+        (1, "aaaa", "en", 4),
+        (2, "aaab", "en", 4),
+        (3, "aaaa" + "z" * 200, "en", 204),  # same 4-char prefix, far length
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, n_chars INT"
+    )
+    out = editdist_near_dups(
+        df,
+        "doc_id",
+        "text",
+        block_cols=["lang"],
+        prefix=4,
+        max_dist=2,
+        len_col="n_chars",
+        max_len_delta=10,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+# -------------------------------------------------------------- bm25
+
+
+def test_bm25_matches_python_model(spark):
+    from swiftlake_spark.operators.text import bm25_scores
+
+    corpus = {
+        1: "spark join window spark filter",
+        2: "join table scan scan scan",
+        3: "window window window window spark",
+        4: "nothing relevant here at all",
+    }
+    terms = ["spark", "join", "window"]
+    df = _mk(spark, sorted(corpus.items()))
+    out = {r["id"]: r["score"] for r in bm25_scores(df, "doc_id", "text", terms).collect()}
+
+    # reference model (same rational-idf formula)
+    toks = {i: t.split(" ") for i, t in corpus.items()}
+    N = len(corpus)
+    avgdl = sum(len(w) for w in toks.values()) / N
+    dfreq = {
+        t: sum(1 for w in toks.values() if t in w) for t in terms
+    }
+    expect = {}
+    for i, w in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if not tf:
+                continue
+            idf = (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            contrib = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl))
+            s += round(contrib, 10)  # DECIMAL(28,10) routing
+        if s:
+            expect[i] = s
+    assert set(out) == set(expect)
+    for i in expect:
+        assert out[i] == pytest.approx(expect[i], abs=1e-9)
+    # doc 4 contains no term: absent, not zero
+    assert 4 not in out
+
+
+# ------------------------------------------------------ tfidf_top_terms
+
+
+def test_tfidf_top_terms_ranking_and_ties(spark):
+    from swiftlake_spark.operators.text import tfidf_top_terms
+
+    df = _mk(
+        spark,
+        [
+            (1, "rare rare common common common"),
+            (2, "common common common other other"),
+        ],
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["rnk"], r["tok"]))
+    # doc 1: 'rare' tf=2 df=1 → score 4.0; 'common' tf=3 df=2 → 3.0
+    assert sorted(by_doc[1]) == [(1, "rare"), (2, "common")]
+    # doc 2: 'other' tf=2 df=1 → 4.0; 'common' tf=3 df=2 → 3.0
+    assert sorted(by_doc[2]) == [(1, "other"), (2, "common")]
+
+
+# ------------------------------------------- hashed_importance_weights
+
+
+def test_importance_weights_favor_target_like_docs(spark):
+    from swiftlake_spark.operators.text import hashed_importance_weights
+
+    # target rows use vocabulary A, raw-only rows vocabulary B; a held
+    # out doc written in vocabulary A must out-weigh one in vocabulary B
+    va = "alpha beta gamma delta"
+    vb = "omega sigma theta kappa"
+    rows = [
+        (1, va, "en"),
+        (2, va, "en"),
+        (3, vb, "fr"),
+        (4, vb, "fr"),
+        (10, va, "xx"),  # target-like holdout
+        (11, vb, "xx"),  # raw-like holdout
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+    out = {
+        r["id"]: r["weight"]
+        for r in hashed_importance_weights(
+            df, "doc_id", "text", F.col("lang") == "en"
+        ).collect()
+    }
+    assert out[10] > out[11]
+    assert out[1] == out[10] and out[3] == out[11]
+    assert all(r >= 0 for r in out.values())
