@@ -217,3 +217,70 @@ def test_importance_weights_favor_target_like_docs(spark):
     assert out[10] > out[11]
     assert out[1] == out[10] and out[3] == out[11]
     assert all(r >= 0 for r in out.values())
+
+
+# ------------------------------------------------- differential fuzz
+
+
+def _spans_reference(corpus: dict[int, str], n: int = 8, min_docs: int = 2):
+    """Pure-Python twin of duplicate_spans: mark every position whose
+    n-gram occurs in >= min_docs distinct docs, merge overlapping
+    windows into maximal spans."""
+    grams: dict[str, set[int]] = {}
+    toks = {i: t.split(" ") for i, t in corpus.items()}
+    for i, w in toks.items():
+        for p in range(len(w) - n + 1):
+            grams.setdefault(" ".join(w[p : p + n]), set()).add(i)
+    out = set()
+    for i, w in toks.items():
+        marked = [
+            p + 1  # 1-based
+            for p in range(len(w) - n + 1)
+            if len(grams[" ".join(w[p : p + n])]) >= min_docs
+        ]
+        spans = []
+        for p in marked:
+            if spans and p <= spans[-1][1] - n + 1 + n - 1:  # overlap/adjacency
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+            else:
+                spans.append([p, p + n - 1])
+        for s, e in spans:
+            out.add((i, s, e, e - s + 1, len(w)))
+    return out
+
+
+def test_duplicate_spans_matches_reference_on_random_corpora(spark):
+    import random
+
+    from swiftlake_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(5):
+        corpus = {}
+        # base docs of 10-60 random tokens
+        for i in range(40):
+            corpus[i] = " ".join(rng.choices(vocab, k=rng.randint(10, 60)))
+        # plant shared runs: copy a random slice of one doc into another
+        for _ in range(10):
+            src, dst = rng.sample(range(40), 2)
+            sw = corpus[src].split(" ")
+            if len(sw) < 12:
+                continue
+            a = rng.randrange(0, len(sw) - 10)
+            run = sw[a : a + rng.randint(8, min(20, len(sw) - a))]
+            dw = corpus[dst].split(" ")
+            at = rng.randrange(0, len(dw) + 1)
+            corpus[dst] = " ".join(dw[:at] + run + dw[at:])
+        df = spark.createDataFrame(
+            sorted(corpus.items()), "doc_id BIGINT, text STRING"
+        )
+        got = {
+            (r["id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_tokens"])
+            for r in duplicate_spans(df, "doc_id", "text", n=8).collect()
+        }
+        want = _spans_reference(corpus)
+        assert got == want, (
+            f"trial {trial}: {sorted(got ^ want)[:10]} differ "
+            f"({len(got)} got, {len(want)} want)"
+        )
