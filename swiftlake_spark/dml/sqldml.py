@@ -48,13 +48,33 @@ from pyspark.sql import DataFrame
 from swiftlake_spark.dml.scd_common import require
 from swiftlake_spark.dml.sqlfilter import parse_filter
 from swiftlake_spark.tables.metadata import ValidationError
-from swiftlake_spark.tables.sqlextract import _scan, _Tok, mask_literals
+from swiftlake_spark.tables.sqlextract import _nesting, _scan, _Tok, mask_literals
 
 _DML_HEAD = re.compile(r"^\s*(UPDATE|DELETE|MERGE|INSERT)\b", re.IGNORECASE)
 
 
 def is_dml(sql: str) -> bool:
     return _DML_HEAD.match(sql) is not None
+
+
+_DML_TARGET = re.compile(
+    r"^\s*(?:UPDATE|DELETE\s+FROM|MERGE\s+INTO|INSERT\s+INTO)\s+"
+    r"([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+
+
+def dml_target(sql: str) -> str | None:
+    """Target table name of a DML statement, or None when the statement
+    shape is unrecognizable.  Used by engine.sql to route: only
+    statements whose target IS a lakehouse table enter the DML builders;
+    everything else passes through to spark.sql untouched (a Spark-native
+    ``INSERT INTO catalog_table ...`` must keep working).  Deliberately a
+    head-only regex, not a full tokenization: routing must work even for
+    statements the DML grammar later rejects with a clear error (e.g.
+    parameter markers), and nothing can precede the target name."""
+    m = _DML_TARGET.match(sql)
+    return m.group(1) if m else None
 
 
 # --------------------------------------------------------------- helpers
@@ -79,36 +99,56 @@ def _slice(sql: str, toks: list[_Tok], lo: int, hi: int) -> str:
     return sql[toks[lo].start : toks[hi - 1].end]
 
 
-def _find_kw(toks: list[_Tok], kw: str, start: int, depth0: bool = True) -> int:
-    """Index of the next top-level keyword token, or -1."""
-    depth = 0
+def _levels(toks: list[_Tok]) -> list[int]:
+    """Per-token nesting combining parens and CASE...END (sqlextract's
+    identifier-aware tracker, so columns literally named ``case``/``end``
+    don't desync the depth).  Unbalanced structure is an explicit error —
+    the DML grammar never guesses."""
+    lvl = _nesting(toks)
+    require(
+        lvl is not None,
+        "could not parse statement structure (unbalanced parentheses "
+        "or CASE ... END)",
+    )
+    return lvl
+
+
+def _find_kw(toks: list[_Tok], kw: str, start: int) -> int:
+    """Index of the next top-level keyword token, or -1.  Top-level means
+    outside parentheses AND outside CASE...END — a CASE expression's
+    WHEN/THEN must never terminate a MERGE clause scan."""
+    lvl = _levels(toks)
+    base = lvl[start] if start < len(toks) else 0
     for i in range(start, len(toks)):
-        t = toks[i]
-        if t.kind == "lp":
-            depth += 1
-        elif t.kind == "rp":
-            depth -= 1
-        elif t.kind == "word" and t.up == kw and (depth == 0 or not depth0):
-            if depth == 0:
-                return i
+        if toks[i].kind == "word" and toks[i].up == kw and lvl[i] == base:
+            return i
     return -1
 
 
 def _split_top(toks: list[_Tok], lo: int, hi: int, sep_up: str) -> list[tuple[int, int]]:
-    """Split tokens[lo:hi] on top-level separators (comma kind or keyword)."""
+    """Split tokens[lo:hi] on top-level separators (comma kind or
+    keyword).  CASE...END shields its contents like parentheses, and a
+    BETWEEN consumes its own AND (``x BETWEEN a AND b`` stays one
+    segment)."""
     out = []
-    depth = 0
+    lvl = _levels(toks)
+    base = lvl[lo] if lo < hi else 0
+    between_pending = 0
     seg = lo
     for i in range(lo, hi):
         t = toks[i]
-        if t.kind == "lp":
-            depth += 1
-        elif t.kind == "rp":
-            depth -= 1
-        elif depth == 0 and (
-            (sep_up == "," and t.kind == "comma")
-            or (sep_up != "," and t.kind == "word" and t.up == sep_up)
-        ):
+        if lvl[i] != base or t.kind != "word" and t.kind != "comma":
+            continue
+        if t.kind == "word" and t.up == "BETWEEN":
+            between_pending += 1
+            continue
+        is_sep = (sep_up == "," and t.kind == "comma") or (
+            sep_up != "," and t.kind == "word" and t.up == sep_up
+        )
+        if t.kind == "word" and t.up == "AND" and between_pending:
+            between_pending -= 1
+            continue
+        if is_sep:
             out.append((seg, i))
             seg = i + 1
     out.append((seg, hi))
@@ -236,6 +276,8 @@ def _exec_insert(engine, sql: str, toks: list[_Tok]) -> DataFrame:
             cols.append(toks[s].text)
         bad = set(cols) - set(tbl_schema.fieldNames())
         require(not bad, f"INSERT columns not in table: {sorted(bad)}")
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        require(not dupes, f"duplicate INSERT columns: {dupes}")
         i = j
     require(i < len(toks), "INSERT needs a source (SELECT or VALUES)")
     names = cols or tbl_schema.fieldNames()
@@ -343,10 +385,10 @@ def _analyze_on(
                     break
                 sides.add(side)
             elif t.kind == "word" and t.up not in _COND_WORDS and "." not in t.text:
-                # bare identifier of unknown provenance
-                if not _is_literal_word(t):
-                    ok = False
-                    break
+                # bare identifier of unknown provenance (literals have
+                # kind 'str'/'num' and never land here)
+                ok = False
+                break
         if ok and sides == {"target"}:
             # strip the target qualifier so parse_filter sees bare columns
             # (span has literals masked out of reach — the sub runs on the
@@ -372,10 +414,6 @@ _COND_WORDS = {
     "FALSE", "DATE", "TIMESTAMP", "INTERVAL", "CAST", "AS", "CASE",
     "WHEN", "THEN", "ELSE", "END",
 }
-
-
-def _is_literal_word(t: _Tok) -> bool:
-    return t.kind in ("str", "num")
 
 
 def _parse_name_alias(

@@ -133,20 +133,27 @@ class SwiftLakeEngine:
         reference's typed JDBC prepared statements
         (sql/SwiftLakePreparedStatement.java:179-500, A25).
 
-        DML statements (UPDATE / DELETE FROM / MERGE INTO) route to the
-        corresponding builders (dml/sqldml.py — beyond the reference's
-        read-only SQL surface) and return a one-row commit receipt
-        ``(operation, snapshot_id)``."""
+        DML statements (INSERT / UPDATE / DELETE FROM / MERGE INTO)
+        whose target is a LAKEHOUSE table route to the corresponding
+        builders (dml/sqldml.py — beyond the reference's read-only SQL
+        surface) and return a one-row commit receipt ``(operation,
+        snapshot_id)``; DML against Spark-native relations passes
+        through to spark.sql untouched."""
         from swiftlake_spark.dml import sqldml
 
         if self.warehouse is not None and sqldml.is_dml(sql):
-            if args is not None:
-                from swiftlake_spark.tables.metadata import ValidationError
+            # route to the lakehouse DML builders ONLY when the target is
+            # a lakehouse table — DML against Spark-native/temp relations
+            # must keep passing through to spark.sql unchanged
+            target = sqldml.dml_target(sql)
+            if target is not None and self.catalog.table_exists(target):
+                if args is not None:
+                    from swiftlake_spark.tables.metadata import ValidationError
 
-                raise ValidationError(
-                    "parameter markers are not supported in DML statements"
-                )
-            return sqldml.execute_dml(self, sql)
+                    raise ValidationError(
+                        "parameter markers are not supported in DML statements"
+                    )
+                return sqldml.execute_dml(self, sql)
         if self.warehouse is not None:
             # instantiate the catalog if needed — resolution must not
             # depend on whether something touched engine.catalog first

@@ -331,8 +331,17 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
 
         try:
             return decode_jpeg(data)
-        except NotImplementedError:
-            return _pil_decode(data)
+        except (NotImplementedError, ValueError) as err:
+            # NotImplementedError: variants the stdlib decoder declines
+            # (progressive/arithmetic/12-bit).  ValueError: payloads it
+            # rejects as malformed — some are spec-legal shapes it does
+            # not model (e.g. >2^28-pixel frames, fill bytes before
+            # markers), so give PIL a chance; without PIL re-raise the
+            # ORIGINAL diagnostic, not the generic needs-PIL message.
+            try:
+                return _pil_decode(data)
+            except NotImplementedError:
+                raise err from None
     raise ValueError("unrecognized image payload")
 
 

@@ -236,13 +236,16 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    n = df.count()
+    # N as a broadcast 1-row aggregate inside the plan, not an eager
+    # df.count() — that would be a second full pass over the corpus
+    stats = df.select(F.count(F.lit(1)).cast("double").alias("n"))
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    score = F.col("tf") * (F.lit(float(n)) / F.col("df"))
+    score = F.col("tf") * (F.col("n") / F.col("df"))
     wd = W.partitionBy("id").orderBy(score.desc(), F.col("tok"))
     return (
         tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
         .withColumn("rnk", F.row_number().over(wd))
         .filter(F.col("rnk") <= k)
         .select("id", "rnk", "tok", "tf", "df", score.alias("score"))

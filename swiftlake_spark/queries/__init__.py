@@ -82,7 +82,7 @@ _GATE_PRIORITY = [
     'q72_local_volume', 'q73_window_extras', 'q74_conditional_agg',
     'q75_gopher_rules', 'q77_contamination', 'q78_returned_revenue',
     'q79_median_stats', 'q80_set_ops_all',
-    # last certified r7 (CORRECTNESS_r07 key order; the first 28 fit the
+    # last certified r7 (CORRECTNESS_r07 key order; the first 22 fit the
     # 50-slot window, the tail rolls to the round-10 rotation)
     'q81_grouping_id', 'q82_nation_volume', 'q83_important_stock',
     'q84_uuid_type', 'q85_time_type', 'q86_min_cost_supplier',

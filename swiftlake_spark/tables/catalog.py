@@ -144,7 +144,12 @@ class Catalog:
         shutil.rmtree(loc)
 
     def table_exists(self, name: str) -> bool:
-        loc = self._location(name)
+        try:
+            loc = self._location(name)
+        except ValueError:
+            # a name that doesn't parse as db.table is simply not a
+            # lakehouse table (engine.sql uses this to route DML)
+            return False
         return bool(_io.fileio_for(loc).list(_io.join(loc, "metadata")))
 
     def list_tables(self) -> list[str]:

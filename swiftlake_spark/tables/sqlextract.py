@@ -380,6 +380,10 @@ _IDENT_END_PREV_KWS = {
     "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "IN", "LIKE", "ILIKE",
     "BETWEEN", "IS", "CASE", "ESCAPE", "ALL", "ANY", "SOME", "DISTINCT",
     "SELECT", "BY", "ON", "WHERE", "HAVING",
+    # DML contexts (dml/sqldml.py shares this tracker): `SET end = 0`.
+    # SET cannot precede END inside a WHERE clause, so this is inert for
+    # the pruning extractor.
+    "SET",
 }
 
 

@@ -214,3 +214,71 @@ def test_sql_insert_count_mismatch(engine, spark):
     engine.catalog.create_table("db.i4", DDL)
     with pytest.raises(ValidationError, match="count mismatch"):
         engine.sql("INSERT INTO db.i4 (id, qty) SELECT 1, 2, 3")
+
+
+# ------------------------------------------- round-9 review regressions
+
+
+def test_sql_merge_case_expression_in_set_and_condition(engine, spark):
+    # a CASE expression's WHEN/THEN must not terminate the MERGE clause
+    # scan, and its internal ANDs must not split the clause condition
+    seed(engine, spark, name="db.mc")
+    src = spark.createDataFrame([(1, "A", 5, 0.5), (9, "Z", 90, 9.0)], DDL)
+    src.createOrReplaceTempView("mc_src")
+    engine.sql(
+        "MERGE INTO db.mc t USING mc_src s ON t.id = s.id "
+        "WHEN MATCHED AND CASE WHEN s.qty > 0 AND s.qty < 100 THEN 1 "
+        "ELSE 0 END = 1 THEN UPDATE SET "
+        "qty = CASE WHEN s.qty > 3 THEN s.qty ELSE 0 END "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = rows(engine.catalog.load("db.mc"), "id", "qty")
+    assert (1, 5) in got        # matched, CASE condition fired, SET via CASE
+    assert (9, 90) in got       # inserted
+
+
+def test_sql_merge_between_boundary(engine, spark):
+    # BETWEEN's AND must not split the ON conjunct; target-only BETWEEN
+    # is a supported boundary predicate
+    seed(engine, spark, name="db.mb")
+    src = spark.createDataFrame([(2, "A", 200, 2.2), (3, "B", 300, 3.3)], DDL)
+    src.createOrReplaceTempView("mb_src")
+    engine.sql(
+        "MERGE INTO db.mb t USING mb_src s ON t.id = s.id "
+        "AND t.qty BETWEEN 15 AND 35 "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = rows(engine.catalog.load("db.mb"), "id", "qty")
+    # ids 2 (qty 20) and 3 (qty 30) are inside the boundary and update;
+    # rows outside the boundary are untouched
+    assert got == [(1, 10), (2, 200), (3, 300), (4, 40)]
+
+
+def test_sql_insert_duplicate_columns_rejected(engine, spark):
+    engine.catalog.create_table("db.idup", DDL)
+    with pytest.raises(ValidationError, match="duplicate INSERT columns"):
+        engine.sql("INSERT INTO db.idup (id, id) VALUES (1, 2)")
+
+
+def test_sql_dml_non_lakehouse_target_passes_through(engine, spark):
+    # DML whose target is NOT a lakehouse table must reach spark.sql
+    # unchanged (Spark-native tables / temp views keep working)
+    spark.sql("DROP TABLE IF EXISTS native_dml_t")
+    spark.sql("CREATE TABLE native_dml_t (id BIGINT) USING parquet")
+    try:
+        engine.sql("INSERT INTO native_dml_t VALUES (7)")
+        assert [r.id for r in engine.sql("SELECT id FROM native_dml_t").collect()] == [7]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS native_dml_t")
+
+
+def test_sql_update_column_named_end_still_parses(engine, spark):
+    # identifier-aware CASE/END tracking: a column literally named `end`
+    # must not desync the clause scanner
+    engine.catalog.create_table("db.e9", "id BIGINT, end BIGINT")
+    engine.insert_into("db.e9").dataframe(
+        spark.createDataFrame([(1, 5), (2, 50)], "id BIGINT, end BIGINT")
+    ).execute()
+    engine.sql("UPDATE db.e9 SET end = 0 WHERE end > 10 AND id = 2")
+    assert rows(engine.catalog.load("db.e9"), "id", "end") == [(1, 5), (2, 0)]
