@@ -226,9 +226,16 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
         roll = rng.random()
         if roll < 0.25:
             rows = _rand_rows(rng, rng.randrange(1, 30))
-            eng.insert_into(name).dataframe(mkdf(rows)).branch(br).execute()
+            if br == "main" and rng.random() < 0.5:
+                # textual INSERT INTO ... SELECT (dml/sqldml.py in loop)
+                mkdf(rows).createOrReplaceTempView("fuzz_ins_src")
+                eng.sql(f"INSERT INTO {name} SELECT * FROM fuzz_ins_src")
+                via = "sql"
+            else:
+                eng.insert_into(name).dataframe(mkdf(rows)).branch(br).execute()
+                via = "api"
             mirror.append(rows)
-            ops_log.append(f"[{br}] append {len(rows)}")
+            ops_log.append(f"[{br}] append({via}) {len(rows)}")
         elif roll < 0.4:
             cats = sorted(rng.sample(CATS, rng.randint(1, 2)))
             rows = _rand_rows(rng, rng.randrange(0, 20), cats=cats)
@@ -268,17 +275,37 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
             rows = _scd_source(rng, cats, with_op=False)
             thr = rng.randrange(-50, 50)
             vthr = rng.randrange(0, 400) / 4.0
-            b = (
-                eng.merge_into(name)
-                .using(mkdf(rows))
-                .key_columns(["id"])
-                .table_filter_sql(f"cat IN ({cs})")
-                .when_matched_delete(condition=f"source.n > {thr}")
-                .when_matched_update(condition=f"source.v <= {vthr}")
-                .when_not_matched_insert()
-                .branch(br)
-            )
-            b.execute()
+            if br == "main" and rng.random() < 0.5:
+                # textual path: same builder underneath, but the MERGE
+                # grammar (dml/sqldml.py — ON analysis, alias rewrite,
+                # clause split) is in the loop.  Source rows are all in
+                # cats by construction, so the boundary-as-ON-conjunct
+                # semantics (filter_source(False)) coincide with the
+                # builder path's filtered source.
+                mkdf(rows).createOrReplaceTempView("fuzz_merge_src")
+                # keys may not appear in SET (builder guard); id is
+                # equal across the pair anyway so this IS whole-row
+                sets = ", ".join(f"{c} = s.{c}" for c in COLS if c != "id")
+                eng.sql(
+                    f"MERGE INTO {name} AS t USING fuzz_merge_src AS s "
+                    f"ON t.id = s.id AND t.cat IN ({cs}) "
+                    f"WHEN MATCHED AND s.n > {thr} THEN DELETE "
+                    f"WHEN MATCHED AND s.v <= {vthr} THEN UPDATE SET {sets} "
+                    f"WHEN NOT MATCHED THEN INSERT *"
+                )
+                via = "sql"
+            else:
+                (
+                    eng.merge_into(name)
+                    .using(mkdf(rows))
+                    .key_columns(["id"])
+                    .table_filter_sql(f"cat IN ({cs})")
+                    .when_matched_delete(condition=f"source.n > {thr}")
+                    .when_matched_update(condition=f"source.v <= {vthr}")
+                    .when_not_matched_insert()
+                    .branch(br)
+                ).execute()
+                via = "api"
             mirror.merge(
                 cats,
                 rows,
@@ -286,7 +313,7 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                 upd_pred=lambda r, t=vthr: r[3] is not None and r[3] <= t,
             )
             ops_log.append(
-                f"[{br}] merge cats={cats} rows={len(rows)} "
+                f"[{br}] merge({via}) cats={cats} rows={len(rows)} "
                 f"del:n>{thr} upd:v<={vthr}"
             )
         elif roll < 0.84:
