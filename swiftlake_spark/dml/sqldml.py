@@ -216,6 +216,148 @@ def _receipt(spark, operation: str, snapshot) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------- DDL
+
+
+_DDL_CREATE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+_DDL_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+
+
+def ddl_route(engine, sql: str) -> bool:
+    """Should this statement run as LAKEHOUSE DDL?  Conservative: the
+    ambiguity is real (a 2-part name could also be a Spark-catalog
+    table), so route only on positive evidence and let everything else
+    pass through to spark.sql:
+
+    - ``DROP TABLE [IF EXISTS] name`` — iff ``name`` IS a lakehouse
+      table right now.
+    - ``CREATE TABLE [IF NOT EXISTS] db.t ...`` — iff the statement has
+      no ``USING <provider>`` clause (ours never does, Spark-native DDL
+      conventionally does) AND db already holds at least one lakehouse
+      table (or db.t itself exists, for the IF NOT EXISTS no-op).  The
+      FIRST table of a new database goes through
+      ``catalog.create_table`` — documented in the grammar docstring.
+    """
+    m = _DDL_DROP.match(sql)
+    if m:
+        return engine.catalog.table_exists(m.group(1))
+    m = _DDL_CREATE.match(sql)
+    if not m:
+        return False
+    name = m.group(1)
+    if re.search(r"\bUSING\b", mask_literals(sql), re.IGNORECASE):
+        return False
+    if "." not in name:
+        return False
+    if engine.catalog.table_exists(name):
+        return True
+    db = name.split(".", 1)[0]
+    return any(t.startswith(db + ".") for t in engine.catalog.list_tables())
+
+
+def _exec_create(engine, sql: str, toks: list[_Tok]) -> DataFrame:
+    """``CREATE TABLE [IF NOT EXISTS] db.t (<ddl>) | [AS <query>]``
+    with optional ``PARTITIONED BY (<spec>, ...)`` and ``SORTED BY
+    (<col> [ASC|DESC], ...)`` — the textual face of
+    ``catalog.create_table`` (partition transforms use the same
+    Spark-DDL terms: ``bucket(16, c)``, ``day(ts)``, ...)."""
+    i = 2
+    if_not_exists = False
+    if (
+        i + 2 < len(toks)
+        and toks[i].up == "IF"
+        and toks[i + 1].up == "NOT"
+        and toks[i + 2].up == "EXISTS"
+    ):
+        if_not_exists = True
+        i += 3
+    require(i < len(toks) and toks[i].kind == "word", "expected a table name")
+    name = toks[i].text
+    i += 1
+
+    cols_ddl: str | None = None
+    as_query: str | None = None
+    spec: list[str] = []
+    sort: list[str] = []
+
+    def _paren_items(j: int) -> tuple[list[str], int]:
+        require(j < len(toks) and toks[j].kind == "lp", "expected '('")
+        depth, k = 1, j + 1
+        while k < len(toks) and depth:
+            if toks[k].kind == "lp":
+                depth += 1
+            elif toks[k].kind == "rp":
+                depth -= 1
+            k += 1
+        require(depth == 0, "unbalanced '(' in DDL")
+        items = [
+            _slice(sql, toks, s, e) for s, e in _split_top(toks, j + 1, k - 1, ",")
+        ]
+        return items, k
+
+    if i < len(toks) and toks[i].kind == "lp":
+        items, i = _paren_items(i)
+        cols_ddl = ", ".join(items)
+    while i < len(toks):
+        if toks[i].up == "PARTITIONED":
+            require(i + 1 < len(toks) and toks[i + 1].up == "BY", "PARTITIONED needs BY")
+            spec, i = _paren_items(i + 2)
+        elif toks[i].up == "SORTED":
+            require(i + 1 < len(toks) and toks[i + 1].up == "BY", "SORTED needs BY")
+            sort, i = _paren_items(i + 2)
+        elif toks[i].up == "AS":
+            require(cols_ddl is None, "CTAS cannot also declare a column list")
+            as_query = _slice(sql, toks, i + 1, len(toks))
+            require(bool(as_query.strip()), "AS needs a query")
+            i = len(toks)
+        else:
+            raise ValidationError(
+                f"unexpected token {toks[i].text!r} in CREATE TABLE "
+                "(grammar: [(cols)] [PARTITIONED BY (...)] [SORTED BY (...)] "
+                "[AS query])"
+            )
+    require(
+        (cols_ddl is not None) != (as_query is not None),
+        "CREATE TABLE needs exactly one of a column list or AS <query>",
+    )
+    if engine.catalog.table_exists(name):
+        require(if_not_exists, f"table {name} already exists")
+        return _receipt(engine.spark, "create", None)
+    if as_query is not None:
+        src = engine.sql(as_query)
+        engine.catalog.create_table(
+            name, src.schema, partition_spec=spec or None, sort_order=sort or None
+        )
+        snap = engine.insert_into(name).dataframe(src).execute()
+        return _receipt(engine.spark, "create", snap)
+    engine.catalog.create_table(
+        name, cols_ddl, partition_spec=spec or None, sort_order=sort or None
+    )
+    return _receipt(engine.spark, "create", None)
+
+
+def _exec_drop(engine, sql: str, toks: list[_Tok]) -> DataFrame:
+    i = 2
+    if_exists = False
+    if i + 1 < len(toks) and toks[i].up == "IF" and toks[i + 1].up == "EXISTS":
+        if_exists = True
+        i += 2
+    require(i < len(toks) and toks[i].kind == "word", "expected a table name")
+    require(i + 1 == len(toks), "trailing tokens after DROP TABLE <name>")
+    name = toks[i].text
+    if not engine.catalog.table_exists(name):
+        require(if_exists, f"table {name} does not exist")
+        return _receipt(engine.spark, "drop", None)
+    engine.catalog.drop_table(name)
+    return _receipt(engine.spark, "drop", None)
+
+
 # -------------------------------------------------------------- UPDATE
 
 
@@ -596,4 +738,16 @@ def execute_dml(engine, sql: str) -> DataFrame:
         return _exec_delete(engine, stmt, toks)
     if head == "MERGE":
         return _exec_merge(engine, stmt, toks)
+    if head == "CREATE":
+        require(
+            len(toks) > 1 and toks[1].up == "TABLE",
+            "only CREATE TABLE is supported as lakehouse DDL",
+        )
+        return _exec_create(engine, stmt, toks)
+    if head == "DROP":
+        require(
+            len(toks) > 1 and toks[1].up == "TABLE",
+            "only DROP TABLE is supported as lakehouse DDL",
+        )
+        return _exec_drop(engine, stmt, toks)
     raise ValidationError(f"not a DML statement: {head}")

@@ -141,6 +141,10 @@ class SwiftLakeEngine:
         through to spark.sql untouched."""
         from swiftlake_spark.dml import sqldml
 
+        if self.warehouse is not None and sqldml.ddl_route(self, sql):
+            # CREATE TABLE / DROP TABLE on lakehouse tables (see
+            # ddl_route for the conservative routing evidence)
+            return sqldml.execute_dml(self, sql)
         if self.warehouse is not None and sqldml.is_dml(sql):
             # route to the lakehouse DML builders ONLY when the target is
             # a lakehouse table — DML against Spark-native/temp relations

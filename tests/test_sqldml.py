@@ -282,3 +282,55 @@ def test_sql_update_column_named_end_still_parses(engine, spark):
     ).execute()
     engine.sql("UPDATE db.e9 SET end = 0 WHERE end > 10 AND id = 2")
     assert rows(engine.catalog.load("db.e9"), "id", "end") == [(1, 5), (2, 0)]
+
+
+# --------------------------------------------------------- textual DDL
+
+
+def test_sql_create_table_plain_and_drop(engine, spark):
+    seed(engine, spark, name="db.anchor")  # db must pre-exist for routing
+    out = engine.sql(
+        "CREATE TABLE db.c1 (id BIGINT, cat STRING, qty BIGINT) "
+        "PARTITIONED BY (cat) SORTED BY (id)"
+    )
+    assert out.collect()[0].operation == "create"
+    engine.sql("INSERT INTO db.c1 VALUES (1, 'A', 10), (2, 'B', 20)")
+    assert rows(engine.catalog.load("db.c1"), "id", "cat") == [(1, "A"), (2, "B")]
+    meta = engine.catalog.table("db.c1").meta
+    assert [d["source"] for d in meta.partition_spec] == ["cat"]
+    # IF NOT EXISTS is a no-op on an existing table; bare CREATE errors
+    engine.sql("CREATE TABLE IF NOT EXISTS db.c1 (id BIGINT)")
+    with pytest.raises(ValidationError, match="already exists"):
+        engine.sql("CREATE TABLE db.c1 (id BIGINT)")
+    engine.sql("DROP TABLE db.c1")
+    assert not engine.catalog.table_exists("db.c1")
+    # once the lakehouse table is gone the name no longer routes here —
+    # DROP falls through to spark.sql (it could be a Spark table), so
+    # IF EXISTS is a Spark no-op and the bare form is Spark's error
+    engine.sql("DROP TABLE IF EXISTS db.c1")
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found"):
+        engine.sql("DROP TABLE db.c1")
+
+
+def test_sql_ctas_with_partitioning(engine, spark):
+    seed(engine, spark, name="db.src9")
+    out = engine.sql(
+        "CREATE TABLE db.ct PARTITIONED BY (cat) "
+        "AS SELECT id, cat, qty * 2 AS qty2 FROM db.src9 WHERE id <= 3"
+    )
+    r = out.collect()[0]
+    assert r.operation == "create" and r.snapshot_id is not None
+    assert rows(engine.catalog.load("db.ct"), "id", "qty2") == [
+        (1, 20), (2, 40), (3, 60),
+    ]
+
+
+def test_sql_create_spark_native_passthrough(engine, spark):
+    # CREATE with USING, or into a db with no lakehouse tables, must
+    # reach spark.sql untouched
+    spark.sql("DROP TABLE IF EXISTS native_c9")
+    engine.sql("CREATE TABLE native_c9 (id BIGINT) USING parquet")
+    try:
+        assert spark.catalog.tableExists("native_c9")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS native_c9")
