@@ -227,6 +227,9 @@ _DDL_DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)",
     re.IGNORECASE,
 )
+_DDL_ALTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)", re.IGNORECASE
+)
 
 
 def ddl_route(engine, sql: str) -> bool:
@@ -235,8 +238,8 @@ def ddl_route(engine, sql: str) -> bool:
     table), so route only on positive evidence and let everything else
     pass through to spark.sql:
 
-    - ``DROP TABLE [IF EXISTS] name`` — iff ``name`` IS a lakehouse
-      table right now.
+    - ``DROP TABLE [IF EXISTS] name`` / ``ALTER TABLE name ...`` — iff
+      ``name`` IS a lakehouse table right now.
     - ``CREATE TABLE [IF NOT EXISTS] db.t ...`` — iff the statement has
       no ``USING <provider>`` clause (ours never does, Spark-native DDL
       conventionally does) AND db already holds at least one lakehouse
@@ -244,7 +247,7 @@ def ddl_route(engine, sql: str) -> bool:
       FIRST table of a new database goes through
       ``catalog.create_table`` — documented in the grammar docstring.
     """
-    m = _DDL_DROP.match(sql)
+    m = _DDL_DROP.match(sql) or _DDL_ALTER.match(sql)
     if m:
         return engine.catalog.table_exists(m.group(1))
     m = _DDL_CREATE.match(sql)
@@ -340,6 +343,85 @@ def _exec_create(engine, sql: str, toks: list[_Tok]) -> DataFrame:
         name, cols_ddl, partition_spec=spec or None, sort_order=sort or None
     )
     return _receipt(engine.spark, "create", None)
+
+
+def _split_type_list(text: str) -> list[str]:
+    """Split ``name TYPE, name TYPE`` on commas outside (), <> — DDL
+    types themselves contain both (``decimal(10,2)``, ``struct<a: t>``)."""
+    out, depth, seg = [], 0, []
+    for ch in text:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(seg).strip())
+            seg = []
+        else:
+            seg.append(ch)
+    out.append("".join(seg).strip())
+    return [s for s in out if s]
+
+
+def _exec_alter(engine, sql: str) -> DataFrame:
+    """``ALTER TABLE db.t`` verbs over the metadata-only schema-evolution
+    API (tables/table.py — reference SchemaEvolution.java:328-404):
+
+    - ``ADD COLUMN <name> <type>`` / ``ADD COLUMNS (<name> <type>, ...)``
+      — nested paths supported (``payload.score double``);
+    - ``DROP COLUMN <name>``;
+    - ``RENAME COLUMN <old> TO <new>``;
+    - ``ALTER COLUMN <name> TYPE <type>`` — widen only.
+
+    Parsed from raw text (not the expression tokenizer): the payload is
+    DDL TYPE syntax (``struct<a: bigint>``), which the expression scanner
+    rightly rejects, and the grammar admits no string literals.
+    """
+    m = re.match(
+        r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
+        r"(ADD|DROP|RENAME|ALTER)\s+(COLUMNS?|COLUMN)\s+(.*?)\s*$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    require(
+        m is not None,
+        "ALTER TABLE grammar: ALTER TABLE <name> "
+        "ADD COLUMN[S]|DROP COLUMN|RENAME COLUMN|ALTER COLUMN ...",
+    )
+    name, verb, rest = m.group(1), m.group(2).upper(), m.group(4).strip()
+    tbl = engine.catalog.table(name)
+    if verb == "ADD":
+        if rest.startswith("(") and rest.endswith(")"):
+            rest = rest[1:-1]
+        for item in _split_type_list(rest):
+            parts = item.split(None, 1)
+            require(
+                len(parts) == 2 and re.fullmatch(r"[A-Za-z_][\w.]*", parts[0]) is not None,
+                f"ADD COLUMN grammar: <name> <type>, got {item!r}",
+            )
+            tbl.add_column(parts[0], parts[1])
+        return _receipt(engine.spark, "alter", None)
+    if verb == "DROP":
+        require(
+            re.fullmatch(r"[A-Za-z_][\w.]*", rest) is not None,
+            "DROP COLUMN grammar: DROP COLUMN <name>",
+        )
+        tbl.drop_column(rest)
+        return _receipt(engine.spark, "alter", None)
+    if verb == "RENAME":
+        mr = re.fullmatch(
+            r"([A-Za-z_][\w.]*)\s+TO\s+([A-Za-z_][\w]*)", rest, re.IGNORECASE
+        )
+        require(mr is not None, "RENAME grammar: RENAME COLUMN <old> TO <new>")
+        tbl.rename_column(mr.group(1), mr.group(2))
+        return _receipt(engine.spark, "alter", None)
+    # verb == "ALTER"
+    ma = re.fullmatch(
+        r"([A-Za-z_][\w.]*)\s+TYPE\s+(.+)", rest, re.IGNORECASE | re.DOTALL
+    )
+    require(ma is not None, "ALTER COLUMN grammar: ALTER COLUMN <name> TYPE <type>")
+    tbl.widen_column(ma.group(1), ma.group(2).strip())
+    return _receipt(engine.spark, "alter", None)
 
 
 def _exec_drop(engine, sql: str, toks: list[_Tok]) -> DataFrame:
@@ -727,6 +809,10 @@ def execute_dml(engine, sql: str) -> DataFrame:
     """Parse + run a DML statement; raises ValidationError outside the
     supported grammar."""
     stmt = sql.strip().rstrip(";")
+    if _DDL_ALTER.match(stmt):
+        # ALTER parses from raw text — its payload is DDL type syntax
+        # (struct<a: bigint>), which the expression tokenizer rejects
+        return _exec_alter(engine, stmt)
     toks = _tokens(stmt)
     require(bool(toks), "empty statement")
     head = toks[0].up

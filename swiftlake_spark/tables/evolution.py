@@ -170,14 +170,33 @@ def rename_field(schema: T.StructType, path: str, new: str) -> T.StructType:
     return _rebuild_at(schema, parent, edit)  # type: ignore[return-value]
 
 
+_DECIMAL_RE = __import__("re").compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _widening_ok(cur: str, new: str) -> bool:
+    if (cur, new) in WIDENINGS:
+        return True
+    # Iceberg's decimal rule (spec §Schema Evolution, reference
+    # SchemaEvolution.java): precision may grow, scale is frozen
+    mc, mn = _DECIMAL_RE.match(cur), _DECIMAL_RE.match(new)
+    if mc and mn:
+        return int(mn.group(2)) == int(mc.group(2)) and int(mn.group(1)) >= int(
+            mc.group(1)
+        )
+    return False
+
+
 def widen_field(schema: T.StructType, path: str, dtype: str) -> T.StructType:
     parent, leaf = _split(path)
+    # normalize the requested type to simpleString form so textual DDL
+    # spellings ("DECIMAL(20, 0)") compare against the table
+    dtype = T._parse_datatype_string(dtype).simpleString()
 
     def edit(st: T.StructType) -> T.StructType:
         if leaf not in st.fieldNames():
             raise ValidationError(f"no field {path!r}")
         cur = st[leaf].dataType.simpleString()
-        if (cur, dtype) not in WIDENINGS:
+        if not _widening_ok(cur, dtype):
             raise ValidationError(f"cannot widen {path}: {cur} → {dtype}")
         return T.StructType(
             [

@@ -334,3 +334,39 @@ def test_sql_create_spark_native_passthrough(engine, spark):
         assert spark.catalog.tableExists("native_c9")
     finally:
         spark.sql("DROP TABLE IF EXISTS native_c9")
+
+
+def test_sql_alter_table_add_rename_widen_drop(engine, spark):
+    seed(engine, spark, name="db.alt")
+    engine.sql("ALTER TABLE db.alt ADD COLUMNS (note STRING, score DOUBLE)")
+    engine.sql("INSERT INTO db.alt (id, cat, note) VALUES (9, 'C', 'hi')")
+    got = rows(engine.catalog.load("db.alt"), "id", "note", "score")
+    assert (9, "hi", None) in got and (1, None, None) in got  # old rows NULL-fill
+    engine.sql("ALTER TABLE db.alt RENAME COLUMN note TO remark")
+    assert (9, "hi") in rows(engine.catalog.load("db.alt"), "id", "remark")
+    # decimal precision widening (Iceberg rule: precision grows, scale
+    # frozen) over a file written at the OLD precision
+    engine.sql("ALTER TABLE db.alt ADD COLUMN amt DECIMAL(10,2)")
+    engine.sql("INSERT INTO db.alt (id, cat, amt) VALUES (20, 'D', 12.34)")
+    engine.sql("ALTER TABLE db.alt ALTER COLUMN amt TYPE DECIMAL(20, 2)")
+    assert dict(engine.catalog.load("db.alt").dtypes)["amt"] == "decimal(20,2)"
+    from decimal import Decimal
+
+    assert (20, Decimal("12.34")) in rows(engine.catalog.load("db.alt"), "id", "amt")
+    with pytest.raises(ValidationError, match="cannot widen"):
+        engine.sql("ALTER TABLE db.alt ALTER COLUMN amt TYPE DECIMAL(20,4)")
+    engine.sql("ALTER TABLE db.alt DROP COLUMN remark")
+    assert "remark" not in engine.catalog.load("db.alt").columns
+    # nested add through SQL (evolution's dotted-path API)
+    engine.sql("ALTER TABLE db.alt ADD COLUMN payload STRUCT<a: BIGINT>")
+    engine.sql("ALTER TABLE db.alt ADD COLUMN payload.b DOUBLE")
+    assert dict(engine.catalog.load("db.alt").dtypes)["payload"] == "struct<a:bigint,b:double>"
+
+
+def test_sql_alter_non_lakehouse_passthrough(engine, spark):
+    # ALTER on a non-lakehouse name must reach spark.sql (here: a temp
+    # view, so Spark raises its own error — not our ValidationError)
+    spark.range(3).createOrReplaceTempView("alt_view")
+    with pytest.raises(Exception) as ei:
+        engine.sql("ALTER TABLE alt_view ADD COLUMN x BIGINT")
+    assert not isinstance(ei.value, ValidationError)
