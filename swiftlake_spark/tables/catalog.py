@@ -26,8 +26,30 @@ from swiftlake_spark import fileio as _io
 from swiftlake_spark.tables.transforms import parse_spec
 
 _SUFFIX_RE = re.compile(
-    r"^(?P<base>[\w.]+?)(?:\$(?P<kind>timestamp|snapshot|branch|tag)_(?P<arg>[\w.-]+))?$"
+    r"^(?P<base>[\w.]+?)(?:\$(?P<kind>timestamp|snapshot|branch|tag)_(?P<arg>[\w.:-]+))?$"
 )
+
+
+def _timestamp_arg_ms(arg: str) -> int:
+    """``$timestamp_`` argument → epoch ms.  Two spellings: bare digits
+    are epoch milliseconds; anything else parses as ISO-8601 — the
+    reference's own form (README.md:743 ``$timestamp_1986-10-26T01:21:00``,
+    sql/SqlQueryProcessor.java:371-402).  Naive timestamps are UTC (the
+    engine pins the session zone to UTC, config A28); an explicit offset
+    is honored."""
+    if arg.isdigit():
+        return int(arg)
+    import datetime as _dt
+
+    try:
+        ts = _dt.datetime.fromisoformat(arg)
+    except ValueError:
+        raise ValueError(
+            f"bad $timestamp_ argument {arg!r}: epoch ms or ISO-8601"
+        ) from None
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    return int(ts.timestamp() * 1000)
 
 
 class Catalog:
@@ -177,7 +199,7 @@ class Catalog:
                   metric_collectors=self.metric_collectors)
         kwargs: dict[str, Any] = {"filter_rows": filter_rows}
         if kind == "timestamp":
-            kwargs["as_of_ms"] = int(arg)
+            kwargs["as_of_ms"] = _timestamp_arg_ms(arg)
         elif kind == "snapshot":
             kwargs["snapshot_id"] = int(arg)
         elif kind == "branch":
@@ -188,7 +210,8 @@ class Catalog:
 
     # -------------------------------------------------------------- sql
     _REF_RE = re.compile(
-        r"(?<![\w.])([A-Za-z_]\w*\.[A-Za-z_]\w*(?:\$(?:timestamp|snapshot|branch|tag)_[\w.-]+)?)"
+        r"(?<![\w.])([A-Za-z_]\w*\.[A-Za-z_]\w*"
+        r"(?:\$(?:timestamp|snapshot|branch|tag)_[\w.:-]+)?)"
     )
 
     def resolve_sql(self, sql: str) -> str:

@@ -152,6 +152,29 @@ def test_catalog_name_sugar(catalog, simple_table, spark):
     assert catalog.load(f"db.simple$timestamp_{s1.timestamp_ms}").count() == 5
 
 
+def test_catalog_iso_timestamp_sugar(catalog, simple_table, spark):
+    # the reference's ISO-8601 spelling (README.md:743): naive → UTC
+    import datetime as dt
+
+    s1 = simple_table.meta.current_snapshot()
+    simple_table.append(
+        spark.createDataFrame([(9, "x", "Q", 0.0)], schema=simple_table.schema)
+    )
+    iso = (
+        dt.datetime.fromtimestamp(s1.timestamp_ms / 1000, tz=dt.timezone.utc)
+        .replace(tzinfo=None)
+        .isoformat()
+    )
+    assert catalog.load(f"db.simple$timestamp_{iso}").count() == 5
+    # the same form resolves inside SQL text (colons included)
+    sql = catalog.resolve_sql(
+        f"SELECT COUNT(*) AS n FROM db.simple$timestamp_{iso}"
+    )
+    assert spark.sql(sql).collect()[0]["n"] == 5
+    with pytest.raises(ValueError, match="bad .timestamp"):
+        catalog.load("db.simple$timestamp_not-a-time")
+
+
 def test_resolve_sql(catalog, simple_table, spark):
     sql = catalog.resolve_sql("SELECT count(*) AS n FROM db.simple WHERE category = 'X'")
     assert "db.simple" not in sql
