@@ -1327,3 +1327,92 @@ def q122_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment", "c_acctbal")
         .orderBy("c_custkey", "c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# q129 — textual DDL/DML lifecycle end-to-end (dml/sqldml.py, round 9):
+# a table is built ENTIRELY through engine.sql statements — CTAS
+# (partitioned), ALTER ADD COLUMN, INSERT INTO ... SELECT, UPDATE,
+# DELETE, RENAME COLUMN — then aggregated.  The oracle recomputes the
+# same final state in DuckDB from raw `customer` parquet as a CTE
+# pipeline, so a mis-parsed statement, a lost copy-on-write row, or a
+# NULL-fill/rename slip breaks the hash.  (The anchor table exists only
+# to satisfy CREATE routing — textual CREATE targets databases that
+# already hold lakehouse tables; the first table goes through the API.)
+# --------------------------------------------------------------------------
+_Q129_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q129_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    wh = _Q129_CACHE.get(key)
+    if wh is None:
+        wh = tempfile.mkdtemp(prefix="q129_wh_")
+        eng = SwiftLakeEngine(spark, warehouse=wh)
+        eng.catalog.create_table("db.q129_anchor", "id BIGINT")
+        load(spark, sf_dir, "customer").createOrReplaceTempView("q129_customer")
+        eng.sql(
+            "CREATE TABLE db.q129_c PARTITIONED BY (c_mktsegment) AS "
+            "SELECT c_custkey, c_mktsegment, c_acctbal "
+            "FROM q129_customer WHERE c_custkey <= 1000"
+        )
+        eng.sql("ALTER TABLE db.q129_c ADD COLUMN flag STRING")
+        eng.sql(
+            "INSERT INTO db.q129_c "
+            "SELECT c_custkey + 1000000, c_mktsegment, c_acctbal, 'new' "
+            "FROM q129_customer WHERE c_custkey <= 50"
+        )
+        eng.sql(
+            "UPDATE db.q129_c SET flag = 'rich' "
+            "WHERE c_acctbal > 5000 AND flag IS NULL"
+        )
+        eng.sql("DELETE FROM db.q129_c WHERE c_acctbal < 0")
+        eng.sql("ALTER TABLE db.q129_c RENAME COLUMN flag TO status")
+        _Q129_CACHE[key] = wh
+    return wh
+
+
+@query(
+    "q129_sql_ddl_lifecycle",
+    oracle=r"""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, CAST(NULL AS VARCHAR) AS flag
+  FROM customer WHERE c_custkey <= 1000
+), ins AS (
+  SELECT c_custkey + 1000000 AS c_custkey, c_mktsegment, c_acctbal,
+         'new' AS flag
+  FROM customer WHERE c_custkey <= 50
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM ins
+), updated AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CASE WHEN c_acctbal > 5000 AND flag IS NULL THEN 'rich'
+              ELSE flag END AS status
+  FROM unioned
+), final AS (
+  SELECT * FROM updated WHERE NOT (c_acctbal < 0)
+)
+SELECT c_mktsegment, status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+FROM final
+GROUP BY c_mktsegment, status
+ORDER BY c_mktsegment, status
+""",
+)
+def q129_sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    eng = SwiftLakeEngine(spark, warehouse=_q129_warehouse(spark, sf_dir))
+    return eng.sql(
+        "SELECT c_mktsegment, status, "
+        "       COUNT(*) AS n, "
+        "       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal "
+        "FROM db.q129_c "
+        "GROUP BY c_mktsegment, status "
+        "ORDER BY c_mktsegment, status"
+    )
