@@ -14,6 +14,16 @@ Reference: commands/SCD2Merge.java:135-420 + dao/scd2_merge.xml
 - closing versions: U/D rows get ``end := ts`` (+ current flag False);
   new versions get ``start := ts, end := NULL`` (+ flag True).
 - only files containing U/D rows are rewritten (N / N-S carried).
+
+Caller invariant (same contract as the reference's key-unique Iceberg
+dimensions): the key columns uniquely identify a CURRENT version
+table-wide.  Boundary-scoped merges cannot see versions outside their
+filter, so inserting key X inside one boundary while X is current in
+another creates two current versions of one key; a later merge whose
+boundary spans both then hits the merge-cardinality guard (matched
+case) or closes both (snapshot D).  Detecting the aliasing at insert
+time would need a global key scan per merge — deliberately not done,
+matching the reference.
 """
 
 from __future__ import annotations

@@ -60,8 +60,17 @@ class Scd2Model:
             self.rows.append(dict(zip(ALL_COLS, r)))
 
     def _candidates(self, cats) -> list[dict]:
-        return [r for r in self.rows
-                if r["effective_end"] is None and r["cat"] in cats]
+        out = [r for r in self.rows
+               if r["effective_end"] is None and r["cat"] in cats]
+        # the model keys candidates by id — duplicate current ids (a
+        # violated dimension invariant the generator must not produce)
+        # would silently collapse; fail loudly instead
+        ids = [r["id"] for r in out]
+        assert len(ids) == len(set(ids)), (
+            f"generator bug: duplicate current ids among candidates "
+            f"{sorted(i for i in ids if ids.count(i) > 1)}"
+        )
+        return out
 
     @staticmethod
     def _same(a: dict, b: tuple) -> bool:
@@ -162,8 +171,19 @@ def test_scd2_merges_match_model(spark, tmp_path, seed):
             else:                     # value churn (possibly cat move)
                 v, n = _rand_vals(rng)
                 source.append((r["id"], rng.choice(cats), v, n))
+        # fresh keys must not alias a CURRENT id anywhere in the table
+        # (any cat): key uniqueness among current versions is the
+        # dimension's invariant — SCD2 keys on id alone, so inserting id
+        # X into cat C while X is current in cat B creates two current
+        # versions of one key.  The engine correctly refuses the matched
+        # case later (merge-cardinality guard) and closes BOTH on the
+        # unmatched snapshot path; the model's dict-by-id can't represent
+        # it.  Sweep seeds 9501/9511/9538 found exactly this.
+        current_ids = {
+            r["id"] for r in model.rows if r["effective_end"] is None
+        }
         for k in rng.sample(range(400, 800), rng.randrange(1, 6)):
-            if k not in used:
+            if k not in used and k not in current_ids:
                 v, n = _rand_vals(rng)
                 source.append((k, rng.choice(cats), v, n))
 
