@@ -343,3 +343,61 @@ def q128_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "source", 5, key_col="doc_id", hash_fn="md5"
     )
     return out.select("doc_id", "source").orderBy("source", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# q130 — int8 embedding quantization quality: per-label reconstruction
+# error + range check.  operators.similarity.quantize_int8_stats.
+# --------------------------------------------------------------------------
+@query(
+    "q130_embed_quantize",
+    oracle=r"""
+WITH els AS (
+  SELECT vec_id, label, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings, UNNEST(embedding) AS u(x)
+), mx AS (
+  SELECT vec_id, MAX(ABS(x)) AS m FROM els GROUP BY vec_id
+), qs AS (
+  SELECT els.vec_id, els.label,
+         CASE WHEN mx.m > 0
+              THEN FLOOR(els.x * (CAST(127.0 AS DOUBLE) / mx.m) + CAST(0.5 AS DOUBLE))
+              ELSE 0 END AS q,
+         CASE WHEN mx.m > 0
+              THEN ABS(els.x - FLOOR(els.x * (CAST(127.0 AS DOUBLE) / mx.m) + CAST(0.5 AS DOUBLE))
+                                / (CAST(127.0 AS DOUBLE) / mx.m))
+              ELSE CAST(0.0 AS DOUBLE) END AS err
+  FROM els JOIN mx ON els.vec_id = mx.vec_id
+), per_vec AS (
+  SELECT vec_id, label,
+         SUM(CAST(err AS DECIMAL(28,12))) AS err_sum,
+         COUNT(*) AS n_els,
+         MAX(ABS(q)) AS max_q
+  FROM qs GROUP BY vec_id, label
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(err_sum) AS DOUBLE) / CAST(SUM(n_els) AS BIGINT) AS avg_err,
+       CAST(MAX(max_q) AS BIGINT) AS max_abs_q
+FROM per_vec GROUP BY label ORDER BY label
+""",
+    doc="int8 quantization reconstruction error per label",
+)
+def q130_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.similarity import quantize_int8_stats
+
+    e = load(spark, sf_dir, "embeddings")
+    pv = quantize_int8_stats(e, "vec_id", "embedding", "label")
+    return (
+        pv.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            # exact decimal sums all the way down; ONE double division at
+            # the end (re-casting a double quotient to DECIMAL is where
+            # engine rounding diverges — see quantize_int8_stats)
+            (
+                F.sum("err_sum").cast("double") / F.sum("n_els")
+            ).alias("avg_err"),
+            F.max("max_q").cast("bigint").alias("max_abs_q"),
+        )
+        .orderBy("label")
+    )

@@ -284,3 +284,32 @@ def test_duplicate_spans_matches_reference_on_random_corpora(spark):
             f"trial {trial}: {sorted(got ^ want)[:10]} differ "
             f"({len(got)} got, {len(want)} want)"
         )
+
+
+# --------------------------------------------------- quantize_int8_stats
+
+
+def test_quantize_int8_stats_known_values(spark):
+    import math
+
+    from swiftlake_spark.operators.similarity import quantize_int8_stats
+
+    rows = [
+        (1, [1.0, -0.5, 0.25], 7),
+        (2, [0.0, 0.0], 8),          # zero vector: q=0, err=0
+        (3, [2.0], 9),               # single element: q=±127 exactly
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = {r["id"]: r for r in quantize_int8_stats(
+        df, "vec_id", "embedding", "label").collect()}
+    # vec 1: m=1.0, scale=127; q = floor(x*127+0.5)
+    qs = [math.floor(x * 127.0 + 0.5) for x in (1.0, -0.5, 0.25)]
+    errs = [abs(x - q / 127.0) for x, q in zip((1.0, -0.5, 0.25), qs)]
+    expect = sum(round(e, 12) for e in errs) / 3
+    assert out[1]["max_q"] == 127
+    assert out[1]["err_mean"] == pytest.approx(expect, abs=1e-12)
+    assert out[1]["n_els"] == 3
+    assert out[2]["err_mean"] == 0.0 and out[2]["max_q"] == 0
+    assert out[3]["max_q"] == 127 and out[3]["err_mean"] == pytest.approx(0.0, abs=1e-12)
