@@ -314,3 +314,51 @@ def hashed_importance_weights(
             (F.col("__s").cast("double") / F.col("n_tokens")).alias("weight"),
         )
     )
+
+
+def ngram_repetition(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 2
+) -> DataFrame:
+    """Within-document n-gram repetition (the Gopher repetition signals
+    q75's length/stopword rules don't cover): per document, the
+    duplicate-n-gram fraction ``1 - distinct/total`` and the most-common
+    n-gram's share of all n-grams.  High values mark degenerate,
+    loop-generated, or boilerplate text.
+
+    Returns (id, n_ngrams, n_distinct, dup_frac, top_frac).
+
+    Scale: gram explode collapses straight into a (doc, gram) count with
+    map-side combine; the per-doc rollup is one more small aggregate on
+    id.  Nothing cross-document — trivially partition-parallel.
+    """
+    w = F.split(F.col(text_col), " ")
+    arr = F.aggregate(
+        F.array(w),
+        F.array().cast("array<string>"),
+        lambda _acc, wv: F.when(
+            F.size(wv) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(wv) - n),
+                lambda i: F.concat_ws(" ", F.slice(wv, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    grams = df.select(F.col(id_col).alias("id"), F.explode(arr).alias("g"))
+    cnt = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("__mx"),
+        )
+        .select(
+            "id",
+            "n_ngrams",
+            "n_distinct",
+            (
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_ngrams")
+            ).alias("dup_frac"),
+            (F.col("__mx").cast("double") / F.col("n_ngrams")).alias("top_frac"),
+        )
+    )

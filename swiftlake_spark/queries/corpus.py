@@ -401,3 +401,59 @@ def q130_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q131 — within-doc n-gram repetition (Gopher's repetition filters —
+# the signals q75's length/stopword rules don't cover).
+# operators.text.ngram_repetition.
+# --------------------------------------------------------------------------
+@query(
+    "q131_doc_repetition",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+  FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 1, 0))) AS t(i)
+), cnt AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM grams GROUP BY doc_id, bg
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_ngrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS max_count
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_distinct,
+       CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_ngrams AS dup_frac,
+       CAST(max_count AS DOUBLE) / n_ngrams AS top_frac,
+       (CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_ngrams
+          > CAST(0.2 AS DOUBLE)
+        OR CAST(max_count AS DOUBLE) / n_ngrams > CAST(0.18 AS DOUBLE))
+         AS repetitive
+FROM per_doc
+ORDER BY dup_frac DESC, doc_id
+LIMIT 100
+""",
+    doc="within-doc bigram repetition (Gopher repetition signals)",
+)
+def q131_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import ngram_repetition
+
+    d = load(spark, sf_dir, "documents")
+    rep = ngram_repetition(d, "doc_id", "text", n=2)
+    return (
+        rep.select(
+            F.col("id").alias("doc_id"),
+            "n_ngrams",
+            "n_distinct",
+            "dup_frac",
+            "top_frac",
+            (
+                (F.col("dup_frac") > 0.2) | (F.col("top_frac") > 0.18)
+            ).alias("repetitive"),
+        )
+        .orderBy(F.col("dup_frac").desc(), "doc_id")
+        .limit(100)
+    )

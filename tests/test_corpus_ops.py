@@ -313,3 +313,23 @@ def test_quantize_int8_stats_known_values(spark):
     assert out[1]["n_els"] == 3
     assert out[2]["err_mean"] == 0.0 and out[2]["max_q"] == 0
     assert out[3]["max_q"] == 127 and out[3]["err_mean"] == pytest.approx(0.0, abs=1e-12)
+
+
+# ------------------------------------------------------ ngram_repetition
+
+
+def test_ngram_repetition_known_values(spark):
+    from swiftlake_spark.operators.text import ngram_repetition
+
+    rows = [
+        (1, "a b a b a b"),      # bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+        (2, "u v w x y"),        # all distinct
+        (3, "z"),                # too short: no bigrams, absent from output
+    ]
+    out = {r["id"]: r for r in ngram_repetition(
+        _mk(spark, rows), "doc_id", "text", n=2).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_ngrams"], out[1]["n_distinct"]) == (5, 2)
+    assert out[1]["dup_frac"] == pytest.approx(1 - 2 / 5)
+    assert out[1]["top_frac"] == pytest.approx(3 / 5)
+    assert out[2]["dup_frac"] == 0.0 and out[2]["top_frac"] == pytest.approx(1 / 4)
