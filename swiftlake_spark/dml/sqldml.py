@@ -254,7 +254,11 @@ def ddl_route(engine, sql: str) -> bool:
     if not m:
         return False
     name = m.group(1)
-    if re.search(r"\bUSING\b", mask_literals(sql), re.IGNORECASE):
+    # a provider clause can only appear BEFORE the CTAS's AS — scoping
+    # the check there keeps `JOIN ... USING (k)` inside the AS query
+    # from masquerading as `USING parquet`
+    head = re.split(r"\bAS\b", mask_literals(sql), maxsplit=1, flags=re.IGNORECASE)[0]
+    if re.search(r"\bUSING\b", head, re.IGNORECASE):
         return False
     if "." not in name:
         return False
@@ -264,67 +268,83 @@ def ddl_route(engine, sql: str) -> bool:
     return any(t.startswith(db + ".") for t in engine.catalog.list_tables())
 
 
-def _exec_create(engine, sql: str, toks: list[_Tok]) -> DataFrame:
+def _take_parens(text: str) -> tuple[str, str]:
+    """``text`` starts at '(': return (inner, rest-after-close), honoring
+    single-quoted spans (a CTAS query inside later text never reaches
+    here, but spec items may carry quoted literals)."""
+    depth, i, in_str = 0, 0, False
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[1:i], text[i + 1 :].strip()
+        i += 1
+    raise ValidationError("unbalanced '(' in CREATE TABLE")
+
+
+def _exec_create(engine, sql: str) -> DataFrame:
     """``CREATE TABLE [IF NOT EXISTS] db.t (<ddl>) | [AS <query>]``
     with optional ``PARTITIONED BY (<spec>, ...)`` and ``SORTED BY
     (<col> [ASC|DESC], ...)`` — the textual face of
     ``catalog.create_table`` (partition transforms use the same
-    Spark-DDL terms: ``bucket(16, c)``, ``day(ts)``, ...)."""
-    i = 2
-    if_not_exists = False
-    if (
-        i + 2 < len(toks)
-        and toks[i].up == "IF"
-        and toks[i + 1].up == "NOT"
-        and toks[i + 2].up == "EXISTS"
-    ):
-        if_not_exists = True
-        i += 3
-    require(i < len(toks) and toks[i].kind == "word", "expected a table name")
-    name = toks[i].text
-    i += 1
+    Spark-DDL terms: ``bucket(16, c)``, ``day(ts)``, ...).
+
+    Parsed from raw text like ALTER: the column list is DDL type syntax
+    (``struct<a: bigint>``) the expression tokenizer rightly rejects.
+    """
+    m = re.match(
+        r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*(.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    require(m is not None, "CREATE TABLE grammar: CREATE TABLE [IF NOT EXISTS] <name> ...")
+    if_not_exists = m.group(1) is not None
+    name = m.group(2)
+    rest = m.group(3).strip()
 
     cols_ddl: str | None = None
     as_query: str | None = None
     spec: list[str] = []
     sort: list[str] = []
 
-    def _paren_items(j: int) -> tuple[list[str], int]:
-        require(j < len(toks) and toks[j].kind == "lp", "expected '('")
-        depth, k = 1, j + 1
-        while k < len(toks) and depth:
-            if toks[k].kind == "lp":
-                depth += 1
-            elif toks[k].kind == "rp":
-                depth -= 1
-            k += 1
-        require(depth == 0, "unbalanced '(' in DDL")
-        items = [
-            _slice(sql, toks, s, e) for s, e in _split_top(toks, j + 1, k - 1, ",")
-        ]
-        return items, k
-
-    if i < len(toks) and toks[i].kind == "lp":
-        items, i = _paren_items(i)
-        cols_ddl = ", ".join(items)
-    while i < len(toks):
-        if toks[i].up == "PARTITIONED":
-            require(i + 1 < len(toks) and toks[i + 1].up == "BY", "PARTITIONED needs BY")
-            spec, i = _paren_items(i + 2)
-        elif toks[i].up == "SORTED":
-            require(i + 1 < len(toks) and toks[i + 1].up == "BY", "SORTED needs BY")
-            sort, i = _paren_items(i + 2)
-        elif toks[i].up == "AS":
+    if rest.startswith("("):
+        inner, rest = _take_parens(rest)
+        cols_ddl = inner.strip()
+        require(bool(cols_ddl), "empty column list")
+    while rest:
+        mm = re.match(r"^(PARTITIONED|SORTED)\s+BY\s*(?=\()", rest, re.IGNORECASE)
+        if mm:
+            inner, rest = _take_parens(rest[mm.end() :])
+            items = _split_type_list(inner)
+            require(bool(items), f"empty {mm.group(1).upper()} BY list")
+            if mm.group(1).upper() == "PARTITIONED":
+                spec = items
+            else:
+                sort = items
+            continue
+        ma = re.match(r"^AS\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
+        if ma:
             require(cols_ddl is None, "CTAS cannot also declare a column list")
-            as_query = _slice(sql, toks, i + 1, len(toks))
-            require(bool(as_query.strip()), "AS needs a query")
-            i = len(toks)
-        else:
-            raise ValidationError(
-                f"unexpected token {toks[i].text!r} in CREATE TABLE "
-                "(grammar: [(cols)] [PARTITIONED BY (...)] [SORTED BY (...)] "
-                "[AS query])"
-            )
+            as_query = ma.group(1).strip()
+            require(bool(as_query), "AS needs a query")
+            rest = ""
+            continue
+        raise ValidationError(
+            f"unexpected text {rest[:40]!r} in CREATE TABLE "
+            "(grammar: [(cols)] [PARTITIONED BY (...)] [SORTED BY (...)] "
+            "[AS query])"
+        )
     require(
         (cols_ddl is not None) != (as_query is not None),
         "CREATE TABLE needs exactly one of a column list or AS <query>",
@@ -379,7 +399,7 @@ def _exec_alter(engine, sql: str) -> DataFrame:
     """
     m = re.match(
         r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
-        r"(ADD|DROP|RENAME|ALTER)\s+(COLUMNS?|COLUMN)\s+(.*?)\s*$",
+        r"(ADD|DROP|RENAME|ALTER)\s+(COLUMNS?)\s+(.*?)\s*$",
         sql,
         re.IGNORECASE | re.DOTALL,
     )
@@ -388,18 +408,27 @@ def _exec_alter(engine, sql: str) -> DataFrame:
         "ALTER TABLE grammar: ALTER TABLE <name> "
         "ADD COLUMN[S]|DROP COLUMN|RENAME COLUMN|ALTER COLUMN ...",
     )
-    name, verb, rest = m.group(1), m.group(2).upper(), m.group(4).strip()
+    name, verb = m.group(1), m.group(2).upper()
+    noun, rest = m.group(3).upper(), m.group(4).strip()
+    require(
+        verb == "ADD" or noun == "COLUMN",
+        f"{verb} takes COLUMN (singular), got {noun}",
+    )
     tbl = engine.catalog.table(name)
     if verb == "ADD":
         if rest.startswith("(") and rest.endswith(")"):
             rest = rest[1:-1]
+        items: list[tuple[str, str]] = []
         for item in _split_type_list(rest):
             parts = item.split(None, 1)
             require(
                 len(parts) == 2 and re.fullmatch(r"[A-Za-z_][\w.]*", parts[0]) is not None,
                 f"ADD COLUMN grammar: <name> <type>, got {item!r}",
             )
-            tbl.add_column(parts[0], parts[1])
+            items.append((parts[0], parts[1]))
+        require(bool(items), "ADD COLUMN needs at least one <name> <type>")
+        # atomic: one metadata commit for the whole list
+        tbl.add_columns(items)
         return _receipt(engine.spark, "alter", None)
     if verb == "DROP":
         require(
@@ -698,6 +727,11 @@ def _exec_merge(engine, sql: str, toks: list[_Tok]) -> DataFrame:
     for tcol, scol in on.keys:
         if tcol != scol:
             require(
+                scol in src_df.columns,
+                f"source has no column {scol!r} (ON clause key) — "
+                f"columns: {src_df.columns}",
+            )
+            require(
                 tcol not in src_df.columns,
                 f"cannot rename source key {scol!r} → {tcol!r}: source "
                 f"already has a column {tcol!r}",
@@ -810,9 +844,12 @@ def execute_dml(engine, sql: str) -> DataFrame:
     supported grammar."""
     stmt = sql.strip().rstrip(";")
     if _DDL_ALTER.match(stmt):
-        # ALTER parses from raw text — its payload is DDL type syntax
-        # (struct<a: bigint>), which the expression tokenizer rejects
+        # ALTER and CREATE parse from raw text — their payload is DDL
+        # type syntax (struct<a: bigint>), which the expression
+        # tokenizer rejects
         return _exec_alter(engine, stmt)
+    if _DDL_CREATE.match(stmt):
+        return _exec_create(engine, stmt)
     toks = _tokens(stmt)
     require(bool(toks), "empty statement")
     head = toks[0].up
@@ -824,12 +861,6 @@ def execute_dml(engine, sql: str) -> DataFrame:
         return _exec_delete(engine, stmt, toks)
     if head == "MERGE":
         return _exec_merge(engine, stmt, toks)
-    if head == "CREATE":
-        require(
-            len(toks) > 1 and toks[1].up == "TABLE",
-            "only CREATE TABLE is supported as lakehouse DDL",
-        )
-        return _exec_create(engine, stmt, toks)
     if head == "DROP":
         require(
             len(toks) > 1 and toks[1].up == "TABLE",

@@ -26,7 +26,7 @@ from swiftlake_spark import fileio as _io
 from swiftlake_spark.tables.transforms import parse_spec
 
 _SUFFIX_RE = re.compile(
-    r"^(?P<base>[\w.]+?)(?:\$(?P<kind>timestamp|snapshot|branch|tag)_(?P<arg>[\w.:-]+))?$"
+    r"^(?P<base>[\w.]+?)(?:\$(?P<kind>timestamp|snapshot|branch|tag)_(?P<arg>[\w.:+-]+))?$"
 )
 
 
@@ -210,8 +210,11 @@ class Catalog:
 
     # -------------------------------------------------------------- sql
     _REF_RE = re.compile(
+        # the arg charset admits ':' and '+' for ISO-8601 offsets — an
+        # arithmetic '+' glued directly onto a $suffix ref without spaces
+        # is not meaningful SQL, so the greed is safe
         r"(?<![\w.])([A-Za-z_]\w*\.[A-Za-z_]\w*"
-        r"(?:\$(?:timestamp|snapshot|branch|tag)_[\w.:-]+)?)"
+        r"(?:\$(?:timestamp|snapshot|branch|tag)_[\w.:+-]+)?)"
     )
 
     def resolve_sql(self, sql: str) -> str:

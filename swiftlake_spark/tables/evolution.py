@@ -27,6 +27,8 @@ itself.
 
 from __future__ import annotations
 
+import re
+
 from typing import Any, Callable, Iterator
 
 from pyspark.sql import Column
@@ -170,7 +172,7 @@ def rename_field(schema: T.StructType, path: str, new: str) -> T.StructType:
     return _rebuild_at(schema, parent, edit)  # type: ignore[return-value]
 
 
-_DECIMAL_RE = __import__("re").compile(r"^decimal\((\d+),(\d+)\)$")
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
 
 
 def _widening_ok(cur: str, new: str) -> bool:

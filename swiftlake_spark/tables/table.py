@@ -743,6 +743,34 @@ class Table:
             self._guard_nested_add(name)
         self._commit_schema(EV.add_field(self.schema, name, dtype))
 
+    def add_columns(self, items: list[tuple[str, str]]) -> None:
+        """Atomic multi-column add: every (path, dtype) is validated —
+        types parse, nested-add guards pass, no duplicate paths — and
+        the folded schema commits ONCE, so a failure on any item leaves
+        the table untouched (a per-item add_column loop would strand the
+        earlier commits)."""
+        from swiftlake_spark.tables import evolution as EV
+
+        names = [p for p, _ in items]
+        if len(set(names)) != len(names):
+            raise ValidationError(
+                f"duplicate column paths in add: "
+                f"{sorted({n for n in names if names.count(n) > 1})}"
+            )
+        for path, dtype in items:
+            try:
+                T._parse_datatype_string(dtype)
+            except Exception:
+                raise ValidationError(
+                    f"bad type {dtype!r} for column {path!r}"
+                ) from None
+            if "." in path:
+                self._guard_nested_add(path)
+        schema = self.schema
+        for path, dtype in items:
+            schema = EV.add_field(schema, path, dtype)
+        self._commit_schema(schema)
+
     def _guard_nested_add(self, path: str) -> None:
         import pyarrow.parquet as pq
 

@@ -370,3 +370,59 @@ def test_sql_alter_non_lakehouse_passthrough(engine, spark):
     with pytest.raises(Exception) as ei:
         engine.sql("ALTER TABLE alt_view ADD COLUMN x BIGINT")
     assert not isinstance(ei.value, ValidationError)
+
+
+# --------------------------------------------- second review regressions
+
+
+def test_sql_ctas_with_join_using_still_routes(engine, spark):
+    # JOIN ... USING inside the AS query must NOT read as a provider
+    # clause: the CTAS still creates a LAKEHOUSE table
+    seed(engine, spark, name="db.ju1")
+    seed(engine, spark, name="db.ju2")
+    engine.sql(
+        "CREATE TABLE db.ju3 AS "
+        "SELECT a.id, a.qty FROM db.ju1 a JOIN db.ju2 b USING (id) "
+        "WHERE a.id <= 2"
+    )
+    assert engine.catalog.table_exists("db.ju3")
+    assert rows(engine.catalog.load("db.ju3"), "id") == [(1,), (2,)]
+
+
+def test_sql_create_struct_colon_column(engine, spark):
+    seed(engine, spark, name="db.sc_anchor")
+    engine.sql(
+        "CREATE TABLE db.sc1 (id BIGINT, payload STRUCT<a: BIGINT, b: STRING>)"
+    )
+    assert dict(engine.catalog.load("db.sc1").dtypes)["payload"] == (
+        "struct<a:bigint,b:string>"
+    )
+
+
+def test_sql_alter_add_columns_is_atomic(engine, spark):
+    seed(engine, spark, name="db.at1")
+    with pytest.raises(ValidationError):
+        # second item collides with an existing column: NOTHING commits
+        engine.sql("ALTER TABLE db.at1 ADD COLUMNS (brand_new STRING, qty BIGINT)")
+    assert "brand_new" not in engine.catalog.load("db.at1").columns
+    with pytest.raises(ValidationError, match="bad type"):
+        engine.sql("ALTER TABLE db.at1 ADD COLUMNS (ok1 STRING, bad NOTATYPE)")
+    assert "ok1" not in engine.catalog.load("db.at1").columns
+
+
+def test_sql_alter_plural_noun_rejected_outside_add(engine, spark):
+    seed(engine, spark, name="db.pl1")
+    with pytest.raises(ValidationError, match="COLUMN .singular"):
+        engine.sql("ALTER TABLE db.pl1 DROP COLUMNS qty")
+
+
+def test_sql_merge_on_unknown_source_column_clear_error(engine, spark):
+    seed(engine, spark, name="db.mm1")
+    spark.createDataFrame([(1, 5)], "kk BIGINT, amount BIGINT").createOrReplaceTempView(
+        "mm_src"
+    )
+    with pytest.raises(ValidationError, match="no column 'zz'"):
+        engine.sql(
+            "MERGE INTO db.mm1 t USING mm_src s ON t.id = s.zz "
+            "WHEN MATCHED THEN DELETE"
+        )

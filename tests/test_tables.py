@@ -518,3 +518,21 @@ def test_delete_overwrite_3vl_and_misc_guards(catalog, spark):
     t.meta.snapshots = [s for s in t.meta.snapshots if s.snapshot_id != mid.snapshot_id]
     with pytest.raises(ValidationError):
         t.snapshot_changes(last.snapshot_id)
+
+
+def test_catalog_iso_timestamp_with_offset(catalog, simple_table, spark):
+    import datetime as dt
+
+    s1 = simple_table.meta.current_snapshot()
+    simple_table.append(
+        spark.createDataFrame([(9, "x", "Q", 0.0)], schema=simple_table.schema)
+    )
+    # same instant spelled at +02:00 must resolve like the UTC spelling
+    local = dt.datetime.fromtimestamp(
+        s1.timestamp_ms / 1000, tz=dt.timezone(dt.timedelta(hours=2))
+    ).isoformat()
+    assert catalog.load(f"db.simple$timestamp_{local}").count() == 5
+    sql = catalog.resolve_sql(
+        f"SELECT COUNT(*) AS n FROM db.simple$timestamp_{local}"
+    )
+    assert spark.sql(sql).collect()[0]["n"] == 5
