@@ -1,4 +1,4 @@
-"""SQL DML statements through ``engine.sql``: UPDATE / DELETE / MERGE.
+"""SQL DML + DDL statements through ``engine.sql``.
 
 The reference exposes DML only through fluent builders
 (SwiftLakeEngine.java — update/delete/applyChangesAsSCD*); its SQL
@@ -13,6 +13,18 @@ real user expects also work textually:
   ON t.k = s.k [AND t.bound = 'x' ...]
   WHEN MATCHED [AND <cond>] THEN UPDATE SET a = <expr>, ... | DELETE
   WHEN NOT MATCHED [AND <cond>] THEN INSERT [*|(cols) VALUES (exprs)]``
+- ``CREATE TABLE [IF NOT EXISTS] db.t (<ddl>)|[AS <query>]
+  [PARTITIONED BY (<spec>, ...)] [SORTED BY (...)]`` (CTAS infers the
+  schema and inserts in the same call)
+- ``DROP TABLE [IF EXISTS] db.t``
+- ``ALTER TABLE db.t ADD COLUMN[S] ... | DROP COLUMN ... |
+  RENAME COLUMN a TO b | ALTER COLUMN c TYPE <t>`` (widen only)
+
+Routing is evidence-based (``dml_target`` / ``ddl_route``): statements
+whose target is NOT a lakehouse table pass through to ``spark.sql``
+untouched, so Spark-native DML/DDL keeps working.  ALTER and CREATE
+parse from raw text — their payload is DDL type syntax
+(``struct<a: bigint>``) the expression tokenizer rightly rejects.
 
 Each parses into the corresponding builder (dml/update.py, delete.py,
 merge.py) — the statement text is never handed to Catalyst, so COW
