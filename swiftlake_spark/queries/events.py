@@ -132,3 +132,115 @@ def q32_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", F.col("k_mod").asc_nulls_first())
     )
+
+
+# --------------------------------------------------------------------------
+# q132 — funnel analysis: view → click → purchase in strict timestamp
+# order per user.  Each step is a MIN-after-previous-step aggregate —
+# one shuffle per step on user_id, no per-user event sorting and no
+# window over the full event stream; step tables shrink monotonically,
+# so at 100 TB the later joins are cheap.
+# --------------------------------------------------------------------------
+@query(
+    "q132_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM s3
+)
+SELECT step, step_name, n_users,
+       CAST(n_users AS DOUBLE)
+         / (SELECT COUNT(*) FROM s1) AS frac_of_entry
+FROM counts ORDER BY step
+""",
+)
+def q132_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def step(prev: DataFrame | None, etype: str, tcol: str) -> DataFrame:
+        ev = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            pcol = prev.columns[-1]
+            ev = ev.join(prev, "user_id").filter(F.col("ts") > F.col(pcol))
+        return ev.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = step(None, "view", "t1")
+    s2 = step(s1, "click", "t2")
+    s3 = step(s2, "purchase", "t3")
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("step"), F.lit("view").alias("step_name"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(2).alias("step"), F.lit("click").alias("step_name"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(3).alias("step"), F.lit("purchase").alias("step_name"), "n_users"
+        ),
+    ]
+    counts = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    entry = s1.agg(F.count(F.lit(1)).alias("__n1"))
+    return (
+        counts.crossJoin(F.broadcast(entry))
+        .select(
+            "step",
+            "step_name",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("__n1")).alias(
+                "frac_of_entry"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+# --------------------------------------------------------------------------
+# q133 — retention cohorts: users grouped by first-seen day, activity
+# counted at day offsets.  Two shuffles (first-seen per user, then the
+# cohort×offset rollup) — the classic batch retention matrix.
+# --------------------------------------------------------------------------
+@query(
+    "q133_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events
+  GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+""",
+)
+def q133_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    return (
+        e.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
