@@ -244,3 +244,105 @@ def q133_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# q134 — hopping (sliding) window rollup: 10-minute windows every 5
+# minutes — each event lands in exactly 2 windows (explode over hop
+# indexes, NOT a self-join).  Complements q30's tumbling windows; the
+# explode is map-side and the rollup is one shuffle on (window, type).
+# --------------------------------------------------------------------------
+@query(
+    "q134_hopping_window",
+    oracle="""
+WITH hops AS (
+  SELECT e.event_type, e.value,
+         CAST(TO_TIMESTAMP((FLOOR(EPOCH(e.ts) / 300) - h.i) * 300) AS TIMESTAMP)
+           AS win_start
+  FROM events e, UNNEST(generate_series(0, 1)) AS h(i)
+)
+SELECT win_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM hops GROUP BY 1, 2
+ORDER BY win_start, event_type
+LIMIT 200
+""",
+)
+def q134_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    base = F.floor(F.unix_timestamp("ts") / 300)
+    hopped = e.select(
+        "event_type",
+        "value",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("i"),
+        base.alias("__b"),
+    ).select(
+        "event_type",
+        "value",
+        F.timestamp_seconds((F.col("__b") - F.col("i")) * 300).alias("win_start"),
+    )
+    return (
+        hopped.groupBy("win_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.sum(dec("value", 28, 6))).alias("total_value"),
+        )
+        .orderBy("win_start", "event_type")
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+# q135 — per-type z-score anomalies: mean/std from exact decimal sums,
+# sqrt is IEEE-correctly-rounded (portable, unlike libm
+# transcendentals), top-25 |z|.  One stats shuffle + broadcast-back.
+# DECIMAL(15,2): the fixture values carry 2 decimals, and the exact
+# sums must stay within ~15 significant digits — decimal→double
+# conversion of wider exact sums rounds DIFFERENTLY across engines
+# (measured: 20-digit sum-of-squares diverged by 1 ulp), which is the
+# FIXTURES.md §4 envelope rule.
+# --------------------------------------------------------------------------
+@query(
+    "q135_anomaly_zscore",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(15,2)) * CAST(value AS DECIMAL(15,2)))
+              AS DOUBLE) AS sq
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type, s / n AS mean, SQRT(sq / n - (s / n) * (s / n)) AS std
+  FROM stats
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.mean) / m.std AS z
+FROM events e JOIN m ON e.event_type = m.event_type
+ORDER BY ABS((e.value - m.mean) / m.std) DESC, e.event_id
+LIMIT 25
+""",
+)
+def q135_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = dec("value", 15, 2)
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum(v)).alias("s"),
+        as_double(F.sum(v * v)).alias("sq"),
+    )
+    m = stats.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("sq") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(25)
+    )
