@@ -61,20 +61,20 @@ def _load_all() -> None:
 # rotate: names in _GATE_PRIORITY are emitted first, everything else follows
 # in registration order.  Rebuilt from the CORRECTNESS_r01..r08 union by
 # last-certified round (staleness-first, VERDICT r8 ask #1):
-#   1. q129-q135, q123-q128, then q120-q122 (registered r9, never
-#      certified — 16 slots) head the window;
+#   1. q129-q136, q123-q128, then q120-q122 (registered r9, never
+#      certified — 17 slots) head the window;
 #   2. the 19 queries last certified in r6 (the r8 rotation's roll-over
 #      tail: q57, q59, q63-q75, q77-q80) follow;
-#   3. the first 15 of the 50 r7-certified queries (CORRECTNESS_r07 key
+#   3. the first 14 of the 50 r7-certified queries (CORRECTNESS_r07 key
 #      order) fill the 50 slots; the remaining r7-certified roll to
 #      round 10, where they head the window ahead of the r8/r9 blocks.
-# Invariant: steady-state max staleness is 3 rounds for a 122-query
+# Invariant: steady-state max staleness is 3 rounds for a 136-query
 # registry over a 50-slot window; nothing exceeds it under this order.
 _GATE_PRIORITY = [
     # never driver-certified (registered r9)
     'q129_sql_ddl_lifecycle', 'q130_embed_quantize', 'q131_doc_repetition',
     'q132_funnel', 'q133_retention', 'q134_hopping_window',
-    'q135_anomaly_zscore',
+    'q135_anomaly_zscore', 'q136_event_transitions',
     'q123_span_dedup', 'q124_bm25', 'q125_dsir_weights',
     'q126_editdist_neardup', 'q127_tfidf_topterms', 'q128_stratified_sample',
     'q120_jpeg_features', 'q121_merge_into', 'q122_sql_merge',
@@ -85,13 +85,13 @@ _GATE_PRIORITY = [
     'q72_local_volume', 'q73_window_extras', 'q74_conditional_agg',
     'q75_gopher_rules', 'q77_contamination', 'q78_returned_revenue',
     'q79_median_stats', 'q80_set_ops_all',
-    # last certified r7 (CORRECTNESS_r07 key order; the first 15 fit the
+    # last certified r7 (CORRECTNESS_r07 key order; the first 14 fit the
     # 50-slot window, the tail rolls to the round-10 rotation)
     'q81_grouping_id', 'q82_nation_volume', 'q83_important_stock',
     'q84_uuid_type', 'q85_time_type', 'q86_min_cost_supplier',
     'q87_order_priority', 'q88_forecast_revenue', 'q89_market_share',
     'q90_nation_profit', 'q91_customer_distribution', 'q92_promo_revenue',
-    'q93_top_supplier', 'q94_part_supplier_count', 'q95_small_qty_revenue',
+    'q93_top_supplier', 'q94_part_supplier_count',
 ]
 
 

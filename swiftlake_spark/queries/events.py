@@ -346,3 +346,50 @@ def q135_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z")).desc(), "event_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# q136 — event-type transition matrix (Markov counts): per user, each
+# consecutive event pair by timestamp contributes one (from, to) count.
+# One window sort per user + one rollup shuffle; at scale parallelism =
+# user cardinality (never a global event ordering).
+# --------------------------------------------------------------------------
+@query(
+    "q136_event_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+         / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS frac
+FROM ordered
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+""",
+)
+def q136_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = W.partitionBy("from_type")
+    return (
+        counts.select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(total)).alias("frac"),
+        )
+        .orderBy("from_type", "to_type")
+    )
