@@ -171,16 +171,17 @@ FROM counts ORDER BY step
 def q132_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
 
-    def step(prev: DataFrame | None, etype: str, tcol: str) -> DataFrame:
+    def step(
+        prev: DataFrame | None, prev_col: str | None, etype: str, tcol: str
+    ) -> DataFrame:
         ev = e.filter(F.col("event_type") == etype)
         if prev is not None:
-            pcol = prev.columns[-1]
-            ev = ev.join(prev, "user_id").filter(F.col("ts") > F.col(pcol))
+            ev = ev.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
         return ev.groupBy("user_id").agg(F.min("ts").alias(tcol))
 
-    s1 = step(None, "view", "t1")
-    s2 = step(s1, "click", "t2")
-    s3 = step(s2, "purchase", "t3")
+    s1 = step(None, None, "view", "t1")
+    s2 = step(s1, "t1", "click", "t2")
+    s3 = step(s2, "t2", "purchase", "t3")
     rows = [
         s1.agg(F.count(F.lit(1)).alias("n_users")).select(
             F.lit(1).alias("step"), F.lit("view").alias("step_name"), "n_users"
@@ -193,16 +194,18 @@ def q132_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     counts = rows[0].unionAll(rows[1]).unionAll(rows[2])
-    entry = s1.agg(F.count(F.lit(1)).alias("__n1"))
+    # the entry denominator is counts' own step-1 row — a window over the
+    # tiny 3-row result, not a second aggregation of the events table
+    wall = W.orderBy("step").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    entry_n = F.first("n_users").over(wall)
     return (
-        counts.crossJoin(F.broadcast(entry))
-        .select(
+        counts.select(
             "step",
             "step_name",
             "n_users",
-            (F.col("n_users").cast("double") / F.col("__n1")).alias(
-                "frac_of_entry"
-            ),
+            (F.col("n_users").cast("double") / entry_n).alias("frac_of_entry"),
         )
         .orderBy("step")
     )
@@ -313,7 +316,11 @@ WITH stats AS (
               AS DOUBLE) AS sq
   FROM events GROUP BY event_type
 ), m AS (
-  SELECT event_type, s / n AS mean, SQRT(sq / n - (s / n) * (s / n)) AS std
+  -- GREATEST(.., 0): the naive-variance cancellation can land a few
+  -- ulps below zero on a constant-valued type, where DuckDB's SQRT
+  -- hard-errors (Spark returns NaN) — clamp identically on both sides
+  SELECT event_type, s / n AS mean,
+         SQRT(GREATEST(sq / n - (s / n) * (s / n), CAST(0.0 AS DOUBLE))) AS std
   FROM stats
 )
 SELECT e.event_id, e.event_type, e.value,
@@ -335,8 +342,11 @@ def q135_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("s") / F.col("n")).alias("mean"),
         F.sqrt(
-            F.col("sq") / F.col("n")
-            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+            F.greatest(
+                F.col("sq") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                F.lit(0.0),
+            )
         ).alias("std"),
     )
     z = (F.col("value") - F.col("mean")) / F.col("std")
