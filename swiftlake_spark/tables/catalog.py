@@ -217,6 +217,54 @@ class Catalog:
         r"(?:\$(?:timestamp|snapshot|branch|tag)_[\w.:+-]+)?)"
     )
 
+    _AS_OF_RE = re.compile(
+        r"((?<![\w.])[A-Za-z_]\w*\.[A-Za-z_]\w*)\s+(?:FOR\s+)?"
+        r"(TIMESTAMP|SYSTEM_TIME|VERSION|SYSTEM_VERSION)\s+AS\s+OF\s+"
+        r"('(?:[^']|'')*'|\d+)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_as_of(self, sql: str) -> str:
+        """Spark's idiomatic time-travel spelling → the engine's
+        ``$suffix`` sugar: ``db.t TIMESTAMP AS OF '2020-01-01 00:00:00'``
+        becomes ``db.t$timestamp_2020-01-01T00:00:00`` and ``db.t
+        VERSION AS OF 42`` becomes ``db.t$snapshot_42`` (SYSTEM_TIME /
+        SYSTEM_VERSION variants accepted).  Only rewrites names that ARE
+        lakehouse tables, so the clause still reaches Spark untouched
+        for its own tables.  Matching runs on the literal-masked copy
+        (same length, offsets align), so quoted text can't fake a ref."""
+        from swiftlake_spark.tables.sqlextract import mask_literals
+
+        masked = mask_literals(sql)
+        out: list[str] = []
+        last = 0
+        for m in self._AS_OF_RE.finditer(masked):
+            name = m.group(1)
+            try:
+                if not self.table_exists(name):
+                    continue
+            except Exception:
+                continue
+            kind = m.group(2).upper()
+            raw = sql[m.start(3) : m.end(3)]
+            arg = raw[1:-1].replace("''", "'").strip() if raw.startswith("'") else raw
+            if kind in ("TIMESTAMP", "SYSTEM_TIME"):
+                suffix = "timestamp_" + arg.replace(" ", "T")
+            else:
+                if not arg.isdigit():
+                    raise ValueError(
+                        f"VERSION AS OF takes a snapshot id; for branches/"
+                        f"tags use {name}$branch_<name> / {name}$tag_<name>"
+                    )
+                suffix = "snapshot_" + arg
+            out.append(sql[last : m.start()])
+            out.append(f"{name}${suffix}")
+            last = m.end()
+        if not out:
+            return sql
+        out.append(sql[last:])
+        return "".join(out)
+
     def resolve_sql(self, sql: str) -> str:
         """Replace ``db.table[$suffix]`` references with registered temp
         views so ``spark.sql`` can run the query — and prune each view's
@@ -225,13 +273,16 @@ class Catalog:
         extracts per-table conditions before planning file lists).
         Catalyst does all real analysis; extraction only shrinks the
         file list (never re-applied to rows — filter_rows=False), so a
-        skipped or unparseable conjunct costs pruning, not correctness."""
+        skipped or unparseable conjunct costs pruning, not correctness.
+        Spark's ``TIMESTAMP/VERSION AS OF`` spelling is normalized to
+        the ``$suffix`` sugar first (:meth:`_rewrite_as_of`)."""
         import hashlib as _hl
 
         from swiftlake_spark.dml.sqlfilter import parse_filter
         from swiftlake_spark.tables import expressions as E
         from swiftlake_spark.tables.sqlextract import analyze, mask_literals
 
+        sql = self._rewrite_as_of(sql)
         masked = mask_literals(sql)
         exists_cache: dict[str, bool] = {}
 

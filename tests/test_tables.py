@@ -536,3 +536,40 @@ def test_catalog_iso_timestamp_with_offset(catalog, simple_table, spark):
         f"SELECT COUNT(*) AS n FROM db.simple$timestamp_{local}"
     )
     assert spark.sql(sql).collect()[0]["n"] == 5
+
+
+def test_spark_as_of_spelling(catalog, simple_table, spark):
+    import datetime as dt
+
+    s1 = simple_table.meta.current_snapshot()
+    simple_table.append(
+        spark.createDataFrame([(9, "x", "Q", 0.0)], schema=simple_table.schema)
+    )
+    # VERSION AS OF <snapshot id>
+    sql = catalog.resolve_sql(
+        f"SELECT COUNT(*) AS n FROM db.simple VERSION AS OF {s1.snapshot_id}"
+    )
+    assert spark.sql(sql).collect()[0]["n"] == 5
+    # TIMESTAMP AS OF '<iso with space>'
+    iso = (
+        dt.datetime.fromtimestamp(s1.timestamp_ms / 1000, tz=dt.timezone.utc)
+        .replace(tzinfo=None)
+        .isoformat(sep=" ")
+    )
+    sql = catalog.resolve_sql(
+        f"SELECT COUNT(*) AS n FROM db.simple TIMESTAMP AS OF '{iso}'"
+    )
+    assert spark.sql(sql).collect()[0]["n"] == 5
+    # FOR SYSTEM_TIME AS OF variant
+    sql = catalog.resolve_sql(
+        f"SELECT COUNT(*) AS n FROM db.simple FOR SYSTEM_TIME AS OF '{iso}'"
+    )
+    assert spark.sql(sql).collect()[0]["n"] == 5
+    # a string literal containing the pattern is untouched
+    sql = catalog.resolve_sql(
+        "SELECT 'db.simple TIMESTAMP AS OF ''2020-01-01''' AS s FROM db.simple"
+    )
+    assert spark.sql(sql).count() == 6
+    # VERSION AS OF with a non-numeric arg points at the branch/tag sugar
+    with pytest.raises(ValueError, match="branch"):
+        catalog.resolve_sql("SELECT * FROM db.simple VERSION AS OF 'dev'")
