@@ -12,14 +12,20 @@ rewrite, snapshot commit with conflict detection).
 Semantics (standard MERGE):
 
 - target and source join on null-safe key equality
-  (``IS NOT DISTINCT FROM``); a target row matching more than one
+  (``IS NOT DISTINCT FROM``) by default; ``null_safe_keys(False)``
+  switches to standard null-rejecting ``=`` (NULL keys never match —
+  the SQL surface uses this).  A target row matching more than one
   source row is a cardinality violation and the merge fails.
 - matched rows walk the ``when_matched_*`` clauses in declaration
   order; the FIRST clause whose condition is true fires (update or
   delete); if none fires the row is untouched.
 - source-only rows insert when a ``when_not_matched_insert`` clause is
   declared and its condition holds; otherwise they are dropped.
-- target-only rows are never touched.
+- target-only rows walk the ``when_not_matched_by_source_*`` clauses
+  (SQL:2016 ``WHEN NOT MATCHED BY SOURCE``, Spark SQL ≥3.4) in
+  declaration order, first-match-wins; with none declared they are
+  never touched.  Clause expressions may reference ``target.*`` only —
+  there is no source row.
 
 Clause conditions and update/insert expressions are Spark SQL strings
 over two namespaces: ``target.<col>`` (current table row) and
@@ -36,6 +42,7 @@ path (conflict detection, isolation levels, batch transactions).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Any
 
@@ -73,6 +80,22 @@ class _NotMatchedClause:
     values: dict[str, str] | None  # None → insert the source row as-is
 
 
+_QUOTED = re.compile(r"'(?:[^']|'')*'")
+_SOURCE_REF = re.compile(r"(?i)\bsource\s*\.")
+
+
+def _reject_source_refs(text: str, clause: str) -> None:
+    """Standard SQL forbids source references in NOT MATCHED BY SOURCE
+    clauses (the row has no source side).  Checked on the expression
+    text with single-quoted literals stripped first, so a literal
+    containing the word ``source.`` never trips it."""
+    if isinstance(text, str) and _SOURCE_REF.search(_QUOTED.sub("''", text)):
+        raise ValidationError(
+            f"{clause} expressions cannot reference source.* — "
+            "the row has no matching source"
+        )
+
+
 def _expr(e: str | Column | Any) -> Column:
     if isinstance(e, Column):
         return e
@@ -94,6 +117,8 @@ class MergeIntoBuilder:
         self._unbounded = False
         self._matched: list[_MatchedClause] = []
         self._not_matched: list[_NotMatchedClause] = []
+        self._by_source: list[_MatchedClause] = []
+        self._null_safe_keys = True
         self._branch = batch.branch if batch is not None else "main"
         self._skip_sort = False
         self._isolation = "snapshot"
@@ -166,6 +191,40 @@ class MergeIntoBuilder:
         self._not_matched.append(_NotMatchedClause(condition, values))
         return self
 
+    def when_not_matched_by_source_update(
+        self, sets: dict[str, str], condition: str | None = None
+    ) -> "MergeIntoBuilder":
+        """SQL:2016 ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE``
+        — fires on target rows (inside the boundary) with no source
+        match.  ``sets`` is mandatory (there is no source row to copy)
+        and, like ``condition``, may reference ``target.*`` only."""
+        require(bool(sets), "when_not_matched_by_source_update needs explicit sets")
+        for text in [condition or "", *sets.values()]:
+            _reject_source_refs(text, "WHEN NOT MATCHED BY SOURCE")
+        self._by_source.append(_MatchedClause("update", condition, dict(sets)))
+        return self
+
+    def when_not_matched_by_source_delete(
+        self, condition: str | None = None
+    ) -> "MergeIntoBuilder":
+        """SQL:2016 ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE``
+        — the snapshot-sync clause (delete target rows absent from the
+        source), same semantics the SCD1 snapshot mode implements
+        (dml/scd1.py apply_as_scd1_snapshot ≙ reference
+        scd1_merge.xml:73-141)."""
+        _reject_source_refs(condition or "", "WHEN NOT MATCHED BY SOURCE")
+        self._by_source.append(_MatchedClause("delete", condition, None))
+        return self
+
+    def null_safe_keys(self, flag: bool = True) -> "MergeIntoBuilder":
+        """True (default): keys join with ``IS NOT DISTINCT FROM`` so a
+        NULL target key matches a NULL source key.  False: standard SQL
+        null-rejecting ``=`` — NULL-keyed rows never match (they classify
+        NOT MATCHED / NOT MATCHED BY SOURCE).  The textual MERGE surface
+        passes False so ``ON t.k = s.k`` keeps standard semantics."""
+        self._null_safe_keys = flag
+        return self
+
     def branch(self, b: str) -> "MergeIntoBuilder":
         if self._batch is not None and b != self._batch.branch:
             raise ValidationError(
@@ -213,14 +272,14 @@ class MergeIntoBuilder:
         require(self._source is not None, "merge needs a source (using/source_sql)")
         require(bool(self._keys), "merge needs key_columns")
         require(
-            bool(self._matched) or bool(self._not_matched),
+            bool(self._matched) or bool(self._not_matched) or bool(self._by_source),
             "merge needs at least one WHEN clause",
         )
         tbl = self._resolve_table()
         cols = tbl.schema.fieldNames()
         missing = set(self._keys) - set(cols)
         require(not missing, f"key columns not in table: {sorted(missing)}")
-        for cl in self._matched:
+        for cl in (*self._matched, *self._by_source):
             if cl.sets:
                 bad = set(cl.sets) - set(cols)
                 require(not bad, f"update sets unknown columns: {sorted(bad)}")
@@ -289,7 +348,8 @@ class MergeIntoBuilder:
         )
         on = F.col("target.__candidate__")
         for k in self._keys:
-            on = on & F.col(f"target.{k}").eqNullSafe(F.col(f"source.{k}"))
+            tk, sk = F.col(f"target.{k}"), F.col(f"source.{k}")
+            on = on & (tk.eqNullSafe(sk) if self._null_safe_keys else (tk == sk))
         j = tgt.join(src, on, "full_outer")
 
         matched = (
@@ -309,6 +369,25 @@ class MergeIntoBuilder:
             else:
                 op = op.when(cond, tag)
                 clause_idx = clause_idx.when(cond, F.lit(i))
+        # NOT MATCHED BY SOURCE: candidate target rows with no source side.
+        # Out-of-boundary rows are NOT candidates — the boundary contract
+        # (rows outside the filter are invisible to the merge) holds for
+        # this clause too, which is what keeps the rewrite manifest-pruned.
+        by_source = (
+            F.col(f"target.{RID}").isNotNull()
+            & F.col("source.__present__").isNull()
+            & F.col("target.__candidate__")
+        )
+        for i, cl in enumerate(self._by_source):
+            cond = by_source & (_expr(cl.condition) if cl.condition else F.lit(True))
+            tag = "D" if cl.action == "delete" else "U"
+            idx = len(self._matched) + i
+            if op is None:
+                op = F.when(cond, tag)
+                clause_idx = F.when(cond, F.lit(idx))
+            else:
+                op = op.when(cond, tag)
+                clause_idx = clause_idx.when(cond, F.lit(idx))
         ins_cond = F.lit(False)
         if self._not_matched:
             cl = self._not_matched[0]
@@ -327,7 +406,10 @@ class MergeIntoBuilder:
         for c in cols:
             v = F.col(f"target.{c}")
             expr = None
-            for i, cl in enumerate(self._matched):
+            # by-source clauses share the index space (offset by
+            # len(matched), matching the op walk above); their sets are
+            # always explicit so the target-column fallback applies
+            for i, cl in enumerate((*self._matched, *self._by_source)):
                 if cl.action != "update":
                     continue
                 cv = _expr(cl.sets[c]) if (cl.sets and c in cl.sets) else (

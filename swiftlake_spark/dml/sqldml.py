@@ -12,7 +12,11 @@ real user expects also work textually:
 - ``MERGE INTO db.t [AS] t USING (<query>)|<name> [AS] s
   ON t.k = s.k [AND t.bound = 'x' ...]
   WHEN MATCHED [AND <cond>] THEN UPDATE SET a = <expr>, ... | DELETE
-  WHEN NOT MATCHED [AND <cond>] THEN INSERT [*|(cols) VALUES (exprs)]``
+  WHEN NOT MATCHED [AND <cond>] THEN INSERT [*|(cols) VALUES (exprs)]
+  WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | DELETE``
+  (SQL:2016; ``ON`` key ``=`` is null-rejecting per standard SQL —
+  NULL-keyed rows classify NOT MATCHED on both sides; the builder's
+  ``null_safe_keys()`` default stays a builder-only opt-in)
 - ``CREATE TABLE [IF NOT EXISTS] db.t (<ddl>)|[AS <query>]
   [PARTITIONED BY (<spec>, ...)] [SORTED BY (...)]`` (CTAS infers the
   schema and inserts in the same call)
@@ -277,7 +281,16 @@ def ddl_route(engine, sql: str) -> bool:
     if engine.catalog.table_exists(name):
         return True
     db = name.split(".", 1)[0]
-    return any(t.startswith(db + ".") for t in engine.catalog.list_tables())
+    if not any(t.startswith(db + ".") for t in engine.catalog.list_tables()):
+        return False
+    # ADVICE r9: a provider-less CREATE whose db ALSO exists in the Spark
+    # session catalog is a pre-existing Spark workload — don't hijack it
+    try:
+        if engine.spark.catalog.databaseExists(db):
+            return False
+    except Exception:
+        pass
+    return True
 
 
 def _take_parens(text: str) -> tuple[str, str]:
@@ -365,11 +378,22 @@ def _exec_create(engine, sql: str) -> DataFrame:
         require(if_not_exists, f"table {name} already exists")
         return _receipt(engine.spark, "create", None)
     if as_query is not None:
+        # analyze the source BEFORE creating the table, and roll the
+        # create back if the insert fails — a failed CTAS must leave no
+        # committed empty table behind (ADVICE r9: retrying the same
+        # statement would otherwise hit "already exists")
         src = engine.sql(as_query)
         engine.catalog.create_table(
             name, src.schema, partition_spec=spec or None, sort_order=sort or None
         )
-        snap = engine.insert_into(name).dataframe(src).execute()
+        try:
+            snap = engine.insert_into(name).dataframe(src).execute()
+        except BaseException:
+            try:
+                engine.catalog.drop_table(name)
+            except Exception:
+                pass
+            raise
         return _receipt(engine.spark, "create", snap)
     engine.catalog.create_table(
         name, cols_ddl, partition_spec=spec or None, sort_order=sort or None
@@ -757,7 +781,13 @@ def _exec_merge(engine, sql: str, toks: list[_Tok]) -> DataFrame:
         for tcol, scol in on.keys
         if tcol != scol
     }
-    b = engine.merge_into(table).using(src_df).key_columns([k for k, _ in on.keys])
+    # standard SQL '=' is null-rejecting; eqNullSafe stays builder-only
+    b = (
+        engine.merge_into(table)
+        .using(src_df)
+        .key_columns([k for k, _ in on.keys])
+        .null_safe_keys(False)
+    )
     tbl_schema = engine.catalog.table(table).schema
     if on.boundary:
         b = b.table_filter(
@@ -786,6 +816,11 @@ def _parse_when(
         i += 1
     require(i < hi and toks[i].up == "MATCHED", "expected MATCHED in WHEN clause")
     i += 1
+    by_source = False
+    if i + 1 < hi and toks[i].up == "BY" and toks[i + 1].up == "SOURCE":
+        require(negated, "BY SOURCE only follows WHEN NOT MATCHED")
+        by_source = True
+        i += 2
     cond = None
     if i < hi and toks[i].up == "AND":
         then = _find_kw(toks, "THEN", i + 1)
@@ -796,6 +831,20 @@ def _parse_when(
     i += 1
     require(i < hi, "empty action after THEN")
     action = toks[i].up
+    if by_source:
+        # target-only rows: UPDATE SET .../DELETE; the builder rejects
+        # source.* references in cond/sets with a clear error
+        if action == "DELETE":
+            require(i + 1 == hi, "DELETE takes no arguments")
+            b.when_not_matched_by_source_delete(condition=cond)
+            return
+        require(
+            action == "UPDATE", f"unsupported not-matched-by-source action {action!r}"
+        )
+        require(i + 1 < hi and toks[i + 1].up == "SET", "UPDATE needs SET")
+        sets = _assignments(sql, toks, i + 2, hi, mapping, full=full)
+        b.when_not_matched_by_source_update(sets=sets, condition=cond)
+        return
     if not negated:
         if action == "DELETE":
             require(i + 1 == hi, "DELETE takes no arguments")

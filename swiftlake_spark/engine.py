@@ -144,6 +144,12 @@ class SwiftLakeEngine:
         if self.warehouse is not None and sqldml.ddl_route(self, sql):
             # CREATE TABLE / DROP TABLE on lakehouse tables (see
             # ddl_route for the conservative routing evidence)
+            if args is not None:
+                from swiftlake_spark.tables.metadata import ValidationError
+
+                raise ValidationError(
+                    "parameter markers are not supported in DDL statements"
+                )
             return sqldml.execute_dml(self, sql)
         if self.warehouse is not None and sqldml.is_dml(sql):
             # route to the lakehouse DML builders ONLY when the target is

@@ -56,42 +56,42 @@ def _load_all() -> None:
     from swiftlake_spark.queries import corpus  # noqa: F401
 
 
-# Driver-gate rotation (round 9).  The correctness driver hash-checks only
+# Driver-gate rotation (round 10).  The correctness driver hash-checks only
 # the FIRST 50 entries of queries() in iteration order, so certification must
 # rotate: names in _GATE_PRIORITY are emitted first, everything else follows
-# in registration order.  Rebuilt from the CORRECTNESS_r01..r08 union by
-# last-certified round (staleness-first, VERDICT r8 ask #1):
-#   1. q129-q136, q123-q128, then q120-q122 (registered r9, never
-#      certified — 17 slots) head the window;
-#   2. the 19 queries last certified in r6 (the r8 rotation's roll-over
-#      tail: q57, q59, q63-q75, q77-q80) follow;
-#   3. the first 14 of the 50 r7-certified queries (CORRECTNESS_r07 key
-#      order) fill the 50 slots; the remaining r7-certified roll to
-#      round 10, where they head the window ahead of the r8/r9 blocks.
-# Invariant: steady-state max staleness is 3 rounds for a 136-query
+# in registration order.  Rebuilt from the CORRECTNESS_r01..r09 union by
+# last-certified round (staleness-first, VERDICT r9 ask #1):
+#   1. the 36 queries whose last green is CORRECTNESS_r07 (q01-q26,
+#      q95-q97, q101-q105, q109, q110) head the window — they are the
+#      only names at the 3-round staleness boundary;
+#   2. queries registered this round (never driver-certified) follow;
+#   3. the oldest r8-certified queries (CORRECTNESS_r08 key order) fill
+#      the remaining slots; the r8 tail plus the r9 block roll to
+#      round 11, where the uncertified r8 remainder heads the window.
+# Invariant: steady-state max staleness is 3 rounds for a ~140-query
 # registry over a 50-slot window; nothing exceeds it under this order.
 _GATE_PRIORITY = [
-    # never driver-certified (registered r9)
-    'q129_sql_ddl_lifecycle', 'q130_embed_quantize', 'q131_doc_repetition',
-    'q132_funnel', 'q133_retention', 'q134_hopping_window',
-    'q135_anomaly_zscore', 'q136_event_transitions',
-    'q123_span_dedup', 'q124_bm25', 'q125_dsir_weights',
-    'q126_editdist_neardup', 'q127_tfidf_topterms', 'q128_stratified_sample',
-    'q120_jpeg_features', 'q121_merge_into', 'q122_sql_merge',
-    # last certified r6
-    'q57_quantiles', 'q59_vocab_topk', 'q63_exists_subquery',
-    'q64_explode_tokens', 'q65_string_agg', 'q66_unpivot', 'q67_regexp',
-    'q68_sequence', 'q69_bitwise', 'q70_date_arith', 'q71_array_funcs',
-    'q72_local_volume', 'q73_window_extras', 'q74_conditional_agg',
-    'q75_gopher_rules', 'q77_contamination', 'q78_returned_revenue',
-    'q79_median_stats', 'q80_set_ops_all',
-    # last certified r7 (CORRECTNESS_r07 key order; the first 14 fit the
-    # 50-slot window, the tail rolls to the round-10 rotation)
-    'q81_grouping_id', 'q82_nation_volume', 'q83_important_stock',
-    'q84_uuid_type', 'q85_time_type', 'q86_min_cost_supplier',
-    'q87_order_priority', 'q88_forecast_revenue', 'q89_market_share',
-    'q90_nation_profit', 'q91_customer_distribution', 'q92_promo_revenue',
-    'q93_top_supplier', 'q94_part_supplier_count',
+    # last certified r7 (36 — the mandatory r10 block, VERDICT r9 ask #1)
+    'q01_pricing_summary', 'q02_filter_predicates', 'q03_shipping_priority',
+    'q04_semi_join', 'q05_anti_join', 'q06_left_outer_join',
+    'q07_full_outer_nullsafe', 'q08_window_topk_per_group',
+    'q09_window_analytics', 'q10_set_ops', 'q11_cte_subquery', 'q12_rollup',
+    'q13_distinct', 'q14_case_scalar', 'q15_string_funcs', 'q16_datetime',
+    'q17_nested_types', 'q18_topk_global', 'q19_having',
+    'q20_cross_theta_join', 'q21_float_special', 'q22_null_semantics',
+    'q23_pivot', 'q24_cube', 'q25_approx_distinct', 'q26_union_by_name',
+    'q95_small_qty_revenue', 'q96_large_volume_customer',
+    'q97_disjunctive_revenue', 'q101_recursive_spine', 'q102_dup_clusters',
+    'q103_pii_redaction', 'q104_boilerplate_ngrams', 'q105_dedup_corpus',
+    'q109_bigram_surprisal', 'q110_length_histogram',
+    # registered r10, never driver-certified
+    'q137_merge_not_matched_by_source', 'q138_sql_merge_full_sync',
+    # last certified r8 (CORRECTNESS_r08 key order; fills the 50 slots,
+    # the tail rolls to round 11 where it heads the window)
+    'q27_casts', 'q28_range_frame', 'q29_math_funcs', 'q30_tumbling_window',
+    'q31_sessionization', 'q32_json_props', 'q33_file_metadata',
+    'q34_select_except', 'q35_asof_join', 'q36_range_join',
+    'q37_struct_key_join', 'q38_scd_diff_classify',
 ]
 
 

@@ -250,3 +250,138 @@ def test_merge_snapshot_summary_and_time_travel(engine, spark):
     # time travel still sees the pre-merge state
     assert len(rows(t.scan(snapshot_id=before))) == 4
     assert rows(engine.catalog.load("db.m"), "id") == [(2,), (3,), (4,)]
+
+
+# -- WHEN NOT MATCHED BY SOURCE (SQL:2016, Spark SQL >=3.4) ---------------
+
+
+def test_by_source_delete_full_sync(engine, spark):
+    # snapshot-style sync: target rows absent from the source are deleted
+    seed(engine, spark)
+    engine.merge_into("db.m").using(
+        src(spark, [(2, "A", 99, 9.9), (9, "C", 5, 0.5)])
+    ).key_columns(["id"]).unbounded().when_matched_update().when_not_matched_insert().when_not_matched_by_source_delete().execute()
+    assert rows(engine.catalog.load("db.m"), "id", "cat", "qty") == [
+        (2, "A", 99),
+        (9, "C", 5),
+    ]
+
+
+def test_by_source_update_and_first_match_wins(engine, spark):
+    seed(engine, spark)
+    engine.merge_into("db.m").using(
+        src(spark, [(1, "A", 0, 0.0)])
+    ).key_columns(["id"]).unbounded().when_not_matched_by_source_update(
+        sets={"cat": "'COLD'"}, condition="target.qty >= 40"
+    ).when_not_matched_by_source_update(
+        sets={"qty": "target.qty + 1"}
+    ).execute()
+    # id=1 matched (untouched: no matched clause); id=4 fired clause 0
+    # (cat only); id=2/3 fired clause 1 (qty only)
+    assert rows(engine.catalog.load("db.m"), "id", "cat", "qty") == [
+        (1, "A", 10),
+        (2, "A", 21),
+        (3, "B", 31),
+        (4, "COLD", 40),
+    ]
+
+
+def test_by_source_respects_boundary(engine, spark):
+    # bounded to cat='A': the B rows are outside the merge universe and
+    # must NOT be deleted by the by-source clause, even when their file
+    # is touched by an in-boundary rewrite
+    seed(engine, spark)
+    engine.merge_into("db.m").using(
+        src(spark, [(1, "A", 11, 1.1)])
+    ).key_columns(["id"]).table_filter_sql(
+        "cat = 'A'"
+    ).when_matched_update().when_not_matched_by_source_delete().execute()
+    assert rows(engine.catalog.load("db.m"), "id", "cat", "qty") == [
+        (1, "A", 11),  # matched, updated
+        (3, "B", 30),  # outside boundary: survives
+        (4, "B", 40),  # outside boundary: survives
+    ]
+    # id=2 (cat='A', unmatched) was deleted by the by-source clause
+
+
+def test_by_source_rejects_source_refs(engine, spark):
+    seed(engine, spark)
+    b = engine.merge_into("db.m").using(src(spark, [])).key_columns(["id"])
+    with pytest.raises(ValidationError, match="source"):
+        b.when_not_matched_by_source_update(sets={"qty": "source.qty"})
+    with pytest.raises(ValidationError, match="source"):
+        b.when_not_matched_by_source_delete(condition="source.qty > 0")
+    # a string literal containing the word is fine
+    b.when_not_matched_by_source_update(sets={"cat": "'from source.x'"})
+
+
+def test_by_source_requires_sets(engine, spark):
+    seed(engine, spark)
+    with pytest.raises(ValidationError, match="sets"):
+        engine.merge_into("db.m").when_not_matched_by_source_update(sets={})
+
+
+def test_by_source_only_clause(engine, spark):
+    # a merge with ONLY a by-source clause is legal (prune-style cleanup)
+    seed(engine, spark)
+    engine.merge_into("db.m").using(
+        src(spark, [(1, "A", 0, 0.0), (3, "B", 0, 0.0)])
+    ).key_columns(["id"]).unbounded().when_not_matched_by_source_delete().execute()
+    assert rows(engine.catalog.load("db.m"), "id") == [(1,), (3,)]
+
+
+def test_null_rejecting_keys(engine, spark):
+    # null_safe_keys(False): NULL keys never match — the NULL-keyed
+    # target row classifies NOT MATCHED BY SOURCE (deleted), the
+    # NULL-keyed source row classifies NOT MATCHED (inserted)
+    seed(engine, spark, data=[(None, "A", 1, 1.0), (5, "A", 5, 5.0)])
+    engine.merge_into("db.m").using(
+        src(spark, [(None, "B", 100, 1.0), (5, "A", 50, 5.0)])
+    ).key_columns(["id"]).unbounded().null_safe_keys(
+        False
+    ).when_matched_update().when_not_matched_insert().when_not_matched_by_source_delete().execute()
+    assert rows(engine.catalog.load("db.m"), "id", "cat", "qty") == [
+        (5, "A", 50),      # matched, updated
+        (None, "B", 100),  # inserted (source NULL key never matches)
+    ]
+
+
+def test_by_source_differential_vs_duckdb(engine, spark):
+    """Full three-way merge (matched update/delete + insert + by-source
+    update/delete) equals DuckDB's reference computation."""
+    tgt_rows = [
+        (i, "A" if i % 2 else "B", i * 10, float(i)) for i in range(1, 41)
+    ]
+    src_rows = [
+        (i, "C", i * 3, float(100 - i)) for i in range(20, 61) if i % 3 != 0
+    ]
+    seed(engine, spark, data=tgt_rows)
+    engine.merge_into("db.m").using(src(spark, src_rows)).key_columns(
+        ["id"]
+    ).unbounded().when_matched_update(
+        sets={"qty": "target.qty + source.qty"}
+    ).when_not_matched_insert().when_not_matched_by_source_delete(
+        condition="target.cat = 'B'"
+    ).when_not_matched_by_source_update(
+        sets={"cat": "'STALE'", "price": "target.price * 2"}
+    ).execute()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, cat VARCHAR, qty BIGINT, price DOUBLE)")
+    con.execute("CREATE TABLE s (id BIGINT, cat VARCHAR, qty BIGINT, price DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", tgt_rows)
+    con.executemany("INSERT INTO s VALUES (?,?,?,?)", src_rows)
+    expect = con.execute(
+        """
+        SELECT t.id, t.cat, t.qty + s.qty AS qty, t.price
+        FROM t JOIN s USING (id)
+        UNION ALL
+        SELECT s.* FROM s ANTI JOIN t USING (id)
+        UNION ALL
+        SELECT t.id, 'STALE', t.qty, t.price * 2
+        FROM t ANTI JOIN s USING (id) WHERE NOT (t.cat = 'B')
+        ORDER BY id
+        """
+    ).fetchall()
+    got = rows(engine.catalog.load("db.m"), "id", "cat", "qty", "price")
+    assert got == sorted([tuple(r) for r in expect], key=_key)

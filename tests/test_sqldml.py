@@ -426,3 +426,116 @@ def test_sql_merge_on_unknown_source_column_clear_error(engine, spark):
             "MERGE INTO db.mm1 t USING mm_src s ON t.id = s.zz "
             "WHEN MATCHED THEN DELETE"
         )
+
+
+# -- WHEN NOT MATCHED BY SOURCE through SQL (SQL:2016) ---------------------
+
+
+def test_sql_merge_not_matched_by_source(engine, spark):
+    seed(engine, spark)
+    spark.createDataFrame(
+        [(2, "A", 99, 9.9), (9, "C", 5, 0.5)], DDL
+    ).createOrReplaceTempView("sync_src")
+    out = engine.sql(
+        """
+        MERGE INTO db.m t USING sync_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET qty = s.qty
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.cat = 'B' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cat = 'STALE'
+        """
+    )
+    assert out.collect()[0].operation == "merge"
+    assert rows(engine.catalog.load("db.m"), "id", "cat", "qty") == [
+        (1, "STALE", 10),  # A row absent from source: flagged
+        (2, "A", 99),      # matched: updated
+        (9, "C", 5),       # inserted
+    ]  # 3, 4 (cat B, unmatched) deleted
+
+
+def test_sql_merge_by_source_rejects_source_refs(engine, spark):
+    seed(engine, spark)
+    spark.createDataFrame([(1, "A", 0, 0.0)], DDL).createOrReplaceTempView("s2")
+    with pytest.raises(ValidationError, match="source"):
+        engine.sql(
+            """
+            MERGE INTO db.m t USING s2 s ON t.id = s.id
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET qty = s.qty
+            """
+        )
+
+
+def test_sql_merge_by_source_requires_not(engine, spark):
+    seed(engine, spark)
+    spark.createDataFrame([(1, "A", 0, 0.0)], DDL).createOrReplaceTempView("s3")
+    with pytest.raises(ValidationError, match="BY SOURCE"):
+        engine.sql(
+            """
+            MERGE INTO db.m t USING s3 s ON t.id = s.id
+            WHEN MATCHED BY SOURCE THEN DELETE
+            """
+        )
+
+
+def test_sql_merge_null_rejecting_equals(engine, spark):
+    # ADVICE r9 (medium): SQL '=' must be null-rejecting — a NULL-keyed
+    # source row inserts (standard) instead of matching a NULL-keyed
+    # target row (the builder's eqNullSafe default)
+    seed(engine, spark, data=[(None, "A", 1, 1.0), (5, "A", 5, 5.0)])
+    spark.createDataFrame(
+        [(None, "B", 100, 2.0), (5, "A", 50, 5.0)], DDL
+    ).createOrReplaceTempView("null_src")
+    engine.sql(
+        """
+        MERGE INTO db.m t USING null_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET qty = s.qty
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert rows(engine.catalog.load("db.m"), "id", "cat", "qty") == [
+        (5, "A", 50),      # matched: updated
+        (None, "A", 1),    # target NULL key: untouched (no match)
+        (None, "B", 100),  # source NULL key: inserted, not matched
+    ]
+
+
+# -- ADVICE r9 routing/atomicity fixes -------------------------------------
+
+
+def test_ddl_create_does_not_hijack_spark_database(engine, spark):
+    # a provider-less CREATE into a database that exists in the SPARK
+    # session catalog passes through to spark.sql even when a same-named
+    # lakehouse db exists (ADVICE r9)
+    engine.catalog.create_table("hij.t0", "id BIGINT")
+    spark.sql("CREATE DATABASE IF NOT EXISTS hij")
+    try:
+        engine.sql("CREATE TABLE hij.native (id BIGINT, v STRING)")
+        # went to the Spark catalog, not the lakehouse
+        assert not engine.catalog.table_exists("hij.native")
+        assert spark.catalog.tableExists("hij.native")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS hij CASCADE")
+
+
+def test_ctas_failure_leaves_no_table(engine, spark):
+    seed(engine, spark)
+    with pytest.raises(Exception):
+        # analyzes fine, fails at execution: division is fine in ANSI off?
+        # use a UDF-free guaranteed executor failure: cast invalid via
+        # raise_error, which analyzes but throws at runtime
+        engine.sql(
+            "CREATE TABLE db.ctas_fail AS "
+            "SELECT id, raise_error('boom') AS x FROM db.m"
+        )
+    assert not engine.catalog.table_exists("db.ctas_fail")
+    # retry with a good query now succeeds (no "already exists")
+    engine.sql("CREATE TABLE db.ctas_fail AS SELECT id FROM db.m")
+    assert engine.catalog.table_exists("db.ctas_fail")
+
+
+def test_ddl_rejects_parameter_markers(engine, spark):
+    seed(engine, spark)
+    with pytest.raises(ValidationError, match="parameter markers"):
+        engine.sql(
+            "CREATE TABLE db.p AS SELECT * FROM db.m WHERE id = ?", args=[1]
+        )
