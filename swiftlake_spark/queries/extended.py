@@ -1416,3 +1416,169 @@ def q129_sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY c_mktsegment, status "
         "ORDER BY c_mktsegment, status"
     )
+
+
+# --------------------------------------------------------------------------
+# q137 — WHEN NOT MATCHED BY SOURCE through the builder API (dml/merge.py,
+# round 10; SQL:2016, Spark SQL >=3.4 parity): a snapshot-style sync where
+# target rows absent from the source are deleted (finalized orders) or
+# flagged stale (everything else), alongside the usual matched-update and
+# not-matched-insert clauses.  The oracle recomputes the final state from
+# raw `orders` parquet with the three-way join/anti-join decomposition, so
+# a misclassified row (by-source firing on a matched row, a boundary slip,
+# clause-order inversion) breaks the hash.  Machinery ≙ the SCD1 snapshot
+# mode's unmatched-target classification (dml/scd1.py ≙ reference
+# scd1_merge.xml:73-141), generalized to free-form clauses.
+# --------------------------------------------------------------------------
+_Q137_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q137_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    wh = _Q137_CACHE.get(key)
+    if wh is None:
+        wh = tempfile.mkdtemp(prefix="q137_wh_")
+        eng = SwiftLakeEngine(spark, warehouse=wh)
+        orders = load(spark, sf_dir, "orders")
+        tgt = orders.filter(F.col("o_orderkey") <= 5000).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        eng.catalog.create_table(
+            "db.q137_orders", tgt.schema, sort_order=["o_orderkey"]
+        )
+        eng.insert_into("db.q137_orders").dataframe(tgt).execute()
+        src = orders.filter(F.col("o_orderkey").between(2500, 7500)).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        eng.merge_into("db.q137_orders").using(src).key_columns(
+            ["o_orderkey"]
+        ).unbounded().when_matched_update(
+            sets={"o_totalprice": "target.o_totalprice + source.o_totalprice"}
+        ).when_not_matched_insert().when_not_matched_by_source_delete(
+            condition="target.o_orderstatus = 'F'"
+        ).when_not_matched_by_source_update(
+            sets={"o_orderstatus": "'X'"}
+        ).execute()
+        _Q137_CACHE[key] = wh
+    return wh
+
+
+@query(
+    "q137_merge_not_matched_by_source",
+    oracle=r"""
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey <= 5000
+), s AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey BETWEEN 2500 AND 7500
+)
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM (
+  SELECT t.o_orderkey, t.o_custkey,
+         t.o_totalprice + s.o_totalprice AS o_totalprice,
+         t.o_orderstatus
+  FROM t JOIN s USING (o_orderkey)
+  UNION ALL
+  SELECT s.* FROM s ANTI JOIN t USING (o_orderkey)
+  UNION ALL
+  SELECT t.o_orderkey, t.o_custkey, t.o_totalprice, 'X' AS o_orderstatus
+  FROM t ANTI JOIN s USING (o_orderkey)
+  WHERE NOT (t.o_orderstatus = 'F')
+)
+ORDER BY o_orderkey
+""",
+)
+def q137_merge_not_matched_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    eng = SwiftLakeEngine(spark, warehouse=_q137_warehouse(spark, sf_dir))
+    return (
+        eng.catalog.load("db.q137_orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q138 — full-sync MERGE through SQL text (dml/sqldml.py, round 10): the
+# SQL:2016 `WHEN NOT MATCHED BY SOURCE` clauses parsed from statement text
+# into the builder, plus the null-rejecting '=' ON-key semantics the SQL
+# surface guarantees (ADVICE r9 medium — eqNullSafe stays builder-only).
+# The oracle recomputes the final state from raw `customer` parquet, so a
+# parse misread of the BY SOURCE clauses, a null-safe join slip, or a
+# clause-order inversion breaks the hash.
+# --------------------------------------------------------------------------
+_Q138_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q138_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    wh = _Q138_CACHE.get(key)
+    if wh is None:
+        wh = tempfile.mkdtemp(prefix="q138_wh_")
+        eng = SwiftLakeEngine(spark, warehouse=wh)
+        customer = load(spark, sf_dir, "customer")
+        tgt = customer.filter(F.col("c_custkey") <= 3000).select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        eng.catalog.create_table(
+            "db.q138_cust", tgt.schema, sort_order=["c_custkey"]
+        )
+        eng.insert_into("db.q138_cust").dataframe(tgt).execute()
+        customer.filter(F.col("c_custkey").between(1500, 4500)).select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ).createOrReplaceTempView("q138_src")
+        eng.sql(
+            """
+            MERGE INTO db.q138_cust t USING q138_src s
+            ON t.c_custkey = s.c_custkey
+            WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'STALE'
+            """
+        )
+        _Q138_CACHE[key] = wh
+    return wh
+
+
+@query(
+    "q138_sql_merge_full_sync",
+    oracle=r"""
+WITH t AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey <= 3000
+), s AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey BETWEEN 1500 AND 4500
+)
+SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+  SELECT t.c_custkey, t.c_mktsegment, s.c_acctbal
+  FROM t JOIN s USING (c_custkey)
+  UNION ALL
+  SELECT s.* FROM s ANTI JOIN t USING (c_custkey)
+  UNION ALL
+  SELECT t.c_custkey, 'STALE' AS c_mktsegment, t.c_acctbal
+  FROM t ANTI JOIN s USING (c_custkey)
+  WHERE NOT (t.c_acctbal < 0)
+)
+ORDER BY c_custkey
+""",
+)
+def q138_sql_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.engine import SwiftLakeEngine
+
+    eng = SwiftLakeEngine(spark, warehouse=_q138_warehouse(spark, sf_dir))
+    return (
+        eng.catalog.load("db.q138_cust")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    )
