@@ -193,6 +193,15 @@ def main() -> int:
             )
     except OSError:
         pass
+    # teardown: release cached fixture artifacts (persisted gram/centroid
+    # relations, mkdtemp warehouses) so repeated bench runs in one shell
+    # don't accumulate executor disk / tmp (artifact-registry lifecycle)
+    try:
+        from swiftlake_spark.artifacts import registry as _registry
+
+        _registry.clear()
+    except Exception:
+        pass
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
         # last-resort trim: drop per-query detail before losing the

@@ -10,6 +10,7 @@ Usage:
     python scripts/fuzz_sweep.py --scd2 [n_seeds] [seed0]     # SCD2 model
     python scripts/fuzz_sweep.py --evo [n_seeds] [seed0]      # schema evolution
     python scripts/fuzz_sweep.py --mixed [n_seeds] [seed0]    # DML x reads
+    python scripts/fuzz_sweep.py --ddl [n_seeds] [seed0]      # textual DDL
 
 --dml sweeps the DML state machine (tests/test_dml_fuzz.run_sequence):
 random append / overwrite / SCD1 / update / delete sequences against a
@@ -123,6 +124,13 @@ def main() -> int:
         return main_pytest_style(
             n, seed0, "tests.test_mixed_fuzz",
             "test_mixed_read_write_matches_mirror", "mixed",
+        )
+    if args and args[0] == "--ddl":
+        n = int(args[1]) if len(args) > 1 else 40
+        seed0 = int(args[2]) if len(args) > 2 else 11000
+        return main_pytest_style(
+            n, seed0, "tests.test_ddl_fuzz",
+            "test_ddl_sequence_matches_mirror", "ddl",
         )
     if args and args[0] == "--evo":
         n = int(args[1]) if len(args) > 1 else 30

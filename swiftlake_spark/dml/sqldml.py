@@ -635,6 +635,29 @@ def _ident_side(text: str, t_alias: str, s_alias: str) -> tuple[str | None, str]
     return None, text
 
 
+def _strip_qualifier(
+    sql: str, toks: list[_Tok], lo: int, hi: int, alias: str
+) -> str:
+    """Rebuild tokens[lo:hi] with the ``alias.`` prefix dropped from
+    qualified word tokens — the token-exact counterpart of
+    ``_rewrite_aliases`` for boundary-conjunct extraction (a literal
+    containing the alias text can never be touched: literals are not
+    word tokens)."""
+    if lo >= hi:
+        return ""
+    out = []
+    pos = toks[lo].start
+    for i in range(lo, hi):
+        t = toks[i]
+        out.append(sql[pos : t.start])
+        text = sql[t.start : t.end]
+        if t.kind == "word" and text.lower().startswith(alias.lower() + "."):
+            text = text[len(alias) + 1 :]
+        out.append(text)
+        pos = t.end
+    return "".join(out)
+
+
 def _analyze_on(
     sql: str, toks: list[_Tok], lo: int, hi: int, t_alias: str, s_alias: str
 ) -> _OnAnalysis:
@@ -679,15 +702,10 @@ def _analyze_on(
                 ok = False
                 break
         if ok and sides == {"target"}:
-            # strip the target qualifier so parse_filter sees bare columns
-            # (span has literals masked out of reach — the sub runs on the
-            # original text, but the qualifier pattern can't occur inside
-            # a quoted literal without the alias-dot shape anyway; to be
-            # strict, rebuild from tokens instead)
-            stripped = _rewrite_aliases(
-                sql, toks, s, e, {t_alias.lower(): "\0"}
-            ).replace("\0.", "")
-            boundary.append(stripped)
+            # strip the target qualifier so parse_filter sees bare
+            # columns — token-span rebuild, so string literals (kind
+            # 'str', never word) are untouchable by construction
+            boundary.append(_strip_qualifier(sql, toks, s, e, t_alias))
             continue
         raise ValidationError(
             f"unsupported ON conjunct {span!r}: MERGE through SQL accepts "

@@ -312,3 +312,17 @@ class SwiftLakeEngine:
 
         name, batch = self._name_or_batch(table)
         return SCD2Builder(self, name, mode="snapshot", batch=batch)
+
+    def close(self) -> None:
+        """Release session-scoped cached artifacts (persisted DataFrames,
+        fixture tempdirs) registered under this engine's Spark
+        application — the bounded-lifecycle half of the artifact registry
+        (swiftlake_spark/artifacts.py).  Does NOT stop the SparkSession:
+        the session is caller-owned (several engines may share it)."""
+        from swiftlake_spark.artifacts import registry
+
+        try:
+            app_id = self.spark.sparkContext.applicationId
+        except Exception:
+            app_id = None
+        registry.clear(app_id=app_id)

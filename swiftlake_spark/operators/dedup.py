@@ -417,6 +417,15 @@ def duplicate_spans(
 
     Returns one row per maximal span: (id, span_start, span_end,
     span_tokens, n_tokens) with 1-based inclusive token positions.
+    ``min_docs`` counts DISTINCT documents containing the gram,
+    including the reporting document itself — so a gram repeated many
+    times within ONE document never marks a span (within-doc repetition
+    is q131's operator, not this one), and ``min_docs=2`` means "this
+    exact n-gram also appears in at least one OTHER document".  Spans
+    from different grams merge when they overlap (start positions < n
+    apart), so ``span_tokens`` can exceed n even at min_docs=2; a
+    document with no qualifying gram emits no row at all (callers
+    computing ratios must left-join back to the corpus).
 
     Scale (100 TB): the explode is ~n× the token count but grams travel
     as 32-byte md5 keys only; duplicate detection is one hash shuffle on
@@ -480,6 +489,7 @@ def editdist_near_dups(
     max_dist: int = 20,
     len_col: str | None = None,
     max_len_delta: int | None = None,
+    len_bucket_width: int | None = None,
 ) -> DataFrame:
     """Edit-distance near-duplicate pairs with blocking.
 
@@ -490,11 +500,27 @@ def editdist_near_dups(
     prefix bound caps the O(prefix²) DP cost per pair regardless of
     document length.
 
+    RECALL CONTRACT: a pair whose edits all fall inside the blocking
+    key is lost — e.g. with a k-char-prefix block, edits within the
+    first k characters separate the pair into different blocks (q126's
+    (lang, 4-char-prefix) blocking measured a 40× candidate-pair cut at
+    sf0.01 with zero lost pairs on that corpus, but the guarantee is
+    corpus-dependent, not structural).  ``len_bucket_width`` is the one
+    EXACT refinement: with width w, text lengths bucket to
+    ``floor(len/w)`` and the b-side probes buckets {-1, 0, +1}, so any
+    pair with |Δlen| ≤ w meets in some bucket — identical recall to the
+    unbucketed join with a |Δlen| ≤ w filter, while a mega-block whose
+    members differ in length is cut ~(block length-spread / w)-fold
+    (scripts/corpus_stress.py measured 25× fewer candidate pairs and
+    ~9× wall on a planted 1000-doc mega-block; PERF.md §r10).  Pairs
+    with |Δlen| > w are dropped by construction — sound for near-dup
+    use since edit distance ≥ |Δlen| on full strings.
+
     Scale: the self-join shuffles on the block key; pair count is
-    Σ_block |block|², so blocks must be chosen to bound skew (at corpus
-    scale add a coarse length-bucket to ``block_cols`` — the length
-    filter alone does not bound the join).  Returns (id_a, id_b,
-    *block_cols, dist), id_a < id_b.
+    Σ_block |block|², so blocks must bound skew — at corpus scale ALWAYS
+    pass ``len_bucket_width`` (a planted same-prefix mega-block is
+    exactly what a boilerplate-heavy crawl produces).  Returns (id_a,
+    id_b, *block_cols, dist), id_a < id_b.
     """
     sel = [
         F.col(id_col).alias("id"),
@@ -503,11 +529,34 @@ def editdist_near_dups(
     ]
     if len_col is not None:
         sel.append(F.col(len_col).alias("__len"))
+    if len_bucket_width is not None:
+        sel.append(F.length(F.col(text_col)).alias("__tlen"))
+        sel.append(
+            F.floor(F.length(F.col(text_col)) / len_bucket_width).alias("__lbkt")
+        )
     base = df.select(*sel)
-    a, b = base.alias("a"), base.alias("b")
+    a = base.alias("a")
+    if len_bucket_width is not None:
+        # b-side probes its own and both adjacent buckets: |Δlen| ≤ w ⟹
+        # |Δbucket| ≤ 1, so the ±1 probe makes the bucket join EXACT for
+        # the ≤w length window at a bounded 3× explode of one side
+        base_b = base.withColumn(
+            "__probe", F.explode(F.array(F.col("__lbkt") - 1, F.col("__lbkt"), F.col("__lbkt") + 1))
+        )
+    else:
+        base_b = base
+    b = base_b.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    if len_bucket_width is not None:
+        # bucket equality + the ≤w length window the bucketing promises
+        # (without it the ±1 probe would admit |Δlen| up to 2w-1 pairs
+        # the unbucketed-with-filter formulation rejects)
+        cond = cond & (F.col("a.__lbkt") == F.col("b.__probe"))
+        cond = cond & (
+            F.abs(F.col("a.__tlen") - F.col("b.__tlen")) <= len_bucket_width
+        )
     if len_col is not None and max_len_delta is not None:
         cond = cond & (
             F.abs(F.col("a.__len") - F.col("b.__len")) <= max_len_delta

@@ -23,10 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from swiftlake_spark.artifacts import registry, storage_level_from_env
 from swiftlake_spark.queries import query
 from swiftlake_spark.queries.base import load
-
-_Q123_GRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 # --------------------------------------------------------------------------
@@ -82,21 +81,20 @@ def q123_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # persist the gram relation per (session, sf_dir): both plan branches
     # (dup-detection aggregate + join-back) consume it, and repeated
-    # invocations reuse the same entry instead of stacking persisted
-    # copies (q109's cache pattern — one registry entry per app+dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    grams = _Q123_GRAMS_CACHE.get(key)
+    # invocations reuse the same registry slot instead of stacking
+    # persisted copies; the registry bounds the slot (one live entry,
+    # prior evicted+unpersisted) and clear() releases it at session end
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    grams = registry.get_persisted("q123_grams", key)
     if grams is None:
-        import os as _os
-
-        from pyspark import StorageLevel
-
-        level = getattr(
-            StorageLevel,
-            _os.environ.get("SWIFTLAKE_GRAMS_STORAGE", "DISK_ONLY"),
+        level = storage_level_from_env("SWIFTLAKE_GRAMS_STORAGE")
+        grams = registry.put_persisted(
+            "q123_grams",
+            key,
+            gram_positions(d, "doc_id", "text", n=8).persist(level),
+            app_id=app,
         )
-        grams = gram_positions(d, "doc_id", "text", n=8).persist(level)
-        _Q123_GRAMS_CACHE[key] = grams
     spans = duplicate_spans(d, "doc_id", "text", n=8, min_docs=2, grams=grams)
     return (
         spans.groupBy(F.col("id").alias("doc_id"))

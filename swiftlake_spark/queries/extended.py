@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from swiftlake_spark.artifacts import registry
 from swiftlake_spark.queries import query
 from swiftlake_spark.queries.base import as_double, dec, load
 
@@ -876,16 +877,13 @@ def q101_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # built once per (session, sf_dir) and cached: 25 rows, metadata-only
 # evolution commits, so the build never touches data at scale.
 # --------------------------------------------------------------------------
-_Q111_CACHE: dict[tuple[int, str], str] = {}
-
-
 def _q111_table(spark: SparkSession, sf_dir: str):
     import tempfile
 
     from swiftlake_spark.tables.catalog import Catalog
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    wh = _Q111_CACHE.get(key)
+    wh = registry.get_tempdir("q111_wh", key)
     if wh is not None:
         return Catalog(spark, wh).table("db.q111")
     wh = tempfile.mkdtemp(prefix="swiftlake_q111_")
@@ -914,7 +912,7 @@ def _q111_table(spark: SparkSession, sf_dir: str):
         ).alias("info"),
     )
     t.append(gen2)
-    _Q111_CACHE[key] = wh
+    registry.put_tempdir("q111_wh", key, wh, app_id=key[0])
     return t
 
 
@@ -951,16 +949,13 @@ def q111_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dropped or duplicated by the bucketed write/prune path breaks the
 # hash.  Built once per (session, sf_dir) and cached.
 # --------------------------------------------------------------------------
-_Q112_CACHE: dict[tuple[int, str], str] = {}
-
-
 def _q112_table(spark: SparkSession, sf_dir: str):
     import tempfile
 
     from swiftlake_spark.tables.catalog import Catalog
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    wh = _Q112_CACHE.get(key)
+    wh = registry.get_tempdir("q112_wh", key)
     if wh is not None:
         return Catalog(spark, wh).table("db.q112")
     wh = tempfile.mkdtemp(prefix="swiftlake_q112_")
@@ -978,7 +973,7 @@ def _q112_table(spark: SparkSession, sf_dir: str):
             "c_mktsegment",
         )
     )
-    _Q112_CACHE[key] = wh
+    registry.put_tempdir("q112_wh", key, wh, app_id=key[0])
     return t
 
 
@@ -1018,19 +1013,17 @@ def q112_murmur3_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Built once per (session, sf_dir); 25 rows, so the driver-side fixture
 # write is bounded (the scale path reads, never writes, Iceberg).
 # --------------------------------------------------------------------------
-_Q113_CACHE: dict[tuple[int, str], str] = {}
-
-
 def _q113_table(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from swiftlake_spark.sources.iceberg_write import IcebergWriter
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    loc = _Q113_CACHE.get(key)
-    if loc is not None:
-        return loc
-    loc = tempfile.mkdtemp(prefix="swiftlake_q113_") + "/ice"
+    parent = registry.get_tempdir("q113_wh", key)
+    if parent is not None:
+        return parent + "/ice"
+    parent = tempfile.mkdtemp(prefix="swiftlake_q113_")
+    loc = parent + "/ice"
     w = IcebergWriter(loc)
     nation = load(spark, sf_dir, "nation")
     gen1 = nation.filter("n_nationkey <= 12").select(
@@ -1046,7 +1039,7 @@ def _q113_table(spark: SparkSession, sf_dir: str) -> str:
         F.col("n_regionkey").cast("bigint").alias("region_key"),
     )
     w.append(gen2)
-    _Q113_CACHE[key] = loc
+    registry.put_tempdir("q113_wh", key, parent, app_id=key[0])
     return loc
 
 
@@ -1078,16 +1071,13 @@ def q113_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # planned — so a silent extraction regression (full scan) hash-mismatches
 # the oracle's TRUE even though the aggregate values would still agree.
 # --------------------------------------------------------------------------
-_Q119_CACHE: dict[tuple[str, str], str] = {}
-
-
 def _q119_warehouse(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from swiftlake_spark.engine import SwiftLakeEngine
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    wh = _Q119_CACHE.get(key)
+    wh = registry.get_tempdir("q119_wh", key)
     if wh is None:
         wh = tempfile.mkdtemp(prefix="q119_wh_")
         eng = SwiftLakeEngine(spark, warehouse=wh)
@@ -1103,7 +1093,7 @@ def _q119_warehouse(spark: SparkSession, sf_dir: str) -> str:
             sort_order=["o_orderkey"],
         )
         eng.insert_into("db.q119_orders").dataframe(src).execute()
-        _Q119_CACHE[key] = wh
+        registry.put_tempdir("q119_wh", key, wh, app_id=key[0])
     return wh
 
 
@@ -1162,16 +1152,13 @@ def q119_sql_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # read, distinct-touched-file probe, file-level rewrite); rows never
 # reach the driver.
 # --------------------------------------------------------------------------
-_Q121_CACHE: dict[tuple[str, str], str] = {}
-
-
 def _q121_warehouse(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from swiftlake_spark.engine import SwiftLakeEngine
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    wh = _Q121_CACHE.get(key)
+    wh = registry.get_tempdir("q121_wh", key)
     if wh is None:
         wh = tempfile.mkdtemp(prefix="q121_wh_")
         eng = SwiftLakeEngine(spark, warehouse=wh)
@@ -1198,7 +1185,7 @@ def _q121_warehouse(spark: SparkSession, sf_dir: str) -> str:
                 "o_orderstatus": "'M'",
             }
         ).when_not_matched_insert().execute()
-        _Q121_CACHE[key] = wh
+        registry.put_tempdir("q121_wh", key, wh, app_id=key[0])
     return wh
 
 
@@ -1249,16 +1236,13 @@ def q121_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final state from raw `customer` parquet, so a parse misread (wrong
 # keys, wrong boundary scope, wrong clause order) breaks the hash.
 # --------------------------------------------------------------------------
-_Q122_CACHE: dict[tuple[str, str], str] = {}
-
-
 def _q122_warehouse(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from swiftlake_spark.engine import SwiftLakeEngine
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    wh = _Q122_CACHE.get(key)
+    wh = registry.get_tempdir("q122_wh", key)
     if wh is None:
         wh = tempfile.mkdtemp(prefix="q122_wh_")
         eng = SwiftLakeEngine(spark, warehouse=wh)
@@ -1287,7 +1271,7 @@ def _q122_warehouse(spark: SparkSession, sf_dir: str) -> str:
             WHEN NOT MATCHED THEN INSERT *
             """
         )
-        _Q122_CACHE[key] = wh
+        registry.put_tempdir("q122_wh", key, wh, app_id=key[0])
     return wh
 
 
@@ -1340,16 +1324,13 @@ def q122_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to satisfy CREATE routing — textual CREATE targets databases that
 # already hold lakehouse tables; the first table goes through the API.)
 # --------------------------------------------------------------------------
-_Q129_CACHE: dict[tuple[str, str], str] = {}
-
-
 def _q129_warehouse(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from swiftlake_spark.engine import SwiftLakeEngine
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    wh = _Q129_CACHE.get(key)
+    wh = registry.get_tempdir("q129_wh", key)
     if wh is None:
         wh = tempfile.mkdtemp(prefix="q129_wh_")
         eng = SwiftLakeEngine(spark, warehouse=wh)
@@ -1372,7 +1353,7 @@ def _q129_warehouse(spark: SparkSession, sf_dir: str) -> str:
         )
         eng.sql("DELETE FROM db.q129_c WHERE c_acctbal < 0")
         eng.sql("ALTER TABLE db.q129_c RENAME COLUMN flag TO status")
-        _Q129_CACHE[key] = wh
+        registry.put_tempdir("q129_wh", key, wh, app_id=key[0])
     return wh
 
 
@@ -1430,16 +1411,13 @@ def q129_sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mode's unmatched-target classification (dml/scd1.py ≙ reference
 # scd1_merge.xml:73-141), generalized to free-form clauses.
 # --------------------------------------------------------------------------
-_Q137_CACHE: dict[tuple[str, str], str] = {}
-
-
 def _q137_warehouse(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from swiftlake_spark.engine import SwiftLakeEngine
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    wh = _Q137_CACHE.get(key)
+    wh = registry.get_tempdir("q137_wh", key)
     if wh is None:
         wh = tempfile.mkdtemp(prefix="q137_wh_")
         eng = SwiftLakeEngine(spark, warehouse=wh)
@@ -1463,7 +1441,7 @@ def _q137_warehouse(spark: SparkSession, sf_dir: str) -> str:
         ).when_not_matched_by_source_update(
             sets={"o_orderstatus": "'X'"}
         ).execute()
-        _Q137_CACHE[key] = wh
+        registry.put_tempdir("q137_wh", key, wh, app_id=key[0])
     return wh
 
 
@@ -1512,16 +1490,13 @@ def q137_merge_not_matched_by_source(spark: SparkSession, sf_dir: str) -> DataFr
 # parse misread of the BY SOURCE clauses, a null-safe join slip, or a
 # clause-order inversion breaks the hash.
 # --------------------------------------------------------------------------
-_Q138_CACHE: dict[tuple[str, str], str] = {}
-
-
 def _q138_warehouse(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from swiftlake_spark.engine import SwiftLakeEngine
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    wh = _Q138_CACHE.get(key)
+    wh = registry.get_tempdir("q138_wh", key)
     if wh is None:
         wh = tempfile.mkdtemp(prefix="q138_wh_")
         eng = SwiftLakeEngine(spark, warehouse=wh)
@@ -1546,7 +1521,7 @@ def _q138_warehouse(spark: SparkSession, sf_dir: str) -> str:
             WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'STALE'
             """
         )
-        _Q138_CACHE[key] = wh
+        registry.put_tempdir("q138_wh", key, wh, app_id=key[0])
     return wh
 
 

@@ -1047,9 +1047,6 @@ def q29_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salted across 8 shards per flag (repartition on flag alone would funnel
 # each 3-value key through a single task — unbounded skew at scale).
 # --------------------------------------------------------------------------
-_Q33_CACHE: dict[tuple[int, str], str] = {}
-
-
 @query(
     "q33_file_metadata",
     oracle="""
@@ -1064,8 +1061,11 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 def q33_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    out = _Q33_CACHE.get((spark.sparkContext.applicationId, sf_dir))
-    if out is None:
+    from swiftlake_spark.artifacts import registry
+
+    app = spark.sparkContext.applicationId
+    parent = registry.get_tempdir("q33_wh", (app, sf_dir))
+    if parent is None:
         # bounded slice: the metadata-column semantics under test are
         # layout-local (per-file dense row_index after partitionBy), so a
         # capped orderkey range exercises them identically while the
@@ -1076,13 +1076,15 @@ def q33_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("l_orderkey") <= 30000)
             .select("l_returnflag", "l_orderkey")
         )
-        out = tempfile.mkdtemp(prefix="q33_files_") + "/lineitem_by_flag"
+        parent = tempfile.mkdtemp(prefix="q33_files_")
+        out = parent + "/lineitem_by_flag"
         (
             li.repartition(F.col("l_returnflag"), F.pmod(F.col("l_orderkey"), F.lit(8)))
             .write.partitionBy("l_returnflag")
             .parquet(out)
         )
-        _Q33_CACHE[(spark.sparkContext.applicationId, sf_dir)] = out
+        registry.put_tempdir("q33_wh", (app, sf_dir), parent, app_id=app)
+    out = parent + "/lineitem_by_flag"
     back = spark.read.parquet(out).select(
         "l_returnflag",
         F.col("_metadata.file_name").alias("_file"),

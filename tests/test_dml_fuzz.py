@@ -106,17 +106,29 @@ class _Mirror:
         # within the table filter the final state IS the source
         self.overwrite(cats, rows)
 
-    def merge(self, cats, rows, del_pred, upd_pred) -> None:
-        """Generic three-clause merge twin (dml/merge.py SQL semantics,
-        boundary = cat IN cats with the default source filter): matched
-        candidates walk DELETE-if / UPDATE-if (whole-row replace) in
-        clause order; unmatched source rows insert.  Predicates are the
-        Python twins of the engine's source-only clause conditions."""
+    def merge(self, cats, rows, del_pred, upd_pred, bs_del_cond=None) -> None:
+        """Generic merge twin (dml/merge.py SQL semantics, boundary =
+        cat IN cats with the default source filter): matched candidates
+        walk DELETE-if / UPDATE-if (whole-row replace) in clause order;
+        unmatched source rows insert; with ``bs_del_cond`` (SQL over
+        target columns) candidate rows matching NO source id fire the
+        WHEN NOT MATCHED BY SOURCE delete — 3VL included, since the
+        condition runs as a plain DuckDB DELETE WHERE.  Predicates are
+        the Python twins of the engine's source-only clause conditions."""
         src = [r for r in rows if r[1] in cats]  # boundary filters source
         ids = [r[0] for r in src]
+        cs = ", ".join(f"'{c}'" for c in cats)
+        if bs_del_cond is not None:
+            # by-source rows are disjoint from every other clause's rows
+            # (their ids are absent from the source), so order is free
+            not_in = (
+                f"AND id NOT IN ({', '.join(str(i) for i in ids)}) " if ids else ""
+            )
+            self.con.execute(
+                f"DELETE FROM m WHERE cat IN ({cs}) {not_in}AND ({bs_del_cond})"
+            )
         if not ids:
             return
-        cs = ", ".join(f"'{c}'" for c in cats)
         marks = ", ".join(str(i) for i in ids)
         # per-id match COUNT: appends can duplicate an id inside the
         # boundary, and the engine updates EVERY matched copy (each
@@ -275,6 +287,10 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
             rows = _scd_source(rng, cats, with_op=False)
             thr = rng.randrange(-50, 50)
             vthr = rng.randrange(0, 400) / 4.0
+            # ~50%: add WHEN NOT MATCHED BY SOURCE DELETE with a
+            # 3VL-sensitive condition (NULL n → no fire) — candidate
+            # rows absent from the source are pruned
+            bs_thr = rng.randrange(-50, 50) if rng.random() < 0.5 else None
             if br == "main" and rng.random() < 0.5:
                 # textual path: same builder underneath, but the MERGE
                 # grammar (dml/sqldml.py — ON analysis, alias rewrite,
@@ -286,16 +302,20 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                 # keys may not appear in SET (builder guard); id is
                 # equal across the pair anyway so this IS whole-row
                 sets = ", ".join(f"{c} = s.{c}" for c in COLS if c != "id")
+                bs_sql = (
+                    f"WHEN NOT MATCHED BY SOURCE AND t.n < {bs_thr} THEN DELETE"
+                    if bs_thr is not None else ""
+                )
                 eng.sql(
                     f"MERGE INTO {name} AS t USING fuzz_merge_src AS s "
                     f"ON t.id = s.id AND t.cat IN ({cs}) "
                     f"WHEN MATCHED AND s.n > {thr} THEN DELETE "
                     f"WHEN MATCHED AND s.v <= {vthr} THEN UPDATE SET {sets} "
-                    f"WHEN NOT MATCHED THEN INSERT *"
+                    f"WHEN NOT MATCHED THEN INSERT * {bs_sql}"
                 )
                 via = "sql"
             else:
-                (
+                b = (
                     eng.merge_into(name)
                     .using(mkdf(rows))
                     .key_columns(["id"])
@@ -304,17 +324,24 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                     .when_matched_update(condition=f"source.v <= {vthr}")
                     .when_not_matched_insert()
                     .branch(br)
-                ).execute()
+                )
+                if bs_thr is not None:
+                    b = b.when_not_matched_by_source_delete(
+                        condition=f"target.n < {bs_thr}"
+                    )
+                b.execute()
                 via = "api"
             mirror.merge(
                 cats,
                 rows,
                 del_pred=lambda r, t=thr: r[4] is not None and r[4] > t,
                 upd_pred=lambda r, t=vthr: r[3] is not None and r[3] <= t,
+                bs_del_cond=None if bs_thr is None else f"n < {bs_thr}",
             )
             ops_log.append(
                 f"[{br}] merge({via}) cats={cats} rows={len(rows)} "
-                f"del:n>{thr} upd:v<={vthr}"
+                f"del:n>{thr} upd:v<={vthr} bs_del:"
+                f"{'off' if bs_thr is None else f'n<{bs_thr}'}"
             )
         elif roll < 0.84:
             cond = _rand_cond(rng)

@@ -161,3 +161,80 @@ def test_minhash_star_edges_match_full_pairs_for_dedup(spark):
     ).count()
     n_pairs = minhash_lsh_dedup(df, "doc_id", "text", threshold=0.5).count()
     assert n_star < n_pairs / 5  # the dominant cluster's clique collapsed
+
+
+def _megablock_docs(spark, n=400, seed=3):
+    """Planted edit-distance mega-block: every doc shares (lang, 4-char
+    prefix) — one block holds the WHOLE corpus — but tail lengths spread
+    0..2000 chars, the realistic boilerplate-header shape a crawl
+    produces.  Length-bucketing is the only blocking that cuts it."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        tail_len = int(rng.randint(0, 2000))
+        tail = "".join(rng.choice(list("abcdefgh "), size=tail_len))
+        rows.append((i, "PAGE not found: " + tail, "en"))
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+
+
+def test_editdist_length_bucket_exact_and_cuts_megablock(spark):
+    """len_bucket_width must (a) return EXACTLY the pairs of the
+    unbucketed join with the same |Δlen| ≤ w filter — the ±1-probe
+    construction is exact, not approximate — and (b) cut the candidate
+    pair count of the planted mega-block by a large factor."""
+    from swiftlake_spark.operators.dedup import editdist_near_dups
+
+    d = _megablock_docs(spark).withColumn("pfx4", F.substring("text", 1, 4))
+    d = d.withColumn("n_chars", F.length("text"))
+    w = 40
+    kw = dict(block_cols=["lang", "pfx4"], prefix=60, max_dist=20)
+    plain = editdist_near_dups(
+        d, "doc_id", "text", len_col="n_chars", max_len_delta=w, **kw
+    )
+    bucketed = editdist_near_dups(d, "doc_id", "text", len_bucket_width=w, **kw)
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    p = sorted((r["id_a"], r["id_b"], r["dist"]) for r in plain.collect())
+    b = sorted((r["id_a"], r["id_b"], r["dist"]) for r in bucketed.collect())
+    assert p == b and len(p) > 0
+
+    # candidate-pair accounting: unbucketed = one block of n → n(n-1)/2;
+    # bucketed = Σ over (block, bucket-window) — compute both from the
+    # same relation the operator blocks on
+    n = d.count()
+    unbucketed_pairs = n * (n - 1) // 2
+    sizes = (
+        d.groupBy((F.length("text") / w).cast("long").alias("b"))
+        .count()
+        .collect()
+    )
+    by_b = {r["b"]: r["count"] for r in sizes}
+    bucketed_pairs = sum(
+        c * (c - 1) // 2 + c * by_b.get(bk + 1, 0) for bk, c in by_b.items()
+    )
+    assert bucketed_pairs * 10 < unbucketed_pairs, (
+        f"bucketing should cut candidates ≥10x: {bucketed_pairs} vs "
+        f"{unbucketed_pairs}"
+    )
+
+
+def test_editdist_length_bucket_boundary_pairs_survive(spark):
+    """Pairs straddling a bucket boundary (len w-1 vs w+1) must be
+    found — the ±1 probe exists exactly for them."""
+    from swiftlake_spark.operators.dedup import editdist_near_dups
+
+    w = 10
+    rows = [
+        (1, "x" * (w - 1), "en"),   # bucket 0
+        (2, "x" * (w + 1), "en"),   # bucket 1, |Δlen|=2 ≤ w
+        (3, "x" * (3 * w + 2), "en"),  # far: dropped by the ≤w window
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING"
+    ).withColumn("pfx4", F.substring("text", 1, 4))
+    out = editdist_near_dups(
+        d, "doc_id", "text",
+        block_cols=["lang", "pfx4"], prefix=60, max_dist=20,
+        len_bucket_width=w,
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    assert got == [(1, 2)]

@@ -539,3 +539,25 @@ def test_ddl_rejects_parameter_markers(engine, spark):
         engine.sql(
             "CREATE TABLE db.p AS SELECT * FROM db.m WHERE id = ?", args=[1]
         )
+
+
+def test_sql_merge_boundary_literal_containing_alias_text(engine, spark):
+    # token-exact qualifier strip (_strip_qualifier): a string literal
+    # inside the boundary conjunct that CONTAINS the alias-dot text must
+    # survive untouched (the old sentinel splice operated on rebuilt text)
+    seed(engine, spark)
+    spark.createDataFrame([(1, "A", 5, 5.0)], DDL).createOrReplaceTempView("lit_src")
+    engine.sql(
+        """
+        MERGE INTO db.m t USING lit_src s
+        ON t.id = s.id AND t.cat = 'not t.cat literally'
+        WHEN MATCHED THEN UPDATE SET qty = s.qty
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    # no target row carries that cat, so target id=1 is not a candidate
+    # (boundary false -> never matches) and the source row inserts per
+    # standard target-only-conjunct semantics; a corrupted literal would
+    # have failed the parse or produced a different classification
+    out = rows(engine.catalog.load("db.m"), "id", "qty")
+    assert (1, 10) in out and (1, 5) in out  # original + inserted copy
