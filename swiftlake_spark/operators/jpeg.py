@@ -14,10 +14,14 @@ Scope (everything else raises NotImplementedError so
 ``decode_image_bytes`` can fall through to the PIL seam):
 
 - baseline (SOF0) and extended sequential huffman (SOF1), 8-bit;
+- progressive huffman (SOF2, VERDICT r9 ask #8): multi-scan spectral
+  selection + successive approximation per T.81 Annex G — DC
+  first/refine (interleaved or not), AC first/refine with EOBRUN,
+  per-scan DHT/DRI redefinition, restart markers in any scan;
 - 1 (grayscale) or 3 (YCbCr) components, integer sampling ratios
-  (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...), single interleaved scan;
+  (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...);
 - restart intervals (DRI + RST0-7);
-- progressive (SOF2), arithmetic coding, hierarchical, 12-bit → seam.
+- arithmetic coding, hierarchical, 12-bit → seam.
 
 An encoder (`encode_jpeg`) exists for tests and payload synthesis, like
 ``encode_png``/``encode_ppm``: Annex-K quantization tables with libjpeg
@@ -250,6 +254,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    prog_coefs = None  # progressive: cid → (nblocks, 64) zigzag int32
     n = len(data)
 
     while pos + 4 <= n:
@@ -259,7 +264,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no segment
             continue
-        if marker == 0xD9:  # EOI before any SOS: no segment either
+        if marker == 0xD9:  # EOI: no segment
+            if prog_coefs is not None:
+                # progressive: every scan accumulated; reconstruct now
+                return _reconstruct(frame, qt, prog_coefs)
             break
         (seg_len,) = struct.unpack_from(">H", data, pos)
         if seg_len < 2:
@@ -290,7 +298,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17: off + 17 + cnt])
                 (huff_ac if tc else huff_dc)[th] = _build_decode_lut(bits, vals)
                 off += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG needs PIL")
@@ -301,21 +309,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) needs PIL")
+                f"JPEG process SOF{marker - 0xC0} (arithmetic/"
+                "hierarchical/lossless) needs PIL")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if frame["progressive"]:
+                if len(body) < 4 + 2 * ns:
+                    raise ValueError("truncated SOS header")
+                scan_list = []
+                for i in range(ns):
+                    cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                    scan_list.append((cs, tt >> 4, tt & 15))
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if prog_coefs is None:
+                    prog_coefs = _init_prog_coefs(frame)
+                pos = _decode_prog_scan(
+                    data, pos, frame, scan_list, ss, se,
+                    ahal >> 4, ahal & 15, huff_dc, huff_ac,
+                    restart_interval, prog_coefs)
+                continue  # next scan (or EOI) follows
             if ns != len(frame["comps"]):
                 raise NotImplementedError(
-                    "non-interleaved multi-scan JPEG needs PIL")
+                    "non-interleaved multi-scan sequential JPEG needs PIL")
             scan = {}
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
@@ -323,31 +348,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             return _decode_scan(data, pos, frame, scan, qt, huff_dc,
                                 huff_ac, restart_interval)
 
+    if prog_coefs is not None:
+        # progressive stream missing its EOI: the scans decoded fully
+        # (each consumed its exact MCU count), so reconstruct anyway
+        return _reconstruct(frame, qt, prog_coefs)
     raise ValueError("no scan data found")
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                  restart_interval):
     comps = frame["comps"]
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    for c in comps:
-        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
-            raise NotImplementedError(
-                f"non-integer sampling ratio {c['h']}x{c['v']} needs PIL")
-    if w < 1 or h < 1 or w * h > (1 << 28):
-        # corrupted SOF dims must not drive a multi-GB allocation
-        raise ValueError(f"implausible JPEG dimensions {w}x{h}")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    hmax, vmax, mcux, mcuy = _geometry(frame)
 
     r = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in comps}
     # per component: flat coefficient rows (mcu-major), positions
     blocks = {c["id"]: [] for c in comps}
     positions = {c["id"]: [] for c in comps}
-    zz = _ZIGZAG
     mcu_count = 0
     rst_seq = 0
     for my in range(mcuy):
@@ -394,20 +411,69 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                         positions[cid].append(
                             (my * c["v"] + cy, mx * c["h"] + cx))
 
+    arrays = {}
+    for c in comps:
+        cid = c["id"]
+        bw_i = mcux * c["h"]
+        arr = np.zeros((mcuy * c["v"] * bw_i, 64), dtype=np.int32)
+        for (by, bx), coef in zip(positions[cid], blocks[cid]):
+            arr[by * bw_i + bx] = coef
+        arrays[cid] = arr
+    return _reconstruct(frame, qt, arrays)
+
+
+def _geometry(frame):
+    """Per-frame MCU geometry; annotates comps with block-grid dims.
+
+    ``bw_i``/``bh_i``: interleaved (MCU-padded) block grid — the shape
+    the coefficient store is allocated at.  ``bw_n``/``bh_n``: the
+    non-interleaved grid (T.81 A.2.2) that single-component scans
+    iterate — top-left subset of the interleaved grid."""
+    comps = frame["comps"]
+    if not comps:
+        raise ValueError("SOF declares zero components")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    for c in comps:
+        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {c['h']}x{c['v']} needs PIL")
+    if w < 1 or h < 1 or w * h > (1 << 28):
+        # corrupted SOF dims must not drive a multi-GB allocation
+        raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw_i"], c["bh_i"] = mcux * c["h"], mcuy * c["v"]
+        c["bw_n"] = -(-(-(-(w * c["h"]) // hmax)) // 8)
+        c["bh_n"] = -(-(-(-(h * c["v"]) // vmax)) // 8)
+    return hmax, vmax, mcux, mcuy
+
+
+def _reconstruct(frame, qt, arrays):
+    """coef store (per-comp (nblocks,64) zigzag int32, raster block
+    order on the MCU-padded grid) → pixels.  Shared by the sequential
+    and progressive paths: dequantize, batched IDCT, upsample, crop,
+    YCbCr→RGB."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
     planes = []
     for c in comps:
         cid = c["id"]
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
         q = qt[c["tq"]]
-        dq = np.zeros((len(blocks[cid]), 64), dtype=np.float64)
-        coefs = np.stack(blocks[cid]).astype(np.float64) * q[np.newaxis, :]
-        dq[:, zz] = coefs  # un-zigzag (both q and coef are zigzag-order)
+        dq = np.zeros((len(arrays[cid]), 64), dtype=np.float64)
+        coefs = arrays[cid].astype(np.float64) * q[np.newaxis, :]
+        dq[:, _ZIGZAG] = coefs  # un-zigzag (q and coef are zigzag-order)
         mats = dq.reshape(-1, 8, 8)
         pix = np.einsum("ij,njk,kl->nil", _A.T, mats, _A) + 128.0
         pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
-        bh, bw = mcuy * c["v"], mcux * c["h"]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-        for (by, bx), blk in zip(positions[cid], pix):
-            plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+        bh, bw = c["bh_i"], c["bw_i"]
+        plane = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))
         # upsample to full MCU grid resolution, then crop
         plane = plane.repeat(vmax // c["v"], axis=0)
         plane = plane.repeat(hmax // c["h"], axis=1)
@@ -426,6 +492,197 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
         y + 1.772 * cb,
     ], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------- progressive decoding
+#
+# T.81 Annex G: a progressive frame carries many scans, each refining a
+# (spectral band, bit position) slice of the coefficient store.  The
+# store is per-component (nblocks, 64) int32 in ZIGZAG order, blocks in
+# raster order on the MCU-padded grid — the same layout _reconstruct
+# consumes.  Implemented scan kinds:
+#   DC first   (Ss=0, Ah=0): sequential DC decode, value << Al
+#   DC refine  (Ss=0, Ah>0): one raw bit per block, OR'd at bit Al
+#   AC first   (Ss>0, Ah=0): run/size decode with EOBRUN, band-limited
+#   AC refine  (Ss>0, Ah>0): G.1.2.3 correction-bit algorithm
+
+
+def _init_prog_coefs(frame):
+    _geometry(frame)  # validates dims/sampling, annotates block grids
+    return {c["id"]: np.zeros((c["bh_i"] * c["bw_i"], 64), dtype=np.int32)
+            for c in frame["comps"]}
+
+
+def _ac_first(r, blk, ss, se, al, eobrun, ac_lut):
+    """One block of an AC first scan (G.1.2.2).  Returns new EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(r, ac_lut)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << rr) - 1  # current block's EOB consumed here
+            if rr:
+                eobrun += r.get_bits(rr)
+            return eobrun
+        k += rr
+        if k > se:
+            raise ValueError("AC coefficient index past Se")
+        blk[k] = _extend(r.get_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(r, blk, ss, se, al, eobrun, ac_lut):
+    """One block of an AC refinement scan (G.1.2.3).  History-nonzero
+    coefficients receive correction bits; newly-nonzero ones arrive as
+    (run, size=1) codes; EOBRUN covers whole blocks whose remaining
+    band is correction-bits-only.  Returns new EOBRUN."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(r, ac_lut)
+            rr, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("refinement magnitude category != 1")
+                val = p1 if r.get_bit() else m1
+            elif rr != 15:
+                eobrun = 1 << rr  # includes the current block (tail below)
+                if rr:
+                    eobrun += r.get_bits(rr)
+                break
+            # advance past rr zero-history positions, appending
+            # correction bits to the nonzero-history ones crossed
+            while k <= se:
+                c = int(blk[k])
+                if c:
+                    if r.get_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("newly-nonzero AC position past Se")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # remaining band of the current block: correction bits only
+        while k <= se:
+            c = int(blk[k])
+            if c and r.get_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data, pos, frame, scan_list, ss, se, ah, al,
+                      huff_dc, huff_ac, restart_interval, coefs):
+    """Decode one progressive scan into the coefficient store; returns
+    the stream position of the next marker."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    for cid, td, ta in scan_list:
+        if cid not in comps:
+            raise ValueError(f"scan component {cid} not in frame")
+        if ss == 0 and ah == 0 and td not in huff_dc:
+            raise ValueError(f"missing DC huffman table {td}")
+        if ss > 0 and ta not in huff_ac:
+            raise ValueError(f"missing AC huffman table {ta}")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+    else:
+        if len(scan_list) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError(f"bad spectral band {ss}..{se}")
+    if al > 13 or (ah and ah != al + 1):
+        raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
+
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    r = _BitReader(data, pos)
+    pred = {cid: 0 for cid, _, _ in scan_list}
+    eobrun = 0
+    unit = 0
+    rst_seq = 0
+
+    def restart_if_due():
+        nonlocal eobrun, rst_seq
+        if restart_interval and unit and unit % restart_interval == 0:
+            r.sync_restart(rst_seq)
+            rst_seq += 1
+            eobrun = 0
+            for cid in pred:
+                pred[cid] = 0
+
+    def decode_dc(cid, td, blk):
+        if ah == 0:
+            t = _decode_huff(r, huff_dc[td])
+            if t > 15:
+                raise ValueError(f"invalid DC category {t}")
+            diff = _extend(r.get_bits(t), t) if t else 0
+            pred[cid] += diff
+            # the shifted value must fit the int32 store even on
+            # corrupt streams (numpy would raise OverflowError)
+            if not -(1 << 30) < (pred[cid] << al) < (1 << 30):
+                raise ValueError("DC predictor out of range")
+            blk[0] = pred[cid] << al
+        elif r.get_bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+    if len(scan_list) > 1:
+        # interleaved scan (DC only, per the Se=0 check above) over the
+        # frame MCU grid; only the scan's components contribute blocks
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart_if_due()
+                unit += 1
+                for cid, td, _ta in scan_list:
+                    c = comps[cid]
+                    for cy in range(c["v"]):
+                        for cx in range(c["h"]):
+                            idx = ((my * c["v"] + cy) * c["bw_i"]
+                                   + mx * c["h"] + cx)
+                            decode_dc(cid, td, coefs[cid][idx])
+    else:
+        cid, td, ta = scan_list[0]
+        c = comps[cid]
+        for by in range(c["bh_n"]):
+            for bx in range(c["bw_n"]):
+                restart_if_due()
+                unit += 1
+                blk = coefs[cid][by * c["bw_i"] + bx]
+                if ss == 0:
+                    decode_dc(cid, td, blk)
+                elif ah == 0:
+                    eobrun = _ac_first(r, blk, ss, se, al, eobrun,
+                                       huff_ac[ta])
+                else:
+                    eobrun = _ac_refine(r, blk, ss, se, al, eobrun,
+                                        huff_ac[ta])
+
+    # resynchronize: drop pad bits, skip to the next true marker
+    # (stuffed FF00 and stray RSTn are entropy bytes, not markers)
+    p = r.pos
+    n = len(data)
+    while p + 1 < n and not (
+            data[p] == 0xFF and data[p + 1] != 0x00
+            and not 0xD0 <= data[p + 1] <= 0xD7):
+        p += 1
+    if p + 1 >= n:
+        raise ValueError("progressive scan ran past end of stream")
+    return p
 
 
 # --------------------------------------------------------------- encoder
@@ -513,10 +770,10 @@ def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
         else plane
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """uint8 (H,W,3) RGB or (H,W) gray → baseline JFIF bytes."""
+def _prepare_encode(arr, quality, subsampling):
+    """Shared encoder front end: color convert, subsample, pad to the
+    MCU grid, FDCT + quantize.  Returns the per-component state both
+    the baseline and progressive scan writers consume."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -562,13 +819,63 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         p = _pad_to(p, mcuy * sv * 8, mcux * sh * 8)
         coeffs.append(_plane_coeffs(p, ql if qsel[len(coeffs)] == 0 else qc))
 
+    return {
+        "gray": gray, "h": h, "w": w, "ql": ql, "qc": qc,
+        "samp": samp, "qsel": qsel, "coeffs": coeffs,
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+    }
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _headers(st, sof_marker: int, restart_interval: int) -> bytearray:
+    """SOI + JFIF + DQT + SOF + Annex-K DHT [+ DRI] — everything up to
+    (excluding) the first SOS, shared by both encoders."""
+    gray = st["gray"]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(st["ql"].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(st["qc"].astype(np.uint8)))
+    nplanes = 1 if gray else 3
+    sof = bytearray([8]) + struct.pack(">HH", st["h"], st["w"])
+    sof += bytes([nplanes])
+    for ci, (sh, sv) in enumerate(st["samp"]):
+        sof += bytes([ci + 1, (sh << 4) | sv, st["qsel"][ci]])
+    out += _seg(sof_marker, bytes(sof))
+
+    def dht(tc: int, th: int, bits, vals) -> bytes:
+        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """uint8 (H,W,3) RGB or (H,W) gray → baseline JFIF bytes."""
+    st = _prepare_encode(arr, quality, subsampling)
+    gray = st["gray"]
+    samp, coeffs = st["samp"], st["coeffs"]
+    mcux, mcuy = st["mcux"], st["mcuy"]
+    planes_n = 1 if gray else 3
+
     dc_luts = [_build_encode_lut(_DC_LUMA_BITS, _DC_LUMA_VALS),
                _build_encode_lut(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
     ac_luts = [_build_encode_lut(_AC_LUMA_BITS, _AC_LUMA_VALS),
                _build_encode_lut(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * planes_n
     mcu_count = 0
     rst_seq = 0
     bws = []  # entropy segments split at restart boundaries
@@ -580,7 +887,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
                 bws.append(bytes(bw.out) + bytes([0xFF, 0xD0 + (rst_seq & 7)]))
                 rst_seq += 1
                 bw = _BitWriter()
-                pred = [0] * len(planes)
+                pred = [0] * planes_n
             mcu_count += 1
             for ci, (sh, sv) in enumerate(samp):
                 bwidth = mcux * sh  # blocks per row in this plane
@@ -595,35 +902,211 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     bws.append(bytes(bw.out))
     entropy = b"".join(bws)
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(ql.astype(np.uint8)))
-    if not gray:
-        out += seg(0xDB, bytes([0x01]) + bytes(qc.astype(np.uint8)))
-    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
-    for ci, (sh, sv) in enumerate(samp):
-        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
-    out += seg(0xC0, bytes(sof))
-
-    def dht(tc: int, th: int, bits, vals) -> bytes:
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
-    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
-    if not gray:
-        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
-        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytearray([len(planes)])
-    for ci in range(len(planes)):
+    out = _headers(st, 0xC0, restart_interval)
+    sos = bytearray([planes_n])
+    for ci in range(planes_n):
         t = 1 if (not gray and ci) else 0
         sos += bytes([ci + 1, (t << 4) | t])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, bytes(sos))
+    out += _seg(0xDA, bytes(sos))
     out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------- progressive encoder
+
+def _enc_dc(bw, v, pred, dc_lut):
+    """Huffman-code one DC difference; returns the new predictor."""
+    diff = v - pred
+    s = abs(diff).bit_length()
+    code, ln = dc_lut[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return v
+
+
+def _enc_ac_first_block(bw, coef, ss, se, al, ac_lut):
+    """AC first scan, one block (G.1.2.2 encoder side).  The Annex-K
+    tables carry no EOBn>0 symbols, so every block terminates with its
+    own EOB0 — valid, just not run-length-compressed across blocks."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        t = abs(v) >> al
+        vals.append(-t if v < 0 else t)
+    last = -1
+    for i, t in enumerate(vals):
+        if t:
+            last = i
+    run = 0
+    for i in range(last + 1):
+        t = vals[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_lut[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = abs(t).bit_length()
+        code, ln = ac_lut[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(t if t > 0 else t + (1 << s) - 1, s)
+        run = 0
+    if last < len(vals) - 1:
+        code, ln = ac_lut[0x00]  # EOB0
+        bw.write(code, ln)
+
+
+def _enc_ac_refine_block(bw, coef, ss, se, al, ac_lut):
+    """AC refinement scan, one block (G.1.2.3 encoder side).  Mirrors
+    the decoder's crossing order: correction bits for nonzero-history
+    coefficients are buffered and flushed after the symbol whose
+    crossing covers their position."""
+    absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # band index of the last newly-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    run = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            code, ln = ac_lut[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)  # correction bit for a history-nonzero coef
+            continue
+        code, ln = ac_lut[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(coef[k]) > 0 else 0, 1)
+        run = 0
+        for b in br:
+            bw.write(b, 1)
+        br = []
+    if run > 0 or br:
+        code, ln = ac_lut[0x00]  # EOB0
+        bw.write(code, ln)
+        for b in br:
+            bw.write(b, 1)
+
+
+def _prog_scan(st, scan_comps, ss, se, ah, al, dc_luts, ac_luts,
+               restart_interval):
+    """Entropy-code one progressive scan; returns the byte segment
+    (restart markers included)."""
+    gray = st["gray"]
+    samp, coeffs = st["samp"], st["coeffs"]
+    mcux, mcuy = st["mcux"], st["mcuy"]
+    bw = _BitWriter()
+    segs: list[bytes] = []
+    pred = {ci: 0 for ci in scan_comps}
+    unit = 0
+    rst_seq = 0
+
+    def restart_if_due():
+        nonlocal bw, rst_seq
+        if restart_interval and unit and unit % restart_interval == 0:
+            bw.flush()
+            segs.append(bytes(bw.out) + bytes([0xFF, 0xD0 + (rst_seq & 7)]))
+            rst_seq += 1
+            bw = _BitWriter()
+            for ci in pred:
+                pred[ci] = 0
+
+    def do_block(ci, bi):
+        t = 1 if (not gray and ci) else 0
+        coef = coeffs[ci][bi]
+        if ss == 0:
+            if ah == 0:
+                pred[ci] = _enc_dc(bw, int(coef[0]) >> al, pred[ci],
+                                   dc_luts[t])
+            else:
+                bw.write((int(coef[0]) >> al) & 1, 1)
+        elif ah == 0:
+            _enc_ac_first_block(bw, coef, ss, se, al, ac_luts[t])
+        else:
+            _enc_ac_refine_block(bw, coef, ss, se, al, ac_luts[t])
+
+    if len(scan_comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart_if_due()
+                unit += 1
+                for ci in scan_comps:
+                    sh, sv = samp[ci]
+                    for cy in range(sv):
+                        for cx in range(sh):
+                            do_block(ci, (my * sv + cy) * (mcux * sh)
+                                     + mx * sh + cx)
+    else:
+        ci = scan_comps[0]
+        sh, sv = samp[ci]
+        bw_n = -(-(-(-(st["w"] * sh) // st["hmax"])) // 8)
+        bh_n = -(-(-(-(st["h"] * sv) // st["vmax"])) // 8)
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                restart_if_due()
+                unit += 1
+                do_block(ci, by * (mcux * sh) + bx)
+    bw.flush()
+    segs.append(bytes(bw.out))
+    return b"".join(segs)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            subsampling: str = "4:4:4",
+                            spectral_only: bool = False,
+                            restart_interval: int = 0) -> bytes:
+    """uint8 (H,W,3) RGB or (H,W) gray → progressive (SOF2) JFIF bytes.
+
+    Default scan script exercises the full Annex-G surface: interleaved
+    DC first at Al=1, split-band AC first scans (1-5, 6-63) at Al=1,
+    AC refinement scans at Ah=1/Al=0, then a DC refinement scan.  With
+    ``spectral_only=True`` the script is pure spectral selection
+    (Ah=Al=0 everywhere, no refinement scans).  Every block carries its
+    own EOB0 (Annex-K tables have no EOBn>0 symbols), so streams are
+    valid but not EOB-run-compressed — the decoder handles both."""
+    st = _prepare_encode(arr, quality, subsampling)
+    nc = 1 if st["gray"] else 3
+    a1 = 0 if spectral_only else 1
+
+    script: list[tuple[list[int], int, int, int, int]] = []
+    script.append((list(range(nc)), 0, 0, 0, a1))  # DC first
+    for ci in range(nc):
+        script.append(([ci], 1, 5, 0, a1))   # AC first, low band
+        script.append(([ci], 6, 63, 0, a1))  # AC first, high band
+    if not spectral_only:
+        for ci in range(nc):
+            script.append(([ci], 1, 5, 1, 0))   # AC refine
+            script.append(([ci], 6, 63, 1, 0))
+        script.append((list(range(nc)), 0, 0, 1, 0))  # DC refine
+
+    dc_luts = [_build_encode_lut(_DC_LUMA_BITS, _DC_LUMA_VALS),
+               _build_encode_lut(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_luts = [_build_encode_lut(_AC_LUMA_BITS, _AC_LUMA_VALS),
+               _build_encode_lut(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    out = _headers(st, 0xC2, restart_interval)
+    for comps_idx, ss, se, ah, al in script:
+        sos = bytearray([len(comps_idx)])
+        for ci in comps_idx:
+            t = 1 if (not st["gray"] and ci) else 0
+            sos += bytes([ci + 1, ((t if ss == 0 else 0) << 4)
+                          | (t if ss > 0 else 0)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, bytes(sos))
+        out += _prog_scan(st, comps_idx, ss, se, ah, al,
+                          dc_luts, ac_luts, restart_interval)
     out += b"\xff\xd9"  # EOI
     return bytes(out)

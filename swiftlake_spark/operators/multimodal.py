@@ -316,7 +316,8 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     sequential JPEG (operators/jpeg.py — huffman + dequant + IDCT +
     YCbCr, restart markers, integer chroma ratios).  PIL-seam: the
     variants the stdlib paths refuse (16-bit/Adam7/packed-palette PNG;
-    progressive/arithmetic/12-bit JPEG).  Anything else raises."""
+    arithmetic/12-bit JPEG; progressive decodes natively).  Anything
+    else raises."""
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
     if data[:2] == b"BM":
@@ -333,7 +334,7 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
             return decode_jpeg(data)
         except (NotImplementedError, ValueError) as err:
             # NotImplementedError: variants the stdlib decoder declines
-            # (progressive/arithmetic/12-bit).  ValueError: payloads it
+            # (arithmetic/hierarchical/12-bit).  ValueError: payloads it
             # rejects as malformed — some are spec-legal shapes it does
             # not model (e.g. >2^28-pixel frames, fill bytes before
             # markers), so give PIL a chance; without PIL re-raise the

@@ -91,13 +91,24 @@ def test_dispatch_uses_stdlib_decoder():
     assert np.abs(out.astype(int) - img.astype(int)).mean() <= 1.5
 
 
-def test_progressive_marker_routes_to_seam():
-    """SOF2 (progressive) must raise NotImplementedError from the stdlib
+def test_arithmetic_marker_routes_to_seam():
+    """SOF9 (arithmetic) must raise NotImplementedError from the stdlib
     path — decode_image_bytes then falls through to the PIL seam."""
     data = bytearray(encode_jpeg(_gradient(8, 8)))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2
+    data[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+def test_fake_progressive_with_baseline_scan_rejected():
+    """Flipping SOF0→SOF2 on a baseline stream makes a structurally
+    invalid progressive file (interleaved full-band scan): the decoder
+    must reject it cleanly, not misdecode."""
+    data = bytearray(encode_jpeg(_gradient(8, 8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
 
 
@@ -180,5 +191,135 @@ def test_mutation_fuzz_fails_cleanly():
             outcomes["err"] += 1
     assert outcomes["ok"] + outcomes["err"] == 400
     # sanity: mutations actually exercised both branches
+    assert outcomes["err"] > 40, outcomes
+    assert time.time() - t0 < 120, "mutation decode too slow — lurking loop?"
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+from swiftlake_spark.operators.jpeg import (  # noqa: E402
+    _ac_first,
+    _ac_refine,
+    _BitReader,
+    encode_jpeg_progressive,
+)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(quality=95),
+    dict(quality=80, subsampling="4:2:0"),
+    dict(quality=85, spectral_only=True),
+    dict(quality=90, restart_interval=3),
+    dict(quality=75, subsampling="4:2:0", restart_interval=2),
+])
+def test_progressive_matches_baseline_decode(kwargs):
+    """The progressive scan script must reconstruct the exact same
+    pixels as a baseline encode of the same quantized coefficients —
+    successive approximation is lossless once all scans land."""
+    img = _gradient(29, 43)
+    prog = decode_jpeg(encode_jpeg_progressive(img, **kwargs))
+    base_kw = {k: v for k, v in kwargs.items()
+               if k in ("quality", "subsampling")}
+    base = decode_jpeg(encode_jpeg(img, **base_kw))
+    assert prog.shape == base.shape
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_grayscale_and_noise():
+    g = _gradient(33, 41)[:, :, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(g, quality=85)),
+        decode_jpeg(encode_jpeg(g, quality=85)))
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(noise, quality=95)),
+        decode_jpeg(encode_jpeg(noise, quality=95)))
+
+
+def test_progressive_dispatches_without_pil():
+    img = _gradient(17, 23)
+    out = decode_image_bytes(encode_jpeg_progressive(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() <= 1.5
+
+
+def test_progressive_wire_structure():
+    data = encode_jpeg_progressive(_gradient(16, 16), quality=85)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in data[: data.find(b"\xff\xda")]  # SOF2
+    assert b"\xff\xc0" not in data
+    # default script for color: 1 DC first + 6 AC first + 6 AC refine
+    # + 1 DC refine = 14 SOS markers
+    assert data.count(b"\xff\xda") == 14
+
+
+def test_eobrun_across_blocks_decodes():
+    """The Annex-K encoder never emits EOBn>0; exercise the decoder's
+    cross-block EOBRUN skip with a hand-built stream and custom LUT."""
+    # AC table: symbol 0x20 (EOBn, r=2) → code 0 (1 bit),
+    #           symbol 0x01 (run 0, size 1) → code 10 (2 bits)
+    lut = {(1, 0b0): 0x20, (2, 0b10): 0x01}
+    # bits: EOB2 code (0), 2 extra bits (11 → eobrun = 4+3-1... )
+    # stream: 0 11 | padding 1s  → eobrun = (1<<2)-1 + 0b11 = 6
+    r = _BitReader(bytes([0b01100000 + 0b11111]), 0)
+    blk = np.zeros(64, dtype=np.int32)
+    eobrun = _ac_first(r, blk, 1, 63, 0, 0, lut)
+    assert eobrun == 6 and not blk.any()
+    # the next 6 blocks are skipped without reading any bits
+    p_before = (r.pos, r.n)
+    for i in range(6):
+        eobrun = _ac_first(r, blk, 1, 63, 0, eobrun, lut)
+        assert eobrun == 5 - i
+    assert (r.pos, r.n) == p_before and not blk.any()
+
+
+def test_eobrun_refine_reads_correction_bits():
+    """In a refinement scan an EOB run still carries correction bits
+    for history-nonzero coefficients of every covered block."""
+    lut = {(1, 0b0): 0x10}  # EOBn r=1 → eobrun = 2 + extra
+    # stream bits: EOB code '0', 1 extra bit '1' → eobrun = 2+1 = 3;
+    # then correction bits for the current block's nonzero coefs: 1, 0
+    r = _BitReader(bytes([0b01101111]), 0)
+    blk = np.zeros(64, dtype=np.int32)
+    blk[2] = 4   # gets correction bit 1 → +1 at bit 0
+    blk[5] = -4  # gets correction bit 0 → unchanged
+    eobrun = _ac_refine(r, blk, 1, 63, 0, 0, lut)
+    assert eobrun == 2
+    assert blk[2] == 5 and blk[5] == -4
+    # next covered block: correction-bits only, no huffman decode
+    blk2 = np.zeros(64, dtype=np.int32)
+    blk2[7] = -2
+    eobrun = _ac_refine(r, blk2, 1, 63, 0, eobrun, lut)
+    assert eobrun == 1 and blk2[7] == -3  # read bit 1 → grew negative
+
+
+def test_progressive_mutation_fuzz_fails_cleanly():
+    """Corrupted progressive JPEGs must decode or raise cleanly —
+    same contract as the baseline mutation fuzz."""
+    import random
+    import struct as _struct
+    import time
+
+    rng = random.Random(13)
+    payloads = [
+        encode_jpeg_progressive(_gradient(24, 40), quality=90),
+        encode_jpeg_progressive(_gradient(17, 19), quality=80,
+                                subsampling="4:2:0", restart_interval=2),
+    ]
+    t0 = time.time()
+    outcomes = {"ok": 0, "err": 0}
+    for i in range(400):
+        data = bytearray(rng.choice(payloads))
+        for _ in range(rng.choice((1, 1, 1, 3))):
+            data[rng.randrange(2, len(data))] = rng.randrange(256)
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError, IndexError, KeyError,
+                _struct.error):
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 400
     assert outcomes["err"] > 40, outcomes
     assert time.time() - t0 < 120, "mutation decode too slow — lurking loop?"

@@ -774,23 +774,28 @@ def test_png_unsupported_variants_need_pil():
             decode_image_bytes(png16)
 
 
-def test_jpeg_dispatch_stdlib_first_pil_seam_for_progressive():
-    """JPEG dispatch (r9: stdlib baseline decoder landed): baseline
-    decodes WITHOUT PIL; progressive routes to the PIL seam — real
-    decode when importable, honest raise when not (zero new hard
-    dependencies)."""
+def test_jpeg_dispatch_stdlib_decodes_progressive_seam_for_arith():
+    """JPEG dispatch (r10: progressive decoder landed): baseline AND
+    progressive decode WITHOUT PIL; arithmetic-coded (SOF9) routes to
+    the PIL seam — real decode when importable, honest raise when not
+    (zero new hard dependencies)."""
     import numpy as np
     import pytest
 
-    from swiftlake_spark.operators.jpeg import encode_jpeg
+    from swiftlake_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from swiftlake_spark.operators.multimodal import decode_image_bytes
 
     img = np.full((8, 8, 3), (10, 200, 60), dtype=np.uint8)
     out = decode_image_bytes(encode_jpeg(img))
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1  # DC rounding
+    out = decode_image_bytes(encode_jpeg_progressive(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
 
-    progressive = bytearray(encode_jpeg(img))
-    progressive[progressive.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 → SOF2
+    arith = bytearray(encode_jpeg(img))
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC9  # SOF0 -> SOF9
     try:
         import PIL  # noqa: F401
 
@@ -800,8 +805,10 @@ def test_jpeg_dispatch_stdlib_first_pil_seam_for_progressive():
     if has_pil:
         # PIL rejects the corrupted scan its own way — the seam is open
         with pytest.raises(Exception) as ei:
-            decode_image_bytes(bytes(progressive))
+            decode_image_bytes(bytes(arith))
         assert not isinstance(ei.value, NotImplementedError)
     else:
         with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image_bytes(bytes(progressive))
+            decode_image_bytes(bytes(arith))
+
+
