@@ -118,6 +118,7 @@ class MergeIntoBuilder:
         self._matched: list[_MatchedClause] = []
         self._not_matched: list[_NotMatchedClause] = []
         self._by_source: list[_MatchedClause] = []
+        self._match_conditions: list[str | Column] = []
         self._null_safe_keys = True
         self._branch = batch.branch if batch is not None else "main"
         self._skip_sort = False
@@ -155,6 +156,18 @@ class MergeIntoBuilder:
 
     def unbounded(self, flag: bool = True) -> "MergeIntoBuilder":
         self._unbounded = flag
+        return self
+
+    def match_condition(self, cond: str | Column) -> "MergeIntoBuilder":
+        """Extra ON-clause residual ANDed into the match join — a Spark
+        SQL expression over ``target.*`` / ``source.*`` (e.g.
+        ``"source.active = 1"`` or ``"target.amount > source.floor"``).
+        Standard MERGE semantics: a pair failing it does not match, so
+        the source row stays insert-eligible (NOT MATCHED) and the
+        target row walks NOT MATCHED BY SOURCE.  Unlike ``table_filter``
+        this does NOT prune the scan — keep a prunable boundary filter
+        alongside it at scale.  Repeat calls AND together."""
+        self._match_conditions.append(cond)
         return self
 
     def filter_source(self, flag: bool) -> "MergeIntoBuilder":
@@ -350,6 +363,11 @@ class MergeIntoBuilder:
         for k in self._keys:
             tk, sk = F.col(f"target.{k}"), F.col(f"source.{k}")
             on = on & (tk.eqNullSafe(sk) if self._null_safe_keys else (tk == sk))
+        for mc in self._match_conditions:
+            # residual gates the MATCH only: under a full-outer join a
+            # failing pair degenerates into a target-only row (walks
+            # NOT MATCHED BY SOURCE) and a source-only row (insert path)
+            on = on & _expr(mc)
         j = tgt.join(src, on, "full_outer")
 
         matched = (

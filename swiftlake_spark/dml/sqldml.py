@@ -7,10 +7,12 @@ module extends the Spark engine's ``sql()`` so the statement forms a
 real user expects also work textually:
 
 - ``INSERT INTO db.t [(cols)] SELECT ...`` / ``VALUES (...), (...)``
-- ``UPDATE db.t SET a = <expr>, b = <expr> WHERE <cond>``
-- ``DELETE FROM db.t WHERE <cond>``
+- ``UPDATE db.t SET a = <expr>, b = <expr> [WHERE <cond>]`` (no WHERE
+  → every row, standard SQL)
+- ``DELETE FROM db.t [WHERE <cond>]`` (no WHERE → metadata-only
+  truncate)
 - ``MERGE INTO db.t [AS] t USING (<query>)|<name> [AS] s
-  ON t.k = s.k [AND t.bound = 'x' ...]
+  ON t.k = s.k [AND t.bound = 'x' ...] [AND s.active = 1 ...]
   WHEN MATCHED [AND <cond>] THEN UPDATE SET a = <expr>, ... | DELETE
   WHEN NOT MATCHED [AND <cond>] THEN INSERT [*|(cols) VALUES (exprs)]
   WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | DELETE``
@@ -18,8 +20,11 @@ real user expects also work textually:
   NULL-keyed rows classify NOT MATCHED on both sides; the builder's
   ``null_safe_keys()`` default stays a builder-only opt-in)
 - ``CREATE TABLE [IF NOT EXISTS] db.t (<ddl>)|[AS <query>]
-  [PARTITIONED BY (<spec>, ...)] [SORTED BY (...)]`` (CTAS infers the
-  schema and inserts in the same call)
+  [USING swiftlake] [PARTITIONED BY (<spec>, ...)] [SORTED BY (...)]``
+  (CTAS infers the schema and inserts in the same call;
+  ``USING swiftlake`` is the explicit routing marker — required only
+  for the FIRST table of a new database, where no routing evidence
+  exists yet)
 - ``DROP TABLE [IF EXISTS] db.t``
 - ``ALTER TABLE db.t ADD COLUMN[S] ... | DROP COLUMN ... |
   RENAME COLUMN a TO b | ALTER COLUMN c TYPE <t>`` (widen only)
@@ -42,13 +47,19 @@ MERGE ON-clause subset (sound by construction):
 
 - conjuncts of the form ``t.k = s.k`` become null-safe join keys
   (differing column names rename the source side);
-- conjuncts referencing ONLY the target become the boundary filter —
-  manifest prune + match gating via ``filter_source(False)``, which
-  preserves standard semantics (a target row failing the conjunct is
-  simply never matched; unmatched source rows still insert);
-- any other conjunct shape (source-side residuals, ORs, functions over
-  both sides) is rejected: mapping it onto the clause conditions would
-  silently change NOT-MATCHED classification.
+- conjuncts referencing ONLY the target (plain comparisons) become the
+  boundary filter — manifest prune + match gating via
+  ``filter_source(False)``: unmatched source rows still insert, and
+  out-of-boundary target rows are scoped OUT of the merge entirely
+  (they do not walk NOT MATCHED BY SOURCE — the engine's documented
+  boundary contract, which is what keeps the rewrite manifest-pruned);
+- conjuncts touching the source (source-only, mixed target/source,
+  nested field paths, function calls) become ``match_condition``
+  residuals — standard match gating: a failing pair does not match, so
+  the source row stays insert-eligible and the target row walks NOT
+  MATCHED BY SOURCE;
+- conjuncts with identifiers of unknown provenance are rejected:
+  guessing a side would silently change NOT-MATCHED classification.
 
 Statement result: a one-row DataFrame ``(operation, snapshot_id)`` —
 the commit receipt, mirroring how the builders return the Snapshot.
@@ -274,8 +285,13 @@ def ddl_route(engine, sql: str) -> bool:
     # the check there keeps `JOIN ... USING (k)` inside the AS query
     # from masquerading as `USING parquet`
     head = re.split(r"\bAS\b", mask_literals(sql), maxsplit=1, flags=re.IGNORECASE)[0]
-    if re.search(r"\bUSING\b", head, re.IGNORECASE):
-        return False
+    mu = re.search(r"\bUSING\s+([A-Za-z_][\w]*)", head, re.IGNORECASE)
+    if mu:
+        # ``USING swiftlake`` is the explicit opt-in marker — it routes
+        # unconditionally, which is also how the FIRST table of a new
+        # database is created textually; any other provider is
+        # Spark-native DDL and passes through
+        return mu.group(1).lower() == "swiftlake"
     if "." not in name:
         return False
     if engine.catalog.table_exists(name):
@@ -348,6 +364,12 @@ def _exec_create(engine, sql: str) -> DataFrame:
         cols_ddl = inner.strip()
         require(bool(cols_ddl), "empty column list")
     while rest:
+        mp = re.match(r"^USING\s+swiftlake\b\s*", rest, re.IGNORECASE)
+        if mp:
+            # the explicit lakehouse-provider marker (ddl_route claims
+            # these unconditionally) — no-op once routing is decided
+            rest = rest[mp.end():]
+            continue
         mm = re.match(r"^(PARTITIONED|SORTED)\s+BY\s*(?=\()", rest, re.IGNORECASE)
         if mm:
             inner, rest = _take_parens(rest[mm.end() :])
@@ -516,18 +538,23 @@ def _exec_update(engine, sql: str, toks: list[_Tok]) -> DataFrame:
         "UPDATE grammar: UPDATE <table> SET a = expr [, ...] WHERE <cond>",
     )
     wh = _find_kw(toks, "WHERE", 3)
-    require(
-        wh != -1,
-        "UPDATE through SQL requires a WHERE clause (the builder's "
-        "mandatory-condition guard); use engine.update(...) for other shapes",
-    )
-    sets = _assignments(sql, toks, 3, wh, {}, strip_quals=(table,))
-    cond = _slice(sql, toks, wh + 1, len(toks))
-    require(bool(cond.strip()), "empty WHERE clause")
+    # standard SQL: no WHERE → every row updates (a deliberate
+    # full-table rewrite; the builder API's mandatory-condition guard
+    # stays for programmatic callers, the textual form is explicit)
+    set_end = wh if wh != -1 else len(toks)
+    sets = _assignments(sql, toks, 3, set_end, {}, strip_quals=(table,))
     tbl_schema = engine.catalog.table(table).schema
+    if wh != -1:
+        cond = _slice(sql, toks, wh + 1, len(toks))
+        require(bool(cond.strip()), "empty WHERE clause")
+        condition = parse_filter(cond, tbl_schema)
+    else:
+        from swiftlake_spark.tables import expressions as E
+
+        condition = E.always_true()
     from pyspark.sql import functions as F
 
-    b = engine.update(table).condition(parse_filter(cond, tbl_schema)).update_sets(
+    b = engine.update(table).condition(condition).update_sets(
         {c: F.expr(e) for c, e in sets.items()}
     )
     return _receipt(engine.spark, "update", b.execute())
@@ -603,11 +630,18 @@ def _exec_delete(engine, sql: str, toks: list[_Tok]) -> DataFrame:
         "DELETE grammar: DELETE FROM <table> WHERE <cond>",
     )
     table = toks[2].text
+    if len(toks) == 3:
+        # standard SQL: no WHERE → delete every row.  With an
+        # always-true condition every file fully matches, so this is a
+        # metadata-only truncate (no data rewrite).
+        from swiftlake_spark.tables import expressions as E
+
+        b = engine.delete_from(table).condition(E.always_true())
+        return _receipt(engine.spark, "delete", b.execute())
     wh = _find_kw(toks, "WHERE", 3)
     require(
         wh == 3,
-        "DELETE through SQL requires a WHERE clause immediately after the "
-        "table; use engine.delete_from(...) for other shapes",
+        "DELETE grammar: DELETE FROM <table> [WHERE <cond>]",
     )
     cond = _slice(sql, toks, wh + 1, len(toks))
     require(bool(cond.strip()), "empty WHERE clause")
@@ -623,6 +657,7 @@ def _exec_delete(engine, sql: str, toks: list[_Tok]) -> DataFrame:
 class _OnAnalysis:
     keys: list[tuple[str, str]]  # (target col, source col)
     boundary: list[str]  # target-only conjunct texts (qualifiers stripped)
+    residual: list[tuple[int, int]]  # source-touching conjuncts (tok spans)
 
 
 def _ident_side(text: str, t_alias: str, s_alias: str) -> tuple[str | None, str]:
@@ -663,9 +698,11 @@ def _analyze_on(
 ) -> _OnAnalysis:
     keys: list[tuple[str, str]] = []
     boundary: list[str] = []
+    residual: list[tuple[int, int]] = []
     for s, e in _split_top(toks, lo, hi, "AND"):
         span = _slice(sql, toks, s, e)
-        # key equality: <x>.<k> = <y>.<k2>
+        # key equality: <x>.<k> = <y>.<k2> (top-level columns only;
+        # nested paths fall through to the residual classification)
         if (
             e - s == 3
             and toks[s].kind == "word"
@@ -679,14 +716,12 @@ def _analyze_on(
                 tcol, scol = (
                     (l_name, r_name) if l_side == "target" else (r_name, l_name)
                 )
-                require(
-                    "." not in tcol and "." not in scol,
-                    f"nested key paths not supported in ON: {span!r}",
-                )
-                keys.append((tcol, scol))
-                continue
-        # target-only conjunct → boundary
+                if "." not in tcol and "." not in scol:
+                    keys.append((tcol, scol))
+                    continue
+        # classify the conjunct: every identifier must resolve
         sides = set()
+        has_fn = False
         ok = True
         for i in range(s, e):
             t = toks[i]
@@ -697,23 +732,37 @@ def _analyze_on(
                     break
                 sides.add(side)
             elif t.kind == "word" and t.up not in _COND_WORDS and "." not in t.text:
-                # bare identifier of unknown provenance (literals have
-                # kind 'str'/'num' and never land here)
-                ok = False
-                break
-        if ok and sides == {"target"}:
-            # strip the target qualifier so parse_filter sees bare
-            # columns — token-span rebuild, so string literals (kind
-            # 'str', never word) are untouchable by construction
+                if i + 1 < e and toks[i + 1].kind == "lp":
+                    has_fn = True  # function call — fine in residuals
+                else:
+                    # bare identifier of unknown provenance (literals
+                    # have kind 'str'/'num' and never land here)
+                    ok = False
+                    break
+        if ok and sides == {"target"} and not has_fn:
+            # target-only conjunct → boundary: manifest prune + match
+            # gating (the engine's documented scoping contract).  Strip
+            # the target qualifier so parse_filter sees bare columns —
+            # token-span rebuild, so string literals (kind 'str', never
+            # word) are untouchable by construction
             boundary.append(_strip_qualifier(sql, toks, s, e, t_alias))
+            continue
+        if ok and ("source" in sides or not sides):
+            # source-side / mixed residual → standard match gating via
+            # MergeIntoBuilder.match_condition (a failing pair does not
+            # match: the source row stays insert-eligible, the target
+            # row walks NOT MATCHED BY SOURCE)
+            residual.append((s, e))
             continue
         raise ValidationError(
             f"unsupported ON conjunct {span!r}: MERGE through SQL accepts "
-            "target-key = source-key equalities and target-only boundary "
-            "predicates; use engine.merge_into(...) for other shapes"
+            "target-key = source-key equalities, target-only boundary "
+            "predicates (plain comparisons — no function calls), and "
+            "source-side/mixed residual conditions; use "
+            "engine.merge_into(...) for other shapes"
         )
     require(bool(keys), "MERGE ON clause needs at least one key equality")
-    return _OnAnalysis(keys, boundary)
+    return _OnAnalysis(keys, boundary, residual)
 
 
 _COND_WORDS = {
@@ -813,6 +862,10 @@ def _exec_merge(engine, sql: str, toks: list[_Tok]) -> DataFrame:
         ).filter_source(False)
     else:
         b = b.unbounded()
+    for s, e in on.residual:
+        # rewrite t./s. aliases to target./source. (renamed source keys
+        # go through ``full`` like every other clause expression)
+        b = b.match_condition(_rewrite_aliases(sql, toks, s, e, mapping, full))
 
     # WHEN clauses
     idx = on_end

@@ -385,3 +385,49 @@ def test_by_source_differential_vs_duckdb(engine, spark):
     ).fetchall()
     got = rows(engine.catalog.load("db.m"), "id", "cat", "qty", "price")
     assert got == sorted([tuple(r) for r in expect], key=_key)
+
+
+def test_match_condition_differential_vs_duckdb(engine, spark):
+    """ON-residual (match_condition, r10) against DuckDB's reference
+    computation with the residual folded into the join condition: a
+    pair failing it does not match — the source row inserts, the
+    target row walks NOT MATCHED BY SOURCE."""
+    tgt_rows = [
+        (i, "A" if i % 2 else "B", i * 10, float(i)) for i in range(1, 41)
+    ]
+    src_rows = [
+        (i, "C", (i * 7) % 50, float(i)) for i in range(20, 61)
+    ]
+    seed(engine, spark, data=tgt_rows)
+    engine.merge_into("db.m").using(src(spark, src_rows)).key_columns(
+        ["id"]
+    ).match_condition("source.qty >= 25").unbounded().when_matched_update(
+        sets={"qty": "source.qty"}
+    ).when_not_matched_insert(
+        values={"id": "source.id + 1000", "cat": "source.cat",
+                "qty": "source.qty", "price": "source.price"}
+    ).when_not_matched_by_source_update(
+        sets={"cat": "'STALE'"}, condition="target.id >= 30"
+    ).execute()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, cat VARCHAR, qty BIGINT, price DOUBLE)")
+    con.execute("CREATE TABLE s (id BIGINT, cat VARCHAR, qty BIGINT, price DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", tgt_rows)
+    con.executemany("INSERT INTO s VALUES (?,?,?,?)", src_rows)
+    expect = con.execute(
+        """
+        WITH m AS (SELECT t.id FROM t JOIN s ON t.id = s.id AND s.qty >= 25)
+        SELECT t.id, t.cat, s.qty AS qty, t.price
+        FROM t JOIN s ON t.id = s.id AND s.qty >= 25      -- matched update
+        UNION ALL
+        SELECT t.id, CASE WHEN t.id >= 30 THEN 'STALE' ELSE t.cat END,
+               t.qty, t.price
+        FROM t WHERE t.id NOT IN (SELECT id FROM m)       -- by-source walk
+        UNION ALL
+        SELECT s.id + 1000, s.cat, s.qty, s.price
+        FROM s WHERE s.id NOT IN (SELECT id FROM m)       -- unmatched insert
+        """
+    ).fetchall()
+    got = rows(engine.catalog.load("db.m"), "id", "cat", "qty", "price")
+    assert got == sorted([tuple(r) for r in expect], key=_key)

@@ -53,10 +53,26 @@ def test_sql_update(engine, spark):
     ]
 
 
-def test_sql_update_requires_where(engine, spark):
+def test_sql_update_without_where_updates_all(engine, spark):
+    """Standard SQL: UPDATE with no WHERE touches every row."""
     seed(engine, spark)
-    with pytest.raises(ValidationError, match="WHERE"):
-        engine.sql("UPDATE db.m SET qty = 0")
+    out = engine.sql("UPDATE db.m SET qty = 0")
+    assert out.collect()[0].operation == "update"
+    assert rows(engine.catalog.load("db.m"), "id", "qty") == [
+        (1, 0), (2, 0), (3, 0), (4, 0),
+    ]
+
+
+def test_sql_delete_without_where_truncates(engine, spark):
+    """Standard SQL: DELETE with no WHERE removes every row (and is a
+    metadata-only commit — every file fully matches)."""
+    seed(engine, spark)
+    out = engine.sql("DELETE FROM db.m")
+    assert out.collect()[0].operation == "delete"
+    assert engine.catalog.load("db.m").count() == 0
+    # the typed empty relation still reads with the full schema
+    assert set(engine.catalog.load("db.m").columns) == {
+        "id", "cat", "qty", "price"}
 
 
 def test_sql_delete(engine, spark):
@@ -157,9 +173,11 @@ def test_sql_merge_key_rename(engine, spark):
 def test_sql_merge_rejects_unsupported_on(engine, spark):
     seed(engine, spark)
     engine.catalog.create_table("db.src4", DDL)
+    # bare identifier of unknown provenance — guessing a side would
+    # silently change NOT-MATCHED classification
     with pytest.raises(ValidationError, match="unsupported ON conjunct"):
         engine.sql(
-            "MERGE INTO db.m t USING db.src4 s ON t.id = s.id AND s.qty > 5 "
+            "MERGE INTO db.m t USING db.src4 s ON t.id = s.id AND qty > 5 "
             "WHEN MATCHED THEN DELETE"
         )
     with pytest.raises(ValidationError, match="key equality"):
@@ -561,3 +579,81 @@ def test_sql_merge_boundary_literal_containing_alias_text(engine, spark):
     # have failed the parse or produced a different classification
     out = rows(engine.catalog.load("db.m"), "id", "qty")
     assert (1, 10) in out and (1, 5) in out  # original + inserted copy
+
+
+def test_sql_merge_source_residual_gates_match(engine, spark):
+    """ON source-side residual (r10): a pair failing it does not match —
+    the source row stays insert-eligible, the target row walks NOT
+    MATCHED BY SOURCE.  Standard SQL MERGE semantics."""
+    seed(engine, spark)
+    engine.catalog.create_table("db.srcr", DDL)
+    engine.insert_into("db.srcr").dataframe(spark.createDataFrame(
+        [(1, "A", 100, 1.0),   # matches id 1, qty > 50 → UPDATE fires
+         (2, "A", 5, 2.0),     # id 2 exists but qty ≤ 50 → no match:
+                               # source row INSERTS, target row BY SOURCE
+         (9, "Z", 99, 9.0)],   # no target id 9 → INSERT
+        DDL)).execute()
+    engine.sql(
+        "MERGE INTO db.m t USING db.srcr s "
+        "ON t.id = s.id AND s.qty > 50 "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty "
+        "WHEN NOT MATCHED THEN INSERT (id, cat, qty, price) "
+        "VALUES (s.id + 100, s.cat, s.qty, s.price) "
+        "WHEN NOT MATCHED BY SOURCE AND t.id = 2 THEN UPDATE SET cat = 'NMS'"
+    )
+    got = set(rows(engine.catalog.load("db.m"), "id", "cat", "qty"))
+    assert got == {
+        (1, "A", 100),     # matched update
+        (2, "NMS", 20),    # residual-failed → by-source clause fired
+        (3, "B", 30), (4, "B", 40),
+        (102, "A", 5),     # residual-failed source row inserted
+        (109, "Z", 99),    # never-matched source row inserted
+    }
+
+
+def test_sql_merge_mixed_residual_and_function(engine, spark):
+    """Mixed target/source residual with a function call."""
+    seed(engine, spark)
+    engine.catalog.create_table("db.srcm", DDL)
+    engine.insert_into("db.srcm").dataframe(spark.createDataFrame(
+        [(3, "b", 1, 0.0), (4, "x", 1, 0.0)], DDL)).execute()
+    # match only when categories agree case-insensitively: id 3 ('B' vs
+    # 'b') matches; id 4 ('B' vs 'x') does not
+    engine.sql(
+        "MERGE INTO db.m t USING db.srcm s "
+        "ON t.id = s.id AND upper(t.cat) = upper(s.cat) "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert rows(engine.catalog.load("db.m"), "id") == [(1,), (2,), (4,)]
+
+
+def test_merge_builder_match_condition(engine, spark):
+    """Builder-level match_condition: same semantics, no SQL text."""
+    seed(engine, spark)
+    src = spark.createDataFrame([(1, "A", 7, 0.0), (2, "A", 99, 0.0)], DDL)
+    engine.merge_into("db.m").using(src).key_columns(["id"]) \
+        .match_condition("source.qty > 50").unbounded() \
+        .when_matched_update({"qty": "source.qty"}) \
+        .execute()
+    got = rows(engine.catalog.load("db.m"), "id", "qty")
+    assert got == [(1, 10), (2, 99), (3, 30), (4, 40)]
+
+
+def test_sql_create_using_swiftlake_first_table_of_new_db(engine, spark):
+    """USING swiftlake routes unconditionally — the FIRST table of a
+    brand-new database can be created textually (r9 missing #2)."""
+    out = engine.sql(
+        "CREATE TABLE freshdb.first (id BIGINT, v STRING) USING swiftlake")
+    assert out.collect()[0].operation == "create"
+    assert engine.catalog.table_exists("freshdb.first")
+    engine.sql("INSERT INTO freshdb.first VALUES (1, 'x')")
+    assert engine.catalog.load("freshdb.first").count() == 1
+    # CTAS form too, with partitioning after the marker
+    engine.sql(
+        "CREATE TABLE freshdb2.c USING swiftlake PARTITIONED BY (v) "
+        "AS SELECT * FROM freshdb.first")
+    assert engine.catalog.load("freshdb2.c").count() == 1
+    # other providers still pass through to Spark (and fail there if
+    # unsupported) rather than being claimed by the lakehouse
+    from swiftlake_spark.dml.sqldml import ddl_route
+    assert not ddl_route(engine, "CREATE TABLE freshdb.x (id INT) USING parquet")
