@@ -576,3 +576,70 @@ def editdist_near_dups(
         *[F.col(f"a.{c}").alias(c) for c in block_cols],
         dist.alias("dist"),
     )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    n: int = 13,
+    threshold: float = 0.5,
+    split: str = " ",
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the GPT-3/PaLM
+    recipe: a training document is contaminated when a large fraction
+    of its n-grams also appear in an evaluation set).
+
+    Returns one row per input document: ``(id, n_tokens, n_grams,
+    n_hit, hit_frac, is_contaminated)`` where ``n_grams`` counts the
+    document's n-gram POSITIONS, ``n_hit`` how many of those positions
+    carry a gram present anywhere in the eval set, ``hit_frac`` their
+    ratio (0.0 for documents shorter than ``n`` tokens — they carry no
+    gram evidence and are never flagged), and ``is_contaminated`` is
+    ``hit_frac >= threshold``.
+
+    Scale (100 TB): eval sets are tiny next to the corpus, so the eval
+    gram keys (distinct 32-byte md5) are BROADCAST — the corpus-side
+    gram explode is map-only through the join, and the only shuffle is
+    the per-document count aggregate (map-side partial).  One corpus
+    pass, no corpus-side distinct, no driver state.
+    """
+    eval_id = eval_id_col or id_col
+    eval_text = eval_text_col or text_col
+    grams = gram_positions(docs, id_col, text_col, n=n, split=split)
+    eval_grams = (
+        gram_positions(eval_df, eval_id, eval_text, n=n, split=split)
+        .select("gh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        grams.join(F.broadcast(eval_grams), "gh", "left")
+        .groupBy("id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), split)).alias("__nt"),
+    )
+    out = base.join(per_doc, "id", "left")
+    frac = F.when(
+        F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+        F.col("n_hit").cast("double") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id",
+        F.coalesce(F.col("n_tokens"), F.col("__nt")).alias("n_tokens"),
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        frac.alias("hit_frac"),
+        (frac >= F.lit(float(threshold))).alias("is_contaminated"),
+    )

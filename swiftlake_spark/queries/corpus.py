@@ -455,3 +455,56 @@ def q131_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dup_frac").desc(), "doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q139 — benchmark decontamination (round 10): n-gram overlap against an
+# evaluation set.  Eval grams are a broadcast (benchmarks are tiny next
+# to a 100 TB corpus); the corpus side is one map-only gram explode +
+# one per-doc count shuffle.  The eval set here is a deterministic
+# corpus slice (doc_id % 53 = 0) standing in for a held-out benchmark.
+# --------------------------------------------------------------------------
+@query(
+    "q139_decontaminate",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+12], ' ')) AS gh,
+         LEN(w) AS n_tokens
+  FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 12, 0))) AS t(i)
+), ev AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % 53 = 0
+), per_doc AS (
+  SELECT g.doc_id, MAX(g.n_tokens) AS n_tokens, COUNT(*) AS n_grams,
+         SUM(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM grams g LEFT JOIN ev e USING (gh)
+  GROUP BY g.doc_id
+)
+SELECT w.doc_id,
+       COALESCE(p.n_tokens, LEN(w.w)) AS n_tokens,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_hit,
+       COALESCE(CAST(p.n_hit AS DOUBLE) / p.n_grams, 0.0) AS hit_frac,
+       COALESCE(CAST(p.n_hit AS DOUBLE) / p.n_grams, 0.0) >= 0.8
+         AS is_contaminated
+FROM words w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
+ORDER BY hit_frac DESC, w.doc_id
+LIMIT 100
+""",
+    doc="13-gram eval-set decontamination flags (GPT-3/PaLM recipe)",
+)
+def q139_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import ngram_decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 53 == 0)
+    out = ngram_decontaminate(d, ev, "doc_id", "text", n=13, threshold=0.8)
+    return (
+        out.select(
+            F.col("id").alias("doc_id"), "n_tokens", "n_grams", "n_hit",
+            "hit_frac", "is_contaminated",
+        )
+        .orderBy(F.col("hit_frac").desc(), "doc_id")
+        .limit(100)
+    )

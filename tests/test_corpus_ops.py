@@ -333,3 +333,62 @@ def test_ngram_repetition_known_values(spark):
     assert out[1]["dup_frac"] == pytest.approx(1 - 2 / 5)
     assert out[1]["top_frac"] == pytest.approx(3 / 5)
     assert out[2]["dup_frac"] == 0.0 and out[2]["top_frac"] == pytest.approx(1 / 4)
+
+
+def test_ngram_decontaminate_flags_and_short_docs(spark):
+    from swiftlake_spark.operators.dedup import ngram_decontaminate
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h i j"),   # 7 4-grams, 3 hit eval's 6-token doc
+        (2, "a b c d e x y z w q"),   # 2 hit
+        (3, "u v"),                   # shorter than n: no gram evidence
+        (4, "p q r s t u v w"),       # zero overlap
+    ], "doc_id BIGINT, text STRING")
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f")], "eid BIGINT, etext STRING")
+    out = {r["id"]: r for r in ngram_decontaminate(
+        docs, ev, "doc_id", "text", eval_id_col="eid",
+        eval_text_col="etext", n=4, threshold=0.3).collect()}
+    assert out[1]["n_grams"] == 7 and out[1]["n_hit"] == 3
+    assert out[1]["is_contaminated"]
+    assert out[2]["n_hit"] == 2 and not out[2]["is_contaminated"]
+    assert out[3]["n_grams"] == 0 and out[3]["hit_frac"] == 0.0
+    assert not out[3]["is_contaminated"]
+    assert out[4]["n_hit"] == 0
+
+
+def test_ngram_decontaminate_matches_python_model(spark):
+    """Differential vs a direct Python set model on random corpora."""
+    import random
+
+    from swiftlake_spark.operators.dedup import ngram_decontaminate
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(2, 40))))
+            for i in range(60)]
+    ev = [(1000 + i, " ".join(rng.choice(vocab) for _ in range(25)))
+          for i in range(5)]
+    n = 5
+
+    def grams(text):
+        t = text.split(" ")
+        return [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+
+    ev_set = {g for _, e in ev for g in grams(e)}
+    expect = {}
+    for i, text in enumerate(d[1] for d in docs):
+        g = grams(text)
+        hits = sum(1 for x in g if x in ev_set)
+        expect[docs[i][0]] = (len(g), hits)
+
+    out = ngram_decontaminate(
+        spark.createDataFrame(docs, "doc_id BIGINT, text STRING"),
+        spark.createDataFrame(ev, "doc_id BIGINT, text STRING"),
+        "doc_id", "text", n=n, threshold=0.2)
+    for r in out.collect():
+        assert (r["n_grams"], r["n_hit"]) == expect[r["id"]], r["id"]
+        want_frac = (expect[r["id"]][1] / expect[r["id"]][0]
+                     if expect[r["id"]][0] else 0.0)
+        assert abs(r["hit_frac"] - want_frac) < 1e-12
