@@ -100,3 +100,96 @@ def stratified_limit(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mixing_weights(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str | Column,
+    *,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Corpus-mixing weights: per-group sampling multipliers that steer
+    the token distribution toward a target mix (the static data-mixing
+    step of Pile/Dolma-style corpus assembly).
+
+    Per group: ``(group, n_docs, n_tokens, actual_share, target_share,
+    weight)`` where ``weight = target_share / actual_share`` — the
+    factor to multiply the group's sampling rate by (>1 means the group
+    is under-represented and repeats/upsamples).  ``target_shares``
+    maps group → desired token share; groups not in the map get 0.0
+    (dropped from the mix); with no map the target is uniform across
+    the groups present.
+
+    Scale (100 TB): one aggregate shuffle on the group key (map-side
+    partial sums); the share math runs over the per-group result, which
+    is tiny — the unpartitioned window is over #groups rows, never data
+    rows.  Deterministic: plain integer sums and IEEE division (no
+    rand(), no transcendentals).
+    """
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    if target_shares is None:
+        tgt = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in
+              (kv[0], float(kv[1]))]
+        )
+        tgt = F.coalesce(mapping[F.col("group")], F.lit(0.0))
+    actual = F.col("n_tokens").cast("double") / total
+    return per.select(
+        "group", "n_docs", "n_tokens",
+        actual.alias("actual_share"),
+        tgt.alias("target_share"),
+        (tgt / actual).alias("weight"),
+    )
+
+
+def quantile_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Flag rows whose ``value_col`` falls outside the [lo, hi]
+    percent-rank band within their group — the distribution-tail filter
+    of a quality pipeline (drop freakishly short/long documents per
+    language rather than by a global constant).
+
+    Adds ``cd`` (cume_dist: fraction of group rows with value ≤ this
+    row's), ``cd_rev`` (fraction with value ≥ it), and ``is_outlier``
+    (``cd < lo OR cd_rev < 1 - hi``).  Tail fractions rather than
+    percent_rank, on both ends: percent_rank pins the group minimum to
+    0 (< lo always) and cume_dist pins the maximum to 1 (> hi always),
+    so either alone flags an extreme row unconditionally — the
+    two-sided form flags nothing on a degenerate all-equal group and
+    is symmetric under value reflection.  ``cd_rev`` derives from the
+    SAME ascending sort ((n - rank + 1)/n; rank-with-ties = #rows<v +
+    1), so there is no second window sort; every rational is identical
+    in Spark and ANSI SQL, so flags hash-match an oracle bit-for-bit.
+
+    Scale (100 TB): one shuffle on the group key; the sort is
+    within-partition.  A global (ungrouped) call serializes into a
+    single partition — pass ``by`` at scale.
+    """
+    part = W.partitionBy(by) if by is not None else W.partitionBy()
+    ordered = part.orderBy(F.col(value_col))
+    n = F.count(F.lit(1)).over(part)
+    cd = F.cume_dist().over(ordered)
+    cd_rev = (n - F.rank().over(ordered) + 1).cast("double") / n
+    return (
+        df.withColumn("cd", cd)
+        .withColumn("cd_rev", cd_rev)
+        .withColumn(
+            "is_outlier", (F.col("cd") < F.lit(float(lo)))
+            | (F.col("cd_rev") < F.lit(1.0 - float(hi)))
+        )
+    )

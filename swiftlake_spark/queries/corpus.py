@@ -508,3 +508,80 @@ def q139_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hit_frac").desc(), "doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — corpus mixing weights (round 10): per-source sampling
+# multipliers toward a uniform token mix.  One group-key aggregate; the
+# share math runs over the tiny per-group relation.
+# --------------------------------------------------------------------------
+@query(
+    "q140_mixing_weights",
+    oracle=r"""
+WITH per AS (
+  SELECT source AS src, COUNT(*) AS n_docs,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT src, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / (SUM(n_tokens) OVER ()) AS actual_share,
+       CAST(1 AS DOUBLE) / (COUNT(*) OVER ()) AS target_share,
+       (CAST(1 AS DOUBLE) / (COUNT(*) OVER ()))
+         / (CAST(n_tokens AS DOUBLE) / (SUM(n_tokens) OVER ())) AS weight
+FROM per
+ORDER BY src
+""",
+    doc="per-source sampling weights toward a uniform token mix",
+)
+def q140_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.sampling import mixing_weights
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "__tok", F.size(F.split(F.col("text"), " "))
+    )
+    return (
+        mixing_weights(d, "source", "__tok")
+        .select(
+            F.col("group").alias("src"), "n_docs", "n_tokens",
+            "actual_share", "target_share", "weight",
+        )
+        .orderBy("src")
+    )
+
+
+# --------------------------------------------------------------------------
+# q141 — distribution-tail outliers (round 10): per-language two-sided
+# tail-fraction band filter on document length.  cume_dist and its
+# reverse ((n-rank+1)/n) are the same rationals in Spark and DuckDB,
+# so flags hash-match bit-for-bit; the two-sided form flags nothing on
+# a degenerate all-equal group (see operators/sampling.py).
+# --------------------------------------------------------------------------
+@query(
+    "q141_length_outliers",
+    oracle=r"""
+WITH cd AS (
+  SELECT doc_id, lang, n_chars,
+         cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd,
+         CAST(COUNT(*) OVER (PARTITION BY lang)
+              - rank() OVER (PARTITION BY lang ORDER BY n_chars)
+              + 1 AS DOUBLE)
+           / (COUNT(*) OVER (PARTITION BY lang)) AS cd_rev
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, cd, cd_rev
+FROM cd
+WHERE cd < 0.01 OR cd_rev < (CAST(1 AS DOUBLE) - CAST(0.99 AS DOUBLE))
+ORDER BY lang, doc_id
+""",
+    doc="per-language length-distribution tail outliers (p1/p99)",
+)
+def q141_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.sampling import quantile_outliers
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        quantile_outliers(d, "n_chars", by="lang", lo=0.01, hi=0.99)
+        .filter(F.col("is_outlier"))
+        .select("doc_id", "lang", "n_chars", "cd", "cd_rev")
+        .orderBy("lang", "doc_id")
+    )

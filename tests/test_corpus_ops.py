@@ -392,3 +392,43 @@ def test_ngram_decontaminate_matches_python_model(spark):
         want_frac = (expect[r["id"]][1] / expect[r["id"]][0]
                      if expect[r["id"]][0] else 0.0)
         assert abs(r["hit_frac"] - want_frac) < 1e-12
+
+
+def test_mixing_weights_uniform_and_explicit_target(spark):
+    from swiftlake_spark.operators.sampling import mixing_weights
+
+    df = spark.createDataFrame(
+        [("web", 10), ("web", 30), ("code", 40), ("books", 20)],
+        "src STRING, tok BIGINT")
+    out = {r["group"]: r for r in
+           mixing_weights(df, "src", "tok").collect()}
+    assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 40
+    # uniform target: each of 3 groups wants 1/3 of 100 tokens
+    assert abs(out["web"]["actual_share"] - 0.4) < 1e-12
+    assert abs(out["web"]["weight"] - (1 / 3) / 0.4) < 1e-12
+    assert abs(out["books"]["weight"] - (1 / 3) / 0.2) < 1e-12
+
+    out2 = {r["group"]: r for r in mixing_weights(
+        df, "src", "tok",
+        target_shares={"web": 0.9, "code": 0.1}).collect()}
+    assert abs(out2["web"]["weight"] - 0.9 / 0.4) < 1e-12
+    assert out2["books"]["target_share"] == 0.0  # absent from target: drop
+    assert out2["books"]["weight"] == 0.0
+
+
+def test_quantile_outliers_band_and_ties(spark):
+    from swiftlake_spark.operators.sampling import quantile_outliers
+
+    rows = [(i, "en", i) for i in range(1, 101)] + \
+           [(200 + i, "de", 5) for i in range(10)]  # all-ties group
+    df = spark.createDataFrame(rows, "id BIGINT, lang STRING, v BIGINT")
+    out = quantile_outliers(df, "v", by="lang", lo=0.05, hi=0.95).collect()
+    en = {r["id"]: r for r in out if r["lang"] == "en"}
+    # cd(i) = i/100 < .05 → 1-4; cd_rev(i) = (101-i)/100 < (1 - .95)
+    # → 96-100: IEEE 1.0-0.95 is 0.050000000000000044, so cd_rev = .05
+    # sits strictly below it.  The oracle mirrors the same arithmetic,
+    # so the boundary is deterministic, merely not decimal-intuitive.
+    assert [i for i in range(1, 101) if en[i]["is_outlier"]] == \
+        [1, 2, 3, 4, 96, 97, 98, 99, 100]
+    # an all-ties group has cd = cd_rev = 1.0 everywhere → nothing flagged
+    assert all(not r["is_outlier"] for r in out if r["lang"] == "de")
