@@ -14,7 +14,8 @@ real user expects also work textually:
 - ``MERGE INTO db.t [AS] t USING (<query>)|<name> [AS] s
   ON t.k = s.k [AND t.bound = 'x' ...] [AND s.active = 1 ...]
   WHEN MATCHED [AND <cond>] THEN UPDATE SET a = <expr>, ... | DELETE
-  WHEN NOT MATCHED [AND <cond>] THEN INSERT [*|(cols) VALUES (exprs)]
+  WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+    INSERT [*|(cols) VALUES (exprs)]
   WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | DELETE``
   (SQL:2016; ``ON`` key ``=`` is null-rejecting per standard SQL —
   NULL-keyed rows classify NOT MATCHED on both sides; the builder's
@@ -888,9 +889,13 @@ def _parse_when(
     require(i < hi and toks[i].up == "MATCHED", "expected MATCHED in WHEN clause")
     i += 1
     by_source = False
-    if i + 1 < hi and toks[i].up == "BY" and toks[i + 1].up == "SOURCE":
-        require(negated, "BY SOURCE only follows WHEN NOT MATCHED")
-        by_source = True
+    if i + 1 < hi and toks[i].up == "BY" and toks[i + 1].up in ("SOURCE", "TARGET"):
+        require(
+            negated, f"BY {toks[i + 1].up} only follows WHEN NOT MATCHED"
+        )
+        # BY TARGET is the explicit spelling of the default NOT MATCHED
+        # (SQL:2016); BY SOURCE flips to the target-only clause
+        by_source = toks[i + 1].up == "SOURCE"
         i += 2
     cond = None
     if i < hi and toks[i].up == "AND":

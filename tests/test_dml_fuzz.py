@@ -106,7 +106,8 @@ class _Mirror:
         # within the table filter the final state IS the source
         self.overwrite(cats, rows)
 
-    def merge(self, cats, rows, del_pred, upd_pred, bs_del_cond=None) -> None:
+    def merge(self, cats, rows, del_pred, upd_pred, bs_del_cond=None,
+              match_pred=None) -> None:
         """Generic merge twin (dml/merge.py SQL semantics, boundary =
         cat IN cats with the default source filter): matched candidates
         walk DELETE-if / UPDATE-if (whole-row replace) in clause order;
@@ -114,8 +115,17 @@ class _Mirror:
         target columns) candidate rows matching NO source id fire the
         WHEN NOT MATCHED BY SOURCE delete — 3VL included, since the
         condition runs as a plain DuckDB DELETE WHERE.  Predicates are
-        the Python twins of the engine's source-only clause conditions."""
+        the Python twins of the engine's source-only clause conditions.
+        ``match_pred`` is the ON-residual twin (r10
+        ``match_condition``): a source row failing it matches nothing —
+        it inserts unconditionally, and its target id (absent from the
+        passing ids) walks the by-source clause."""
         src = [r for r in rows if r[1] in cats]  # boundary filters source
+        if match_pred is not None:
+            src_fail = [r for r in src if not match_pred(r)]
+            src = [r for r in src if match_pred(r)]
+        else:
+            src_fail = []
         ids = [r[0] for r in src]
         cs = ", ".join(f"'{c}'" for c in cats)
         if bs_del_cond is not None:
@@ -128,6 +138,7 @@ class _Mirror:
                 f"DELETE FROM m WHERE cat IN ({cs}) {not_in}AND ({bs_del_cond})"
             )
         if not ids:
+            self.append(src_fail)  # residual-failed rows still insert
             return
         marks = ", ".join(str(i) for i in ids)
         # per-id match COUNT: appends can duplicate an id inside the
@@ -144,7 +155,7 @@ class _Mirror:
             r for r in src
             if r[0] in matched and not del_pred(r) and upd_pred(r)
         ]
-        ins = [r for r in src if r[0] not in matched]
+        ins = [r for r in src if r[0] not in matched] + src_fail
         gone = del_ids + [r[0] for r in upd]
         if gone:
             gs = ", ".join(str(i) for i in gone)
@@ -291,6 +302,10 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
             # 3VL-sensitive condition (NULL n → no fire) — candidate
             # rows absent from the source are pruned
             bs_thr = rng.randrange(-50, 50) if rng.random() < 0.5 else None
+            # ~30%: ON-residual over the source (r10 match_condition) —
+            # 3VL-sensitive (NULL v → pair does not match → insert +
+            # by-source walk)
+            res_thr = rng.randrange(0, 400) / 4.0 if rng.random() < 0.3 else None
             if br == "main" and rng.random() < 0.5:
                 # textual path: same builder underneath, but the MERGE
                 # grammar (dml/sqldml.py — ON analysis, alias rewrite,
@@ -306,9 +321,10 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                     f"WHEN NOT MATCHED BY SOURCE AND t.n < {bs_thr} THEN DELETE"
                     if bs_thr is not None else ""
                 )
+                res_sql = f"AND s.v < {res_thr} " if res_thr is not None else ""
                 eng.sql(
                     f"MERGE INTO {name} AS t USING fuzz_merge_src AS s "
-                    f"ON t.id = s.id AND t.cat IN ({cs}) "
+                    f"ON t.id = s.id AND t.cat IN ({cs}) {res_sql}"
                     f"WHEN MATCHED AND s.n > {thr} THEN DELETE "
                     f"WHEN MATCHED AND s.v <= {vthr} THEN UPDATE SET {sets} "
                     f"WHEN NOT MATCHED THEN INSERT * {bs_sql}"
@@ -329,6 +345,8 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                     b = b.when_not_matched_by_source_delete(
                         condition=f"target.n < {bs_thr}"
                     )
+                if res_thr is not None:
+                    b = b.match_condition(f"source.v < {res_thr}")
                 b.execute()
                 via = "api"
             mirror.merge(
@@ -337,11 +355,15 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                 del_pred=lambda r, t=thr: r[4] is not None and r[4] > t,
                 upd_pred=lambda r, t=vthr: r[3] is not None and r[3] <= t,
                 bs_del_cond=None if bs_thr is None else f"n < {bs_thr}",
+                match_pred=None if res_thr is None else (
+                    lambda r, t=res_thr: r[3] is not None and r[3] < t
+                ),
             )
             ops_log.append(
                 f"[{br}] merge({via}) cats={cats} rows={len(rows)} "
                 f"del:n>{thr} upd:v<={vthr} bs_del:"
-                f"{'off' if bs_thr is None else f'n<{bs_thr}'}"
+                f"{'off' if bs_thr is None else f'n<{bs_thr}'} res:"
+                f"{'off' if res_thr is None else f'v<{res_thr}'}"
             )
         elif roll < 0.84:
             cond = _rand_cond(rng)
@@ -356,9 +378,14 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
                 val = rng.choice(CATS)
             if br == "main" and rng.random() < 0.5:
                 # textual path: same builder underneath, but the parse
-                # (dml/sqldml.py) is in the loop
+                # (dml/sqldml.py) is in the loop; ~15% WHERE-less (r10:
+                # standard full-table update)
                 lit = f"'{val}'" if isinstance(val, str) else repr(val)
-                eng.sql(f"UPDATE {name} SET {col} = {lit} WHERE {cond}")
+                if rng.random() < 0.15:
+                    cond = "TRUE"
+                    eng.sql(f"UPDATE {name} SET {col} = {lit}")
+                else:
+                    eng.sql(f"UPDATE {name} SET {col} = {lit} WHERE {cond}")
                 via = "sql"
             else:
                 (eng.update(name).condition_sql(cond)
@@ -369,7 +396,12 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
         else:
             cond = _rand_cond(rng)
             if br == "main" and rng.random() < 0.5:
-                eng.sql(f"DELETE FROM {name} WHERE {cond}")
+                if rng.random() < 0.08:
+                    # r10: bare DELETE = metadata-only truncate
+                    cond = "TRUE"
+                    eng.sql(f"DELETE FROM {name}")
+                else:
+                    eng.sql(f"DELETE FROM {name} WHERE {cond}")
                 via = "sql"
             else:
                 eng.delete_from(name).condition_sql(cond).branch(br).execute()

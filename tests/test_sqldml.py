@@ -657,3 +657,23 @@ def test_sql_create_using_swiftlake_first_table_of_new_db(engine, spark):
     # unsupported) rather than being claimed by the lakehouse
     from swiftlake_spark.dml.sqldml import ddl_route
     assert not ddl_route(engine, "CREATE TABLE freshdb.x (id INT) USING parquet")
+
+
+def test_sql_merge_by_target_synonym(engine, spark):
+    """SQL:2016: WHEN NOT MATCHED [BY TARGET] — the explicit spelling
+    of the default insert clause."""
+    seed(engine, spark, data=[(1, "A", 10, 1.0)])
+    engine.catalog.create_table("db.srct", DDL)
+    engine.insert_into("db.srct").dataframe(spark.createDataFrame(
+        [(1, "A", 99, 0.0), (5, "N", 50, 5.0)], DDL)).execute()
+    engine.sql(
+        "MERGE INTO db.m t USING db.srct s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT *"
+    )
+    assert rows(engine.catalog.load("db.m"), "id", "qty") == [(1, 99), (5, 50)]
+    with pytest.raises(ValidationError, match="BY TARGET"):
+        engine.sql(
+            "MERGE INTO db.m t USING db.srct s ON t.id = s.id "
+            "WHEN MATCHED BY TARGET THEN DELETE"
+        )
