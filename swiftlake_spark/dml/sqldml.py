@@ -300,10 +300,22 @@ def ddl_route(engine, sql: str) -> bool:
     db = name.split(".", 1)[0]
     if not any(t.startswith(db + ".") for t in engine.catalog.list_tables()):
         return False
-    # ADVICE r9: a provider-less CREATE whose db ALSO exists in the Spark
-    # session catalog is a pre-existing Spark workload — don't hijack it
+    # ADVICE r9 refined (r10 review): a provider-less CREATE must not
+    # hijack a Spark-native workload — but databaseExists alone is too
+    # weak a veto ('default' always exists, and lakehouse databases are
+    # name-only, so ANY name collision would override positive lakehouse
+    # evidence).  Veto only on real Spark-side evidence: the exact table
+    # resolves in the session catalog, or the same-named Spark database
+    # holds at least one permanent table.  Genuinely ambiguous setups
+    # pass through to Spark; ``USING swiftlake`` is the explicit
+    # override either way.
     try:
-        if engine.spark.catalog.databaseExists(db):
+        if engine.spark.catalog.tableExists(name):
+            return False
+        if engine.spark.catalog.databaseExists(db) and any(
+            t.tableType != "TEMPORARY"
+            for t in engine.spark.catalog.listTables(db)
+        ):
             return False
     except Exception:
         pass
@@ -700,6 +712,18 @@ def _analyze_on(
     keys: list[tuple[str, str]] = []
     boundary: list[str] = []
     residual: list[tuple[int, int]] = []
+    # a top-level OR binds looser than the ANDs this analysis splits on:
+    # accepting it would silently regroup '<keys> AND a OR b' as
+    # '<keys> AND (a OR b)' against SQL precedence.  Reject loudly;
+    # parenthesized ORs inside a conjunct are fine (nesting > 0).
+    lv = _levels(toks)
+    for i in range(lo, hi):
+        if toks[i].kind == "word" and toks[i].up == "OR" and lv[i] == lv[lo]:
+            raise ValidationError(
+                "top-level OR in MERGE ON clause is not supported (its SQL "
+                "precedence is looser than the key-equality ANDs); "
+                "parenthesize the disjunction or use engine.merge_into(...)"
+            )
     for s, e in _split_top(toks, lo, hi, "AND"):
         span = _slice(sql, toks, s, e)
         # key equality: <x>.<k> = <y>.<k2> (top-level columns only;
@@ -859,7 +883,7 @@ def _exec_merge(engine, sql: str, toks: list[_Tok]) -> DataFrame:
     tbl_schema = engine.catalog.table(table).schema
     if on.boundary:
         b = b.table_filter(
-            parse_filter(" AND ".join(on.boundary), tbl_schema)
+            parse_filter(" AND ".join(f"({c})" for c in on.boundary), tbl_schema)
         ).filter_source(False)
     else:
         b = b.unbounded()

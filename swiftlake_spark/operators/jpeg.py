@@ -422,6 +422,15 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
     return _reconstruct(frame, qt, arrays)
 
 
+def _grid_n(dim: int, samp: int, smax: int) -> int:
+    """Non-interleaved block count along one axis (T.81 A.1.1/A.2.2):
+    component dimension = ceil(dim·samp/smax), blocks = ceil(that/8).
+    Shared by decoder geometry and the progressive encoder so the two
+    can never disagree on scan block counts."""
+    comp_dim = -(-(dim * samp) // smax)
+    return -(-comp_dim // 8)
+
+
 def _geometry(frame):
     """Per-frame MCU geometry; annotates comps with block-grid dims.
 
@@ -446,8 +455,8 @@ def _geometry(frame):
     mcuy = -(-h // (8 * vmax))
     for c in comps:
         c["bw_i"], c["bh_i"] = mcux * c["h"], mcuy * c["v"]
-        c["bw_n"] = -(-(-(-(w * c["h"]) // hmax)) // 8)
-        c["bh_n"] = -(-(-(-(h * c["v"]) // vmax)) // 8)
+        c["bw_n"] = _grid_n(w, c["h"], hmax)
+        c["bh_n"] = _grid_n(h, c["v"], vmax)
     return hmax, vmax, mcux, mcuy
 
 
@@ -1052,8 +1061,8 @@ def _prog_scan(st, scan_comps, ss, se, ah, al, dc_luts, ac_luts,
     else:
         ci = scan_comps[0]
         sh, sv = samp[ci]
-        bw_n = -(-(-(-(st["w"] * sh) // st["hmax"])) // 8)
-        bh_n = -(-(-(-(st["h"] * sv) // st["vmax"])) // 8)
+        bw_n = _grid_n(st["w"], sh, st["hmax"])
+        bh_n = _grid_n(st["h"], sv, st["vmax"])
         for by in range(bh_n):
             for bx in range(bw_n):
                 restart_if_due()

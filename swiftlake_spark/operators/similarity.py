@@ -607,8 +607,14 @@ def semantic_dedup(
     out = out.select("id", F.col("dup_of").isNull().alias("keep"), "dup_of")
     # materialize the (narrow, one-row-per-vector) verdict, then release
     # the working caches — without this every call leaks 2-3 persisted
-    # frames for the session lifetime
-    out = out.localCheckpoint(eager=True)
+    # frames for the session lifetime.  persist()+count rather than
+    # localCheckpoint (r10 review): a checkpointed frame's blocks are
+    # only freed by JVM GC, so a registry/caller unpersist() would be a
+    # no-op and the bounded-lifecycle contract (artifacts.clear(),
+    # engine.close()) could not actually release it.  The caller owns
+    # the returned frame's unpersist.
+    out = out.persist()
+    out.count()
     members.unpersist()
     assigned.unpersist()
     return out

@@ -521,11 +521,15 @@ def test_sql_merge_null_rejecting_equals(engine, spark):
 
 
 def test_ddl_create_does_not_hijack_spark_database(engine, spark):
-    # a provider-less CREATE into a database that exists in the SPARK
-    # session catalog passes through to spark.sql even when a same-named
-    # lakehouse db exists (ADVICE r9)
+    # a provider-less CREATE into a Spark database that holds PERMANENT
+    # tables passes through to spark.sql even when a same-named
+    # lakehouse db exists (ADVICE r9, refined in the r10 review: the
+    # veto needs real Spark-side evidence — an exact-name table or a
+    # populated database — because 'default' always exists and a bare
+    # name collision must not override positive lakehouse evidence)
     engine.catalog.create_table("hij.t0", "id BIGINT")
     spark.sql("CREATE DATABASE IF NOT EXISTS hij")
+    spark.sql("CREATE TABLE hij.existing (x INT) USING parquet")
     try:
         engine.sql("CREATE TABLE hij.native (id BIGINT, v STRING)")
         # went to the Spark catalog, not the lakehouse
@@ -533,6 +537,20 @@ def test_ddl_create_does_not_hijack_spark_database(engine, spark):
         assert spark.catalog.tableExists("hij.native")
     finally:
         spark.sql("DROP DATABASE IF EXISTS hij CASCADE")
+
+
+def test_ddl_create_empty_spark_db_does_not_veto(engine, spark):
+    # the flip side ('default' scenario): an EMPTY same-named Spark
+    # database is not evidence of a Spark workload — positive lakehouse
+    # evidence wins and the provider-less CREATE routes to the lakehouse
+    engine.catalog.create_table("hij2.t0", "id BIGINT")
+    spark.sql("CREATE DATABASE IF NOT EXISTS hij2")
+    try:
+        engine.sql("CREATE TABLE hij2.ours (id BIGINT)")
+        assert engine.catalog.table_exists("hij2.ours")
+        assert not spark.catalog.tableExists("hij2.ours")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS hij2 CASCADE")
 
 
 def test_ctas_failure_leaves_no_table(engine, spark):
@@ -677,3 +695,60 @@ def test_sql_merge_by_target_synonym(engine, spark):
             "MERGE INTO db.m t USING db.srct s ON t.id = s.id "
             "WHEN MATCHED BY TARGET THEN DELETE"
         )
+
+
+def test_sql_merge_boundary_scopes_by_source_known_delta(engine, spark):
+    """README 'Known deltas': a target-only ON conjunct SCOPES the
+    merge — out-of-boundary target rows do not walk NOT MATCHED BY
+    SOURCE (Spark SQL >=3.4 would fire the clause on them).  The
+    boundary is what keeps the rewrite manifest-pruned; the standard
+    behavior is available by moving the predicate into the clause
+    condition with an unscoped ON."""
+    seed(engine, spark, data=[(1, "A", 10, 1.0), (3, "B", 30, 3.0)])
+    engine.catalog.create_table("db.srcbs", DDL)
+    engine.insert_into("db.srcbs").dataframe(spark.createDataFrame(
+        [(1, "A", 99, 0.0)], DDL)).execute()
+    engine.sql(
+        "MERGE INTO db.m t USING db.srcbs s "
+        "ON t.id = s.id AND t.cat = 'A' "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = rows(engine.catalog.load("db.m"), "id", "cat", "qty")
+    # id=3 is outside the cat='A' boundary: under the engine's scoping
+    # contract it SURVIVES; Spark SQL's standard semantics would have
+    # deleted it (unmatched by source).  If this assertion starts
+    # failing the contract changed — update the README entry with it.
+    assert got == [(1, "A", 99), (3, "B", 30)]
+    # the standard shape, spelled the supported way: unscoped ON with
+    # the predicate on the clause — now id=3 IS deleted
+    engine.sql(
+        "MERGE INTO db.m t USING db.srcbs s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.cat = 'B' THEN DELETE"
+    )
+    assert rows(engine.catalog.load("db.m"), "id") == [(1,)]
+
+
+def test_sql_merge_top_level_or_rejected(engine, spark):
+    """r10 review: a top-level OR binds looser than the ANDs the ON
+    analysis splits on — accepting it would regroup the condition
+    against SQL precedence.  Reject loudly; parenthesized ORs inside a
+    conjunct still work as residuals."""
+    seed(engine, spark)
+    engine.catalog.create_table("db.srco", DDL)
+    engine.insert_into("db.srco").dataframe(spark.createDataFrame(
+        [(1, "A", 99, 0.0), (5, "B", 5, 0.0)], DDL)).execute()
+    with pytest.raises(ValidationError, match="top-level OR"):
+        engine.sql(
+            "MERGE INTO db.m t USING db.srco s "
+            "ON t.id = s.id AND s.qty > 5 OR s.cat = 'B' "
+            "WHEN MATCHED THEN DELETE"
+        )
+    # the parenthesized spelling is a supported residual
+    engine.sql(
+        "MERGE INTO db.m t USING db.srco s "
+        "ON t.id = s.id AND (s.qty > 50 OR s.cat = 'B') "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty"
+    )
+    assert rows(engine.catalog.load("db.m"), "id", "qty") == [
+        (1, 99), (2, 20), (3, 30), (4, 40)]
