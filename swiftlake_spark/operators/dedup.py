@@ -511,10 +511,22 @@ def editdist_near_dups(
     pair with |Δlen| ≤ w meets in some bucket — identical recall to the
     unbucketed join with a |Δlen| ≤ w filter, while a mega-block whose
     members differ in length is cut ~(block length-spread / w)-fold
-    (scripts/corpus_stress.py measured 25× fewer candidate pairs and
-    ~9× wall on a planted 1000-doc mega-block; PERF.md §r10).  Pairs
-    with |Δlen| > w are dropped by construction — sound for near-dup
-    use since edit distance ≥ |Δlen| on full strings.
+    (scripts/corpus_stress.py at 10× docs measured a 16.9× candidate
+    cut on a planted 10k-doc mega-block with lengths spread 0..2000 —
+    near the ~25× ideal for a ±40 window; PERF.md §r10).  Pairs with
+    |Δlen| > w are dropped by construction — sound for near-dup use
+    since edit distance ≥ |Δlen| on full strings.  Where a block is
+    length-HOMOGENEOUS the bucket is an honest no-op: those candidates
+    genuinely satisfy the window and no length scheme can drop them.
+
+    OUTPUT CONTRACT: the result is Θ(true pairs).  On a quadratically
+    self-similar corpus (the r10 rehearsal's skew corpus: 44.8M of
+    47.8M candidates SURVIVE the threshold) wall time is bound by the
+    surviving-pair DP (~27 µs/pair), not the probe — no blocking
+    scheme fixes that, because the answer itself is quadratic.  At
+    corpus scale feed the pairs into :func:`dedup_corpus_by_pairs`
+    (connected components collapses clusters) or tighten ``block_cols``
+    (e.g. prefix 4→8 chars) before asking for an all-pairs list.
 
     Scale: the self-join shuffles on the block key; pair count is
     Σ_block |block|², so blocks must bound skew — at corpus scale ALWAYS
