@@ -20,7 +20,7 @@ contributions route through DECIMAL(28,10) before order-dependent sums.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from swiftlake_spark.artifacts import registry, storage_level_from_env
@@ -594,4 +594,124 @@ def q141_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_outlier"))
         .select("doc_id", "lang", "n_chars", "cd", "cd_rev")
         .orderBy("lang", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q142 — the curation pipeline END-TO-END as one declared query
+# (round 10): Gopher-style quality filter → exact dedup → language ID →
+# deterministic train/val/test split → per-(split, lang) token budget.
+# Every stage is an existing certified operator; the value of the query
+# is certifying their COMPOSITION (column contracts, filter interplay,
+# determinism through four stages) against one DuckDB oracle.  At
+# 100 TB this is the exact shape of a pre-training data build: the
+# quality pass is map-only, dedup is one hash shuffle, lang-id is
+# map-only, the split is a pure row-local hash, and only the tiny
+# rollup aggregates — no stage widens the data.
+# --------------------------------------------------------------------------
+@query(
+    "q142_corpus_pipeline",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+         LENGTH(REPLACE(text, ' ', '')) AS letters
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, text, w, LEN(w) AS n_tokens,
+         CAST(letters AS DOUBLE) / LEN(w) AS mean_tok_len,
+         CAST(LEN(list_filter(w, x -> x IN ('the','a','and','of','to','in',
+                                            'der','und','die','el','la','y',
+                                            'le','et','les'))) AS DOUBLE)
+           / LEN(w) AS stop_frac
+  FROM t
+), kept AS (
+  SELECT * FROM q
+  WHERE n_tokens BETWEEN 10 AND 1000
+    AND mean_tok_len BETWEEN 2.0 AND 10.0
+    AND stop_frac >= 0.02
+), keepers AS (
+  SELECT * FROM (
+    SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+    FROM kept
+  ) WHERE is_keeper
+), pred AS (
+  SELECT *,
+         list_max([
+           {'score': CAST(LEN(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS DOUBLE) / LEN(w), 'lang': 'de'},
+           {'score': CAST(LEN(list_filter(w, x -> x IN ('the','a','and','of','is'))) AS DOUBLE) / LEN(w), 'lang': 'en'},
+           {'score': CAST(LEN(list_filter(w, x -> x IN ('el','la','los','y','es'))) AS DOUBLE) / LEN(w), 'lang': 'es'},
+           {'score': CAST(LEN(list_filter(w, x -> x IN ('le','la','les','et','est'))) AS DOUBLE) / LEN(w), 'lang': 'fr'}
+         ]).lang AS lang_pred
+  FROM keepers
+), sp AS (
+  SELECT *,
+         CAST(CONCAT('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS bucket
+  FROM pred
+)
+SELECT CASE WHEN bucket < 100000 THEN 'test'
+            WHEN bucket < 900000 THEN 'train'
+            ELSE 'val' END AS split,
+       lang_pred,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM sp
+GROUP BY 1, 2
+ORDER BY split, lang_pred
+""",
+    doc="curation pipeline e2e: quality → dedup → lang-id → split → budget",
+)
+def q142_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.sampling import hash_split
+    from swiftlake_spark.operators.text import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    # stage 1: Gopher-style quality rules (q75's exact expressions)
+    w = F.split(F.col("text"), " ", -1)
+    n_tokens = F.size(w)
+    mean_tok_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
+    )
+    # multilingual stop set — the quality gate must not silently drop
+    # every non-English document before the lang-id stage (q75's
+    # English-only set is pinned there; this pipeline is multilingual)
+    stops = ("the", "a", "and", "of", "to", "in",
+             "der", "und", "die", "el", "la", "y", "le", "et", "les")
+    stop_frac = (
+        F.size(F.filter(w, lambda x: x.isin(*stops))).cast("double") / n_tokens
+    )
+    kept = d.withColumn("n_tokens", n_tokens).filter(
+        n_tokens.between(10, 1000)
+        & mean_tok_len.between(2.0, 10.0)
+        & (stop_frac >= 0.02)
+    )
+    # stage 2: exact dedup — keep the lowest doc_id per distinct text.
+    # min-over-window on md5 rather than operators.exact_dedup: the
+    # operator's keeper key is the fast 2x-xxhash64 pair, which the
+    # oracle cannot spell; md5 is the portable twin (same rule, same
+    # one-shuffle shape).
+    keepers = (
+        kept.withColumn(
+            "__keep",
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy(F.md5(F.col("text")))),
+        )
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
+    # stage 3: language ID (q52's operator)
+    pred = lang_id(keepers)
+    # stage 4: deterministic split (q56's operator, portable md5 path)
+    split = hash_split(
+        pred, "doc_id", {"test": 0.1, "val": 0.1, "train": 0.8}, hash_fn="md5"
+    )
+    # stage 5: the token budget per (split, predicted lang)
+    return (
+        split.groupBy("split", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split", "lang_pred")
     )
