@@ -161,6 +161,21 @@ def test_libjpeg_golden_both_directions():  # pragma: no cover
                 .astype(int))
     assert d2.mean() <= 1.5 and d2.max() <= 6
 
+    # progressive, both directions: libjpeg decodes our SOF2 stream,
+    # and we decode libjpeg's progressive output (r10 decoder)
+    ours_p = encode_jpeg_progressive(img, quality=95)
+    d3 = np.abs(np.asarray(Image.open(io.BytesIO(ours_p)).convert("RGB"))
+                .astype(int) - decode_jpeg(ours_p).astype(int))
+    assert d3.mean() <= 1.5 and d3.max() <= 6
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95,
+                              progressive=True)
+    theirs_p = buf.getvalue()
+    d4 = np.abs(decode_jpeg(theirs_p).astype(int)
+                - np.asarray(Image.open(io.BytesIO(theirs_p)).convert("RGB"))
+                .astype(int))
+    assert d4.mean() <= 1.5 and d4.max() <= 6
+
 
 def test_mutation_fuzz_fails_cleanly():
     """Corrupted JPEGs must decode, or raise a clean error fast — never
