@@ -204,13 +204,14 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Stdlib-only PNG decode (zlib IDAT + per-scanline unfilter) for the
-    byte layouts that dominate machine-generated corpora: bit depth 8,
-    color types gray(0)/RGB(2)/palette(3)/gray+alpha(4)/RGBA(6), no
-    interlace.  Alpha is dropped (pipeline convention: (H,W,3) or (H,W)).
-    16-bit, sub-byte palettes and Adam7 raise NotImplementedError —
-    :func:`decode_image_bytes` falls through to PIL for those when it is
-    importable.
+    """Stdlib-only PNG decode (zlib IDAT + per-scanline unfilter) for
+    the byte layouts that dominate machine-generated corpora: bit
+    depths 8 and 16 for gray(0)/RGB(2)/gray+alpha(4)/RGBA(6), depths
+    1/2/4/8 for gray(0) and palette(3), no interlace.  Alpha is dropped
+    and 16-bit samples scale to their high byte (pipeline convention:
+    uint8 (H,W,3) or (H,W)).  Adam7 interlace raises
+    NotImplementedError — :func:`decode_image_bytes` falls through to
+    PIL for it when importable.
 
     Scale note: Sub/Average/Paeth unfilters are sequential in x, so rows
     run as a Python loop over columns (vectorized across channels).
@@ -237,14 +238,21 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG compression/filter method {comp}/{filt}")
-    if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6):
+    ok = (depth in (8, 16) and color in (0, 2, 4, 6)) or (
+        depth in (1, 2, 4, 8) and color in (0, 3)
+    )
+    if not ok or interlace != 0:
         raise NotImplementedError(
             f"PNG depth={depth} color={color} interlace={interlace} "
-            "needs PIL (stdlib path covers 8-bit non-interlaced)"
+            "needs PIL (stdlib path covers non-interlaced 8/16-bit "
+            "truecolor/gray and 1/2/4/8-bit gray/palette)"
         )
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
+    # per-scanline geometry in BYTES (spec 4.5.2): filters operate on
+    # bytes; the left neighbor is bpp bytes back (1 for sub-byte depths)
+    stride = (w * nch * depth + 7) // 8
+    bpp = max((nch * depth + 7) // 8, 1)
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG raster")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -262,14 +270,14 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             cur = line.copy()
             for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0  # left, same channel
+                a = cur[x - bpp] if x >= bpp else 0  # left, same channel
                 b = prev[x]  # above
                 if ftype == 1:  # Sub
                     cur[x] = (cur[x] + a) & 0xFF
                 elif ftype == 3:  # Average
                     cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
                 elif ftype == 4:  # Paeth
-                    c = prev[x - nch] if x >= nch else 0  # upper-left
+                    c = prev[x - bpp] if x >= bpp else 0  # upper-left
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -278,11 +286,32 @@ def decode_png(data: bytes) -> np.ndarray:
                     raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    img = out.reshape(h, w, nch)
+    if depth == 16:
+        # big-endian u16 samples → high byte (8-bit downscale)
+        img = out.reshape(h, w, nch, 2)[:, :, :, 0]
+    elif depth == 8:
+        img = out.reshape(h, w, nch)
+    else:
+        # sub-byte gray/palette: unpack MSB-first bit groups per row
+        bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        idx = (bits * weights).sum(axis=2).astype(np.uint8)
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette PNG without PLTE")
+            if int(idx.max()) >= len(plte):
+                raise ValueError("palette index out of range")
+            return plte[idx]
+        # grayscale: scale 0..(2^d - 1) onto 0..255 (exact: 255/(2^d-1)
+        # is an integer multiplier for depths 1/2/4)
+        return (idx * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
-        return plte[img[:, :, 0]]
+        p = img[:, :, 0]
+        if int(p.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[p]
     if color == 0:
         return img[:, :, 0]
     if color == 4:  # gray + alpha → gray
@@ -315,7 +344,7 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     Stdlib-real: PPM/PGM, BMP, 8-bit non-interlaced PNG, and baseline
     sequential JPEG (operators/jpeg.py — huffman + dequant + IDCT +
     YCbCr, restart markers, integer chroma ratios).  PIL-seam: the
-    variants the stdlib paths refuse (16-bit/Adam7/packed-palette PNG;
+    variants the stdlib paths refuse (Adam7-interlaced PNG;
     arithmetic/12-bit JPEG; progressive decodes natively).  Anything
     else raises."""
     if data[:2] in (b"P6", b"P5"):

@@ -738,9 +738,10 @@ def test_png_codec_roundtrip_and_filters():
 
 
 def test_png_unsupported_variants_need_pil():
-    """16-bit / interlaced PNGs refuse on the stdlib path; via
+    """Adam7-interlaced PNGs refuse on the stdlib path; via
     decode_image_bytes they either decode through PIL (when importable)
-    or raise the honest NotImplementedError."""
+    or raise the honest NotImplementedError.  16-bit decodes natively
+    since r10 (high-byte downscale)."""
     import struct
     import zlib
 
@@ -754,7 +755,7 @@ def test_png_unsupported_variants_need_pil():
         decode_png,
     )
 
-    # 16-bit gray 1x1 (big-endian sample)
+    # 16-bit gray 1x1 (big-endian sample 0xFFFF) now decodes natively
     ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
     png16 = (
         _PNG_SIG
@@ -762,16 +763,27 @@ def test_png_unsupported_variants_need_pil():
         + _png_chunk(b"IDAT", zlib.compress(b"\x00\xff\xff"))
         + _png_chunk(b"IEND", b"")
     )
+    arr = decode_png(png16)
+    assert arr.shape == (1, 1) and arr.dtype == np.uint8 and arr[0, 0] == 255
+
+    # Adam7 interlace (interlace=1) stays on the PIL seam
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    png_i = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr_i)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\xff"))
+        + _png_chunk(b"IEND", b"")
+    )
     with pytest.raises(NotImplementedError):
-        decode_png(png16)
+        decode_png(png_i)
     try:
         import PIL  # noqa: F401
 
-        arr = decode_image_bytes(png16)  # PIL fallback decodes it
+        arr = decode_image_bytes(png_i)  # PIL fallback decodes it
         assert arr.shape == (1, 1) and arr.dtype == np.uint8
     except ImportError:
         with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image_bytes(png16)
+            decode_image_bytes(png_i)
 
 
 def test_jpeg_dispatch_stdlib_decodes_progressive_seam_for_arith():
@@ -812,3 +824,83 @@ def test_jpeg_dispatch_stdlib_decodes_progressive_seam_for_arith():
             decode_image_bytes(bytes(arith))
 
 
+
+
+def test_png_16bit_and_subbyte_depths():
+    """r10: stdlib PNG decode covers 16-bit truecolor/gray (high-byte
+    downscale) and 1/2/4-bit gray/palette — hand-built payloads with
+    per-row filters so the byte-geometry (bpp, stride) is exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import decode_png
+
+    def png(w, h, depth, color, raster_rows, plte=None):
+        def chunk(t, b):
+            crc = zlib.crc32(t + b) & 0xFFFFFFFF
+            return struct.pack(">I", len(b)) + t + b + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        out += chunk(b"IDAT", zlib.compress(b"".join(raster_rows)))
+        return out + chunk(b"IEND", b"")
+
+    def sub_filter(row: bytes, bpp: int) -> bytes:
+        raw = bytearray(row)
+        out = bytearray(len(raw))
+        for x in range(len(raw)):
+            left = raw[x - bpp] if x >= bpp else 0
+            out[x] = (raw[x] - left) & 0xFF
+        return bytes(out)
+
+    # 16-bit RGB, 3x2, row 0 unfiltered, row 1 Sub-filtered (bpp=6)
+    px16 = np.array(
+        [[[65535, 0, 300], [0, 32768, 7], [1000, 2000, 3000]],
+         [[256, 512, 768], [40000, 100, 65000], [1, 2, 3]]],
+        dtype=np.uint16)
+    rows = [
+        b"\x00" + px16[0].astype(">u2").tobytes(),
+        b"\x01" + sub_filter(px16[1].astype(">u2").tobytes(), 6),
+    ]
+    got = decode_png(png(3, 2, 16, 2, rows))
+    assert got.shape == (2, 3, 3) and got.dtype == np.uint8
+    assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
+
+    # 16-bit gray with Up filter
+    g16 = np.array([[0, 10000, 65535], [255, 20000, 4096]], dtype=np.uint16)
+    r0 = g16[0].astype(">u2").tobytes()
+    r1raw = g16[1].astype(">u2").tobytes()
+    up = bytes((b - a) & 0xFF for a, b in zip(r0, r1raw))
+    got = decode_png(png(3, 2, 16, 0, [b"\x00" + r0, b"\x02" + up]))
+    assert np.array_equal(got, (g16 >> 8).astype(np.uint8))
+
+    # 4-bit palette, width 3 (odd → padded low nibble), 2 rows
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]])
+    # indices row0: 0,1,2 → bytes 0x01 0x20 ; row1: 3,3,0 → 0x33 0x00
+    rows = [b"\x00" + bytes([0x01, 0x20]), b"\x00" + bytes([0x33, 0x00])]
+    got = decode_png(png(3, 2, 4, 3, rows, plte=plte))
+    assert got.shape == (2, 3, 3)
+    assert np.array_equal(got[0], plte[[0, 1, 2]])
+    assert np.array_equal(got[1], plte[[3, 3, 0]])
+
+    # 1-bit gray, width 10 (crosses a byte boundary), one row
+    bits = [1, 0, 1, 1, 0, 0, 1, 0, 1, 1]
+    packed = bytes([0b10110010, 0b11000000])
+    got = decode_png(png(10, 1, 1, 0, [b"\x00" + packed]))
+    assert got.shape == (1, 10)
+    assert np.array_equal(got[0], np.array(bits) * 255)
+
+    # 2-bit gray: values 0..3 scale by 85
+    rows = [b"\x00" + bytes([0b00011011])]  # 0,1,2,3
+    got = decode_png(png(4, 1, 2, 0, rows))
+    assert np.array_equal(got[0], np.array([0, 85, 170, 255]))
+
+    # palette index past PLTE length fails cleanly
+    import pytest as _pytest
+    rows = [b"\x00" + bytes([0x0F, 0x00])]
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(png(3, 1, 4, 3, rows, plte=plte))
