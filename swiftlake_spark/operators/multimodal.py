@@ -7,10 +7,12 @@ shape) holds regardless of codec.
 
 Codecs: formats decodable with the Python stdlib are REAL —
 PPM/PGM (P6/P5 netpbm), uncompressed 24/32-bit BMP (``struct``),
-8-bit non-interlaced PNG (``zlib`` + unfilter), baseline sequential
-JPEG (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
-PCM WAV (``wave``).  Progressive/arithmetic JPEG and exotic PNG
-variants go through the optional PIL seam (:func:`_pil_decode`):
+PNG — 8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette, sequential
+or Adam7 (``zlib`` + unfilter) — baseline/extended/progressive JPEG
+(``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
+PCM WAV (``wave``).  Arithmetic/hierarchical/12-bit JPEG and
+spec-invalid PNG layouts go through the optional PIL seam
+(:func:`_pil_decode`):
 decoded for real when pillow is importable, honest
 ``NotImplementedError`` otherwise — no hard dependency either way.
 MP3/MP4 still raise; ``fake=True`` substitutes a deterministic
@@ -203,15 +205,75 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+def _png_unfilter(raw: bytes, off: int, ph: int, stride: int, bpp: int):
+    """Unfilter ``ph`` scanlines of ``stride`` bytes starting at
+    ``raw[off]`` (spec 4.5.2: filters operate on BYTES; the left
+    neighbor is ``bpp`` bytes back, 1 for sub-byte depths).  Returns
+    ((ph, stride) uint8 array, next offset)."""
+    if len(raw) < off + ph * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(ph):
+        o = off + y * (stride + 1)
+        ftype = raw[o]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=o + 1).astype(
+            np.int32
+        )
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left, same channel
+                b = prev[x]  # above
+                if ftype == 1:  # Sub
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, off + ph * (stride + 1)
+
+
+def _png_samples(rows: np.ndarray, pw: int, nch: int, depth: int) -> np.ndarray:
+    """(ph, stride) unfiltered bytes → (ph, pw, nch) uint8 samples.
+    16-bit samples downscale to their high byte; sub-byte depths unpack
+    MSB-first (nch is 1 there by spec)."""
+    ph = rows.shape[0]
+    if depth == 16:
+        return rows.reshape(ph, pw, nch, 2)[:, :, :, 0]
+    if depth == 8:
+        return rows.reshape(ph, pw, nch)
+    bits = np.unpackbits(rows, axis=1)[:, : pw * depth].reshape(ph, pw, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)[:, :, None]
+
+
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, in stream order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Stdlib-only PNG decode (zlib IDAT + per-scanline unfilter) for
-    the byte layouts that dominate machine-generated corpora: bit
+    """Stdlib-only PNG decode (zlib IDAT + per-scanline unfilter): bit
     depths 8 and 16 for gray(0)/RGB(2)/gray+alpha(4)/RGBA(6), depths
-    1/2/4/8 for gray(0) and palette(3), no interlace.  Alpha is dropped
-    and 16-bit samples scale to their high byte (pipeline convention:
-    uint8 (H,W,3) or (H,W)).  Adam7 interlace raises
-    NotImplementedError — :func:`decode_image_bytes` falls through to
-    PIL for it when importable.
+    1/2/4/8 for gray(0) and palette(3), sequential OR Adam7-interlaced
+    (r10: each pass is an independently-filtered sub-image scattered
+    onto the output grid).  Alpha is dropped and 16-bit samples scale
+    to their high byte (pipeline convention: uint8 (H,W,3) or (H,W)).
 
     Scale note: Sub/Average/Paeth unfilters are sequential in x, so rows
     run as a Python loop over columns (vectorized across channels).
@@ -241,77 +303,43 @@ def decode_png(data: bytes) -> np.ndarray:
     ok = (depth in (8, 16) and color in (0, 2, 4, 6)) or (
         depth in (1, 2, 4, 8) and color in (0, 3)
     )
-    if not ok or interlace != 0:
+    if not ok or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} color={color} interlace={interlace} "
-            "needs PIL (stdlib path covers non-interlaced 8/16-bit "
-            "truecolor/gray and 1/2/4/8-bit gray/palette)"
+            "needs PIL (stdlib path covers 8/16-bit truecolor/gray and "
+            "1/2/4/8-bit gray/palette, sequential or Adam7)"
         )
+    if w < 1 or h < 1 or w * h > (1 << 28):
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = zlib.decompress(b"".join(idat))
-    # per-scanline geometry in BYTES (spec 4.5.2): filters operate on
-    # bytes; the left neighbor is bpp bytes back (1 for sub-byte depths)
-    stride = (w * nch * depth + 7) // 8
     bpp = max((nch * depth + 7) // 8, 1)
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG raster")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
-            np.int32
-        )
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        else:
-            cur = line.copy()
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0  # left, same channel
-                b = prev[x]  # above
-                if ftype == 1:  # Sub
-                    cur[x] = (cur[x] + a) & 0xFF
-                elif ftype == 3:  # Average
-                    cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
-                elif ftype == 4:  # Paeth
-                    c = prev[x - bpp] if x >= bpp else 0  # upper-left
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (cur[x] + pred) & 0xFF
-                else:
-                    raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    if depth == 16:
-        # big-endian u16 samples → high byte (8-bit downscale)
-        img = out.reshape(h, w, nch, 2)[:, :, :, 0]
-    elif depth == 8:
-        img = out.reshape(h, w, nch)
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, h, (w * nch * depth + 7) // 8, bpp)
+        img = _png_samples(rows, w, nch, depth)
     else:
-        # sub-byte gray/palette: unpack MSB-first bit groups per row
-        bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        idx = (bits * weights).sum(axis=2).astype(np.uint8)
-        if color == 3:
-            if plte is None:
-                raise ValueError("palette PNG without PLTE")
-            if int(idx.max()) >= len(plte):
-                raise ValueError("palette index out of range")
-            return plte[idx]
-        # grayscale: scale 0..(2^d - 1) onto 0..255 (exact: 255/(2^d-1)
-        # is an integer multiplier for depths 1/2/4)
-        return (idx * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        img = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass is empty at this image size
+            rows, off = _png_unfilter(
+                raw, off, ph, (pw * nch * depth + 7) // 8, bpp
+            )
+            img[y0::dy, x0::dx] = _png_samples(rows, pw, nch, depth)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
-        p = img[:, :, 0]
-        if int(p.max()) >= len(plte):
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(plte):
             raise ValueError("palette index out of range")
-        return plte[p]
+        return plte[idx]
+    if depth < 8:
+        # grayscale: scale 0..(2^d - 1) onto 0..255 (exact: 255/(2^d-1)
+        # is an integer multiplier for depths 1/2/4)
+        return (img[:, :, 0] * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color == 0:
         return img[:, :, 0]
     if color == 4:  # gray + alpha → gray
@@ -344,7 +372,7 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     Stdlib-real: PPM/PGM, BMP, 8-bit non-interlaced PNG, and baseline
     sequential JPEG (operators/jpeg.py — huffman + dequant + IDCT +
     YCbCr, restart markers, integer chroma ratios).  PIL-seam: the
-    variants the stdlib paths refuse (Adam7-interlaced PNG;
+    variants the stdlib paths refuse (spec-invalid PNG layouts;
     arithmetic/12-bit JPEG; progressive decodes natively).  Anything
     else raises."""
     if data[:2] in (b"P6", b"P5"):

@@ -737,53 +737,69 @@ def test_png_codec_roundtrip_and_filters():
     assert (decode_png(png) == img).all()
 
 
-def test_png_unsupported_variants_need_pil():
-    """Adam7-interlaced PNGs refuse on the stdlib path; via
-    decode_image_bytes they either decode through PIL (when importable)
-    or raise the honest NotImplementedError.  16-bit decodes natively
-    since r10 (high-byte downscale)."""
+def test_png_adam7_interlace_decodes():
+    """r10: Adam7-interlaced PNGs decode natively — each pass is an
+    independently-filtered sub-image scattered onto the output grid."""
     import struct
     import zlib
 
     import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        _ADAM7,
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    def interlaced_png(img):
+        a = np.asarray(img, dtype=np.uint8)
+        gray = a.ndim == 2
+        h, w = a.shape[:2]
+        color = 0 if gray else 2
+        rows = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for r in sub:
+                rows.append(b"\x00" + r.tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + _png_chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(5)
+    for shape in ((10, 9, 3), (5, 5), (3, 1, 3), (1, 1), (8, 16, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        got = decode_png(interlaced_png(img))
+        assert got.shape == img.shape, shape
+        assert np.array_equal(got, img), shape
+
+
+def test_png_invalid_combos_refuse_cleanly():
+    """Spec-invalid depth/color combinations refuse with a clean error
+    (every spec-valid layout now decodes natively; only exotic invalid
+    streams fall through to the seam, where PIL rejects them its own
+    way)."""
+    import struct
+    import zlib
+
     import pytest
 
     from swiftlake_spark.operators.multimodal import (
         _PNG_SIG,
         _png_chunk,
-        decode_image_bytes,
         decode_png,
     )
 
-    # 16-bit gray 1x1 (big-endian sample 0xFFFF) now decodes natively
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
-    png16 = (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00\xff\xff"))
-        + _png_chunk(b"IEND", b"")
-    )
-    arr = decode_png(png16)
-    assert arr.shape == (1, 1) and arr.dtype == np.uint8 and arr[0, 0] == 255
-
-    # Adam7 interlace (interlace=1) stays on the PIL seam
-    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
-    png_i = (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr_i)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00\xff"))
-        + _png_chunk(b"IEND", b"")
-    )
-    with pytest.raises(NotImplementedError):
-        decode_png(png_i)
-    try:
-        import PIL  # noqa: F401
-
-        arr = decode_image_bytes(png_i)  # PIL fallback decodes it
-        assert arr.shape == (1, 1) and arr.dtype == np.uint8
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image_bytes(png_i)
+    for depth, color in ((16, 3), (2, 2), (4, 6), (3, 0)):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, 0)
+        bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00\xff\xff\xff"))
+               + _png_chunk(b"IEND", b""))
+        with pytest.raises((NotImplementedError, ValueError)):
+            decode_png(bad)
 
 
 def test_jpeg_dispatch_stdlib_decodes_progressive_seam_for_arith():
