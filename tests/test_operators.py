@@ -920,3 +920,63 @@ def test_png_16bit_and_subbyte_depths():
     rows = [b"\x00" + bytes([0x0F, 0x00])]
     with _pytest.raises(ValueError, match="palette index"):
         decode_png(png(3, 1, 4, 3, rows, plte=plte))
+
+
+def test_png_mutation_fuzz_fails_cleanly():
+    """Corrupted PNGs must decode or raise a clean error fast — same
+    contract as the JPEG mutation fuzz, now that the PNG surface spans
+    8/16-bit, sub-byte and Adam7 layouts.  400 seeded mutations over
+    three payload shapes."""
+    import random
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        _ADAM7,
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng0 = np.random.default_rng(17)
+    rgb = rng0.integers(0, 256, (24, 31, 3)).astype(np.uint8)
+    # 16-bit gray payload
+    g16 = rng0.integers(0, 65536, (9, 13)).astype(np.uint16)
+    ihdr16 = struct.pack(">IIBBBBB", 13, 9, 16, 0, 0, 0, 0)
+    png16 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+             + _png_chunk(b"IDAT", zlib.compress(b"".join(
+                 b"\x00" + r.astype(">u2").tobytes() for r in g16)))
+             + _png_chunk(b"IEND", b""))
+    # Adam7 RGB payload
+    rows = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = rgb[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            rows += [b"\x00" + r.tobytes() for r in sub]
+    ihdr_i = struct.pack(">IIBBBBB", 31, 24, 8, 2, 0, 0, 1)
+    png_i = (_PNG_SIG + _png_chunk(b"IHDR", ihdr_i)
+             + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+             + _png_chunk(b"IEND", b""))
+    payloads = [encode_png(rgb), png16, png_i]
+
+    rng = random.Random(23)
+    t0 = time.time()
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(400):
+        data = bytearray(rng.choice(payloads))
+        for _m in range(rng.choice((1, 1, 1, 3))):
+            data[rng.randrange(8, len(data))] = rng.randrange(256)
+        try:
+            out = decode_png(bytes(data))
+            assert out.dtype == np.uint8
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError, zlib.error,
+                struct.error, IndexError, KeyError):
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 400
+    assert outcomes["err"] > 40, outcomes
+    assert time.time() - t0 < 60, "mutation decode too slow — lurking loop?"
