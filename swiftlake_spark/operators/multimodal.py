@@ -358,7 +358,8 @@ def _pil_decode(data: bytes) -> np.ndarray:
     except ImportError:
         raise NotImplementedError(
             "this image needs PIL (pip install pillow); stdlib codecs "
-            "cover PPM/PGM/BMP and 8-bit non-interlaced PNG"
+            "cover PPM/PGM/BMP, all spec-valid PNG layouts, and "
+            "baseline/progressive JPEG"
         ) from None
     img = Image.open(io.BytesIO(data))
     if img.mode in ("L", "I;16", "I"):
@@ -369,12 +370,13 @@ def _pil_decode(data: bytes) -> np.ndarray:
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (H,W,3) or (H,W) uint8 array.
 
-    Stdlib-real: PPM/PGM, BMP, 8-bit non-interlaced PNG, and baseline
-    sequential JPEG (operators/jpeg.py — huffman + dequant + IDCT +
-    YCbCr, restart markers, integer chroma ratios).  PIL-seam: the
-    variants the stdlib paths refuse (spec-invalid PNG layouts;
-    arithmetic/12-bit JPEG; progressive decodes natively).  Anything
-    else raises."""
+    Stdlib-real: PPM/PGM, BMP, every spec-valid PNG layout (8/16-bit
+    truecolor/gray, 1/2/4/8-bit gray/palette, sequential or Adam7),
+    and baseline/extended/progressive JPEG (operators/jpeg.py —
+    huffman + dequant + IDCT + YCbCr, restart markers, integer chroma
+    ratios).  PIL-seam: the variants the stdlib paths refuse
+    (spec-invalid PNG layouts, oversize frames;
+    arithmetic/hierarchical/12-bit JPEG).  Anything else raises."""
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
     if data[:2] == b"BM":
@@ -382,8 +384,15 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     if data[:8] == _PNG_SIG:
         try:
             return decode_png(data)
-        except NotImplementedError:
-            return _pil_decode(data)
+        except (NotImplementedError, ValueError) as err:
+            # same contract as the JPEG branch below: some rejected
+            # payloads are spec-legal shapes the stdlib path does not
+            # model (e.g. >2^28-pixel frames), so give PIL a chance;
+            # without PIL re-raise the ORIGINAL diagnostic
+            try:
+                return _pil_decode(data)
+            except NotImplementedError:
+                raise err from None
     if data[:3] == b"\xff\xd8\xff":
         from swiftlake_spark.operators.jpeg import decode_jpeg
 

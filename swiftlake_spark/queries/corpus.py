@@ -507,8 +507,12 @@ def q139_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = load(spark, sf_dir, "documents")
         ev = d.filter(F.col("doc_id") % 53 == 0)
         out = ngram_decontaminate(d, ev, "doc_id", "text", n=13, threshold=0.8)
+        # O(docs)-row relation: same tunable level as the other corpus
+        # artifacts (default DISK_ONLY — it must not compete with
+        # shuffle memory at corpus scale)
+        level = storage_level_from_env("SWIFTLAKE_GRAMS_STORAGE")
         out = registry.put_persisted(
-            "q139_contam", (app, sf_dir), out.persist(), app_id=app
+            "q139_contam", (app, sf_dir), out.persist(level), app_id=app
         )
     return (
         out.select(

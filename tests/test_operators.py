@@ -851,19 +851,19 @@ def test_png_16bit_and_subbyte_depths():
 
     import numpy as np
 
-    from swiftlake_spark.operators.multimodal import decode_png
+    from swiftlake_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
 
     def png(w, h, depth, color, raster_rows, plte=None):
-        def chunk(t, b):
-            crc = zlib.crc32(t + b) & 0xFFFFFFFF
-            return struct.pack(">I", len(b)) + t + b + struct.pack(">I", crc)
-
         ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
-        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
         if plte is not None:
-            out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
-        out += chunk(b"IDAT", zlib.compress(b"".join(raster_rows)))
-        return out + chunk(b"IEND", b"")
+            out += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        out += _png_chunk(b"IDAT", zlib.compress(b"".join(raster_rows)))
+        return out + _png_chunk(b"IEND", b"")
 
     def sub_filter(row: bytes, bpp: int) -> bytes:
         raw = bytearray(row)
@@ -980,3 +980,49 @@ def test_png_mutation_fuzz_fails_cleanly():
     assert outcomes["ok"] + outcomes["err"] == 400
     assert outcomes["err"] > 40, outcomes
     assert time.time() - t0 < 60, "mutation decode too slow — lurking loop?"
+
+
+def test_png_seam_dispatch_invalid_and_oversize():
+    """decode_image_bytes PNG fallthrough (r10 review): payloads the
+    stdlib decoder refuses route to the PIL seam — real decode when
+    importable; without PIL, NotImplementedError for stdlib-refused
+    layouts and the ORIGINAL ValueError for oversize frames."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from swiftlake_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_image_bytes,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    # spec-invalid combo (depth 2, truecolor) → NotImplementedError path
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 2, 2, 0, 0, 0)
+    bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00\xff"))
+           + _png_chunk(b"IEND", b""))
+    if has_pil:
+        with pytest.raises(Exception):
+            decode_image_bytes(bad)  # PIL rejects invalid its own way
+    else:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image_bytes(bad)
+
+    # oversize-but-well-formed header → ValueError path re-raises the
+    # original diagnostic when PIL is absent (never the needs-PIL text)
+    ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 0, 0, 0, 0)
+    big = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+           + _png_chunk(b"IEND", b""))
+    if not has_pil:
+        with pytest.raises(ValueError, match="implausible PNG dimensions"):
+            decode_image_bytes(big)
