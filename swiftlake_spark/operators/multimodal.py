@@ -347,6 +347,258 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, :3]  # RGB / RGBA → RGB
 
 
+# ------------------------------------------------------------------ GIF
+
+def _lzw_decode(data: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW → palette indices.  Variable code width from
+    min_code+1 to 12 bits, CLEAR resets the table, END terminates;
+    truncated streams return what decoded (callers length-check)."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing END: tolerate, caller checks
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad LZW code")
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    raise AssertionError  # pragma: no cover
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW encoder (for tests/synthesis, like encode_png).
+    Emits CLEAR up front and whenever the table fills."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    s = b""
+    for b in indices:
+        t = s + bytes([b])
+        if t in table:
+            s = t
+            continue
+        emit(table[s], width)
+        table[t] = next_code
+        next_code += 1
+        # the decoder's table runs one entry behind the encoder's (it
+        # appends for the PREVIOUS pair after reading this code), so
+        # the encoder widens one entry later than the decoder's
+        # len==1<<width rule
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        s = bytes([b])
+    if s:
+        emit(table[s], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at pos; → (payload, next)."""
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        chunks.append(data[pos: pos + n])
+        pos += n
+
+
+def decode_gif(data: bytes) -> list[np.ndarray]:
+    """Stdlib-only GIF decode (87a/89a): LZW, global/local palettes,
+    interlace, multi-frame animation with disposal (none/keep=1,
+    restore-background=2, restore-previous=3) and GCE transparency.
+    Returns the composited (H,W,3) uint8 canvas after each frame —
+    frame k is what a viewer shows at step k."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", data, 6)
+    if w < 1 or h < 1 or w * h > (1 << 28):
+        raise ValueError(f"implausible GIF dimensions {w}x{h}")
+    packed, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    if gct is not None and bg < len(gct):
+        canvas = np.tile(gct[bg], (h, w, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    transparent = None
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            body, pos = _gif_subblocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:  # graphics control
+                flags = body[0]
+                disposal = (flags >> 2) & 7
+                transparent = body[3] if flags & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+        fx, fy, fw, fh = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame without any color table")
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("GIF frame rectangle outside canvas")
+        min_code = data[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW minimum code size {min_code}")
+        lz, pos = _gif_subblocks(data, pos)
+        idx = np.frombuffer(_lzw_decode(lz, min_code), dtype=np.uint8)
+        if len(idx) < fw * fh:
+            raise ValueError("truncated GIF raster")
+        idx = idx[: fw * fh].reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced: rows 0::8, 4::8, 2::4, 1::2
+            de = np.zeros_like(idx)
+            rows = np.r_[np.arange(0, fh, 8), np.arange(4, fh, 8),
+                         np.arange(2, fh, 4), np.arange(1, fh, 2)]
+            de[rows] = idx
+            idx = de
+        if int(idx.max()) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        before = canvas.copy()
+        region = canvas[fy: fy + fh, fx: fx + fw]
+        rgb = pal[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore background
+            bg_rgb = gct[bg] if gct is not None and bg < len(gct) else 0
+            canvas[fy: fy + fh, fx: fx + fw] = bg_rgb
+        elif disposal == 3:  # restore previous
+            canvas = before
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return frames
+
+
+def encode_gif(frames, palette=None, transparent: int | None = None,
+               interlace: bool = False) -> bytes:
+    """uint8 (H,W,3) frame list → GIF89a bytes (for tests/synthesis,
+    like encode_png; shares only the LZW constants with the decoder).
+    All frames must use colors from one ≤256-entry palette (built from
+    the frames when not given)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    if palette is None:
+        colors = np.unique(
+            np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0)
+        if len(colors) > 256:
+            raise ValueError(f"{len(colors)} colors need quantization")
+        palette = colors
+    palette = np.asarray(palette, dtype=np.uint8)
+    lut = {tuple(c): i for i, c in enumerate(palette)}
+    depth = max(int(np.ceil(np.log2(max(len(palette), 2)))), 1)
+    n_pal = 1 << depth
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT flag+size, bg, aspect
+    out += palette.tobytes() + b"\x00" * ((n_pal - len(palette)) * 3)
+    min_code = max(depth, 2)
+    for f in frames:
+        if len(frames) > 1 or transparent is not None:
+            flags = (1 << 2) | (1 if transparent is not None else 0)
+            out += bytes([0x21, 0xF9, 4, flags, 0, 0,
+                          transparent or 0, 0])
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0])
+        idx = np.array(
+            [lut[tuple(px)] for px in f.reshape(-1, 3)], dtype=np.uint8
+        ).reshape(h, w)
+        if interlace:
+            rows = np.r_[np.arange(0, h, 8), np.arange(4, h, 8),
+                         np.arange(2, h, 4), np.arange(1, h, 2)]
+            idx = idx[rows]
+        out += bytes([min_code])
+        lz = _lzw_encode(idx.tobytes(), min_code)
+        for i in range(0, len(lz), 255):
+            chunk = lz[i: i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def _pil_decode(data: bytes) -> np.ndarray:
     """Optional-dependency seam (VERDICT r6 ask #4; reference media
     columns are the LLM-pipeline north star and real corpora are
@@ -370,9 +622,10 @@ def _pil_decode(data: bytes) -> np.ndarray:
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (H,W,3) or (H,W) uint8 array.
 
-    Stdlib-real: PPM/PGM, BMP, every spec-valid PNG layout (8/16-bit
-    truecolor/gray, 1/2/4/8-bit gray/palette, sequential or Adam7),
-    and baseline/extended/progressive JPEG (operators/jpeg.py —
+    Stdlib-real: PPM/PGM, BMP, GIF (LZW, palettes, interlace — first
+    frame here; :func:`decode_gif` for animations), every spec-valid
+    PNG layout (8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette,
+    sequential or Adam7), and baseline/extended/progressive JPEG (operators/jpeg.py —
     huffman + dequant + IDCT + YCbCr, restart markers, integer chroma
     ratios).  PIL-seam: the variants the stdlib paths refuse
     (spec-invalid PNG layouts, oversize frames;
@@ -381,6 +634,8 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)[0]  # still image / first animation step
     if data[:8] == _PNG_SIG:
         try:
             return decode_png(data)
@@ -604,7 +859,10 @@ def sample_frames(
                          for i in range(n)]
                     )
                 else:
-                    fs = decode_ppm_stream(payload)
+                    if payload[:6] in (b"GIF87a", b"GIF89a"):
+                        fs = decode_gif(payload)  # animated GIF (r10)
+                    else:
+                        fs = decode_ppm_stream(payload)
                     frames.append(
                         [image_features(f).tolist() for f in fs[::step]]
                     )

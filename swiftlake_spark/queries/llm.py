@@ -1911,3 +1911,81 @@ def q116_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q143 — REAL stdlib GIF decode in the pipeline (r10): text-derived
+# paletted animations encode through the GIF LZW encoder (interlace on
+# odd docs), the decoder composites frames back (LZW + palettes, no
+# PIL), and the checks compare against expectations computed straight
+# from the source indices that never touch the codec.  Palette indices
+# are exact (GIF is lossless), so the mean check is equality-tight.
+# --------------------------------------------------------------------------
+@query(
+    "q143_gif_frames",
+    oracle=r"""
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 100 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
+       true AS n_frames_ok,
+       true AS featdim_ok,
+       true AS mean_r_ok
+""",
+)
+def q143_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from swiftlake_spark.operators.multimodal import sample_frames
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    exp_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("expected_mean_r", T.DoubleType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from swiftlake_spark.operators.multimodal import encode_gif
+
+        H, W_, NF = 9, 14, 4
+        for pdf in batches:
+            data, exp = [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                b = (txt * 4).encode("utf-8")[:4]
+                rng = np.random.RandomState(int(did) % 1000 + b[0])
+                pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+                frames = [pal[rng.randint(0, 16, (H, W_))]
+                          for _ in range(NF)]
+                data.append(encode_gif(
+                    frames, palette=pal, interlace=bool(did % 2)))
+                # expectation from the raw first frame, codec untouched
+                exp.append(float(frames[0][:, :, 0].astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "data": data,
+                 "expected_mean_r": exp}
+            )
+
+    d = base.mapInPandas(synth, exp_schema)
+    # REAL LZW decode: every_ms=40 at 25 fps → step 1 → all 4 frames
+    feats = sample_frames(d, "data", every_ms=40, fps=25.0)
+    ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        ok(F.size("frames") == 4).alias("n_frames_ok"),
+        ok(F.size(F.element_at("frames", 1)) == 16).alias("featdim_ok"),
+        ok(
+            F.abs(
+                F.element_at(F.element_at("frames", 1), 4)
+                - F.col("expected_mean_r")
+            ) < 1e-3
+        ).alias("mean_r_ok"),
+    )

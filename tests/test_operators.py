@@ -1026,3 +1026,169 @@ def test_png_seam_dispatch_invalid_and_oversize():
     if not has_pil:
         with pytest.raises(ValueError, match="implausible PNG dimensions"):
             decode_image_bytes(big)
+
+
+def test_gif_roundtrip_palettes_interlace_multiframe():
+    """r10 stdlib GIF codec: LZW round trips (the encoder shares only
+    the constants with the decoder), interlace reorder, multi-frame
+    compositing with full-frame replace."""
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    img = pal[rng.integers(0, 16, (13, 17))]
+    assert np.array_equal(decode_gif(encode_gif([img]))[0], img)
+    assert np.array_equal(
+        decode_gif(encode_gif([img], interlace=True))[0], img)
+    f2 = pal[rng.integers(0, 16, (13, 17))]
+    got = decode_gif(encode_gif([img, f2]))
+    assert len(got) == 2
+    assert np.array_equal(got[0], img) and np.array_equal(got[1], f2)
+    # long runs + many colors: LZW width growth and table-fill resets
+    big = pal[rng.integers(0, 16, (64, 200))]
+    assert np.array_equal(decode_gif(encode_gif([big]))[0], big)
+    mono = np.zeros((300, 300, 3), np.uint8)
+    assert np.array_equal(decode_gif(encode_gif([mono]))[0], mono)
+
+
+def test_gif_transparency_and_disposal():
+    """Hand-built animation: sub-rect frames, transparent index,
+    disposal restore-background(2) and restore-previous(3)."""
+    import struct
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        _lzw_encode,
+        decode_gif,
+    )
+
+    # palette: 0=red 1=green 2=blue 3=white
+    pal = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff" + b"\xff\xff\xff"
+
+    def img_desc(x, y, w, h, indices, min_code=2):
+        out = b"\x2C" + struct.pack("<HHHH", x, y, w, h) + b"\x00"
+        lz = _lzw_encode(bytes(indices), min_code)
+        out += bytes([min_code])
+        for i in range(0, len(lz), 255):
+            out += bytes([len(lz[i:i + 255])]) + lz[i:i + 255]
+        return out + b"\x00"
+
+    def gce(disposal, transparent=None):
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        return bytes([0x21, 0xF9, 4, flags, 0, 0, transparent or 0, 0])
+
+    hdr = b"GIF89a" + struct.pack("<HH", 4, 2) + bytes([0x81, 0, 0]) + pal
+    # frame 1: full 4x2 of green, disposal=restore-background(red)
+    # frame 2: 2x1 rect at (1,1) of blue with index 3 transparent,
+    #          disposal=restore-previous
+    # frame 3: 1x1 at (0,0) white
+    data = (hdr
+            + gce(2) + img_desc(0, 0, 4, 2, [1] * 8)
+            + gce(3, transparent=3) + img_desc(1, 1, 2, 1, [2, 3])
+            + gce(0) + img_desc(0, 0, 1, 1, [3])
+            + b"\x3B")
+    frames = decode_gif(data)
+    assert len(frames) == 3
+    G, R, B, W = (0, 255, 0), (255, 0, 0), (0, 0, 255), (255, 255, 255)
+    assert [tuple(px) for px in frames[0].reshape(-1, 3)] == [G] * 8
+    # frame 2: canvas restored to bg (red), blue at (1,1), the
+    # transparent pixel at (2,1) shows red
+    want = [R, R, R, R, R, B, R, R]
+    assert [tuple(px) for px in frames[1].reshape(-1, 3)] == want
+    # frame 3: restore-previous undid frame 2 → red canvas, white at 0,0
+    want = [W, R, R, R, R, R, R, R]
+    assert [tuple(px) for px in frames[2].reshape(-1, 3)] == want
+
+
+def test_gif_dispatch_and_frame_sampling(spark):
+    """decode_image_bytes takes GIF stills; sample_frames walks an
+    animated GIF through the real mapInPandas path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.operators.multimodal import (
+        decode_image_bytes,
+        encode_gif,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    frames = [pal[rng.integers(0, 8, (6, 7))] for _ in range(5)]
+    payload = encode_gif(frames)
+    assert np.array_equal(decode_image_bytes(payload), frames[0])
+
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "id BIGINT, data BINARY")
+    out = sample_frames(df, "data", every_ms=80, fps=25.0).collect()[0]
+    # step = 2 → frames 0, 2, 4
+    assert len(out["frames"]) == 3
+    assert abs(out["frames"][0][3] - frames[0][:, :, 0].mean()) < 1e-3
+
+
+def test_gif_mutation_fuzz_fails_cleanly():
+    import random
+    import struct
+    import time
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng0 = np.random.default_rng(31)
+    pal = rng0.integers(0, 256, (16, 3)).astype(np.uint8)
+    payloads = [
+        encode_gif([pal[rng0.integers(0, 16, (20, 30))]]),
+        encode_gif([pal[rng0.integers(0, 16, (9, 11))] for _ in range(3)],
+                   interlace=True),
+    ]
+    rng = random.Random(37)
+    t0 = time.time()
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(400):
+        data = bytearray(rng.choice(payloads))
+        for _m in range(rng.choice((1, 1, 1, 3))):
+            data[rng.randrange(6, len(data))] = rng.randrange(256)
+        try:
+            fs = decode_gif(bytes(data))
+            assert all(f.dtype == np.uint8 for f in fs)
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError, IndexError, KeyError,
+                struct.error):
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 400
+    assert outcomes["err"] > 40, outcomes
+    assert time.time() - t0 < 60, "mutation decode too slow"
+
+
+_has_pil_gif = True
+try:  # pragma: no cover
+    import PIL  # noqa: F401
+except ImportError:
+    _has_pil_gif = False
+
+
+@pytest.mark.skipif(not _has_pil_gif, reason="pillow not installed")
+def test_gif_golden_vs_pil():  # pragma: no cover
+    """Where pillow exists: PIL must decode our GIF to our pixels and
+    we must decode PIL's GIF output to its pixels."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from swiftlake_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(41)
+    pal = rng.integers(0, 256, (32, 3)).astype(np.uint8)
+    img = pal[rng.integers(0, 32, (19, 23))]
+    ours = encode_gif([img])
+    theirs = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+    assert np.array_equal(theirs, img)
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="GIF")
+    assert np.array_equal(decode_gif(buf.getvalue())[0], img)
