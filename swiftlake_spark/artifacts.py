@@ -55,9 +55,20 @@ class ArtifactRegistry:
         """Register a persisted DataFrame; evicts (unpersists) any prior
         entry in the namespace so at most ONE artifact per namespace is
         alive — re-registration under a new key (e.g. a different data
-        dir) can't stack executor-disk copies."""
+        dir) can't stack executor-disk copies.
+
+        Same-key puts are FIRST-WINS (r10 review): two concurrent
+        queries can both miss ``get_persisted`` and both persist — the
+        re-put returns the registered winner instead of evicting it
+        mid-query.  The loser frame is deliberately NOT unpersisted:
+        Spark's cache manager keys on the analyzed plan, and a same-key
+        loser is the same deterministic relation, so unpersisting it
+        would destroy the winner's (shared) cache entry.  Callers must
+        consume the RETURNED frame, not the one they passed in."""
         with self._lock:
             prior = self._slots.get(namespace)
+            if prior is not None and prior.key == key:
+                return prior.value
             self._slots[namespace] = _Entry(key, "persisted", df, app_id)
         if prior is not None:
             self._release(prior)
@@ -70,8 +81,15 @@ class ArtifactRegistry:
         return e.value if e is not None and e.key == key else None
 
     def put_tempdir(self, namespace: str, key: Hashable, path: str, app_id: str | None = None) -> str:
+        """Same first-wins contract as :meth:`put_persisted`: a same-key
+        re-put returns the registered path.  The loser path is NOT
+        removed — the losing query's table objects still reference it,
+        and a rare leaked mkdtemp until process exit is strictly better
+        than deleting a directory out from under an in-flight query."""
         with self._lock:
             prior = self._slots.get(namespace)
+            if prior is not None and prior.key == key:
+                return prior.value
             self._slots[namespace] = _Entry(key, "tempdir", path, app_id)
         if prior is not None:
             self._release(prior)

@@ -188,8 +188,9 @@ def _rewrite_aliases(
     full: dict[str, str] | None = None,
 ) -> str:
     """Rebuild tokens[lo:hi] as text with ``alias.``-qualified word
-    tokens rewritten per ``mapping`` (case-insensitive on the alias) and
-    whole qualified names per ``full`` (e.g. a renamed source key).
+    tokens rewritten per ``mapping`` (case-insensitive on the alias;
+    an empty-string replacement STRIPS the qualifier) and whole
+    qualified names per ``full`` (e.g. a renamed source key).
     Works on token spans so string literals are never touched."""
     if lo >= hi:
         return ""
@@ -207,7 +208,9 @@ def _rewrite_aliases(
             else:
                 head, rest = text.split(".", 1)
                 repl = mapping.get(head.lower())
-                if repl is not None:
+                if repl == "":
+                    text = rest
+                elif repl is not None:
                     text = f"{repl}.{rest}"
         out.append(text)
         pos = t.end
@@ -687,23 +690,11 @@ def _strip_qualifier(
     sql: str, toks: list[_Tok], lo: int, hi: int, alias: str
 ) -> str:
     """Rebuild tokens[lo:hi] with the ``alias.`` prefix dropped from
-    qualified word tokens — the token-exact counterpart of
-    ``_rewrite_aliases`` for boundary-conjunct extraction (a literal
-    containing the alias text can never be touched: literals are not
-    word tokens)."""
-    if lo >= hi:
-        return ""
-    out = []
-    pos = toks[lo].start
-    for i in range(lo, hi):
-        t = toks[i]
-        out.append(sql[pos : t.start])
-        text = sql[t.start : t.end]
-        if t.kind == "word" and text.lower().startswith(alias.lower() + "."):
-            text = text[len(alias) + 1 :]
-        out.append(text)
-        pos = t.end
-    return "".join(out)
+    qualified word tokens — ``_rewrite_aliases`` with the empty-string
+    strip sentinel, kept as a named wrapper for the boundary-conjunct
+    call sites (a literal containing the alias text can never be
+    touched: literals are not word tokens)."""
+    return _rewrite_aliases(sql, toks, lo, hi, {alias.lower(): ""})
 
 
 def _analyze_on(

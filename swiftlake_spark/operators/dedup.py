@@ -534,6 +534,19 @@ def editdist_near_dups(
     exactly what a boilerplate-heavy crawl produces).  Returns (id_a,
     id_b, *block_cols, dist), id_a < id_b.
     """
+    if len_bucket_width is not None:
+        # the soundness argument (edit distance ≥ |Δlen| on full
+        # strings, so dropping |Δlen| > w pairs loses nothing the
+        # threshold would keep) requires w ≥ max_dist; a narrower w
+        # silently caps the length delta tighter than the distance
+        # bound, and 0 would make every bucket NULL (empty result)
+        if len_bucket_width < max(max_dist, 1):
+            raise ValueError(
+                f"len_bucket_width={len_bucket_width} must be >= "
+                f"max_dist={max_dist}: a narrower bucket drops pairs "
+                "the distance threshold accepts — lower max_dist "
+                "instead if a tighter length window is intended"
+            )
     sel = [
         F.col(id_col).alias("id"),
         F.substring(F.col(text_col), 1, prefix).alias("pfx"),
@@ -601,6 +614,7 @@ def ngram_decontaminate(
     n: int = 13,
     threshold: float = 0.5,
     split: str = " ",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination by n-gram overlap (the GPT-3/PaLM
     recipe: a training document is contaminated when a large fraction
@@ -614,11 +628,16 @@ def ngram_decontaminate(
     gram evidence and are never flagged), and ``is_contaminated`` is
     ``hit_frac >= threshold``.
 
-    Scale (100 TB): eval sets are tiny next to the corpus, so the eval
-    gram keys (distinct 32-byte md5) are BROADCAST — the corpus-side
-    gram explode is map-only through the join, and the only shuffle is
-    the per-document count aggregate (map-side partial).  One corpus
-    pass, no corpus-side distinct, no driver state.
+    Scale (100 TB): real benchmark eval sets are tiny next to the
+    corpus, so by default the eval gram keys (distinct 32-byte md5) are
+    BROADCAST — the corpus-side gram explode is map-only through the
+    join, and the only shuffle is the per-document count aggregate
+    (map-side partial).  One corpus pass, no corpus-side distinct, no
+    driver state.  PRECONDITION for the default: the eval gram relation
+    must fit a broadcast (the contract holds for held-out benchmarks);
+    pass ``broadcast_eval=False`` when the "eval" side is itself a
+    corpus-scale slice — the join then shuffles both sides on the gram
+    key instead of forcing gigabytes through the driver.
     """
     eval_id = eval_id_col or id_col
     eval_text = eval_text_col or text_col
@@ -629,8 +648,10 @@ def ngram_decontaminate(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
     per_doc = (
-        grams.join(F.broadcast(eval_grams), "gh", "left")
+        grams.join(eval_grams, "gh", "left")
         .groupBy("id")
         .agg(
             F.max("n_tokens").alias("n_tokens"),

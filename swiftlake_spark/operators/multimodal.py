@@ -531,7 +531,10 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
             idx = de
         if int(idx.max()) >= len(pal):
             raise ValueError("GIF palette index out of range")
-        before = canvas.copy()
+        # the pre-frame snapshot is only consumed by disposal mode 3;
+        # skipping it for 0/1/2 halves per-frame allocation in the
+        # mapInPandas hot loop
+        before = canvas.copy() if disposal == 3 else None
         region = canvas[fy: fy + fh, fx: fx + fw]
         rgb = pal[idx]
         if transparent is not None:
@@ -635,7 +638,16 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(data)[0]  # still image / first animation step
+        try:
+            return decode_gif(data)[0]  # still / first animation step
+        except (NotImplementedError, ValueError) as err:
+            # same contract as PNG/JPEG: oversize-but-valid frames and
+            # variants the stdlib path rejects get a PIL chance;
+            # without PIL re-raise the ORIGINAL diagnostic
+            try:
+                return _pil_decode(data)
+            except NotImplementedError:
+                raise err from None
     if data[:8] == _PNG_SIG:
         try:
             return decode_png(data)

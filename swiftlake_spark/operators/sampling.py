@@ -143,11 +143,15 @@ def mixing_weights(
         )
         tgt = F.coalesce(mapping[F.col("group")], F.lit(0.0))
     actual = F.col("n_tokens").cast("double") / total
+    # a zero-token group has no defined upsampling factor: its weight
+    # is NULL by construction (explicitly, not via silent non-ANSI
+    # divide-by-zero), and callers must drop or special-case it
+    weight = F.when(F.col("n_tokens") > 0, tgt / actual)
     return per.select(
         "group", "n_docs", "n_tokens",
         actual.alias("actual_share"),
         tgt.alias("target_share"),
-        (tgt / actual).alias("weight"),
+        weight.alias("weight"),
     )
 
 

@@ -104,3 +104,52 @@ def test_storage_level_env_validation(monkeypatch):
         storage_level_from_env("SWIFTLAKE_GRAMS_STORAGE")
     monkeypatch.delenv("SWIFTLAKE_GRAMS_STORAGE")
     assert storage_level_from_env("SWIFTLAKE_GRAMS_STORAGE").useDisk
+
+
+def test_same_key_put_is_first_wins(spark):
+    """r10 review: two concurrent get-misses may both persist — the
+    same-key re-put must NOT evict the registered (possibly in-use)
+    frame; it keeps the winner and unpersists only the loser."""
+    from pyspark import StorageLevel
+
+    from swiftlake_spark.artifacts import ArtifactRegistry
+
+    reg = ArtifactRegistry()
+    a = spark.range(10).persist(StorageLevel.DISK_ONLY)
+    b = spark.range(10).persist(StorageLevel.DISK_ONLY)
+    a.count(), b.count()
+    won = reg.put_persisted("ns", ("k",), a)
+    assert won is a
+    got = reg.put_persisted("ns", ("k",), b)  # loser of the race
+    assert got is a, "first put must win"
+    # the loser is left alone: same-key twins share the winner's cache
+    # entry (Spark keys on the analyzed plan), so unpersisting it would
+    # destroy the winner's blocks too
+    assert a.storageLevel.useDisk, "winner must stay persisted"
+    # re-putting the SAME frame is a no-op, never a self-eviction
+    got = reg.put_persisted("ns", ("k",), a)
+    assert got is a and a.storageLevel.useDisk
+    # a DIFFERENT key still evicts the prior entry (bounded slot)
+    c = spark.range(5).persist(StorageLevel.DISK_ONLY)
+    c.count()
+    got = reg.put_persisted("ns", ("k2",), c)
+    assert got is c and not a.storageLevel.useDisk
+    reg.clear()
+    assert not c.storageLevel.useDisk
+
+
+def test_same_key_tempdir_first_wins(tmp_path):
+    import os
+
+    from swiftlake_spark.artifacts import ArtifactRegistry
+
+    reg = ArtifactRegistry()
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(p1), os.makedirs(p2)
+    assert reg.put_tempdir("td", ("k",), p1) == p1
+    assert reg.put_tempdir("td", ("k",), p2) == p1  # first wins
+    # the loser path is left alone: an in-flight query may still
+    # reference it (leak-until-exit beats deletion under its feet)
+    assert os.path.isdir(p1) and os.path.isdir(p2)
+    reg.clear()
+    assert not os.path.isdir(p1) and os.path.isdir(p2)

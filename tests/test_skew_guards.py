@@ -233,8 +233,18 @@ def test_editdist_length_bucket_boundary_pairs_survive(spark):
     ).withColumn("pfx4", F.substring("text", 1, 4))
     out = editdist_near_dups(
         d, "doc_id", "text",
-        block_cols=["lang", "pfx4"], prefix=60, max_dist=20,
+        block_cols=["lang", "pfx4"], prefix=60, max_dist=8,
         len_bucket_width=w,
     )
     got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
     assert got == [(1, 2)]
+    # r10 review: a bucket narrower than max_dist would silently drop
+    # pairs the distance threshold accepts — rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="must be >="):
+        editdist_near_dups(
+            d, "doc_id", "text",
+            block_cols=["lang", "pfx4"], prefix=60, max_dist=20,
+            len_bucket_width=w,
+        )
