@@ -338,3 +338,28 @@ def test_progressive_mutation_fuzz_fails_cleanly():
     assert outcomes["ok"] + outcomes["err"] == 400
     assert outcomes["err"] > 40, outcomes
     assert time.time() - t0 < 120, "mutation decode too slow — lurking loop?"
+
+
+def test_progressive_property_random_images():
+    """Property: progressive decode equals baseline decode of the same
+    quantized coefficients for arbitrary images/shapes/settings."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(8, 40), w=st.integers(8, 40),
+        seed=st.integers(0, 2**31 - 1),
+        sub=st.sampled_from(["4:4:4", "4:2:0"]),
+        spectral=st.booleans(),
+        rst=st.sampled_from([0, 0, 3]),
+    )
+    def check(h, w, seed, sub, spectral, rst):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, quality=85, subsampling=sub, spectral_only=spectral,
+            restart_interval=rst))
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        assert np.array_equal(prog, base)
+
+    check()

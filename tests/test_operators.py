@@ -1192,3 +1192,33 @@ def test_gif_golden_vs_pil():  # pragma: no cover
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="GIF")
     assert np.array_equal(decode_gif(buf.getvalue())[0], img)
+
+
+def test_gif_lzw_property_roundtrip():
+    """Property: LZW encode→decode is identity for arbitrary index
+    streams at every legal minimum code size (hypothesis-driven)."""
+    from hypothesis import given, settings, strategies as st
+
+    from swiftlake_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        min_code=st.integers(min_value=2, max_value=8),
+        data=st.data(),
+    )
+    def check(min_code, data):
+        n = data.draw(st.integers(min_value=0, max_value=600))
+        idx = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, (1 << min_code) - 1),
+                    min_size=n, max_size=n,
+                )
+            )
+        )
+        assert _lzw_decode(_lzw_encode(idx, min_code), min_code) == idx
+
+    check()
