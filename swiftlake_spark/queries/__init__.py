@@ -87,11 +87,11 @@ _GATE_PRIORITY = [
     # registered r10, never driver-certified
     'q137_merge_not_matched_by_source', 'q138_sql_merge_full_sync',
     'q139_decontaminate', 'q140_mixing_weights', 'q141_length_outliers',
-    'q142_corpus_pipeline', 'q143_gif_frames',
+    'q142_corpus_pipeline', 'q143_gif_frames', 'q144_mixed_images',
     # last certified r8 (CORRECTNESS_r08 key order; fills the 50 slots,
     # the tail rolls to round 11 where it heads the window)
     'q27_casts', 'q28_range_frame', 'q29_math_funcs', 'q30_tumbling_window',
-    'q31_sessionization', 'q32_json_props', 'q33_file_metadata',
+    'q31_sessionization', 'q32_json_props',
 ]
 
 

