@@ -10,7 +10,9 @@ PPM/PGM (P6/P5 netpbm), uncompressed 24/32-bit BMP (``struct``),
 PNG — 8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette, sequential
 or Adam7 (``zlib`` + unfilter) — baseline/extended/progressive JPEG
 (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
-PCM WAV (``wave``).  Arithmetic/hierarchical/12-bit JPEG and
+TIFF (8-bit strips, uncompressed or PackBits, II/MM), GIF
+(87a/89a incl. animation), and PCM WAV (``wave``).
+Arithmetic/hierarchical/12-bit JPEG, LZW/tiled/16-bit TIFF and
 spec-invalid PNG layouts go through the optional PIL seam
 (:func:`_pil_decode`):
 decoded for real when pillow is importable, honest
@@ -347,6 +349,232 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, :3]  # RGB / RGBA → RGB
 
 
+# ----------------------------------------------------------------- TIFF
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i: i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated PackBits stream")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expect:
+        raise ValueError("truncated PackBits raster")
+    return bytes(out[:expect])
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Stdlib-only baseline TIFF decode: 8-bit gray/RGB(A), strip
+    layout, uncompressed (1) or PackBits (32773), II or MM byte order,
+    first IFD only.  Tiled, LZW/JPEG-compressed, planar and 16-bit
+    TIFFs raise NotImplementedError — :func:`decode_image_bytes` falls
+    through to the PIL seam for those."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF: IFD offset past end")
+    (n_ent,) = struct.unpack_from(bo + "H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+    for k in range(n_ent):
+        off = ifd_off + 2 + k * 12
+        if off + 12 > len(data):
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off)
+        if typ not in _SZ:  # rational/float tags are irrelevant here
+            continue
+        total = _SZ[typ] * cnt
+        voff = off + 8 if total <= 4 else struct.unpack_from(
+            bo + "I", data, off + 8)[0]
+        if voff + total > len(data):
+            raise ValueError("truncated TIFF tag value")
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(
+            struct.unpack_from(bo + fmt * cnt, data, voff))
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if w < 1 or h < 1 or w * h > (1 << 28):
+        raise ValueError(f"implausible TIFF dimensions {w}x{h}")
+    comp = one(259, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    planar = one(284, 1)
+    if comp not in (1, 32773) or planar != 1 or any(b != 8 for b in bits) \
+            or spp not in (1, 3, 4) or 322 in tags:
+        raise NotImplementedError(
+            f"TIFF compression={comp} spp={spp} bits={bits} "
+            f"planar={planar} tiled={322 in tags} needs PIL (stdlib "
+            "path covers 8-bit chunky gray/RGB(A) strips, "
+            "uncompressed or PackBits)")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets:
+        raise ValueError("TIFF without strip offsets")
+    rows_per = one(278, h)
+    raster = bytearray()
+    for i, soff in enumerate(offsets):
+        rows = min(rows_per, h - i * rows_per)
+        if rows <= 0:
+            break
+        expect = rows * w * spp
+        if comp == 1:
+            if soff + expect > len(data):
+                raise ValueError("truncated TIFF strip")
+            raster += data[soff: soff + expect]
+        else:
+            end = soff + (counts[i] if counts and i < len(counts)
+                          else len(data) - soff)
+            raster += _packbits_decode(data[soff:end], expect)
+    if len(raster) < h * w * spp:
+        raise ValueError("truncated TIFF raster")
+    img = np.frombuffer(bytes(raster), np.uint8,
+                        h * w * spp).reshape(h, w, spp)
+    photometric = one(262, 1)
+    if spp == 1:
+        g = img[:, :, 0]
+        return (255 - g) if photometric == 0 else g  # 0 = white-is-zero
+    return img[:, :, :3]  # RGB / RGBA → RGB
+
+
+def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
+                rows_per_strip: int | None = None,
+                big_endian: bool = False) -> bytes:
+    """uint8 (H,W,3)/(H,W) → baseline TIFF bytes (for tests/synthesis;
+    shares only the tag constants with the decoder)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
+    h, w = a.shape[:2]
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    bo = ">" if big_endian else "<"
+
+    def pack_strip(rows: np.ndarray) -> bytes:
+        raw = rows.tobytes()
+        if not packbits:
+            return raw
+        out = bytearray()
+        i = 0
+        while i < len(raw):
+            # repeat run?
+            j = i
+            while (j + 1 < len(raw) and raw[j + 1] == raw[i]
+                   and j - i < 127):
+                j += 1
+            if j > i:  # run of j-i+1 identical bytes
+                out += bytes([257 - (j - i + 1), raw[i]])
+                i = j + 1
+                continue
+            # literal run until next repeat pair (max 128)
+            j = i
+            while (j + 1 < len(raw) and not (
+                    j + 2 < len(raw) and raw[j + 1] == raw[j + 2])
+                   and j - i < 127):
+                j += 1
+            out += bytes([j - i]) + raw[i: j + 1]
+            i = j + 1
+        return bytes(out)
+
+    strips = [pack_strip(a[y: y + rps]) for y in range(0, h, rps)]
+    n_strips = len(strips)
+
+    entries = []  # (tag, typ, cnt, value-or-offset placeholder)
+    extra = bytearray()  # out-of-line values, appended after the IFD
+
+    def entry(tag, typ, vals):
+        sz = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        if sz * len(vals) <= 4:
+            raw = struct.pack(bo + fmt * len(vals), *vals)
+            raw += b"\x00" * (4 - len(raw))
+            entries.append((tag, typ, len(vals), raw, None))
+        else:
+            entries.append((tag, typ, len(vals), None, vals))
+
+    # data layout: header(8) + IFD + extras + strip data
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [32773 if packbits else 1])
+    entry(262, 3, [1 if gray else 2])  # BlackIsZero / RGB
+    entry(273, 4, [0] * n_strips)      # offsets patched below
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    entry(279, 4, [len(s) for s in strips])
+    entries.sort(key=lambda e: e[0])
+
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    extra_off = ifd_off + ifd_len
+    # lay out out-of-line values
+    placed = []
+    for tag, typ, cnt, raw, vals in entries:
+        if raw is None:
+            fmt = {3: "H", 4: "I"}[typ]
+            placed.append((tag, typ, cnt, extra_off + len(extra), vals, fmt))
+            extra += struct.pack(bo + fmt * cnt, *vals)
+            if len(extra) % 2:
+                extra += b"\x00"
+        else:
+            placed.append((tag, typ, cnt, raw, None, None))
+    data_off = extra_off + len(extra)
+    # patch strip offsets now that the layout is known
+    strip_offs = []
+    p = data_off
+    for s in strips:
+        strip_offs.append(p)
+        p += len(s)
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", len(entries))
+    extra = bytearray(extra)
+    for tag, typ, cnt, rawor, vals, fmt in placed:
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        if vals is None:
+            if tag == 273:  # inline strip offsets (single strip)
+                raw = struct.pack(bo + "I" * cnt, *strip_offs)
+                out += raw + b"\x00" * (4 - len(raw))
+            else:
+                out += rawor
+        else:
+            if tag == 273:
+                vals = strip_offs
+            # rewrite the out-of-line block with final values
+            pos = rawor - extra_off
+            extra[pos: pos + struct.calcsize(fmt) * cnt] = struct.pack(
+                bo + fmt * cnt, *vals)
+            out += struct.pack(bo + "I", rawor)
+    out += struct.pack(bo + "I", 0)  # next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ GIF
 
 def _lzw_decode(data: bytes, min_code: int) -> bytes:
@@ -625,8 +853,9 @@ def _pil_decode(data: bytes) -> np.ndarray:
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (H,W,3) or (H,W) uint8 array.
 
-    Stdlib-real: PPM/PGM, BMP, GIF (LZW, palettes, interlace — first
-    frame here; :func:`decode_gif` for animations), every spec-valid
+    Stdlib-real: PPM/PGM, BMP, TIFF (8-bit strips, uncompressed or
+    PackBits), GIF (LZW, palettes, interlace — first frame here;
+    :func:`decode_gif` for animations), every spec-valid
     PNG layout (8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette,
     sequential or Adam7), and baseline/extended/progressive JPEG (operators/jpeg.py —
     huffman + dequant + IDCT + YCbCr, restart markers, integer chroma
@@ -637,6 +866,14 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            return decode_tiff(data)
+        except (NotImplementedError, ValueError) as err:
+            try:
+                return _pil_decode(data)
+            except NotImplementedError:
+                raise err from None
     if data[:6] in (b"GIF87a", b"GIF89a"):
         try:
             return decode_gif(data)[0]  # still / first animation step

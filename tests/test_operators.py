@@ -1222,3 +1222,119 @@ def test_gif_lzw_property_roundtrip():
         assert _lzw_decode(_lzw_encode(idx, min_code), min_code) == idx
 
     check()
+
+
+def test_tiff_roundtrip_all_variants():
+    """r10 stdlib TIFF codec: strips, both byte orders, PackBits, gray
+    and RGB — encoder shares only tag constants with the decoder."""
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        decode_image_bytes,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in ((13, 17, 3), (9, 20)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for pb in (False, True):
+            for be in (False, True):
+                for rps in (None, 4):
+                    got = decode_tiff(encode_tiff(
+                        img, packbits=pb, big_endian=be,
+                        rows_per_strip=rps))
+                    assert np.array_equal(got, img), (shape, pb, be, rps)
+    mono = np.full((30, 40, 3), 7, np.uint8)  # PackBits-friendly runs
+    assert np.array_equal(decode_tiff(encode_tiff(mono, packbits=True)),
+                          mono)
+    # dispatch, both byte orders
+    img = rng.integers(0, 256, (6, 8, 3)).astype(np.uint8)
+    assert np.array_equal(decode_image_bytes(encode_tiff(img)), img)
+    assert np.array_equal(
+        decode_image_bytes(encode_tiff(img, big_endian=True)), img)
+
+
+def test_tiff_white_is_zero_and_unsupported_variants():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from swiftlake_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    # photometric 0 (WhiteIsZero) inverts grayscale
+    g = np.array([[0, 128, 255]], dtype=np.uint8)
+    data = bytearray(encode_tiff(g))
+    # find tag 262 in the IFD and flip its inline value 1 → 0
+    (n,) = struct.unpack_from("<H", data, 8)
+    for k in range(n):
+        off = 10 + 12 * k
+        tag = struct.unpack_from("<H", data, off)[0]
+        if tag == 262:
+            struct.pack_into("<I", data, off + 8, 0)
+    got = decode_tiff(bytes(data))
+    assert np.array_equal(got, 255 - g)
+
+    # unsupported shapes refuse with NotImplementedError (PIL seam)
+    data = bytearray(encode_tiff(g))
+    for k in range(n):
+        off = 10 + 12 * k
+        if struct.unpack_from("<H", data, off)[0] == 259:
+            struct.pack_into("<I", data, off + 8, 5)  # LZW
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_tiff(bytes(data))
+
+
+def test_tiff_mutation_fuzz_fails_cleanly():
+    import random
+    import struct
+    import time
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng0 = np.random.default_rng(43)
+    payloads = [
+        encode_tiff(rng0.integers(0, 256, (20, 30, 3)).astype(np.uint8)),
+        encode_tiff(rng0.integers(0, 256, (11, 13)).astype(np.uint8),
+                    packbits=True, rows_per_strip=3, big_endian=True),
+    ]
+    rng = random.Random(47)
+    t0 = time.time()
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(400):
+        data = bytearray(rng.choice(payloads))
+        for _m in range(rng.choice((1, 1, 1, 3))):
+            data[rng.randrange(4, len(data))] = rng.randrange(256)
+        try:
+            out = decode_tiff(bytes(data))
+            assert out.dtype == np.uint8
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError, IndexError, KeyError,
+                struct.error):
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 400
+    assert outcomes["err"] > 40, outcomes
+    assert time.time() - t0 < 60
+
+
+@pytest.mark.skipif(not _has_pil_gif, reason="pillow not installed")
+def test_tiff_golden_vs_pil():  # pragma: no cover
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from swiftlake_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 256, (14, 19, 3)).astype(np.uint8)
+    for pb in (False, True):
+        ours = encode_tiff(img, packbits=pb)
+        theirs = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+        assert np.array_equal(theirs, img)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="TIFF")
+    assert np.array_equal(decode_tiff(buf.getvalue()), img)
