@@ -9,10 +9,16 @@ Env:
   BENCH_QUERIES       comma-separated subset (default: all)
 
 Each query executes end-to-end with a `noop` sink (full plan incl. sort,
-no serialization to the driver beyond Spark's own).  The 10 slowest
-queries are re-timed twice and keep their minimum (provenance in
-bench_last.json: first_pass + min_of_3 samples), so the headline total
-is arithmetic across rounds instead of tide adjudication.
+no serialization to the driver beyond Spark's own).  Every query whose
+first pass takes >= 1 s is re-timed twice and keeps its minimum
+(provenance in bench_last.json: first_pass + min_of_3 samples), so the
+headline total is arithmetic across rounds instead of tide adjudication
+(VERDICT r10 ask #4 widened this from the top-10 to the full >=1 s
+tail).  The lakehouse-DML queries write a per-session table fixture on
+first invocation; bench pre-warms those fixtures in setup (untimed,
+recorded as fixture_warm in bench_last.json) so their recorded numbers
+are the steady-state MERGE/DDL cost, not the one-time CTAS
+(VERDICT r10 ask #8).
 """
 
 from __future__ import annotations
@@ -76,6 +82,29 @@ def main() -> int:
         .save()
     )
 
+    # Fixture pre-warm: the lakehouse-DML queries build a per-session
+    # warehouse fixture (artifact-registry tempdir) on first call — a
+    # 2-4 s CTAS that is NOT the operator under test.  Build those
+    # fixtures once here (untimed; durations recorded for cold-cost
+    # visibility) so the timed passes measure the steady-state
+    # MERGE/UPDATE/DDL cost users actually pay per statement.
+    _FIXTURE_QUERIES = [
+        "q111_nested_evolution", "q112_murmur3_bucket", "q113_iceberg_read",
+        "q119_sql_pruned_scan", "q121_merge_into", "q122_sql_merge",
+        "q129_sql_ddl_lifecycle", "q137_merge_not_matched_by_source",
+        "q138_sql_merge_full_sync",
+    ]
+    fixture_warm: dict[str, float] = {}
+    for fq in _FIXTURE_QUERIES:
+        if fq not in qs or fq not in names:
+            continue
+        try:
+            w0 = time.perf_counter()
+            qs[fq](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fixture_warm[fq] = round(time.perf_counter() - w0, 3)
+        except Exception:  # noqa: BLE001 — the timed pass will surface it
+            pass
+
     # Machine-state floor: a `spark.range(10)` noop job measures the
     # fixed per-job cost (scheduling + commit round-trip) the current
     # sandbox imposes — emitted with every run so environmental drift
@@ -118,15 +147,20 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
 
-    # Min-of-3 for the slow tail: the 10 slowest first-pass queries are
-    # re-timed twice more and keep their MINIMUM — single cold runs of
-    # the tail have swung ±25% with machine tide, making round-over-round
-    # comparison adjudication instead of arithmetic.  The min is the
-    # machine-independent capability number; first-pass values are kept
-    # in bench_last.json for cold-cost visibility.
+    # Min-of-3 for the slow tail: every query whose first pass took
+    # >= 1 s (plus the 10 slowest regardless) is re-timed twice more and
+    # keeps its MINIMUM — single cold runs of the tail have swung ±25%
+    # with machine tide, making round-over-round comparison adjudication
+    # instead of arithmetic.  The min is the machine-independent
+    # capability number; first-pass values are kept in bench_last.json
+    # for cold-cost visibility.  (r10 re-timed only the top-10, so q108's
+    # 1.93 s cold decode entered the record while its warm cost was
+    # 0.35 s — VERDICT r10 ask #4.)
     first_pass = dict(timings)
     retimed: dict[str, list[float]] = {}
-    for name in sorted(timings, key=lambda n: -timings[n])[:10]:
+    slowest = sorted(timings, key=lambda n: -timings[n])
+    retime_set = set(slowest[:10]) | {n for n in timings if timings[n] >= 1.0}
+    for name in sorted(retime_set, key=lambda n: -timings[n]):
         samples = [timings[name]]
         for _ in range(2):
             try:
@@ -181,6 +215,7 @@ def main() -> int:
                     "cpu_samples": [round(x, 3) for x in cpu_samples],
                     "value_adj": value_adj,
                     "first_pass": first_pass,
+                    "fixture_warm": fixture_warm,
                     "min_of_3": retimed,
                     "queries": timings,
                     "queries_adj": {

@@ -51,10 +51,23 @@ def test_no_row_python_udf_anywhere(spark, queries):
 
 
 def test_pandas_udf_only_in_sanctioned_queries(spark, queries):
-    arrow_users = set()
+    """Pin EVERY Python-eval node kind to a sanctioned query set.
+
+    ArrowEvalPython (scalar Pandas UDFs) and the *InPandas relational
+    operators (mapInPandas / applyInPandas) are both Arrow-vectorized
+    Python; the r10 audit tracked only the former and under-reported the
+    decode queries as pure-JVM (VERDICT r10 ask #3).  Both kinds are now
+    pinned so new Python-eval use is a reviewed decision, not drift.
+    """
+    import re
+
+    arrow_users, inpandas_users = set(), set()
     for name, fn in queries.items():
-        if "ArrowEvalPython" in formatted_plan(fn(spark, SF)):
+        plan = formatted_plan(fn(spark, SF))
+        if "ArrowEvalPython" in plan:
             arrow_users.add(name)
+        if re.search(r"\b\w+InPandas\b|\bMapInArrow\b", plan):
+            inpandas_users.add(name)
     assert arrow_users <= {
         "q50_ann_lsh_topk",
         "q53_multimodal_features",
@@ -62,6 +75,18 @@ def test_pandas_udf_only_in_sanctioned_queries(spark, queries):
         "q58_ivf_topk",  # centroid-assignment matmul (map-only)
         "q115_semantic_dedup",  # same IVF centroid assignment
     }, arrow_users
+    # codec decodes ride mapInPandas (Arrow batches of binary payloads)
+    assert inpandas_users <= {
+        "q53_multimodal_features",
+        "q108_audio_features",
+        "q114_video_frames",
+        "q118_png_features",
+        "q120_jpeg_features",
+        "q143_gif_frames",
+        "q144_mixed_images",
+        "q145_tiff_lzw_features",  # lands round 11
+        "q150_image_phash_dedup",  # lands round 11
+    }, inpandas_users
 
 
 def test_table_scan_residual_filter_pushed(spark, tmp_path):
