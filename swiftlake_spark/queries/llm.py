@@ -712,9 +712,16 @@ def q49_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VERDICT oracle: bucket assignment is engine-internal, so the query
 # runs the ANN path AND the exact brute-force path (cosine_topk — the
 # q46-certified baseline) in one plan and hash-compares deterministic
-# checks: recall vs brute ≥ 0.4 (measured 0.47-0.60 at sf0.001/0.01,
-# deterministic: fixed hyperplane seed, fixed data), every query's
-# top-1 is itself at cosine ≈ 1, and the result shape is exact.
+# checks (bars tightened per VERDICT r10 ask #5):
+#   - recall vs brute ≥ 0.7 (measured 0.87-0.93 at sf0.001/0.01 with
+#     n_planes=4, n_tables=12; deterministic: fixed hyperplane seed,
+#     fixed data — a broken parameterization, e.g. the r10 5-plane/
+#     6-table setting at 0.47, now FAILS the gate);
+#   - planted-exact-neighbor: each query vector is planted again under
+#     vec_id+100000; an identical vector hashes to the same bucket in
+#     EVERY table, so LSH must retrieve it with probability 1 —
+#     parameter rot that silently empties buckets cannot pass;
+#   - every query's top-1 is itself at cosine ≈ 1, shape exact.
 # --------------------------------------------------------------------------
 @query(
     "q50_ann_lsh_topk",
@@ -722,18 +729,23 @@ def q49_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS n_queries,
        CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS brute_rows,
        true AS recall_ok,
-       true AS self_hit_ok
+       true AS self_hit_ok,
+       true AS planted_ok
 """,
 )
 def q50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.similarity import ann_cosine_topk, cosine_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    ann = ann_cosine_topk(emb, queries_df, dim=64, k=5, n_planes=5, n_tables=6)
-    brute = cosine_topk(emb, queries_df, k=5)
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    ann = ann_cosine_topk(corpus, queries_df, dim=64, k=5, n_planes=4, n_tables=12)
+    brute = cosine_topk(corpus, queries_df, k=5)
     hits = brute.select("query_id", "cand_id").join(
         ann.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
     )
@@ -752,23 +764,36 @@ def q50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("self_hit_ok")
             )
         )
+        .crossJoin(
+            ann.agg(
+                F.sum(
+                    (F.col("cand_id") == F.col("query_id") + 100_000).cast("bigint")
+                ).alias("planted_hits")
+            )
+        )
     )
     return stats.select(
         F.col("n_queries").cast("bigint").alias("n_queries"),
         F.col("brute_rows").cast("bigint").alias("brute_rows"),
-        (F.col("n_hits") * 10 >= F.col("brute_rows") * 4).alias("recall_ok"),
+        (F.col("n_hits") * 10 >= F.col("brute_rows") * 7).alias("recall_ok"),
         "self_hit_ok",
+        (F.col("planted_hits") == F.col("n_queries")).alias("planted_ok"),
     )
 
 
 # --------------------------------------------------------------------------
 # q58 — IVF index + probe search, VERDICT oracle (same pattern as q50):
 # the k-means quantizer is engine-internal, so the query runs IVF AND
-# the exact brute-force baseline in one plan and hash-compares checks:
-# recall vs brute ≥ 0.6 (measured 0.67-0.73 at sf0.001/0.01 with
-# n_probe=2 of 8 clusters; deterministic, fixed k-means seed), each
-# query's top-1 is itself (a query vector sits in its own inverted
-# list at cosine 1.0), and the result shape is exact.
+# the exact brute-force baseline in one plan and hash-compares checks
+# (bars tightened per VERDICT r10 ask #5):
+#   - recall vs brute ≥ 0.8 (measured 0.87-0.93 at sf0.001/0.01 with
+#     n_probe=4 of 8 clusters; deterministic, fixed k-means seed — the
+#     r10 n_probe=2 setting at 0.67 would now FAIL);
+#   - planted-exact-neighbor: each query vector planted again under
+#     vec_id+100000; the identical vector lands in the SAME inverted
+#     list, and the query's own cluster is always the first probed, so
+#     IVF must retrieve it with probability 1;
+#   - each query's top-1 is itself at cosine 1.0, shape exact.
 # --------------------------------------------------------------------------
 @query(
     "q58_ivf_topk",
@@ -776,19 +801,24 @@ def q50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS n_queries,
        CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 3) AS BIGINT) AS brute_rows,
        true AS recall_ok,
-       true AS self_hit_ok
+       true AS self_hit_ok,
+       true AS planted_ok
 """,
 )
 def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.similarity import cosine_topk, ivf_index, ivf_topk
 
-    emb = load(spark, sf_dir, "embeddings")
-    indexed, centroids = ivf_index(emb, n_clusters=8, seed=42)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    indexed, centroids = ivf_index(corpus, n_clusters=8, seed=42)
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    ivf = ivf_topk(indexed, centroids, queries_df, k=5, n_probe=2)
-    brute = cosine_topk(emb, queries_df, k=5)
+    ivf = ivf_topk(indexed, centroids, queries_df, k=5, n_probe=4)
+    brute = cosine_topk(corpus, queries_df, k=5)
     hits = brute.select("query_id", "cand_id").join(
         ivf.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
     )
@@ -807,12 +837,20 @@ def q58_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("self_hit_ok")
             )
         )
+        .crossJoin(
+            ivf.agg(
+                F.sum(
+                    (F.col("cand_id") == F.col("query_id") + 100_000).cast("bigint")
+                ).alias("planted_hits")
+            )
+        )
     )
     return stats.select(
         F.col("n_queries").cast("bigint").alias("n_queries"),
         F.col("brute_rows").cast("bigint").alias("brute_rows"),
-        (F.col("n_hits") * 10 >= F.col("brute_rows") * 6).alias("recall_ok"),
+        (F.col("n_hits") * 10 >= F.col("brute_rows") * 8).alias("recall_ok"),
         "self_hit_ok",
+        (F.col("planted_hits") == F.col("n_queries")).alias("planted_ok"),
     )
 
 
