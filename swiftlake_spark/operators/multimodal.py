@@ -10,9 +10,10 @@ PPM/PGM (P6/P5 netpbm), uncompressed 24/32-bit BMP (``struct``),
 PNG — 8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette, sequential
 or Adam7 (``zlib`` + unfilter) — baseline/extended/progressive JPEG
 (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
-TIFF (8-bit strips, uncompressed or PackBits, II/MM), GIF
-(87a/89a incl. animation), and PCM WAV (``wave``).
-Arithmetic/hierarchical/12-bit JPEG, LZW/tiled/16-bit TIFF and
+TIFF (8-bit strips: uncompressed, LZW incl. Predictor 2, or
+PackBits; II/MM), GIF (87a/89a incl. animation), and PCM WAV
+(``wave``).
+Arithmetic/hierarchical/12-bit JPEG, tiled/planar/16-bit TIFF and
 spec-invalid PNG layouts go through the optional PIL seam
 (:func:`_pil_decode`):
 decoded for real when pillow is importable, honest
@@ -372,12 +373,131 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW (compression 5, TIFF 6.0 §13) → raster bytes.
+
+    Differs from the GIF variant (:func:`_lzw_decode`) in exactly two
+    spec'd ways: codes are packed MSB-first, and the code width grows
+    one code EARLY (when entry (1<<width)-1 is added, not (1<<width)
+    — TIFF 6.0: "because of the early-change aspect").  Fixed 8-bit
+    symbols: CLEAR=256, EOI=257, first table entry 258, max 12 bits.
+    """
+    CLEAR, EOI = 256, 257
+    base: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated: caller length-checks
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first TIFF-LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("bad TIFF-LZW code")
+        # early change: widen when entry (1<<width)-1 EXISTS (the
+        # encoder emits the next code one bit wider already)
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expect])
+
+
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """TIFF-variant LZW encoder (for tests/synthesis, like
+    :func:`_lzw_encode`; shares only the spec constants with the
+    decoder).  Emits CLEAR up front, widens one code early (the
+    just-added table value hitting (1<<width)-1 triggers the wider
+    width for the NEXT emitted code), resets at 4094 per spec."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    emit(CLEAR, width)
+    s = b""
+    for b in raw:
+        t = s + bytes([b])
+        if t in table:
+            s = t
+            continue
+        emit(table[s], width)
+        table[t] = next_code
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change, mirrored by the decoder
+        next_code += 1
+        if next_code >= 4094:  # spec: reset before the table overflows
+            emit(CLEAR, width)
+            table, next_code, width = fresh()
+        s = bytes([b])
+    if s:
+        emit(table[s], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _predictor2_undo(raster: np.ndarray, w: int, spp: int) -> np.ndarray:
+    """Undo TIFF Predictor 2 (horizontal differencing, tag 317): each
+    sample is stored as the delta from the previous pixel's same
+    channel; recover with a per-row per-channel cumulative sum mod 256.
+    Vectorized: one cumsum over the (rows, w, spp) view."""
+    rows = raster.reshape(-1, w, spp).astype(np.uint32)
+    np.cumsum(rows, axis=1, out=rows)
+    return (rows & 0xFF).astype(np.uint8).reshape(-1)
+
+
+def _predictor2_apply(rows: np.ndarray) -> bytes:
+    """Forward horizontal differencing for the encoder (uint8 (h,w,spp))."""
+    d = rows.astype(np.int16)
+    d[:, 1:, :] -= rows[:, :-1, :].astype(np.int16)
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
-    """Stdlib-only baseline TIFF decode: 8-bit gray/RGB(A), strip
-    layout, uncompressed (1) or PackBits (32773), II or MM byte order,
-    first IFD only.  Tiled, LZW/JPEG-compressed, planar and 16-bit
-    TIFFs raise NotImplementedError — :func:`decode_image_bytes` falls
-    through to the PIL seam for those."""
+    """Stdlib-only TIFF decode: 8-bit gray/RGB(A), strip layout,
+    uncompressed (1), LZW (5, incl. Predictor 2 horizontal
+    differencing) or PackBits (32773), II or MM byte order, first IFD
+    only.  Tiled, JPEG-compressed, planar and 16-bit TIFFs raise
+    NotImplementedError — :func:`decode_image_bytes` falls through to
+    the PIL seam for those."""
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
@@ -421,13 +541,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
     spp = one(277, 1)
     bits = tags.get(258, [8])
     planar = one(284, 1)
-    if comp not in (1, 32773) or planar != 1 or any(b != 8 for b in bits) \
-            or spp not in (1, 3, 4) or 322 in tags:
+    predictor = one(317, 1)
+    if comp not in (1, 5, 32773) or planar != 1 or any(b != 8 for b in bits) \
+            or spp not in (1, 3, 4) or 322 in tags \
+            or predictor not in (1, 2) or (predictor == 2 and comp != 5):
         raise NotImplementedError(
             f"TIFF compression={comp} spp={spp} bits={bits} "
-            f"planar={planar} tiled={322 in tags} needs PIL (stdlib "
-            "path covers 8-bit chunky gray/RGB(A) strips, "
-            "uncompressed or PackBits)")
+            f"planar={planar} tiled={322 in tags} predictor={predictor} "
+            "needs PIL (stdlib path covers 8-bit chunky gray/RGB(A) "
+            "strips: uncompressed, LZW incl. Predictor 2, or PackBits)")
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets:
@@ -446,7 +568,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
         else:
             end = soff + (counts[i] if counts and i < len(counts)
                           else len(data) - soff)
-            raster += _packbits_decode(data[soff:end], expect)
+            if comp == 5:
+                strip = _tiff_lzw_decode(data[soff:end], expect)
+                if len(strip) < expect:
+                    raise ValueError("truncated TIFF LZW strip")
+                if predictor == 2:
+                    strip = _predictor2_undo(
+                        np.frombuffer(strip, np.uint8), w, spp).tobytes()
+                raster += strip
+            else:
+                raster += _packbits_decode(data[soff:end], expect)
     if len(raster) < h * w * spp:
         raise ValueError("truncated TIFF raster")
     img = np.frombuffer(bytes(raster), np.uint8,
@@ -459,20 +590,31 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 
 def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
+                lzw: bool = False, predictor: int = 1,
                 rows_per_strip: int | None = None,
                 big_endian: bool = False) -> bytes:
     """uint8 (H,W,3)/(H,W) → baseline TIFF bytes (for tests/synthesis;
-    shares only the tag constants with the decoder)."""
+    shares only the tag constants with the decoder).  ``lzw=True``
+    writes compression 5 (optionally ``predictor=2`` horizontal
+    differencing); ``packbits=True`` writes 32773."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
+    if packbits and lzw:
+        raise ValueError("pick one compression")
+    if predictor == 2 and not lzw:
+        raise ValueError("predictor 2 requires lzw=True")
     h, w = a.shape[:2]
     spp = 1 if gray else 3
     rps = rows_per_strip or h
     bo = ">" if big_endian else "<"
 
     def pack_strip(rows: np.ndarray) -> bytes:
+        if lzw:
+            raw = (_predictor2_apply(rows.reshape(-1, w, spp))
+                   if predictor == 2 else rows.tobytes())
+            return _tiff_lzw_encode(raw)
         raw = rows.tobytes()
         if not packbits:
             return raw
@@ -518,7 +660,9 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [8] * spp)
-    entry(259, 3, [32773 if packbits else 1])
+    entry(259, 3, [5 if lzw else (32773 if packbits else 1)])
+    if predictor == 2:
+        entry(317, 3, [2])
     entry(262, 3, [1 if gray else 2])  # BlackIsZero / RGB
     entry(273, 4, [0] * n_strips)      # offsets patched below
     entry(277, 3, [spp])

@@ -2143,3 +2143,105 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                < 1e-4)
         ).alias("lossless_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# q145 — TIFF strip-variant matrix (round 11): one binary column
+# carrying the SAME per-doc pixels as TIFF in every stdlib-supported
+# strip layout — uncompressed, PackBits, LZW (compression 5), and
+# LZW + Predictor 2 horizontal differencing — alternating II/MM byte
+# order and multi-strip layouts by doc.  TIFF is lossless, so every
+# variant must reproduce the raw-pixel expectation up to the feature
+# vector's float32 rounding (<1e-3 of a mean; NOT a codec tolerance —
+# pixels are bit-exact); a width-rule one-off in the MSB-first
+# early-change LZW decoder, a predictor cumsum bug, or a byte-order
+# mixup each break a quarter of the rows.  Decode is the magic-byte
+# mapInPandas dispatch (no PIL).
+# --------------------------------------------------------------------------
+@query(
+    "q145_tiff_lzw_features",
+    oracle=r"""
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 120 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
+       true AS dims_ok,
+       true AS mean_exact,
+       CAST(4 AS BIGINT) AS n_variants
+""",
+)
+def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from swiftlake_spark.operators.multimodal import decode_image
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 120) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    exp_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("variant", T.StringType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("expected_mean_r", T.DoubleType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from swiftlake_spark.operators.multimodal import encode_tiff
+
+        H, W_ = 11, 18
+        yy, xx = np.mgrid[0:H, 0:W_]
+        variants = ("raw", "packbits", "lzw", "lzw_pred2")
+        for pdf in batches:
+            names, data, exp = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                b = (txt * 3).encode("utf-8")[:3]
+                # smooth gradient (predictor-relevant) + a noise stripe
+                # (exercises literal LZW runs), fully determined by text
+                arr = np.stack([
+                    np.clip(20 + b[0] % 100 + yy * (b[1] % 5)
+                            + xx * (b[2] % 4) + c * 30, 0, 255)
+                    for c in range(3)
+                ], axis=-1).astype(np.uint8)
+                arr[did % H, :, :] = (b[0] * 7 + xx[0, :, None] * 31) % 256
+                kind = variants[int(did) % 4]
+                kw = {
+                    "raw": {},
+                    "packbits": {"packbits": True},
+                    "lzw": {"lzw": True},
+                    "lzw_pred2": {"lzw": True, "predictor": 2},
+                }[kind]
+                payload = encode_tiff(
+                    arr,
+                    big_endian=bool((did // 4) % 2),
+                    rows_per_strip=(3 if (did // 8) % 2 else None),
+                    **kw,
+                )
+                names.append(kind)
+                data.append(payload)
+                exp.append(float(arr[:, :, 0].astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "variant": names, "data": data,
+                 "expected_mean_r": exp}
+            )
+
+    d = base.mapInPandas(synth, exp_schema)
+    feats = decode_image(d, "data")  # magic-byte dispatch, no PIL
+    ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        ok(
+            (F.element_at("features", 1) == 18.0)
+            & (F.element_at("features", 2) == 11.0)
+        ).alias("dims_ok"),
+        ok(
+            F.abs(F.element_at("features", 4) - F.col("expected_mean_r"))
+            < 1e-3
+        ).alias("mean_exact"),
+        F.countDistinct("variant").cast("bigint").alias("n_variants"),
+    )

@@ -1277,13 +1277,63 @@ def test_tiff_white_is_zero_and_unsupported_variants():
     assert np.array_equal(got, 255 - g)
 
     # unsupported shapes refuse with NotImplementedError (PIL seam)
+    # (compression 7 = JPEG-in-TIFF; LZW is native since r11)
     data = bytearray(encode_tiff(g))
     for k in range(n):
         off = 10 + 12 * k
         if struct.unpack_from("<H", data, off)[0] == 259:
-            struct.pack_into("<I", data, off + 8, 5)  # LZW
+            struct.pack_into("<I", data, off + 8, 7)
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_tiff(bytes(data))
+
+
+def test_tiff_lzw_spec_vector_and_roundtrip():
+    """r11 TIFF-LZW (compression 5): MSB-first packing + early width
+    change, pinned against a hand-packed spec vector (TIFF 6.0 §13
+    example string 7,7,7,8,8,7,7,6,6), then round-tripped through the
+    full codec with Predictor 2, both byte orders and multi-strip
+    layouts.  Encoder and decoder implement the width rules
+    independently, so a one-off in either breaks the round-trip at the
+    9→10-bit boundary exercised by the big image."""
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_image_bytes,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    # hand-packed: codes CLEAR,7,258,8,8,258,6,6,EOI at 9 bits MSB-first
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    bits = "".join(format(c, "09b") for c in codes)
+    bits += "0" * (-len(bits) % 8)
+    hand = bytes(int(bits[i: i + 8], 2) for i in range(0, len(bits), 8))
+    raw = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    assert _tiff_lzw_encode(raw) == hand
+    assert _tiff_lzw_decode(hand, len(raw)) == raw
+
+    rng = np.random.default_rng(11)
+    for shape in ((13, 17, 3), (9, 20)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for pred in (1, 2):
+            for be in (False, True):
+                for rps in (None, 4):
+                    got = decode_tiff(encode_tiff(
+                        img, lzw=True, predictor=pred,
+                        big_endian=be, rows_per_strip=rps))
+                    assert np.array_equal(got, img), (shape, pred, be, rps)
+    # gradient (predictor-friendly) + dispatch through decode_image_bytes
+    grad = (np.indices((25, 33)).sum(0) % 256).astype(np.uint8)
+    rgb = np.stack([grad, grad // 2, (grad * 2) % 256], -1).astype(np.uint8)
+    payload = encode_tiff(rgb, lzw=True, predictor=2)
+    assert np.array_equal(decode_image_bytes(payload), rgb)
+    # predictor makes the gradient strictly more compressible
+    assert len(payload) < len(encode_tiff(rgb, lzw=True))
+    # >4094 table entries: forces the in-stream CLEAR reset + 12-bit cap
+    big = rng.integers(0, 256, (200, 200, 3)).astype(np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(big, lzw=True)), big)
 
 
 def test_tiff_mutation_fuzz_fails_cleanly():
@@ -1300,6 +1350,8 @@ def test_tiff_mutation_fuzz_fails_cleanly():
         encode_tiff(rng0.integers(0, 256, (20, 30, 3)).astype(np.uint8)),
         encode_tiff(rng0.integers(0, 256, (11, 13)).astype(np.uint8),
                     packbits=True, rows_per_strip=3, big_endian=True),
+        encode_tiff(rng0.integers(0, 256, (15, 21, 3)).astype(np.uint8),
+                    lzw=True, predictor=2, rows_per_strip=5),
     ]
     rng = random.Random(47)
     t0 = time.time()
@@ -1331,10 +1383,15 @@ def test_tiff_golden_vs_pil():  # pragma: no cover
 
     rng = np.random.default_rng(53)
     img = rng.integers(0, 256, (14, 19, 3)).astype(np.uint8)
-    for pb in (False, True):
-        ours = encode_tiff(img, packbits=pb)
+    for kw in ({}, {"packbits": True}, {"lzw": True},
+               {"lzw": True, "predictor": 2}):
+        ours = encode_tiff(img, **kw)
         theirs = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
-        assert np.array_equal(theirs, img)
+        assert np.array_equal(theirs, img), kw
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="TIFF")
+    assert np.array_equal(decode_tiff(buf.getvalue()), img)
+    # PIL's own LZW writer (with its default predictor) → our decoder
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="TIFF", compression="tiff_lzw")
     assert np.array_equal(decode_tiff(buf.getvalue()), img)
