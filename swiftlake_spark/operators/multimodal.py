@@ -1319,3 +1319,95 @@ def decode_audio(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def image_phash(arr: np.ndarray, hash_size: int = 8) -> int:
+    """64-bit DCT perceptual hash of a decoded image (numpy only).
+
+    Classic pHash recipe: luminance → block-mean resize to
+    ``4·hash_size`` square → 2D DCT-II (orthonormal, via matrix
+    multiply) → keep the top-left ``hash_size²`` low-frequency block →
+    bit = coefficient > median, with the DC term excluded from both
+    the bits and the median.  Excluding DC makes the hash exactly
+    invariant to global brightness shifts (a +c shift only moves DC),
+    and block-mean resize makes it invariant to integer upscaling —
+    the two planted-transform guarantees q150 certifies.
+
+    Deterministic: fixed DCT matrix, fixed resize grid, np.median on a
+    fixed-size array — the same payload always hashes identically.
+    """
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    size = 4 * hash_size
+    h, w = a.shape
+    # block-mean resize: rows/cols partitioned by integer split points
+    ys = (np.arange(size + 1) * h) // size
+    xs = (np.arange(size + 1) * w) // size
+    ys = np.maximum(ys, np.arange(size + 1))  # guarantee non-empty blocks
+    xs = np.maximum(xs, np.arange(size + 1))
+    if h < size or w < size:  # tiny image: nearest-sample instead
+        small = a[np.minimum((np.arange(size) * h) // size, h - 1)][
+            :, np.minimum((np.arange(size) * w) // size, w - 1)
+        ]
+    else:
+        rows = np.add.reduceat(a, ys[:-1], axis=0)
+        both = np.add.reduceat(rows, xs[:-1], axis=1)
+        area = np.outer(np.diff(ys), np.diff(xs))
+        small = both / area
+    n = size
+    k = np.arange(n)[:, None]
+    grid = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1) * k / (2 * n))
+    grid *= np.sqrt(2.0 / n)
+    grid[0] /= np.sqrt(2.0)
+    coef = grid @ small @ grid.T
+    block = coef[:hash_size, :hash_size].ravel()[1:]  # drop DC
+    bits = block > np.median(block)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def compute_phash(
+    df: DataFrame,
+    data_col: str = "data",
+    out_col: str = "phash",
+    fake: bool = False,
+) -> DataFrame:
+    """Append a 64-bit perceptual hash per image payload (decode +
+    :func:`image_phash` in one Arrow-batched ``mapInPandas`` pass).
+
+    Group on ``out_col`` (one hash shuffle) for perceptual dedup: the
+    grouping collapses brightness-shifted and integer-upscaled copies
+    by construction, and visually-near crops/recompressions in
+    practice; pair with a Hamming-band LSH (``operators.dedup``) when
+    near-but-not-equal hashes must also cluster.  100 TB: decode is
+    map-only; the dedup shuffle moves only (id, 8-byte hash).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[data_col]:
+                if payload is None:
+                    hashes.append(None)
+                    continue
+                data = bytes(payload)
+                arr = (_fake_features(data, 64).reshape(8, 8) * 255
+                       if fake else decode_image_bytes(data))
+                ph = image_phash(np.asarray(arr))
+                # two's-complement into a signed 64-bit Spark LongType
+                hashes.append(ph - (1 << 64) if ph >= (1 << 63) else ph)
+            out = pdf.copy()
+            out[out_col] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, schema)

@@ -197,3 +197,84 @@ def quantile_outliers(
             | (F.col("cd_rev") < F.lit(1.0 - float(hi)))
         )
     )
+
+
+def token_budget_waterfill(
+    caps: DataFrame,
+    group_col: str,
+    cap_col: str,
+    budget,
+) -> DataFrame:
+    """Water-filling token-budget allocation across corpus groups.
+
+    Given per-group available token counts (``cap_col``) and a global
+    ``budget`` (int, or a 1-row/1-col DataFrame computed from the same
+    data), allocate the budget as evenly as possible without exceeding
+    any group's availability: small groups are taken whole (saturated),
+    the remainder is split equally — the equal-weight water-fill
+    ``alloc_g = min(cap_g, L)`` with the level L chosen so that
+    Σ alloc = min(budget, Σ cap).
+
+    Closed form, no iteration: sort groups by capacity ascending; group
+    at position r (of n) saturates iff ``cap_r · (n−r+1) ≤ budget −
+    cum_before_r`` (greedy prefix — the standard water-filling
+    argument); with k saturated groups holding ``sat`` tokens, the
+    level is ``(budget − sat) / (n − k)``.  All comparisons are on
+    BIGINT products, the level is one exact double division, so the
+    result hash-matches an ANSI-SQL oracle bit-for-bit.
+
+    Returns ``group_col, cap, alloc (double), saturated (bool)``.
+
+    Scale (100 TB): runs on the per-group relation — thousands of rows
+    after the one aggregate shuffle that produced ``caps`` — so the
+    single-partition window is deliberate and cheap; never call this on
+    a per-document relation.
+    """
+    if isinstance(budget, DataFrame):
+        b = F.broadcast(budget.select(F.col(budget.columns[0]).alias("__b")))
+        sized = caps.select(
+            F.col(group_col), F.col(cap_col).cast("bigint").alias("cap")
+        ).crossJoin(b)
+    else:
+        sized = caps.select(
+            F.col(group_col),
+            F.col(cap_col).cast("bigint").alias("cap"),
+            F.lit(int(budget)).cast("bigint").alias("__b"),
+        )
+    w = W.partitionBy().orderBy(F.col("cap"), F.col(group_col))
+    ranked = sized.select(
+        group_col,
+        "cap",
+        "__b",
+        F.row_number().over(w).alias("__r"),
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("__cum"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("__n"),
+    ).withColumn(
+        "saturated",
+        F.col("cap") * (F.col("__n") - F.col("__r") + 1)
+        <= F.col("__b") - F.col("__cum"),
+    )
+    lvl = ranked.agg(
+        F.coalesce(F.sum(F.when(F.col("saturated"), F.col("cap"))), F.lit(0)).alias(
+            "__sat"
+        ),
+        F.coalesce(F.sum(F.col("saturated").cast("bigint")), F.lit(0)).alias("__k"),
+        F.max("__n").alias("__n2"),
+        F.max("__b").alias("__b2"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lvl))
+        .select(
+            group_col,
+            "cap",
+            F.when(F.col("saturated"), F.col("cap").cast("double"))
+            .otherwise(
+                (F.col("__b2") - F.col("__sat")).cast("double")
+                / (F.col("__n2") - F.col("__k")).cast("double")
+            )
+            .alias("alloc"),
+            "saturated",
+        )
+    )

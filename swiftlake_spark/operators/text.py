@@ -362,3 +362,139 @@ def ngram_repetition(
             (F.col("__mx").cast("double") / F.col("n_ngrams")).alias("top_frac"),
         )
     )
+
+
+_TRACKING_PARAM = r"^(utm_[^=]*|ref|fbclid|gclid|sessionid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-style URL canonicalization, pure Catalyst (map-only):
+
+    - drop the fragment (``#...``) and the scheme (``https://`` etc.);
+    - lowercase the host and strip a leading ``www.``;
+    - drop tracking query params (``utm_*``, ``ref``, ``fbclid``,
+      ``gclid``, ``sessionid``) and SORT the survivors so param order
+      doesn't split identical resources;
+    - strip trailing slashes from the path.
+
+    Two raw URLs that differ only in scheme case, ``www``, param order,
+    tracking params, fragment or a trailing slash canonicalize to the
+    same string; group on the result (one hash shuffle) to dedup a
+    crawl.  100 TB: this is a per-row expression — dedup cost is the
+    one exchange on the canonical key.
+    """
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host_raw = F.regexp_extract(rest, r"^[^/?]*", 0)
+    host = F.regexp_replace(F.lower(host_raw), r"^www\.", "")
+    pathq = F.substring(rest, F.length(host_raw) + 1, 1 << 30)
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^[^?]*", 0), r"/+$", "")
+    q = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+        )
+    )
+    canon_q = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(host, path, canon_q)
+
+
+def char_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-distribution quality signals per document, all exact
+    rationals (hash-identical across engines — no logs):
+
+    - ``n_chars``: character count;
+    - ``n_distinct_chars``: alphabet size used;
+    - ``simpson``: 1 - Σ p_c² (collision probability complement — the
+      rational stand-in for entropy: 0 for a single repeated char,
+      →1 for uniform over a large alphabet);
+    - ``top_char_share``: max_c p_c.
+
+    Degenerate machine text (base64 blobs, padding runs, single-char
+    floods) separates cleanly from prose on (simpson, top_char_share).
+    Σ count² and max(count) are integer aggregates, so the doubles are
+    single exact divisions.  100 TB: explode → one partial-agg shuffle
+    on (id, char), one on id; both combine map-side.
+    """
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(F.col(text_col), ""), lambda c: c != "")).alias("ch"),
+    )
+    per_char = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_char.groupBy("id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("__s2"),
+            F.max("c").alias("__mx"),
+        )
+        .select(
+            "id",
+            "n_chars",
+            "n_distinct_chars",
+            (
+                F.lit(1.0)
+                - F.col("__s2").cast("double")
+                / (F.col("n_chars") * F.col("n_chars")).cast("double")
+            ).alias("simpson"),
+            (F.col("__mx").cast("double") / F.col("n_chars").cast("double")).alias(
+                "top_char_share"
+            ),
+        )
+    )
+
+
+def zipf_slope_stats(
+    df: DataFrame, text_col: str = "text", top_v: int = 1024
+) -> DataFrame:
+    """Binary-decade Zipf slope of the corpus token distribution.
+
+    Natural-language token frequencies follow freq ∝ rank^s with
+    s ≈ -1; heavily duplicated or machine-generated corpora flatten or
+    steepen the curve, so the slope is a cheap corpus-health signal.
+    To stay bit-exact across engines (FIXTURES.md §4: no
+    transcendentals), rank and frequency are bucketed to their binary
+    decades — x = floor(log2 rank) and y = floor(log2 freq) via
+    ``length(bin(v)) - 1``, both exact integers — and the least-squares
+    slope over the top ``top_v`` ranks is assembled from BIGINT sums:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), one exact double
+    division.  Returns one row: ``n_ranked``, ``slope``.
+
+    100 TB: token counts partial-aggregate map-side (one shuffle); the
+    rank window runs on the top_v-truncated relation only — the global
+    sort is over ``top_v`` rows, never the vocabulary.
+    """
+    freqs = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(top_v)
+    )
+    ranked = freqs.select(
+        "freq",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("freq").desc(), F.col("tok")))
+        .alias("rank"),
+    ).select(
+        (F.length(F.bin(F.col("rank"))) - 1).cast("bigint").alias("x"),
+        (F.length(F.bin(F.col("freq"))) - 1).cast("bigint").alias("y"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        (
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+                - F.sum("x") * F.sum("y")
+            ).cast("double")
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            ).cast("double")
+        ).alias("slope"),
+    )

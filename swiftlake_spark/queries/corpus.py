@@ -719,3 +719,238 @@ def q142_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang_pred")
     )
+
+
+# --------------------------------------------------------------------------
+# q146 — crawl URL canonicalization + dedup (round 11).  Raw URLs are
+# synthesized deterministically from (source, doc_id) with the noise a
+# real crawl carries — scheme casing, www, tracking params, param
+# order, trailing slash, fragments — then collapsed through
+# operators.text.canonical_url (pure Catalyst) and deduped keep-lowest
+# doc_id.  The oracle re-implements the canonicalization independently
+# in ANSI SQL, so a regexp slip on either side breaks the hash match.
+# --------------------------------------------------------------------------
+_Q146_RAW_SQL = """
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'https://'
+       WHEN 1 THEN 'HTTP://' ELSE '' END
+  || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+  || source || '.example.com/page/' || CAST(doc_id % 40 AS STRING)
+  || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+  || CASE CAST(doc_id % 4 AS INTEGER)
+       WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 40 AS STRING)
+       WHEN 1 THEN '?id=' || CAST(doc_id % 40 AS STRING) || '&ref=tw'
+       WHEN 2 THEN '?id=' || CAST(doc_id % 40 AS STRING)
+       ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END
+"""
+
+
+@query(
+    "q146_url_dedup",
+    oracle=rf"""
+WITH raw AS (
+  SELECT doc_id, {_Q146_RAW_SQL} AS url FROM documents
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(
+             regexp_replace(regexp_replace(url, '#.*$', ''),
+                            '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+             '^[^/?]*')), '^www\.', '')
+         || regexp_replace(regexp_extract(
+              substr(regexp_replace(regexp_replace(url, '#.*$', ''),
+                                    '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+                     LENGTH(regexp_extract(
+                       regexp_replace(regexp_replace(url, '#.*$', ''),
+                                      '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+                       '^[^/?]*')) + 1),
+              '^[^?]*'), '/+$', '')
+         || CASE WHEN LEN(list_sort(list_filter(string_split(
+                   regexp_extract(
+                     substr(regexp_replace(regexp_replace(url, '#.*$', ''),
+                                           '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+                            LENGTH(regexp_extract(
+                              regexp_replace(regexp_replace(url, '#.*$', ''),
+                                             '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+                              '^[^/?]*')) + 1),
+                     '\?(.*)$', 1), '&'),
+                   x -> x <> '' AND NOT regexp_matches(
+                     x, '^(utm_[^=]*|ref|fbclid|gclid|sessionid)=')))) > 0
+              THEN '?' || array_to_string(list_sort(list_filter(string_split(
+                   regexp_extract(
+                     substr(regexp_replace(regexp_replace(url, '#.*$', ''),
+                                           '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+                            LENGTH(regexp_extract(
+                              regexp_replace(regexp_replace(url, '#.*$', ''),
+                                             '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+                              '^[^/?]*')) + 1),
+                     '\?(.*)$', 1), '&'),
+                   x -> x <> '' AND NOT regexp_matches(
+                     x, '^(utm_[^=]*|ref|fbclid|gclid|sessionid)='))), '&')
+              ELSE '' END AS canonical
+  FROM raw
+)
+SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM canon GROUP BY canonical
+ORDER BY canonical
+""",
+    doc="URL canonicalization dedup: keep lowest doc_id per canonical URL",
+)
+def q146_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import canonical_url
+
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _Q146_RAW_SQL + " AS url"
+    )
+    return (
+        d.select("doc_id", canonical_url(F.col("url")).alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+        )
+        .orderBy("canonical")
+    )
+
+
+# --------------------------------------------------------------------------
+# q147 — character-distribution quality (round 11): Simpson diversity
+# (1 − Σp², the rational entropy stand-in — FIXTURES.md §4 bans
+# transcendentals), alphabet size and top-char share per document.
+# Separates base64/padding/single-char machine junk from prose.  The
+# integer aggregates (Σc², max c) make every double a single exact
+# division, so the hash match is bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "q147_char_diversity",
+    oracle=r"""
+WITH chars AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+  FROM documents, UNNEST(generate_series(1, LENGTH(text))) t(i)
+  WHERE text IS NOT NULL AND LENGTH(text) > 0
+), per AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(1 AS DOUBLE)
+         - CAST(SUM(c * c) AS DOUBLE)
+           / CAST(SUM(c) * SUM(c) AS DOUBLE) AS simpson,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_char_share
+FROM per GROUP BY doc_id
+ORDER BY simpson, doc_id
+LIMIT 100
+""",
+    doc="Simpson char diversity + top-char share per document",
+)
+def q147_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import char_diversity
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
+    return (
+        char_diversity(d, "doc_id", "text")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_chars",
+            "n_distinct_chars",
+            "simpson",
+            "top_char_share",
+        )
+        .orderBy("simpson", "doc_id")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q148 — binary-decade Zipf slope (round 11): corpus-health check that
+# token frequencies follow freq ∝ rank^s.  Rank and frequency bucket
+# to floor(log2) via length(bin(v))-1 — exact integers, no libm — and
+# the least-squares slope assembles from BIGINT sums with one double
+# division at the end.  Duplicated/templated corpora flatten s toward
+# 0; natural text sits near −1.
+# --------------------------------------------------------------------------
+@query(
+    "q148_zipf_slope",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), freqs AS (
+  SELECT tok, COUNT(*) AS freq FROM toks WHERE tok <> ''
+  GROUP BY tok ORDER BY freq DESC, tok LIMIT 512
+), pts AS (
+  SELECT LENGTH(bin(ROW_NUMBER() OVER (ORDER BY freq DESC, tok))) - 1 AS x,
+         LENGTH(bin(freq)) - 1 AS y
+  FROM freqs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+         / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) AS slope
+FROM pts
+""",
+    doc="binary-decade Zipf slope over the top-512 token ranks",
+)
+def q148_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import zipf_slope_stats
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return zipf_slope_stats(d, "text", top_v=512)
+
+
+# --------------------------------------------------------------------------
+# q149 — token-budget water-filling (round 11): allocate half the
+# corpus's tokens across sources as evenly as availability allows —
+# small sources taken whole, the rest levelled.  The closed-form
+# greedy (sorted by capacity, BIGINT feasibility products, one double
+# division for the level) is re-derived independently in the oracle;
+# Σ alloc = budget exactly.
+# --------------------------------------------------------------------------
+@query(
+    "q149_token_budget",
+    oracle=r"""
+WITH caps AS (
+  SELECT source AS src,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS cap
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+), b AS (
+  SELECT CAST(SUM(cap) // 2 AS BIGINT) AS budget FROM caps
+), ranked AS (
+  SELECT src, cap, budget,
+         ROW_NUMBER() OVER (ORDER BY cap, src) AS r,
+         COALESCE(SUM(cap) OVER (ORDER BY cap, src
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         COUNT(*) OVER () AS n
+  FROM caps, b
+), sat AS (
+  SELECT *, cap * (n - r + 1) <= budget - cum AS saturated FROM ranked
+), lvl AS (
+  SELECT COALESCE(SUM(CASE WHEN saturated THEN cap END), 0) AS satsum,
+         COALESCE(SUM(CASE WHEN saturated THEN 1 END), 0) AS k,
+         MAX(n) AS n2, MAX(budget) AS b2
+  FROM sat
+)
+SELECT src, cap,
+       CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+            ELSE CAST(b2 - satsum AS DOUBLE) / CAST(n2 - k AS DOUBLE)
+       END AS alloc,
+       saturated
+FROM sat, lvl
+ORDER BY src
+""",
+    doc="water-filling allocation of half the corpus tokens across sources",
+)
+def q149_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.sampling import token_budget_waterfill
+
+    caps = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .groupBy(F.col("source").alias("src"))
+        .agg(F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("cap"))
+    )
+    budget = caps.agg(F.expr("sum(cap) div 2").cast("bigint").alias("budget"))
+    return token_budget_waterfill(caps, "src", "cap", budget).orderBy("src")

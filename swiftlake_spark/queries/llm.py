@@ -2245,3 +2245,93 @@ def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_exact"),
         F.countDistinct("variant").cast("bigint").alias("n_variants"),
     )
+
+
+# --------------------------------------------------------------------------
+# q150 — perceptual-hash image dedup (round 11): every base image
+# (noise pixels in [20,200], seeded from doc fields) ships with two
+# perceptually-identical transforms — a +10 brightness shift (DC-only
+# in DCT space, clipping-free by construction) and a 2× integer
+# upscale (exact under block-mean resize) — under doc_id+100000 /
+# +200000.  compute_phash decodes PNGs and hashes in one mapInPandas
+# pass; grouping on the 64-bit hash must put each triple in ONE group
+# (invariance is exact, see operators.multimodal.image_phash) and
+# distinct docs in DISTINCT groups (64-bit DCT hash of independent
+# noise; verified at both gate SFs).  A resize/DCT/median regression
+# breaks triples_ok; a degenerate hash (constant bits) breaks
+# groups_ok.
+# --------------------------------------------------------------------------
+@query(
+    "q150_image_phash_dedup",
+    oracle=r"""
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 80 AND LENGTH(text) > 0) AS BIGINT) AS n_base,
+       true AS groups_ok,
+       true AS triples_ok
+""",
+)
+def q150_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from swiftlake_spark.operators.multimodal import compute_phash
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 80) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from swiftlake_spark.operators.multimodal import encode_png
+
+        for pdf in batches:
+            ids, data = [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                b = (txt * 2).encode("utf-8")[:2]
+                rng = np.random.RandomState(int(did) * 31 + b[0] + b[1])
+                arr = rng.randint(20, 200, (32, 32, 3)).astype(np.uint8)
+                bright = (arr + 10).astype(np.uint8)  # no clip: max 209
+                up = arr.repeat(2, axis=0).repeat(2, axis=1)
+                for off, img in ((0, arr), (100_000, bright), (200_000, up)):
+                    ids.append(int(did) + off)
+                    data.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                                "data": data})
+
+    imgs = base.mapInPandas(synth, out_schema)
+    ph = compute_phash(imgs, "data")
+    groups = ph.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.sum("doc_id").alias("tot"),
+    )
+    n_base = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+    ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
+    return (
+        groups.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            ok(
+                (F.col("sz") == 3)
+                & (F.col("lo") < 80)
+                & (F.col("hi") == F.col("lo") + 200_000)
+                & (F.col("tot") == 3 * F.col("lo") + 300_000)
+            ).alias("triples_ok"),
+        )
+        .crossJoin(F.broadcast(n_base))
+        .select(
+            "n_base",
+            (F.col("n_groups") == F.col("n_base")).alias("groups_ok"),
+            "triples_ok",
+        )
+    )

@@ -1395,3 +1395,141 @@ def test_tiff_golden_vs_pil():  # pragma: no cover
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="TIFF", compression="tiff_lzw")
     assert np.array_equal(decode_tiff(buf.getvalue()), img)
+
+
+# ---------------------------------------------------------------- round 11
+
+
+def test_canonical_url_equivalence_classes(spark):
+    """Scheme case, www, tracking params, param order, fragments and
+    trailing slashes collapse; genuinely different resources don't."""
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.operators.text import canonical_url
+
+    rows = [
+        (1, "HTTPS://www.Example.com/a/b/?utm_source=x&id=3&ref=z#frag"),
+        (2, "http://example.com/a/b?id=3"),
+        (3, "example.com/a/b?id=3&utm_medium=mail"),
+        (4, "https://example.com/a/b?id=4"),          # different id
+        (5, "https://example.com/a/b/c?id=3"),        # different path
+        (6, "https://other.example.com/a/b?id=3"),    # different host
+        (7, "https://example.com/a/b?x=1&y=2"),
+        (8, "https://example.com/a/b?y=2&x=1"),       # param order
+        (9, "https://example.com/a/b"),
+        (10, "https://www.example.com/a/b/"),         # no query at all
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    got = dict(
+        df.select("id", canonical_url(F.col("url")).alias("c")).collect()
+    )
+    assert got[1] == got[2] == got[3] == "example.com/a/b?id=3"
+    assert got[7] == got[8] == "example.com/a/b?x=1&y=2"
+    assert got[9] == got[10] == "example.com/a/b"
+    assert len({got[2], got[4], got[5], got[6]}) == 4
+
+
+def test_char_diversity_exact_values(spark):
+    from swiftlake_spark.operators.text import char_diversity
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcdefgh")], ["id", "text"]
+    )
+    got = {r["id"]: r for r in char_diversity(df, "id", "text").collect()}
+    assert got[1]["simpson"] == 0.0 and got[1]["top_char_share"] == 1.0
+    assert got[2]["simpson"] == 0.5 and got[2]["n_distinct_chars"] == 2
+    assert abs(got[3]["simpson"] - (1 - 8 / 64)) < 1e-15
+    assert got[3]["n_chars"] == 8
+
+
+def test_zipf_slope_ideal_distribution(spark):
+    """freq = 2^(10 - floor(log2 rank)) puts every point on y = 10 - x:
+    the binary-decade regression must recover slope exactly -1."""
+    from swiftlake_spark.operators.text import zipf_slope_stats
+
+    words = []
+    for rank in range(1, 65):
+        freq = 1 << (10 - (rank.bit_length() - 1))
+        words += [f"w{rank:03d}"] * freq
+    df = spark.createDataFrame([(" ".join(words),)], ["text"])
+    row = zipf_slope_stats(df, "text", top_v=64).collect()[0]
+    assert row["n_ranked"] == 64
+    assert row["slope"] == -1.0
+
+
+def test_token_budget_waterfill_properties(spark):
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.operators.sampling import token_budget_waterfill
+
+    caps = spark.createDataFrame(
+        [("a", 100), ("b", 1000), ("c", 5000), ("d", 50)], ["src", "cap"]
+    )
+    out = token_budget_waterfill(caps, "src", "cap", 3000).collect()
+    by = {r["src"]: r for r in out}
+    # small sources taken whole, the big one levelled, total == budget
+    assert by["a"]["alloc"] == 100.0 and by["a"]["saturated"]
+    assert by["d"]["alloc"] == 50.0 and by["b"]["alloc"] == 1000.0
+    assert by["c"]["alloc"] == 1850.0 and not by["c"]["saturated"]
+    assert sum(r["alloc"] for r in out) == 3000.0
+    # over-budget: everything saturates at capacity
+    over = token_budget_waterfill(caps, "src", "cap", 99_999).collect()
+    assert all(r["saturated"] and r["alloc"] == float(r["cap"]) for r in over)
+    # alloc never exceeds capacity
+    assert all(r["alloc"] <= r["cap"] for r in out)
+    # DataFrame-budget form matches the int form
+    bdf = caps.agg(F.lit(3000).cast("bigint").alias("b"))
+    out2 = token_budget_waterfill(caps, "src", "cap", bdf).collect()
+    assert {(r["src"], r["alloc"]) for r in out2} == {
+        (r["src"], r["alloc"]) for r in out
+    }
+
+
+def test_image_phash_invariances_and_spread():
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import image_phash
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(20, 200, (32, 32, 3)).astype(np.uint8)
+    h0 = image_phash(base)
+    # brightness shift: DC-only in DCT space (no clipping by range)
+    assert image_phash((base + 10).astype(np.uint8)) == h0
+    assert image_phash((base + 40).astype(np.uint8)) == h0
+    # integer upscale: block-mean resize recovers the same 32x32
+    assert image_phash(base.repeat(2, 0).repeat(2, 1)) == h0
+    assert image_phash(base.repeat(3, 0).repeat(3, 1)) == h0
+    # grayscale path, odd sizes, tiny images all hash
+    image_phash(rng.randint(0, 255, (7, 9)).astype(np.uint8))
+    image_phash(rng.randint(0, 255, (33, 65, 3)).astype(np.uint8))
+    # a real change flips bits
+    mod = base.copy()
+    mod[:16] = 255 - mod[:16]
+    assert image_phash(mod) != h0
+    # spread: independent noise images collide essentially never
+    hs = {
+        image_phash(rng.randint(20, 200, (32, 32, 3)).astype(np.uint8))
+        for _ in range(300)
+    }
+    assert len(hs) == 300
+
+
+def test_compute_phash_spark_roundtrip(spark):
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        compute_phash,
+        encode_png,
+        image_phash,
+    )
+
+    rng = np.random.RandomState(9)
+    rows, expect = [], {}
+    for i in range(6):
+        arr = rng.randint(20, 200, (16, 24, 3)).astype(np.uint8)
+        ph = image_phash(arr)
+        expect[i] = ph - (1 << 64) if ph >= (1 << 63) else ph
+        rows.append((i, bytearray(encode_png(arr))))
+    df = spark.createDataFrame(rows, ["id", "data"])
+    got = dict(compute_phash(df, "data").select("id", "phash").collect())
+    assert got == expect
