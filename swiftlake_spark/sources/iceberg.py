@@ -178,13 +178,40 @@ def _decode_manifest(path: str) -> list[dict]:
 class IcebergTable:
     """Read-side handle on an existing Iceberg table directory."""
 
-    def __init__(self, spark: SparkSession, location: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        path_rewrites: dict[str, str] | None = None,
+    ) -> None:
         self.spark = spark
         self.location = location
+        # Iceberg metadata stores ABSOLUTE URIs for manifest lists,
+        # manifests and data files, so a table directory that was moved
+        # (DR restore, vendored fixture, bucket migration) is unreadable
+        # at its new path.  `path_rewrites` maps old URI prefixes to new
+        # ones, applied longest-prefix-first before any path resolution —
+        # the same remedy Iceberg deployments apply via catalog-level
+        # location overrides (the spec itself calls tables
+        # non-relocatable).  Purely driver-side string mapping; data
+        # files are handed to Spark post-rewrite, so the scale path is
+        # unchanged.
+        self._rewrites = sorted(
+            (path_rewrites or {}).items(), key=lambda kv: -len(kv[0])
+        )
         self.meta = self._load_metadata()
         # metadata is immutable once loaded: memoize the derived dicts so
         # per-file pruning loops don't rebuild them O(files) times
         self._memo: dict[str, Any] = {}
+
+    def _localize(self, path: str) -> str:
+        """Apply configured prefix rewrites, then resolve to a readable
+        local/staged path via `_local`."""
+        for old, new in self._rewrites:
+            if path.startswith(old):
+                path = new + path[len(old):]
+                break
+        return _local(path, self.location)
 
     def _memoized(self, key: str, fn) -> Any:
         if key not in self._memo:
@@ -325,7 +352,7 @@ class IcebergTable:
         if snap is None:
             return []
         if "manifest-list" in snap:
-            _, manifests = read_container(_local(snap["manifest-list"], self.location))
+            _, manifests = read_container(self._localize(snap["manifest-list"]))
         else:  # ancient v1 writers inline the manifest paths
             manifests = [{"manifest_path": p, "content": 0} for p in snap["manifests"]]
         for m in manifests:
@@ -342,7 +369,7 @@ class IcebergTable:
         # spec's field names in their partition record)
         tagged = [
             (
-                _local(m["manifest_path"], self.location),
+                self._localize(m["manifest_path"]),
                 m.get("partition_spec_id", default_spec),
             )
             for m in manifests
@@ -709,7 +736,7 @@ class IcebergTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         current = self.field_paths()
-        paths = [_local(df_["file_path"], self.location) for df_ in files]
+        paths = [self._localize(df_["file_path"]) for df_ in files]
         # footer reads are metadata-only but per-file: distribute them on
         # large tables instead of a serial driver loop
         if len(paths) > self.DISTRIBUTED_PLAN_THRESHOLD:
