@@ -26,6 +26,18 @@ Semantics (standard MERGE):
   declaration order, first-match-wins; with none declared they are
   never touched.  Clause expressions may reference ``target.*`` only —
   there is no source row.
+- **the table filter is a SCOPING BOUNDARY for BY SOURCE** (known
+  delta, README "Known deltas"): target rows excluded by the mandatory
+  ``table_filter`` (or target-only ``ON`` conjuncts in the SQL form)
+  are invisible to the merge — they are manifest-pruned away and in
+  particular do NOT fire ``WHEN NOT MATCHED BY SOURCE`` clauses.
+  Standard semantics would classify them unmatched-by-source; we keep
+  the boundary contract because it is what keeps the rewrite pruned at
+  scale (a standard scoped sync must read and classify EVERY target
+  row), and standard behavior is one clause condition away (put the
+  predicate on the BY SOURCE clause with an unscoped filter).  Pinned
+  by ``tests/test_sqldml.py::
+  test_sql_merge_boundary_scopes_by_source_known_delta``.
 
 Clause conditions and update/insert expressions are Spark SQL strings
 over two namespaces: ``target.<col>`` (current table row) and
@@ -105,6 +117,28 @@ def _expr(e: str | Column | Any) -> Column:
 
 
 class MergeIntoBuilder:
+    """Fluent builder for a single MERGE INTO statement.
+
+    Typical shape::
+
+        (engine.merge_into("db.t")
+            .using(df).key_columns(["id"])
+            .table_filter_sql("region = 'EU'")  # scoping boundary (see
+                                                # module docstring) — or
+            # .unbounded()                      # explicit full-table opt-out
+            .when_matched_update({"qty": "target.qty + source.qty"})
+            .when_matched_delete(condition="source.qty = 0")
+            .when_not_matched_insert()
+            .when_not_matched_by_source_delete()
+            .execute())
+
+    Contracts callers rely on (each driver- or pytest-pinned):
+    clause order is first-match-wins within each of the three branches;
+    >1 source row per target key fails the cardinality check;
+    ``table_filter`` scopes the WHOLE merge including BY SOURCE (known
+    delta — module docstring); key matching is null-safe unless
+    ``null_safe_keys(False)``."""
+
     def __init__(self, engine, table_name: str | None, batch=None) -> None:
         self._engine = engine
         self._table_name = table_name
