@@ -10,11 +10,11 @@ PPM/PGM (P6/P5 netpbm), uncompressed 24/32-bit BMP (``struct``),
 PNG — 8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette, sequential
 or Adam7 (``zlib`` + unfilter) — baseline/extended/progressive JPEG
 (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
-TIFF (8-bit strips: uncompressed, LZW incl. Predictor 2, or
-PackBits; II/MM), GIF (87a/89a incl. animation), and PCM WAV
-(``wave``).
-Arithmetic/hierarchical/12-bit JPEG, tiled/planar/16-bit TIFF and
-spec-invalid PNG layouts go through the optional PIL seam
+TIFF (8/16-bit gray/RGB(A), strips or tiles, chunky or planar:
+uncompressed, LZW incl. Predictor 2, Deflate, or PackBits; II/MM),
+GIF (87a/89a incl. animation), and PCM WAV (``wave``).
+Arithmetic/hierarchical/12-bit JPEG, JPEG-in-TIFF/float-sample TIFF
+and spec-invalid PNG layouts go through the optional PIL seam
 (:func:`_pil_decode`):
 decoded for real when pillow is importable, honest
 ``NotImplementedError`` otherwise — no hard dependency either way.
@@ -492,12 +492,19 @@ def _predictor2_apply(rows: np.ndarray) -> bytes:
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """Stdlib-only TIFF decode: 8-bit gray/RGB(A), strip layout,
-    uncompressed (1), LZW (5, incl. Predictor 2 horizontal
-    differencing) or PackBits (32773), II or MM byte order, first IFD
-    only.  Tiled, JPEG-compressed, planar and 16-bit TIFFs raise
-    NotImplementedError — :func:`decode_image_bytes` falls through to
-    the PIL seam for those."""
+    """Stdlib-only TIFF decode (first IFD, II or MM byte order):
+
+    - samples: 8- or 16-bit gray/RGB(A) (16-bit downscales to the high
+      byte, matching the PNG decoder's convention);
+    - layout: strips OR tiles (322/323/324/325), chunky OR planar
+      (PlanarConfiguration 2 — one segment stream per channel);
+    - compression: none (1), LZW (5), Deflate (8 / legacy 32946, via
+      ``zlib``) or PackBits (32773); Predictor 2 horizontal
+      differencing undone in sample space for LZW/Deflate.
+
+    JPEG-in-TIFF, sub-byte depths, float samples and other exotica
+    raise NotImplementedError — :func:`decode_image_bytes` falls
+    through to the PIL seam for those."""
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
@@ -542,80 +549,162 @@ def decode_tiff(data: bytes) -> np.ndarray:
     bits = tags.get(258, [8])
     planar = one(284, 1)
     predictor = one(317, 1)
-    if comp not in (1, 5, 32773) or planar != 1 or any(b != 8 for b in bits) \
-            or spp not in (1, 3, 4) or 322 in tags \
-            or predictor not in (1, 2) or (predictor == 2 and comp != 5):
+    tiled = 322 in tags or 324 in tags
+    bps = bits[0]
+    if comp not in (1, 5, 8, 32773, 32946) or planar not in (1, 2) \
+            or len(set(bits)) != 1 or bps not in (8, 16) \
+            or spp not in (1, 3, 4) or predictor not in (1, 2) \
+            or (predictor == 2 and comp not in (5, 8, 32946)):
         raise NotImplementedError(
             f"TIFF compression={comp} spp={spp} bits={bits} "
-            f"planar={planar} tiled={322 in tags} predictor={predictor} "
-            "needs PIL (stdlib path covers 8-bit chunky gray/RGB(A) "
-            "strips: uncompressed, LZW incl. Predictor 2, or PackBits)")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets:
-        raise ValueError("TIFF without strip offsets")
-    rows_per = one(278, h)
-    raster = bytearray()
-    for i, soff in enumerate(offsets):
-        rows = min(rows_per, h - i * rows_per)
-        if rows <= 0:
-            break
-        expect = rows * w * spp
+            f"planar={planar} tiled={tiled} predictor={predictor} "
+            "needs PIL (stdlib path covers 8/16-bit gray/RGB(A), "
+            "strips or tiles, chunky or planar, uncompressed/LZW/"
+            "Deflate/PackBits, Predictor 2)")
+    nbytes = bps // 8
+    sdt = np.uint8 if bps == 8 else np.dtype(bo + "u2")
+
+    def undo_pred(seg: bytes, seg_w: int, seg_spp: int) -> bytes:
+        if predictor != 2:
+            return seg
+        if bps == 8:
+            return _predictor2_undo(
+                np.frombuffer(seg, np.uint8), seg_w, seg_spp).tobytes()
+        u = np.frombuffer(seg, sdt).astype(np.uint32).reshape(
+            -1, seg_w, seg_spp)
+        np.cumsum(u, axis=1, out=u)
+        return (u & 0xFFFF).astype(sdt).tobytes()
+
+    def segment(i: int, soff: int, expect: int, counts, seg_w: int,
+                seg_spp: int) -> bytes:
         if comp == 1:
             if soff + expect > len(data):
-                raise ValueError("truncated TIFF strip")
-            raster += data[soff: soff + expect]
+                raise ValueError("truncated TIFF segment")
+            return data[soff: soff + expect]
+        end = soff + (counts[i] if counts and i < len(counts)
+                      else len(data) - soff)
+        if end > len(data):
+            raise ValueError("truncated TIFF segment bytes")
+        if comp == 5:
+            seg = _tiff_lzw_decode(data[soff:end], expect)
+        elif comp in (8, 32946):
+            try:
+                seg = zlib.decompress(data[soff:end])
+            except zlib.error as exc:
+                raise ValueError(f"bad TIFF deflate segment: {exc}") from None
         else:
-            end = soff + (counts[i] if counts and i < len(counts)
-                          else len(data) - soff)
-            if comp == 5:
-                strip = _tiff_lzw_decode(data[soff:end], expect)
-                if len(strip) < expect:
-                    raise ValueError("truncated TIFF LZW strip")
-                if predictor == 2:
-                    strip = _predictor2_undo(
-                        np.frombuffer(strip, np.uint8), w, spp).tobytes()
-                raster += strip
+            seg = _packbits_decode(data[soff:end], expect)
+        if len(seg) < expect:
+            raise ValueError("short TIFF segment")
+        return undo_pred(seg[:expect], seg_w, seg_spp)
+
+    out = np.zeros((h, w, spp), dtype=sdt)
+    n_planes = spp if planar == 2 else 1
+    seg_spp = 1 if planar == 2 else spp
+    if tiled:
+        tw, tl = one(322), one(323)
+        if tw < 1 or tl < 1 or tw * tl > (1 << 26):
+            raise ValueError(f"implausible TIFF tile size {tw}x{tl}")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets:
+            raise ValueError("tiled TIFF without tile offsets")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) < across * down * n_planes:
+            raise ValueError("tiled TIFF missing tiles")
+        expect = tl * tw * seg_spp * nbytes  # tiles are always full-size
+        for i in range(across * down * n_planes):
+            plane, rem = divmod(i, across * down)
+            ty, tx = divmod(rem, across)
+            t = np.frombuffer(
+                segment(i, offsets[i], expect, counts, tw, seg_spp),
+                sdt).reshape(tl, tw, seg_spp)
+            y0, x0 = ty * tl, tx * tw
+            y1, x1 = min(y0 + tl, h), min(x0 + tw, w)
+            if planar == 2:
+                out[y0:y1, x0:x1, plane] = t[: y1 - y0, : x1 - x0, 0]
             else:
-                raster += _packbits_decode(data[soff:end], expect)
-    if len(raster) < h * w * spp:
-        raise ValueError("truncated TIFF raster")
-    img = np.frombuffer(bytes(raster), np.uint8,
-                        h * w * spp).reshape(h, w, spp)
+                out[y0:y1, x0:x1, :] = t[: y1 - y0, : x1 - x0, :]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets:
+            raise ValueError("TIFF without strip offsets")
+        rows_per = one(278, h)
+        if rows_per < 1:
+            raise ValueError("TIFF RowsPerStrip < 1")
+        per_plane = (h + rows_per - 1) // rows_per
+        if len(offsets) < per_plane * n_planes:
+            raise ValueError("TIFF missing strips")
+        for i in range(per_plane * n_planes):
+            plane, band = divmod(i, per_plane)
+            y0 = band * rows_per
+            rows = min(rows_per, h - y0)
+            expect = rows * w * seg_spp * nbytes
+            s = np.frombuffer(
+                segment(i, offsets[i], expect, counts, w, seg_spp),
+                sdt).reshape(rows, w, seg_spp)
+            if planar == 2:
+                out[y0: y0 + rows, :, plane] = s[:, :, 0]
+            else:
+                out[y0: y0 + rows, :, :] = s
+    if bps == 16:
+        out = (out.astype(np.uint16) >> 8).astype(np.uint8)
     photometric = one(262, 1)
     if spp == 1:
-        g = img[:, :, 0]
+        g = out[:, :, 0]
         return (255 - g) if photometric == 0 else g  # 0 = white-is-zero
-    return img[:, :, :3]  # RGB / RGBA → RGB
+    return out[:, :, :3]  # RGB / RGBA → RGB
 
 
 def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
-                lzw: bool = False, predictor: int = 1,
+                lzw: bool = False, deflate: bool = False,
+                predictor: int = 1,
                 rows_per_strip: int | None = None,
-                big_endian: bool = False) -> bytes:
-    """uint8 (H,W,3)/(H,W) → baseline TIFF bytes (for tests/synthesis;
-    shares only the tag constants with the decoder).  ``lzw=True``
-    writes compression 5 (optionally ``predictor=2`` horizontal
-    differencing); ``packbits=True`` writes 32773."""
+                big_endian: bool = False, bits: int = 8,
+                planar: int = 1,
+                tile: tuple[int, int] | None = None) -> bytes:
+    """uint8 (H,W,3)/(H,W) → TIFF bytes (for tests/synthesis; shares
+    only the tag constants with the decoder).  ``lzw=True`` writes
+    compression 5, ``deflate=True`` writes 8 (zlib), ``packbits=True``
+    writes 32773; ``predictor=2`` adds horizontal differencing
+    (LZW/Deflate).  ``bits=16`` widens samples (v*257), ``planar=2``
+    writes one segment stream per channel, ``tile=(tw, tl)`` switches
+    to the tiled layout (zero-padded edge tiles)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
-    if packbits and lzw:
+    if packbits + lzw + deflate > 1:
         raise ValueError("pick one compression")
-    if predictor == 2 and not lzw:
-        raise ValueError("predictor 2 requires lzw=True")
+    if predictor == 2 and not (lzw or deflate):
+        raise ValueError("predictor 2 requires lzw=True or deflate=True")
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 or 2")
     h, w = a.shape[:2]
     spp = 1 if gray else 3
     rps = rows_per_strip or h
     bo = ">" if big_endian else "<"
+    chw = a.reshape(h, w, spp)
+    if bits == 16:  # 8-bit input widened so the high byte round-trips
+        chw = chw.astype(np.uint16) * 257
+    sdt = np.uint8 if bits == 8 else np.dtype(bo + "u2")
+    seg_spp = 1 if planar == 2 else spp
 
-    def pack_strip(rows: np.ndarray) -> bytes:
+    def pack_segment(rows: np.ndarray) -> bytes:
+        """rows: (n, seg_w, seg_spp) in the sample dtype."""
+        if predictor == 2:
+            d = rows.astype(np.int32)
+            d[:, 1:, :] -= rows[:, :-1, :].astype(np.int32)
+            rows = (d & ((1 << bits) - 1))
+        raw = rows.astype(sdt).tobytes()
         if lzw:
-            raw = (_predictor2_apply(rows.reshape(-1, w, spp))
-                   if predictor == 2 else rows.tobytes())
             return _tiff_lzw_encode(raw)
-        raw = rows.tobytes()
+        if deflate:
+            return zlib.compress(raw)
         if not packbits:
             return raw
         out = bytearray()
@@ -640,7 +729,22 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
             i = j + 1
         return bytes(out)
 
-    strips = [pack_strip(a[y: y + rps]) for y in range(0, h, rps)]
+    planes = ([chw[:, :, p: p + 1] for p in range(spp)]
+              if planar == 2 else [chw])
+    strips = []
+    if tile is not None:
+        tw, tl = tile
+        for pl in planes:
+            for y in range(0, h, tl):
+                for x in range(0, w, tw):
+                    t = np.zeros((tl, tw, seg_spp), dtype=pl.dtype)
+                    blk = pl[y: y + tl, x: x + tw]
+                    t[: blk.shape[0], : blk.shape[1]] = blk
+                    strips.append(pack_segment(t))
+    else:
+        for pl in planes:
+            strips.extend(pack_segment(pl[y: y + rps])
+                          for y in range(0, h, rps))
     n_strips = len(strips)
 
     entries = []  # (tag, typ, cnt, value-or-offset placeholder)
@@ -657,17 +761,26 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
             entries.append((tag, typ, len(vals), None, vals))
 
     # data layout: header(8) + IFD + extras + strip data
+    off_tag = 324 if tile is not None else 273
     entry(256, 4, [w])
     entry(257, 4, [h])
-    entry(258, 3, [8] * spp)
-    entry(259, 3, [5 if lzw else (32773 if packbits else 1)])
+    entry(258, 3, [bits] * spp)
+    entry(259, 3, [5 if lzw else (8 if deflate else
+                                  (32773 if packbits else 1))])
     if predictor == 2:
         entry(317, 3, [2])
     entry(262, 3, [1 if gray else 2])  # BlackIsZero / RGB
-    entry(273, 4, [0] * n_strips)      # offsets patched below
+    entry(off_tag, 4, [0] * n_strips)  # offsets patched below
     entry(277, 3, [spp])
-    entry(278, 4, [rps])
-    entry(279, 4, [len(s) for s in strips])
+    if planar == 2:
+        entry(284, 3, [2])
+    if tile is not None:
+        entry(322, 4, [tile[0]])
+        entry(323, 4, [tile[1]])
+        entry(325, 4, [len(s) for s in strips])
+    else:
+        entry(278, 4, [rps])
+        entry(279, 4, [len(s) for s in strips])
     entries.sort(key=lambda e: e[0])
 
     ifd_off = 8
@@ -699,13 +812,13 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
     for tag, typ, cnt, rawor, vals, fmt in placed:
         out += struct.pack(bo + "HHI", tag, typ, cnt)
         if vals is None:
-            if tag == 273:  # inline strip offsets (single strip)
+            if tag == off_tag:  # inline segment offsets (single segment)
                 raw = struct.pack(bo + "I" * cnt, *strip_offs)
                 out += raw + b"\x00" * (4 - len(raw))
             else:
                 out += rawor
         else:
-            if tag == 273:
+            if tag == off_tag:
                 vals = strip_offs
             # rewrite the out-of-line block with final values
             pos = rawor - extra_off

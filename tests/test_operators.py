@@ -1533,3 +1533,95 @@ def test_compute_phash_spark_roundtrip(spark):
     df = spark.createDataFrame(rows, ["id", "data"])
     got = dict(compute_phash(df, "data").select("id", "phash").collect())
     assert got == expect
+
+
+def test_tiff_extended_variants_roundtrip():
+    """r11 native coverage beyond 8-bit chunky strips: 16-bit samples,
+    PlanarConfiguration 2, tiled layout, Deflate (8) — every
+    combination with both byte orders round-trips bit-exactly (16-bit
+    widens v*257 so the decoder's high-byte downscale recovers v)."""
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(61)
+    rgb = rng.integers(0, 256, (13, 19, 3)).astype(np.uint8)
+    gray = rng.integers(0, 256, (9, 7)).astype(np.uint8)
+    for img in (rgb, gray):
+        for comp in ({}, {"lzw": True}, {"deflate": True},
+                     {"deflate": True, "predictor": 2},
+                     {"lzw": True, "predictor": 2}, {"packbits": True}):
+            for bits in (8, 16):
+                for planar in (1, 2):
+                    for tile in (None, (8, 8), (16, 4)):
+                        for be in (False, True):
+                            kw = dict(comp, bits=bits, planar=planar,
+                                      tile=tile, big_endian=be,
+                                      rows_per_strip=4)
+                            got = decode_tiff(encode_tiff(img, **kw))
+                            assert np.array_equal(got, img), kw
+    # edge tiles are zero-padded in the file but cropped on decode
+    assert decode_tiff(encode_tiff(rgb, tile=(16, 16))).shape == (13, 19, 3)
+
+
+def test_tiff_extended_variants_mutation_fuzz():
+    """The new decode paths (tiles, planar, 16-bit, deflate) fail
+    cleanly under byte mutation — never hang, never return garbage
+    dtype, never raise outside the contract set."""
+    import random
+    import struct
+    import time
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng0 = np.random.default_rng(67)
+    img = rng0.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    payloads = [
+        encode_tiff(img, bits=16, deflate=True, predictor=2),
+        encode_tiff(img, planar=2, tile=(16, 8), lzw=True),
+        encode_tiff(img, bits=16, planar=2, big_endian=True,
+                    rows_per_strip=6),
+        encode_tiff(img, tile=(8, 8), deflate=True),
+    ]
+    rng = random.Random(71)
+    t0 = time.time()
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(400):
+        data = bytearray(rng.choice(payloads))
+        for _m in range(rng.choice((1, 1, 1, 3))):
+            data[rng.randrange(4, len(data))] = rng.randrange(256)
+        try:
+            out = decode_tiff(bytes(data))
+            assert out.dtype == np.uint8
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError, IndexError, KeyError,
+                struct.error):
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 400
+    assert outcomes["err"] > 40, outcomes
+    assert time.time() - t0 < 60
+
+
+@pytest.mark.skipif(not _has_pil_gif, reason="pillow not installed")
+def test_tiff_extended_golden_vs_pil():  # pragma: no cover
+    """PIL reads our tiled/planar/16-bit/deflate output; we read PIL's
+    deflate output."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from swiftlake_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(73)
+    img = rng.integers(0, 256, (14, 19, 3)).astype(np.uint8)
+    for kw in ({"deflate": True}, {"deflate": True, "predictor": 2},
+               {"tile": (16, 16)}, {"bits": 16}):
+        ours = encode_tiff(img, **kw)
+        theirs = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+        assert np.array_equal(theirs, img), kw
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="TIFF", compression="tiff_adobe_deflate")
+    assert np.array_equal(decode_tiff(buf.getvalue()), img)
