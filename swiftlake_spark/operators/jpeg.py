@@ -13,15 +13,18 @@ public-spec math, no reference code involved.
 Scope (everything else raises NotImplementedError so
 ``decode_image_bytes`` can fall through to the PIL seam):
 
-- baseline (SOF0) and extended sequential huffman (SOF1), 8-bit;
-- progressive huffman (SOF2, VERDICT r9 ask #8): multi-scan spectral
-  selection + successive approximation per T.81 Annex G — DC
-  first/refine (interleaved or not), AC first/refine with EOBRUN,
-  per-scan DHT/DRI redefinition, restart markers in any scan;
+- baseline (SOF0, 8-bit) and extended sequential huffman (SOF1,
+  8- or 12-bit — 12-bit output downscales to the high byte, the
+  PNG/TIFF 16-bit convention);
+- progressive huffman (SOF2, VERDICT r9 ask #8; 8- or 12-bit):
+  multi-scan spectral selection + successive approximation per T.81
+  Annex G — DC first/refine (interleaved or not), AC first/refine
+  with EOBRUN, per-scan DHT/DRI redefinition, restart markers in any
+  scan;
 - 1 (grayscale) or 3 (YCbCr) components, integer sampling ratios
   (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...);
 - restart intervals (DRI + RST0-7);
-- arithmetic coding, hierarchical, 12-bit → seam.
+- arithmetic coding, hierarchical, lossless → seam.
 
 An encoder (`encode_jpeg`) exists for tests and payload synthesis, like
 ``encode_png``/``encode_ppm``: Annex-K quantization tables with libjpeg
@@ -131,6 +134,19 @@ _AC_CHROMA_VALS = [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+# 12-bit-precision Huffman specs.  T.81 publishes example tables for
+# 8-bit samples only (Annex K covers DC categories 0..11, AC sizes
+# 1..10); 12-bit needs DC diff categories up to 15 and AC sizes up to
+# 14 (T.81 Tables F.1/F.2).  These flat canonical tables cover EVERY
+# legal 12-bit symbol — suboptimal compression, bit-exact codes — and
+# are emitted in the DHT segment so any conforming decoder reads them.
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))  # categories 0..15 at 5 bits each
+_AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]  # EOB, ZRL, every (run, size<=14): 226 symbols at 8 bits each
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
 
 def _dct_matrix() -> np.ndarray:
@@ -300,7 +316,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 off += 17 + cnt
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec = body[0]
-            if prec != 8:
+            # T.81 B.2.2: baseline (SOF0) is 8-bit only; extended
+            # sequential and progressive also allow 12-bit samples
+            # (decoded natively since r11; output downscales to the
+            # high 8 bits, the PNG/TIFF 16-bit convention).
+            if prec != 8 and not (prec == 12 and marker != 0xC0):
                 raise NotImplementedError(f"{prec}-bit JPEG needs PIL")
             h, w = struct.unpack_from(">HH", body, 1)
             nc = body[5]
@@ -309,7 +329,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps,
+            frame = {"w": w, "h": h, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -478,8 +498,13 @@ def _reconstruct(frame, qt, arrays):
         coefs = arrays[cid].astype(np.float64) * q[np.newaxis, :]
         dq[:, _ZIGZAG] = coefs  # un-zigzag (q and coef are zigzag-order)
         mats = dq.reshape(-1, 8, 8)
-        pix = np.einsum("ij,njk,kl->nil", _A.T, mats, _A) + 128.0
-        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        prec = frame.get("prec", 8)
+        pix = np.einsum("ij,njk,kl->nil", _A.T, mats, _A) + float(
+            1 << (prec - 1))
+        pix = np.clip(np.round(pix), 0, (1 << prec) - 1).astype(np.int32)
+        if prec > 8:  # high byte (rounded), the 16-bit PNG/TIFF convention
+            pix = np.minimum((pix + (1 << (prec - 9))) >> (prec - 8), 255)
+        pix = pix.astype(np.uint8)
         bh, bw = c["bh_i"], c["bw_i"]
         plane = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
                  .reshape(bh * 8, bw * 8))
@@ -760,11 +785,12 @@ def _encode_block(bw, coef_zz, pred, dc_lut, ac_lut):
     return int(coef_zz[0])
 
 
-def _plane_coeffs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """(H,W) uint8, 8|H and 8|W → (nblocks, 64) quantized zigzag ints,
-    blocks in raster order."""
+def _plane_coeffs(plane: np.ndarray, q: np.ndarray,
+                  center: float = 128.0) -> np.ndarray:
+    """(H,W) samples, 8|H and 8|W → (nblocks, 64) quantized zigzag
+    ints, blocks in raster order."""
     h, w = plane.shape
-    blocks = (plane.astype(np.float64) - 128.0).reshape(
+    blocks = (plane.astype(np.float64) - center).reshape(
         h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     coef = np.einsum("ij,njk,kl->nil", _A, blocks, _A.T).reshape(-1, 64)
     zzc = coef[:, _ZIGZAG]
@@ -779,16 +805,23 @@ def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
         else plane
 
 
-def _prepare_encode(arr, quality, subsampling):
+def _prepare_encode(arr, quality, subsampling, precision=8):
     """Shared encoder front end: color convert, subsample, pad to the
     MCU grid, FDCT + quantize.  Returns the per-component state both
-    the baseline and progressive scan writers consume."""
+    the baseline and progressive scan writers consume.
+
+    ``precision=12`` widens uint8 input to 12-bit samples (v*16, so
+    the decoder's high-byte downscale recovers v) and level-shifts by
+    2048 — the extended-sequential/progressive 12-bit process."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    widen = 1 << (precision - 8)
     h, w = a.shape[:2]
     # wire/quantize order is ZIGZAG: the DQT payload byte k and the
     # divisor of zigzag coefficient k are the same value (T.81 B.2.4.1)
@@ -796,7 +829,7 @@ def _prepare_encode(arr, quality, subsampling):
     qc = _scale_quant(_QUANT_CHROMA, quality)[_ZIGZAG]
 
     if gray:
-        planes = [a]
+        planes = [a.astype(np.uint16) * widen if widen > 1 else a]
         samp = [(1, 1)]
         qsel = [0]
     else:
@@ -814,8 +847,13 @@ def _prepare_encode(arr, quality, subsampling):
             samp = [(2, 2), (1, 1), (1, 1)]
         else:
             samp = [(1, 1), (1, 1), (1, 1)]
-        to8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
-        planes = [to8(y), to8(cb), to8(cr)]
+        # widening is linear, so YCbCr in 8-bit space × widen equals
+        # YCbCr of the widened samples (the +128 offsets become +2048)
+        maxv = (255 * widen) if widen > 1 else 255
+        dt = np.uint16 if widen > 1 else np.uint8
+        tos = lambda p: np.clip(  # noqa: E731
+            np.round(p * widen), 0, maxv).astype(dt)
+        planes = [tos(y), tos(cb), tos(cr)]
         qsel = [0, 1, 1]
 
     hmax = max(s[0] for s in samp)
@@ -823,20 +861,40 @@ def _prepare_encode(arr, quality, subsampling):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     # pad every plane to its full MCU-grid size
+    center = float(1 << (precision - 1))
     coeffs = []
     for p, (sh, sv) in zip(planes, samp):
         p = _pad_to(p, mcuy * sv * 8, mcux * sh * 8)
-        coeffs.append(_plane_coeffs(p, ql if qsel[len(coeffs)] == 0 else qc))
+        coeffs.append(_plane_coeffs(
+            p, ql if qsel[len(coeffs)] == 0 else qc, center))
 
     return {
         "gray": gray, "h": h, "w": w, "ql": ql, "qc": qc,
-        "samp": samp, "qsel": qsel, "coeffs": coeffs,
+        "samp": samp, "qsel": qsel, "coeffs": coeffs, "prec": precision,
         "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
     }
 
 
 def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _huff_specs(prec: int):
+    """(bits, vals) for [DC-luma, AC-luma, DC-chroma, AC-chroma]:
+    Annex K for 8-bit, the flat full-symbol-range tables for 12-bit."""
+    if prec == 8:
+        return [(_DC_LUMA_BITS, _DC_LUMA_VALS),
+                (_AC_LUMA_BITS, _AC_LUMA_VALS),
+                (_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+                (_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    return [(_DC12_BITS, _DC12_VALS), (_AC12_BITS, _AC12_VALS)] * 2
+
+
+def _encode_luts(prec: int):
+    """[(dc luma, dc chroma), (ac luma, ac chroma)] encode LUTs."""
+    t = _huff_specs(prec)
+    return ([_build_encode_lut(*t[0]), _build_encode_lut(*t[2])],
+            [_build_encode_lut(*t[1]), _build_encode_lut(*t[3])])
 
 
 def _headers(st, sof_marker: int, restart_interval: int) -> bytearray:
@@ -849,7 +907,7 @@ def _headers(st, sof_marker: int, restart_interval: int) -> bytearray:
     if not gray:
         out += _seg(0xDB, bytes([0x01]) + bytes(st["qc"].astype(np.uint8)))
     nplanes = 1 if gray else 3
-    sof = bytearray([8]) + struct.pack(">HH", st["h"], st["w"])
+    sof = bytearray([st["prec"]]) + struct.pack(">HH", st["h"], st["w"])
     sof += bytes([nplanes])
     for ci, (sh, sv) in enumerate(st["samp"]):
         sof += bytes([ci + 1, (sh << 4) | sv, st["qsel"][ci]])
@@ -858,11 +916,12 @@ def _headers(st, sof_marker: int, restart_interval: int) -> bytearray:
     def dht(tc: int, th: int, bits, vals) -> bytes:
         return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
 
-    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
-    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    tables = _huff_specs(st["prec"])
+    out += dht(0, 0, *tables[0])
+    out += dht(1, 0, *tables[1])
     if not gray:
-        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
-        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        out += dht(0, 1, *tables[2])
+        out += dht(1, 1, *tables[3])
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     return out
@@ -870,18 +929,18 @@ def _headers(st, sof_marker: int, restart_interval: int) -> bytearray:
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
                 subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """uint8 (H,W,3) RGB or (H,W) gray → baseline JFIF bytes."""
-    st = _prepare_encode(arr, quality, subsampling)
+                restart_interval: int = 0,
+                precision: int = 8) -> bytes:
+    """uint8 (H,W,3) RGB or (H,W) gray → JFIF bytes: baseline (SOF0)
+    for 8-bit, extended sequential (SOF1) for ``precision=12`` (input
+    widened v*16; the decoder's high-byte downscale recovers v)."""
+    st = _prepare_encode(arr, quality, subsampling, precision)
     gray = st["gray"]
     samp, coeffs = st["samp"], st["coeffs"]
     mcux, mcuy = st["mcux"], st["mcuy"]
     planes_n = 1 if gray else 3
 
-    dc_luts = [_build_encode_lut(_DC_LUMA_BITS, _DC_LUMA_VALS),
-               _build_encode_lut(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
-    ac_luts = [_build_encode_lut(_AC_LUMA_BITS, _AC_LUMA_VALS),
-               _build_encode_lut(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    dc_luts, ac_luts = _encode_luts(precision)
 
     bw = _BitWriter()
     pred = [0] * planes_n
@@ -911,7 +970,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     bws.append(bytes(bw.out))
     entropy = b"".join(bws)
 
-    out = _headers(st, 0xC0, restart_interval)
+    out = _headers(st, 0xC0 if precision == 8 else 0xC1, restart_interval)
     sos = bytearray([planes_n])
     for ci in range(planes_n):
         t = 1 if (not gray and ci) else 0
@@ -1076,7 +1135,8 @@ def _prog_scan(st, scan_comps, ss, se, ah, al, dc_luts, ac_luts,
 def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
                             subsampling: str = "4:4:4",
                             spectral_only: bool = False,
-                            restart_interval: int = 0) -> bytes:
+                            restart_interval: int = 0,
+                            precision: int = 8) -> bytes:
     """uint8 (H,W,3) RGB or (H,W) gray → progressive (SOF2) JFIF bytes.
 
     Default scan script exercises the full Annex-G surface: interleaved
@@ -1086,7 +1146,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
     (Ah=Al=0 everywhere, no refinement scans).  Every block carries its
     own EOB0 (Annex-K tables have no EOBn>0 symbols), so streams are
     valid but not EOB-run-compressed — the decoder handles both."""
-    st = _prepare_encode(arr, quality, subsampling)
+    st = _prepare_encode(arr, quality, subsampling, precision)
     nc = 1 if st["gray"] else 3
     a1 = 0 if spectral_only else 1
 
@@ -1101,10 +1161,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
             script.append(([ci], 6, 63, 1, 0))
         script.append((list(range(nc)), 0, 0, 1, 0))  # DC refine
 
-    dc_luts = [_build_encode_lut(_DC_LUMA_BITS, _DC_LUMA_VALS),
-               _build_encode_lut(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
-    ac_luts = [_build_encode_lut(_AC_LUMA_BITS, _AC_LUMA_VALS),
-               _build_encode_lut(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    dc_luts, ac_luts = _encode_luts(precision)
 
     out = _headers(st, 0xC2, restart_interval)
     for comps_idx, ss, se, ah, al in script:

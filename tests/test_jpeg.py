@@ -363,3 +363,92 @@ def test_progressive_property_random_images():
         assert np.array_equal(prog, base)
 
     check()
+
+
+# ------------------------------------------------------------ 12-bit (r11)
+
+def test_12bit_roundtrip_more_accurate_than_8bit():
+    """Extended-sequential 12-bit (SOF1) and progressive 12-bit (SOF2)
+    round-trip through the real decoder; with the same Annex-K-scaled
+    quant tables the 4 extra sample bits make 12-bit strictly at least
+    as accurate as 8-bit at every quality."""
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:24, 0:40]
+    smooth = np.stack(
+        [(yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 7) % 256],
+        -1).astype(np.uint8)
+    hard = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    gray = rng.integers(0, 256, (17, 23)).astype(np.uint8)
+    for img in (smooth, hard, gray):
+        for q in (100, 90, 50):
+            e8 = int(np.abs(decode_jpeg(encode_jpeg(img, quality=q))
+                            .astype(int) - img).max())
+            e12 = int(np.abs(
+                decode_jpeg(encode_jpeg(img, quality=q, precision=12))
+                .astype(int) - img).max())
+            assert e12 <= max(e8, 1), (q, e8, e12)
+    # progressive, subsampled, restart-marked variants all decode
+    assert np.abs(decode_jpeg(encode_jpeg_progressive(
+        smooth, quality=100, precision=12)).astype(int) - smooth).max() <= 2
+    d = decode_jpeg(encode_jpeg(smooth, quality=95, precision=12,
+                                subsampling="4:2:0", restart_interval=2))
+    assert d.shape == smooth.shape
+
+
+def test_12bit_wire_structure_and_sof0_refusal():
+    """12-bit streams carry SOF1 (extended sequential) with precision
+    byte 12 and full-range Huffman tables; the same stream relabeled
+    SOF0 violates T.81 B.2.2 (baseline is 8-bit only) and routes to
+    the seam."""
+    img = np.full((8, 8), 77, np.uint8)
+    data = encode_jpeg(img, precision=12)
+    i = data.find(b"\xff\xc1")
+    assert i > 0 and data[i + 4] == 12  # SOF1 present, precision byte
+    assert data.find(b"\xff\xc0") == -1
+    bad = bytearray(data)
+    bad[i + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(bad))
+
+
+def test_12bit_full_category_range_roundtrips():
+    """Extremal blocks exercise DC categories up to 15 and large AC
+    sizes that the Annex-K tables cannot express: alternating all-0 /
+    all-255 blocks at quality 100 produce maximal DC swings."""
+    img = np.zeros((8, 64), np.uint8)
+    img[:, 8:16] = 255
+    img[:, 24:32] = 255
+    img[:, 40:48] = 255
+    got = decode_jpeg(encode_jpeg(img, quality=100, precision=12))
+    assert np.abs(got.astype(int) - img).max() <= 1
+
+
+def test_12bit_mutation_fuzz_fails_cleanly():
+    import random
+    import struct
+    import time
+
+    rng0 = np.random.default_rng(83)
+    img = rng0.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    payloads = [
+        encode_jpeg(img, precision=12),
+        encode_jpeg(img, precision=12, subsampling="4:2:0"),
+        encode_jpeg_progressive(img, precision=12),
+    ]
+    rng = random.Random(89)
+    t0 = time.time()
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(300):
+        data = bytearray(rng.choice(payloads))
+        for _m in range(rng.choice((1, 1, 3))):
+            data[rng.randrange(2, len(data))] = rng.randrange(256)
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError, IndexError, KeyError,
+                struct.error):
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 300
+    assert outcomes["err"] > 30, outcomes
+    assert time.time() - t0 < 90
