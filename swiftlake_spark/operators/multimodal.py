@@ -12,7 +12,9 @@ or Adam7 (``zlib`` + unfilter) — baseline/extended/progressive JPEG
 (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
 TIFF (8/16-bit gray/RGB(A), strips or tiles, chunky or planar:
 uncompressed, LZW incl. Predictor 2, Deflate, or PackBits; II/MM),
-GIF (87a/89a incl. animation), and PCM WAV (``wave``).
+GIF (87a/89a incl. animation), and WAV — integer PCM 8/16/24/32,
+IEEE float 32/64, G.711 A-law/μ-law, WAVE_FORMAT_EXTENSIBLE
+(manual RIFF parse; ADPCM/MP3-in-WAV raise).
 Arithmetic/hierarchical/12-bit JPEG, JPEG-in-TIFF/float-sample TIFF
 and spec-invalid PNG layouts go through the optional PIL seam
 (:func:`_pil_decode`):
@@ -1206,21 +1208,122 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     return buf.getvalue()
 
 
+def ulaw_decode(b: np.ndarray) -> np.ndarray:
+    """G.711 μ-law bytes → int32 linear PCM on the 16-bit scale
+    (max ±32124).  Canonical ITU formula: complement, split into
+    sign/exponent/mantissa, ``((m<<3)+0x84)<<e − 0x84``."""
+    u = (~np.asarray(b, dtype=np.uint8)).astype(np.int32) & 0xFF
+    sign = u & 0x80
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int linear PCM (16-bit scale) → G.711 μ-law bytes.  Inverse of
+    :func:`ulaw_decode`: ``ulaw_encode(ulaw_decode(b)) == b`` for every
+    byte except 0x7F (negative zero aliases positive zero)."""
+    x = np.asarray(x, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    e = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    m = (mag >> (e + 3)) & 0x0F
+    return ((~(sign | (e << 4) | m)) & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int32 linear PCM on the 16-bit scale
+    (max ±32256, min step 8).  XOR 0x55, then segment expansion;
+    bit 7 of the XORed byte set means positive."""
+    a = (np.asarray(b, dtype=np.uint8).astype(np.int32) ^ 0x55) & 0xFF
+    sign = a & 0x80
+    e = (a >> 4) & 7
+    m = a & 0x0F
+    mag = np.where(e == 0, (m << 4) + 8,
+                   ((m << 4) + 0x108) << np.maximum(e - 1, 0))
+    return np.where(sign, mag, -mag)
+
+
+def alaw_encode(x: np.ndarray) -> np.ndarray:
+    """int linear PCM (16-bit scale) → G.711 A-law bytes.
+    ``alaw_encode(alaw_decode(b)) == b`` for all 256 bytes."""
+    x = np.asarray(x, dtype=np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    e = (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7).clip(0, 7)
+    m = np.where(e == 0, mag >> 4, (mag >> (e + 3)) & 0x0F)
+    return (((sign | (e << 4) | m) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
 def decode_wav_bytes(data: bytes) -> tuple[int, np.ndarray]:
-    """PCM WAV → (sample_rate, mono float32 samples in [-1, 1])."""
-    with wave.open(io.BytesIO(data), "rb") as wf:
-        rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
-    if width == 2:
-        s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 1:  # 8-bit WAV is unsigned
-        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    elif width == 4:
-        s = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    """WAV → (sample_rate, mono float32 samples in [-1, 1]).
+
+    Manual RIFF parse (the stdlib ``wave`` module is PCM-only):
+    integer PCM 8 (unsigned)/16/24/32-bit, IEEE float 32/64 (format
+    3), G.711 A-law (6) and μ-law (7), each also behind
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE, real format in the SubFormat
+    GUID).  Multi-channel downmixes by mean.  Compressed formats
+    (ADPCM, MP3-in-WAV) raise ValueError."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = raw = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        (sz,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8: pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated WAV fmt chunk")
+    tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if tag == 0xFFFE:  # extensible: first 2 GUID bytes = real format
+        if len(fmt) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE")
+        (tag,) = struct.unpack_from("<H", fmt, 24)
+    if nch < 1 or rate < 1:
+        raise ValueError(f"implausible WAV header nch={nch} rate={rate}")
+    if tag == 1:  # integer PCM
+        if bits == 16:
+            s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 8:  # 8-bit WAV is unsigned
+            s = (np.frombuffer(raw, np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        elif bits == 24:
+            a = np.frombuffer(raw, np.uint8)
+            a = a[: len(a) - len(a) % 3].reshape(-1, 3).astype(np.int32)
+            v = a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)
+            v = np.where(v & 0x800000, v - (1 << 24), v)
+            s = v.astype(np.float32) / 8388608.0
+        elif bits == 32:
+            s = np.frombuffer(raw, dtype="<i4").astype(np.float32) \
+                / 2147483648.0
+        else:
+            raise ValueError(f"unsupported WAV sample width {bits}")
+    elif tag == 3:  # IEEE float
+        if bits == 32:
+            s = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            s = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float WAV width {bits}")
+    elif tag == 6:  # G.711 A-law
+        s = alaw_decode(np.frombuffer(raw, np.uint8)).astype(
+            np.float32) / 32768.0
+    elif tag == 7:  # G.711 μ-law
+        s = ulaw_decode(np.frombuffer(raw, np.uint8)).astype(
+            np.float32) / 32768.0
     else:
-        raise ValueError(f"unsupported WAV sample width {width}")
+        raise ValueError(f"unsupported WAV format tag {tag}")
     if nch > 1:
-        s = s.reshape(-1, nch).mean(axis=1)
+        s = s[: len(s) - len(s) % nch].reshape(-1, nch).mean(axis=1)
     return rate, s
 
 
@@ -1378,6 +1481,102 @@ def sample_frames(
     return df.mapInPandas(run, out_schema)
 
 
+def _f80_to_float(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF COMM sample rate) →
+    Python float: 1 sign + 15 exponent (bias 16383) + 64-bit mantissa
+    with explicit integer bit."""
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:])
+    if se & 0x7FFF == 0 and mant == 0:
+        return 0.0
+    e = (se & 0x7FFF) - 16383
+    if not -64 <= e <= 63:  # inf/nan/absurd: no real sample rate
+        raise ValueError(f"implausible extended-float exponent {e}")
+    val = mant / float(1 << 63) * 2.0 ** e
+    return -val if se & 0x8000 else val
+
+
+def decode_aiff_bytes(data: bytes) -> tuple[int, np.ndarray]:
+    """AIFF / AIFF-C → (sample_rate, mono float32 in [-1, 1]).
+
+    Big-endian IFF parse: COMM (channels, bits, 80-bit extended
+    sample rate, AIFC compression type) + SSND.  Covers integer PCM
+    8 (signed, unlike WAV)/16/24/32 ('NONE'), 'sowt' little-endian
+    16-bit, G.711 'ulaw'/'alaw', and 'fl32'/'fl64' IEEE floats.
+    Other AIFC compressors (ima4, MACE, QDM) raise ValueError."""
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (
+            b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    comm = ssnd = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        (sz,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8: pos + 8 + sz]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + sz + (sz & 1)
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise ValueError("AIFF missing/truncated COMM or SSND chunk")
+    nch, _nframes, bits = struct.unpack_from(">hIh", comm, 0)
+    rate = int(round(_f80_to_float(comm[8:18])))
+    ctype = comm[18:22] if len(comm) >= 22 else b"NONE"
+    if nch < 1 or rate < 1:
+        raise ValueError(f"implausible AIFF header nch={nch} rate={rate}")
+    off, _blk = struct.unpack_from(">II", ssnd, 0)
+    raw = ssnd[8 + off:]
+    ct = ctype.lower()
+    if ct == b"none":  # plain AIFF defaults to NONE above
+        if bits == 16:
+            s = np.frombuffer(raw, dtype=">i2").astype(np.float32) / 32768.0
+        elif bits == 8:  # AIFF 8-bit is SIGNED (WAV's is unsigned)
+            s = np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+        elif bits == 24:
+            a = np.frombuffer(raw, np.uint8)
+            a = a[: len(a) - len(a) % 3].reshape(-1, 3).astype(np.int32)
+            v = (a[:, 0] << 16) | (a[:, 1] << 8) | a[:, 2]  # big-endian
+            v = np.where(v & 0x800000, v - (1 << 24), v)
+            s = v.astype(np.float32) / 8388608.0
+        elif bits == 32:
+            s = np.frombuffer(raw, dtype=">i4").astype(np.float32) \
+                / 2147483648.0
+        else:
+            raise ValueError(f"unsupported AIFF sample width {bits}")
+    elif ct == b"sowt":  # little-endian 16-bit PCM (Apple)
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif ct == b"ulaw":
+        s = ulaw_decode(np.frombuffer(raw, np.uint8)).astype(
+            np.float32) / 32768.0
+    elif ct == b"alaw":
+        s = alaw_decode(np.frombuffer(raw, np.uint8)).astype(
+            np.float32) / 32768.0
+    elif ct == b"fl32":
+        s = np.frombuffer(raw, dtype=">f4").astype(np.float32)
+    elif ct == b"fl64":
+        s = np.frombuffer(raw, dtype=">f8").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported AIFC compression {ctype!r}")
+    if nch > 1:
+        s = s[: len(s) - len(s) % nch].reshape(-1, nch).mean(axis=1)
+    return rate, s
+
+
+def decode_audio_bytes(data: bytes) -> tuple[int, np.ndarray]:
+    """Magic-byte audio dispatch (the audio analogue of
+    decode_image_bytes): RIFF/WAVE → :func:`decode_wav_bytes`,
+    FORM/AIFF|AIFC → :func:`decode_aiff_bytes`.  Anything else raises
+    ValueError (MP3/AAC/OGG are out of the stdlib floor)."""
+    if data[:4] == b"RIFF":
+        return decode_wav_bytes(data)
+    if data[:4] == b"FORM":
+        return decode_aiff_bytes(data)
+    raise ValueError("unrecognized audio container (not WAV/AIFF)")
+
+
 def decode_audio(
     df: DataFrame,
     data_col: str = "data",
@@ -1388,11 +1587,13 @@ def decode_audio(
     """Decode + feature-extract an audio column via ``mapInPandas``
     (completes the image/audio/video triad).
 
-    Real path (default): PCM WAV via the stdlib ``wave`` module
-    (decode_wav_bytes) — true duration, RMS, zero-crossing rate and a
-    log-band FFT spectrum (audio_features).  Compressed audio
-    (MP3/AAC/OGG) raises inside the task; ``fake=True`` keeps the
-    payload-seeded double for such pipelines."""
+    Real path (default): WAV and AIFF/AIFF-C containers through the
+    magic-byte dispatch (decode_audio_bytes — integer PCM, IEEE
+    float, G.711 A-law/μ-law in either container) — true duration,
+    RMS, zero-crossing rate and a log-band FFT spectrum
+    (audio_features).  Compressed audio (MP3/AAC/OGG, ADPCM) raises
+    inside the task; ``fake=True`` keeps the payload-seeded double
+    for such pipelines."""
     out_fields = df.schema.fields + [
         T.StructField(
             out_col,
@@ -1427,7 +1628,7 @@ def decode_audio(
                         }
                     )
                 else:
-                    feats.append(audio_features(*decode_wav_bytes(payload)))
+                    feats.append(audio_features(*decode_audio_bytes(payload)))
             pdf[out_col] = feats
             yield pdf
 

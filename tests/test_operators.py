@@ -1625,3 +1625,203 @@ def test_tiff_extended_golden_vs_pil():  # pragma: no cover
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="TIFF", compression="tiff_adobe_deflate")
     assert np.array_equal(decode_tiff(buf.getvalue()), img)
+
+
+def test_g711_codecs_and_wav_format_matrix():
+    """r11 audio floor: manual RIFF parse covers integer PCM
+    8/16/24/32, IEEE float 32/64, G.711 A-law/μ-law, and
+    WAVE_FORMAT_EXTENSIBLE.  The G.711 pair is pinned by the canonical
+    spot values and the encode∘decode fixed-point property over all
+    256 bytes."""
+    import struct
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        alaw_decode,
+        alaw_encode,
+        decode_wav_bytes,
+        encode_wav,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    b = np.arange(256, dtype=np.uint8)
+    ud, ad = ulaw_decode(b), alaw_decode(b)
+    # canonical G.711 values (same as audioop's tables)
+    assert ud[0x00] == -32124 and ud[0x80] == 32124
+    assert ud[0xFF] == 0 and ud[0x7F] == 0
+    assert ad[0x55] == -8 and ad[0xD5] == 8
+    assert ad.min() == -32256 and ad.max() == 32256
+    # encode(decode(b)) == b — μ-law's 0x7F (negative zero) aliases 0xFF
+    ue = ulaw_encode(ud)
+    assert np.array_equal(ue[b != 0x7F], b[b != 0x7F]) and ue[0x7F] == 0xFF
+    assert np.array_equal(alaw_encode(ad), b)
+
+    rate = 8000
+    x = (np.sin(np.linspace(0, 20, 400)) * 0.7).astype(np.float32)
+
+    def wav(tag, bits, payload, nch=1, ext=False):
+        ba = rate * nch * bits // 8
+        if ext:
+            fmt = struct.pack("<HHIIHHH", 0xFFFE, nch, rate, ba,
+                              nch * bits // 8, bits, 22)
+            fmt += struct.pack("<HIH", bits, 1, tag) + b"\x00" * 14
+        else:
+            fmt = struct.pack("<HHIIHH", tag, nch, rate, ba,
+                              nch * bits // 8, bits)
+        out = b"RIFF" + struct.pack(
+            "<I", 4 + 16 + len(fmt) + len(payload)) + b"WAVE"
+        out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(payload)) + payload
+        return out
+
+    r, s = decode_wav_bytes(wav(3, 32, x.tobytes()))
+    assert r == rate and np.allclose(s, x, atol=1e-6)
+    _, s = decode_wav_bytes(wav(3, 64, x.astype(np.float64).tobytes()))
+    assert np.allclose(s, x, atol=1e-6)
+    v = np.round(x * 8388607).astype(np.int32)
+    b24 = np.zeros((len(v), 3), np.uint8)
+    b24[:, 0], b24[:, 1], b24[:, 2] = v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+    _, s = decode_wav_bytes(wav(1, 24, b24.tobytes()))
+    assert np.allclose(s, x, atol=2e-7)
+    mu = ulaw_encode(np.round(x * 32767).astype(np.int32))
+    _, s = decode_wav_bytes(wav(7, 8, mu.tobytes()))
+    assert np.abs(s - x).max() < 0.032  # G.711 segment quantization
+    al = alaw_encode(np.round(x * 32767).astype(np.int32))
+    _, s = decode_wav_bytes(wav(6, 8, np.repeat(al, 2).tobytes(),
+                                nch=2, ext=True))
+    assert len(s) == len(x) and np.abs(s - x).max() < 0.032
+    # stdlib-encoded PCM still decodes through the manual parser
+    r, s = decode_wav_bytes(encode_wav(x, rate))
+    assert r == rate and np.abs(s - x).max() < 1e-4
+    # compressed formats refuse with a clear error
+    with pytest.raises(ValueError, match="format tag 2"):
+        decode_wav_bytes(wav(2, 4, b"\x00" * 100))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_bytes(b"garbage")
+
+
+def test_aiff_decode_and_audio_dispatch():
+    """r11: AIFF/AIFF-C joins the audio floor — big-endian PCM
+    8(signed)/16/24/32, 'sowt' little-endian, G.711 'ulaw'/'alaw',
+    'fl32'/'fl64', 80-bit extended sample rates — and
+    decode_audio_bytes dispatches WAV vs AIFF on magic bytes."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        alaw_encode,
+        decode_aiff_bytes,
+        decode_audio_bytes,
+        encode_wav,
+        ulaw_encode,
+    )
+
+    def f80(x):
+        m, e = math.frexp(x)
+        return struct.pack(">HQ", (e - 1) + 16383, int(m * (1 << 64)))
+
+    def aiff(ctype, bits, payload, nch=1, rate=8000):
+        comm = struct.pack(
+            ">hIh", nch, len(payload) // (nch * max(bits // 8, 1)), bits
+        ) + f80(rate)
+        form = b"AIFF"
+        if ctype != b"PLAIN":
+            comm += ctype + b"\x00\x00"
+            form = b"AIFC"
+        ssnd = struct.pack(">II", 0, 0) + payload
+        out = b"FORM" + struct.pack(
+            ">I", 4 + 16 + len(comm) + len(ssnd)) + form
+        out += b"COMM" + struct.pack(">I", len(comm)) + comm
+        out += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        return out
+
+    x = (np.sin(np.linspace(0, 20, 400)) * 0.7).astype(np.float32)
+    v16 = np.round(x * 32767).astype(">i2")
+    r, s = decode_aiff_bytes(aiff(b"PLAIN", 16, v16.tobytes()))
+    assert r == 8000 and np.abs(s - x).max() < 1e-4
+    _, s = decode_aiff_bytes(
+        aiff(b"sowt", 16, np.round(x * 32767).astype("<i2").tobytes()))
+    assert np.abs(s - x).max() < 1e-4
+    _, s = decode_aiff_bytes(
+        aiff(b"PLAIN", 8, np.round(x * 127).astype(np.int8).tobytes()))
+    assert np.abs(s - x).max() < 0.01  # AIFF 8-bit is signed
+    v = np.round(x * 8388607).astype(np.int32)
+    b24 = np.zeros((len(v), 3), np.uint8)
+    b24[:, 0], b24[:, 1], b24[:, 2] = (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF
+    _, s = decode_aiff_bytes(aiff(b"PLAIN", 24, b24.tobytes()))
+    assert np.allclose(s, x, atol=2e-7)
+    _, s = decode_aiff_bytes(aiff(b"fl32", 32, x.astype(">f4").tobytes()))
+    assert np.allclose(s, x, atol=1e-7)
+    mu = ulaw_encode(np.round(x * 32767).astype(np.int32))
+    _, s = decode_aiff_bytes(
+        aiff(b"ulaw", 8, np.repeat(mu, 2).tobytes(), nch=2))
+    assert len(s) == len(x) and np.abs(s - x).max() < 0.032
+    al = alaw_encode(np.round(x * 32767).astype(np.int32))
+    _, s = decode_aiff_bytes(aiff(b"alaw", 8, al.tobytes()))
+    assert np.abs(s - x).max() < 0.032
+    r, _ = decode_aiff_bytes(aiff(b"PLAIN", 16, v16.tobytes(), rate=44100))
+    assert r == 44100  # 80-bit extended float rate
+    # magic-byte dispatch
+    assert decode_audio_bytes(encode_wav(x, 8000))[0] == 8000
+    assert decode_audio_bytes(aiff(b"PLAIN", 16, v16.tobytes()))[0] == 8000
+    with pytest.raises(ValueError, match="audio container"):
+        decode_audio_bytes(b"ID3\x04junkjunkjunk")
+    with pytest.raises(ValueError, match="ima4"):
+        decode_aiff_bytes(aiff(b"ima4", 16, b"\x00" * 64))
+
+
+def test_audio_mutation_fuzz_fails_cleanly():
+    """WAV + AIFF parsers under byte mutation: decode returns a valid
+    (rate, float32) pair or raises inside the contract set — never
+    hangs, never OverflowErrors on absurd 80-bit rates."""
+    import math
+    import random
+    import struct
+    import time
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        decode_audio_bytes,
+        encode_wav,
+        ulaw_encode,
+    )
+
+    def f80(x):
+        m, e = math.frexp(x)
+        return struct.pack(">HQ", (e - 1) + 16383, int(m * (1 << 64)))
+
+    x = (np.sin(np.linspace(0, 9, 300)) * 0.6).astype(np.float32)
+    comm = struct.pack(">hIh", 1, 300, 16) + f80(8000)
+    ssnd = struct.pack(">II", 0, 0) + np.round(x * 32767).astype(">i2").tobytes()
+    aiff = (b"FORM" + struct.pack(">I", 4 + 16 + len(comm) + len(ssnd))
+            + b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    mu = ulaw_encode(np.round(x * 32767).astype(np.int32)).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    wav_mu = (b"RIFF" + struct.pack("<I", 4 + 16 + 16 + len(mu)) + b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(mu)) + mu)
+    payloads = [encode_wav(x, 8000), aiff, wav_mu]
+    rng = random.Random(97)
+    t0 = time.time()
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(400):
+        data = bytearray(rng.choice(payloads))
+        for _m in range(rng.choice((1, 1, 3))):
+            data[rng.randrange(0, len(data))] = rng.randrange(256)
+        try:
+            rate, s = decode_audio_bytes(bytes(data))
+            assert rate >= 1 and s.dtype == np.float32
+            outcomes["ok"] += 1
+        except (ValueError, struct.error, EOFError):
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 400
+    # audio payloads are mostly raw samples, so most mutations decode
+    # fine — but header hits must error cleanly, and some always do
+    assert outcomes["err"] > 10, outcomes
+    assert time.time() - t0 < 60
