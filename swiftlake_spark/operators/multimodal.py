@@ -12,9 +12,11 @@ or Adam7 (``zlib`` + unfilter) — baseline/extended/progressive JPEG
 (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
 TIFF (8/16-bit gray/RGB(A), strips or tiles, chunky or planar:
 uncompressed, LZW incl. Predictor 2, Deflate, or PackBits; II/MM),
-GIF (87a/89a incl. animation), and WAV — integer PCM 8/16/24/32,
+GIF (87a/89a incl. animation), WAV — integer PCM 8/16/24/32,
 IEEE float 32/64, G.711 A-law/μ-law, WAVE_FORMAT_EXTENSIBLE
-(manual RIFF parse; ADPCM/MP3-in-WAV raise).
+(manual RIFF parse; ADPCM/MP3-in-WAV raise) — AIFF/AIFF-C (BE PCM,
+'sowt', G.711, fl32/fl64), and AVI video with MJPG frames (fps from
+the container, frames through the native JPEG codec).
 Arithmetic/hierarchical/12-bit JPEG, JPEG-in-TIFF/float-sample TIFF
 and spec-invalid PNG layouts go through the optional PIL seam
 (:func:`_pil_decode`):
@@ -148,6 +150,92 @@ def decode_ppm_stream(data: bytes) -> list[np.ndarray]:
         arr, pos = _parse_ppm_at(data, pos)
         frames.append(arr)
     return frames
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25,
+                     quality: int = 90) -> bytes:
+    """uint8 frames → minimal spec-shaped AVI with MJPG-compressed
+    '00dc' chunks (RIFF 'AVI ': LIST hdrl {avih, LIST strl {strh
+    'vids'/'MJPG', strf BITMAPINFOHEADER}}, LIST movi).  For tests and
+    payload synthesis — each movi chunk is a JPEG from encode_jpeg."""
+    from swiftlake_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0,
+        1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D,
+                       w * h * 3, 0, 0, 0, 0)  # 'MJPG' biCompression
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(data: bytes) -> tuple[float, list[bytes]]:
+    """AVI (RIFF) → (fps, per-frame compressed payloads).  Walks the
+    chunk tree, recursing into LISTs; collects ``##dc``/``##db``
+    stream-data chunks in file order and reads the frame rate from
+    ``avih`` (µs per frame).  MJPG payloads decode with the native
+    JPEG codec via decode_image_bytes; other FourCCs surface at frame
+    decode, not here."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    fps = 25.0
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal fps
+        pos = lo
+        while pos + 8 <= hi:
+            cid = data[pos: pos + 4]
+            (sz,) = struct.unpack_from("<I", data, pos + 4)
+            body_lo = pos + 8
+            body_hi = min(body_lo + sz, hi, len(data))
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list-kind fourcc
+            elif cid == b"avih" and sz >= 4:
+                (usec,) = struct.unpack_from("<I", data, body_lo)
+                if usec > 0:
+                    fps = 1_000_000.0 / usec
+            elif (len(cid) == 4 and cid[:2].isdigit()
+                  and cid[2:4] in (b"dc", b"db") and sz > 0):
+                frames.append(data[body_lo: body_hi])
+            pos = body_lo + sz + (sz & 1)
+
+    walk(12, len(data))
+    if not frames:
+        raise ValueError("AVI carries no video frame chunks")
+    return fps, frames
+
+
+def decode_video_stream(data: bytes) -> tuple[float, list[np.ndarray]]:
+    """Magic-byte video dispatch → (fps, decoded frames): AVI/MJPG via
+    decode_avi_frames + the image-codec dispatch per frame;
+    concatenated-PPM streams (fps unknown → 25.0 default).  MP4/webm
+    (ftyp/EBML magics) raise — they need ffmpeg, outside the stdlib
+    floor."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        fps, payloads = decode_avi_frames(data)
+        return fps, [decode_image_bytes(p) for p in payloads]
+    if data[:2] in (b"P6", b"P5"):
+        return 25.0, decode_ppm_stream(data)
+    raise ValueError("unrecognized video container (not AVI/PPM-stream)")
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -1442,11 +1530,13 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling + per-frame features via ``mapInPandas``.
 
-    Real path (default): payloads are concatenated-PPM streams
-    (encode_ppm_stream) — every ``every_ms`` of footage at ``fps`` one
-    frame is kept and feature-extracted (image_features).  Compressed
-    video (mp4/webm) needs ffmpeg and raises inside the task;
-    ``fake=True`` keeps the payload-seeded double."""
+    Real path (default): AVI/MJPG (decode_avi_frames — fps read from
+    the container, frames decoded by the native JPEG codec), animated
+    GIF, or concatenated-PPM streams (encode_ppm_stream, ``fps``
+    param) — every ``every_ms`` of footage one frame is kept and
+    feature-extracted (image_features).  MP4/webm needs ffmpeg and
+    raises inside the task; ``fake=True`` keeps the payload-seeded
+    double."""
     out_fields = df.schema.fields + [
         T.StructField(out_col, T.ArrayType(T.ArrayType(T.FloatType())))
     ]
@@ -1468,12 +1558,17 @@ def sample_frames(
                          for i in range(n)]
                     )
                 else:
+                    pf = fps
                     if payload[:6] in (b"GIF87a", b"GIF89a"):
                         fs = decode_gif(payload)  # animated GIF (r10)
+                    elif payload[:4] == b"RIFF":
+                        # AVI/MJPG (r11) — fps read from the container
+                        pf, fs = decode_video_stream(payload)
                     else:
                         fs = decode_ppm_stream(payload)
+                    st = max(1, round(every_ms * pf / 1000.0))
                     frames.append(
-                        [image_features(f).tolist() for f in fs[::step]]
+                        [image_features(f).tolist() for f in fs[::st]]
                     )
             pdf[out_col] = frames
             yield pdf

@@ -1825,3 +1825,109 @@ def test_audio_mutation_fuzz_fails_cleanly():
     # fine — but header hits must error cleanly, and some always do
     assert outcomes["err"] > 10, outcomes
     assert time.time() - t0 < 60
+
+
+def test_avi_mjpeg_video_sampling(spark):
+    """r11 video leg: AVI/MJPG containers decode through the native
+    JPEG codec with fps read from the container header (the fps param
+    only governs headerless PPM streams)."""
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_video_stream,
+        encode_avi_mjpeg,
+        sample_frames,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    mk = lambda i: np.stack(  # noqa: E731
+        [(yy * 3 + xx * 2 + i * 7) % 256, (yy * 5 + i) % 256,
+         (xx * 7) % 256], -1).astype(np.uint8)
+    clips = []
+    for i, (n, fps) in enumerate(((20, 10), (30, 15))):
+        clips.append((i, bytearray(encode_avi_mjpeg(
+            [mk(i * 100 + k) for k in range(n)], fps=fps, quality=100))))
+
+    fps, payloads = decode_avi_frames(bytes(clips[0][1]))
+    assert fps == 10.0 and len(payloads) == 20
+    _, frames = decode_video_stream(bytes(clips[0][1]))
+    assert np.abs(frames[0].astype(int) - mk(0).astype(int)).max() <= 3
+
+    d = spark.createDataFrame(clips, "id bigint, data binary")
+    # 1000 ms at CONTAINER fps: every 10th of 20 → 2; every 15th of 30 → 2
+    out = {r["id"]: r["frames"] for r in
+           sample_frames(d, "data", every_ms=1000, fps=99.0).collect()}
+    assert len(out[0]) == 2 and len(out[1]) == 2
+    assert out[0][0][0] == 24.0 and out[0][0][1] == 16.0  # true w/h
+
+
+def test_avi_mutation_fuzz_fails_cleanly():
+    import random
+    import struct
+    import time
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        decode_video_stream,
+        encode_avi_mjpeg,
+    )
+
+    rng0 = np.random.default_rng(101)
+    frames = [rng0.integers(0, 256, (12, 16, 3)).astype(np.uint8)
+              for _ in range(3)]
+    payload = encode_avi_mjpeg(frames, fps=12)
+    rng = random.Random(103)
+    t0 = time.time()
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(300):
+        data = bytearray(payload)
+        for _m in range(rng.choice((1, 1, 3))):
+            data[rng.randrange(0, len(data))] = rng.randrange(256)
+        try:
+            fps, fs = decode_video_stream(bytes(data))
+            assert fps > 0 and all(f.dtype == np.uint8 for f in fs)
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError, IndexError, KeyError,
+                struct.error):
+            outcomes["err"] += 1
+    assert outcomes["ok"] + outcomes["err"] == 300
+    assert outcomes["err"] > 20, outcomes
+    assert time.time() - t0 < 90
+
+
+def test_tiff_property_roundtrip_random_variants():
+    """Property: any uint8 image round-trips bit-exactly through any
+    combination of TIFF layout (strips/tiles), planar config, sample
+    depth, byte order and compression."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from swiftlake_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 33), w=st.integers(1, 33),
+        seed=st.integers(0, 2**31 - 1),
+        gray=st.booleans(),
+        comp=st.sampled_from(["none", "lzw", "lzw2", "deflate2", "packbits"]),
+        bits=st.sampled_from([8, 16]),
+        planar=st.sampled_from([1, 2]),
+        tile=st.sampled_from([None, (8, 8), (16, 4)]),
+        be=st.booleans(),
+        rps=st.sampled_from([None, 1, 5]),
+    )
+    def check(h, w, seed, gray, comp, bits, planar, tile, be, rps):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3)).astype(
+            np.uint8)
+        payload = encode_tiff(
+            img, lzw=comp.startswith("lzw"), deflate=comp == "deflate2",
+            packbits=comp == "packbits",
+            predictor=2 if comp in ("lzw2", "deflate2") else 1,
+            bits=bits, planar=planar, tile=tile, big_endian=be,
+            rows_per_strip=rps)
+        assert np.array_equal(decode_tiff(payload), img)
+
+    check()
