@@ -1445,11 +1445,13 @@ def decode_image(
 ) -> DataFrame:
     """Decode + feature-extract an image column via ``mapInPandas``.
 
-    Real path (default): stdlib codecs for PPM/PGM/BMP payloads
-    (decode_image_bytes) + pixel-level features (image_features);
-    compressed formats raise inside the task.  ``fake=True`` keeps the
-    deterministic payload-seeded double for pipelines whose payloads
-    aren't decodable here (identical schema / Arrow batching)."""
+    Real path (default): the full stdlib codec floor via the
+    magic-byte dispatch (decode_image_bytes — PPM/PGM, BMP, PNG,
+    JPEG, TIFF, GIF) + pixel-level features (image_features); formats
+    past the floor raise inside the task (or decode via the PIL seam
+    where pillow exists).  ``fake=True`` keeps the deterministic
+    payload-seeded double for pipelines whose payloads aren't
+    decodable here (identical schema / Arrow batching)."""
     out_fields = df.schema.fields + [
         T.StructField(out_col, T.ArrayType(T.FloatType()))
     ]
