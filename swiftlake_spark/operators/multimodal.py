@@ -199,8 +199,10 @@ def decode_avi_frames(data: bytes) -> tuple[float, list[bytes]]:
     fps = 25.0
     frames: list[bytes] = []
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
         nonlocal fps
+        if depth > 16:  # real AVIs nest 2-3 deep; cap crafted chains
+            raise ValueError("AVI LIST nesting too deep")
         pos = lo
         while pos + 8 <= hi:
             cid = data[pos: pos + 4]
@@ -208,7 +210,7 @@ def decode_avi_frames(data: bytes) -> tuple[float, list[bytes]]:
             body_lo = pos + 8
             body_hi = min(body_lo + sz, hi, len(data))
             if cid == b"LIST":
-                walk(body_lo + 4, body_hi)  # skip the list-kind fourcc
+                walk(body_lo + 4, body_hi, depth + 1)  # skip list fourcc
             elif cid == b"avih" and sz >= 4:
                 (usec,) = struct.unpack_from("<I", data, body_lo)
                 if usec > 0:
