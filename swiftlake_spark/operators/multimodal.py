@@ -576,13 +576,6 @@ def _predictor2_undo(raster: np.ndarray, w: int, spp: int) -> np.ndarray:
     return (rows & 0xFF).astype(np.uint8).reshape(-1)
 
 
-def _predictor2_apply(rows: np.ndarray) -> bytes:
-    """Forward horizontal differencing for the encoder (uint8 (h,w,spp))."""
-    d = rows.astype(np.int16)
-    d[:, 1:, :] -= rows[:, :-1, :].astype(np.int16)
-    return (d & 0xFF).astype(np.uint8).tobytes()
-
-
 def decode_tiff(data: bytes) -> np.ndarray:
     """Stdlib-only TIFF decode (first IFD, II or MM byte order):
 
@@ -1202,15 +1195,17 @@ def _pil_decode(data: bytes) -> np.ndarray:
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (H,W,3) or (H,W) uint8 array.
 
-    Stdlib-real: PPM/PGM, BMP, TIFF (8-bit strips, uncompressed or
-    PackBits), GIF (LZW, palettes, interlace — first frame here;
+    Stdlib-real: PPM/PGM, BMP, TIFF (8/16-bit gray/RGB(A), strips or
+    tiles, chunky or planar, uncompressed/LZW/Deflate/PackBits,
+    Predictor 2), GIF (LZW, palettes, interlace — first frame here;
     :func:`decode_gif` for animations), every spec-valid
     PNG layout (8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette,
-    sequential or Adam7), and baseline/extended/progressive JPEG (operators/jpeg.py —
-    huffman + dequant + IDCT + YCbCr, restart markers, integer chroma
-    ratios).  PIL-seam: the variants the stdlib paths refuse
-    (spec-invalid PNG layouts, oversize frames;
-    arithmetic/hierarchical/12-bit JPEG).  Anything else raises."""
+    sequential or Adam7), and baseline/extended/progressive JPEG at
+    8- or 12-bit precision (operators/jpeg.py — huffman + dequant +
+    IDCT + YCbCr, restart markers, integer chroma ratios).  PIL-seam:
+    the variants the stdlib paths refuse (spec-invalid PNG layouts,
+    oversize frames; JPEG-in-TIFF/float TIFF;
+    arithmetic/hierarchical/lossless JPEG).  Anything else raises."""
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
     if data[:2] == b"BM":
@@ -1545,7 +1540,6 @@ def sample_frames(
         T.StructField(out_col, T.ArrayType(T.ArrayType(T.FloatType())))
     ]
     out_schema = T.StructType(out_fields)
-    step = max(1, round(every_ms * fps / 1000.0))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1755,15 +1749,15 @@ def image_phash(arr: np.ndarray, hash_size: int = 8) -> int:
     size = 4 * hash_size
     h, w = a.shape
     # block-mean resize: rows/cols partitioned by integer split points
-    ys = (np.arange(size + 1) * h) // size
-    xs = (np.arange(size + 1) * w) // size
-    ys = np.maximum(ys, np.arange(size + 1))  # guarantee non-empty blocks
-    xs = np.maximum(xs, np.arange(size + 1))
     if h < size or w < size:  # tiny image: nearest-sample instead
         small = a[np.minimum((np.arange(size) * h) // size, h - 1)][
             :, np.minimum((np.arange(size) * w) // size, w - 1)
         ]
     else:
+        # split points strictly increase when h,w >= size, so every
+        # reduceat block is non-empty
+        ys = (np.arange(size + 1) * h) // size
+        xs = (np.arange(size + 1) * w) // size
         rows = np.add.reduceat(a, ys[:-1], axis=0)
         both = np.add.reduceat(rows, xs[:-1], axis=1)
         area = np.outer(np.diff(ys), np.diff(xs))

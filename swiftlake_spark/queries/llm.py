@@ -2298,7 +2298,10 @@ def q150_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, data = [], []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 b = (txt * 2).encode("utf-8")[:2]
-                rng = np.random.RandomState(int(did) * 31 + b[0] + b[1])
+                # doc_id stride must exceed the byte-sum range (<512)
+                # or two docs could collide to one seed, merging their
+                # phash triples and failing the groups_ok verdict
+                rng = np.random.RandomState(int(did) * 1009 + b[0] + b[1])
                 arr = rng.randint(20, 200, (32, 32, 3)).astype(np.uint8)
                 bright = (arr + 10).astype(np.uint8)  # no clip: max 209
                 up = arr.repeat(2, axis=0).repeat(2, axis=1)

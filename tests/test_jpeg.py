@@ -452,3 +452,29 @@ def test_12bit_mutation_fuzz_fails_cleanly():
     assert outcomes["ok"] + outcomes["err"] == 300
     assert outcomes["err"] > 30, outcomes
     assert time.time() - t0 < 90
+
+
+def test_12bit_progressive_property_matches_sequential():
+    """Property (the 12-bit analogue of the 8-bit progressive
+    property): progressive and extended-sequential 12-bit decode of
+    the same quantized coefficients are bit-identical."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(8, 32), w=st.integers(8, 32),
+        seed=st.integers(0, 2**31 - 1),
+        sub=st.sampled_from(["4:4:4", "4:2:0"]),
+        gray=st.booleans(),
+    )
+    def check(h, w, seed, sub, gray):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3)).astype(
+            np.uint8)
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, quality=85, subsampling=sub, precision=12))
+        base = decode_jpeg(encode_jpeg(
+            img, quality=85, subsampling=sub, precision=12))
+        assert np.array_equal(prog, base)
+
+    check()
