@@ -494,8 +494,17 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, bh) band keys over documents — md5 oracle-portable
     path, mirrors ``_minhash_pair_ctes``'s ``bands`` CTE.  Shared by the
     pair self-join (q48/q102/q105) and the star-edge construction
-    (q117)."""
+    (q117) — FOUR queries recompute the shingle explode + K md5
+    signatures otherwise, so the banded relation is registry-cached per
+    (session, sf_dir) like the q109 grams (one bounded slot, released
+    by clear()/engine.close())."""
+    from swiftlake_spark.artifacts import registry
     from swiftlake_spark.operators.dedup import minhash_signatures, shingles
+
+    app = spark.sparkContext.applicationId
+    cached = registry.get_persisted("minhash_banded", (app, sf_dir))
+    if cached is not None:
+        return cached
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     sh = shingles(d, "doc_id", "text", 3)
@@ -508,9 +517,11 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_MINHASH_BANDS)
     ]
-    return sig.select(
+    out = sig.select(
         F.col("id").alias("doc_id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "bk.band", "bk.bh")
+    return registry.put_persisted(
+        "minhash_banded", (app, sf_dir), out.persist(), app_id=app)
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
