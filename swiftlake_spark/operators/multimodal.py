@@ -11,7 +11,8 @@ PNG — 8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette, sequential
 or Adam7 (``zlib`` + unfilter) — baseline/extended/progressive JPEG
 (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
 TIFF (8/16-bit gray/RGB(A), strips or tiles, chunky or planar:
-uncompressed, LZW incl. Predictor 2, Deflate, or PackBits; II/MM),
+uncompressed, LZW incl. Predictor 2, Deflate, PackBits, or new-style
+JPEG-in-TIFF incl. JPEGTables; II/MM),
 GIF (87a/89a incl. animation), WAV — integer PCM 8/16/24/32,
 IEEE float 32/64, G.711 A-law/μ-law, WAVE_FORMAT_EXTENSIBLE
 (manual RIFF parse; ADPCM/MP3-in-WAV raise) — AIFF/AIFF-C (BE PCM,
@@ -583,12 +584,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
       byte, matching the PNG decoder's convention);
     - layout: strips OR tiles (322/323/324/325), chunky OR planar
       (PlanarConfiguration 2 — one segment stream per channel);
-    - compression: none (1), LZW (5), Deflate (8 / legacy 32946, via
-      ``zlib``) or PackBits (32773); Predictor 2 horizontal
-      differencing undone in sample space for LZW/Deflate.
+    - compression: none (1), LZW (5), new-style JPEG (7 — every
+      strip/tile a complete JPEG stream decoded by the native codec,
+      with tag-347 JPEGTables splicing per TIFF TechNote 2), Deflate
+      (8 / legacy 32946, via ``zlib``) or PackBits (32773);
+      Predictor 2 horizontal differencing undone in sample space for
+      LZW/Deflate.
 
-    JPEG-in-TIFF, sub-byte depths, float samples and other exotica
-    raise NotImplementedError — :func:`decode_image_bytes` falls
+    Old-style JPEG (6), sub-byte depths, float samples and other
+    exotica raise NotImplementedError — :func:`decode_image_bytes` falls
     through to the PIL seam for those."""
     if data[:4] == b"II*\x00":
         bo = "<"
@@ -601,7 +605,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("truncated TIFF: IFD offset past end")
     (n_ent,) = struct.unpack_from(bo + "H", data, ifd_off)
     tags: dict[int, list[int]] = {}
-    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}  # 7 = UNDEFINED (JPEGTables)
     for k in range(n_ent):
         off = ifd_off + 2 + k * 12
         if off + 12 > len(data):
@@ -614,7 +618,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
             bo + "I", data, off + 8)[0]
         if voff + total > len(data):
             raise ValueError("truncated TIFF tag value")
-        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 7: "B"}[typ]
         tags[tag] = list(
             struct.unpack_from(bo + fmt * cnt, data, voff))
 
@@ -636,16 +640,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
     predictor = one(317, 1)
     tiled = 322 in tags or 324 in tags
     bps = bits[0]
-    if comp not in (1, 5, 8, 32773, 32946) or planar not in (1, 2) \
+    if comp not in (1, 5, 7, 8, 32773, 32946) or planar not in (1, 2) \
             or len(set(bits)) != 1 or bps not in (8, 16) \
             or spp not in (1, 3, 4) or predictor not in (1, 2) \
-            or (predictor == 2 and comp not in (5, 8, 32946)):
+            or (predictor == 2 and comp not in (5, 8, 32946)) \
+            or (comp == 7 and (bps != 8 or planar != 1 or spp == 4
+                               or predictor != 1)):
         raise NotImplementedError(
             f"TIFF compression={comp} spp={spp} bits={bits} "
             f"planar={planar} tiled={tiled} predictor={predictor} "
             "needs PIL (stdlib path covers 8/16-bit gray/RGB(A), "
             "strips or tiles, chunky or planar, uncompressed/LZW/"
-            "Deflate/PackBits, Predictor 2)")
+            "Deflate/PackBits/JPEG, Predictor 2)")
     nbytes = bps // 8
     sdt = np.uint8 if bps == 8 else np.dtype(bo + "u2")
 
@@ -659,6 +665,33 @@ def decode_tiff(data: bytes) -> np.ndarray:
             -1, seg_w, seg_spp)
         np.cumsum(u, axis=1, out=u)
         return (u & 0xFFFF).astype(sdt).tobytes()
+
+    # JPEG-in-TIFF (new-style, compression 7, TIFF TechNote 2): every
+    # strip/tile is a complete JPEG bitstream, decoded by the native
+    # codec; a shared JPEGTables blob (tag 347, abbreviated SOI..EOI
+    # stream) is spliced ahead of each segment's frame data.
+    jpegtables = bytes(tags[347]) if 347 in tags else None
+
+    def jpeg_segment(i: int, soff: int, counts,
+                     eh: int, ew: int, seg_spp: int) -> np.ndarray:
+        from swiftlake_spark.operators.jpeg import decode_jpeg
+
+        end = soff + (counts[i] if counts and i < len(counts)
+                      else len(data) - soff)
+        if end > len(data) or soff >= end:
+            raise ValueError("truncated TIFF JPEG segment")
+        payload = data[soff:end]
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("TIFF JPEG segment missing SOI")
+        if jpegtables is not None and len(jpegtables) > 4:
+            payload = b"\xff\xd8" + jpegtables[2:-2] + payload[2:]
+        a = decode_jpeg(bytes(payload))
+        if a.ndim == 2:
+            a = a[:, :, None]
+        if a.shape[0] < eh or a.shape[1] < ew or a.shape[2] < seg_spp:
+            raise ValueError(
+                f"TIFF JPEG segment {a.shape} smaller than {eh}x{ew}")
+        return a[:eh, :ew, :seg_spp]
 
     def segment(i: int, soff: int, expect: int, counts, seg_w: int,
                 seg_spp: int) -> bytes:
@@ -702,11 +735,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
         for i in range(across * down * n_planes):
             plane, rem = divmod(i, across * down)
             ty, tx = divmod(rem, across)
+            y0, x0 = ty * tl, tx * tw
+            y1, x1 = min(y0 + tl, h), min(x0 + tw, w)
+            if comp == 7:
+                out[y0:y1, x0:x1, :] = jpeg_segment(
+                    i, offsets[i], counts, y1 - y0, x1 - x0, spp)
+                continue
             t = np.frombuffer(
                 segment(i, offsets[i], expect, counts, tw, seg_spp),
                 sdt).reshape(tl, tw, seg_spp)
-            y0, x0 = ty * tl, tx * tw
-            y1, x1 = min(y0 + tl, h), min(x0 + tw, w)
             if planar == 2:
                 out[y0:y1, x0:x1, plane] = t[: y1 - y0, : x1 - x0, 0]
             else:
@@ -726,6 +763,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
             plane, band = divmod(i, per_plane)
             y0 = band * rows_per
             rows = min(rows_per, h - y0)
+            if comp == 7:
+                out[y0: y0 + rows, :, :] = jpeg_segment(
+                    i, offsets[i], counts, rows, w, spp)
+                continue
             expect = rows * w * seg_spp * nbytes
             s = np.frombuffer(
                 segment(i, offsets[i], expect, counts, w, seg_spp),
@@ -745,6 +786,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
                 lzw: bool = False, deflate: bool = False,
+                jpeg: bool = False, jpeg_quality: int = 90,
                 predictor: int = 1,
                 rows_per_strip: int | None = None,
                 big_endian: bool = False, bits: int = 8,
@@ -761,10 +803,12 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
-    if packbits + lzw + deflate > 1:
+    if packbits + lzw + deflate + jpeg > 1:
         raise ValueError("pick one compression")
     if predictor == 2 and not (lzw or deflate):
         raise ValueError("predictor 2 requires lzw=True or deflate=True")
+    if jpeg and (bits != 8 or planar != 1):
+        raise ValueError("jpeg=True needs 8-bit chunky samples")
     if bits not in (8, 16):
         raise ValueError("bits must be 8 or 16")
     if planar not in (1, 2):
@@ -781,6 +825,12 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
 
     def pack_segment(rows: np.ndarray) -> bytes:
         """rows: (n, seg_w, seg_spp) in the sample dtype."""
+        if jpeg:
+            from swiftlake_spark.operators.jpeg import encode_jpeg
+
+            a8 = rows.astype(np.uint8)
+            return encode_jpeg(
+                a8[:, :, 0] if seg_spp == 1 else a8, quality=jpeg_quality)
         if predictor == 2:
             d = rows.astype(np.int32)
             d[:, 1:, :] -= rows[:, :-1, :].astype(np.int32)
@@ -850,8 +900,8 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [bits] * spp)
-    entry(259, 3, [5 if lzw else (8 if deflate else
-                                  (32773 if packbits else 1))])
+    entry(259, 3, [5 if lzw else (8 if deflate else (7 if jpeg else
+                                  (32773 if packbits else 1)))])
     if predictor == 2:
         entry(317, 3, [2])
     entry(262, 3, [1 if gray else 2])  # BlackIsZero / RGB
@@ -1196,15 +1246,15 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (H,W,3) or (H,W) uint8 array.
 
     Stdlib-real: PPM/PGM, BMP, TIFF (8/16-bit gray/RGB(A), strips or
-    tiles, chunky or planar, uncompressed/LZW/Deflate/PackBits,
-    Predictor 2), GIF (LZW, palettes, interlace — first frame here;
+    tiles, chunky or planar, uncompressed/LZW/Deflate/PackBits/
+    new-style JPEG incl. JPEGTables, Predictor 2), GIF (LZW, palettes, interlace — first frame here;
     :func:`decode_gif` for animations), every spec-valid
     PNG layout (8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette,
     sequential or Adam7), and baseline/extended/progressive JPEG at
     8- or 12-bit precision (operators/jpeg.py — huffman + dequant +
     IDCT + YCbCr, restart markers, integer chroma ratios).  PIL-seam:
     the variants the stdlib paths refuse (spec-invalid PNG layouts,
-    oversize frames; JPEG-in-TIFF/float TIFF;
+    oversize frames; old-style-JPEG/float TIFF;
     arithmetic/hierarchical/lossless JPEG).  Anything else raises."""
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)

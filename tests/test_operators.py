@@ -1277,12 +1277,13 @@ def test_tiff_white_is_zero_and_unsupported_variants():
     assert np.array_equal(got, 255 - g)
 
     # unsupported shapes refuse with NotImplementedError (PIL seam)
-    # (compression 7 = JPEG-in-TIFF; LZW is native since r11)
+    # (compression 6 = old-style JPEG; LZW native since r11, new-style
+    # JPEG (7) native later in r11)
     data = bytearray(encode_tiff(g))
     for k in range(n):
         off = 10 + 12 * k
         if struct.unpack_from("<H", data, off)[0] == 259:
-            struct.pack_into("<I", data, off + 8, 7)
+            struct.pack_into("<I", data, off + 8, 6)
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_tiff(bytes(data))
 
@@ -1931,3 +1932,94 @@ def test_tiff_property_roundtrip_random_variants():
         assert np.array_equal(decode_tiff(payload), img)
 
     check()
+
+
+def test_tiff_jpeg_in_tiff_roundtrip():
+    """r11: new-style JPEG-in-TIFF (compression 7) decodes natively —
+    self-contained strips/tiles and the shared-JPEGTables (tag 347)
+    abbreviated form, gray and RGB, either byte order."""
+    import struct
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        decode_image_bytes,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    yy, xx = np.mgrid[0:21, 0:37]
+    rgb = np.stack([(yy * 3 + xx * 2) % 256, (yy * 5) % 256,
+                    (xx * 7) % 256], -1).astype(np.uint8)
+    gray = ((yy * 7 + xx) % 256).astype(np.uint8)
+    for im in (rgb, gray):
+        for kw in ({}, {"rows_per_strip": 8}, {"tile": (16, 16)},
+                   {"big_endian": True}):
+            got = decode_tiff(encode_tiff(im, jpeg=True, jpeg_quality=100,
+                                          **kw))
+            assert np.abs(got.astype(int) - im.astype(int)).max() <= 3, kw
+    assert decode_image_bytes(encode_tiff(rgb, jpeg=True)).shape == rgb.shape
+
+    # JPEGTables path: split the strip JPEG's DQT/DHT into a tag-347
+    # blob (SOI..EOI) and leave an abbreviated frame in the strip
+    p = encode_tiff(gray, jpeg=True, jpeg_quality=100)
+    (ifd,) = struct.unpack_from("<I", p, 4)
+    (n,) = struct.unpack_from("<H", p, ifd)
+    tv = {}
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", p, off)
+        fmt = {3: "H", 4: "I"}[typ]
+        if struct.calcsize(fmt) * cnt <= 4:
+            tv[tag] = struct.unpack_from("<" + fmt * cnt, p, off + 8)[0]
+        else:
+            (vo,) = struct.unpack_from("<I", p, off + 8)
+            tv[tag] = struct.unpack_from("<" + fmt * cnt, p, vo)[0]
+    jpg = p[tv[273]: tv[273] + tv[279]]
+    pos, tables, frame = 2, b"", b"\xff\xd8"
+    while pos < len(jpg):
+        m = jpg[pos + 1]
+        if m == 0xDA:
+            frame += jpg[pos:]
+            break
+        (ln,) = struct.unpack_from(">H", jpg, pos + 2)
+        seg = jpg[pos: pos + 2 + ln]
+        if m in (0xDB, 0xC4):
+            tables += seg
+        else:
+            frame += seg
+        pos += 2 + ln
+    blob = b"\xff\xd8" + tables + b"\xff\xd9"
+
+    def ent(entries, extra, base, tag, typ, vals):
+        fmt = {3: "H", 4: "I", 7: "B"}[typ]
+        szb = struct.calcsize(fmt) * len(vals)
+        if szb <= 4:
+            raw = struct.pack("<" + fmt * len(vals), *vals)
+            entries.append((tag, typ, len(vals), raw + b"\x00" * (4 - szb)))
+        else:
+            entries.append((tag, typ, len(vals),
+                            base + len(extra)))
+            extra += struct.pack("<" + fmt * len(vals), *vals)
+            if len(extra) % 2:
+                extra += b"\x00"
+
+    entries, extra = [], bytearray()
+    nent = 10
+    base = 8 + 2 + 12 * nent + 4
+    for tag, typ, vals in ((256, 4, [37]), (257, 4, [21]), (258, 3, [8]),
+                           (259, 3, [7]), (262, 3, [1]), (277, 3, [1]),
+                           (278, 4, [21]), (279, 4, [len(frame)]),
+                           (347, 7, list(blob))):
+        ent(entries, extra, base, tag, typ, vals)
+    entries.append((273, 4, 1, base + len(extra)))  # strip offset
+    assert len(entries) == nent
+    entries.sort(key=lambda e: e[0])
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8)
+                    + struct.pack("<H", nent))
+    for tag, typ, cnt, v in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += v if isinstance(v, bytes) else struct.pack("<I", v)
+    out += struct.pack("<I", 0) + extra + frame
+    got = decode_tiff(bytes(out))
+    assert np.abs(got.astype(int) - gray.astype(int)).max() <= 3
