@@ -1585,6 +1585,7 @@ def test_tiff_extended_variants_mutation_fuzz():
         encode_tiff(img, bits=16, planar=2, big_endian=True,
                     rows_per_strip=6),
         encode_tiff(img, tile=(8, 8), deflate=True),
+        encode_tiff(img, jpeg=True, rows_per_strip=8),
     ]
     rng = random.Random(71)
     t0 = time.time()
