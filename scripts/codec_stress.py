@@ -18,6 +18,7 @@ Usage: python scripts/codec_stress.py [factor]      (default 10)
 from __future__ import annotations
 
 import os
+import struct
 import sys
 import time
 
@@ -66,16 +67,13 @@ def synth_images(n: int, seed: int = 11) -> list[bytes]:
     return out
 
 
-def synth_audio(n: int, seed: int = 13) -> list[bytes]:
-    rng = np.random.default_rng(seed)
+def synth_audio(n: int) -> list[bytes]:
     out = []
     for i in range(n):
         x = np.sin(np.linspace(0, 50, 4000) * (1 + i % 7)).astype(np.float32)
         if i % 2 == 0:
             out.append(encode_wav(x, 8000))
         else:  # G.711 mu-law WAV
-            import struct
-
             mu = ulaw_encode(np.round(x * 32767).astype(np.int32)).tobytes()
             fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
             out.append(b"RIFF" + struct.pack("<I", 28 + len(mu)) + b"WAVE"
@@ -84,8 +82,7 @@ def synth_audio(n: int, seed: int = 13) -> list[bytes]:
     return out
 
 
-def synth_video(n: int, seed: int = 17) -> list[bytes]:
-    rng = np.random.default_rng(seed)
+def synth_video(n: int) -> list[bytes]:
     yy, xx = np.mgrid[0:24, 0:32]
     out = []
     for i in range(n):

@@ -24,6 +24,9 @@ Scope (everything else raises NotImplementedError so
 - 1 (grayscale) or 3 (YCbCr) components, integer sampling ratios
   (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...);
 - restart intervals (DRI + RST0-7);
+- DHT-less abbreviated streams (OpenDML MJPG 'AVI1'): sequential
+  scans referencing an undefined Huffman slot fall back to the
+  Annex-K typical tables, as that spec requires of decoders;
 - arithmetic coding, hierarchical, lossless → seam.
 
 An encoder (`encode_jpeg`) exists for tests and payload synthesis, like
@@ -177,6 +180,26 @@ def _build_decode_lut(bits, vals):
             code += 1
         code <<= 1
     return lut
+
+
+_DEFAULT_LUTS: dict | None = None
+
+
+def _default_lut(tc: int, th: int):
+    """T.81 Annex-K typical tables as a decode fallback: OpenDML MJPG
+    ('AVI1') abbreviated JPEG omits DHT segments and requires decoders
+    to supply these (luma tables for slot 0, chroma for slot 1+).
+    Used ONLY by the sequential path — a progressive scan referencing
+    an undefined table is still an error."""
+    global _DEFAULT_LUTS
+    if _DEFAULT_LUTS is None:
+        _DEFAULT_LUTS = {
+            (0, 0): _build_decode_lut(_DC_LUMA_BITS, _DC_LUMA_VALS),
+            (0, 1): _build_decode_lut(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 0): _build_decode_lut(_AC_LUMA_BITS, _AC_LUMA_VALS),
+            (1, 1): _build_decode_lut(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        }
+    return _DEFAULT_LUTS[(tc, min(th, 1))]
 
 
 def _build_encode_lut(bits, vals):
@@ -398,8 +421,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
             mcu_count += 1
             for c in comps:
                 cid = c["id"]
-                dc_lut = huff_dc[scan[cid][0]]
-                ac_lut = huff_ac[scan[cid][1]]
+                dc_lut = huff_dc.get(scan[cid][0])
+                ac_lut = huff_ac.get(scan[cid][1])
+                if dc_lut is None:  # OpenDML AVI1: supply Annex-K
+                    dc_lut = _default_lut(0, scan[cid][0])
+                if ac_lut is None:
+                    ac_lut = _default_lut(1, scan[cid][1])
                 for cy in range(c["v"]):
                     for cx in range(c["h"]):
                         coef = np.zeros(64, dtype=np.int32)

@@ -163,6 +163,8 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25,
 
     if not frames:
         raise ValueError("no frames")
+    if fps < 1:
+        raise ValueError("fps must be >= 1")
     h, w = frames[0].shape[:2]
     payloads = [encode_jpeg(f, quality=quality) for f in frames]
 
@@ -174,8 +176,8 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25,
         return chunk(b"LIST", kind + body)
 
     avih = struct.pack(
-        "<IIIIIIIIII4I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0,
-        1, 0, w, h, 0, 0, 0, 0)
+        "<IIIIIIIIII4I", round(1_000_000 / fps), 0, 0, 0x10,
+        len(frames), 0, 1, 0, w, h, 0, 0, 0, 0)
     strh = (b"vids" + b"MJPG" + struct.pack(
         "<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, -1, 0)
         + struct.pack("<4H", 0, 0, w, h))
@@ -191,17 +193,21 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25,
 def decode_avi_frames(data: bytes) -> tuple[float, list[bytes]]:
     """AVI (RIFF) → (fps, per-frame compressed payloads).  Walks the
     chunk tree, recursing into LISTs; collects ``##dc``/``##db``
-    stream-data chunks in file order and reads the frame rate from
-    ``avih`` (µs per frame).  MJPG payloads decode with the native
-    JPEG codec via decode_image_bytes; other FourCCs surface at frame
-    decode, not here."""
+    stream-data chunks of the FIRST video stream seen (a second video
+    stream's chunks would otherwise interleave under one clock) and
+    reads the frame rate from the 'vids' strh dwRate/dwScale pair,
+    falling back to avih µs-per-frame.  MJPG payloads decode with the
+    native JPEG codec via decode_image_bytes; other FourCCs surface at
+    frame decode, not here."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     fps = 25.0
+    strh_fps = None
+    stream: bytes | None = None  # 2-digit id of the first video stream
     frames: list[bytes] = []
 
     def walk(lo: int, hi: int, depth: int = 0) -> None:
-        nonlocal fps
+        nonlocal fps, strh_fps, stream
         if depth > 16:  # real AVIs nest 2-3 deep; cap crafted chains
             raise ValueError("AVI LIST nesting too deep")
         pos = lo
@@ -216,15 +222,23 @@ def decode_avi_frames(data: bytes) -> tuple[float, list[bytes]]:
                 (usec,) = struct.unpack_from("<I", data, body_lo)
                 if usec > 0:
                     fps = 1_000_000.0 / usec
+            elif (cid == b"strh" and sz >= 28 and strh_fps is None
+                  and data[body_lo: body_lo + 4] == b"vids"):
+                scale, rate = struct.unpack_from("<II", data, body_lo + 20)
+                if scale > 0 and rate > 0:
+                    strh_fps = rate / scale
             elif (len(cid) == 4 and cid[:2].isdigit()
                   and cid[2:4] in (b"dc", b"db") and sz > 0):
-                frames.append(data[body_lo: body_hi])
+                if stream is None:
+                    stream = cid[:2]
+                if cid[:2] == stream:
+                    frames.append(data[body_lo: body_hi])
             pos = body_lo + sz + (sz & 1)
 
     walk(12, len(data))
     if not frames:
         raise ValueError("AVI carries no video frame chunks")
-    return fps, frames
+    return (strh_fps if strh_fps is not None else fps), frames
 
 
 def decode_video_stream(data: bytes) -> tuple[float, list[np.ndarray]]:
@@ -638,20 +652,33 @@ def decode_tiff(data: bytes) -> np.ndarray:
     bits = tags.get(258, [8])
     planar = one(284, 1)
     predictor = one(317, 1)
+    photometric = one(262, 1)
     tiled = 322 in tags or 324 in tags
     bps = bits[0]
+    # photometric scope: gray either polarity (0/1), RGB (2), palette
+    # (3, via ColorMap), YCbCr (6) ONLY as JPEG-in-TIFF where the codec
+    # does the conversion; raw-RGB JPEG (photometric 2 + comp 7, libtiff
+    # JPEGCOLORMODE_RAW) would decode with a bogus YCbCr transform, so
+    # it routes to the seam rather than returning garbled colors.
     if comp not in (1, 5, 7, 8, 32773, 32946) or planar not in (1, 2) \
             or len(set(bits)) != 1 or bps not in (8, 16) \
             or spp not in (1, 3, 4) or predictor not in (1, 2) \
             or (predictor == 2 and comp not in (5, 8, 32946)) \
-            or (comp == 7 and (bps != 8 or planar != 1 or spp == 4
+            or photometric not in (0, 1, 2, 3, 6) \
+            or (photometric == 6) != (comp == 7 and spp == 3) \
+            or (photometric == 3 and (spp != 1 or bps != 8
+                                      or 320 not in tags or comp == 7)) \
+            or (comp == 7 and (bps != 8 or planar != 1
+                               or spp not in (1, 3)
+                               or photometric == 2
                                or predictor != 1)):
         raise NotImplementedError(
             f"TIFF compression={comp} spp={spp} bits={bits} "
             f"planar={planar} tiled={tiled} predictor={predictor} "
-            "needs PIL (stdlib path covers 8/16-bit gray/RGB(A), "
-            "strips or tiles, chunky or planar, uncompressed/LZW/"
-            "Deflate/PackBits/JPEG, Predictor 2)")
+            f"photometric={photometric} "
+            "needs PIL (stdlib path covers 8/16-bit gray/RGB(A)/"
+            "palette, strips or tiles, chunky or planar, uncompressed/"
+            "LZW/Deflate/PackBits/JPEG, Predictor 2)")
     nbytes = bps // 8
     sdt = np.uint8 if bps == 8 else np.dtype(bo + "u2")
 
@@ -777,7 +804,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 out[y0: y0 + rows, :, :] = s
     if bps == 16:
         out = (out.astype(np.uint16) >> 8).astype(np.uint8)
-    photometric = one(262, 1)
+    if photometric == 3:  # palette: ColorMap is 3×2^bps 16-bit planes
+        cm = tags[320]
+        n = 1 << bps
+        if len(cm) < 3 * n:
+            raise ValueError("TIFF ColorMap shorter than 3*2^bps")
+        lut = (np.array(cm[: 3 * n], dtype=np.uint32)
+               .reshape(3, n).T >> 8).astype(np.uint8)
+        return lut[out[:, :, 0]]
     if spp == 1:
         g = out[:, :, 0]
         return (255 - g) if photometric == 0 else g  # 0 = white-is-zero
@@ -904,7 +938,9 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
                                   (32773 if packbits else 1)))])
     if predictor == 2:
         entry(317, 3, [2])
-    entry(262, 3, [1 if gray else 2])  # BlackIsZero / RGB
+    # BlackIsZero / RGB; JPEG color strips are JFIF YCbCr streams, so
+    # the photometric tag must say 6 (the decoder's codec undoes it)
+    entry(262, 3, [1 if gray else (6 if jpeg else 2)])
     entry(off_tag, 4, [0] * n_strips)  # offsets patched below
     entry(277, 3, [spp])
     if planar == 2:
@@ -1610,8 +1646,17 @@ def sample_frames(
                     if payload[:6] in (b"GIF87a", b"GIF89a"):
                         fs = decode_gif(payload)  # animated GIF (r10)
                     elif payload[:4] == b"RIFF":
-                        # AVI/MJPG (r11) — fps read from the container
-                        pf, fs = decode_video_stream(payload)
+                        # AVI/MJPG (r11) — fps from the container, and
+                        # only the SAMPLED payloads are JPEG-decoded
+                        # (decoding all N then slicing wasted st-fold
+                        # huffman+IDCT work, r11 review)
+                        pf, raw = decode_avi_frames(payload)
+                        st = max(1, round(every_ms * pf / 1000.0))
+                        fs = [decode_image_bytes(r) for r in raw[::st]]
+                        frames.append(
+                            [image_features(f).tolist() for f in fs]
+                        )
+                        continue
                     else:
                         fs = decode_ppm_stream(payload)
                     st = max(1, round(every_ms * pf / 1000.0))

@@ -478,3 +478,42 @@ def test_12bit_progressive_property_matches_sequential():
         assert np.array_equal(prog, base)
 
     check()
+
+
+def test_avi1_dhtless_stream_uses_default_tables():
+    """OpenDML MJPG ('AVI1') abbreviated JPEG omits DHT segments and
+    requires decoders to supply the Annex-K typical tables; a stream
+    with every DHT stripped must decode identically to the full one.
+    Progressive stays strict (missing table = error)."""
+    import struct
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.stack([(yy * 3 + xx * 2) % 256, (yy * 5) % 256,
+                    (xx * 7) % 256], -1).astype(np.uint8)
+    for kw in ({}, {"subsampling": "4:2:0"}, {"restart_interval": 2}):
+        full = encode_jpeg(img, quality=90, **kw)
+        pos, out = 2, bytearray(b"\xff\xd8")
+        while pos < len(full):
+            m = full[pos + 1]
+            if m == 0xDA:
+                out += full[pos:]
+                break
+            (ln,) = struct.unpack_from(">H", full, pos + 2)
+            if m != 0xC4:
+                out += full[pos: pos + 2 + ln]
+            pos += 2 + ln
+        assert np.array_equal(decode_jpeg(bytes(out)), decode_jpeg(full)), kw
+
+    prog = encode_jpeg_progressive(img, quality=90)
+    pos, out = 2, bytearray(b"\xff\xd8")
+    while pos < len(prog):
+        m = prog[pos + 1]
+        if m == 0xDA:
+            out += prog[pos:]  # keep from first SOS on (DHTs between
+            break              # scans survive; the first scan lacks its)
+        (ln,) = struct.unpack_from(">H", prog, pos + 2)
+        if m != 0xC4:
+            out += prog[pos: pos + 2 + ln]
+        pos += 2 + ln
+    with pytest.raises(ValueError, match="huffman"):
+        decode_jpeg(bytes(out))
