@@ -1571,6 +1571,8 @@ def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_media_meta,
         decode_audio,
         encode_wav,
+        ulaw_decode,
+        ulaw_encode,
     )
 
     d = (
@@ -1590,11 +1592,34 @@ def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(batches):
+        import struct
+
         for pdf in batches:
             data, durs, rmss, zcrs = [], [], [], []
-            for txt in pdf["text"]:
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
                 samples = (raw.astype(np.float32) - 128.0) / 128.0
+                if int(did) % 2 == 1:
+                    # r11: odd docs ship as G.711 mu-law WAV (format 7)
+                    # so the manual RIFF parse + G.711 expansion is
+                    # driver-certified; the expectation below is EXACT
+                    # because both sides decode the same mu-law bytes
+                    mu = ulaw_encode(
+                        np.round(np.clip(samples, -1.0, 1.0) * 32767.0)
+                        .astype(np.int32))
+                    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+                    body = mu.tobytes()
+                    data.append(
+                        b"RIFF" + struct.pack("<I", 28 + len(body))
+                        + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+                        + b"data" + struct.pack("<I", len(body)) + body)
+                    qf = ulaw_decode(mu).astype(np.float32) / 32768.0
+                    durs.append(int(len(qf) * 1000 / 8_000))
+                    rmss.append(float(np.sqrt(np.mean(qf**2)))
+                                if len(qf) else 0.0)
+                    zcrs.append(float((np.diff(np.sign(qf)) != 0).mean())
+                                if len(qf) > 1 else 0.0)
+                    continue
                 data.append(encode_wav(samples, rate=8_000))
                 # independent expectation from the QUANTIZED samples —
                 # replicates the int16 clip/scale the encoder applies but
@@ -1799,7 +1824,11 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    from swiftlake_spark.operators.multimodal import encode_ppm_stream, sample_frames
+    from swiftlake_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_ppm_stream,
+        sample_frames,
+    )
 
     d = (
         load(spark, sf_dir, "documents")
@@ -1817,16 +1846,24 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches):
         for pdf in batches:
             data, exp = [], []
-            for txt in pdf["text"]:
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
                 n_frames = max(1, min(len(raw) // 192, 40))
                 reps = int(np.ceil(n_frames * 192 / max(len(raw), 1)))
                 raw = np.tile(raw, reps)[: n_frames * 192]
                 frames = [raw[i * 192: (i + 1) * 192].reshape(8, 8, 3)
                           for i in range(n_frames)]
-                data.append(encode_ppm_stream(frames))
+                # r11: odd docs ship as AVI/MJPG at container fps 25
+                # (same every-3rd sampling as the PPM fps param), so
+                # the AVI chunk walk + native JPEG frame decode is
+                # driver-certified alongside the lossless PPM path
+                if int(did) % 2 == 1:
+                    data.append(encode_avi_mjpeg(frames, fps=25,
+                                                 quality=100))
+                else:
+                    data.append(encode_ppm_stream(frames))
                 # frame 0's R-channel mean straight from the bytes — no
-                # PPM codec involved
+                # codec involved
                 exp.append(float(raw[0:192][0::3].astype(np.float64).mean()))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "data": data, "exp_f0_mean_r": exp}
@@ -1835,6 +1872,10 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = d.mapInPandas(synth, synth_schema)
     out = sample_frames(clips, "data", every_ms=120, fps=25.0)  # every 3rd frame
     ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
+    # MJPG is lossy: measured worst |mean-R error| at quality 100 over
+    # random 8x8 frames is 0.25; bound 1.0 (4x margin).  PPM stays
+    # bit-exact at 0.01.
+    bound = F.when(F.col("doc_id") % 2 == 1, F.lit(1.0)).otherwise(F.lit(0.01))
     return out.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size("frames")).cast("bigint").alias("total_sampled"),
@@ -1842,7 +1883,7 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(
                 F.element_at(F.element_at("frames", 1), 4) - F.col("exp_f0_mean_r")
             )
-            < 0.01
+            < bound
         ).alias("f0_mean_ok"),
     )
 
