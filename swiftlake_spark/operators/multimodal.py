@@ -10,9 +10,9 @@ PPM/PGM (P6/P5 netpbm), uncompressed 24/32-bit BMP (``struct``),
 PNG — 8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette, sequential
 or Adam7 (``zlib`` + unfilter) — baseline/extended/progressive JPEG
 (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
-TIFF (8/16-bit gray/RGB(A), strips or tiles, chunky or planar:
-uncompressed, LZW incl. Predictor 2, Deflate, PackBits, or new-style
-JPEG-in-TIFF incl. JPEGTables; II/MM),
+TIFF (1/2/4/8/16-bit gray/RGB(A)/palette, strips or tiles, chunky
+or planar: uncompressed, LZW incl. Predictor 2, Deflate, PackBits, or
+new-style JPEG-in-TIFF incl. JPEGTables; II/MM),
 GIF (87a/89a incl. animation), WAV — integer PCM 8/16/24/32,
 IEEE float 32/64, G.711 A-law/μ-law, WAVE_FORMAT_EXTENSIBLE
 (manual RIFF parse; ADPCM/MP3-in-WAV raise) — AIFF/AIFF-C (BE PCM,
@@ -595,7 +595,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     """Stdlib-only TIFF decode (first IFD, II or MM byte order):
 
     - samples: 8- or 16-bit gray/RGB(A) (16-bit downscales to the high
-      byte, matching the PNG decoder's convention);
+      byte, matching the PNG decoder's convention) plus 1/2/4-bit
+      gray/palette strips (bilevel scans; values rescale to 0..255);
     - layout: strips OR tiles (322/323/324/325), chunky OR planar
       (PlanarConfiguration 2 — one segment stream per channel);
     - compression: none (1), LZW (5), new-style JPEG (7 — every
@@ -660,25 +661,88 @@ def decode_tiff(data: bytes) -> np.ndarray:
     # does the conversion; raw-RGB JPEG (photometric 2 + comp 7, libtiff
     # JPEGCOLORMODE_RAW) would decode with a bogus YCbCr transform, so
     # it routes to the seam rather than returning garbled colors.
+    # sub-byte depths (1/2/4-bit): bilevel/paletted scanned documents —
+    # gray or palette, single sample, strip layout, no predictor
+    subbyte = bps in (1, 2, 4)
     if comp not in (1, 5, 7, 8, 32773, 32946) or planar not in (1, 2) \
-            or len(set(bits)) != 1 or bps not in (8, 16) \
+            or len(set(bits)) != 1 or bps not in (1, 2, 4, 8, 16) \
             or spp not in (1, 3, 4) or predictor not in (1, 2) \
             or (predictor == 2 and comp not in (5, 8, 32946)) \
             or photometric not in (0, 1, 2, 3, 6) \
             or (photometric == 6) != (comp == 7 and spp == 3) \
-            or (photometric == 3 and (spp != 1 or bps != 8
+            or (photometric == 3 and (spp != 1 or bps not in (1, 2, 4, 8)
                                       or 320 not in tags or comp == 7)) \
             or (comp == 7 and (bps != 8 or planar != 1
                                or spp not in (1, 3)
                                or photometric == 2
-                               or predictor != 1)):
+                               or predictor != 1)) \
+            or (subbyte and (spp != 1 or tiled or predictor != 1
+                             or comp == 7)):
         raise NotImplementedError(
             f"TIFF compression={comp} spp={spp} bits={bits} "
             f"planar={planar} tiled={tiled} predictor={predictor} "
             f"photometric={photometric} "
             "needs PIL (stdlib path covers 8/16-bit gray/RGB(A)/"
-            "palette, strips or tiles, chunky or planar, uncompressed/"
-            "LZW/Deflate/PackBits/JPEG, Predictor 2)")
+            "palette, strips or tiles, chunky or planar, 1/2/4-bit "
+            "gray/palette strips, uncompressed/LZW/Deflate/PackBits/"
+            "JPEG, Predictor 2)")
+    if subbyte:
+        # decode strip bytes → per-pixel values (row-padded MSB-first)
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets:
+            raise ValueError("TIFF without strip offsets")
+        rows_per = one(278, h)
+        if rows_per < 1:
+            raise ValueError("TIFF RowsPerStrip < 1")
+        row_bytes = (w * bps + 7) // 8
+        vals = np.zeros((h, w), dtype=np.uint8)
+        for i in range((h + rows_per - 1) // rows_per):
+            y0 = i * rows_per
+            rows = min(rows_per, h - y0)
+            expect = rows * row_bytes
+            if i >= len(offsets):
+                raise ValueError("TIFF missing strips")
+            soff = offsets[i]
+            if comp == 1:
+                if soff + expect > len(data):
+                    raise ValueError("truncated TIFF segment")
+                seg = data[soff: soff + expect]
+            else:
+                end = soff + (counts[i] if counts and i < len(counts)
+                              else len(data) - soff)
+                if end > len(data):
+                    raise ValueError("truncated TIFF segment bytes")
+                if comp == 5:
+                    seg = _tiff_lzw_decode(data[soff:end], expect)
+                elif comp in (8, 32946):
+                    try:
+                        seg = zlib.decompress(data[soff:end])
+                    except zlib.error as exc:
+                        raise ValueError(
+                            f"bad TIFF deflate segment: {exc}") from None
+                else:
+                    seg = _packbits_decode(data[soff:end], expect)
+                if len(seg) < expect:
+                    raise ValueError("short TIFF segment")
+                seg = seg[:expect]
+            b = np.unpackbits(
+                np.frombuffer(seg, np.uint8).reshape(rows, row_bytes),
+                axis=1)[:, : w * bps]
+            px = b.reshape(rows, w, bps)
+            weights = (1 << np.arange(bps - 1, -1, -1)).astype(np.uint8)
+            vals[y0: y0 + rows] = (px * weights).sum(axis=2).astype(np.uint8)
+        if photometric == 3:
+            cm = tags[320]
+            n = 1 << bps
+            if len(cm) < 3 * n:
+                raise ValueError("TIFF ColorMap shorter than 3*2^bps")
+            lut = (np.array(cm[: 3 * n], dtype=np.uint32)
+                   .reshape(3, n).T >> 8).astype(np.uint8)
+            return lut[vals]
+        maxv = (1 << bps) - 1
+        g = (vals.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+        return (255 - g) if photometric == 0 else g
     nbytes = bps // 8
     sdt = np.uint8 if bps == 8 else np.dtype(bo + "u2")
 
@@ -843,8 +907,13 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
         raise ValueError("predictor 2 requires lzw=True or deflate=True")
     if jpeg and (bits != 8 or planar != 1):
         raise ValueError("jpeg=True needs 8-bit chunky samples")
-    if bits not in (8, 16):
-        raise ValueError("bits must be 8 or 16")
+    if bits not in (1, 2, 4, 8, 16):
+        raise ValueError("bits must be 1, 2, 4, 8 or 16")
+    if bits < 8 and np.asarray(arr).ndim != 2:
+        raise ValueError("sub-byte bits need a gray (H,W) array")
+    if bits < 8 and (planar != 1 or tile is not None or predictor != 1
+                     or jpeg):
+        raise ValueError("sub-byte bits: chunky strips only")
     if planar not in (1, 2):
         raise ValueError("planar must be 1 or 2")
     h, w = a.shape[:2]
@@ -854,22 +923,24 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
     chw = a.reshape(h, w, spp)
     if bits == 16:  # 8-bit input widened so the high byte round-trips
         chw = chw.astype(np.uint16) * 257
+    if bits < 8:
+        # quantize 0..255 → the bps level whose 255-rescale the decoder
+        # emits; round-trips exactly for inputs on the level lattice
+        maxv = (1 << bits) - 1
+        lv = (chw.astype(np.uint32) * maxv + 127) // 255
+        row_bytes = (w * bits + 7) // 8
+        packed = np.packbits(
+            ((lv[:, :, 0:1].astype(np.uint8)[..., None]
+              >> np.arange(bits - 1, -1, -1)) & 1)
+            .reshape(h, w * bits), axis=1)
+        # pad rows to byte boundary
+        if packed.shape[1] < row_bytes:
+            packed = np.pad(packed, ((0, 0), (0, row_bytes - packed.shape[1])))
+        packed = packed[:, :row_bytes]
     sdt = np.uint8 if bits == 8 else np.dtype(bo + "u2")
     seg_spp = 1 if planar == 2 else spp
 
-    def pack_segment(rows: np.ndarray) -> bytes:
-        """rows: (n, seg_w, seg_spp) in the sample dtype."""
-        if jpeg:
-            from swiftlake_spark.operators.jpeg import encode_jpeg
-
-            a8 = rows.astype(np.uint8)
-            return encode_jpeg(
-                a8[:, :, 0] if seg_spp == 1 else a8, quality=jpeg_quality)
-        if predictor == 2:
-            d = rows.astype(np.int32)
-            d[:, 1:, :] -= rows[:, :-1, :].astype(np.int32)
-            rows = (d & ((1 << bits) - 1))
-        raw = rows.astype(sdt).tobytes()
+    def pack_raw(raw: bytes) -> bytes:
         if lzw:
             return _tiff_lzw_encode(raw)
         if deflate:
@@ -898,6 +969,20 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
             i = j + 1
         return bytes(out)
 
+    def pack_segment(rows: np.ndarray) -> bytes:
+        """rows: (n, seg_w, seg_spp) in the sample dtype."""
+        if jpeg:
+            from swiftlake_spark.operators.jpeg import encode_jpeg
+
+            a8 = rows.astype(np.uint8)
+            return encode_jpeg(
+                a8[:, :, 0] if seg_spp == 1 else a8, quality=jpeg_quality)
+        if predictor == 2:
+            d = rows.astype(np.int32)
+            d[:, 1:, :] -= rows[:, :-1, :].astype(np.int32)
+            rows = (d & ((1 << bits) - 1))
+        return pack_raw(rows.astype(sdt).tobytes())
+
     planes = ([chw[:, :, p: p + 1] for p in range(spp)]
               if planar == 2 else [chw])
     strips = []
@@ -910,6 +995,9 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
                     blk = pl[y: y + tl, x: x + tw]
                     t[: blk.shape[0], : blk.shape[1]] = blk
                     strips.append(pack_segment(t))
+    elif bits < 8:
+        strips.extend(pack_raw(packed[y: y + rps].tobytes())
+                      for y in range(0, h, rps))
     else:
         for pl in planes:
             strips.extend(pack_segment(pl[y: y + rps])
@@ -1281,9 +1369,9 @@ def _pil_decode(data: bytes) -> np.ndarray:
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes → (H,W,3) or (H,W) uint8 array.
 
-    Stdlib-real: PPM/PGM, BMP, TIFF (8/16-bit gray/RGB(A), strips or
-    tiles, chunky or planar, uncompressed/LZW/Deflate/PackBits/
-    new-style JPEG incl. JPEGTables, Predictor 2), GIF (LZW, palettes, interlace — first frame here;
+    Stdlib-real: PPM/PGM, BMP, TIFF (1/2/4/8/16-bit gray/RGB(A)/
+    palette, strips or tiles, chunky or planar, uncompressed/LZW/
+    Deflate/PackBits/new-style JPEG incl. JPEGTables, Predictor 2), GIF (LZW, palettes, interlace — first frame here;
     :func:`decode_gif` for animations), every spec-valid
     PNG layout (8/16-bit truecolor/gray, 1/2/4/8-bit gray/palette,
     sequential or Adam7), and baseline/extended/progressive JPEG at

@@ -2024,3 +2024,78 @@ def test_tiff_jpeg_in_tiff_roundtrip():
     out += struct.pack("<I", 0) + extra + frame
     got = decode_tiff(bytes(out))
     assert np.abs(got.astype(int) - gray.astype(int)).max() <= 3
+
+
+def test_tiff_subbyte_depths_roundtrip():
+    """r11: 1/2/4-bit TIFF (bilevel / paletted scanned documents) —
+    gray round-trips exactly on the level lattice across compressions,
+    byte orders and row-padded odd widths; a hand-built 4-bit palette
+    fixture expands through the ColorMap."""
+    import struct
+
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(9)
+    for bps in (1, 2, 4):
+        maxv = (1 << bps) - 1
+        levels = (np.arange(maxv + 1) * 255 // maxv).astype(np.uint8)
+        img = levels[rng.integers(0, maxv + 1, (13, 29))]
+        for comp in ({}, {"lzw": True}, {"deflate": True},
+                     {"packbits": True}):
+            for rps in (None, 3):
+                got = decode_tiff(encode_tiff(
+                    img, bits=bps, rows_per_strip=rps, **comp))
+                assert np.array_equal(got, img), (bps, comp, rps)
+
+    # 4-bit palette: indices 0..15 → ColorMap rows (16-bit entries)
+    idx = rng.integers(0, 16, (5, 9)).astype(np.uint8)
+    row_bytes = (9 * 4 + 7) // 8
+    raw = bytearray()
+    for r in range(5):
+        row = np.packbits((idx[r][:, None] >> np.arange(3, -1, -1) & 1)
+                          .reshape(-1))
+        raw += row.tobytes()[:row_bytes].ljust(row_bytes, b"\x00")
+    cmap = []
+    for ch in range(3):
+        cmap += [((i * 17) << 8 | (ch * 5)) & 0xFFFF for i in range(16)]
+
+    entries, extra = [], bytearray()
+    nent = 10
+    base = 8 + 2 + 12 * nent + 4
+
+    def ent(tag, typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        szb = struct.calcsize(fmt) * len(vals)
+        if szb <= 4:
+            entries.append((tag, typ, len(vals),
+                            struct.pack("<" + fmt * len(vals), *vals)
+                            + b"\x00" * (4 - szb)))
+        else:
+            entries.append((tag, typ, len(vals), base + len(extra)))
+            extra.extend(struct.pack("<" + fmt * len(vals), *vals))
+
+    ent(256, 4, [9])
+    ent(257, 4, [5])
+    ent(258, 3, [4])
+    ent(259, 3, [1])
+    ent(262, 3, [3])  # palette
+    ent(277, 3, [1])
+    ent(278, 4, [5])
+    ent(279, 4, [len(raw)])
+    ent(320, 3, cmap)
+    entries.append((273, 4, 1, base + len(extra)))
+    assert len(entries) == nent
+    entries.sort(key=lambda e: e[0])
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8)
+                    + struct.pack("<H", nent))
+    for tag, typ, cnt, v in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += v if isinstance(v, bytes) else struct.pack("<I", v)
+    out += struct.pack("<I", 0) + extra + raw
+    got = decode_tiff(bytes(out))
+    # ColorMap entries: high byte of ((i*17)<<8 | ch*5) is i*17 in
+    # every channel (the low byte is truncated by the >>8 downscale)
+    exp = np.repeat((idx * 17)[:, :, None], 3, axis=2)
+    assert np.array_equal(got, exp.astype(np.uint8))
