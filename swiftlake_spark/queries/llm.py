@@ -2220,17 +2220,17 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q145 — TIFF strip-variant matrix (round 11): one binary column
-# carrying the SAME per-doc pixels as TIFF in every stdlib-supported
-# strip layout — uncompressed, PackBits, LZW (compression 5), and
-# LZW + Predictor 2 horizontal differencing — alternating II/MM byte
-# order and multi-strip layouts by doc.  TIFF is lossless, so every
-# variant must reproduce the raw-pixel expectation up to the feature
-# vector's float32 rounding (<1e-3 of a mean; NOT a codec tolerance —
-# pixels are bit-exact); a width-rule one-off in the MSB-first
-# early-change LZW decoder, a predictor cumsum bug, or a byte-order
-# mixup each break a quarter of the rows.  Decode is the magic-byte
-# mapInPandas dispatch (no PIL).
+# q145 — TIFF variant matrix (round 11): one binary column carrying
+# the SAME per-doc pixels as TIFF in eight lossless layouts —
+# uncompressed, PackBits, LZW, LZW+Predictor 2, Deflate+Predictor 2,
+# tiled, planar configuration, and 16-bit samples — alternating II/MM
+# byte order and multi-strip layouts by doc.  TIFF is lossless here,
+# so every variant must reproduce the raw-pixel expectation up to the
+# feature vector's float32 rounding (<1e-3 of a mean; NOT a codec
+# tolerance — pixels are bit-exact); a width-rule one-off in the
+# MSB-first early-change LZW decoder, a predictor cumsum bug, a tile
+# crop error or a byte-order mixup each break an eighth of the rows.
+# Decode is the magic-byte mapInPandas dispatch (no PIL).
 # --------------------------------------------------------------------------
 @query(
     "q145_tiff_lzw_features",
@@ -2238,7 +2238,7 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 120 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
        true AS dims_ok,
        true AS mean_exact,
-       CAST(4 AS BIGINT) AS n_variants
+       CAST(8 AS BIGINT) AS n_variants
 """,
 )
 def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2270,7 +2270,11 @@ def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         H, W_ = 11, 18
         yy, xx = np.mgrid[0:H, 0:W_]
-        variants = ("raw", "packbits", "lzw", "lzw_pred2")
+        # r11 adds the four new lossless decode paths to the rotation:
+        # Deflate + Predictor 2, tiled layout, planar configuration,
+        # and 16-bit samples (v*16 → exact high-byte recovery)
+        variants = ("raw", "packbits", "lzw", "lzw_pred2",
+                    "deflate_pred2", "tiled", "planar", "bits16")
         for pdf in batches:
             names, data, exp = [], [], []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
@@ -2283,12 +2287,16 @@ def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for c in range(3)
                 ], axis=-1).astype(np.uint8)
                 arr[did % H, :, :] = (b[0] * 7 + xx[0, :, None] * 31) % 256
-                kind = variants[int(did) % 4]
+                kind = variants[int(did) % 8]
                 kw = {
                     "raw": {},
                     "packbits": {"packbits": True},
                     "lzw": {"lzw": True},
                     "lzw_pred2": {"lzw": True, "predictor": 2},
+                    "deflate_pred2": {"deflate": True, "predictor": 2},
+                    "tiled": {"tile": (8, 8), "lzw": True},
+                    "planar": {"planar": 2, "deflate": True},
+                    "bits16": {"bits": 16},
                 }[kind]
                 payload = encode_tiff(
                     arr,
