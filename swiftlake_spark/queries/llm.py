@@ -1599,11 +1599,12 @@ def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
                 samples = (raw.astype(np.float32) - 128.0) / 128.0
-                if int(did) % 2 == 1:
-                    # r11: odd docs ship as G.711 mu-law WAV (format 7)
-                    # so the manual RIFF parse + G.711 expansion is
-                    # driver-certified; the expectation below is EXACT
-                    # because both sides decode the same mu-law bytes
+                kind = int(did) % 3
+                if kind == 1:
+                    # r11: every third doc ships as G.711 mu-law WAV
+                    # (format 7) so the manual RIFF parse + G.711
+                    # expansion is driver-certified; the expectation is
+                    # EXACT — both sides decode the same mu-law bytes
                     mu = ulaw_encode(
                         np.round(np.clip(samples, -1.0, 1.0) * 32767.0)
                         .astype(np.int32))
@@ -1614,6 +1615,31 @@ def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
                         + b"data" + struct.pack("<I", len(body)) + body)
                     qf = ulaw_decode(mu).astype(np.float32) / 32768.0
+                    durs.append(int(len(qf) * 1000 / 8_000))
+                    rmss.append(float(np.sqrt(np.mean(qf**2)))
+                                if len(qf) else 0.0)
+                    zcrs.append(float((np.diff(np.sign(qf)) != 0).mean())
+                                if len(qf) > 1 else 0.0)
+                    continue
+                if kind == 2:
+                    # r11: and as AIFF (big-endian int16, 80-bit
+                    # extended sample rate) — certifies the IFF parse;
+                    # int16 quantization matches the PCM expectation
+                    q = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(
+                        np.int16)
+                    ssnd = struct.pack(">II", 0, 0) + q.astype(">i2").tobytes()
+                    # 8000 = 0.9765625 * 2^13 → exponent 16395,
+                    # mantissa with explicit integer bit
+                    f80 = struct.pack(">HQ", 16383 + 12,
+                                      0xFA00000000000000)
+                    comm = struct.pack(">hIh", 1, len(q), 16) + f80
+                    data.append(
+                        b"FORM"
+                        + struct.pack(">I", 4 + 16 + len(comm) + len(ssnd))
+                        + b"AIFF" + b"COMM"
+                        + struct.pack(">I", len(comm)) + comm
+                        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+                    qf = q.astype(np.float32) / 32768.0
                     durs.append(int(len(qf) * 1000 / 8_000))
                     rmss.append(float(np.sqrt(np.mean(qf**2)))
                                 if len(qf) else 0.0)
