@@ -656,6 +656,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
     photometric = one(262, 1)
     tiled = 322 in tags or 324 in tags
     bps = bits[0]
+    fax = comp in (2, 3, 4)
+    # T4Options (tag 292): bit 0 = 2-D coding, bit 1 = uncompressed
+    # mode allowed (the fax decoder raises on the extension code if a
+    # stream actually uses it), bit 2 = fill bits (tolerated always)
+    t4_2d = bool(one(292, 0) & 1) if comp == 3 else True
     # photometric scope: gray either polarity (0/1), RGB (2), palette
     # (3, via ColorMap), YCbCr (6) ONLY as JPEG-in-TIFF where the codec
     # does the conversion; raw-RGB JPEG (photometric 2 + comp 7, libtiff
@@ -664,18 +669,22 @@ def decode_tiff(data: bytes) -> np.ndarray:
     # sub-byte depths (1/2/4-bit): bilevel/paletted scanned documents —
     # gray or palette, single sample, strip layout, no predictor
     subbyte = bps in (1, 2, 4)
-    if comp not in (1, 5, 7, 8, 32773, 32946) or planar not in (1, 2) \
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946) \
+            or planar not in (1, 2) \
             or len(set(bits)) != 1 or bps not in (1, 2, 4, 8, 16) \
             or spp not in (1, 3, 4) or predictor not in (1, 2) \
             or (predictor == 2 and comp not in (5, 8, 32946)) \
             or photometric not in (0, 1, 2, 3, 6) \
             or (photometric == 6) != (comp == 7 and spp == 3) \
             or (photometric == 3 and (spp != 1 or bps not in (1, 2, 4, 8)
-                                      or 320 not in tags or comp == 7)) \
+                                      or 320 not in tags
+                                      or comp in (2, 3, 4, 7))) \
             or (comp == 7 and (bps != 8 or planar != 1
                                or spp not in (1, 3)
                                or photometric == 2
                                or predictor != 1)) \
+            or (fax and (bps != 1 or spp != 1 or tiled
+                         or photometric not in (0, 1))) \
             or (subbyte and (spp != 1 or tiled or predictor != 1
                              or comp == 7)):
         raise NotImplementedError(
@@ -685,7 +694,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
             "needs PIL (stdlib path covers 8/16-bit gray/RGB(A)/"
             "palette, strips or tiles, chunky or planar, 1/2/4-bit "
             "gray/palette strips, uncompressed/LZW/Deflate/PackBits/"
-            "JPEG, Predictor 2)")
+            "JPEG/CCITT-fax, Predictor 2)")
     if subbyte:
         # decode strip bytes → per-pixel values (row-padded MSB-first)
         offsets = tags.get(273)
@@ -704,6 +713,24 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if i >= len(offsets):
                 raise ValueError("TIFF missing strips")
             soff = offsets[i]
+            if fax:
+                # CCITT fax strip (each strip an independent coding
+                # block per TIFF 6.0 §Section 10): decode → black mask
+                # → TIFF sample space (photometric 0: white sample 0)
+                from swiftlake_spark.operators.fax import fax_decode
+
+                end = soff + (counts[i] if counts and i < len(counts)
+                              else len(data) - soff)
+                if end > len(data) or soff >= end:
+                    raise ValueError("truncated TIFF fax strip")
+                # decoded samples are white=0/black=1 regardless of
+                # photometric (libtiff convention); the shared
+                # photometric handling below inverts for display,
+                # so photometric 1 yields an inverted page
+                vals[y0: y0 + rows] = fax_decode(
+                    data[soff:end], w, rows, comp, two_d=t4_2d
+                ).astype(np.uint8)
+                continue
             if comp == 1:
                 if soff + expect > len(data):
                     raise ValueError("truncated TIFF segment")
@@ -885,6 +912,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
 def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
                 lzw: bool = False, deflate: bool = False,
                 jpeg: bool = False, jpeg_quality: int = 90,
+                ccitt: int | None = None, t4_2d: bool = True,
+                t4_fill: bool = False,
                 predictor: int = 1,
                 rows_per_strip: int | None = None,
                 big_endian: bool = False, bits: int = 8,
@@ -896,13 +925,24 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
     writes 32773; ``predictor=2`` adds horizontal differencing
     (LZW/Deflate).  ``bits=16`` widens samples (v*257), ``planar=2``
     writes one segment stream per channel, ``tile=(tw, tl)`` switches
-    to the tiled layout (zero-padded edge tiles)."""
+    to the tiled layout (zero-padded edge tiles).  ``ccitt=2|3|4``
+    writes a bilevel CCITT fax scan (MH RLE / G3 / G4) from a gray
+    (H,W) array thresholded at 128 (black < 128), photometric 0
+    (WhiteIsZero); ``t4_2d``/``t4_fill`` set the G3 T4Options bits."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
-    if packbits + lzw + deflate + jpeg > 1:
+    if packbits + lzw + deflate + jpeg + (ccitt is not None) > 1:
         raise ValueError("pick one compression")
+    if ccitt is not None:
+        if ccitt not in (2, 3, 4):
+            raise ValueError("ccitt must be 2, 3 or 4")
+        if not gray or bits != 1 and bits != 8:
+            raise ValueError("ccitt needs a gray (H,W) array")
+        if planar != 1 or tile is not None or predictor != 1:
+            raise ValueError("ccitt: chunky strips only")
+        bits = 1
     if predictor == 2 and not (lzw or deflate):
         raise ValueError("predictor 2 requires lzw=True or deflate=True")
     if jpeg and (bits != 8 or planar != 1):
@@ -923,7 +963,7 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
     chw = a.reshape(h, w, spp)
     if bits == 16:  # 8-bit input widened so the high byte round-trips
         chw = chw.astype(np.uint16) * 257
-    if bits < 8:
+    if bits < 8 and ccitt is None:
         # quantize 0..255 → the bps level whose 255-rescale the decoder
         # emits; round-trips exactly for inputs on the level lattice
         maxv = (1 << bits) - 1
@@ -995,6 +1035,14 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
                     blk = pl[y: y + tl, x: x + tw]
                     t[: blk.shape[0], : blk.shape[1]] = blk
                     strips.append(pack_segment(t))
+    elif ccitt is not None:
+        from swiftlake_spark.operators.fax import fax_encode
+
+        black = a < 128  # photometric 0: black mask = dark pixels
+        strips.extend(
+            fax_encode(black[y: y + rps], ccitt,
+                       two_d=t4_2d, fill=t4_fill)
+            for y in range(0, h, rps))
     elif bits < 8:
         strips.extend(pack_raw(packed[y: y + rps].tobytes())
                       for y in range(0, h, rps))
@@ -1022,13 +1070,20 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [bits] * spp)
-    entry(259, 3, [5 if lzw else (8 if deflate else (7 if jpeg else
-                                  (32773 if packbits else 1)))])
+    entry(259, 3, [ccitt if ccitt is not None else
+                   (5 if lzw else (8 if deflate else (7 if jpeg else
+                                   (32773 if packbits else 1))))])
     if predictor == 2:
         entry(317, 3, [2])
+    if ccitt == 3:
+        entry(292, 4, [(1 if t4_2d else 0) | (4 if t4_fill else 0)])
+    elif ccitt == 4:
+        entry(293, 4, [0])
     # BlackIsZero / RGB; JPEG color strips are JFIF YCbCr streams, so
-    # the photometric tag must say 6 (the decoder's codec undoes it)
-    entry(262, 3, [1 if gray else (6 if jpeg else 2)])
+    # the photometric tag must say 6 (the decoder's codec undoes it);
+    # CCITT fax is canonically WhiteIsZero (0)
+    entry(262, 3, [0 if ccitt is not None else
+                   (1 if gray else (6 if jpeg else 2))])
     entry(off_tag, 4, [0] * n_strips)  # offsets patched below
     entry(277, 3, [spp])
     if planar == 2:

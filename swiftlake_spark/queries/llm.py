@@ -2246,17 +2246,19 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q145 — TIFF variant matrix (round 11): one binary column carrying
-# the SAME per-doc pixels as TIFF in eight lossless layouts —
+# q145 — TIFF variant matrix (rounds 11+): one binary column carrying
+# the SAME per-doc pixels as TIFF in eleven lossless layouts —
 # uncompressed, PackBits, LZW, LZW+Predictor 2, Deflate+Predictor 2,
-# tiled, planar configuration, and 16-bit samples — alternating II/MM
-# byte order and multi-strip layouts by doc.  TIFF is lossless here,
-# so every variant must reproduce the raw-pixel expectation up to the
-# feature vector's float32 rounding (<1e-3 of a mean; NOT a codec
-# tolerance — pixels are bit-exact); a width-rule one-off in the
-# MSB-first early-change LZW decoder, a predictor cumsum bug, a tile
-# crop error or a byte-order mixup each break an eighth of the rows.
-# Decode is the magic-byte mapInPandas dispatch (no PIL).
+# tiled, planar configuration, 16-bit samples, and three CCITT fax
+# codings of a bilevel rendition (MH RLE / Group 3 2-D / Group 4) —
+# alternating II/MM byte order and multi-strip layouts by doc.  TIFF
+# is lossless here, so every variant must reproduce the raw-pixel
+# expectation up to the feature vector's float32 rounding (<1e-3 of a
+# mean; NOT a codec tolerance — pixels are bit-exact); a width-rule
+# one-off in the MSB-first early-change LZW decoder, a predictor
+# cumsum bug, a tile crop error, a byte-order mixup or a T.4 Huffman-
+# table typo each break a slice of the rows.  Decode is the magic-byte
+# mapInPandas dispatch (no PIL).
 # --------------------------------------------------------------------------
 @query(
     "q145_tiff_lzw_features",
@@ -2264,7 +2266,7 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 120 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
        true AS dims_ok,
        true AS mean_exact,
-       CAST(8 AS BIGINT) AS n_variants
+       CAST(11 AS BIGINT) AS n_variants
 """,
 )
 def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2296,11 +2298,13 @@ def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         H, W_ = 11, 18
         yy, xx = np.mgrid[0:H, 0:W_]
-        # r11 adds the four new lossless decode paths to the rotation:
-        # Deflate + Predictor 2, tiled layout, planar configuration,
-        # and 16-bit samples (v*16 → exact high-byte recovery)
+        # r11 adds the four new lossless decode paths to the rotation
+        # (Deflate + Predictor 2, tiled layout, planar configuration,
+        # 16-bit samples) and the three CCITT fax codings of a bilevel
+        # rendition — scanned-document corpora are G3/G4-heavy
         variants = ("raw", "packbits", "lzw", "lzw_pred2",
-                    "deflate_pred2", "tiled", "planar", "bits16")
+                    "deflate_pred2", "tiled", "planar", "bits16",
+                    "ccitt_g4", "ccitt_g3", "ccitt_mh")
         for pdf in batches:
             names, data, exp = [], [], []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
@@ -2313,7 +2317,7 @@ def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for c in range(3)
                 ], axis=-1).astype(np.uint8)
                 arr[did % H, :, :] = (b[0] * 7 + xx[0, :, None] * 31) % 256
-                kind = variants[int(did) % 8]
+                kind = variants[int(did) % 11]
                 kw = {
                     "raw": {},
                     "packbits": {"packbits": True},
@@ -2323,7 +2327,20 @@ def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "tiled": {"tile": (8, 8), "lzw": True},
                     "planar": {"planar": 2, "deflate": True},
                     "bits16": {"bits": 16},
+                    "ccitt_g4": {"ccitt": 4},
+                    "ccitt_g3": {"ccitt": 3},
+                    "ccitt_mh": {"ccitt": 2},
                 }[kind]
+                if kind.startswith("ccitt"):
+                    # bilevel rendition: threshold the red gradient —
+                    # fax is lossless on 0/255 pages, so the mean is
+                    # still exact
+                    arr = np.where(
+                        arr[:, :, 0] < 128, 0, 255).astype(np.uint8)
+                    exp_mean = float(arr.astype(np.float64).mean())
+                else:
+                    exp_mean = float(
+                        arr[:, :, 0].astype(np.float64).mean())
                 payload = encode_tiff(
                     arr,
                     big_endian=bool((did // 4) % 2),
@@ -2332,7 +2349,7 @@ def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 names.append(kind)
                 data.append(payload)
-                exp.append(float(arr[:, :, 0].astype(np.float64).mean()))
+                exp.append(exp_mean)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "variant": names, "data": data,
                  "expected_mean_r": exp}
