@@ -1899,13 +1899,19 @@ def decode_aiff_bytes(data: bytes) -> tuple[int, np.ndarray]:
 def decode_audio_bytes(data: bytes) -> tuple[int, np.ndarray]:
     """Magic-byte audio dispatch (the audio analogue of
     decode_image_bytes): RIFF/WAVE → :func:`decode_wav_bytes`,
-    FORM/AIFF|AIFC → :func:`decode_aiff_bytes`.  Anything else raises
+    FORM/AIFF|AIFC → :func:`decode_aiff_bytes`, fLaC →
+    :func:`swiftlake_spark.operators.flac.decode_flac_bytes` (native
+    lossless decode, every subframe type).  Anything else raises
     ValueError (MP3/AAC/OGG are out of the stdlib floor)."""
     if data[:4] == b"RIFF":
         return decode_wav_bytes(data)
     if data[:4] == b"FORM":
         return decode_aiff_bytes(data)
-    raise ValueError("unrecognized audio container (not WAV/AIFF)")
+    if data[:4] == b"fLaC":
+        from swiftlake_spark.operators.flac import decode_flac_bytes
+
+        return decode_flac_bytes(data)
+    raise ValueError("unrecognized audio container (not WAV/AIFF/FLAC)")
 
 
 def decode_audio(
@@ -1918,9 +1924,9 @@ def decode_audio(
     """Decode + feature-extract an audio column via ``mapInPandas``
     (completes the image/audio/video triad).
 
-    Real path (default): WAV and AIFF/AIFF-C containers through the
-    magic-byte dispatch (decode_audio_bytes — integer PCM, IEEE
-    float, G.711 A-law/μ-law in either container) — true duration,
+    Real path (default): WAV, AIFF/AIFF-C and FLAC containers through
+    the magic-byte dispatch (decode_audio_bytes — integer PCM, IEEE
+    float, G.711 A-law/μ-law, FLAC lossless) — true duration,
     RMS, zero-crossing rate and a log-band FFT spectrum
     (audio_features).  Compressed audio (MP3/AAC/OGG, ADPCM) raises
     inside the task; ``fake=True`` keeps the payload-seeded double

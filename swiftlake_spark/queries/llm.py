@@ -1599,7 +1599,28 @@ def q108_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
                 samples = (raw.astype(np.float32) - 128.0) / 128.0
-                kind = int(did) % 3
+                kind = int(did) % 4
+                if kind == 3:
+                    # r11: every fourth doc ships as FLAC (native
+                    # lossless decode) — int16 quantization matches the
+                    # PCM expectation exactly, same as the WAV branch
+                    from swiftlake_spark.operators.flac import (
+                        encode_flac,
+                    )
+
+                    q = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(
+                        np.int16)
+                    if len(q) == 0:
+                        q = np.zeros(1, np.int16)
+                    data.append(encode_flac(
+                        q.astype(np.int64), rate=8_000, block_size=64))
+                    qf = q.astype(np.float32) / 32768.0
+                    durs.append(int(len(qf) * 1000 / 8_000))
+                    rmss.append(float(np.sqrt(np.mean(qf**2)))
+                                if len(qf) else 0.0)
+                    zcrs.append(float((np.diff(np.sign(qf)) != 0).mean())
+                                if len(qf) > 1 else 0.0)
+                    continue
                 if kind == 1:
                     # r11: every third doc ships as G.711 mu-law WAV
                     # (format 7) so the manual RIFF parse + G.711
