@@ -294,6 +294,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     prog_coefs = None  # progressive: cid → (nblocks, 64) zigzag int32
+    dac_dc: dict[int, tuple[int, int]] = {}  # DAC: table → (L, U)
+    dac_ac: dict[int, int] = {}  # DAC: table → Kx
     n = len(data)
 
     while pos + 4 <= n:
@@ -337,7 +339,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17: off + 17 + cnt])
                 (huff_ac if tc else huff_dc)[th] = _build_decode_lut(bits, vals)
                 off += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential, SOF2 progressive (huffman);
+            # SOF9 sequential arithmetic (operators/jpeg_arith.py)
             prec = body[0]
             # T.81 B.2.2: baseline (SOF0) is 8-bit only; extended
             # sequential and progressive also allow 12-bit samples
@@ -345,20 +349,40 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             # high 8 bits, the PNG/TIFF 16-bit convention).
             if prec != 8 and not (prec == 12 and marker != 0xC0):
                 raise NotImplementedError(f"{prec}-bit JPEG needs PIL")
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
             h, w = struct.unpack_from(">HH", body, 1)
             nc = body[5]
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component list")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "prec": prec,
-                     "progressive": marker == 0xC2}
+                     "progressive": marker == 0xC2,
+                     "arith": marker == 0xC9}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (arithmetic/"
-                "hierarchical/lossless) needs PIL")
+                f"JPEG process SOF{marker - 0xC0} (progressive-"
+                "arithmetic/hierarchical/lossless) needs PIL")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            off = 0
+            while off + 2 <= len(body):
+                tc, tb = body[off] >> 4, body[off] & 15
+                val = body[off + 1]
+                if tc == 0:
+                    li, ui = val & 15, val >> 4
+                    if li > ui:
+                        raise ValueError("DAC requires L <= U")
+                    dac_dc[tb] = (li, ui)
+                else:
+                    if not 1 <= val <= 63:
+                        raise ValueError(f"DAC Kx {val} out of range")
+                    dac_ac[tb] = val
+                off += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -388,6 +412,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan[cs] = (tt >> 4, tt & 15)
+            if set(scan) != {c["id"] for c in frame["comps"]}:
+                raise ValueError(
+                    "SOS component selectors do not match SOF")
+            if frame.get("arith"):
+                from swiftlake_spark.operators.jpeg_arith import (
+                    decode_arith_scan,
+                )
+
+                return decode_arith_scan(data, pos, frame, scan, qt,
+                                         dac_dc, dac_ac,
+                                         restart_interval)
             return _decode_scan(data, pos, frame, scan, qt, huff_dc,
                                 huff_ac, restart_interval)
 

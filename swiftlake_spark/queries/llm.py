@@ -2151,10 +2151,11 @@ def q143_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q144 — MIXED-format image column (round 10 capstone): one binary
-# column carrying PNG, JPEG, GIF and BMP payloads of the SAME per-doc
-# pixels, decoded through the magic-byte dispatch in one mapInPandas
-# pass.  Certifies that all four stdlib decoders agree with each other
+# q144 — MIXED-format image column (round 10 capstone; r11 adds the
+# arithmetic-coded SOF9 JPEG): one binary column carrying PNG, JPEG,
+# GIF, BMP and QM-coded JPEG payloads of the SAME per-doc pixels,
+# decoded through the magic-byte dispatch in one mapInPandas pass.
+# Certifies that all five stdlib decoders agree with each other
 # (lossless formats bit-exactly; JPEG within quantization tolerance)
 # and with expectations computed from the raw pixels that never touch
 # any codec.
@@ -2211,12 +2212,22 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + xx * (b[2] % 3) + c * 25, 0, 255)
                     for c in range(3)
                 ], axis=-1).astype(np.uint8)
-                kind = int(did) % 4
+                kind = int(did) % 5
                 if kind == 0:
                     payload, fmt, exact = encode_png(arr), "png", True
                 elif kind == 1:
                     payload, fmt, exact = (
                         encode_jpeg(arr, quality=95), "jpeg", False)
+                elif kind == 4:
+                    # r11: arithmetic-coded JPEG (SOF9, QM coder) joins
+                    # the in-pipeline dispatch rotation
+                    from swiftlake_spark.operators.jpeg_arith import (
+                        encode_jpeg_arith,
+                    )
+
+                    payload, fmt, exact = (
+                        encode_jpeg_arith(arr, quality=95), "jpeg9",
+                        False)
                 elif kind == 2:
                     # GIF needs ≤256 colors: quantize to the 64 distinct
                     # values this gradient construction can produce

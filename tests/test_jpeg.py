@@ -91,12 +91,15 @@ def test_dispatch_uses_stdlib_decoder():
     assert np.abs(out.astype(int) - img.astype(int)).mean() <= 1.5
 
 
-def test_arithmetic_marker_routes_to_seam():
-    """SOF9 (arithmetic) must raise NotImplementedError from the stdlib
-    path — decode_image_bytes then falls through to the PIL seam."""
+def test_lossless_marker_routes_to_seam():
+    """SOF11 (lossless) must raise NotImplementedError from the stdlib
+    path — decode_image_bytes then falls through to the PIL seam.
+    (SOF9 sequential-arithmetic decodes natively since r11 —
+    tests/test_jpeg_arith.py; SOF10 progressive-arithmetic is covered
+    there as a seam case.)"""
     data = bytearray(encode_jpeg(_gradient(8, 8)))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC9
+    data[i + 1] = 0xCB
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
 
