@@ -241,18 +241,155 @@ def decode_avi_frames(data: bytes) -> tuple[float, list[bytes]]:
     return (strh_fps if strh_fps is not None else fps), frames
 
 
+_Y4M_SIG = b"YUV4MPEG2"
+
+
+def _yuv_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 (the JPEG/C*jpeg convention; same matrix as
+    operators/jpeg.py's color path)."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255) \
+        .astype(np.uint8)
+
+
+def encode_y4m(frames: list[np.ndarray], fps: int = 25,
+               colorspace: str | None = None) -> bytes:
+    """uint8 frames → YUV4MPEG2 stream (for tests/synthesis).
+
+    Gray frames → ``Cmono``; RGB → ``C444`` (default) or ``C420jpeg``
+    (2×2-mean chroma subsampling, even dimensions required)."""
+    if not frames:
+        raise ValueError("no frames")
+    if fps < 1:
+        raise ValueError("fps must be >= 1")
+    f0 = np.asarray(frames[0])
+    gray = f0.ndim == 2
+    if colorspace is None:
+        colorspace = "Cmono" if gray else "C444"
+    if gray != (colorspace == "Cmono"):
+        raise ValueError(f"{colorspace} does not fit frame shape {f0.shape}")
+    h, w = f0.shape[:2]
+    if colorspace == "C420jpeg" and (h % 2 or w % 2):
+        raise ValueError("C420jpeg needs even dimensions")
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 {colorspace}\n".encode())
+    for f in frames:
+        a = np.asarray(f, dtype=np.uint8)
+        if a.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        out += b"FRAME\n"
+        if gray:
+            out += a.tobytes()
+            continue
+        fl = a.astype(np.float64)
+        r, g, b = fl[:, :, 0], fl[:, :, 1], fl[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if colorspace == "C420jpeg":
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        to8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
+        out += to8(y).tobytes() + to8(cb).tobytes() + to8(cr).tobytes()
+    return bytes(out)
+
+
+def decode_y4m(data: bytes, step: int = 1) -> tuple[float, list[np.ndarray]]:
+    """YUV4MPEG2 → (fps, decoded frames); ``step`` keeps every step-th
+    frame WITHOUT converting the skipped ones (plane sizes are fixed,
+    so skipping is pointer arithmetic — the frame-sampling fast path).
+
+    Colorspaces: C444, C420/C420jpeg/C420mpeg2/C420paldv (all decoded
+    with 2× chroma replication; the siting variants differ only in
+    half-pel chroma alignment, irrelevant to feature extraction) and
+    Cmono.  Full-range BT.601 conversion (JPEG convention)."""
+    nl = data.find(b"\n")
+    if not data.startswith(_Y4M_SIG) or nl < 0:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = 0
+    fps = 25.0
+    cs = "C420jpeg"  # spec default
+    for tok in data[len(_Y4M_SIG):nl].decode("latin-1").split():
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = tok[1:].split(":")
+            if int(den) > 0 and int(num) > 0:
+                fps = int(num) / int(den)
+        elif tok[0] == "C":
+            cs = tok
+    if w < 1 or h < 1 or w * h > (1 << 26):
+        raise ValueError(f"implausible Y4M dimensions {w}x{h}")
+    if cs.startswith("C420"):
+        if h % 2 or w % 2:
+            raise ValueError("Y4M 4:2:0 needs even dimensions")
+        chroma = (h // 2) * (w // 2)
+    elif cs == "C444":
+        chroma = h * w
+    elif cs == "Cmono":
+        chroma = 0
+    else:
+        raise NotImplementedError(f"Y4M colorspace {cs} not supported")
+    fsize = h * w + 2 * chroma
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    idx = 0
+    while pos < len(data):
+        if data[pos: pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame header")
+        fnl = data.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated Y4M frame header")
+        body = fnl + 1
+        if body + fsize > len(data):
+            raise ValueError("truncated Y4M frame")
+        if idx % step == 0:
+            y = np.frombuffer(data, np.uint8, h * w, body).reshape(h, w)
+            if cs == "Cmono":
+                frames.append(y.copy())
+            else:
+                cb = np.frombuffer(data, np.uint8, chroma,
+                                   body + h * w)
+                cr = np.frombuffer(data, np.uint8, chroma,
+                                   body + h * w + chroma)
+                if cs.startswith("C420"):
+                    cb = cb.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+                    cr = cr.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+                else:
+                    cb = cb.reshape(h, w)
+                    cr = cr.reshape(h, w)
+                frames.append(_yuv_to_rgb(y, cb, cr))
+        pos = body + fsize
+        idx += 1
+    if not frames:
+        raise ValueError("Y4M carries no frames")
+    return fps, frames
+
+
 def decode_video_stream(data: bytes) -> tuple[float, list[np.ndarray]]:
     """Magic-byte video dispatch → (fps, decoded frames): AVI/MJPG via
-    decode_avi_frames + the image-codec dispatch per frame;
-    concatenated-PPM streams (fps unknown → 25.0 default).  MP4/webm
-    (ftyp/EBML magics) raise — they need ffmpeg, outside the stdlib
-    floor."""
+    decode_avi_frames + the image-codec dispatch per frame; YUV4MPEG2
+    via decode_y4m; concatenated-PPM streams (fps unknown → 25.0
+    default).  MP4/webm (ftyp/EBML magics) raise — they need ffmpeg,
+    outside the stdlib floor."""
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         fps, payloads = decode_avi_frames(data)
         return fps, [decode_image_bytes(p) for p in payloads]
+    if data[:9] == _Y4M_SIG:
+        return decode_y4m(data)
     if data[:2] in (b"P6", b"P5"):
         return 25.0, decode_ppm_stream(data)
-    raise ValueError("unrecognized video container (not AVI/PPM-stream)")
+    raise ValueError(
+        "unrecognized video container (not AVI/Y4M/PPM-stream)")
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -1796,6 +1933,17 @@ def sample_frames(
                         pf, raw = decode_avi_frames(payload)
                         st = max(1, round(every_ms * pf / 1000.0))
                         fs = [decode_image_bytes(r) for r in raw[::st]]
+                        frames.append(
+                            [image_features(f).tolist() for f in fs]
+                        )
+                        continue
+                    elif payload[:9] == _Y4M_SIG:
+                        # Y4M (r11): fixed plane sizes → the sampling
+                        # stride skips frames by pointer arithmetic,
+                        # converting only the kept ones
+                        pf, _probe = decode_y4m(payload, step=1 << 30)
+                        st = max(1, round(every_ms * pf / 1000.0))
+                        _pf, fs = decode_y4m(payload, step=st)
                         frames.append(
                             [image_features(f).tolist() for f in fs]
                         )

@@ -1874,6 +1874,7 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.multimodal import (
         encode_avi_mjpeg,
         encode_ppm_stream,
+        encode_y4m,
         sample_frames,
     )
 
@@ -1900,13 +1901,18 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raw = np.tile(raw, reps)[: n_frames * 192]
                 frames = [raw[i * 192: (i + 1) * 192].reshape(8, 8, 3)
                           for i in range(n_frames)]
-                # r11: odd docs ship as AVI/MJPG at container fps 25
-                # (same every-3rd sampling as the PPM fps param), so
-                # the AVI chunk walk + native JPEG frame decode is
-                # driver-certified alongside the lossless PPM path
-                if int(did) % 2 == 1:
+                # r11: the rotation now covers all three container
+                # families at container fps 25 (same every-3rd
+                # sampling as the PPM fps param) — AVI chunk walk +
+                # native JPEG decode, and Y4M plane walk + BT.601
+                # conversion — alongside the lossless PPM path
+                kind = int(did) % 3
+                if kind == 1:
                     data.append(encode_avi_mjpeg(frames, fps=25,
                                                  quality=100))
+                elif kind == 2:
+                    data.append(encode_y4m(frames, fps=25,
+                                           colorspace="C444"))
                 else:
                     data.append(encode_ppm_stream(frames))
                 # frame 0's R-channel mean straight from the bytes — no
@@ -1919,10 +1925,11 @@ def q114_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = d.mapInPandas(synth, synth_schema)
     out = sample_frames(clips, "data", every_ms=120, fps=25.0)  # every 3rd frame
     ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
-    # MJPG is lossy: measured worst |mean-R error| at quality 100 over
-    # random 8x8 frames is 0.25; bound 1.0 (4x margin).  PPM stays
-    # bit-exact at 0.01.
-    bound = F.when(F.col("doc_id") % 2 == 1, F.lit(1.0)).otherwise(F.lit(0.01))
+    # MJPG is lossy (measured worst |mean-R error| at quality 100 over
+    # random 8x8 frames: 0.25) and Y4M C444 rounds ±1 per sample
+    # through the BT.601 matrix; bound 1.0 covers both with margin.
+    # PPM stays bit-exact at 0.01.
+    bound = F.when(F.col("doc_id") % 3 != 0, F.lit(1.0)).otherwise(F.lit(0.01))
     return out.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size("frames")).cast("bigint").alias("total_sampled"),
