@@ -5,8 +5,9 @@ skew_stress.py) because their cost is data-SHAPED; the codec family's
 cost is per-row work inside ``mapInPandas`` Arrow batches, so the claim
 to verify is different: decode wall-clock scales LINEARLY with payload
 count (no driver collection, no batch blow-up), for every container the
-r11 floor covers — mixed images (PNG/JPEG/TIFF-deflate/GIF/BMP), audio
-(WAV-PCM / WAV-mulaw / AIFF), and AVI/MJPG video.
+r11 floor covers — mixed images (PNG/JPEG/arith-JPEG/TIFF-deflate/
+CCITT-G4/GIF), audio (WAV-PCM / WAV-mulaw / FLAC), and AVI/MJPG +
+Y4M video.
 
 Measures wall time at 1x and 10x per family and prints a table for
 PERF.md.  Pass signal: 10x wall <= ~10x the 1x wall (batch overheads
@@ -46,6 +47,8 @@ BASE = 400  # payloads per family at 1x
 
 
 def synth_images(n: int, seed: int = 11) -> list[bytes]:
+    from swiftlake_spark.operators.jpeg_arith import encode_jpeg_arith
+
     rng = np.random.default_rng(seed)
     out = []
     for i in range(n):
@@ -53,13 +56,18 @@ def synth_images(n: int, seed: int = 11) -> list[bytes]:
         yy, xx = np.mgrid[0:h, 0:w]
         img = np.stack([(yy * 3 + xx + i) % 256, (yy + i) % 256,
                         (xx * 2) % 256], -1).astype(np.uint8)
-        k = i % 4
+        k = i % 6
         if k == 0:
             out.append(encode_png(img))
         elif k == 1:
             out.append(encode_jpeg(img, quality=90))
         elif k == 2:
             out.append(encode_tiff(img, deflate=True, predictor=2))
+        elif k == 4:  # r11 session 2: QM entropy decode in the mix
+            out.append(encode_jpeg_arith(img, quality=90))
+        elif k == 5:  # r11 session 2: G4 fax decode in the mix
+            bil = np.where(img[:, :, 0] < 128, 0, 255).astype(np.uint8)
+            out.append(encode_tiff(bil, ccitt=4))
         else:
             # GIF needs a <=256-color palette: gradient frame
             g = ((yy * 7 + xx) % 64).astype(np.uint8)
@@ -68,28 +76,38 @@ def synth_images(n: int, seed: int = 11) -> list[bytes]:
 
 
 def synth_audio(n: int) -> list[bytes]:
+    from swiftlake_spark.operators.flac import encode_flac
+
     out = []
     for i in range(n):
         x = np.sin(np.linspace(0, 50, 4000) * (1 + i % 7)).astype(np.float32)
-        if i % 2 == 0:
+        if i % 3 == 0:
             out.append(encode_wav(x, 8000))
-        else:  # G.711 mu-law WAV
+        elif i % 3 == 1:  # G.711 mu-law WAV
             mu = ulaw_encode(np.round(x * 32767).astype(np.int32)).tobytes()
             fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
             out.append(b"RIFF" + struct.pack("<I", 28 + len(mu)) + b"WAVE"
                        + b"fmt " + struct.pack("<I", 16) + fmt
                        + b"data" + struct.pack("<I", len(mu)) + mu)
+        else:  # r11 session 2: FLAC (fixed predictors + Rice)
+            q = np.round(x * 32767).astype(np.int64)
+            out.append(encode_flac(q, rate=8000, block_size=1024))
     return out
 
 
 def synth_video(n: int) -> list[bytes]:
+    from swiftlake_spark.operators.multimodal import encode_y4m
+
     yy, xx = np.mgrid[0:24, 0:32]
     out = []
     for i in range(n):
         frames = [np.stack([(yy * 3 + k + i) % 256, (xx + k) % 256,
                             (yy + xx) % 256], -1).astype(np.uint8)
                   for k in range(6)]
-        out.append(encode_avi_mjpeg(frames, fps=12, quality=85))
+        if i % 2 == 0:
+            out.append(encode_avi_mjpeg(frames, fps=12, quality=85))
+        else:  # r11 session 2: Y4M with the pointer-skip sampling
+            out.append(encode_y4m(frames, fps=12, colorspace="C444"))
     return out
 
 
