@@ -391,8 +391,13 @@ def _decode_row_2d(r: _BitReader, ref_t: list[int],
     return row
 
 
-def _expect_eol(r: _BitReader, max_fill: int = 64) -> None:
-    """Consume fill zeros + the 12-bit EOL ``000000000001``."""
+def _expect_eol(r: _BitReader, max_fill: int = 4096) -> None:
+    """Consume fill zeros + the 12-bit EOL ``000000000001``.
+
+    T.4 fill exists for transmission pacing (minimum scan-line time),
+    so real-world G3 streams can pad EOLs with far more than the
+    byte-alignment 0-7 bits our encoder writes — tolerate up to 4096
+    before declaring the stream corrupt."""
     zeros = 0
     while True:
         b = r.get1()

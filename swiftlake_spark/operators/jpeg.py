@@ -230,10 +230,13 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy-coded segment")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
-            nxt = self.data[self.pos]
+            nxt = self.data[self.pos] if self.pos < len(self.data) \
+                else 0xD9
             if nxt == 0x00:
                 self.pos += 1
             else:
@@ -336,18 +339,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tc, th = body[off] >> 4, body[off] & 15
                 bits = list(body[off + 1: off + 17])
                 cnt = sum(bits)
+                if len(bits) < 16 or off + 17 + cnt > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[off + 17: off + 17 + cnt])
                 (huff_ac if tc else huff_dc)[th] = _build_decode_lut(bits, vals)
                 off += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xC3):
             # SOF0/1 sequential, SOF2 progressive (huffman);
-            # SOF9 sequential arithmetic (operators/jpeg_arith.py)
+            # SOF9 sequential arithmetic (operators/jpeg_arith.py);
+            # SOF3 lossless predictive (operators/jpeg_lossless.py)
             prec = body[0]
             # T.81 B.2.2: baseline (SOF0) is 8-bit only; extended
             # sequential and progressive also allow 12-bit samples
             # (decoded natively since r11; output downscales to the
-            # high 8 bits, the PNG/TIFF 16-bit convention).
-            if prec != 8 and not (prec == 12 and marker != 0xC0):
+            # high 8 bits, the PNG/TIFF 16-bit convention); lossless
+            # allows 2..16.
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"bad lossless precision {prec}")
+            elif prec != 8 and not (prec == 12 and marker != 0xC0):
                 raise NotImplementedError(f"{prec}-bit JPEG needs PIL")
             if len(body) < 6:
                 raise ValueError("truncated SOF segment")
@@ -362,12 +372,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2,
-                     "arith": marker == 0xC9}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                     "arith": marker == 0xC9,
+                     "lossless": marker == 0xC3}
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG process SOF{marker - 0xC0} (progressive-"
-                "arithmetic/hierarchical/lossless) needs PIL")
+                "arithmetic/hierarchical/arithmetic-lossless) needs PIL")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
             while off + 2 <= len(body):
@@ -388,7 +399,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not body:
+                raise ValueError("empty SOS segment")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("truncated SOS header")
             if frame["progressive"]:
                 if len(body) < 4 + 2 * ns:
                     raise ValueError("truncated SOS header")
@@ -415,6 +430,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if set(scan) != {c["id"] for c in frame["comps"]}:
                 raise ValueError(
                     "SOS component selectors do not match SOF")
+            if frame.get("lossless"):
+                from swiftlake_spark.operators.jpeg_lossless import (
+                    decode_lossless_scan,
+                )
+
+                if len(body) < 4 + 2 * ns:
+                    raise ValueError("truncated SOS header")
+                ss = body[1 + 2 * ns]  # predictor selector
+                ahal = body[3 + 2 * ns]
+                return decode_lossless_scan(
+                    data, pos, frame, scan, huff_dc, ss, ahal & 15,
+                    restart_interval)
             if frame.get("arith"):
                 from swiftlake_spark.operators.jpeg_arith import (
                     decode_arith_scan,

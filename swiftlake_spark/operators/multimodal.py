@@ -743,9 +743,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
       Predictor 2 horizontal differencing undone in sample space for
       LZW/Deflate.
 
-    Old-style JPEG (6), sub-byte depths, float samples and other
-    exotica raise NotImplementedError — :func:`decode_image_bytes` falls
-    through to the PIL seam for those."""
+    Old-style JPEG (6) decodes when the writer stored a complete
+    stream at tag 513 (the common case); the tags-515-520 per-strip
+    variant, float samples and other exotica raise
+    NotImplementedError — :func:`decode_image_bytes` falls through to
+    the PIL seam for those."""
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
@@ -805,6 +807,27 @@ def decode_tiff(data: bytes) -> np.ndarray:
     # it routes to the seam rather than returning garbled colors.
     # sub-byte depths (1/2/4-bit): bilevel/paletted scanned documents —
     # gray or palette, single sample, strip layout, no predictor
+    if comp == 6:
+        # old-style JPEG-in-TIFF (TIFF 6.0 §22, deprecated by TechNote
+        # 2): most real writers store ONE complete JFIF stream at tag
+        # 513 (JPEGInterchangeFormat) — decode it natively and crop to
+        # the declared page.  The per-strip variant driven by tags
+        # 515-520 (restart-interval reassembly) stays on the PIL seam.
+        if 513 not in tags:
+            raise NotImplementedError(
+                "old-style JPEG-in-TIFF without JPEGInterchangeFormat "
+                "(tags 515-520 reassembly) needs PIL")
+        from swiftlake_spark.operators.jpeg import decode_jpeg
+
+        joff = tags[513][0]
+        jlen = tags.get(514, [len(data) - joff])[0]
+        if joff < 8 or joff + jlen > len(data) or jlen < 4:
+            raise ValueError("bad JPEGInterchangeFormat offset/length")
+        a = decode_jpeg(bytes(data[joff: joff + jlen]))
+        if a.shape[0] < h or a.shape[1] < w:
+            raise ValueError(
+                f"old-style JPEG frame {a.shape} smaller than {w}x{h}")
+        return a[:h, :w]
     subbyte = bps in (1, 2, 4)
     if comp not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946) \
             or planar not in (1, 2) \

@@ -2119,6 +2119,51 @@ def test_tiff_jpeg_in_tiff_roundtrip():
     assert np.abs(got.astype(int) - gray.astype(int)).max() <= 3
 
 
+def test_tiff_old_style_jpeg_tag_513():
+    """r11 session 2: old-style JPEG-in-TIFF (compression 6) — the
+    common writer layout stores one complete JFIF stream at tag 513
+    (JPEGInterchangeFormat); decode it natively and crop to the page.
+    The tags-515-520 per-strip variant still raises to the seam."""
+    import struct
+
+    import numpy as np
+
+    from swiftlake_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from swiftlake_spark.operators.multimodal import decode_tiff
+
+    yy, xx = np.mgrid[0:18, 0:26]
+    rgb = np.stack([(yy * 5 + xx) % 256, (xx * 3) % 256,
+                    (yy * 2 + xx * 4) % 256], -1).astype(np.uint8)
+    jfif = encode_jpeg(rgb, quality=100)
+
+    def build(with_513: bool) -> bytes:
+        tags = [(256, 4, 26), (257, 4, 18), (258, 3, 8), (259, 3, 6),
+                (262, 3, 6), (277, 3, 3)]
+        if with_513:
+            tags += [(513, 4, None), (514, 4, len(jfif))]
+        tags.sort(key=lambda t: t[0])
+        nent = len(tags)
+        data_off = 8 + 2 + 12 * nent + 4
+        out = bytearray(b"II*\x00" + struct.pack("<I", 8)
+                        + struct.pack("<H", nent))
+        for tag, typ, val in tags:
+            if val is None:
+                val = data_off  # JPEG stream right after the IFD
+            out += struct.pack("<HHI", tag, typ, 1)
+            out += struct.pack("<I", val) if typ == 4 \
+                else struct.pack("<HH", val, 0)
+        out += struct.pack("<I", 0) + jfif
+        return bytes(out)
+
+    got = decode_tiff(build(True))
+    assert np.array_equal(got, decode_jpeg(jfif))
+
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="515-520"):
+        decode_tiff(build(False))
+
+
 def test_tiff_subbyte_depths_roundtrip():
     """r11: 1/2/4-bit TIFF (bilevel / paletted scanned documents) —
     gray round-trips exactly on the level lattice across compressions,
