@@ -344,9 +344,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17: off + 17 + cnt])
                 (huff_ac if tc else huff_dc)[th] = _build_decode_lut(bits, vals)
                 off += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xC3):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC3):
             # SOF0/1 sequential, SOF2 progressive (huffman);
-            # SOF9 sequential arithmetic (operators/jpeg_arith.py);
+            # SOF9 sequential / SOF10 progressive arithmetic
+            # (operators/jpeg_arith.py);
             # SOF3 lossless predictive (operators/jpeg_lossless.py)
             prec = body[0]
             # T.81 B.2.2: baseline (SOF0) is 8-bit only; extended
@@ -371,14 +372,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "prec": prec,
-                     "progressive": marker == 0xC2,
-                     "arith": marker == 0xC9,
+                     "progressive": marker in (0xC2, 0xCA),
+                     "arith": marker in (0xC9, 0xCA),
                      "lossless": marker == 0xC3}
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (progressive-"
-                "arithmetic/hierarchical/arithmetic-lossless) needs PIL")
+                f"JPEG process SOF{marker - 0xC0} (hierarchical/"
+                "arithmetic-lossless) needs PIL")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
             while off + 2 <= len(body):
@@ -415,10 +416,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 ahal = body[3 + 2 * ns]
                 if prog_coefs is None:
                     prog_coefs = _init_prog_coefs(frame)
-                pos = _decode_prog_scan(
-                    data, pos, frame, scan_list, ss, se,
-                    ahal >> 4, ahal & 15, huff_dc, huff_ac,
-                    restart_interval, prog_coefs)
+                if frame.get("arith"):
+                    from swiftlake_spark.operators.jpeg_arith import (
+                        decode_prog_arith_scan,
+                    )
+
+                    pos = decode_prog_arith_scan(
+                        data, pos, frame, scan_list, ss, se,
+                        ahal >> 4, ahal & 15, dac_dc, dac_ac,
+                        restart_interval, prog_coefs)
+                else:
+                    pos = _decode_prog_scan(
+                        data, pos, frame, scan_list, ss, se,
+                        ahal >> 4, ahal & 15, huff_dc, huff_ac,
+                        restart_interval, prog_coefs)
                 continue  # next scan (or EOI) follows
             if ns != len(frame["comps"]):
                 raise NotImplementedError(

@@ -281,16 +281,18 @@ def _dec_dc(dec, st, ctx, pred, li, ui):
     return pred + (-v if sign else v)
 
 
-def _dec_ac(dec, st, fixed, coef, kx):
-    """AC coefficients 1..63 into zigzag positions (F.2.4.2)."""
-    k = 1
-    while k <= 63:
+def _dec_ac(dec, st, fixed, coef, kx, ss=1, se=63, al=0):
+    """AC coefficients ss..se into zigzag positions (F.2.4.2); the
+    progressive first scans pass a band and a point transform
+    (decoded values land ``<< al``, G.1.3)."""
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):
             return  # EOB
         while dec.decode(st, base + 1) == 0:
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("JPEG arith AC index overflow")
             base = 3 * (k - 1)
         sign = dec.decode(fixed, 0)
@@ -312,7 +314,36 @@ def _dec_ac(dec, st, fixed, coef, kx):
             if dec.decode(st, pos):
                 v |= m
         v += 1
-        coef[k] = -v if sign else v
+        coef[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _dec_ac_refine(dec, st, fixed, coef, ss, se, al):
+    """One block of an AC successive-approximation refinement scan
+    (G.1.3.3 / jdarith decode_mcu_AC_refine)."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex > 0 and coef[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):
+            return  # EOB
+        while True:
+            c = int(coef[k])
+            if c:  # previously nonzero: correction bit
+                if dec.decode(st, base + 2):
+                    coef[k] = c + (m1 if c < 0 else p1)
+                break
+            if dec.decode(st, base + 1):  # newly nonzero
+                coef[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arith AC refine index overflow")
+            base = 3 * (k - 1)
         k += 1
 
 
@@ -398,6 +429,122 @@ def decode_arith_scan(data, pos, frame, scan, qt, dac_dc, dac_ac,
     return _reconstruct(frame, qt, arrays)
 
 
+def decode_prog_arith_scan(data, pos, frame, scan_list, ss, se, ah, al,
+                           dac_dc, dac_ac, restart_interval, coefs):
+    """One progressive-arithmetic (SOF10) scan into the coefficient
+    store; returns the position of the next marker.  Statistics are
+    fresh per scan (T.81 G.1.3 start conditions); the Huffman
+    progressive decoder's scan-script validation applies unchanged."""
+    from swiftlake_spark.operators.jpeg import _geometry
+
+    comps = {c["id"]: c for c in frame["comps"]}
+    for cid, _td, _ta in scan_list:
+        if cid not in comps:
+            raise ValueError(f"scan component {cid} not in frame")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+    else:
+        if len(scan_list) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError(f"bad spectral band {ss}..{se}")
+    if al > 13 or (ah and ah != al + 1):
+        raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
+
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    dc_tabs = {td for _cid, td, _ta in scan_list}
+    ac_tabs = {ta for _cid, _td, ta in scan_list}
+
+    def fresh():
+        return ({t: np.zeros(_DC_BINS, np.uint8) for t in dc_tabs},
+                {t: np.zeros(_AC_BINS, np.uint8) for t in ac_tabs})
+
+    dec = _QMDecoder(data, pos)
+    dc_stats, ac_stats = fresh()
+    fixed = np.array([_FIXED_BIN], np.uint8)
+    pred = {cid: 0 for cid, _, _ in scan_list}
+    dc_ctx = {cid: [0] for cid, _, _ in scan_list}
+    unit = 0
+    rst_seq = 0
+
+    def restart_if_due():
+        nonlocal dec, dc_stats, ac_stats, fixed, rst_seq
+        if restart_interval and unit and unit % restart_interval == 0:
+            if dec.marker_at is None:
+                mp = dec.bp
+                while mp + 1 < len(data) and not (
+                        data[mp] == 0xFF and data[mp + 1] != 0x00):
+                    mp += 1
+                dec.marker_at = mp
+            mpos = dec.marker_at
+            if mpos + 1 >= len(data) or \
+                    data[mpos + 1] != 0xD0 + (rst_seq & 7):
+                raise ValueError("JPEG arith missing restart marker")
+            rst_seq += 1
+            dec = _QMDecoder(data, mpos + 2)
+            dc_stats, ac_stats = fresh()
+            fixed = np.array([_FIXED_BIN], np.uint8)
+            for cid in pred:
+                pred[cid] = 0
+                dc_ctx[cid] = [0]
+
+    def do_dc(cid, td, blk):
+        if ah == 0:
+            li, ui = dac_dc.get(td, (0, 1))
+            pred[cid] = _dec_dc(dec, dc_stats[td], dc_ctx[cid],
+                                pred[cid], li, ui)
+            if not -(1 << 30) < (pred[cid] << al) < (1 << 30):
+                raise ValueError("DC predictor out of range")
+            blk[0] = pred[cid] << al
+        elif dec.decode(fixed, 0):  # DC refinement: one fixed-bin bit
+            blk[0] = int(blk[0]) | (1 << al)
+
+    if len(scan_list) > 1:
+        # interleaved DC scan over the MCU grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart_if_due()
+                unit += 1
+                for cid, td, _ta in scan_list:
+                    c = comps[cid]
+                    for cy in range(c["v"]):
+                        for cx in range(c["h"]):
+                            idx = ((my * c["v"] + cy) * c["bw_i"]
+                                   + mx * c["h"] + cx)
+                            do_dc(cid, td, coefs[cid][idx])
+    else:
+        cid, td, ta = scan_list[0]
+        c = comps[cid]
+        kx = dac_ac.get(ta, 5)
+        for by in range(c["bh_n"]):
+            for bx in range(c["bw_n"]):
+                restart_if_due()
+                unit += 1
+                blk = coefs[cid][by * c["bw_i"] + bx]
+                if ss == 0:
+                    do_dc(cid, td, blk)
+                elif ah == 0:
+                    _dec_ac(dec, ac_stats[ta], fixed, blk, kx,
+                            ss, se, al)
+                else:
+                    _dec_ac_refine(dec, ac_stats[ta], fixed, blk,
+                                   ss, se, al)
+
+    # resynchronize to the next true marker (flush-tail bytes and
+    # stuffed pairs are entropy data; stray RSTn would be an error the
+    # next scan surfaces)
+    p = dec.marker_at if dec.marker_at is not None else dec.bp
+    n = len(data)
+    while p + 1 < n and not (
+            data[p] == 0xFF and data[p + 1] != 0x00
+            and not 0xD0 <= data[p + 1] <= 0xD7):
+        p += 1
+    if p + 1 >= n:
+        raise ValueError("progressive scan ran past end of stream")
+    return p
+
+
 # ------------------------------------------------------ encode (scan)
 
 
@@ -436,20 +583,26 @@ def _enc_dc(enc, st, ctx, v, pred, li, ui):
     return v
 
 
-def _enc_ac(enc, st, fixed, coef, kx):
-    ke = 63
-    while ke > 0 and coef[ke] == 0:
+def _shifted(coef, k, al):
+    """Point-transformed coefficient: signed (|coef[k]| >> al)."""
+    v = int(coef[k])
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_ac(enc, st, fixed, coef, kx, ss=1, se=63, al=0):
+    ke = se
+    while ke >= ss and _shifted(coef, ke, al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         base = 3 * (k - 1)
         enc.code(st, base, 0)  # not EOB yet
-        while coef[k] == 0:
+        while _shifted(coef, k, al) == 0:
             enc.code(st, base + 1, 0)
             k += 1
             base = 3 * (k - 1)
         enc.code(st, base + 1, 1)
-        v = int(coef[k])
+        v = _shifted(coef, k, al)
         sign = 1 if v < 0 else 0
         enc.code(fixed, 0, sign)
         mag = (-v if sign else v) - 1
@@ -473,8 +626,171 @@ def _enc_ac(enc, st, fixed, coef, kx):
         while m := m >> 1:
             enc.code(st, pos, 1 if (m & mag) else 0)
         k += 1
-    if k <= 63:
+    if k <= se:
         enc.code(st, 3 * (k - 1), 1)  # EOB
+
+
+def _enc_ac_refine(enc, st, fixed, coef, ss, se, al):
+    """Successive-approximation AC refinement (G.1.3.3 mirror of
+    _dec_ac_refine)."""
+    ah = al + 1
+    ke = se
+    while ke >= ss and _shifted(coef, ke, al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and _shifted(coef, kex, ah) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.code(st, base, 0)  # not EOB yet
+        while True:
+            v = _shifted(coef, k, al)
+            if v:
+                if abs(v) > 1:  # previously nonzero: correction bit
+                    enc.code(st, base + 2, abs(v) & 1)
+                else:  # newly nonzero at this precision
+                    enc.code(st, base + 1, 1)
+                    enc.code(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.code(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if k <= se:
+        enc.code(st, 3 * (k - 1), 1)  # EOB
+
+
+def encode_jpeg_arith_progressive(arr: np.ndarray, quality: int = 85,
+                                  subsampling: str = "4:4:4",
+                                  restart_interval: int = 0) -> bytes:
+    """uint8 (H,W,3)/(H,W) → progressive-arithmetic JPEG (SOF10).
+
+    Same scan script as the Huffman progressive encoder (interleaved
+    DC first at Al=1, split-band AC first scans, AC refinements, DC
+    refinement) so the two streams carry identical coefficients —
+    the transparency property extends across all four entropy modes.
+    DC point transform is an arithmetic shift, AC a magnitude shift
+    (T.81 G.1.2.1/G.1.2.2); statistics reset per scan."""
+    from swiftlake_spark.operators.jpeg import _grid_n, _prepare_encode, _seg
+
+    st = _prepare_encode(arr, quality, subsampling, 8)
+    gray = st["gray"]
+    samp, coeffs = st["samp"], st["coeffs"]
+    mcux, mcuy = st["mcux"], st["mcuy"]
+    nc = 1 if gray else 3
+    dac_dc = {t: (0, 1) for t in range(1 if gray else 2)}
+    dac_ac = {t: 5 for t in range(1 if gray else 2)}
+
+    script: list[tuple[list[int], int, int, int, int]] = []
+    script.append((list(range(nc)), 0, 0, 0, 1))  # DC first
+    for ci in range(nc):
+        script.append(([ci], 1, 5, 0, 1))
+        script.append(([ci], 6, 63, 0, 1))
+    for ci in range(nc):
+        script.append(([ci], 1, 5, 1, 0))
+        script.append(([ci], 6, 63, 1, 0))
+    script.append((list(range(nc)), 0, 0, 1, 0))  # DC refine
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(st["ql"].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(st["qc"].astype(np.uint8)))
+    sof = bytearray([8]) + struct.pack(">HH", st["h"], st["w"])
+    sof += bytes([nc])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, st["qsel"][ci]])
+    out += _seg(0xCA, bytes(sof))
+    dac = bytearray()
+    for t, (li, ui) in dac_dc.items():
+        dac += bytes([t, (ui << 4) | li])
+    for t, kx in dac_ac.items():
+        dac += bytes([0x10 | t, kx])
+    out += _seg(0xCC, bytes(dac))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    for comps_idx, ss, se, ah, al in script:
+        sos = bytearray([len(comps_idx)])
+        for ci in comps_idx:
+            t = 1 if (not gray and ci) else 0
+            sos += bytes([ci + 1, ((t if ss == 0 else 0) << 4)
+                          | (t if ss > 0 else 0)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, bytes(sos))
+
+        def fresh():
+            n_t = 1 if gray else 2
+            return ({t: np.zeros(_DC_BINS, np.uint8) for t in range(n_t)},
+                    {t: np.zeros(_AC_BINS, np.uint8) for t in range(n_t)})
+
+        enc = _QMEncoder()
+        dc_stats, ac_stats = fresh()
+        fixed = np.array([_FIXED_BIN], np.uint8)
+        pred = {ci: 0 for ci in comps_idx}
+        dc_ctx = {ci: [0] for ci in comps_idx}
+        segments = []
+        unit = 0
+        rst_seq = 0
+
+        def restart_if_due():
+            nonlocal enc, dc_stats, ac_stats, fixed, rst_seq
+            if restart_interval and unit and unit % restart_interval == 0:
+                segments.append(enc.flush()
+                                + bytes([0xFF, 0xD0 + (rst_seq & 7)]))
+                rst_seq += 1
+                enc = _QMEncoder()
+                dc_stats, ac_stats = fresh()
+                fixed = np.array([_FIXED_BIN], np.uint8)
+                for ci in pred:
+                    pred[ci] = 0
+                    dc_ctx[ci] = [0]
+
+        def do_block(ci, bi):
+            t = 1 if (not gray and ci) else 0
+            coef = coeffs[ci][bi]
+            if ss == 0:
+                if ah == 0:
+                    li, ui = dac_dc[t]
+                    pred[ci] = _enc_dc(
+                        enc, dc_stats[t], dc_ctx[ci],
+                        int(coef[0]) >> al, pred[ci], li, ui)
+                else:  # DC refinement: one fixed-bin bit
+                    enc.code(fixed, 0, (int(coef[0]) >> al) & 1)
+            elif ah == 0:
+                _enc_ac(enc, ac_stats[t], fixed, coef, dac_ac[t],
+                        ss, se, al)
+            else:
+                _enc_ac_refine(enc, ac_stats[t], fixed, coef,
+                               ss, se, al)
+
+        if len(comps_idx) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    restart_if_due()
+                    unit += 1
+                    for ci in comps_idx:
+                        sh, sv = samp[ci]
+                        for cy in range(sv):
+                            for cx in range(sh):
+                                do_block(ci, (my * sv + cy) * (mcux * sh)
+                                         + mx * sh + cx)
+        else:
+            ci = comps_idx[0]
+            sh, sv = samp[ci]
+            bw_n = _grid_n(st["w"], sh, st["hmax"])
+            bh_n = _grid_n(st["h"], sv, st["vmax"])
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    restart_if_due()
+                    unit += 1
+                    do_block(ci, by * (mcux * sh) + bx)
+        segments.append(enc.flush())
+        out += b"".join(segments)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg_arith(arr: np.ndarray, quality: int = 85,

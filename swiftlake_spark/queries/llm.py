@@ -2159,11 +2159,11 @@ def q143_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q144 — MIXED-format image column (round 10 capstone; r11 adds the
-# arithmetic-coded SOF9 and lossless SOF3 JPEGs): one binary column
-# carrying PNG, JPEG, GIF, BMP, QM-coded JPEG and predictive-lossless
-# JPEG payloads of the SAME per-doc pixels, decoded through the
-# magic-byte dispatch in one mapInPandas pass.  Certifies that all
-# six stdlib decoders agree with each other
+# arithmetic-coded SOF9/SOF10 and lossless SOF3 JPEGs): one binary
+# column carrying PNG, JPEG, GIF, BMP, QM-coded sequential JPEG,
+# predictive-lossless JPEG and QM-coded progressive JPEG payloads of
+# the SAME per-doc pixels, decoded through the magic-byte dispatch in
+# one mapInPandas pass.  Certifies that all seven decoders agree
 # (lossless formats bit-exactly; JPEG within quantization tolerance)
 # and with expectations computed from the raw pixels that never touch
 # any codec.
@@ -2220,7 +2220,7 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + xx * (b[2] % 3) + c * 25, 0, 255)
                     for c in range(3)
                 ], axis=-1).astype(np.uint8)
-                kind = int(did) % 6
+                kind = int(did) % 7
                 if kind == 0:
                     payload, fmt, exact = encode_png(arr), "png", True
                 elif kind == 1:
@@ -2236,6 +2236,16 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload, fmt, exact = (
                         encode_jpeg_arith(arr, quality=95), "jpeg9",
                         False)
+                elif kind == 6:
+                    # r11: progressive-arithmetic JPEG (SOF10) — the
+                    # fourth entropy mode in the rotation
+                    from swiftlake_spark.operators.jpeg_arith import (
+                        encode_jpeg_arith_progressive,
+                    )
+
+                    payload, fmt, exact = (
+                        encode_jpeg_arith_progressive(arr, quality=95),
+                        "jpeg10", False)
                 elif kind == 5:
                     # r11: lossless JPEG (SOF3, predictive) — the one
                     # JPEG that must reproduce the mean EXACTLY

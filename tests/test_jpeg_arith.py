@@ -197,14 +197,79 @@ def test_bad_dac_rejected():
         decode_jpeg(bytes(data))
 
 
-def test_progressive_arith_stays_on_seam():
+def test_arith_lossless_stays_on_seam():
     rng = np.random.default_rng(9)
     arr = rng.integers(0, 256, (8, 8), dtype=np.uint8)
     data = bytearray(encode_jpeg_arith(arr))
     i = data.find(bytes([0xFF, 0xC9]))
-    data[i + 1] = 0xCA  # morph SOF9 → SOF10 (progressive arithmetic)
+    data[i + 1] = 0xCB  # morph SOF9 → SOF11 (arithmetic lossless)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
+
+
+def test_sequential_scan_under_sof10_rejected():
+    # a full-band interleaved scan is structurally invalid for the
+    # progressive decoder (DC scan must have Se=0): morphing the SOF
+    # marker must fail loudly, not decode garbage
+    rng = np.random.default_rng(10)
+    arr = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    data = bytearray(encode_jpeg_arith(arr))
+    i = data.find(bytes([0xFF, 0xC9]))
+    data[i + 1] = 0xCA
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+
+
+# ------------------------------------------- progressive arithmetic
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("restart", [0, 2])
+def test_progressive_arith_equals_huffman_progressive(subsampling,
+                                                      restart):
+    from swiftlake_spark.operators.jpeg import encode_jpeg_progressive
+    from swiftlake_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.default_rng(restart + len(subsampling))
+    for arr in _images(rng):
+        if arr.ndim == 2 and subsampling == "4:2:0":
+            continue
+        pa = encode_jpeg_arith_progressive(
+            arr, quality=87, subsampling=subsampling,
+            restart_interval=restart)
+        ph = encode_jpeg_progressive(
+            arr, quality=87, subsampling=subsampling,
+            restart_interval=restart)
+        assert np.array_equal(decode_jpeg(pa), decode_jpeg(ph))
+        # and vs the sequential pipeline: same coefficient store
+        seq = encode_jpeg(arr, quality=87, subsampling=subsampling)
+        assert np.array_equal(decode_jpeg(pa), decode_jpeg(seq))
+
+
+def test_progressive_arith_mutation_fuzz():
+    from swiftlake_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    base = encode_jpeg_arith_progressive(arr, quality=80)
+    n = 0
+    for k in range(200):
+        b = bytearray(base)
+        if k % 2 == 0:
+            b[int(rng.integers(2, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        else:
+            b = b[: int(rng.integers(4, len(b)))]
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.dtype == np.uint8
+        except (ValueError, NotImplementedError):
+            pass
+        n += 1
+    assert n == 200
 
 
 # --------------------------------------------------------- mutation

@@ -802,11 +802,12 @@ def test_png_invalid_combos_refuse_cleanly():
             decode_png(bad)
 
 
-def test_jpeg_dispatch_decodes_all_three_entropy_paths():
-    """JPEG dispatch (r10: progressive; r11: arithmetic): baseline,
-    progressive AND sequential-arithmetic (SOF9) all decode WITHOUT
-    PIL; progressive-arithmetic (SOF10) still routes to the PIL seam —
-    real decode when importable, honest raise when not (zero new hard
+def test_jpeg_dispatch_decodes_all_entropy_paths():
+    """JPEG dispatch (r10: progressive; r11: arithmetic + lossless):
+    baseline, progressive, sequential-arithmetic (SOF9) AND
+    progressive-arithmetic (SOF10) all decode WITHOUT PIL;
+    arithmetic-lossless (SOF11) still routes to the PIL seam — real
+    decode when importable, honest raise when not (zero new hard
     dependencies)."""
     import numpy as np
     import pytest
@@ -815,7 +816,10 @@ def test_jpeg_dispatch_decodes_all_three_entropy_paths():
         encode_jpeg,
         encode_jpeg_progressive,
     )
-    from swiftlake_spark.operators.jpeg_arith import encode_jpeg_arith
+    from swiftlake_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
     from swiftlake_spark.operators.multimodal import decode_image_bytes
 
     img = np.full((8, 8, 3), (10, 200, 60), dtype=np.uint8)
@@ -825,9 +829,11 @@ def test_jpeg_dispatch_decodes_all_three_entropy_paths():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
     out = decode_image_bytes(encode_jpeg_arith(img))
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    out = decode_image_bytes(encode_jpeg_arith_progressive(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
 
-    prog_arith = bytearray(encode_jpeg_arith(img))
-    prog_arith[prog_arith.find(b"\xff\xc9") + 1] = 0xCA  # SOF9 → SOF10
+    seam = bytearray(encode_jpeg_arith(img))
+    seam[seam.find(b"\xff\xc9") + 1] = 0xCB  # SOF9 → SOF11 (lossless)
     try:
         import PIL  # noqa: F401
 
@@ -837,11 +843,11 @@ def test_jpeg_dispatch_decodes_all_three_entropy_paths():
     if has_pil:
         # PIL rejects the corrupted scan its own way — the seam is open
         with pytest.raises(Exception) as ei:
-            decode_image_bytes(bytes(prog_arith))
+            decode_image_bytes(bytes(seam))
         assert not isinstance(ei.value, NotImplementedError)
     else:
         with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image_bytes(bytes(prog_arith))
+            decode_image_bytes(bytes(seam))
 
 
 
