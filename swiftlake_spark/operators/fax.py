@@ -1,10 +1,12 @@
 """CCITT fax codecs for bilevel TIFF strips (public ITU-T T.4 / T.6).
 
-Scanned-document corpora are full of Group 3 / Group 4 fax TIFFs (the
-reference treats media payloads as opaque binary columns with typed
-metadata — e.g. ``core/src/main/java/com/arcesium/swiftlake/common/
-InputFiles.java`` hands bytes through untyped; decode happens in the
-pipeline).  This module implements the three TIFF fax compressions from
+Scanned-document corpora are full of Group 3 / Group 4 fax TIFFs (≙
+reference media handling intent, SURVEY §2 multimodal columns: the
+reference treats media payloads as opaque binary columns — e.g.
+``core/src/main/java/com/arcesium/swiftlake/common/InputFiles.java``
+hands bytes through untyped; decode happens in the pipeline — while
+the codec itself is public ITU-T spec math, no reference code
+involved).  This module implements the three TIFF fax compressions from
 the public specs alone:
 
 - compression 2 — "Modified Huffman" 1-D RLE, every row byte-aligned,
@@ -371,7 +373,9 @@ def _decode_row_2d(r: _BitReader, ref_t: list[int],
             a0 = b2
         elif mode == "V":
             a1 = b1 + off
-            if a1 < 0 or a1 > width:
+            # changing elements are strictly increasing (T.6 §2.2.3):
+            # a zero-progress V mode marks a corrupt stream
+            if a1 <= a0 or a1 > width:
                 raise ValueError("fax vertical mode out of range")
             if not color_white:
                 row[max(a0, 0): a1] = True
@@ -381,7 +385,7 @@ def _decode_row_2d(r: _BitReader, ref_t: list[int],
             start = max(a0, 0)
             r1 = _read_run(r, _WHITE_DEC if color_white else _BLACK_DEC)
             r2 = _read_run(r, _BLACK_DEC if color_white else _WHITE_DEC)
-            if start + r1 + r2 > width:
+            if start + r1 + r2 > width or start + r1 + r2 <= a0:
                 raise ValueError("fax horizontal runs overrun width")
             if color_white:
                 row[start + r1: start + r1 + r2] = True

@@ -2,8 +2,10 @@
 
 Audio corpora are FLAC-heavy (it is the canonical lossless interchange
 format), so the engine's stdlib audio floor needs a native path — the
-same rationale as the fax/TIFF/JPEG codecs (the reference hands media
-bytes through opaque binary columns; decode happens in the pipeline).
+same rationale as the fax/TIFF/JPEG codecs (≙ reference media handling
+intent, SURVEY §2 multimodal columns: opaque binary columns, decode in
+the pipeline; the codec is public xiph/RFC-9639 spec math, no
+reference code involved).
 
 Decoder scope (every subframe type in the spec):
 - STREAMINFO + metadata-block skipping;
@@ -489,6 +491,8 @@ def encode_flac(samples: np.ndarray, rate: int = 8000, *,
         raise ValueError("block_size out of range")
     if bps < 8 or bps > 24:
         raise ValueError("encoder supports bps 8..24")
+    if not 1 <= rate < (1 << 20):  # STREAMINFO field is 20 bits
+        raise ValueError("sample rate out of range")
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if s.min() < lo or s.max() > hi:
         raise ValueError(f"samples exceed {bps}-bit range")

@@ -27,7 +27,10 @@ Scope (everything else raises NotImplementedError so
 - DHT-less abbreviated streams (OpenDML MJPG 'AVI1'): sequential
   scans referencing an undefined Huffman slot fall back to the
   Annex-K typical tables, as that spec requires of decoders;
-- arithmetic coding, hierarchical, lossless → seam.
+- arithmetic coding (SOF9 sequential + SOF10 progressive) dispatches
+  to ``operators/jpeg_arith.py``; lossless (SOF3) to
+  ``operators/jpeg_lossless.py``;
+- hierarchical and arithmetic-lossless (SOF5-7/11/13-15) → seam.
 
 An encoder (`encode_jpeg`) exists for tests and payload synthesis, like
 ``encode_png``/``encode_ppm``: Annex-K quantization tables with libjpeg

@@ -1,7 +1,9 @@
 """Lossless JPEG (ITU-T T.81 Annex H — SOF3).
 
 The predictive lossless process survives in real corpora through DNG
-raw files and DICOM medical images, so it joins the native JPEG
+raw files and DICOM medical images (≙ reference media handling intent,
+SURVEY §2 multimodal columns; public T.81 Annex H math, no reference
+code involved), so it joins the native JPEG
 family (baseline/extended/progressive/arithmetic in operators/
 jpeg.py + jpeg_arith.py).  Scope:
 
