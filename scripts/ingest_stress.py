@@ -1,0 +1,129 @@
+"""1x vs 10x scale rehearsal for the document-ingestion paths.
+
+Companion to codec_stress.py (r11): the extraction family's cost is
+also per-row work inside ``mapInPandas``, so the claim to verify is
+the same — wall-clock scales (sub-)linearly with payload count, no
+driver collection, no batch blow-up — for the three entry stages:
+
+- warc: WARC.gz blobs (3 records each) → exploded response rows;
+- documents: mixed PDF / DOCX / HTML → text via the unified dispatch;
+- probe: MP3/MP4/WebM/Ogg header-level metadata.
+
+Usage: python scripts/ingest_stress.py [factor]      (default 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from swiftlake_spark.config import EngineConfig  # noqa: E402
+from swiftlake_spark.session import build_session  # noqa: E402
+from swiftlake_spark.operators.doctext import (  # noqa: E402
+    encode_docx,
+    extract_document_text,
+)
+from swiftlake_spark.operators.mediaprobe import (  # noqa: E402
+    encode_mp3_shaped,
+    encode_mp4_shaped,
+    encode_ogg_shaped,
+    encode_webm_shaped,
+    probe_media,
+)
+from swiftlake_spark.operators.pdftext import encode_pdf  # noqa: E402
+from swiftlake_spark.operators.warc import (  # noqa: E402
+    encode_warc,
+    warc_records,
+)
+
+BASE = 400  # payloads per family at 1x
+
+
+def synth_warc(n: int) -> list[bytes]:
+    out = []
+    for i in range(n):
+        recs = [
+            {"type": "warcinfo", "payload": b"software: stress\r\n"},
+            {"type": "response", "uri": f"http://x.example/{i}",
+             "payload": (f"<html><body><h1>Doc {i}</h1>"
+                         f"<p>{'crawl text ' * 30}</p></body></html>"
+                         ).encode()},
+            {"type": "response", "uri": f"http://y.example/{i}",
+             "payload": (f"<html><body><p>{'more words ' * 20}"
+                         f"</p></body></html>").encode()},
+        ]
+        out.append(encode_warc(recs, per_record_gzip=bool(i % 2)))
+    return out
+
+
+def synth_documents(n: int) -> list[bytes]:
+    out = []
+    for i in range(n):
+        text = f"Document {i}. " + "sentence with words. " * 40
+        k = i % 3
+        if k == 0:
+            out.append(encode_pdf([text, text], compress=True))
+        elif k == 1:
+            out.append(encode_docx([text] * 3))
+        else:
+            out.append((f"<html><body><h1>t{i}</h1><p>{text}</p>"
+                        f"</body></html>").encode())
+    return out
+
+
+def synth_probe(n: int) -> list[bytes]:
+    out = []
+    for i in range(n):
+        k = i % 4
+        if k == 0:
+            out.append(encode_mp3_shaped(60, kbps_idx=5 + i % 8))
+        elif k == 1:
+            out.append(encode_mp4_shaped(duration_ms=1000 + i))
+        elif k == 2:
+            out.append(encode_webm_shaped(500 + i))
+        else:
+            out.append(encode_ogg_shaped(
+                "opus" if i % 2 else "vorbis",
+                total_samples=48_000 + i * 97))
+    return out
+
+
+def run_family(spark, name, payloads, op) -> float:
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id bigint, data binary").repartition(32)
+    t0 = time.time()
+    n = op(df).count()
+    dt = time.time() - t0
+    assert n >= len(payloads), (name, n)
+    return dt
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = build_session(EngineConfig(app_name="ingest-stress"))
+    fams = {
+        "warc(explode)": (synth_warc, lambda d: warc_records(d, "data")),
+        "documents(pdf+docx+html)": (
+            synth_documents,
+            lambda d: extract_document_text(d, "data")),
+        "probe(mp3+mp4+webm+ogg)": (
+            synth_probe, lambda d: probe_media(d, "data")),
+    }
+    print(f"| family | 1x ({BASE}) | {factor}x ({BASE * factor}) | ratio |")
+    print("|---|---|---|---|")
+    for name, (synth, op) in fams.items():
+        t1 = run_family(spark, name, synth(BASE), op)
+        t1 = min(t1, run_family(spark, name, synth(BASE), op))  # warm
+        tn = run_family(spark, name, synth(BASE * factor), op)
+        print(f"| {name} | {t1:.2f}s | {tn:.2f}s | {tn / t1:.1f}x |")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
