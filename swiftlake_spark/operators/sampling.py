@@ -278,3 +278,62 @@ def token_budget_waterfill(
             "saturated",
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Split long documents into fixed token windows with overlap —
+    the standard pretraining prep step ahead of packing (q76): a doc
+    of N whitespace tokens yields ceil-ish windows starting every
+    ``max_tokens - overlap`` tokens, each carrying up to
+    ``max_tokens`` tokens.
+
+    Pure Catalyst (sequence → transform → posexplode; no Python eval),
+    so chunking is row-local with zero shuffles — at 100 TB the plan
+    is scan → project → generate, and the explode factor is bounded by
+    N/(max_tokens-overlap) per document.
+
+    Output: input columns + ``{out_col}_idx`` (0-based window index),
+    ``{out_col}`` (window text), ``{out_col}_n_tokens``.  Empty/
+    whitespace-only documents yield a single empty chunk (idx 0), so
+    no rows are silently dropped.
+    """
+    if max_tokens < 1 or not 0 <= overlap < max_tokens:
+        raise ValueError("need max_tokens >= 1 and 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array()).otherwise(toks)
+    n = F.size(toks)
+    # window starts: 0, step, 2*step, ... while start < n (≥ one window)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (n - F.lit(1)) - ((n - F.lit(1)) % F.lit(step)), F.lit(0)
+        ),
+        F.lit(step),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(
+            " ", F.slice(toks, s + 1, F.lit(max_tokens))
+        ),
+    )
+    return (
+        df.withColumn("__chunks", chunks)
+        .select(
+            "*",
+            F.posexplode("__chunks").alias(f"{out_col}_idx", out_col),
+        )
+        .drop("__chunks")
+        .withColumn(
+            f"{out_col}_n_tokens",
+            F.when(F.col(out_col) == "", F.lit(0)).otherwise(
+                F.size(F.split(F.col(out_col), " ", -1))
+            ),
+        )
+    )

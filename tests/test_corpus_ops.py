@@ -432,3 +432,52 @@ def test_quantile_outliers_band_and_ties(spark):
         [1, 2, 3, 4, 96, 97, 98, 99, 100]
     # an all-ties group has cd = cd_rev = 1.0 everywhere → nothing flagged
     assert all(not r["is_outlier"] for r in out if r["lang"] == "de")
+
+
+def test_chunk_documents_model_and_plan(spark):
+    """r11 session 2: fixed-window chunking with overlap — window
+    starts/sizes match a Python reference model over edge shapes
+    (empty, shorter-than-window, exact multiple, one-over), overlap
+    windows share the expected boundary tokens, and the plan stays
+    pure JVM (sequence/transform/posexplode, no Python eval)."""
+    from collections import defaultdict
+
+    from swiftlake_spark.operators.sampling import chunk_documents
+
+    rows = [(0, " ".join(f"w{i}" for i in range(1000))),
+            (1, "short doc"),
+            (2, ""),
+            (3, "   "),
+            (4, " ".join(f"t{i}" for i in range(512))),
+            (5, " ".join(f"u{i}" for i in range(513)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(df, "text", max_tokens=512, overlap=64).collect()
+    by = defaultdict(list)
+    for r in out:
+        by[r["doc_id"]].append(r)
+
+    def starts(n, mx=512, ov=64):
+        return [0] if n == 0 else list(range(0, n, mx - ov))
+
+    lens = {0: 1000, 1: 2, 2: 0, 3: 0, 4: 512, 5: 513}
+    for did, n in lens.items():
+        got = sorted(r["chunk_idx"] for r in by[did])
+        assert got == list(range(len(starts(n)))), (did, got)
+        for r in by[did]:
+            s = r["chunk_idx"] * (512 - 64)
+            exp_n = max(0, min(512, n - s)) if n else 0
+            assert r["chunk_n_tokens"] == exp_n, (did, r["chunk_idx"])
+    # overlap boundary: window 1 of doc 0 starts at token 448
+    w1 = next(r for r in by[0] if r["chunk_idx"] == 1)
+    assert w1["chunk"].split(" ")[0] == "w448"
+    assert w1["chunk"].split(" ")[63] == "w511"  # the 64 shared tokens
+
+    plan = chunk_documents(df, "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", max_tokens=64, overlap=64)
