@@ -33,8 +33,14 @@ from html.parser import HTMLParser
 # char; stray occurrences in input get normalized away first)
 _PRE_MARK = "\ue000"
 
+# subtree-skip only the tags whose content model makes unclosed tags
+# rare (script/style parse as raw text; svg/template nest properly) —
+# crawl HTML is full of unclosed <audio>/<iframe>/<object>, and a
+# stuck skip-depth would silently eat the rest of the document (their
+# inner fallback text is legitimate output anyway).  An unclosed
+# <head> is recovered when <body> opens (see handle_starttag).
 _SKIP_SUBTREES = {"script", "style", "noscript", "template", "svg",
-                  "head", "iframe", "object", "audio", "video"}
+                  "head"}
 _BLOCK_TAGS = {"p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3",
                "h4", "h5", "h6", "tr", "table", "thead", "tbody",
                "section", "article", "header", "footer", "nav",
@@ -51,13 +57,17 @@ class _TextHTMLParser(HTMLParser):
         self._pre_depth = 0
 
     def handle_starttag(self, tag, attrs):
+        if tag == "body":
+            # <body> implies any unclosed <head> is over — without
+            # this, a missing </head> would skip the whole document
+            self._skip_depth = 0
         if tag in _SKIP_SUBTREES:
             self._skip_depth += 1
             return
         if tag == "pre":
             self._pre_depth += 1
         if tag in _BLOCK_TAGS:
-            self.parts.append("\n")
+            self._break()
 
     def handle_endtag(self, tag):
         if tag in _SKIP_SUBTREES:
@@ -66,10 +76,19 @@ class _TextHTMLParser(HTMLParser):
         if tag == "pre":
             self._pre_depth = max(0, self._pre_depth - 1)
         if tag in _BLOCK_TAGS and tag not in _VOID_SKIPLESS:
-            self.parts.append("\n")
+            self._break()
 
     def handle_startendtag(self, tag, attrs):
         if tag in _BLOCK_TAGS:
+            self._break()
+
+    def _break(self) -> None:
+        # inside <pre> a block break (e.g. <br>) must live INSIDE the
+        # protected span, or normalization strips it and the adjacent
+        # lines fuse
+        if self._pre_depth:
+            self.parts.append(_PRE_MARK + "\n" + _PRE_MARK)
+        else:
             self.parts.append("\n")
 
     def handle_data(self, data):

@@ -414,18 +414,6 @@ def _expect_eol(r: _BitReader, max_fill: int = 4096) -> None:
             raise ValueError("fax EOL fill too long")
 
 
-def _at_eol(r: _BitReader) -> bool:
-    """True if the next bits are (fill+) EOL, without consuming."""
-    save = r.pos
-    try:
-        _expect_eol(r)
-    except (ValueError, IndexError):
-        r.pos = save
-        return False
-    r.pos = save
-    return True
-
-
 # ------------------------------------------------------------- public
 
 

@@ -16,8 +16,11 @@ the SAME quantized coefficients decodes pixel-identically to the
 Huffman encoding (the entropy layer must be transparent), and by a
 PIL-gated golden for real-world interop where libjpeg is available.
 
-Progressive-arithmetic (SOF10) stays on the PIL seam — the scan
-dispatcher in ``operators/jpeg.py`` raises for it honestly.
+Progressive-arithmetic (SOF10) is ALSO native: the four Annex-G
+successive-approximation scan types (DC first/refine, AC first/
+refine) share the QM coder and statistics layout, with fresh
+statistics per scan; only hierarchical and arithmetic-lossless
+(SOF5-7/11/13-15) remain on the PIL seam.
 """
 
 from __future__ import annotations

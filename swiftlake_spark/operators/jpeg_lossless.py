@@ -97,7 +97,12 @@ def decode_lossless_scan(data, pos, frame, scan, huff_dc, ss, al,
     for cid, (dt, _at) in scan.items():
         lut = huff_dc.get(dt)
         if lut is None:
-            lut = _build_decode_lut(_LL_BITS, _LL_VALS)
+            # unlike sequential MJPG (Annex-K typical tables), T.81
+            # defines NO default tables for lossless — substituting
+            # our private encoder table would decode foreign streams
+            # to silently wrong pixels
+            raise ValueError(
+                f"lossless scan references undefined DC table {dt}")
         luts[cid] = lut
     r = _BitReader(data, pos)
     planes = {c["id"]: np.zeros((h, w), np.int32) for c in comps}

@@ -191,12 +191,12 @@ def probe_mp4(data: bytes) -> dict:
     width = height = None
     for btype, lo, hi, _d in _walk_boxes(data, 0, len(data)):
         if btype == b"mvhd" and duration_ms is None:
-            if lo + 28 > hi:
+            ver = data[lo] if lo < hi else 0
+            # v0 reads 8 bytes at lo+12 (needs 20); v1 reads 12 at
+            # lo+20 (needs 32)
+            if lo + (32 if ver == 1 else 20) > hi:
                 raise ValueError("truncated mvhd box")
-            ver = data[lo]
             if ver == 1:
-                if lo + 28 > hi:
-                    raise ValueError("truncated mvhd v1 box")
                 ts, dur = struct.unpack_from(">IQ", data, lo + 20)
             else:
                 ts, dur = struct.unpack_from(">II", data, lo + 12)

@@ -281,44 +281,19 @@ def _fold_refs(items: list) -> list:
 
 def _png_predictor_undo(raw: bytes, colors: int, bpc: int,
                         columns: int) -> bytes:
+    """PDF PNG predictors (10-15) delegate to the SAME scanline
+    unfilter the PNG codec uses (operators/multimodal._png_unfilter)
+    — PDF 7.4.4.4 defines them by reference to the PNG spec, so one
+    implementation serves both."""
+    from swiftlake_spark.operators.multimodal import _png_unfilter
+
     bpp = max(1, colors * bpc // 8)
     stride = (columns * colors * bpc + 7) // 8
-    out = bytearray()
-    prev = bytearray(stride)
-    pos = 0
-    while pos + 1 + stride <= len(raw) + stride:  # tolerate short tail
-        if pos >= len(raw):
-            break
-        ft = raw[pos]
-        row = bytearray(raw[pos + 1: pos + 1 + stride])
-        if len(row) < stride:
-            raise ValueError("truncated predictor row")
-        if ft == 1:
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ft == 2:
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ft == 3:
-            for i in range(stride):
-                left = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (
-                    b if pb <= pc else c)
-                row[i] = (row[i] + pr) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"bad PNG predictor row type {ft}")
-        out += row
-        prev = row
-        pos += 1 + stride
-    return bytes(out)
+    nrows = len(raw) // (stride + 1)
+    if nrows < 1:
+        raise ValueError("predictor stream shorter than one row")
+    rows, _next = _png_unfilter(raw, 0, nrows, stride, bpp)
+    return rows.tobytes()
 
 
 def _ascii85(data: bytes) -> bytes:
@@ -425,6 +400,7 @@ class _Pdf:
         if not self.objects:
             raise ValueError("PDF without indirect objects")
         self._cache: dict[int, object] = {}
+        self._loading: set[int] = set()
 
     def obj(self, ref):
         if isinstance(ref, _Ref):
@@ -433,9 +409,21 @@ class _Pdf:
             return ref
         if num in self._cache:
             return self._cache[num]
+        if num in self._loading:
+            # e.g. a stream whose /Length references itself: obj() →
+            # resolve() → obj() would recurse unboundedly (the
+            # resolve() chain counter restarts per call)
+            raise ValueError(f"cyclic PDF object reference {num}")
         off = self.objects.get(num)
         if off is None:
             return None
+        self._loading.add(num)
+        try:
+            return self._load(num, off)
+        finally:
+            self._loading.discard(num)
+
+    def _load(self, num: int, off: int):
         lex = _Lexer(self.data, off)
         val = lex.token()
         if isinstance(val, list):
@@ -452,7 +440,10 @@ class _Pdf:
                 p += 2
             elif self.data[p: p + 1] in (b"\n", b"\r"):
                 p += 1
-            length = self.resolve(val.get("Length"))
+            try:
+                length = self.resolve(val.get("Length"))
+            except ValueError:
+                length = None  # cyclic/broken → damaged-length path
             if not isinstance(length, int) or length < 0 \
                     or p + length > len(self.data):
                 # damaged /Length: scan for endstream

@@ -173,12 +173,12 @@ def warc_records(df, data_col: str = "data"):
     def run(batches):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                blob = row[data_col]
+            cols = [pdf[k] for k in keep_names]
+            for blob, *keeps in zip(pdf[data_col], *cols):
                 if blob is None:
                     continue
                 for rec in iter_warc_records(bytes(blob)):
-                    out = {k: row[k] for k in keep_names}
+                    out = dict(zip(keep_names, keeps))
                     out["record_type"] = rec["type"]
                     out["uri"] = rec["uri"]
                     out["warc_date"] = rec["date"]

@@ -92,11 +92,11 @@ def test_dispatch_uses_stdlib_decoder():
 
 
 def test_lossless_marker_routes_to_seam():
-    """SOF11 (lossless) must raise NotImplementedError from the stdlib
-    path — decode_image_bytes then falls through to the PIL seam.
-    (SOF9 sequential-arithmetic decodes natively since r11 —
-    tests/test_jpeg_arith.py; SOF10 progressive-arithmetic is covered
-    there as a seam case.)"""
+    """SOF11 (arithmetic lossless) must raise NotImplementedError from
+    the stdlib path — decode_image_bytes then falls through to the PIL
+    seam.  (SOF9 sequential- and SOF10 progressive-arithmetic both
+    decode natively since r11 — tests/test_jpeg_arith.py; Huffman
+    lossless SOF3 decodes natively too — tests/test_jpeg_lossless.py.)"""
     data = bytearray(encode_jpeg(_gradient(8, 8)))
     i = data.find(b"\xff\xc0")
     data[i + 1] = 0xCB
