@@ -14,11 +14,15 @@ pipeline; parsing is stdlib (``html.parser``, ``zipfile``,
   declared encoding, else UTF-8 with Latin-1 fallback);
 - DOCX: ZIP → ``word/document.xml`` → namespace-agnostic walk of
   ``w:p`` paragraphs / ``w:t`` runs / ``w:tab`` / ``w:br``;
-- dispatch: ``extract_document_text_bytes`` routes PDF / DOCX / HTML
-  by magic bytes, and the Spark operator ``extract_document_text``
-  runs it over Arrow batches (``mapInPandas``) — one column of mixed
-  raw documents in, one text column out, ready for the quality /
-  lang-ID / dedup stages (operators/text.py, dedup.py).
+- EPUB: zip of XHTML content documents, each through the HTML path;
+- subtitles: SRT and WebVTT cue parsing (timestamps → ms, inline
+  markup stripped) — video-caption corpora are built from these;
+- dispatch: ``extract_document_text_bytes`` routes PDF / DOCX / EPUB /
+  HTML / SRT / VTT by magic bytes-and-shape, and the Spark operator
+  ``extract_document_text`` runs it over Arrow batches
+  (``mapInPandas``) — one column of mixed raw documents in, one text
+  column out, ready for the quality / lang-ID / dedup stages
+  (operators/text.py, dedup.py).
 """
 
 from __future__ import annotations
@@ -244,12 +248,20 @@ def extract_document_text_bytes(data: bytes) -> tuple[str, str]:
 
         return "pdf", extract_pdf_text_bytes(data).replace("\f", "\n\n")
     if data[:4] == b"PK\x03\x04":
-        return "docx", extract_docx_text_bytes(data)
+        kind = _zip_kind(data)
+        if kind == "docx":
+            return "docx", extract_docx_text_bytes(data)
+        return "epub", extract_epub_text_bytes(data)
     head = data[:512].lstrip()
+    if head[:6].upper() == b"WEBVTT":
+        return "vtt", subtitles_text(data)
     if head[:1] == b"<" or b"<html" in head.lower() \
             or b"<!doctype" in head.lower():
         return "html", extract_html_text_bytes(data)
-    raise ValueError("unrecognized document payload (not PDF/DOCX/HTML)")
+    if b"-->" in data[:2048]:
+        return "srt", subtitles_text(data)
+    raise ValueError(
+        "unrecognized document payload (not PDF/DOCX/EPUB/HTML/SRT/VTT)")
 
 
 def extract_document_text(df, data_col: str = "data",
@@ -283,3 +295,123 @@ def extract_document_text(df, data_col: str = "data",
             yield pdf_batch
 
     return df.mapInPandas(run, schema)
+
+
+# ------------------------------------------------------ subtitles/EPUB
+
+
+_TS_RE = re.compile(
+    r"(?:(\d+):)?(\d{1,2}):(\d{2})[.,](\d{3})")
+
+
+def _ts_ms(m: re.Match) -> int:
+    h = int(m.group(1) or 0)
+    return ((h * 60 + int(m.group(2))) * 60 + int(m.group(3))) * 1000 \
+        + int(m.group(4))
+
+
+def extract_subtitles_bytes(data: bytes | str) -> list[dict]:
+    """SRT / WebVTT → [{start_ms, end_ms, text}] (cue order).
+
+    Both formats are plain text: SRT cues are index + ``HH:MM:SS,mmm
+    --> HH:MM:SS,mmm`` + lines; VTT starts with ``WEBVTT`` and uses
+    ``.`` for millis, optional cue ids/settings, NOTE/STYLE blocks
+    skipped.  Inline markup (``<i>``, voice spans) is stripped via the
+    HTML extractor's tag logic."""
+    text = data if isinstance(data, str) else _html_to_str(data)
+    text = text.lstrip("﻿")
+    is_vtt = text.lstrip()[:6].upper() == "WEBVTT"
+    if not is_vtt and "-->" not in text:
+        raise ValueError("not an SRT/VTT payload")
+    cues: list[dict] = []
+    for block in re.split(r"\r?\n\r?\n+", text.strip()):
+        lines = [ln for ln in block.split("\n")]
+        if not lines:
+            continue
+        first = lines[0].strip()
+        if is_vtt and (first.upper().startswith(("WEBVTT", "NOTE",
+                                                 "STYLE", "REGION"))):
+            continue
+        # find the timing line (first line may be an index / cue id)
+        ti = next((i for i, ln in enumerate(lines[:2])
+                   if "-->" in ln), None)
+        if ti is None:
+            continue
+        matches = list(_TS_RE.finditer(lines[ti]))
+        if len(matches) < 2:
+            raise ValueError(f"bad subtitle timing line: {lines[ti]!r}")
+        start, end = _ts_ms(matches[0]), _ts_ms(matches[1])
+        if end < start:
+            raise ValueError("subtitle cue ends before it starts")
+        body = "\n".join(lines[ti + 1:]).strip()
+        body = re.sub(r"<[^>]{0,128}>", "", body)  # strip inline markup
+        cues.append({"start_ms": start, "end_ms": end, "text": body})
+    if not cues:
+        raise ValueError("no subtitle cues found")
+    return cues
+
+
+def subtitles_text(data: bytes | str) -> str:
+    return "\n".join(c["text"] for c in extract_subtitles_bytes(data)
+                     if c["text"])
+
+
+def extract_epub_text_bytes(data: bytes) -> str:
+    """EPUB (zip of XHTML) → text: every content document extracted
+    with the HTML path, archive order (good enough for corpus text —
+    exact spine order would need the OPF, which sloppy real-world
+    EPUBs often get wrong anyway)."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        names = zf.namelist()
+        parts: list[str] = []
+        for name in names:
+            low = name.lower()
+            if low.endswith((".xhtml", ".html", ".htm")):
+                with zf.open(name) as f:
+                    parts.append(extract_html_text_bytes(
+                        f.read(1 << 26)))
+    except (zipfile.BadZipFile, zlib.error, EOFError) as exc:
+        raise ValueError(f"not a valid EPUB payload: {exc}") from None
+    if not parts:
+        raise ValueError("EPUB without XHTML content documents")
+    return "\n\n".join(p for p in parts if p)
+
+
+def _zip_kind(data: bytes) -> str:
+    """Distinguish DOCX from EPUB (both PK zips): EPUB carries an
+    ``application/epub+zip`` mimetype member / OEBPS container, DOCX a
+    ``word/`` tree."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        names = set(zf.namelist())
+    except (zipfile.BadZipFile, EOFError) as exc:
+        raise ValueError(f"bad zip container: {exc}") from None
+    if "word/document.xml" in names:
+        return "docx"
+    if "mimetype" in names:
+        try:
+            if b"epub" in zf.read("mimetype")[:64]:
+                return "epub"
+        except (zipfile.BadZipFile, zlib.error, KeyError, EOFError):
+            pass
+    if "META-INF/container.xml" in names or any(
+            n.lower().endswith((".xhtml", ".html")) for n in names):
+        return "epub"
+    raise ValueError("zip payload is neither DOCX nor EPUB")
+
+
+def encode_epub(chapters: list[str]) -> bytes:
+    """chapter texts → minimal spec-shaped EPUB (for tests)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml",
+                    '<?xml version="1.0"?><container/>')
+        for i, ch in enumerate(chapters):
+            paras = "".join(f"<p>{_xml_esc(p)}</p>"
+                            for p in ch.split("\n"))
+            zf.writestr(
+                f"OEBPS/ch{i:03d}.xhtml",
+                f"<html><body>{paras}</body></html>")
+    return buf.getvalue()

@@ -147,3 +147,84 @@ def test_mutation_fuzz_contract():
                 pass
             n += 1
     assert n == 300
+
+
+class TestSubtitlesAndEpub:
+    SRT = (b"1\n00:00:01,000 --> 00:00:03,500\nHello there.\n\n"
+           b"2\n00:00:04,000 --> 00:00:06,000\n"
+           b"<i>Second cue</i>\non two lines.\n")
+
+    def test_srt_cues(self):
+        from swiftlake_spark.operators.doctext import (
+            extract_subtitles_bytes,
+        )
+
+        cues = extract_subtitles_bytes(self.SRT)
+        assert cues[0] == {"start_ms": 1000, "end_ms": 3500,
+                           "text": "Hello there."}
+        assert cues[1]["text"] == "Second cue\non two lines."
+
+    def test_vtt_notes_settings_voices(self):
+        from swiftlake_spark.operators.doctext import (
+            extract_subtitles_bytes,
+        )
+
+        vtt = (b"WEBVTT\n\nNOTE a comment\n\ncue-1\n"
+               b"00:01.000 --> 00:02.500 align:start\n"
+               b"First <v Bob>voiced</v> line.\n")
+        cues = extract_subtitles_bytes(vtt)
+        assert cues == [{"start_ms": 1000, "end_ms": 2500,
+                         "text": "First voiced line."}]
+
+    def test_bad_timing_raises(self):
+        from swiftlake_spark.operators.doctext import (
+            extract_subtitles_bytes,
+        )
+
+        with pytest.raises(ValueError):
+            extract_subtitles_bytes(
+                b"1\n00:00:05,000 --> 00:00:01,000\nbackwards\n")
+        with pytest.raises(ValueError):
+            extract_subtitles_bytes(b"just some text, no cues")
+
+    def test_epub_roundtrip_and_zip_disambiguation(self):
+        from swiftlake_spark.operators.doctext import (
+            encode_docx,
+            encode_epub,
+            extract_epub_text_bytes,
+        )
+
+        ep = encode_epub(["Chapter one text.\nSecond para.",
+                          "Chapter two."])
+        t = extract_epub_text_bytes(ep)
+        assert "Chapter one text." in t and "Chapter two." in t
+        # dispatch separates the two PK-zip families
+        assert extract_document_text_bytes(ep)[0] == "epub"
+        assert extract_document_text_bytes(
+            encode_docx(["still docx"]))[0] == "docx"
+
+    def test_dispatch_srt_vtt(self):
+        f, t = extract_document_text_bytes(self.SRT)
+        assert f == "srt" and t.startswith("Hello there.")
+        f, _t = extract_document_text_bytes(
+            b"WEBVTT\n\n00:01.000 --> 00:02.000\nx\n")
+        assert f == "vtt"
+
+    def test_fuzz_contract(self):
+        from swiftlake_spark.operators.doctext import encode_epub
+
+        rng = np.random.default_rng(43)
+        bases = [self.SRT, encode_epub(["fuzz chapter"])]
+        for base in bases:
+            for k in range(80):
+                b = bytearray(base)
+                if k % 2 == 0:
+                    b[int(rng.integers(0, len(b)))] ^= \
+                        1 << int(rng.integers(0, 8))
+                else:
+                    b = b[: int(rng.integers(1, len(b)))]
+                try:
+                    fmt, txt = extract_document_text_bytes(bytes(b))
+                    assert isinstance(txt, str)
+                except (ValueError, NotImplementedError):
+                    pass
