@@ -713,3 +713,194 @@ def encode_pdf(pages: list[str], *, compress: bool = False,
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n").encode()
     return bytes(out)
+
+
+# --------------------------------------------------------- image layer
+
+
+def extract_pdf_images_bytes(data: bytes, max_images: int = 256
+                             ) -> list[dict]:
+    """PDF → decoded embedded images (scanned-document corpora are
+    PDFs wrapping JPEG/CCITT/raw bitmaps).
+
+    Walks every /Subtype /Image XObject stream and decodes:
+    - /DCTDecode → the native JPEG family (operators/jpeg.py —
+      baseline/progressive/arithmetic/lossless);
+    - /CCITTFaxDecode → operators/fax.py (K<0 G4, K=0 MH-per-row
+      framing differences routed as G3 1-D with EOLs, K>0 G3 2-D),
+      using /Columns//Rows//DecodeParms;
+    - /FlateDecode or unfiltered raw samples with /Width//Height//
+      BitsPerComponent 8 and DeviceRGB/DeviceGray.
+
+    Returns [{image: (H,W[,3]) uint8 array, width, height, filter}];
+    images whose filters are outside this floor (JPX, JBIG2, masks)
+    are skipped, not fatal — a corpus job wants the decodable subset.
+    """
+    pdf = _Pdf(data)
+    out: list[dict] = []
+    for num in sorted(pdf.objects):
+        if len(out) >= max_images:
+            break
+        try:
+            o = pdf.obj(_Ref(num))
+        except ValueError:
+            continue
+        if not isinstance(o, _Stream):
+            continue
+        d = o.d
+        if _nv_or(pdf, d.get("Subtype")) != "Image":
+            continue
+        try:
+            w = int(pdf.resolve(d.get("Width")))
+            h = int(pdf.resolve(d.get("Height")))
+        except (TypeError, ValueError):
+            continue
+        if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+            continue
+        filters = pdf.resolve(d.get("Filter"))
+        if not isinstance(filters, list):
+            filters = [filters] if filters is not None else []
+        fnames = [f.v for f in filters if isinstance(f, _Name)]
+        parms = pdf.resolve(d.get("DecodeParms"))
+        if isinstance(parms, list):
+            parms = next((p for p in (pdf.resolve(x) for x in parms)
+                          if isinstance(p, dict)), None)
+        try:
+            if "DCTDecode" in fnames or "DCT" in fnames:
+                from swiftlake_spark.operators.jpeg import decode_jpeg
+
+                pre = [f for f in filters
+                       if isinstance(f, _Name)
+                       and f.v not in ("DCTDecode", "DCT")]
+                raw = _apply_filters(o.raw, pre or None, None)
+                img = decode_jpeg(bytes(raw))
+            elif "CCITTFaxDecode" in fnames or "CCF" in fnames:
+                from swiftlake_spark.operators.fax import fax_decode
+
+                pm = parms if isinstance(parms, dict) else {}
+                k = int(pdf.resolve(pm.get("K", 0)) or 0)
+                cols = int(pdf.resolve(pm.get("Columns", 1728)) or 1728)
+                rows = int(pdf.resolve(pm.get("Rows", h)) or h)
+                if pdf.resolve(pm.get("EncodedByteAlign")):
+                    raise NotImplementedError("EncodedByteAlign CCITT")
+                pre = [f for f in filters
+                       if isinstance(f, _Name)
+                       and f.v not in ("CCITTFaxDecode", "CCF")]
+                raw = _apply_filters(o.raw, pre or None, None)
+                comp = 4 if k < 0 else 3
+                black = fax_decode(bytes(raw), cols, rows, comp,
+                                   two_d=k > 0)
+                img = np.where(black, 0, 255).astype(np.uint8)
+            else:
+                raw = _apply_filters(
+                    o.raw, pdf.resolve(d.get("Filter")), parms)
+                bpc = int(pdf.resolve(d.get("BitsPerComponent", 8))
+                          or 8)
+                cs = _nv_or(pdf, d.get("ColorSpace"))
+                if bpc != 8 or cs not in ("DeviceRGB", "DeviceGray"):
+                    raise NotImplementedError(
+                        f"raw image bpc={bpc} cs={cs}")
+                nch = 3 if cs == "DeviceRGB" else 1
+                if len(raw) < w * h * nch:
+                    raise ValueError("raw image shorter than W*H")
+                arr = np.frombuffer(raw, np.uint8,
+                                    w * h * nch).reshape(h, w, nch)
+                img = arr[:, :, 0] if nch == 1 else arr
+        except (ValueError, NotImplementedError):
+            continue  # outside the decode floor: skip, don't fail
+        out.append({"image": img, "width": int(img.shape[1]),
+                    "height": int(img.shape[0]),
+                    "filter": (fnames[0] if fnames else "raw")})
+    return out
+
+
+def _nv_or(pdf: _Pdf, v):
+    v = pdf.resolve(v)
+    return v.v if isinstance(v, _Name) else None
+
+
+def extract_pdf_images(df, data_col: str = "data"):
+    """Spark operator: EXPLODE PDFs into one row per decodable
+    embedded image, re-encoded as lossless PNG bytes so the row feeds
+    the existing image pipeline (decode_image, phash dedup) unchanged."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    keep = [f for f in df.schema.fields if f.name != data_col]
+    schema = T.StructType(keep + [
+        T.StructField("image_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("src_filter", T.StringType()),
+        T.StructField("png", T.BinaryType()),
+    ])
+    keep_names = [f.name for f in keep]
+
+    def run(batches):
+        from swiftlake_spark.operators.multimodal import encode_png
+
+        for pdf_batch in batches:
+            rows = []
+            cols = [pdf_batch[k] for k in keep_names]
+            for blob, *keeps in zip(pdf_batch[data_col], *cols):
+                if blob is None:
+                    continue
+                for i, im in enumerate(
+                        extract_pdf_images_bytes(bytes(blob))):
+                    out = dict(zip(keep_names, keeps))
+                    out["image_idx"] = i
+                    out["width"] = im["width"]
+                    out["height"] = im["height"]
+                    out["src_filter"] = im["filter"]
+                    out["png"] = encode_png(im["image"])
+                    rows.append(out)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)
+
+
+def encode_pdf_with_images(images: list, *, text: str = "scan page"
+                           ) -> bytes:
+    """Embed images into a spec-valid PDF (for tests): uint8 RGB
+    arrays → DCTDecode (JPEG), bool black-masks → CCITTFaxDecode (G4),
+    gray arrays → FlateDecode raw."""
+    import zlib as _z
+
+    from swiftlake_spark.operators.fax import fax_encode
+    from swiftlake_spark.operators.jpeg import encode_jpeg
+
+    base = encode_pdf([text])
+    # append image XObjects as extra numbered objects before the xref;
+    # the tolerant object scan picks them up regardless of xref state
+    cut = base.find(b"xref")
+    out = bytearray(base[:cut])
+    next_num = 100
+    for arr in images:
+        arr = np.asarray(arr)
+        if arr.dtype == bool:
+            h, w = arr.shape
+            payload = fax_encode(arr, 4)
+            entries = (f"/Filter /CCITTFaxDecode /Width {w} "
+                       f"/Height {h} /BitsPerComponent 1 "
+                       f"/ColorSpace /DeviceGray "
+                       f"/DecodeParms << /K -1 /Columns {w} "
+                       f"/Rows {h} >>")
+        elif arr.ndim == 3:
+            h, w = arr.shape[:2]
+            payload = encode_jpeg(arr.astype(np.uint8), quality=95)
+            entries = (f"/Filter /DCTDecode /Width {w} /Height {h} "
+                       f"/BitsPerComponent 8 /ColorSpace /DeviceRGB")
+        else:
+            h, w = arr.shape
+            payload = _z.compress(arr.astype(np.uint8).tobytes())
+            entries = (f"/Filter /FlateDecode /Width {w} /Height {h} "
+                       f"/BitsPerComponent 8 /ColorSpace /DeviceGray")
+        out += (f"{next_num} 0 obj\n<< /Type /XObject "
+                f"/Subtype /Image {entries} "
+                f"/Length {len(payload)} >>\nstream\n").encode()
+        out += payload + b"\nendstream\nendobj\n"
+        next_num += 1
+    out += base[cut:]
+    return bytes(out)

@@ -195,3 +195,95 @@ def test_mutation_fuzz_contract():
                 pass
             n += 1
     assert n == 360
+
+
+class TestPdfImages:
+    """PDF embedded-image extraction (session-2 codecs put JPEG,
+    CCITT-G4 and raw Flate scans all inside the native floor)."""
+
+    def _fixtures(self):
+        rng = np.random.default_rng(51)
+        rgb = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        gray = rng.integers(0, 256, (16, 20), dtype=np.uint8)
+        black = np.kron(rng.random((5, 8)) < 0.4, np.ones((3, 4), bool))
+        return rgb, gray, black
+
+    def test_three_filter_families(self):
+        from swiftlake_spark.operators.pdftext import (
+            encode_pdf_with_images,
+            extract_pdf_images_bytes,
+        )
+
+        rgb, gray, black = self._fixtures()
+        pdf = encode_pdf_with_images([rgb, gray, black])
+        imgs = {i["filter"]: i for i in extract_pdf_images_bytes(pdf)}
+        assert set(imgs) == {"DCTDecode", "FlateDecode",
+                             "CCITTFaxDecode"}
+        assert np.abs(imgs["DCTDecode"]["image"].astype(int)
+                      - rgb.astype(int)).mean() < 12  # JPEG lossy
+        assert np.array_equal(imgs["FlateDecode"]["image"], gray)
+        assert np.array_equal(
+            imgs["CCITTFaxDecode"]["image"] == 0, black)
+        # text extraction coexists with image extraction
+        from swiftlake_spark.operators.pdftext import (
+            extract_pdf_text_bytes,
+        )
+
+        assert extract_pdf_text_bytes(pdf) == "scan page"
+
+    def test_unsupported_images_skip_not_fail(self):
+        from swiftlake_spark.operators.pdftext import (
+            encode_pdf_with_images,
+            extract_pdf_images_bytes,
+        )
+
+        rgb, gray, _ = self._fixtures()
+        pdf = bytearray(encode_pdf_with_images([rgb, gray]))
+        i = pdf.find(b"/DCTDecode")
+        pdf[i: i + 10] = b"/JPXDecode"  # out of floor → skipped
+        imgs = extract_pdf_images_bytes(bytes(pdf))
+        assert [im["filter"] for im in imgs] == ["FlateDecode"]
+
+    def test_spark_explode_feeds_image_pipeline(self, spark):
+        """PDF → images → the EXISTING decode_image operator on the
+        re-encoded PNGs (the multimodal pipeline composition)."""
+        from swiftlake_spark.operators.multimodal import decode_image
+        from swiftlake_spark.operators.pdftext import (
+            encode_pdf_with_images,
+            extract_pdf_images,
+        )
+
+        rgb, gray, black = self._fixtures()
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_pdf_with_images([rgb, black]))),
+             (1, bytearray(encode_pdf_with_images([gray])))],
+            "id bigint, data binary")
+        exploded = extract_pdf_images(df, "data")
+        feats = decode_image(exploded, "png").collect()
+        by = {(r["id"], r["image_idx"]): r for r in feats}
+        assert len(by) == 3
+        assert by[(0, 0)]["src_filter"] == "DCTDecode"
+        assert by[(0, 0)]["features"][0] == 32.0  # width
+        assert by[(1, 0)]["width"] == 20
+
+    def test_image_mutation_fuzz(self):
+        from swiftlake_spark.operators.pdftext import (
+            encode_pdf_with_images,
+            extract_pdf_images_bytes,
+        )
+
+        rng = np.random.default_rng(53)
+        rgb, gray, black = self._fixtures()
+        base = encode_pdf_with_images([rgb, gray, black])
+        for k in range(120):
+            b = bytearray(base)
+            if k % 2 == 0:
+                b[int(rng.integers(0, len(b)))] ^= \
+                    1 << int(rng.integers(0, 8))
+            else:
+                b = b[: int(rng.integers(10, len(b)))]
+            try:
+                imgs = extract_pdf_images_bytes(bytes(b))
+                assert all(im["image"].dtype == np.uint8 for im in imgs)
+            except (ValueError, NotImplementedError):
+                pass
