@@ -39,6 +39,13 @@ from swiftlake_spark.operators.warc import (  # noqa: E402
     encode_warc,
     warc_records,
 )
+from swiftlake_spark.operators.archives import (  # noqa: E402
+    encode_webdataset,
+    webdataset_samples,
+)
+from swiftlake_spark.operators.multimodal import encode_png  # noqa: E402
+
+import numpy as np  # noqa: E402
 
 BASE = 400  # payloads per family at 1x
 
@@ -92,6 +99,20 @@ def synth_probe(n: int) -> list[bytes]:
     return out
 
 
+def synth_wds(n: int) -> list[bytes]:
+    rng = np.random.default_rng(7)
+    out = []
+    for i in range(n):
+        samples = []
+        for j in range(4):
+            img = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+            samples.append({"__key__": f"s{i:05d}/{j}",
+                            "png": encode_png(img),
+                            "txt": f"caption {i}/{j}".encode()})
+        out.append(encode_webdataset(samples, gz=bool(i % 2)))
+    return out
+
+
 def run_family(spark, name, payloads, op) -> float:
     df = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in enumerate(payloads)],
@@ -113,6 +134,8 @@ def main() -> int:
             lambda d: extract_document_text(d, "data")),
         "probe(mp3+mp4+webm+ogg)": (
             synth_probe, lambda d: probe_media(d, "data")),
+        "webdataset(4-sample shards)": (
+            synth_wds, lambda d: webdataset_samples(d, "data")),
     }
     print(f"| family | 1x ({BASE}) | {factor}x ({BASE * factor}) | ratio |")
     print("|---|---|---|---|")
