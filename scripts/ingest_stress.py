@@ -3,11 +3,12 @@
 Companion to codec_stress.py (r11): the extraction family's cost is
 also per-row work inside ``mapInPandas``, so the claim to verify is
 the same — wall-clock scales (sub-)linearly with payload count, no
-driver collection, no batch blow-up — for the three entry stages:
+driver collection, no batch blow-up — for the four entry stages:
 
 - warc: WARC.gz blobs (3 records each) → exploded response rows;
 - documents: mixed PDF / DOCX / HTML → text via the unified dispatch;
-- probe: MP3/MP4/WebM/Ogg header-level metadata.
+- probe: MP3/MP4/WebM/Ogg header-level metadata;
+- webdataset: tar shards → grouped sample rows.
 
 Usage: python scripts/ingest_stress.py [factor]      (default 10)
 """
