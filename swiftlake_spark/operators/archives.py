@@ -70,6 +70,11 @@ def group_webdataset(members) -> list[dict]:
         if key not in samples:
             samples[key] = {"__key__": key}
             order.append(key)
+        if ext == "__key__":
+            # a member literally named '<stem>.__key__' must not
+            # clobber the reserved key slot (it would put bytes into
+            # the StringType sample_key column downstream)
+            ext = "__key__.raw"
         samples[key][ext] = payload
     return [samples[k] for k in order]
 

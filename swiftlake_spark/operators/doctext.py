@@ -253,6 +253,8 @@ def extract_document_text_bytes(data: bytes) -> tuple[str, str]:
             return "docx", extract_docx_text_bytes(data)
         return "epub", extract_epub_text_bytes(data)
     head = data[:512].lstrip()
+    if head[:3] == b"\xef\xbb\xbf":  # the VTT spec allows a UTF-8 BOM
+        head = head[3:].lstrip()
     if head[:6].upper() == b"WEBVTT":
         return "vtt", subtitles_text(data)
     if head[:1] == b"<" or b"<html" in head.lower() \
@@ -316,23 +318,25 @@ def extract_subtitles_bytes(data: bytes | str) -> list[dict]:
     Both formats are plain text: SRT cues are index + ``HH:MM:SS,mmm
     --> HH:MM:SS,mmm`` + lines; VTT starts with ``WEBVTT`` and uses
     ``.`` for millis, optional cue ids/settings, NOTE/STYLE blocks
-    skipped.  Inline markup (``<i>``, voice spans) is stripped via the
-    HTML extractor's tag logic."""
+    skipped.  Inline tags (``<i>``, voice spans, VTT timestamps) are
+    stripped; literal ``<``/``>`` in cue text survive."""
     text = data if isinstance(data, str) else _html_to_str(data)
-    text = text.lstrip("﻿")
+    # normalize CRLF/CR first: SRT is classically CRLF-encoded, and a
+    # stray \r both breaks block splitting and pollutes cue text
+    text = text.lstrip("﻿").replace("\r\n", "\n").replace(
+        "\r", "\n")
     is_vtt = text.lstrip()[:6].upper() == "WEBVTT"
     if not is_vtt and "-->" not in text:
         raise ValueError("not an SRT/VTT payload")
     cues: list[dict] = []
-    for block in re.split(r"\r?\n\r?\n+", text.strip()):
-        lines = [ln for ln in block.split("\n")]
+    for block in re.split(r"\n{2,}", text.strip()):
+        lines = block.split("\n")
         if not lines:
             continue
-        first = lines[0].strip()
-        if is_vtt and (first.upper().startswith(("WEBVTT", "NOTE",
-                                                 "STYLE", "REGION"))):
-            continue
-        # find the timing line (first line may be an index / cue id)
+        # find the timing line (first line may be an index / cue id);
+        # a block WITHOUT one is a header/comment (WEBVTT, NOTE,
+        # STYLE, REGION) — a cue whose id merely starts with those
+        # words still carries its --> line and parses normally
         ti = next((i for i, ln in enumerate(lines[:2])
                    if "-->" in ln), None)
         if ti is None:
@@ -344,7 +348,12 @@ def extract_subtitles_bytes(data: bytes | str) -> list[dict]:
         if end < start:
             raise ValueError("subtitle cue ends before it starts")
         body = "\n".join(lines[ti + 1:]).strip()
-        body = re.sub(r"<[^>]{0,128}>", "", body)  # strip inline markup
+        # strip only plausible inline tags (<i>, </v>, <c.yellow>,
+        # <00:01.000> VTT timestamps) — a literal '<' in cue text
+        # ("i <3 you", "5 < 10") must survive
+        body = re.sub(
+            r"</?[A-Za-z][^>\n]{0,64}>|<\d{2}:\d{2}[^>\n]{0,16}>",
+            "", body)
         cues.append({"start_ms": start, "end_ms": end, "text": body})
     if not cues:
         raise ValueError("no subtitle cues found")

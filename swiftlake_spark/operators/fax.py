@@ -510,3 +510,76 @@ def fax_decode(data: bytes, width: int, height: int, compression: int, *,
     else:
         raise ValueError(f"not a fax compression: {compression}")
     return np.stack(rows)
+
+
+def fax_encode_pdf(black: np.ndarray, k: int, *,
+                   end_of_line: bool = False,
+                   byte_align: bool = False) -> bytes:
+    """Encode with PDF CCITTFaxDecode framing (PDF 32000 §7.4.6) —
+    distinct from the raw TIFF strip framings above: K<0 pure 2-D
+    (G4), K=0 1-D rows, K>0 per-row tag bit selecting 1-D/2-D; EOL
+    prefixes only when ``end_of_line`` (the PDF default is FALSE,
+    unlike T.4 streams), row starts byte-aligned only when
+    ``byte_align``."""
+    b = np.asarray(black, dtype=bool)
+    if b.ndim != 2 or b.size == 0:
+        raise ValueError("black mask must be non-empty (H, W)")
+    h, width = b.shape
+    w = _BitWriter()
+    ref_t: list[int] | None = None
+    for y in range(h):
+        if byte_align:
+            w.align()
+        if end_of_line:
+            w.put(*_EOL)
+        if k < 0:
+            _encode_row_2d(w, b[y], ref_t if ref_t is not None else [],
+                           width)
+        elif k == 0:
+            _encode_row_1d(w, b[y])
+        else:
+            one_d = ref_t is None
+            w.put(1, 1 if one_d else 0)
+            if one_d:
+                _encode_row_1d(w, b[y])
+            else:
+                _encode_row_2d(w, b[y], ref_t, width)
+        ref_t = _transitions(b[y])
+    return w.done()
+
+
+def fax_decode_pdf(data: bytes, columns: int, rows: int, k: int, *,
+                   end_of_line: bool = False,
+                   byte_align: bool = False) -> np.ndarray:
+    """Decode PDF CCITTFaxDecode payloads → boolean black-mask
+    (rows, columns); the framing mirror of :func:`fax_encode_pdf`
+    (tolerates EOLs-with-fill when ``end_of_line``)."""
+    if columns < 1 or rows < 1 or columns * rows > (1 << 28):
+        raise ValueError(
+            f"implausible fax dimensions {columns}x{rows}")
+    if not data:
+        raise ValueError("empty fax stream")
+    r = _BitReader(data)
+    out: list[np.ndarray] = []
+    ref_t: list[int] | None = None
+    for _ in range(rows):
+        if byte_align:
+            r.align()
+        if end_of_line:
+            _expect_eol(r)
+        if k < 0:
+            row = _decode_row_2d(
+                r, ref_t if ref_t is not None else [], columns)
+        elif k == 0:
+            row = _decode_row_1d(r, columns)
+        else:
+            one_d = bool(r.get1())
+            if one_d:
+                row = _decode_row_1d(r, columns)
+            else:
+                if ref_t is None:
+                    raise ValueError("fax 2-D row without reference")
+                row = _decode_row_2d(r, ref_t, columns)
+        ref_t = _transitions(row)
+        out.append(row)
+    return np.stack(out)

@@ -726,9 +726,10 @@ def extract_pdf_images_bytes(data: bytes, max_images: int = 256
     Walks every /Subtype /Image XObject stream and decodes:
     - /DCTDecode → the native JPEG family (operators/jpeg.py —
       baseline/progressive/arithmetic/lossless);
-    - /CCITTFaxDecode → operators/fax.py (K<0 G4, K=0 MH-per-row
-      framing differences routed as G3 1-D with EOLs, K>0 G3 2-D),
-      using /Columns//Rows//DecodeParms;
+    - /CCITTFaxDecode → operators/fax.py's PDF framing (K<0 G4,
+      K=0 1-D rows, K>0 per-row tag bit; /EndOfLine and
+      /EncodedByteAlign honored — the PDF defaults differ from raw
+      T.4 streams), using /Columns//Rows//DecodeParms;
     - /FlateDecode or unfiltered raw samples with /Width//Height//
       BitsPerComponent 8 and DeviceRGB/DeviceGray.
 
@@ -760,40 +761,49 @@ def extract_pdf_images_bytes(data: bytes, max_images: int = 256
         filters = pdf.resolve(d.get("Filter"))
         if not isinstance(filters, list):
             filters = [filters] if filters is not None else []
-        fnames = [f.v for f in filters if isinstance(f, _Name)]
-        parms = pdf.resolve(d.get("DecodeParms"))
-        if isinstance(parms, list):
-            parms = next((p for p in (pdf.resolve(x) for x in parms)
-                          if isinstance(p, dict)), None)
+        fnames = [f.v if isinstance(f, _Name) else None
+                  for f in filters]
+        # DecodeParms aligns PER FILTER (PDF 7.4.1): keep the list
+        # shape so a [Flate, CCITT] chain applies the predictor dict
+        # to Flate and the K/Columns dict to CCITT, not vice versa
+        raw_parms = pdf.resolve(d.get("DecodeParms"))
+        if isinstance(raw_parms, list):
+            parms_list = [pdf.resolve(x) for x in raw_parms]
+        else:
+            parms_list = [raw_parms]
+        parms_list += [None] * (len(filters) - len(parms_list))
         try:
             if "DCTDecode" in fnames or "DCT" in fnames:
                 from swiftlake_spark.operators.jpeg import decode_jpeg
 
-                pre = [f for f in filters
-                       if isinstance(f, _Name)
-                       and f.v not in ("DCTDecode", "DCT")]
-                raw = _apply_filters(o.raw, pre or None, None)
+                idx = max(i for i, n in enumerate(fnames)
+                          if n in ("DCTDecode", "DCT"))
+                raw = _apply_filters(o.raw, filters[:idx] or None,
+                                     parms_list[:idx] or None)
                 img = decode_jpeg(bytes(raw))
             elif "CCITTFaxDecode" in fnames or "CCF" in fnames:
-                from swiftlake_spark.operators.fax import fax_decode
+                from swiftlake_spark.operators.fax import (
+                    fax_decode_pdf,
+                )
 
-                pm = parms if isinstance(parms, dict) else {}
+                idx = max(i for i, n in enumerate(fnames)
+                          if n in ("CCITTFaxDecode", "CCF"))
+                pm = parms_list[idx] if isinstance(parms_list[idx],
+                                                   dict) else {}
                 k = int(pdf.resolve(pm.get("K", 0)) or 0)
                 cols = int(pdf.resolve(pm.get("Columns", 1728)) or 1728)
                 rows = int(pdf.resolve(pm.get("Rows", h)) or h)
-                if pdf.resolve(pm.get("EncodedByteAlign")):
-                    raise NotImplementedError("EncodedByteAlign CCITT")
-                pre = [f for f in filters
-                       if isinstance(f, _Name)
-                       and f.v not in ("CCITTFaxDecode", "CCF")]
-                raw = _apply_filters(o.raw, pre or None, None)
-                comp = 4 if k < 0 else 3
-                black = fax_decode(bytes(raw), cols, rows, comp,
-                                   two_d=k > 0)
+                raw = _apply_filters(o.raw, filters[:idx] or None,
+                                     parms_list[:idx] or None)
+                black = fax_decode_pdf(
+                    bytes(raw), cols, rows, k,
+                    end_of_line=bool(pdf.resolve(pm.get("EndOfLine"))),
+                    byte_align=bool(
+                        pdf.resolve(pm.get("EncodedByteAlign"))))
                 img = np.where(black, 0, 255).astype(np.uint8)
             else:
                 raw = _apply_filters(
-                    o.raw, pdf.resolve(d.get("Filter")), parms)
+                    o.raw, filters or None, parms_list)
                 bpc = int(pdf.resolve(d.get("BitsPerComponent", 8))
                           or 8)
                 cs = _nv_or(pdf, d.get("ColorSpace"))
@@ -810,7 +820,7 @@ def extract_pdf_images_bytes(data: bytes, max_images: int = 256
             continue  # outside the decode floor: skip, don't fail
         out.append({"image": img, "width": int(img.shape[1]),
                     "height": int(img.shape[0]),
-                    "filter": (fnames[0] if fnames else "raw")})
+                    "filter": next((n for n in fnames if n), "raw")})
     return out
 
 
@@ -861,16 +871,21 @@ def extract_pdf_images(df, data_col: str = "data"):
     return df.mapInPandas(run, schema)
 
 
-def encode_pdf_with_images(images: list, *, text: str = "scan page"
-                           ) -> bytes:
+def encode_pdf_with_images(images: list, *, text: str = "scan page",
+                           ccitt_k: int = -1,
+                           ccitt_eol: bool = False,
+                           ccitt_align: bool = False) -> bytes:
     """Embed images into a spec-valid PDF (for tests): uint8 RGB
-    arrays → DCTDecode (JPEG), bool black-masks → CCITTFaxDecode (G4),
-    gray arrays → FlateDecode raw."""
+    arrays → DCTDecode (JPEG), bool black-masks → CCITTFaxDecode
+    (framing per ``ccitt_k``/``ccitt_eol``/``ccitt_align``), gray
+    arrays → FlateDecode raw."""
     import zlib as _z
 
-    from swiftlake_spark.operators.fax import fax_encode
+    from swiftlake_spark.operators.fax import fax_encode_pdf
     from swiftlake_spark.operators.jpeg import encode_jpeg
 
+    if not -1 <= ccitt_k <= 8:
+        raise ValueError("ccitt_k out of the fixture range")
     base = encode_pdf([text])
     # append image XObjects as extra numbered objects before the xref;
     # the tolerant object scan picks them up regardless of xref state
@@ -881,12 +896,19 @@ def encode_pdf_with_images(images: list, *, text: str = "scan page"
         arr = np.asarray(arr)
         if arr.dtype == bool:
             h, w = arr.shape
-            payload = fax_encode(arr, 4)
+            payload = fax_encode_pdf(arr, ccitt_k,
+                                     end_of_line=ccitt_eol,
+                                     byte_align=ccitt_align)
+            flags = ""
+            if ccitt_eol:
+                flags += " /EndOfLine true"
+            if ccitt_align:
+                flags += " /EncodedByteAlign true"
             entries = (f"/Filter /CCITTFaxDecode /Width {w} "
                        f"/Height {h} /BitsPerComponent 1 "
                        f"/ColorSpace /DeviceGray "
-                       f"/DecodeParms << /K -1 /Columns {w} "
-                       f"/Rows {h} >>")
+                       f"/DecodeParms << /K {ccitt_k} /Columns {w} "
+                       f"/Rows {h}{flags} >>")
         elif arr.ndim == 3:
             h, w = arr.shape[:2]
             payload = encode_jpeg(arr.astype(np.uint8), quality=95)

@@ -287,3 +287,62 @@ class TestPdfImages:
                 assert all(im["image"].dtype == np.uint8 for im in imgs)
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestPdfCcittFramings:
+    """PDF CCITTFaxDecode framing matrix (K<0/K=0/K>0, EndOfLine,
+    EncodedByteAlign — the PDF defaults differ from raw T.4 streams)
+    and per-filter DecodeParms alignment on filter chains."""
+
+    def _mask(self):
+        rng = np.random.default_rng(61)
+        return np.kron(rng.random((5, 8)) < 0.4, np.ones((3, 4), bool))
+
+    @pytest.mark.parametrize("k,eol,ba", [
+        (-1, False, False), (0, False, False), (1, False, False),
+        (4, False, False), (0, True, False), (0, False, True),
+        (4, True, True),
+    ])
+    def test_k_eol_align_matrix(self, k, eol, ba):
+        from swiftlake_spark.operators.pdftext import (
+            encode_pdf_with_images,
+            extract_pdf_images_bytes,
+        )
+
+        black = self._mask()
+        pdf = encode_pdf_with_images([black], ccitt_k=k, ccitt_eol=eol,
+                                     ccitt_align=ba)
+        imgs = extract_pdf_images_bytes(pdf)
+        assert len(imgs) == 1
+        assert np.array_equal(imgs[0]["image"] == 0, black)
+
+    def test_flate_ccitt_chain_with_per_filter_parms(self):
+        # [FlateDecode, CCITTFaxDecode] with DecodeParms
+        # [null, <<K -1 ...>>]: the CCITT dict must reach the CCITT
+        # stage, not the Flate stage
+        import zlib as _z
+
+        from swiftlake_spark.operators.fax import fax_encode_pdf
+        from swiftlake_spark.operators.pdftext import (
+            encode_pdf,
+            extract_pdf_images_bytes,
+        )
+
+        black = self._mask()
+        h, w = black.shape
+        payload = _z.compress(fax_encode_pdf(black, -1))
+        base = encode_pdf(["chain"])
+        cut = base.find(b"xref")
+        obj = (f"100 0 obj\n<< /Type /XObject /Subtype /Image "
+               f"/Filter [/FlateDecode /CCITTFaxDecode] "
+               f"/DecodeParms [null << /K -1 /Columns {w} "
+               f"/Rows {h} >>] "
+               f"/Width {w} /Height {h} /BitsPerComponent 1 "
+               f"/ColorSpace /DeviceGray "
+               f"/Length {len(payload)} >>\nstream\n").encode() \
+            + payload + b"\nendstream\nendobj\n"
+        pdf = base[:cut] + obj + base[cut:]
+        imgs = extract_pdf_images_bytes(pdf)
+        assert len(imgs) == 1
+        assert imgs[0]["filter"] == "FlateDecode"
+        assert np.array_equal(imgs[0]["image"] == 0, black)
