@@ -84,36 +84,21 @@ def webdataset_samples(df, data_col: str = "data"):
     per sample — (sample_key, fields map<string,binary>).  Downstream
     stages pick fields out of the map (``element_at(fields, 'jpg')``)
     and feed the existing decode/extract operators."""
-    import pandas as pd
-
     from pyspark.sql import types as T
 
-    keep = [f for f in df.schema.fields if f.name != data_col]
-    schema = T.StructType(keep + [
+    from swiftlake_spark.operators.explode_util import explode_blobs
+
+    def rows_for(blob: bytes):
+        for s in group_webdataset(iter_tar_members(blob)):
+            yield {"sample_key": s["__key__"],
+                   "fields": {k: v for k, v in s.items()
+                              if k != "__key__"}}
+
+    return explode_blobs(df, data_col, [
         T.StructField("sample_key", T.StringType()),
         T.StructField("fields",
                       T.MapType(T.StringType(), T.BinaryType())),
-    ])
-    keep_names = [f.name for f in keep]
-
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            cols = [pdf[k] for k in keep_names]
-            for blob, *keeps in zip(pdf[data_col], *cols):
-                if blob is None:
-                    continue
-                for s in group_webdataset(
-                        iter_tar_members(bytes(blob))):
-                    out = dict(zip(keep_names, keeps))
-                    out["sample_key"] = s["__key__"]
-                    out["fields"] = {k: v for k, v in s.items()
-                                     if k != "__key__"}
-                    rows.append(out)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in schema.fields])
-
-    return df.mapInPandas(run, schema)
+    ], rows_for)
 
 
 def encode_webdataset(samples: list[dict], *, gz: bool = False

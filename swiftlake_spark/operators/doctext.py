@@ -161,13 +161,13 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-def extract_docx_text_bytes(data: bytes) -> str:
+def extract_docx_text_bytes(data: bytes, *, _zf=None) -> str:
     """DOCX → text: ``word/document.xml`` paragraphs joined by
     newlines; tabs and explicit breaks preserved."""
     import xml.etree.ElementTree as ET
 
     try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
+        zf = _zf if _zf is not None else zipfile.ZipFile(io.BytesIO(data))
         with zf.open("word/document.xml") as f:
             xml_bytes = f.read(1 << 26)
     except (zipfile.BadZipFile, zlib.error, EOFError) as exc:
@@ -248,10 +248,10 @@ def extract_document_text_bytes(data: bytes) -> tuple[str, str]:
 
         return "pdf", extract_pdf_text_bytes(data).replace("\f", "\n\n")
     if data[:4] == b"PK\x03\x04":
-        kind = _zip_kind(data)
+        kind, zf = _zip_kind(data)
         if kind == "docx":
-            return "docx", extract_docx_text_bytes(data)
-        return "epub", extract_epub_text_bytes(data)
+            return "docx", extract_docx_text_bytes(data, _zf=zf)
+        return "epub", extract_epub_text_bytes(data, _zf=zf)
     head = data[:512].lstrip()
     if head[:3] == b"\xef\xbb\xbf":  # the VTT spec allows a UTF-8 BOM
         head = head[3:].lstrip()
@@ -365,13 +365,13 @@ def subtitles_text(data: bytes | str) -> str:
                      if c["text"])
 
 
-def extract_epub_text_bytes(data: bytes) -> str:
+def extract_epub_text_bytes(data: bytes, *, _zf=None) -> str:
     """EPUB (zip of XHTML) → text: every content document extracted
     with the HTML path, archive order (good enough for corpus text —
     exact spine order would need the OPF, which sloppy real-world
     EPUBs often get wrong anyway)."""
     try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
+        zf = _zf if _zf is not None else zipfile.ZipFile(io.BytesIO(data))
         names = zf.namelist()
         parts: list[str] = []
         for name in names:
@@ -387,26 +387,27 @@ def extract_epub_text_bytes(data: bytes) -> str:
     return "\n\n".join(p for p in parts if p)
 
 
-def _zip_kind(data: bytes) -> str:
+def _zip_kind(data: bytes):
     """Distinguish DOCX from EPUB (both PK zips): EPUB carries an
     ``application/epub+zip`` mimetype member / OEBPS container, DOCX a
-    ``word/`` tree."""
+    ``word/`` tree.  Returns (kind, open ZipFile) so the extractor
+    does not re-parse the central directory."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
         names = set(zf.namelist())
     except (zipfile.BadZipFile, EOFError) as exc:
         raise ValueError(f"bad zip container: {exc}") from None
     if "word/document.xml" in names:
-        return "docx"
+        return "docx", zf
     if "mimetype" in names:
         try:
             if b"epub" in zf.read("mimetype")[:64]:
-                return "epub"
+                return "epub", zf
         except (zipfile.BadZipFile, zlib.error, KeyError, EOFError):
             pass
     if "META-INF/container.xml" in names or any(
             n.lower().endswith((".xhtml", ".html")) for n in names):
-        return "epub"
+        return "epub", zf
     raise ValueError("zip payload is neither DOCX nor EPUB")
 
 

@@ -833,42 +833,25 @@ def extract_pdf_images(df, data_col: str = "data"):
     """Spark operator: EXPLODE PDFs into one row per decodable
     embedded image, re-encoded as lossless PNG bytes so the row feeds
     the existing image pipeline (decode_image, phash dedup) unchanged."""
-    import pandas as pd
-
     from pyspark.sql import types as T
 
-    keep = [f for f in df.schema.fields if f.name != data_col]
-    schema = T.StructType(keep + [
+    from swiftlake_spark.operators.explode_util import explode_blobs
+
+    def rows_for(blob: bytes):
+        from swiftlake_spark.operators.multimodal import encode_png
+
+        for i, im in enumerate(extract_pdf_images_bytes(blob)):
+            yield {"image_idx": i, "width": im["width"],
+                   "height": im["height"], "src_filter": im["filter"],
+                   "png": encode_png(im["image"])}
+
+    return explode_blobs(df, data_col, [
         T.StructField("image_idx", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("src_filter", T.StringType()),
         T.StructField("png", T.BinaryType()),
-    ])
-    keep_names = [f.name for f in keep]
-
-    def run(batches):
-        from swiftlake_spark.operators.multimodal import encode_png
-
-        for pdf_batch in batches:
-            rows = []
-            cols = [pdf_batch[k] for k in keep_names]
-            for blob, *keeps in zip(pdf_batch[data_col], *cols):
-                if blob is None:
-                    continue
-                for i, im in enumerate(
-                        extract_pdf_images_bytes(bytes(blob))):
-                    out = dict(zip(keep_names, keeps))
-                    out["image_idx"] = i
-                    out["width"] = im["width"]
-                    out["height"] = im["height"]
-                    out["src_filter"] = im["filter"]
-                    out["png"] = encode_png(im["image"])
-                    rows.append(out)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in schema.fields])
-
-    return df.mapInPandas(run, schema)
+    ], rows_for)
 
 
 def encode_pdf_with_images(images: list, *, text: str = "scan page",

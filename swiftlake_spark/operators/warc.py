@@ -155,47 +155,30 @@ def warc_records(df, data_col: str = "data"):
     (record_type, uri, date, http_status, content_type, body).
     Response records get the HTTP layer parsed; other types carry the
     raw payload with NULL status."""
-    import pandas as pd
-
     from pyspark.sql import types as T
 
-    keep = [f for f in df.schema.fields if f.name != data_col]
-    schema = T.StructType(keep + [
+    from swiftlake_spark.operators.explode_util import explode_blobs
+
+    def rows_for(blob: bytes):
+        for rec in iter_warc_records(blob):
+            out = {"record_type": rec["type"], "uri": rec["uri"],
+                   "warc_date": rec["date"], "http_status": None,
+                   "content_type": None, "body": rec["payload"]}
+            if rec["type"] == "response":
+                h = parse_http_response(rec["payload"])
+                out["http_status"] = h["status"]
+                out["content_type"] = h["content_type"]
+                out["body"] = h["body"]
+            yield out
+
+    return explode_blobs(df, data_col, [
         T.StructField("record_type", T.StringType()),
         T.StructField("uri", T.StringType()),
         T.StructField("warc_date", T.StringType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("content_type", T.StringType()),
         T.StructField("body", T.BinaryType()),
-    ])
-    keep_names = [f.name for f in keep]
-
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            cols = [pdf[k] for k in keep_names]
-            for blob, *keeps in zip(pdf[data_col], *cols):
-                if blob is None:
-                    continue
-                for rec in iter_warc_records(bytes(blob)):
-                    out = dict(zip(keep_names, keeps))
-                    out["record_type"] = rec["type"]
-                    out["uri"] = rec["uri"]
-                    out["warc_date"] = rec["date"]
-                    if rec["type"] == "response":
-                        h = parse_http_response(rec["payload"])
-                        out["http_status"] = h["status"]
-                        out["content_type"] = h["content_type"]
-                        out["body"] = h["body"]
-                    else:
-                        out["http_status"] = None
-                        out["content_type"] = None
-                        out["body"] = rec["payload"]
-                    rows.append(out)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in schema.fields])
-
-    return df.mapInPandas(run, schema)
+    ], rows_for)
 
 
 # ----------------------------------------------------------------- write
