@@ -309,12 +309,18 @@ def chunk_documents(
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     toks = F.when(F.trim(F.col(text_col)) == "", F.array()).otherwise(toks)
     n = F.size(toks)
-    # window starts: 0, step, 2*step, ... while start < n (≥ one window)
+    # Window starts: 0, step, 2*step, ... but only starts that carry at
+    # least one NEW token (s == 0 or s + overlap < n) — a start at
+    # s >= n - overlap would emit a window that is 100% overlap of its
+    # predecessor (e.g. a doc of exactly max_tokens tokens must yield ONE
+    # chunk, not two identical ones).  Dropping those starts loses no
+    # coverage: the kept maximum start s_max > n - overlap - 1 - step, so
+    # s_max + max_tokens > n - 1 and the final window reaches the last
+    # token.
+    last_new = F.greatest(n - F.lit(overlap) - F.lit(1), F.lit(0))
     starts = F.sequence(
         F.lit(0),
-        F.greatest(
-            (n - F.lit(1)) - ((n - F.lit(1)) % F.lit(step)), F.lit(0)
-        ),
+        last_new - (last_new % F.lit(step)),
         F.lit(step),
     )
     chunks = F.transform(

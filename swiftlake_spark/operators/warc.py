@@ -154,7 +154,13 @@ def warc_records(df, data_col: str = "data"):
     """Spark operator: EXPLODE WARC blobs into one row per record —
     (record_type, uri, date, http_status, content_type, body).
     Response records get the HTTP layer parsed; other types carry the
-    raw payload with NULL status."""
+    raw payload with NULL status.
+
+    A malformed HTTP message inside an otherwise-valid record (missing
+    CRLFCRLF terminator, bad status line — real Common Crawl data has
+    these) degrades to the raw payload with NULL status/content_type
+    instead of failing the Spark task; only container-level corruption
+    (a broken WARC record) still hard-raises from iter_warc_records."""
     from pyspark.sql import types as T
 
     from swiftlake_spark.operators.explode_util import explode_blobs
@@ -165,10 +171,14 @@ def warc_records(df, data_col: str = "data"):
                    "warc_date": rec["date"], "http_status": None,
                    "content_type": None, "body": rec["payload"]}
             if rec["type"] == "response":
-                h = parse_http_response(rec["payload"])
-                out["http_status"] = h["status"]
-                out["content_type"] = h["content_type"]
-                out["body"] = h["body"]
+                try:
+                    h = parse_http_response(rec["payload"])
+                except ValueError:
+                    pass  # damaged HTTP layer: keep raw payload, NULLs
+                else:
+                    out["http_status"] = h["status"]
+                    out["content_type"] = h["content_type"]
+                    out["body"] = h["body"]
             yield out
 
     return explode_blobs(df, data_col, [

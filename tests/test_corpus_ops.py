@@ -457,7 +457,9 @@ def test_chunk_documents_model_and_plan(spark):
         by[r["doc_id"]].append(r)
 
     def starts(n, mx=512, ov=64):
-        return [0] if n == 0 else list(range(0, n, mx - ov))
+        # a start s is kept iff s == 0 or s + ov < n (every window must
+        # carry >= 1 new token — a doc of exactly mx tokens is ONE chunk)
+        return [0] if n == 0 else list(range(0, max(n - ov, 1), mx - ov))
 
     lens = {0: 1000, 1: 2, 2: 0, 3: 0, 4: 512, 5: 513}
     for did, n in lens.items():

@@ -127,3 +127,50 @@ def test_mutation_fuzz_contract():
                 pass
             n += 1
     assert n == 240
+
+
+def test_malformed_http_degrades_to_raw_payload(spark):
+    """ADVICE r11: one damaged HTTP message in a crawl blob (missing
+    CRLFCRLF, bad status line) must NOT fail the Spark task — the
+    record degrades to raw payload with NULL status/content_type while
+    sibling records still parse fully."""
+    # hand-build records whose WARC layer is valid but HTTP layer is not
+    bad_no_terminator = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+    bad_status_line = b"garbage not a status line\r\n\r\n<html></html>"
+    records = [
+        {"type": "response", "uri": "http://ok.example/",
+         "payload": b"<html><body><p>fine</p></body></html>"},
+        {"type": "response", "uri": "http://bad1.example/",
+         "payload": bad_no_terminator, "raw_http": True},
+        {"type": "response", "uri": "http://bad2.example/",
+         "payload": bad_status_line, "raw_http": True},
+    ]
+    # encode_warc wraps response payloads in HTTP; for the bad ones we
+    # want the payload AS the (broken) HTTP message, so splice manually
+    good = encode_warc(records[:1])
+    parts = [good]
+    for i, rec in enumerate(records[1:], start=1):
+        payload = rec["payload"]
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:bad-{i:08d}>\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: {rec['uri']}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("latin-1")
+        parts.append(head + payload + b"\r\n\r\n")
+    blob = b"".join(parts)
+    df = spark.createDataFrame(
+        [(0, bytearray(blob))], "id bigint, data binary")
+    rows = {r["uri"]: r for r in warc_records(df, "data").collect()}
+    ok = rows["http://ok.example/"]
+    assert ok["http_status"] == 200
+    assert ok["content_type"] == "text/html"
+    assert bytes(ok["body"]) == b"<html><body><p>fine</p></body></html>"
+    for uri, payload in [("http://bad1.example/", bad_no_terminator),
+                         ("http://bad2.example/", bad_status_line)]:
+        r = rows[uri]
+        assert r["http_status"] is None
+        assert r["content_type"] is None
+        assert bytes(r["body"]) == payload  # raw, not dropped
