@@ -62,8 +62,18 @@ def q63_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q64 — explode/unnest: token frequencies over documents.  The explode is
-# row-local (no shuffle); the only shuffle is the count's group key.
+# q64 — explode/unnest: token frequencies over documents.  Widened r12
+# (VERDICT r11 ask #2) to certify the native PDF text extractor under
+# the DuckDB oracle: every document is first synthesized into a
+# spec-valid PDF (content-stream filter rotates raw / FlateDecode /
+# ASCII85Decode by doc_id % 3), the text is recovered through the
+# magic-byte document dispatch (operators/doctext →
+# operators/pdftext.extract_pdf_text_bytes), and the token counts are
+# computed on the EXTRACTED text while the oracle counts tokens in the
+# original — a hash match proves the PDF object scan, stream filters and
+# BT..ET text interpreter are exact.  The explode is row-local (no
+# shuffle); the only shuffle is the count's group key; synthesis +
+# extraction are payload-parallel mapInPandas.
 # --------------------------------------------------------------------------
 @query(
     "q64_explode_tokens",
@@ -77,7 +87,35 @@ LIMIT 100
 """,
 )
 def q64_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    import pandas as pd
+
+    from swiftlake_spark.operators.doctext import extract_document_text
+    from swiftlake_spark.operators.pdftext import encode_pdf
+
+    # same local-mode spread rationale as q75: synthesis is harness-only
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(8, "doc_id")
+    )
+
+    def to_pdf(batches):
+        for b in batches:
+            data = []
+            for did, txt in zip(b["doc_id"], b["text"]):
+                kw = (
+                    {"compress": True}
+                    if did % 3 == 1
+                    else {"ascii85": True} if did % 3 == 2 else {}
+                )
+                data.append(encode_pdf([txt], **kw))
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], "data": data},
+                columns=["doc_id", "data"],
+            )
+
+    pdfs = base.mapInPandas(to_pdf, "doc_id bigint, data binary")
+    d = extract_document_text(pdfs, "data")
     return (
         d.select(F.explode(F.split(F.lower("text"), " ", -1)).alias("token"))
         .filter(F.length("token") > 3)
@@ -426,9 +464,20 @@ def q74_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q75 — Gopher-style quality-filter rules: token counts, mean token
-# length, stop-word fraction → keep flag.  Pure row-local codegen over
-# one scan; at 100 TB this is the map-only first pass of a curation
-# pipeline (no shuffle at all until the keep-filtered write).
+# length, stop-word fraction → keep flag.  Widened r12 (VERDICT r11 ask
+# #2) to certify the WARC crawl-ingestion chain under the DuckDB oracle:
+# the Spark side first renders every document as an HTML page, wraps
+# pages into per-record-gzip WARC blobs (the Common Crawl layout, ISO
+# 28500), explodes them back out with operators/warc.warc_records,
+# recovers the text with the real HTML extractor
+# (operators/doctext.extract_document_text), and only then computes the
+# rules — while the oracle computes the same rules on the ORIGINAL text.
+# A hash match therefore proves WARC framing + per-record gzip + HTTP
+# parse + HTML extraction are collectively exact.  Scale shape: the
+# synthesis and the extraction are both payload-parallel mapInPandas
+# (unit of parallelism = WARC blob, ~64 records each), the rules stay
+# row-local codegen, and nothing but the final ordered result reaches
+# the driver.
 # --------------------------------------------------------------------------
 @query(
     "q75_gopher_rules",
@@ -454,7 +503,52 @@ ORDER BY doc_id
 """,
 )
 def q75_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    import pandas as pd
+
+    from swiftlake_spark.operators.doctext import extract_document_text
+    from swiftlake_spark.operators.warc import encode_warc, warc_records
+
+    # 8-way spread of the tiny local corpus: the synthesis stage is
+    # certification harness only (production ingests real WARC blobs at
+    # the scan's own partitioning); at this data size per-task Python
+    # round-trips dominate, so fewer/fatter Arrow batches win.
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(8, "doc_id")
+    )
+
+    def to_warc(batches):
+        for b in batches:
+            recs = [
+                {
+                    "type": "response",
+                    "uri": f"http://corpus.test/{int(did)}",
+                    "payload": (
+                        f"<html><body><p>{txt}</p></body></html>"
+                    ).encode("utf-8"),
+                }
+                for did, txt in zip(b["doc_id"], b["text"])
+            ]
+            blobs = [
+                encode_warc(recs[i : i + 64], per_record_gzip=True)
+                for i in range(0, len(recs), 64)
+            ]
+            yield pd.DataFrame({"data": blobs}, columns=["data"])
+
+    blobs = base.mapInPandas(to_warc, "data binary")
+    responses = (
+        warc_records(blobs, "data")
+        .filter(
+            (F.col("record_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        .select("uri", "body")  # prune before the Arrow extract stage
+    )
+    d = extract_document_text(responses, "body").select(
+        F.regexp_extract("uri", r"(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "text",
+    )
     w = F.split(F.col("text"), " ", -1)
     stops = ("the", "a", "and", "of", "to", "in")
     n_tokens = F.size(w)
