@@ -861,7 +861,11 @@ def encode_pdf_with_images(images: list, *, text: str = "scan page",
     """Embed images into a spec-valid PDF (for tests): uint8 RGB
     arrays → DCTDecode (JPEG), bool black-masks → CCITTFaxDecode
     (framing per ``ccitt_k``/``ccitt_eol``/``ccitt_align``), gray
-    arrays → FlateDecode raw."""
+    arrays → FlateDecode raw.  A dict item
+    ``{"dct": jpeg_bytes, "width": w, "height": h}`` embeds an
+    already-encoded JPEG verbatim (DCTDecode passthrough), so callers
+    control quality/subsampling/restart markers of the wrapped
+    stream."""
     import zlib as _z
 
     from swiftlake_spark.operators.fax import fax_encode_pdf
@@ -876,6 +880,17 @@ def encode_pdf_with_images(images: list, *, text: str = "scan page",
     out = bytearray(base[:cut])
     next_num = 100
     for arr in images:
+        if isinstance(arr, dict):
+            payload = bytes(arr["dct"])
+            w, h = int(arr["width"]), int(arr["height"])
+            entries = (f"/Filter /DCTDecode /Width {w} /Height {h} "
+                       f"/BitsPerComponent 8 /ColorSpace /DeviceRGB")
+            out += (f"{next_num} 0 obj\n<< /Type /XObject "
+                    f"/Subtype /Image {entries} "
+                    f"/Length {len(payload)} >>\nstream\n").encode()
+            out += payload + b"\nendstream\nendobj\n"
+            next_num += 1
+            continue
         arr = np.asarray(arr)
         if arr.dtype == bool:
             h, w = arr.shape

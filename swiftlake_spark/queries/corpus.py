@@ -404,7 +404,15 @@ def q130_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q131 — within-doc n-gram repetition (Gopher's repetition filters —
 # the signals q75's length/stopword rules don't cover).
-# operators.text.ngram_repetition.
+# operators.text.ngram_repetition.  Widened r12 (VERDICT r11 ask #2) to
+# certify the office/subtitle extraction dispatch under the DuckDB
+# oracle: every document is first synthesized into a container rotating
+# by doc_id % 4 — DOCX (real ZIP + WordprocessingML), EPUB (OCF
+# container + XHTML chapter), SRT cue, WebVTT cue — recovered through
+# the magic-byte dispatch (operators/doctext.extract_document_text),
+# and the repetition stats are computed on the EXTRACTED text while the
+# oracle reads the original.  A hash match proves ZIP parse, XML text
+# walk, cue parsing and format sniffing are collectively exact.
 # --------------------------------------------------------------------------
 @query(
     "q131_doc_repetition",
@@ -437,9 +445,46 @@ LIMIT 100
     doc="within-doc bigram repetition (Gopher repetition signals)",
 )
 def q131_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from swiftlake_spark.operators.doctext import (
+        encode_docx,
+        encode_epub,
+        extract_document_text,
+    )
     from swiftlake_spark.operators.text import ngram_repetition
 
-    d = load(spark, sf_dir, "documents")
+    # local-mode spread; synthesis is certification harness only (q75)
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(8, "doc_id")
+    )
+
+    def to_container(batches):
+        for b in batches:
+            data = []
+            for did, txt in zip(b["doc_id"], b["text"]):
+                m = did % 4
+                if m == 0:
+                    data.append(encode_docx([txt]))
+                elif m == 1:
+                    data.append(encode_epub([txt]))
+                elif m == 2:
+                    data.append(
+                        f"1\n00:00:00,000 --> 00:00:01,500\n{txt}\n\n".encode()
+                    )
+                else:
+                    data.append(
+                        f"WEBVTT\n\n00:00:00.000 --> 00:00:01.500\n{txt}\n\n".encode()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], "data": data},
+                columns=["doc_id", "data"],
+            )
+
+    raws = base.mapInPandas(to_container, "doc_id bigint, data binary")
+    d = extract_document_text(raws, "data").select("doc_id", "text")
     rep = ngram_repetition(d, "doc_id", "text", n=2)
     return (
         rep.select(

@@ -231,6 +231,29 @@ class TestPdfImages:
 
         assert extract_pdf_text_bytes(pdf) == "scan page"
 
+    def test_dct_passthrough_embeds_verbatim(self):
+        """r12: a {'dct': bytes} item embeds the caller's JPEG stream
+        verbatim, so wrapped-stream features (subsampling, restart
+        markers) survive the container — the raw bytes must appear
+        unmodified in the PDF and decode to the same pixels."""
+        import numpy as np
+
+        from swiftlake_spark.operators.jpeg import decode_jpeg, encode_jpeg
+        from swiftlake_spark.operators.pdftext import (
+            encode_pdf_with_images,
+            extract_pdf_images_bytes,
+        )
+
+        rgb, _, _ = self._fixtures()
+        jpg = encode_jpeg(rgb, quality=95, subsampling="4:2:0",
+                          restart_interval=4)
+        pdf = encode_pdf_with_images(
+            [{"dct": jpg, "width": rgb.shape[1], "height": rgb.shape[0]}])
+        assert jpg in pdf  # byte-verbatim passthrough
+        imgs = extract_pdf_images_bytes(pdf)
+        assert [im["filter"] for im in imgs] == ["DCTDecode"]
+        assert np.array_equal(imgs[0]["image"], decode_jpeg(jpg))
+
     def test_unsupported_images_skip_not_fail(self):
         from swiftlake_spark.operators.pdftext import (
             encode_pdf_with_images,
