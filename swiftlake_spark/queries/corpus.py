@@ -411,8 +411,12 @@ def q130_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # container + XHTML chapter), SRT cue, WebVTT cue — recovered through
 # the magic-byte dispatch (operators/doctext.extract_document_text),
 # and the repetition stats are computed on the EXTRACTED text while the
-# oracle reads the original.  A hash match proves ZIP parse, XML text
-# walk, cue parsing and format sniffing are collectively exact.
+# oracle reads the original.  The containers additionally travel inside
+# WebDataset tar shards (operators/archives, ~16 samples each — the
+# standard training-corpus layout) so shard explode is certified on
+# document payloads too, not only q120's images.  A hash match proves
+# tar walk, sample grouping, ZIP parse, XML text walk, cue parsing and
+# format sniffing are collectively exact.
 # --------------------------------------------------------------------------
 @query(
     "q131_doc_repetition",
@@ -461,29 +465,43 @@ def q131_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "doc_id")
     )
 
-    def to_container(batches):
+    from swiftlake_spark.operators.archives import (
+        encode_webdataset,
+        webdataset_samples,
+    )
+
+    def to_shards(batches):
+        exts = ("docx", "epub", "srt", "vtt")
         for b in batches:
-            data = []
+            samples = []
             for did, txt in zip(b["doc_id"], b["text"]):
                 m = did % 4
                 if m == 0:
-                    data.append(encode_docx([txt]))
+                    payload = encode_docx([txt])
                 elif m == 1:
-                    data.append(encode_epub([txt]))
+                    payload = encode_epub([txt])
                 elif m == 2:
-                    data.append(
-                        f"1\n00:00:00,000 --> 00:00:01,500\n{txt}\n\n".encode()
-                    )
+                    payload = (
+                        f"1\n00:00:00,000 --> 00:00:01,500\n{txt}\n\n"
+                    ).encode()
                 else:
-                    data.append(
-                        f"WEBVTT\n\n00:00:00.000 --> 00:00:01.500\n{txt}\n\n".encode()
-                    )
-            yield pd.DataFrame(
-                {"doc_id": b["doc_id"], "data": data},
-                columns=["doc_id", "data"],
-            )
+                    payload = (
+                        f"WEBVTT\n\n00:00:00.000 --> 00:00:01.500\n{txt}\n\n"
+                    ).encode()
+                samples.append({"__key__": f"{int(did):010d}",
+                                exts[m]: payload})
+            shards = [
+                encode_webdataset(samples[i : i + 16])
+                for i in range(0, len(samples), 16)
+            ]
+            yield pd.DataFrame({"data": shards}, columns=["data"])
 
-    raws = base.mapInPandas(to_container, "doc_id bigint, data binary")
+    shards = base.mapInPandas(to_shards, "data binary")
+    raws = webdataset_samples(shards, "data").select(
+        F.col("sample_key").cast("bigint").alias("doc_id"),
+        # each sample carries exactly one document member
+        F.element_at(F.map_values("fields"), 1).alias("data"),
+    )
     d = extract_document_text(raws, "data").select("doc_id", "text")
     rep = ngram_repetition(d, "doc_id", "text", n=2)
     return (

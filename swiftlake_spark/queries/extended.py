@@ -71,9 +71,11 @@ def q63_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/pdftext.extract_pdf_text_bytes), and the token counts are
 # computed on the EXTRACTED text while the oracle counts tokens in the
 # original — a hash match proves the PDF object scan, stream filters and
-# BT..ET text interpreter are exact.  The explode is row-local (no
-# shuffle); the only shuffle is the count's group key; synthesis +
-# extraction are payload-parallel mapInPandas.
+# BT..ET text interpreter are exact.  The PDFs additionally ride inside
+# WARC response records (content-type application/pdf), certifying the
+# binary-body WARC path — q75 covers the text/html one.  The explode is
+# row-local (no shuffle); the only shuffle is the count's group key;
+# synthesis + extraction are payload-parallel mapInPandas.
 # --------------------------------------------------------------------------
 @query(
     "q64_explode_tokens",
@@ -91,6 +93,7 @@ def q64_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from swiftlake_spark.operators.doctext import extract_document_text
     from swiftlake_spark.operators.pdftext import encode_pdf
+    from swiftlake_spark.operators.warc import encode_warc, warc_records
 
     # same local-mode spread rationale as q75: synthesis is harness-only
     base = (
@@ -99,22 +102,33 @@ def q64_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "doc_id")
     )
 
-    def to_pdf(batches):
+    def to_warc(batches):
         for b in batches:
-            data = []
+            recs = []
             for did, txt in zip(b["doc_id"], b["text"]):
                 kw = (
                     {"compress": True}
                     if did % 3 == 1
                     else {"ascii85": True} if did % 3 == 2 else {}
                 )
-                data.append(encode_pdf([txt], **kw))
-            yield pd.DataFrame(
-                {"doc_id": b["doc_id"], "data": data},
-                columns=["doc_id", "data"],
-            )
+                recs.append({
+                    "type": "response",
+                    "uri": f"http://corpus.test/{int(did)}.pdf",
+                    "content_type": "application/pdf",
+                    "payload": encode_pdf([txt], **kw),
+                })
+            blobs = [
+                encode_warc(recs[i : i + 64])
+                for i in range(0, len(recs), 64)
+            ]
+            yield pd.DataFrame({"data": blobs}, columns=["data"])
 
-    pdfs = base.mapInPandas(to_pdf, "doc_id bigint, data binary")
+    blobs = base.mapInPandas(to_warc, "data binary")
+    pdfs = (
+        warc_records(blobs, "data")
+        .filter(F.col("content_type") == "application/pdf")
+        .select(F.col("body").alias("data"))
+    )
     d = extract_document_text(pdfs, "data")
     return (
         d.select(F.explode(F.split(F.lower("text"), " ", -1)).alias("token"))
