@@ -90,7 +90,7 @@ def main() -> int:
     # MERGE/UPDATE/DDL cost users actually pay per statement.
     _FIXTURE_QUERIES = [
         "q111_nested_evolution", "q112_murmur3_bucket", "q113_iceberg_read",
-        "q119_sql_pruned_scan", "q121_merge_into", "q122_sql_merge",
+        "q119_sql_pruned_scan", "q121_merge_into",
         "q129_sql_ddl_lifecycle", "q137_merge_not_matched_by_source",
         "q138_sql_merge_full_sync",
     ]

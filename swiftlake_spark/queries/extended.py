@@ -1247,15 +1247,23 @@ def q119_sql_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q121 — generic MERGE INTO end-to-end (dml/merge.py; beyond the
-# reference's SCD1/SCD2 surface): a bounded orders slice is written into
-# a native table ONCE per (session, sf_dir), then a three-clause merge
-# runs against an overlapping source slice — conditional DELETE,
-# computed UPDATE over target./source. namespaces, INSERT of unmatched
-# source rows.  The query returns the final table state; the oracle
-# recomputes it in DuckDB from raw `orders` parquet with the equivalent
-# join/anti-join decomposition, so any row misclassified, lost in the
-# copy-on-write rewrite, or double-applied breaks the hash.
+# q121 — MERGE INTO end-to-end, BOTH entry surfaces in one certified
+# slot (consolidated r12, VERDICT r11 ask #4 — no coverage loss):
+#   api     — the fluent builder (dml/merge.py): bounded orders slice
+#             written once per (session, sf_dir), then a three-clause
+#             merge — conditional DELETE, computed UPDATE over
+#             target./source. namespaces, INSERT of unmatched rows;
+#   sqltext — the same machinery reached through SQL text
+#             (dml/sqldml.py): ON-clause key extraction, a target-only
+#             boundary conjunct that becomes the manifest-prune filter
+#             over the c_mktsegment-partitioned target
+#             (filter_source(False) keeps standard NOT-MATCHED
+#             semantics), alias rewriting, computed UPDATE, INSERT *.
+# The query returns both final table states, normalized to
+# (surface, row_key, cat, val) and unioned; the oracle recomputes both
+# in DuckDB from raw parquet with equivalent join/anti-join
+# decompositions, so a row misclassified, lost in copy-on-write, or a
+# parse misread (wrong keys, wrong boundary scope) breaks the hash.
 # Scale: the merge machinery is the SCD path's (manifest-pruned target
 # read, distinct-touched-file probe, file-level rewrite); rows never
 # reach the driver.
@@ -1306,43 +1314,84 @@ WITH t AS (
 ), s AS (
   SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
   FROM orders WHERE o_orderkey BETWEEN 2500 AND 7500
+), api_final AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM (
+    SELECT t.o_orderkey,
+           t.o_totalprice + s.o_totalprice AS o_totalprice,
+           'M' AS o_orderstatus
+    FROM t JOIN s USING (o_orderkey)
+    WHERE NOT (s.o_totalprice > 200000.0)
+    UNION ALL
+    SELECT t.o_orderkey, t.o_totalprice, t.o_orderstatus
+    FROM t ANTI JOIN s USING (o_orderkey)
+    UNION ALL
+    SELECT s.o_orderkey, s.o_totalprice, s.o_orderstatus
+    FROM s ANTI JOIN t USING (o_orderkey)
+  )
+), ct AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey <= 3000
+), cs AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0 AS c_acctbal
+  FROM customer WHERE c_custkey BETWEEN 1500 AND 4500
+), ctb AS (
+  SELECT * FROM ct WHERE c_mktsegment = 'BUILDING'
+), sql_final AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+    SELECT ctb.c_custkey, ctb.c_mktsegment,
+           ctb.c_acctbal + cs.c_acctbal AS c_acctbal
+    FROM ctb JOIN cs USING (c_custkey)
+    UNION ALL
+    SELECT * FROM ct
+    WHERE NOT (c_mktsegment = 'BUILDING'
+               AND c_custkey IN (SELECT c_custkey FROM cs))
+    UNION ALL
+    SELECT cs.* FROM cs
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM ctb)
+  )
 )
-SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM (
-  SELECT t.o_orderkey, t.o_custkey,
-         t.o_totalprice + s.o_totalprice AS o_totalprice,
-         'M' AS o_orderstatus
-  FROM t JOIN s USING (o_orderkey)
-  WHERE NOT (s.o_totalprice > 200000.0)
+SELECT surface, row_key, cat, val FROM (
+  SELECT 'api' AS surface, o_orderkey AS row_key, o_orderstatus AS cat,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS val
+  FROM api_final
   UNION ALL
-  SELECT t.* FROM t ANTI JOIN s USING (o_orderkey)
-  UNION ALL
-  SELECT s.* FROM s ANTI JOIN t USING (o_orderkey)
+  SELECT 'sqltext' AS surface, c_custkey AS row_key, c_mktsegment AS cat,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS val
+  FROM sql_final
 )
-ORDER BY o_orderkey
+ORDER BY surface, row_key, cat
 """,
 )
 def q121_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.engine import SwiftLakeEngine
 
-    eng = SwiftLakeEngine(spark, warehouse=_q121_warehouse(spark, sf_dir))
-    return (
-        eng.catalog.load("db.q121_orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-        .orderBy("o_orderkey")
+    api = (
+        SwiftLakeEngine(spark, warehouse=_q121_warehouse(spark, sf_dir))
+        .catalog.load("db.q121_orders")
+        .select(
+            F.lit("api").alias("surface"),
+            F.col("o_orderkey").alias("row_key"),
+            F.col("o_orderstatus").alias("cat"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+        )
     )
+    sqltext = (
+        SwiftLakeEngine(spark, warehouse=_q122_warehouse(spark, sf_dir))
+        .catalog.load("db.q122_cust")
+        .select(
+            F.lit("sqltext").alias("surface"),
+            F.col("c_custkey").alias("row_key"),
+            F.col("c_mktsegment").alias("cat"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("val"),
+        )
+    )
+    return api.unionByName(sqltext).orderBy("surface", "row_key", "cat")
 
 
 # --------------------------------------------------------------------------
-# q122 — MERGE INTO through SQL text (dml/sqldml.py; beyond the
-# reference's read-only SQL surface): the statement is parsed into the
-# merge builder — ON-clause key extraction, a target-only boundary
-# conjunct that becomes the manifest-prune filter over the
-# c_mktsegment-partitioned target (filter_source(False) keeps standard
-# NOT-MATCHED semantics: a source row whose key only exists outside the
-# boundary still inserts), alias rewriting into target./source.
-# namespaces, computed UPDATE, INSERT *.  The oracle recomputes the
-# final state from raw `customer` parquet, so a parse misread (wrong
-# keys, wrong boundary scope, wrong clause order) breaks the hash.
+# q122 fixture — the SQL-text MERGE warehouse consumed by q121's
+# sqltext branch (the q122_sql_merge slot was consolidated into q121
+# in r12; the fixture and its statement are unchanged).
 # --------------------------------------------------------------------------
 def _q122_warehouse(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
@@ -1381,44 +1430,6 @@ def _q122_warehouse(spark: SparkSession, sf_dir: str) -> str:
         )
         registry.put_tempdir("q122_wh", key, wh, app_id=key[0])
     return wh
-
-
-@query(
-    "q122_sql_merge",
-    oracle=r"""
-WITH t AS (
-  SELECT c_custkey, c_mktsegment, c_acctbal
-  FROM customer WHERE c_custkey <= 3000
-), s AS (
-  SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0 AS c_acctbal
-  FROM customer WHERE c_custkey BETWEEN 1500 AND 4500
-), tb AS (
-  SELECT * FROM t WHERE c_mktsegment = 'BUILDING'
-)
-SELECT c_custkey, c_mktsegment, c_acctbal FROM (
-  SELECT tb.c_custkey, tb.c_mktsegment,
-         tb.c_acctbal + s.c_acctbal AS c_acctbal
-  FROM tb JOIN s USING (c_custkey)
-  UNION ALL
-  SELECT * FROM t
-  WHERE NOT (c_mktsegment = 'BUILDING'
-             AND c_custkey IN (SELECT c_custkey FROM s))
-  UNION ALL
-  SELECT s.* FROM s
-  WHERE c_custkey NOT IN (SELECT c_custkey FROM tb)
-)
-ORDER BY c_custkey, c_mktsegment
-""",
-)
-def q122_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from swiftlake_spark.engine import SwiftLakeEngine
-
-    eng = SwiftLakeEngine(spark, warehouse=_q122_warehouse(spark, sf_dir))
-    return (
-        eng.catalog.load("db.q122_cust")
-        .select("c_custkey", "c_mktsegment", "c_acctbal")
-        .orderBy("c_custkey", "c_mktsegment")
-    )
 
 
 # --------------------------------------------------------------------------

@@ -271,9 +271,14 @@ def q44_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q45 — language-ID heuristic: marker-word profile scores.  (The dataset
-# carries a lang label; the operator recomputes a deterministic n-gram/
-# marker score so label vs predicted agreement is measurable.)
+# q45 — language-ID heuristic, score AND prediction in one certified
+# slot (consolidated r12, VERDICT r11 ask #4 — absorbs q52_langid_pred
+# with no coverage loss): the marker-word score profile (inline
+# Catalyst, q45's original surface) and the four-profile argmax
+# prediction (operators.text.lang_id, q52's original surface) are both
+# computed per document, then aggregated per (label, prediction) cell —
+# the score stats per cell subsume the per-label rollup, and the cell
+# counts are the agreement matrix.
 # --------------------------------------------------------------------------
 @query(
     "q45_langid_score",
@@ -281,37 +286,48 @@ def q44_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH scored AS (
   SELECT doc_id, lang,
          LEN(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS en_markers,
-         LEN(string_split(text, ' ')) AS n_tokens
+         LEN(string_split(text, ' ')) AS n_tokens,
+         list_max([
+           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('der','die','das','und','ist'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'de'},
+           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('the','a','and','of','is'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'en'},
+           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('el','la','los','y','es'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'es'},
+           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('le','la','les','et','est'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'fr'}
+         ]).lang AS lang_pred
   FROM documents
 )
-SELECT lang,
+SELECT lang AS label, lang_pred,
        COUNT(*) AS n_docs,
        CAST(SUM(en_markers) AS BIGINT) AS total_en_markers,
        CAST(SUM(CAST(CAST(en_markers AS DOUBLE) / n_tokens AS DECIMAL(28,10))) AS DOUBLE)
          / COUNT(*) AS avg_en_score,
        BOOL_OR(en_markers * 10 > n_tokens) AS any_en_like
 FROM scored
-GROUP BY lang
-ORDER BY lang
+GROUP BY lang, lang_pred
+ORDER BY label, lang_pred
 """,
 )
 def q45_langid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    from swiftlake_spark.operators.text import lang_id
+
+    d = lang_id(load(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     en_markers = F.size(F.filter(toks, lambda w: w.isin("the", "a")))
     scored = d.select(
-        "doc_id", "lang", en_markers.alias("en_markers"), F.size(toks).alias("n_tokens")
+        F.col("lang").alias("label"),
+        "lang_pred",
+        en_markers.alias("en_markers"),
+        F.size(toks).alias("n_tokens"),
     )
     score = (F.col("en_markers").cast("double") / F.col("n_tokens")).cast("decimal(28,10)")
     return (
-        scored.groupBy("lang")
+        scored.groupBy("label", "lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("en_markers").cast("bigint").alias("total_en_markers"),
             (as_double(F.sum(score)) / F.count(F.lit(1))).alias("avg_en_score"),
             F.max(F.col("en_markers") * 10 > F.col("n_tokens")).alias("any_en_like"),
         )
-        .orderBy("lang")
+        .orderBy("label", "lang_pred")
     )
 
 
@@ -925,41 +941,6 @@ def q51_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("distinct_token_ratio").cast("double").alias("distinct_token_ratio"),
         "quality_score",
     ).orderBy("doc_id")
-
-
-# --------------------------------------------------------------------------
-# q52 — heuristic language-ID prediction vs the labeled lang column:
-# agreement counts per (label, prediction).
-# --------------------------------------------------------------------------
-@query(
-    "q52_langid_pred",
-    oracle=r"""
-WITH scored AS (
-  SELECT doc_id, lang,
-         [
-           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('der','die','das','und','ist'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'de'},
-           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('the','a','and','of','is'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'en'},
-           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('el','la','los','y','es'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'es'},
-           {'score': CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'), w -> w IN ('le','la','les','et','est'))) AS DOUBLE) / LEN(regexp_split_to_array(text, '\s+')), 'lang': 'fr'}
-         ] AS scores
-  FROM documents
-)
-SELECT lang AS label, list_max(scores).lang AS lang_pred, COUNT(*) AS n
-FROM scored
-GROUP BY lang, list_max(scores).lang
-ORDER BY label, lang_pred
-""",
-)
-def q52_langid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from swiftlake_spark.operators.text import lang_id
-
-    d = load(spark, sf_dir, "documents")
-    pred = lang_id(d)
-    return (
-        pred.groupBy(F.col("lang").alias("label"), F.col("lang_pred"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("label", "lang_pred")
-    )
 
 
 # --------------------------------------------------------------------------
@@ -2200,15 +2181,21 @@ def q143_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q144 — MIXED-format image column (round 10 capstone; r11 adds the
-# arithmetic-coded SOF9/SOF10 and lossless SOF3 JPEGs): one binary
-# column carrying PNG, JPEG, GIF, BMP, QM-coded sequential JPEG,
-# predictive-lossless JPEG and QM-coded progressive JPEG payloads of
-# the SAME per-doc pixels, decoded through the magic-byte dispatch in
-# one mapInPandas pass.  Certifies that all seven decoders agree
-# (lossless formats bit-exactly; JPEG within quantization tolerance)
+# q144 — MIXED-format image column (round 10 capstone; r11 added the
+# arithmetic-coded SOF9/SOF10 and lossless SOF3 JPEGs; r12 absorbs the
+# q145 TIFF variant matrix — VERDICT r11 ask #4 consolidation, no
+# format-coverage loss): one binary column carrying 18 payload kinds of
+# the SAME per-doc pixels — PNG, baseline JPEG, GIF, BMP, QM-coded
+# sequential JPEG, predictive-lossless JPEG, QM-coded progressive JPEG,
+# and eleven lossless TIFF layouts (uncompressed, PackBits, LZW,
+# LZW+Predictor 2, Deflate+Predictor 2, tiled, planar, 16-bit, CCITT
+# G4/G3/MH fax codings of a bilevel rendition; II/MM byte order and
+# multi-strip layouts alternate by doc) — decoded through the
+# magic-byte dispatch in one mapInPandas pass.  Certifies that all
+# decoders agree (lossless formats bit-exactly up to the feature
+# vector's float32 rounding; lossy JPEG within quantization tolerance)
 # and with expectations computed from the raw pixels that never touch
-# any codec.
+# any codec.  n_formats proves every kind was actually decoded.
 # --------------------------------------------------------------------------
 @query(
     "q144_mixed_images",
@@ -2216,7 +2203,8 @@ def q143_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 120 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
        true AS dims_ok,
        true AS mean_r_ok,
-       true AS lossless_exact
+       true AS lossless_exact,
+       CAST(18 AS BIGINT) AS n_formats
 """,
 )
 def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2239,8 +2227,27 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("data", T.BinaryType()),
             T.StructField("expected_mean_r", T.DoubleType()),
             T.StructField("lossless", T.BooleanType()),
+            T.StructField("tol", T.DoubleType()),
         ]
     )
+
+    _TIFF_VARIANTS = (
+        "raw", "packbits", "lzw", "lzw_pred2", "deflate_pred2",
+        "tiled", "planar", "bits16", "ccitt_g4", "ccitt_g3", "ccitt_mh",
+    )
+    _TIFF_KW = {
+        "raw": {},
+        "packbits": {"packbits": True},
+        "lzw": {"lzw": True},
+        "lzw_pred2": {"lzw": True, "predictor": 2},
+        "deflate_pred2": {"deflate": True, "predictor": 2},
+        "tiled": {"tile": (8, 8), "lzw": True},
+        "planar": {"planar": 2, "deflate": True},
+        "bits16": {"bits": 16},
+        "ccitt_g4": {"ccitt": 4},
+        "ccitt_g3": {"ccitt": 3},
+        "ccitt_mh": {"ccitt": 2},
+    }
 
     def synth(batches):
         import numpy as np
@@ -2249,12 +2256,13 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         from swiftlake_spark.operators.multimodal import (
             encode_gif,
             encode_png,
+            encode_tiff,
         )
 
         H, W_ = 12, 20
         yy, xx = np.mgrid[0:H, 0:W_]
         for pdf in batches:
-            fmts, data, exp, lossless = [], [], [], []
+            fmts, data, exp, lossless, tols = [], [], [], [], []
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
                 b = (txt * 3).encode("utf-8")[:3]
                 arr = np.stack([
@@ -2262,7 +2270,38 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + xx * (b[2] % 3) + c * 25, 0, 255)
                     for c in range(3)
                 ], axis=-1).astype(np.uint8)
-                kind = int(did) % 7
+                kind = int(did) % 18
+                tol = 1e-4
+                if kind >= 7:
+                    # q145's TIFF matrix (absorbed r12): a noise stripe
+                    # keeps literal LZW runs in play; byte order and
+                    # strip layout alternate by doc
+                    variant = _TIFF_VARIANTS[kind - 7]
+                    arr = arr.copy()
+                    arr[did % H, :, :] = (
+                        (b[0] * 7 + xx[0, :, None] * 31) % 256
+                    ).astype(np.uint8)
+                    if variant.startswith("ccitt"):
+                        # bilevel rendition — fax is lossless on 0/255
+                        arr = np.where(
+                            arr[:, :, 0] < 128, 0, 255).astype(np.uint8)
+                        exp_mean = float(arr.astype(np.float64).mean())
+                    else:
+                        exp_mean = float(
+                            arr[:, :, 0].astype(np.float64).mean())
+                    payload = encode_tiff(
+                        arr,
+                        big_endian=bool((did // 4) % 2),
+                        rows_per_strip=(3 if (did // 8) % 2 else None),
+                        **_TIFF_KW[variant],
+                    )
+                    fmts.append(f"tiff_{variant}")
+                    data.append(payload)
+                    exp.append(exp_mean)
+                    lossless.append(True)
+                    # float32 feature rounding bound (q145's bar)
+                    tols.append(1e-3)
+                    continue
                 if kind == 0:
                     payload, fmt, exact = encode_png(arr), "png", True
                 elif kind == 1:
@@ -2321,9 +2360,11 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 data.append(payload)
                 exp.append(float(arr[:, :, 0].astype(np.float64).mean()))
                 lossless.append(exact)
+                tols.append(1e-4 if exact else 1.5)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "fmt": fmts, "data": data,
-                 "expected_mean_r": exp, "lossless": lossless}
+                 "expected_mean_r": exp, "lossless": lossless,
+                 "tol": tols}
             )
 
     d = base.mapInPandas(synth, exp_schema)
@@ -2337,140 +2378,14 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dims_ok"),
         ok(
             F.abs(F.element_at("features", 4) - F.col("expected_mean_r"))
-            < F.when(F.col("lossless"), 1e-4).otherwise(1.5)
+            < F.col("tol")
         ).alias("mean_r_ok"),
         ok(
             ~F.col("lossless")
             | (F.abs(F.element_at("features", 4) - F.col("expected_mean_r"))
-               < 1e-4)
+               < F.col("tol"))
         ).alias("lossless_exact"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q145 — TIFF variant matrix (rounds 11+): one binary column carrying
-# the SAME per-doc pixels as TIFF in eleven lossless layouts —
-# uncompressed, PackBits, LZW, LZW+Predictor 2, Deflate+Predictor 2,
-# tiled, planar configuration, 16-bit samples, and three CCITT fax
-# codings of a bilevel rendition (MH RLE / Group 3 2-D / Group 4) —
-# alternating II/MM byte order and multi-strip layouts by doc.  TIFF
-# is lossless here, so every variant must reproduce the raw-pixel
-# expectation up to the feature vector's float32 rounding (<1e-3 of a
-# mean; NOT a codec tolerance — pixels are bit-exact); a width-rule
-# one-off in the MSB-first early-change LZW decoder, a predictor
-# cumsum bug, a tile crop error, a byte-order mixup or a T.4 Huffman-
-# table typo each break a slice of the rows.  Decode is the magic-byte
-# mapInPandas dispatch (no PIL).
-# --------------------------------------------------------------------------
-@query(
-    "q145_tiff_lzw_features",
-    oracle=r"""
-SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 120 AND LENGTH(text) > 0) AS BIGINT) AS n_docs,
-       true AS dims_ok,
-       true AS mean_exact,
-       CAST(11 AS BIGINT) AS n_variants
-""",
-)
-def q145_tiff_lzw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    from swiftlake_spark.operators.multimodal import decode_image
-
-    base = (
-        load(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") < 120) & (F.length("text") > 0))
-        .select("doc_id", "text")
-    )
-
-    exp_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("variant", T.StringType()),
-            T.StructField("data", T.BinaryType()),
-            T.StructField("expected_mean_r", T.DoubleType()),
-        ]
-    )
-
-    def synth(batches):
-        import numpy as np
-
-        from swiftlake_spark.operators.multimodal import encode_tiff
-
-        H, W_ = 11, 18
-        yy, xx = np.mgrid[0:H, 0:W_]
-        # r11 adds the four new lossless decode paths to the rotation
-        # (Deflate + Predictor 2, tiled layout, planar configuration,
-        # 16-bit samples) and the three CCITT fax codings of a bilevel
-        # rendition — scanned-document corpora are G3/G4-heavy
-        variants = ("raw", "packbits", "lzw", "lzw_pred2",
-                    "deflate_pred2", "tiled", "planar", "bits16",
-                    "ccitt_g4", "ccitt_g3", "ccitt_mh")
-        for pdf in batches:
-            names, data, exp = [], [], []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                b = (txt * 3).encode("utf-8")[:3]
-                # smooth gradient (predictor-relevant) + a noise stripe
-                # (exercises literal LZW runs), fully determined by text
-                arr = np.stack([
-                    np.clip(20 + b[0] % 100 + yy * (b[1] % 5)
-                            + xx * (b[2] % 4) + c * 30, 0, 255)
-                    for c in range(3)
-                ], axis=-1).astype(np.uint8)
-                arr[did % H, :, :] = (b[0] * 7 + xx[0, :, None] * 31) % 256
-                kind = variants[int(did) % 11]
-                kw = {
-                    "raw": {},
-                    "packbits": {"packbits": True},
-                    "lzw": {"lzw": True},
-                    "lzw_pred2": {"lzw": True, "predictor": 2},
-                    "deflate_pred2": {"deflate": True, "predictor": 2},
-                    "tiled": {"tile": (8, 8), "lzw": True},
-                    "planar": {"planar": 2, "deflate": True},
-                    "bits16": {"bits": 16},
-                    "ccitt_g4": {"ccitt": 4},
-                    "ccitt_g3": {"ccitt": 3},
-                    "ccitt_mh": {"ccitt": 2},
-                }[kind]
-                if kind.startswith("ccitt"):
-                    # bilevel rendition: threshold the red gradient —
-                    # fax is lossless on 0/255 pages, so the mean is
-                    # still exact
-                    arr = np.where(
-                        arr[:, :, 0] < 128, 0, 255).astype(np.uint8)
-                    exp_mean = float(arr.astype(np.float64).mean())
-                else:
-                    exp_mean = float(
-                        arr[:, :, 0].astype(np.float64).mean())
-                payload = encode_tiff(
-                    arr,
-                    big_endian=bool((did // 4) % 2),
-                    rows_per_strip=(3 if (did // 8) % 2 else None),
-                    **kw,
-                )
-                names.append(kind)
-                data.append(payload)
-                exp.append(exp_mean)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "variant": names, "data": data,
-                 "expected_mean_r": exp}
-            )
-
-    d = base.mapInPandas(synth, exp_schema)
-    feats = decode_image(d, "data")  # magic-byte dispatch, no PIL
-    ok = lambda c: F.coalesce(F.bool_and(c), F.lit(True))  # noqa: E731
-    return feats.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        ok(
-            (F.element_at("features", 1) == 18.0)
-            & (F.element_at("features", 2) == 11.0)
-        ).alias("dims_ok"),
-        ok(
-            F.abs(F.element_at("features", 4) - F.col("expected_mean_r"))
-            < 1e-3
-        ).alias("mean_exact"),
-        F.countDistinct("variant").cast("bigint").alias("n_variants"),
+        F.countDistinct("fmt").cast("bigint").alias("n_formats"),
     )
 
 
@@ -2565,3 +2480,126 @@ def q150_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "triples_ok",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q151 — media-container metadata probes (r12, VERDICT r11 ask #2 tail):
+# the cheap pre-decode filter stage of a media pipeline.  Containers are
+# synthesized with parameters derived arithmetically from doc_id —
+# MP3 frame sequences (rate/bitrate/padding rotation), ISO-BMFF MP4
+# (mvhd/tkhd), WebM/EBML (TimestampScale + Duration), Ogg Vorbis and
+# Ogg Opus (granule positions, Opus pre-skip) — and probed back with
+# operators/mediaprobe.probe_media (header walks only, no sample
+# decode).  The oracle recomputes every expected field in pure SQL from
+# the same doc_id arithmetic, so a header mis-walk (wrong box offset,
+# vint misparse, granule/pre-skip slip, bitrate table error) breaks the
+# hash.  Scale: synthesis + probe are payload-parallel mapInPandas;
+# a real pipeline feeds probe_media straight off a binary scan.
+# --------------------------------------------------------------------------
+@query(
+    "q151_media_probe",
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id, doc_id % 4 AS k FROM documents WHERE doc_id < 120
+)
+SELECT doc_id,
+  CASE k WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4/isom' WHEN 2 THEN 'webm'
+         ELSE CASE WHEN doc_id % 8 = 3 THEN 'ogg/vorbis'
+                   ELSE 'ogg/opus' END END AS format,
+  CAST(CASE k
+    WHEN 0 THEN FLOOR(CAST((20 + doc_id % 30) * 1152 * 1000 AS DOUBLE)
+                      / [44100, 48000, 32000][CAST(doc_id // 4 AS INTEGER) % 3 + 1])
+    WHEN 1 THEN 500 + doc_id * 7
+    WHEN 2 THEN 800 + doc_id * 3
+    ELSE CASE WHEN doc_id % 8 = 3
+      THEN FLOOR(CAST((88200 + doc_id * 100) * 1000 AS DOUBLE) / 44100)
+      ELSE FLOOR(CAST((96000 + doc_id * 100 - 312) * 1000 AS DOUBLE) / 48000)
+    END END AS BIGINT) AS duration_ms,
+  CAST(CASE k
+    WHEN 0 THEN [44100, 48000, 32000][CAST(doc_id // 4 AS INTEGER) % 3 + 1]
+    WHEN 3 THEN CASE WHEN doc_id % 8 = 3 THEN 44100 ELSE 48000 END
+    ELSE NULL END AS INTEGER) AS sample_rate,
+  CAST(CASE k
+    WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+    WHEN 3 THEN 2
+    ELSE NULL END AS INTEGER) AS channels,
+  CAST(CASE k WHEN 1 THEN 320 + doc_id % 64 ELSE NULL END AS INTEGER)
+    AS width,
+  CAST(CASE k WHEN 1 THEN 240 + doc_id % 48 ELSE NULL END AS INTEGER)
+    AS height,
+  CAST(CASE k
+    WHEN 0 THEN [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320][CAST(1 + doc_id % 14 AS INTEGER) + 1]
+    ELSE NULL END AS INTEGER) AS bitrate_kbps
+FROM p
+ORDER BY doc_id
+""",
+    doc="media-container metadata probes (MP3/MP4/WebM/Ogg header walks)",
+)
+def q151_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from swiftlake_spark.operators.mediaprobe import probe_media
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+        .repartition(8, "doc_id")
+    )
+
+    def synth(batches):
+        from swiftlake_spark.operators.mediaprobe import (
+            encode_mp3_shaped,
+            encode_mp4_shaped,
+            encode_ogg_shaped,
+            encode_webm_shaped,
+        )
+
+        for b in batches:
+            data = []
+            for did in b["doc_id"]:
+                did = int(did)
+                k = did % 4
+                if k == 0:
+                    data.append(encode_mp3_shaped(
+                        n_frames=20 + did % 30,
+                        rate_idx=(did // 4) % 3,
+                        kbps_idx=1 + did % 14,
+                        mono=did % 2 == 0,
+                    ))
+                elif k == 1:
+                    data.append(encode_mp4_shaped(
+                        duration_ms=500 + did * 7,
+                        timescale=1000,
+                        width=320 + did % 64,
+                        height=240 + did % 48,
+                    ))
+                elif k == 2:
+                    data.append(encode_webm_shaped(
+                        duration_ms=800 + did * 3))
+                elif did % 8 == 3:
+                    data.append(encode_ogg_shaped(
+                        "vorbis", 44_100,
+                        total_samples=88_200 + did * 100, channels=2))
+                else:
+                    data.append(encode_ogg_shaped(
+                        "opus", 48_000,
+                        total_samples=96_000 + did * 100, channels=2))
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], "data": data},
+                columns=["doc_id", "data"],
+            )
+
+    blobs = base.mapInPandas(synth, "doc_id bigint, data binary")
+    probed = probe_media(blobs, "data")
+    return probed.select(
+        "doc_id",
+        F.col("probe.format").alias("format"),
+        F.col("probe.duration_ms").alias("duration_ms"),
+        F.col("probe.sample_rate").alias("sample_rate"),
+        F.col("probe.channels").alias("channels"),
+        F.col("probe.width").alias("width"),
+        F.col("probe.height").alias("height"),
+        F.col("probe.bitrate_kbps").alias("bitrate_kbps"),
+    ).orderBy("doc_id")

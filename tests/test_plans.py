@@ -75,17 +75,23 @@ def test_pandas_udf_only_in_sanctioned_queries(spark, queries):
         "q58_ivf_topk",  # centroid-assignment matmul (map-only)
         "q115_semantic_dedup",  # same IVF centroid assignment
     }, arrow_users
-    # codec decodes ride mapInPandas (Arrow batches of binary payloads)
+    # codec decodes ride mapInPandas (Arrow batches of binary payloads);
+    # r12 adds the ingestion-chain certification queries (container
+    # synthesis + WARC/PDF/DOCX/shard extraction are payload-parallel
+    # Arrow stages by design) and folds q145's TIFF matrix into q144
     assert inpandas_users <= {
         "q53_multimodal_features",
+        "q64_explode_tokens",  # PDF-in-WARC roundtrip (r12)
+        "q75_gopher_rules",  # WARC→HTML roundtrip (r12)
         "q108_audio_features",
         "q114_video_frames",
         "q118_png_features",
         "q120_jpeg_features",
+        "q131_doc_repetition",  # DOCX/EPUB/SRT/VTT-in-shards (r12)
         "q143_gif_frames",
         "q144_mixed_images",
-        "q145_tiff_lzw_features",  # lands round 11
         "q150_image_phash_dedup",  # lands round 11
+        "q151_media_probe",  # container header probes (r12)
     }, inpandas_users
 
 
