@@ -73,27 +73,47 @@ def certified_rounds(
     return out
 
 
-def generate(registry_names: list[str], certified: dict[str, tuple[int, int]]) -> list[str]:
-    """Full gate ordering per the rotation policy above."""
+def generate(
+    registry_names: list[str],
+    certified: dict[str, tuple[int, int]],
+    tier2: frozenset[str] = frozenset(),
+) -> list[str]:
+    """Full gate ordering per the rotation policy above.
+
+    ``tier2`` names (ratified r12, VERDICT r11 ask #4) get ONE round of
+    extra staleness allowance: their effective last-certified round is
+    ``last + 1``, so they queue behind same-age tier-1 queries and may
+    reach 4 rounds of staleness instead of 3.  Tier-2 membership is
+    reserved for verdict-style certification queries whose operator
+    internals are independently pytest-pinned (codec golden fixtures,
+    mutation fuzz, recall bars), so a one-round-later driver check
+    cannot hide a regression the suite would miss.  Feasibility:
+    N1/3 + N2/4 <= window (each tier-1 query consumes a slot at least
+    every 3 rounds, tier-2 every 4).
+    """
     reg_pos = {n: i for i, n in enumerate(registry_names)}
     known = [n for n in registry_names if n in certified]
     never = [n for n in registry_names if n not in certified]
     if not known:
         return registry_names
-    boundary_round = min(certified[n][0] for n in known)
-    boundary = [n for n in known if certified[n][0] == boundary_round]
-    rest = [n for n in known if certified[n][0] != boundary_round]
+
+    def eff(n: str) -> int:
+        return certified[n][0] + (1 if n in tier2 else 0)
+
+    boundary_round = min(eff(n) for n in known)
+    boundary = [n for n in known if eff(n) == boundary_round]
+    rest = [n for n in known if eff(n) != boundary_round]
     boundary.sort(key=lambda n: certified[n][1])
     never.sort(key=lambda n: reg_pos[n])
-    rest.sort(key=lambda n: (certified[n][0], certified[n][1]))
+    rest.sort(key=lambda n: (eff(n), certified[n][1]))
     return boundary + never + rest
 
 
-def _registry_names() -> list[str]:
-    from swiftlake_spark.queries import REGISTRY, _load_all
+def _registry_names() -> tuple[list[str], frozenset[str]]:
+    from swiftlake_spark.queries import _GATE_TIER2, REGISTRY, _load_all
 
     _load_all()
-    return list(REGISTRY)
+    return list(REGISTRY), frozenset(_GATE_TIER2)
 
 
 def _as_source(names: list[str], certified: dict[str, tuple[int, int]]) -> str:
@@ -111,8 +131,8 @@ def _as_source(names: list[str], certified: dict[str, tuple[int, int]]) -> str:
 
 def main() -> int:
     certified = certified_rounds()
-    names = _registry_names()
-    full = generate(names, certified)
+    names, tier2 = _registry_names()
+    full = generate(names, certified, tier2)
     if "--check" in sys.argv:
         from swiftlake_spark.queries import _GATE_PRIORITY
 
