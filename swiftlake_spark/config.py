@@ -108,6 +108,15 @@ class EngineConfig:
     max_concurrent_queries: int | None = None  # None = unbounded
     query_acquire_timeout_s: float = 30.0      # wait for a slot before failing
 
+    # SQL-transform hooks (reference sql/QueryTransformer.java:23, wired
+    # in SwiftLakeConnection.prepareStatement:119-137): callables
+    # ``str -> str`` applied IN ORDER to every statement entering
+    # ``engine.sql()`` before DDL/DML routing and table resolution.
+    # Parameter markers (:name / ?) pass through untouched unless a
+    # transformer rewrites them deliberately.  A per-call ``transform=``
+    # on engine.sql() runs first (the reference's statement-scoped form).
+    sql_transformers: list = field(default_factory=list)
+
     extra_conf: dict[str, str] = field(default_factory=dict)
 
     @property

@@ -125,13 +125,28 @@ class SwiftLakeEngine:
                 load(self.spark, sf_dir, t).createOrReplaceTempView(t)
 
     # -- query ------------------------------------------------------------
-    def sql(self, sql: str, args: dict | list | None = None) -> DataFrame:
+    def sql(
+        self,
+        sql: str,
+        args: dict | list | None = None,
+        transform=None,
+    ) -> DataFrame:
         """Run SQL.  Lakehouse tables referenced as ``db.t`` (with optional
         time-travel suffix) are resolved to temp views before Catalyst
         sees the query.  ``args`` binds named (``:name``) or positional
         (``?``) parameter markers — the Spark-native counterpart of the
         reference's typed JDBC prepared statements
         (sql/SwiftLakePreparedStatement.java:179-500, A25).
+
+        ``transform`` (a ``str -> str`` callable) and the engine-level
+        ``config.sql_transformers`` list rewrite the statement text
+        BEFORE DDL/DML routing and table resolution — the reference's
+        pluggable QueryTransformer seam (sql/QueryTransformer.java:23,
+        applied in SwiftLakeConnection.prepareStatement:119-137 before
+        table processing).  Order: the per-call ``transform`` first (the
+        reference's statement-scoped form), then the config list in
+        order.  Parameter markers survive transforms untouched unless a
+        transformer rewrites them deliberately.
 
         DML statements (INSERT / UPDATE / DELETE FROM / MERGE INTO)
         whose target is a LAKEHOUSE table route to the corresponding
@@ -140,6 +155,16 @@ class SwiftLakeEngine:
         snapshot_id)``; DML against Spark-native relations passes
         through to spark.sql untouched."""
         from swiftlake_spark.dml import sqldml
+
+        for t in ([transform] if transform else []) + list(
+            self.config.sql_transformers
+        ):
+            out = t(sql)
+            if not isinstance(out, str) or not out.strip():
+                raise ValueError(
+                    f"SQL transformer {t!r} must return a non-empty string"
+                )
+            sql = out
 
         if self.warehouse is not None and sqldml.ddl_route(self, sql):
             # CREATE TABLE / DROP TABLE on lakehouse tables (see

@@ -312,3 +312,52 @@ def test_cmp_date_datetime_cross_class_soundness():
     # non-ISO strings are a type mismatch, not a lexicographic compare
     assert _cmp(midnight, "not-a-date") is None
     assert _cmp(d, "20200101") is None
+
+
+def test_sql_transformers_hook(spark, tmp_path):
+    """QueryTransformer parity (reference sql/QueryTransformer.java:23,
+    applied in SwiftLakeConnection.prepareStatement:119-137 before
+    table processing; VERDICT r11 ask #6): per-call transform runs
+    first, then config.sql_transformers in order; transforms apply
+    BEFORE DDL/DML routing (a transformer can redirect a statement to a
+    lakehouse DML builder); parameter markers survive untouched; a
+    transformer returning a non-string fails loudly."""
+    calls = []
+
+    def add_where(sql):
+        calls.append("add_where")
+        return sql.replace("/*W*/", "WHERE id > :lo")
+
+    def rename_table(sql):
+        calls.append("rename_table")
+        return sql.replace("__alias__", "db.tx")
+
+    cfg = EngineConfig(sql_transformers=[add_where, rename_table])
+    eng = SwiftLakeEngine(spark=spark, config=cfg, warehouse=str(tmp_path / "wh"))
+    t = eng.catalog.create_table("db.tx", "id BIGINT, v STRING")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema=t.schema))
+
+    # param markers bind on the TRANSFORMED text; both transformers ran in order
+    rows = eng.sql("SELECT id FROM __alias__ /*W*/ ORDER BY id", args={"lo": 1}).collect()
+    assert [r["id"] for r in rows] == [2, 3]
+    assert calls == ["add_where", "rename_table"]
+
+    # per-call transform runs FIRST (the reference's statement-scoped form)
+    calls.clear()
+    rows = eng.sql(
+        "SELECT COUNT(*) AS n FROM __tbl__ /*W*/",
+        args={"lo": 0},
+        transform=lambda s: (calls.append("per_call"), s.replace("__tbl__", "__alias__"))[1],
+    ).collect()
+    assert rows[0]["n"] == 3
+    assert calls == ["per_call", "add_where", "rename_table"]
+
+    # transforms happen before DML routing: a rewritten DELETE reaches
+    # the lakehouse builder and commits
+    receipt = eng.sql("DELETE FROM __alias__ WHERE id = 1").collect()
+    assert receipt[0]["operation"] == "delete"
+    assert eng.sql("SELECT COUNT(*) AS n FROM db.tx").collect()[0]["n"] == 2
+
+    # loud failure on a bad transformer
+    with pytest.raises(ValueError, match="non-empty string"):
+        eng.sql("SELECT 1", transform=lambda s: None)
