@@ -8,7 +8,12 @@ driver collection, no batch blow-up — for the four entry stages:
 - warc: WARC.gz blobs (3 records each) → exploded response rows;
 - documents: mixed PDF / DOCX / HTML → text via the unified dispatch;
 - probe: MP3/MP4/WebM/Ogg header-level metadata;
-- webdataset: tar shards → grouped sample rows.
+- webdataset: tar shards → grouped sample rows;
+- subtitles+epub: SRT / WebVTT cues + EPUB chapters via the dispatch
+  (r12, VERDICT r11 ask #9);
+- pdf_images: PDFs wrapping JPEG XObjects → exploded decoded-image
+  rows — the RECURSIVE path (PDF → image → codec floor) whose explode
+  factor must stay payload-bound (r12).
 
 Usage: python scripts/ingest_stress.py [factor]      (default 10)
 """
@@ -26,6 +31,7 @@ from swiftlake_spark.config import EngineConfig  # noqa: E402
 from swiftlake_spark.session import build_session  # noqa: E402
 from swiftlake_spark.operators.doctext import (  # noqa: E402
     encode_docx,
+    encode_epub,
     extract_document_text,
 )
 from swiftlake_spark.operators.mediaprobe import (  # noqa: E402
@@ -35,7 +41,11 @@ from swiftlake_spark.operators.mediaprobe import (  # noqa: E402
     encode_webm_shaped,
     probe_media,
 )
-from swiftlake_spark.operators.pdftext import encode_pdf  # noqa: E402
+from swiftlake_spark.operators.pdftext import (  # noqa: E402
+    encode_pdf,
+    encode_pdf_with_images,
+    extract_pdf_images,
+)
 from swiftlake_spark.operators.warc import (  # noqa: E402
     encode_warc,
     warc_records,
@@ -114,6 +124,34 @@ def synth_wds(n: int) -> list[bytes]:
     return out
 
 
+def synth_subs_epub(n: int) -> list[bytes]:
+    out = []
+    for i in range(n):
+        text = f"cue text {i} " + "line of dialog " * 10
+        k = i % 3
+        if k == 0:
+            out.append("".join(
+                f"{j}\n00:00:{j:02d},000 --> 00:00:{j + 1:02d},000\n"
+                f"{text}\n\n" for j in range(1, 6)).encode())
+        elif k == 1:
+            out.append(("WEBVTT\n\n" + "".join(
+                f"00:00:{j:02d}.000 --> 00:00:{j + 1:02d}.000\n"
+                f"{text}\n\n" for j in range(1, 6))).encode())
+        else:
+            out.append(encode_epub([text] * 3))
+    return out
+
+
+def synth_pdf_images(n: int) -> list[bytes]:
+    rng = np.random.default_rng(11)
+    out = []
+    for i in range(n):
+        imgs = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+                for _ in range(2)]
+        out.append(encode_pdf_with_images(imgs, text=f"scan {i}"))
+    return out
+
+
 def run_family(spark, name, payloads, op) -> float:
     df = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in enumerate(payloads)],
@@ -137,6 +175,10 @@ def main() -> int:
             synth_probe, lambda d: probe_media(d, "data")),
         "webdataset(4-sample shards)": (
             synth_wds, lambda d: webdataset_samples(d, "data")),
+        "subtitles+epub": (
+            synth_subs_epub, lambda d: extract_document_text(d, "data")),
+        "pdf_images(2 jpeg/pdf)": (
+            synth_pdf_images, lambda d: extract_pdf_images(d, "data")),
     }
     print(f"| family | 1x ({BASE}) | {factor}x ({BASE * factor}) | ratio |")
     print("|---|---|---|---|")
