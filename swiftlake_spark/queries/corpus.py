@@ -422,7 +422,8 @@ def q130_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q131_doc_repetition",
     oracle=r"""
 WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 1500
 ), grams AS (
   SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
   FROM words, UNNEST(generate_series(1, GREATEST(LEN(w) - 1, 0))) AS t(i)
@@ -458,9 +459,11 @@ def q131_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from swiftlake_spark.operators.text import ngram_repetition
 
-    # local-mode spread; synthesis is certification harness only (q75)
+    # local-mode spread + corpus bound; synthesis is certification
+    # harness only (q75's rationale)
     base = (
         load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1500)
         .select("doc_id", "text")
         .repartition(8, "doc_id")
     )
