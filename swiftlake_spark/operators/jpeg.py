@@ -289,6 +289,124 @@ def _extend(v: int, s: int) -> int:
 
 # --------------------------------------------------------------- decoder
 
+def _expand_plane(ref: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference-component expansion: doubling along an
+    axis inserts interpolated samples p = (a + b + 1) >> 1 between
+    neighbours (tail replicated when the doubled size is odd)."""
+    p = ref.astype(np.int32)
+    h, w = p.shape
+    if out_w != w:
+        if not w * 2 - 1 <= out_w <= w * 2:
+            raise ValueError(f"EXP width {w} -> {out_w} is not a doubling")
+        nxt = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        interp = (p + nxt + 1) >> 1
+        out = np.empty((h, out_w), np.int32)
+        out[:, 0::2] = p[:, : (out_w + 1) // 2]
+        out[:, 1::2] = interp[:, : out_w // 2]
+        p = out
+    if out_h != h:
+        if not h * 2 - 1 <= out_h <= h * 2:
+            raise ValueError(f"EXP height {h} -> {out_h} is not a doubling")
+        nxt = np.concatenate([p[1:], p[-1:]], axis=0)
+        interp = (p + nxt + 1) >> 1
+        out = np.empty((out_h, p.shape[1]), np.int32)
+        out[0::2] = p[: (out_h + 1) // 2]
+        out[1::2] = interp[: out_h // 2]
+        p = out
+    return p.astype(np.uint8)
+
+
+def _hier_stage(data, pos, frame, scan, sos_body, ns, qt, huff_dc,
+                huff_ac, restart_interval, hier):
+    """Decode one hierarchical frame's scan and fold it into the
+    reference components (T.81 Annex J).  Returns the byte position of
+    the next marker.
+
+    Non-differential frames replace their components' references;
+    differential frames (SOF5 DCT / SOF7 lossless) decode difference
+    planes added to the (possibly EXP-expanded) references, clamped to
+    [0, 255] — the 8-bit native floor."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    eh, ev = hier["pending_exp"]
+    hier["pending_exp"] = (0, 0)
+    refs = {}
+    if frame["differential"]:
+        for c in comps:
+            cid = c["id"]
+            if cid not in hier["refs"]:
+                raise ValueError(
+                    f"differential frame for component {cid} "
+                    "with no reference")
+            ref = hier["refs"][cid]
+            if eh or ev:
+                ref = _expand_plane(
+                    ref,
+                    h if ev else ref.shape[0],
+                    w if eh else ref.shape[1],
+                )
+            if ref.shape != (h, w):
+                raise ValueError(
+                    f"reference {ref.shape} does not match "
+                    f"differential frame {h}x{w}")
+            refs[cid] = ref
+    elif eh or ev:
+        raise ValueError("EXP before a non-differential frame")
+
+    if frame["lossless"]:
+        from swiftlake_spark.operators.jpeg_lossless import (
+            decode_lossless_planes,
+        )
+
+        if len(sos_body) < 4 + 2 * ns:
+            raise ValueError("truncated SOS header")
+        ss = sos_body[1 + 2 * ns]
+        al = sos_body[3 + 2 * ns] & 15
+        order, planes, end = decode_lossless_planes(
+            data, pos, frame, scan, huff_dc, ss, al,
+            restart_interval, differential=frame["differential"])
+        prec = frame["prec"]
+        for cid in order:
+            v = planes[cid]
+            if frame["differential"]:
+                hier["refs"][cid] = np.clip(
+                    refs[cid].astype(np.int32) + v, 0, 255
+                ).astype(np.uint8)
+            else:
+                if al:
+                    v = (v << al) & 0xFFFF
+                if prec > 8:
+                    v = v >> (prec - 8)
+                hier["refs"][cid] = v.astype(np.uint8)
+    else:
+        arrays, end = _decode_scan_arrays(
+            data, pos, frame, scan, huff_dc, huff_ac,
+            restart_interval, differential=frame["differential"])
+        if frame["differential"]:
+            diffs = _diff_planes(frame, qt, arrays)
+            for c, dpl in zip(comps, diffs):
+                hier["refs"][c["id"]] = np.clip(
+                    refs[c["id"]].astype(np.int32) + dpl, 0, 255
+                ).astype(np.uint8)
+        else:
+            planes = _component_planes(frame, qt, arrays)
+            for c, pl in zip(comps, planes):
+                hier["refs"][c["id"]] = pl
+    return _next_marker(data, end)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Skip any remaining entropy bytes/stuffing/RSTn from ``pos`` to
+    the next real marker's 0xFF (hierarchical: frames follow frames)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,) and not (
+                0xD0 <= data[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    raise ValueError("no marker after hierarchical scan")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG → uint8 (H,W,3) RGB or (H,W) grayscale."""
     if data[:3] != b"\xff\xd8\xff":
@@ -299,6 +417,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    hier = None  # hierarchical (DHP): {"refs", "pending_exp", "order"}
     prog_coefs = None  # progressive: cid → (nblocks, 64) zigzag int32
     dac_dc: dict[int, tuple[int, int]] = {}  # DAC: table → (L, U)
     dac_ac: dict[int, int] = {}  # DAC: table → Kx
@@ -312,6 +431,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no segment
             continue
         if marker == 0xD9:  # EOI: no segment
+            if hier is not None:
+                if not hier["refs"]:
+                    raise ValueError("hierarchical stream with no frames")
+                planes = [hier["refs"][cid] for cid in hier["order"]
+                          if cid in hier["refs"]]
+                return _color_join(planes)
             if prog_coefs is not None:
                 # progressive: every scan accumulated; reconstruct now
                 return _reconstruct(frame, qt, prog_coefs)
@@ -347,7 +472,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17: off + 17 + cnt])
                 (huff_ac if tc else huff_dc)[th] = _build_decode_lut(bits, vals)
                 off += 17 + cnt
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC3):
+        elif marker == 0xDE:  # DHP: hierarchical progression (B.3.2)
+            if len(body) < 6:
+                raise ValueError("truncated DHP segment")
+            hh, hw = struct.unpack_from(">HH", body, 1)
+            hnc = body[5]
+            if len(body) < 6 + 3 * hnc:
+                raise ValueError("truncated DHP component list")
+            order = [body[6 + 3 * i] for i in range(hnc)]
+            hier = {"refs": {}, "pending_exp": (0, 0), "order": order,
+                    "w": hw, "h": hh}
+        elif marker == 0xDF:  # EXP: expand reference components (B.3.3)
+            if hier is None:
+                raise ValueError("EXP marker outside hierarchical mode")
+            if len(body) < 1:
+                raise ValueError("truncated EXP segment")
+            hier["pending_exp"] = (body[0] >> 4, body[0] & 15)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC3,
+                        0xC5, 0xC7):
             # SOF0/1 sequential, SOF2 progressive (huffman);
             # SOF9 sequential / SOF10 progressive arithmetic
             # (operators/jpeg_arith.py);
@@ -358,7 +500,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             # (decoded natively since r11; output downscales to the
             # high 8 bits, the PNG/TIFF 16-bit convention); lossless
             # allows 2..16.
-            if marker == 0xC3:
+            if marker in (0xC3, 0xC7):
                 if not 2 <= prec <= 16:
                     raise ValueError(f"bad lossless precision {prec}")
             elif prec != 8 and not (prec == 12 and marker != 0xC0):
@@ -374,15 +516,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
+            if marker in (0xC5, 0xC7) and hier is None:
+                raise ValueError(
+                    "differential SOF outside a hierarchical stream")
             frame = {"w": w, "h": h, "comps": comps, "prec": prec,
                      "progressive": marker in (0xC2, 0xCA),
                      "arith": marker in (0xC9, 0xCA),
-                     "lossless": marker == 0xC3}
-        elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+                     "lossless": marker in (0xC3, 0xC7),
+                     "differential": marker in (0xC5, 0xC7)}
+        elif marker in (0xC6, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (hierarchical/"
-                "arithmetic-lossless) needs PIL")
+                f"JPEG process SOF{marker - 0xC0} (differential-"
+                "progressive / arithmetic-lossless or -differential) "
+                "needs PIL")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
             while off + 2 <= len(body):
@@ -408,6 +554,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ns = body[0]
             if len(body) < 4 + 2 * ns:
                 raise ValueError("truncated SOS header")
+            if hier is not None and (
+                    frame.get("progressive") or frame.get("arith")):
+                raise NotImplementedError(
+                    "hierarchical progressive/arithmetic stage needs PIL")
             if frame["progressive"]:
                 if len(body) < 4 + 2 * ns:
                     raise ValueError("truncated SOS header")
@@ -444,6 +594,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if set(scan) != {c["id"] for c in frame["comps"]}:
                 raise ValueError(
                     "SOS component selectors do not match SOF")
+            if hier is not None:
+                pos = _hier_stage(data, pos, frame, scan, body, ns, qt,
+                                  huff_dc, huff_ac, restart_interval,
+                                  hier)
+                frame = None  # stage consumed; next frame must re-SOF
+                continue
             if frame.get("lossless"):
                 from swiftlake_spark.operators.jpeg_lossless import (
                     decode_lossless_scan,
@@ -467,6 +623,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             return _decode_scan(data, pos, frame, scan, qt, huff_dc,
                                 huff_ac, restart_interval)
 
+    if hier is not None and hier["refs"]:
+        # hierarchical: EOI is the trailing 2 bytes the 4-byte loop
+        # guard never enters (stages already decoded fully)
+        planes = [hier["refs"][cid] for cid in hier["order"]
+                  if cid in hier["refs"]]
+        return _color_join(planes)
     if prog_coefs is not None:
         # progressive stream missing its EOI: the scans decoded fully
         # (each consumed its exact MCU count), so reconstruct anyway
@@ -476,6 +638,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                  restart_interval):
+    arrays, _end = _decode_scan_arrays(
+        data, pos, frame, scan, huff_dc, huff_ac, restart_interval)
+    return _reconstruct(frame, qt, arrays)
+
+
+def _decode_scan_arrays(data, pos, frame, scan, huff_dc, huff_ac,
+                        restart_interval, differential=False):
+    """Sequential-scan entropy decode → (coef store, end byte pos).
+
+    ``differential=True`` decodes a hierarchical differential frame's
+    scan (T.81 F.1.1.5.1: the DC prediction PRED is 0 in differential
+    frames — DC values are coded directly, not as running
+    differences)."""
     comps = frame["comps"]
     hmax, vmax, mcux, mcuy = _geometry(frame)
 
@@ -510,10 +685,14 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                         if t > 15:  # spec max DC category is 11
                             raise ValueError(f"invalid DC category {t}")
                         diff = _extend(r.get_bits(t), t) if t else 0
-                        pred[cid] += diff
-                        if not -(1 << 30) < pred[cid] < (1 << 30):
-                            raise ValueError("DC predictor out of range")
-                        coef[0] = pred[cid]
+                        if differential:
+                            coef[0] = diff  # PRED = 0 in diff frames
+                        else:
+                            pred[cid] += diff
+                            if not -(1 << 30) < pred[cid] < (1 << 30):
+                                raise ValueError(
+                                    "DC predictor out of range")
+                            coef[0] = pred[cid]
                         k = 1
                         while k < 64:
                             rs = _decode_huff(r, ac_lut)
@@ -542,7 +721,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
         for (by, bx), coef in zip(positions[cid], blocks[cid]):
             arr[by * bw_i + bx] = coef
         arrays[cid] = arr
-    return _reconstruct(frame, qt, arrays)
+    return arrays, r.pos
 
 
 def _grid_n(dim: int, samp: int, smax: int) -> int:
@@ -583,26 +762,29 @@ def _geometry(frame):
     return hmax, vmax, mcux, mcuy
 
 
-def _reconstruct(frame, qt, arrays):
-    """coef store (per-comp (nblocks,64) zigzag int32, raster block
-    order on the MCU-padded grid) → pixels.  Shared by the sequential
-    and progressive paths: dequantize, batched IDCT, upsample, crop,
-    YCbCr→RGB."""
+def _idct_blocks(qt, tq, coefs):
+    """dequantize + batched IDCT for one component's zigzag coef rows →
+    (nblocks, 8, 8) float pixels WITHOUT level shift."""
+    if tq not in qt:
+        raise ValueError(f"missing quantization table {tq}")
+    q = qt[tq]
+    dq = np.zeros((len(coefs), 64), dtype=np.float64)
+    dq[:, _ZIGZAG] = coefs.astype(np.float64) * q[np.newaxis, :]
+    mats = dq.reshape(-1, 8, 8)
+    return np.einsum("ij,njk,kl->nil", _A.T, mats, _A)
+
+
+def _component_planes(frame, qt, arrays):
+    """coef store → per-component uint8 planes at FRAME resolution
+    (level-shifted, clamped, chroma repeat-upsampled, cropped)."""
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     hmax, vmax, mcux, mcuy = _geometry(frame)
     planes = []
     for c in comps:
         cid = c["id"]
-        if c["tq"] not in qt:
-            raise ValueError(f"missing quantization table {c['tq']}")
-        q = qt[c["tq"]]
-        dq = np.zeros((len(arrays[cid]), 64), dtype=np.float64)
-        coefs = arrays[cid].astype(np.float64) * q[np.newaxis, :]
-        dq[:, _ZIGZAG] = coefs  # un-zigzag (q and coef are zigzag-order)
-        mats = dq.reshape(-1, 8, 8)
         prec = frame.get("prec", 8)
-        pix = np.einsum("ij,njk,kl->nil", _A.T, mats, _A) + float(
+        pix = _idct_blocks(qt, c["tq"], arrays[cid]) + float(
             1 << (prec - 1))
         pix = np.clip(np.round(pix), 0, (1 << prec) - 1).astype(np.int32)
         if prec > 8:  # high byte (rounded), the 16-bit PNG/TIFF convention
@@ -615,7 +797,33 @@ def _reconstruct(frame, qt, arrays):
         plane = plane.repeat(vmax // c["v"], axis=0)
         plane = plane.repeat(hmax // c["h"], axis=1)
         planes.append(plane[:h, :w])
+    return planes
 
+
+def _diff_planes(frame, qt, arrays):
+    """coef store of a DIFFERENTIAL DCT frame → per-component int32
+    difference planes at frame resolution (T.81 hierarchical: no level
+    shift, no output clamp — the sum with the reference is clamped).
+    Subsampled differential frames are out of the native floor."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    if hmax != 1 or vmax != 1:
+        raise NotImplementedError(
+            "subsampled differential JPEG frame needs PIL")
+    planes = []
+    for c in comps:
+        pix = _idct_blocks(qt, c["tq"], arrays[c["id"]])
+        pix = np.round(pix).astype(np.int32)
+        bh, bw = c["bh_i"], c["bw_i"]
+        plane = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))
+        planes.append(plane[:h, :w])
+    return planes
+
+
+def _color_join(planes):
+    """per-component uint8 planes → gray plane or YCbCr→RGB array."""
     if len(planes) == 1:
         return planes[0]
     if len(planes) != 3:
@@ -629,6 +837,14 @@ def _reconstruct(frame, qt, arrays):
         y + 1.772 * cb,
     ], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _reconstruct(frame, qt, arrays):
+    """coef store (per-comp (nblocks,64) zigzag int32, raster block
+    order on the MCU-padded grid) → pixels.  Shared by the sequential
+    and progressive paths: dequantize, batched IDCT, upsample, crop,
+    YCbCr→RGB."""
+    return _color_join(_component_planes(frame, qt, arrays))
 
 
 # -------------------------------------------------- progressive decoding

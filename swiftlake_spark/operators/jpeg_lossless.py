@@ -73,10 +73,16 @@ def _predict(sample: np.ndarray, x: int, y: int, sel: int,
     return (a + b) >> 1  # sel == 7
 
 
-def decode_lossless_scan(data, pos, frame, scan, huff_dc, ss, al,
-                         restart_interval):
-    """SOF3 scan → uint8 image ((H,W) or (H,W,3), >8-bit samples
-    downscaled to the high byte)."""
+def decode_lossless_planes(data, pos, frame, scan, huff_dc, ss, al,
+                           restart_interval, differential=False):
+    """SOF3/SOF7 scan entropy decode → (ordered cid list,
+    {cid: int32 (H,W) plane}, end byte pos).
+
+    Non-differential: planes hold reconstructed samples (predictor
+    ``ss``, mod-2^16 per H.1.2.3).  ``differential=True`` (SOF7,
+    hierarchical): T.81 requires predictor selection 0 — no spatial
+    prediction — and the planes hold the RAW signed differences the
+    caller adds to the reference component."""
     if restart_interval:
         raise NotImplementedError(
             "lossless JPEG with restart intervals needs PIL")
@@ -84,7 +90,11 @@ def decode_lossless_scan(data, pos, frame, scan, huff_dc, ss, al,
     if any(c["h"] != 1 or c["v"] != 1 for c in comps):
         raise NotImplementedError(
             "lossless JPEG with subsampled components needs PIL")
-    if not 1 <= ss <= 7:
+    if differential:
+        if ss != 0:
+            raise ValueError(
+                f"differential lossless frame requires Ss=0, got {ss}")
+    elif not 1 <= ss <= 7:
         raise ValueError(f"invalid lossless predictor {ss}")
     prec = frame["prec"]
     if not 2 <= prec <= 16 or al >= prec:
@@ -119,8 +129,21 @@ def decode_lossless_scan(data, pos, frame, scan, huff_dc, ss, al,
                     diff = 32768  # H.1.2.2: no extra bits
                 else:
                     diff = _extend(r.get_bits(s), s) if s else 0
-                pred = _predict(planes[cid], x, y, ss, default)
-                planes[cid][y, x] = (pred + diff) & 0xFFFF
+                if differential:
+                    planes[cid][y, x] = diff
+                else:
+                    pred = _predict(planes[cid], x, y, ss, default)
+                    planes[cid][y, x] = (pred + diff) & 0xFFFF
+    return order, planes, r.pos
+
+
+def decode_lossless_scan(data, pos, frame, scan, huff_dc, ss, al,
+                         restart_interval):
+    """SOF3 scan → uint8 image ((H,W) or (H,W,3), >8-bit samples
+    downscaled to the high byte)."""
+    order, planes, _end = decode_lossless_planes(
+        data, pos, frame, scan, huff_dc, ss, al, restart_interval)
+    prec = frame["prec"]
     out = np.stack([planes[cid] for cid in order], axis=-1)
     if al:
         out = (out << al) & 0xFFFF
