@@ -2196,9 +2196,12 @@ def q143_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q144 — MIXED-format image column (round 10 capstone; r11 added the
 # arithmetic-coded SOF9/SOF10 and lossless SOF3 JPEGs; r12 absorbs the
 # q145 TIFF variant matrix — VERDICT r11 ask #4 consolidation, no
-# format-coverage loss): one binary column carrying 18 payload kinds of
+# format-coverage loss; 19th kind r12: hierarchical JPEG): one binary
+# column carrying 19 payload kinds of
 # the SAME per-doc pixels — PNG, baseline JPEG, GIF, BMP, QM-coded
 # sequential JPEG, predictive-lossless JPEG, QM-coded progressive JPEG,
+# a hierarchical DHP/EXP/SOF5+SOF7 pyramid with a lossless correction
+# stage (bit-exact by construction — operators/jpeg_hier.py),
 # and eleven lossless TIFF layouts (uncompressed, PackBits, LZW,
 # LZW+Predictor 2, Deflate+Predictor 2, tiled, planar, 16-bit, CCITT
 # G4/G3/MH fax codings of a bilevel rendition; II/MM byte order and
@@ -2216,7 +2219,7 @@ SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 120 AND LENGTH(text) 
        true AS dims_ok,
        true AS mean_r_ok,
        true AS lossless_exact,
-       CAST(18 AS BIGINT) AS n_formats
+       CAST(19 AS BIGINT) AS n_formats
 """,
 )
 def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2282,8 +2285,25 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + xx * (b[2] % 3) + c * 25, 0, 255)
                     for c in range(3)
                 ], axis=-1).astype(np.uint8)
-                kind = int(did) % 18
+                kind = int(did) % 19
                 tol = 1e-4
+                if kind == 18:
+                    # r12: hierarchical pyramid (gray rendition —
+                    # DHP/EXP doubling, differential DCT stage, SOF7
+                    # lossless correction → BIT-EXACT decode)
+                    from swiftlake_spark.operators.jpeg_hier import (
+                        encode_jpeg_hierarchical,
+                    )
+
+                    garr = arr[:, :, 0]
+                    fmts.append("jpeg_hier")
+                    data.append(encode_jpeg_hierarchical(
+                        garr, quality=90, levels=2,
+                        lossless_final=True))
+                    exp.append(float(garr.astype(np.float64).mean()))
+                    lossless.append(True)
+                    tols.append(1e-4)
+                    continue
                 if kind >= 7:
                     # q145's TIFF matrix (absorbed r12): a noise stripe
                     # keeps literal LZW runs in play; byte order and
