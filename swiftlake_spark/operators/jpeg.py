@@ -317,7 +317,7 @@ def _expand_plane(ref: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def _hier_stage(data, pos, frame, scan, sos_body, ns, qt, huff_dc,
-                huff_ac, restart_interval, hier):
+                huff_ac, restart_interval, hier, dac_dc, dac_ac):
     """Decode one hierarchical frame's scan and fold it into the
     reference components (T.81 Annex J).  Returns the byte position of
     the next marker.
@@ -379,9 +379,18 @@ def _hier_stage(data, pos, frame, scan, sos_body, ns, qt, huff_dc,
                     v = v >> (prec - 8)
                 hier["refs"][cid] = v.astype(np.uint8)
     else:
-        arrays, end = _decode_scan_arrays(
-            data, pos, frame, scan, huff_dc, huff_ac,
-            restart_interval, differential=frame["differential"])
+        if frame.get("arith"):
+            from swiftlake_spark.operators.jpeg_arith import (
+                decode_arith_scan_arrays,
+            )
+
+            arrays, end = decode_arith_scan_arrays(
+                data, pos, frame, scan, dac_dc, dac_ac,
+                restart_interval, differential=frame["differential"])
+        else:
+            arrays, end = _decode_scan_arrays(
+                data, pos, frame, scan, huff_dc, huff_ac,
+                restart_interval, differential=frame["differential"])
         if frame["differential"]:
             diffs = _diff_planes(frame, qt, arrays)
             for c, dpl in zip(comps, diffs):
@@ -489,7 +498,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("truncated EXP segment")
             hier["pending_exp"] = (body[0] >> 4, body[0] & 15)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC3,
-                        0xC5, 0xC7):
+                        0xC5, 0xC7, 0xCD):
             # SOF0/1 sequential, SOF2 progressive (huffman);
             # SOF9 sequential / SOF10 progressive arithmetic
             # (operators/jpeg_arith.py);
@@ -516,19 +525,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            if marker in (0xC5, 0xC7) and hier is None:
+            if marker in (0xC5, 0xC7, 0xCD) and hier is None:
                 raise ValueError(
                     "differential SOF outside a hierarchical stream")
             frame = {"w": w, "h": h, "comps": comps, "prec": prec,
                      "progressive": marker in (0xC2, 0xCA),
-                     "arith": marker in (0xC9, 0xCA),
+                     "arith": marker in (0xC9, 0xCA, 0xCD),
                      "lossless": marker in (0xC3, 0xC7),
-                     "differential": marker in (0xC5, 0xC7)}
-        elif marker in (0xC6, 0xCB, 0xCD, 0xCE, 0xCF):
+                     "differential": marker in (0xC5, 0xC7, 0xCD)}
+        elif marker in (0xC6, 0xCB, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG process SOF{marker - 0xC0} (differential-"
-                "progressive / arithmetic-lossless or -differential) "
-                "needs PIL")
+                "progressive / arithmetic-lossless) needs PIL")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
             while off + 2 <= len(body):
@@ -554,10 +562,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ns = body[0]
             if len(body) < 4 + 2 * ns:
                 raise ValueError("truncated SOS header")
-            if hier is not None and (
-                    frame.get("progressive") or frame.get("arith")):
+            if hier is not None and frame.get("progressive"):
                 raise NotImplementedError(
-                    "hierarchical progressive/arithmetic stage needs PIL")
+                    "hierarchical progressive stage needs PIL")
             if frame["progressive"]:
                 if len(body) < 4 + 2 * ns:
                     raise ValueError("truncated SOS header")
@@ -597,7 +604,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if hier is not None:
                 pos = _hier_stage(data, pos, frame, scan, body, ns, qt,
                                   huff_dc, huff_ac, restart_interval,
-                                  hier)
+                                  hier, dac_dc, dac_ac)
                 frame = None  # stage consumed; next frame must re-SOF
                 continue
             if frame.get("lossless"):

@@ -357,7 +357,21 @@ def decode_arith_scan(data, pos, frame, scan, qt, dac_dc, dac_ac,
     """Sequential SOF9 scan → reconstructed image (mirrors
     jpeg._decode_scan's geometry/restart handling; entropy layer is
     the QM decoder instead of Huffman)."""
-    from swiftlake_spark.operators.jpeg import _geometry, _reconstruct
+    from swiftlake_spark.operators.jpeg import _reconstruct
+
+    arrays, _end = decode_arith_scan_arrays(
+        data, pos, frame, scan, dac_dc, dac_ac, restart_interval)
+    return _reconstruct(frame, qt, arrays)
+
+
+def decode_arith_scan_arrays(data, pos, frame, scan, dac_dc, dac_ac,
+                             restart_interval, differential=False):
+    """Sequential arithmetic scan entropy decode → (coef store, next
+    marker byte pos).  ``differential=True`` decodes a hierarchical
+    SOF13 frame's scan: the DC prediction PRED is 0 in differential
+    frames (F.1.1.5.1) while the conditioning context still follows
+    each coded value (F.1.4.4.1.2)."""
+    from swiftlake_spark.operators.jpeg import _geometry
 
     comps = frame["comps"]
     hmax, vmax, mcux, mcuy = _geometry(frame)
@@ -412,12 +426,18 @@ def decode_arith_scan(data, pos, frame, scan, qt, dac_dc, dac_ac,
                 for cy in range(c["v"]):
                     for cx in range(c["h"]):
                         coef = np.zeros(64, dtype=np.int32)
-                        pred[cid] = _dec_dc(
-                            dec, dc_stats[dtb], dc_ctx[cid],
-                            pred[cid], li, ui)
-                        if not -(1 << 30) < pred[cid] < (1 << 30):
-                            raise ValueError("DC predictor out of range")
-                        coef[0] = pred[cid]
+                        if differential:
+                            coef[0] = _dec_dc(
+                                dec, dc_stats[dtb], dc_ctx[cid],
+                                0, li, ui)  # PRED = 0 in diff frames
+                        else:
+                            pred[cid] = _dec_dc(
+                                dec, dc_stats[dtb], dc_ctx[cid],
+                                pred[cid], li, ui)
+                            if not -(1 << 30) < pred[cid] < (1 << 30):
+                                raise ValueError(
+                                    "DC predictor out of range")
+                            coef[0] = pred[cid]
                         _dec_ac(dec, ac_stats[atb], fixed, coef, kx)
                         blocks[cid].append(coef)
                         positions[cid].append(
@@ -431,7 +451,14 @@ def decode_arith_scan(data, pos, frame, scan, qt, dac_dc, dac_ac,
         for (by, bx), coef in zip(positions[cid], blocks[cid]):
             arr[by * bw_i + bx] = coef
         arrays[cid] = arr
-    return _reconstruct(frame, qt, arrays)
+    if dec.marker_at is not None:
+        end = dec.marker_at
+    else:
+        end = dec.bp
+        while end + 1 < len(data) and not (
+                data[end] == 0xFF and data[end + 1] != 0x00):
+            end += 1
+    return arrays, end
 
 
 def decode_prog_arith_scan(data, pos, frame, scan_list, ss, se, ah, al,

@@ -27,8 +27,12 @@ The load-bearing property: ``lossless_final=True`` appends a SOF7
 stage coding the exact residual, so decode(encode(x)) is BIT-EXACT for
 any grayscale image (and exact in YCbCr space for color — the RGB
 round trip adds only the color-transform rounding every JPEG process
-shares).  Differential progressive (SOF6) and the arithmetic
-differential processes (SOF13-15) stay honest raises.
+shares).  ``arith=True`` swaps the entropy layer: SOF9 first stage and
+SOF13 differential refinements through the QM coder (jpeg_arith.py)
+carrying the IDENTICAL coefficients, so arithmetic and Huffman
+hierarchies must decode pixel-identically (the transparency property).
+Differential progressive (SOF6/SOF14) and arithmetic lossless
+(SOF11/SOF15) stay honest raises.
 """
 
 from __future__ import annotations
@@ -95,9 +99,12 @@ def _stage_recon(coef_zz: np.ndarray, q: np.ndarray, bh: int, bw: int,
 
 def _emit_dct_frame(out: bytearray, planes: list[np.ndarray],
                     qsel: list[int], qts: list[np.ndarray],
-                    marker: int, differential: bool) -> list[np.ndarray]:
+                    marker: int, differential: bool,
+                    arith: bool = False) -> list[np.ndarray]:
     """Append SOF + SOS + entropy for one 1x1-sampled DCT stage; return
-    the decoder-replica reconstruction (samples or differences)."""
+    the decoder-replica reconstruction (samples or differences).
+    ``arith=True`` entropy-codes the same coefficients through the QM
+    coder (fresh statistics per scan, F.1.4.4.1.2 conditioning)."""
     h, w = planes[0].shape
     nc = len(planes)
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
@@ -112,18 +119,48 @@ def _emit_dct_frame(out: bytearray, planes: list[np.ndarray],
         padded = _pad_to(p, bh * 8, bw_ * 8)
         coeffs.append(_plane_coeffs(padded, qts[qsel[ci]], center))
 
-    dc_luts, ac_luts = _encode_luts(8)
-    bw = _BitWriter()
-    pred = [0] * nc
-    for bi in range(bh * bw_):
-        for ci in range(nc):
-            t = 1 if (nc == 3 and ci) else 0
-            newpred = _encode_block(
-                bw, coeffs[ci][bi], 0 if differential else pred[ci],
-                dc_luts[t], ac_luts[t])
-            if not differential:  # PRED stays 0 in differential frames
-                pred[ci] = newpred
-    bw.flush()
+    if arith:
+        from swiftlake_spark.operators.jpeg_arith import (
+            _AC_BINS,
+            _DC_BINS,
+            _FIXED_BIN,
+            _QMEncoder,
+            _enc_ac,
+            _enc_dc,
+        )
+
+        enc = _QMEncoder()
+        ntab = 1 if nc == 1 else 2
+        dc_stats = [np.zeros(_DC_BINS, np.uint8) for _ in range(ntab)]
+        ac_stats = [np.zeros(_AC_BINS, np.uint8) for _ in range(ntab)]
+        fixed = np.array([_FIXED_BIN], np.uint8)
+        pred = [0] * nc
+        dc_ctx = [[0] for _ in range(nc)]
+        for bi in range(bh * bw_):
+            for ci in range(nc):
+                t = 1 if (nc == 3 and ci) else 0
+                coef = coeffs[ci][bi]
+                newpred = _enc_dc(
+                    enc, dc_stats[t], dc_ctx[ci], int(coef[0]),
+                    0 if differential else pred[ci], 0, 1)
+                if not differential:
+                    pred[ci] = newpred
+                _enc_ac(enc, ac_stats[t], fixed, coef, 5)
+        entropy = enc.flush()
+    else:
+        dc_luts, ac_luts = _encode_luts(8)
+        bw = _BitWriter()
+        pred = [0] * nc
+        for bi in range(bh * bw_):
+            for ci in range(nc):
+                t = 1 if (nc == 3 and ci) else 0
+                newpred = _encode_block(
+                    bw, coeffs[ci][bi], 0 if differential else pred[ci],
+                    dc_luts[t], ac_luts[t])
+                if not differential:  # PRED stays 0 in diff frames
+                    pred[ci] = newpred
+        bw.flush()
+        entropy = bytes(bw.out)
 
     sos = bytearray([nc])
     for ci in range(nc):
@@ -131,7 +168,7 @@ def _emit_dct_frame(out: bytearray, planes: list[np.ndarray],
         sos += bytes([ci + 1, (t << 4) | t])
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, bytes(sos))
-    out += bytes(bw.out)
+    out += entropy
     return [
         _stage_recon(coeffs[ci], qts[qsel[ci]], bh, bw_, h, w,
                      differential)
@@ -180,12 +217,13 @@ def _emit_lossless_diff_frame(out: bytearray,
 
 def encode_jpeg_hierarchical(arr: np.ndarray, quality: int = 85,
                              levels: int = 3,
-                             lossless_final: bool = False) -> bytes:
+                             lossless_final: bool = False,
+                             arith: bool = False) -> bytes:
     """uint8 (H,W) gray or (H,W,3) RGB → hierarchical JPEG: DHP, a
-    small SOF1 first stage, EXP + SOF5 differential DCT refinements up
-    to full resolution, and optionally a SOF7 lossless correction
-    stage that makes the decode bit-exact (grayscale) / YCbCr-exact
-    (color)."""
+    small first stage (SOF1 Huffman / SOF9 arithmetic), EXP +
+    differential DCT refinements (SOF5 / SOF13) up to full resolution,
+    and optionally a SOF7 lossless correction stage that makes the
+    decode bit-exact (grayscale) / YCbCr-exact (color)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -224,13 +262,22 @@ def encode_jpeg_hierarchical(arr: np.ndarray, quality: int = 85,
         out += dht(0, 1, *tables[2])
         out += dht(1, 1, *tables[3])
 
+    if arith:
+        # DAC: default conditioning for every table the stages select
+        dac = bytearray()
+        for t in range(1 if nc == 1 else 2):
+            dac += bytes([t, (1 << 4) | 0])  # DC L=0, U=1
+            dac += bytes([0x10 | t, 5])  # AC Kx=5
+        out += _seg(0xCC, bytes(dac))
+
     dhp = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
         dhp += bytes([ci + 1, 0x11, 0])  # Tq must be 0 in DHP
     out += _seg(0xDE, bytes(dhp))
 
     # first (non-differential) stage at the smallest level
-    refs = _emit_dct_frame(out, pyramid[-1], qsel, qts, 0xC1, False)
+    refs = _emit_dct_frame(out, pyramid[-1], qsel, qts,
+                           0xC9 if arith else 0xC1, False, arith)
     refs = [r.astype(np.uint8) for r in refs]
 
     # differential refinements up to full resolution
@@ -241,7 +288,8 @@ def encode_jpeg_hierarchical(arr: np.ndarray, quality: int = 85,
         refs = [_expand_plane(r, th, tw) for r in refs]
         diffs = [t.astype(np.int32) - r.astype(np.int32)
                  for t, r in zip(target, refs)]
-        recon = _emit_dct_frame(out, diffs, qsel, qts, 0xC5, True)
+        recon = _emit_dct_frame(out, diffs, qsel, qts,
+                                0xCD if arith else 0xC5, True, arith)
         refs = [np.clip(r.astype(np.int32) + d, 0, 255).astype(np.uint8)
                 for r, d in zip(refs, recon)]
 

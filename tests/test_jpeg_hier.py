@@ -23,15 +23,30 @@ from swiftlake_spark.operators.jpeg_hier import encode_jpeg_hierarchical
 
 
 class TestLosslessPyramid:
+    @pytest.mark.parametrize("arith", [False, True])
     @pytest.mark.parametrize("shape", [(16, 24), (15, 9), (33, 47),
                                        (8, 8), (7, 64)])
-    def test_gray_bit_exact(self, shape):
+    def test_gray_bit_exact(self, shape, arith):
         rng = np.random.default_rng(sum(shape))
         g = rng.integers(0, 256, shape, dtype=np.uint8)
         levels = 3 if min(shape) >= 4 else 1
         data = encode_jpeg_hierarchical(
-            g, quality=85, levels=levels, lossless_final=True)
+            g, quality=85, levels=levels, lossless_final=True,
+            arith=arith)
+        if arith and levels > 1:
+            assert b"\xff\xcd" in data  # SOF13 differential frames
         assert np.array_equal(decode_jpeg(data), g)
+
+    def test_arith_huffman_transparency(self):
+        """SOF9/SOF13 and SOF1/SOF5 hierarchies carry the identical
+        quantized coefficients, so both entropy layers must decode to
+        the SAME pixels — DCT-only pyramid, no lossless tail."""
+        rng = np.random.default_rng(13)
+        g = (rng.integers(0, 64, (24, 40)) * 4).astype(np.uint8)
+        oh = decode_jpeg(encode_jpeg_hierarchical(g, quality=92, levels=3))
+        oa = decode_jpeg(encode_jpeg_hierarchical(
+            g, quality=92, levels=3, arith=True))
+        assert np.array_equal(oh, oa)
 
     def test_structure_markers(self):
         g = np.zeros((16, 16), np.uint8)
@@ -145,7 +160,7 @@ class TestStructuralErrors:
         data[i + 1] = 0xC6  # differential progressive
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
-        data[i + 1] = 0xCD  # differential sequential arithmetic
+        data[i + 1] = 0xCE  # differential progressive arithmetic
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
 
