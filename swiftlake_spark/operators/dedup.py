@@ -676,3 +676,73 @@ def ngram_decontaminate(
         frac.alias("hit_frac"),
         (frac >= F.lit(float(threshold))).alias("is_contaminated"),
     )
+
+
+def bloom_positions(col: Column, k: int = 5,
+                    bits_per_pos: int = 16) -> Column:
+    """The k MD5-derived bit positions of a value — an array<int> of
+    ``k`` integers in [0, 2^bits_per_pos), taken from disjoint hex
+    windows of one MD5 (k * bits_per_pos <= 128).  MD5 keeps the math
+    engine-portable: DuckDB derives the identical positions, so bloom
+    queries certify under the full hash-match oracle rather than a
+    verdict."""
+    if not 1 <= k * bits_per_pos <= 128:
+        raise ValueError("k * bits_per_pos must fit one MD5 (<= 128)")
+    if bits_per_pos % 4:
+        raise ValueError("bits_per_pos must be a whole number of nibbles")
+    nh = bits_per_pos // 4  # hex chars per position
+    h = F.md5(col)
+    return F.array(*[
+        F.conv(F.substring(h, 1 + nh * i, nh), 16, 10).cast("int")
+        for i in range(k)
+    ])
+
+
+def bloom_membership(
+    corpus: DataFrame,
+    probe: DataFrame,
+    value_col: str,
+    key_col: str,
+    *,
+    k: int = 5,
+    bits_per_pos: int = 16,
+    out_col: str = "might_contain",
+    broadcast_positions: bool = True,
+) -> DataFrame:
+    """Bloom-filter membership of ``probe[value_col]`` against the set
+    of ``corpus[value_col]`` values — WITHOUT materializing a bitmap:
+
+    - the "filter" is the relation of distinct set bit positions
+      (<= 2^bits_per_pos rows — the m bits that are 1);
+    - a probe value *might* be present iff ALL k of its positions are
+      set: an exploded semi-join + a count==k test — the relational
+      formulation of the classic bloom probe, with the identical
+      false-positive rate (1 - e^{-kn/m})^k and ZERO false negatives
+      by construction.
+
+    100 TB shape: the corpus pass is one explode + distinct whose
+    output is bounded by m = 2^bits_per_pos rows regardless of corpus
+    size (broadcast it; ``broadcast_positions=False`` shuffles instead
+    when m is pushed past broadcast range); the probe pass is map-side
+    explode + join + one count-per-key shuffle.  Nothing reaches the
+    driver; no Python eval.  Classic use: decontaminating / diffing a
+    huge corpus against another corpus too big for an exact broadcast
+    join but whose SET of values fits a bloom.
+    """
+    pos = bloom_positions(F.col(value_col), k, bits_per_pos)
+    set_bits = (
+        corpus.select(F.explode(pos).alias("__p")).distinct()
+    )
+    if broadcast_positions:
+        set_bits = F.broadcast(set_bits)
+    probed = (
+        probe.select(key_col, F.explode(pos).alias("__p"))
+        .join(set_bits, "__p", "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        probe.join(probed, key_col, "left")
+        .withColumn(out_col, F.coalesce("__hits", F.lit(0)) == k)
+        .drop("__hits")
+    )

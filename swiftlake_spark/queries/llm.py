@@ -2635,3 +2635,81 @@ def q151_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("probe.height").alias("height"),
         F.col("probe.bitrate_kbps").alias("bitrate_kbps"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q152 — bloom-filter membership (r12): cross-corpus decontamination's
+# cheap pre-filter.  The "filter" is never a bitmap: corpus values map
+# to k=5 MD5-derived 16-bit positions (disjoint hex windows of one
+# md5 — engine-portable math), the set bits are a DISTINCT relation
+# bounded by 2^16 rows regardless of corpus size, and a probe value
+# "might be present" iff ALL 5 of its positions are set (exploded
+# semi-join + count==k — operators/dedup.bloom_membership).  Because
+# the position math is MD5, DuckDB derives the identical filter, so
+# this certifies under the FULL hash-match oracle: per-document
+# might_contain flags, exact membership, and the zero-false-negative
+# invariant all match bit-for-bit.  100 TB shape: corpus pass bounded
+# by m rows out, probe pass map-side explode + broadcast semi-join +
+# one count shuffle; no Python eval, nothing at the driver.
+# --------------------------------------------------------------------------
+@query(
+    "q152_bloom_filter",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 1500
+), ev AS (
+  SELECT DISTINCT text FROM docs WHERE doc_id % 7 = 0
+), setbits AS (
+  SELECT DISTINCT
+    (strpos('0123456789abcdef', substr(h, o, 1)) - 1) * 4096
+    + (strpos('0123456789abcdef', substr(h, o + 1, 1)) - 1) * 256
+    + (strpos('0123456789abcdef', substr(h, o + 2, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(h, o + 3, 1)) - 1) AS p
+  FROM (SELECT md5(text) AS h FROM ev),
+       UNNEST([1, 5, 9, 13, 17]) AS t(o)
+), probe_pos AS (
+  SELECT doc_id,
+    (strpos('0123456789abcdef', substr(h, o, 1)) - 1) * 4096
+    + (strpos('0123456789abcdef', substr(h, o + 1, 1)) - 1) * 256
+    + (strpos('0123456789abcdef', substr(h, o + 2, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(h, o + 3, 1)) - 1) AS p
+  FROM (SELECT doc_id, md5(text) AS h FROM docs),
+       UNNEST([1, 5, 9, 13, 17]) AS t(o)
+), hits AS (
+  SELECT doc_id, COUNT(*) AS nhit
+  FROM probe_pos JOIN setbits USING (p)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.nhit, 0) = 5 AS might_contain,
+       EXISTS (SELECT 1 FROM ev WHERE ev.text = d.text) AS is_member,
+       (EXISTS (SELECT 1 FROM ev WHERE ev.text = d.text)
+        AND COALESCE(h.nhit, 0) <> 5) AS fn_violation
+FROM docs d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+""",
+    doc="bloom-filter membership pre-filter (k-way positional semi-join)",
+)
+def q152_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.dedup import bloom_membership
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1500)
+        .select("doc_id", "text")
+    )
+    ev = docs.filter(F.col("doc_id") % 7 == 0).select("text").distinct()
+    out = bloom_membership(ev, docs, "text", "doc_id")
+    member = ev.withColumn("__m", F.lit(True))
+    return (
+        out.join(F.broadcast(member), "text", "left")
+        .select(
+            "doc_id",
+            "might_contain",
+            F.coalesce("__m", F.lit(False)).alias("is_member"),
+            (
+                F.coalesce("__m", F.lit(False)) & ~F.col("might_contain")
+            ).alias("fn_violation"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2243,3 +2243,43 @@ def test_tiff_subbyte_depths_roundtrip():
     # every channel (the low byte is truncated by the >>8 downscale)
     exp = np.repeat((idx * 17)[:, :, None], 3, axis=2)
     assert np.array_equal(got, exp.astype(np.uint8))
+
+
+def test_bloom_membership_properties(spark):
+    """r12 bloom pre-filter: zero false negatives by construction,
+    false positives bounded, the set-bits relation bounded by m rows,
+    and the whole plan pure JVM (no Python eval)."""
+    from swiftlake_spark.operators.dedup import (
+        bloom_membership,
+        bloom_positions,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(i, f"member-{i:05d}") for i in range(400)], "id bigint, v string")
+    probe = spark.createDataFrame(
+        [(i, f"member-{i:05d}" if i < 400 else f"other-{i:05d}")
+         for i in range(2000)], "id bigint, v string")
+    out = bloom_membership(corpus, probe, "v", "id")
+    rows = {r["id"]: r["might_contain"] for r in out.collect()}
+    assert all(rows[i] for i in range(400)), "false negative!"
+    fp = sum(1 for i in range(400, 2000) if rows[i])
+    # m=65536, k=5, n=400 -> theoretical FP ~ 5e-8; allow slack
+    assert fp <= 2, fp
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+    # duplicate positions within one value still count k hits (the
+    # semi-join keeps each exploded row independently)
+    dup = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    got = bloom_membership(dup, dup, "v", "id").collect()[0]
+    assert got["might_contain"] is True
+
+    # parameter validation
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bloom_positions(F.col("v"), k=40, bits_per_pos=16)
+    with _pt.raises(ValueError):
+        bloom_positions(F.col("v"), k=2, bits_per_pos=13)
