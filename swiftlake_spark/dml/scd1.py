@@ -11,7 +11,13 @@ carry-over.
 Snapshot mode (``apply_snapshot_as_scd1``): the source IS the desired
 state within the table filter; FULL OUTER JOIN classifies I/U/D/N —
 order matters (scd1_merge.xml:77-96) — with per-column value compare
-options (max_delta / null_replacement, §2.C.6).
+options (max_delta / null_replacement, §2.C.6).  Duplicate-target-key
+corner (reference parity, pinned by fuzz seed 40228): a source key
+matching k in-filter target rows replaces EACH of them — k copies out —
+because the cardinality check (WriteUtil.checkMergeCardinality ≙
+scd_common.check_cardinality) rejects only one target row matching
+multiple SOURCE rows, never the converse; duplicate target keys arise
+legitimately from appends and partition-column updates.
 
 The table filter is mandatory: unbounded dimension merges are refused
 (SCD1Merge.java:385-401).

@@ -402,6 +402,28 @@ def canonical_url(url: Column) -> Column:
     return F.concat(host, path, canon_q)
 
 
+def normalize_for_dedup(text: Column) -> Column:
+    """Dedup-canonical text normalization, pure Catalyst (map-only) —
+    the preprocessing every fuzzy-dedup family (MinHash / SimHash /
+    n-gram) runs first so cosmetic variation doesn't split duplicates:
+
+    - lowercase;
+    - every digit run → ``0`` (dates/ids/counters don't distinguish
+      documents);
+    - punctuation/symbols (anything not letter/digit/whitespace) →
+      dropped;
+    - whitespace runs (incl. newlines/tabs) → one space, ends trimmed.
+
+    Per-row expression — at 100 TB the normalization is free relative
+    to the dedup shuffle that follows; group on md5(normalized) for the
+    exact-canonical tier."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[0-9]+", "0")
+    t = F.regexp_replace(t, r"[^a-z0-9\s]+", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
 def char_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Character-distribution quality signals per document, all exact
     rationals (hash-identical across engines — no logs):

@@ -2713,3 +2713,81 @@ def q152_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q153 — dedup-canonical text normalization (r12): the preprocessing
+# step ahead of every fuzzy-dedup family.  Each document expands to
+# four perturbed variants that differ ONLY in case, whitespace shape
+# and injected punctuation (with a shared digit tail so the digit→0
+# rule is exercised identically everywhere); normalize_for_dedup must
+# collapse all four to ONE canonical string.  The oracle replicates
+# both the perturbations and the normalization pipeline in DuckDB SQL
+# (lower → digit-run fold → punctuation strip → whitespace collapse →
+# trim), so a regex-rule divergence in either direction breaks the
+# FULL hash match.  Pure Catalyst per-row expressions; the only
+# shuffle is the per-doc distinct count.
+# --------------------------------------------------------------------------
+@query(
+    "q153_normalize_dedup",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, text || ' 0123 77' AS b
+  FROM documents WHERE doc_id < 1500
+), variants AS (
+  SELECT doc_id, v FROM base, UNNEST([
+    b,
+    upper(b),
+    '  ' || replace(b, ' ', '   ') || '  ',
+    replace(b, ' ', ' ,;! ')
+  ]) AS t(v)
+), normed AS (
+  SELECT doc_id, v,
+         trim(regexp_replace(regexp_replace(regexp_replace(lower(v),
+              '[0-9]+', '0', 'g'),
+              '[^a-z0-9\s]+', '', 'g'),
+              '\s+', ' ', 'g')) AS nv
+  FROM variants
+)
+SELECT doc_id,
+       COUNT(*) AS n_variants,
+       COUNT(DISTINCT v) AS n_raw_distinct,
+       COUNT(DISTINCT nv) AS n_norm_distinct,
+       MAX(LENGTH(nv)) AS norm_len
+FROM normed
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="dedup-canonical normalization collapses cosmetic variants",
+)
+def q153_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.text import normalize_for_dedup
+
+    b = F.concat(F.col("text"), F.lit(" 0123 77"))
+    variants = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1500)
+        .select(
+            "doc_id",
+            F.explode(F.array(
+                b,
+                F.upper(b),
+                F.concat(F.lit("  "),
+                         F.replace(b, F.lit(" "), F.lit("   ")),
+                         F.lit("  ")),
+                F.replace(b, F.lit(" "), F.lit(" ,;! ")),
+            )).alias("v"),
+        )
+    )
+    nv = normalize_for_dedup(F.col("v"))
+    return (
+        variants.select("doc_id", "v", nv.alias("nv"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("v").alias("n_raw_distinct"),
+            F.countDistinct("nv").alias("n_norm_distinct"),
+            F.max(F.length("nv")).alias("norm_len"),
+        )
+        .orderBy("doc_id")
+    )

@@ -103,8 +103,26 @@ class _Mirror:
         self.con.execute(f"DELETE FROM m WHERE {cond}")
 
     def scd1_snapshot(self, cats, rows) -> None:
-        # within the table filter the final state IS the source
-        self.overwrite(cats, rows)
+        # Reference parity (scd1_merge.xml snapshotBasedMergeResults +
+        # WriteUtil.checkMergeCardinality): each IN-FILTER target row
+        # whose key appears in the source is REPLACED by its source row
+        # — a source key matching k target rows therefore emits k
+        # copies, because the cardinality check only rejects ONE target
+        # row matching MULTIPLE source rows, not the converse (dup
+        # target keys arise from plain appends / partition-column
+        # updates).  In-filter rows with keys absent from the source
+        # drop; source keys absent from the in-filter target insert
+        # once.  (Found by fuzz seed 40228: "final state IS the source"
+        # under-modeled the duplicate-target-key corner by one row.)
+        cs = ", ".join(f"'{c}'" for c in cats)
+        in_filter = self.con.execute(
+            f"SELECT id FROM m WHERE cat IN ({cs})").fetchall()
+        src_by_key = {r[0]: r for r in rows}
+        replaced = [src_by_key[i] for (i,) in in_filter if i in src_by_key]
+        inserted = [r for r in rows
+                    if r[0] not in {i for (i,) in in_filter}]
+        self.con.execute(f"DELETE FROM m WHERE cat IN ({cs})")
+        self.append(replaced + inserted)
 
     def merge(self, cats, rows, del_pred, upd_pred, bs_del_cond=None,
               match_pred=None) -> None:
@@ -452,7 +470,7 @@ def run_sequence(spark, warehouse: str, seed: int, n_ops: int = 14) -> None:
         assert d is None, f"seed {seed}: snapshot {sid} changed after the fact: {d}"
 
 
-@pytest.mark.parametrize("seed", [11, 42, 1007])
+@pytest.mark.parametrize("seed", [11, 42, 1007, 40228])
 def test_dml_sequence_matches_mirror(spark, tmp_path, seed):
     run_sequence(spark, str(tmp_path / "wh"), seed)
 

@@ -2283,3 +2283,36 @@ def test_bloom_membership_properties(spark):
         bloom_positions(F.col("v"), k=40, bits_per_pos=16)
     with _pt.raises(ValueError):
         bloom_positions(F.col("v"), k=2, bits_per_pos=13)
+
+
+def test_normalize_for_dedup_edges(spark):
+    """r12 normalization: empty / all-punct / digit-run / mixed-case
+    edge shapes, and the canonical property that cosmetic variants
+    collapse while content differences survive."""
+    from swiftlake_spark.operators.text import normalize_for_dedup
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "Hello,   World!!"),
+        (1, "hello world"),
+        (2, ",,,;;;!!!"),
+        (3, ""),
+        (4, "v1.2.3 build 2024-01-05"),
+        (5, "V1.2.3  BUILD  2024-01-05"),
+        (6, "different content"),
+        (7, "tabs\tand\nnewlines  here"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    out = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_for_dedup(F.col("t")).alias("n")).collect()}
+    assert out[0] == out[1] == "hello world"
+    assert out[2] == "" and out[3] == ""
+    # digit runs fold BEFORE punctuation strips, so dotted/dashed
+    # number groups collapse together ("1.2.3" ≡ "123" — deliberately
+    # aggressive for dedup canonicalization)
+    assert out[4] == out[5] == "v000 build 000"
+    assert out[6] == "different content"
+    assert out[7] == "tabs and newlines here"
+    plan = df.select(normalize_for_dedup(F.col("t")))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
