@@ -56,7 +56,7 @@ def synth_images(n: int, seed: int = 11) -> list[bytes]:
         yy, xx = np.mgrid[0:h, 0:w]
         img = np.stack([(yy * 3 + xx + i) % 256, (yy + i) % 256,
                         (xx * 2) % 256], -1).astype(np.uint8)
-        k = i % 6
+        k = i % 7
         if k == 0:
             out.append(encode_png(img))
         elif k == 1:
@@ -68,6 +68,14 @@ def synth_images(n: int, seed: int = 11) -> list[bytes]:
         elif k == 5:  # r11 session 2: G4 fax decode in the mix
             bil = np.where(img[:, :, 0] < 128, 0, 255).astype(np.uint8)
             out.append(encode_tiff(bil, ccitt=4))
+        elif k == 6:  # r12: hierarchical pyramid decode in the mix
+            from swiftlake_spark.operators.jpeg_hier import (
+                encode_jpeg_hierarchical,
+            )
+
+            out.append(encode_jpeg_hierarchical(
+                img, quality=90, levels=2,
+                lossless_final=bool(i % 2), arith=bool(i % 4 == 2)))
         else:
             # GIF needs a <=256-color palette: gradient frame
             g = ((yy * 7 + xx) % 64).astype(np.uint8)
