@@ -12,7 +12,8 @@ or Adam7 (``zlib`` + unfilter) — baseline/extended/progressive JPEG
 (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
 TIFF (1/2/4/8/16-bit gray/RGB(A)/palette, strips or tiles, chunky
 or planar: uncompressed, LZW incl. Predictor 2, Deflate, PackBits, or
-new-style JPEG-in-TIFF incl. JPEGTables; II/MM),
+old+new-style JPEG-in-TIFF incl. JPEGTables and the
+tags-519/520/521 per-strip table layout; II/MM),
 GIF (87a/89a incl. animation), WAV — integer PCM 8/16/24/32,
 IEEE float 32/64, G.711 A-law/μ-law, WAVE_FORMAT_EXTENSIBLE
 (manual RIFF parse; ADPCM/MP3-in-WAV raise) — AIFF/AIFF-C (BE PCM,
@@ -812,25 +813,105 @@ def decode_tiff(data: bytes) -> np.ndarray:
     # gray or palette, single sample, strip layout, no predictor
     if comp == 6:
         # old-style JPEG-in-TIFF (TIFF 6.0 §22, deprecated by TechNote
-        # 2): most real writers store ONE complete JFIF stream at tag
-        # 513 (JPEGInterchangeFormat) — decode it natively and crop to
-        # the declared page.  The per-strip variant driven by tags
-        # 515-520 (restart-interval reassembly) stays on the PIL seam.
-        if 513 not in tags:
-            raise NotImplementedError(
-                "old-style JPEG-in-TIFF without JPEGInterchangeFormat "
-                "(tags 515-520 reassembly) needs PIL")
+        # 2).  Two real-world layouts decode natively:
+        # - ONE complete JFIF stream at tag 513 (JPEGInterchangeFormat)
+        #   — the common writer shape;
+        # - the per-strip layout (r12): raw entropy-coded strips whose
+        #   quant/Huffman tables live behind tags 519/520/521 (offsets
+        #   per component) — each strip is rewrapped into a spec-valid
+        #   JFIF stream (SOI + DQT/DHT from the table tags + DRI from
+        #   tag 515 + SOF0 from the TIFF geometry/tag-530 subsampling +
+        #   SOS + strip bytes + EOI) and decoded by the native codec.
+        # Old-style LOSSLESS (JPEGProc 14) stays on the PIL seam.
         from swiftlake_spark.operators.jpeg import decode_jpeg
 
-        joff = tags[513][0]
-        jlen = tags.get(514, [len(data) - joff])[0]
-        if joff < 8 or joff + jlen > len(data) or jlen < 4:
-            raise ValueError("bad JPEGInterchangeFormat offset/length")
-        a = decode_jpeg(bytes(data[joff: joff + jlen]))
-        if a.shape[0] < h or a.shape[1] < w:
-            raise ValueError(
-                f"old-style JPEG frame {a.shape} smaller than {w}x{h}")
-        return a[:h, :w]
+        if 513 in tags:
+            joff = tags[513][0]
+            jlen = tags.get(514, [len(data) - joff])[0]
+            if joff < 8 or joff + jlen > len(data) or jlen < 4:
+                raise ValueError("bad JPEGInterchangeFormat offset/length")
+            a = decode_jpeg(bytes(data[joff: joff + jlen]))
+            if a.shape[0] < h or a.shape[1] < w:
+                raise ValueError(
+                    f"old-style JPEG frame {a.shape} smaller than {w}x{h}")
+            return a[:h, :w]
+        if not (519 in tags and 520 in tags and 521 in tags):
+            raise NotImplementedError(
+                "old-style JPEG-in-TIFF without JPEGInterchangeFormat "
+                "or table tags 519-521 needs PIL")
+        if one(512, 1) != 1:
+            raise NotImplementedError(
+                "old-style LOSSLESS JPEG-in-TIFF (JPEGProc 14) needs PIL")
+        if tiled or planar != 1:
+            raise NotImplementedError(
+                "old-style JPEG-in-TIFF tiles/planar needs PIL")
+
+        def _seg6(marker: int, body: bytes) -> bytes:
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(body) + 2) + body
+
+        def _dqt_at(o: int) -> bytes:
+            if o + 64 > len(data):
+                raise ValueError("TIFF JPEGQTables offset past end")
+            return bytes(data[o: o + 64])
+
+        def _dht_at(o: int) -> bytes:
+            if o + 16 > len(data):
+                raise ValueError("TIFF JPEG table offset past end")
+            counts = bytes(data[o: o + 16])
+            total = sum(counts)
+            if total == 0 or total > 256 or o + 16 + total > len(data):
+                raise ValueError("implausible TIFF JPEG huffman table")
+            return counts + bytes(data[o + 16: o + 16 + total])
+
+        qoffs, dcoffs, acoffs = tags[519], tags[520], tags[521]
+        if min(len(qoffs), len(dcoffs), len(acoffs)) < spp:
+            raise ValueError("old-style JPEG table tags shorter than spp")
+        sub = tags.get(530, [2, 2]) if spp == 3 else [1, 1]
+        if len(sub) < 2 or sub[0] not in (1, 2, 4) or sub[1] not in (1, 2, 4):
+            raise ValueError(f"bad YCbCrSubSampling {sub}")
+        restart = one(515, 0)
+        rps6 = one(278, h)
+        offs6 = tags.get(273)
+        if not offs6:
+            raise ValueError("old-style JPEG strips missing offsets")
+        cnts6 = tags.get(279)
+        head = bytearray(b"\xff\xd8")
+        for ci in range(spp):
+            head += _seg6(0xDB, bytes([ci]) + _dqt_at(qoffs[ci]))
+            head += _seg6(0xC4, bytes([ci]) + _dht_at(dcoffs[ci]))
+            head += _seg6(0xC4, bytes([0x10 | ci]) + _dht_at(acoffs[ci]))
+        if restart:
+            head += _seg6(0xDD, struct.pack(">H", restart))
+        sos = bytearray([spp])
+        for ci in range(spp):
+            sos += bytes([ci + 1, (ci << 4) | ci])
+        sos += bytes([0, 63, 0])
+        parts = []
+        for i, soff in enumerate(offs6):
+            sh = min(rps6, h - i * rps6)
+            if sh <= 0:
+                raise ValueError("old-style JPEG strip past image height")
+            end = soff + (cnts6[i] if cnts6 and i < len(cnts6)
+                          else len(data) - soff)
+            if soff >= end or end > len(data):
+                raise ValueError("truncated old-style JPEG strip")
+            sof = bytearray([8]) + struct.pack(">HH", sh, w) + bytes([spp])
+            for ci in range(spp):
+                hv = ((sub[0] << 4) | sub[1]) if ci == 0 else 0x11
+                sof += bytes([ci + 1, hv, ci])
+            stream = (bytes(head) + _seg6(0xC0, bytes(sof))
+                      + _seg6(0xDA, bytes(sos))
+                      + bytes(data[soff:end]) + b"\xff\xd9")
+            a = decode_jpeg(stream)
+            if a.ndim == 2:
+                a = a[:, :, None]
+            parts.append(a[:sh, :w, :])
+        out6 = np.concatenate(parts, axis=0)
+        if out6.shape[0] < h:
+            raise ValueError("old-style JPEG strips shorter than height")
+        out6 = out6[:h]
+        return out6[:, :, 0] if spp == 1 else out6
     subbyte = bps in (1, 2, 4)
     if comp not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946) \
             or planar not in (1, 2) \
@@ -1304,6 +1385,162 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
             out += struct.pack(bo + "I", rawor)
     out += struct.pack(bo + "I", 0)  # next IFD
     out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def encode_tiff_oldjpeg(arr: np.ndarray, *, quality: int = 90,
+                        rows_per_strip: int | None = None,
+                        subsampling: str = "4:4:4",
+                        big_endian: bool = False) -> bytes:
+    """uint8 (H,W,3)/(H,W) → OLD-STYLE JPEG-in-TIFF (TIFF 6.0 §22,
+    compression 6) in the per-strip table-tag layout: strips carry raw
+    entropy-coded scan data, quant tables live behind tag 519 and the
+    DC/AC Huffman tables behind tags 520/521 (offsets per component),
+    with YCbCrSubSampling in tag 530.  For tests/synthesis — each strip
+    is produced by encode_jpeg and stripped back to its entropy bytes,
+    so the decoder's rewrap must reconstruct the exact same stream."""
+    from swiftlake_spark.operators.jpeg import encode_jpeg
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
+    h, w = a.shape[:2]
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    bo = ">" if big_endian else "<"
+
+    def _segments(j: bytes) -> dict:
+        """JFIF stream → {dqt: [64B..], dht_dc: {id: blob},
+        dht_ac: {id: blob}, entropy: bytes}."""
+        segs = {"dqt": {}, "dc": {}, "ac": {}}
+        pos = 2
+        while pos + 4 <= len(j):
+            assert j[pos] == 0xFF, "bad fixture stream"
+            m = j[pos + 1]
+            if m == 0xDA:
+                (ln,) = struct.unpack_from(">H", j, pos + 2)
+                segs["entropy"] = j[pos + 2 + ln: -2]  # up to EOI
+                return segs
+            (ln,) = struct.unpack_from(">H", j, pos + 2)
+            body = j[pos + 4: pos + 2 + ln]
+            if m == 0xDB:
+                off = 0
+                while off < len(body):
+                    segs["dqt"][body[off] & 15] = body[off + 1: off + 65]
+                    off += 65
+            elif m == 0xC4:
+                off = 0
+                while off < len(body):
+                    tc, th = body[off] >> 4, body[off] & 15
+                    cnt = sum(body[off + 1: off + 17])
+                    blob = body[off + 1: off + 17 + cnt]
+                    segs["ac" if tc else "dc"][th] = blob
+                    off += 17 + cnt
+            pos += 2 + ln
+        raise AssertionError("fixture stream missing SOS")
+
+    strips = []
+    first = None
+    for y in range(0, h, rps):
+        j = encode_jpeg(a[y: y + rps], quality=quality,
+                        subsampling=subsampling if spp == 3 else "4:4:4")
+        segs = _segments(j)
+        if first is None:
+            first = segs
+        strips.append(bytes(segs["entropy"]))
+
+    # per-component table selectors mirror encode_jpeg: luma tables for
+    # component 0, chroma tables for 1/2
+    tsel = [0] + [1] * (spp - 1) if spp == 3 else [0]
+    qblobs = [bytes(first["dqt"][t]) for t in tsel]
+    dcblobs = [bytes(first["dc"][t]) for t in tsel]
+    acblobs = [bytes(first["ac"][t]) for t in tsel]
+
+    entries = []
+    extra = bytearray()
+
+    def entry(tag, typ, vals):
+        sz = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        if sz * len(vals) <= 4:
+            raw = struct.pack(bo + fmt * len(vals), *vals)
+            raw += b"\x00" * (4 - len(raw))
+            entries.append([tag, typ, len(vals), raw, None])
+        else:
+            entries.append([tag, typ, len(vals), None, list(vals)])
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [6])
+    entry(262, 3, [1 if gray else 6])
+    entry(273, 4, [0] * len(strips))
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    entry(279, 4, [len(s) for s in strips])
+    entry(512, 3, [1])  # JPEGProc: baseline
+    entry(519, 4, [0] * spp)
+    entry(520, 4, [0] * spp)
+    entry(521, 4, [0] * spp)
+    if spp == 3:
+        sub = [2, 2] if subsampling == "4:2:0" else [1, 1]
+        entry(530, 3, sub)
+    entries.sort(key=lambda e: e[0])
+
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    extra_off = ifd_off + ifd_len
+    # first lay out out-of-line tag values, then table blobs, then strips
+    placed = []
+    for tag, typ, cnt, raw, vals in entries:
+        if raw is None:
+            fmt = {3: "H", 4: "I"}[typ]
+            placed.append([tag, typ, cnt, extra_off + len(extra), vals, fmt])
+            extra += struct.pack(bo + fmt * cnt, *vals)
+            if len(extra) % 2:
+                extra += b"\x00"
+        else:
+            placed.append([tag, typ, cnt, raw, None, None])
+    blob_off = extra_off + len(extra)
+    blobs = bytearray()
+    qoffs, dcoffs, acoffs = [], [], []
+    for blobset, offs in ((qblobs, qoffs), (dcblobs, dcoffs),
+                          (acblobs, acoffs)):
+        for b in blobset:
+            offs.append(blob_off + len(blobs))
+            blobs += b
+    data_off = blob_off + len(blobs)
+    strip_offs = []
+    pcur = data_off
+    for s in strips:
+        strip_offs.append(pcur)
+        pcur += len(s)
+    patch = {273: strip_offs, 519: qoffs, 520: dcoffs, 521: acoffs}
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, rawor, vals, fmt in placed:
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        if tag in patch:
+            newvals = patch[tag]
+            if isinstance(rawor, int):  # out-of-line: patch extra
+                base = rawor - extra_off
+                extra[base: base + 4 * cnt] = struct.pack(
+                    bo + "I" * cnt, *newvals)
+                out += struct.pack(bo + "I", rawor)
+            else:  # inline (cnt 1)
+                out += struct.pack(bo + "I", newvals[0])
+        elif isinstance(rawor, int):
+            out += struct.pack(bo + "I", rawor)
+        else:
+            out += rawor
+    out += struct.pack(bo + "I", 0)
+    out += extra
+    out += blobs
     for s in strips:
         out += s
     return bytes(out)

@@ -2129,7 +2129,8 @@ def test_tiff_old_style_jpeg_tag_513():
     """r11 session 2: old-style JPEG-in-TIFF (compression 6) — the
     common writer layout stores one complete JFIF stream at tag 513
     (JPEGInterchangeFormat); decode it natively and crop to the page.
-    The tags-515-520 per-strip variant still raises to the seam."""
+    Without 513 AND without the r12 table tags (519-521) the payload
+    still raises to the seam."""
     import struct
 
     import numpy as np
@@ -2166,7 +2167,7 @@ def test_tiff_old_style_jpeg_tag_513():
 
     import pytest
 
-    with pytest.raises(NotImplementedError, match="515-520"):
+    with pytest.raises(NotImplementedError, match="519-521"):
         decode_tiff(build(False))
 
 
@@ -2316,3 +2317,80 @@ def test_normalize_for_dedup_edges(spark):
     plan = df.select(normalize_for_dedup(F.col("t")))._jdf \
         .queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tiff_old_style_jpeg_table_tags():
+    """r12: the per-strip old-style JPEG-in-TIFF layout (raw entropy
+    strips + quant/Huffman tables behind tags 519/520/521 + tag-530
+    subsampling) decodes natively across strip sizes, subsamplings,
+    byte orders and gray/color — closing the last named TIFF seam
+    except old-style LOSSLESS (JPEGProc 14), which stays an honest
+    raise."""
+    import numpy as np
+    import pytest
+
+    from swiftlake_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_oldjpeg,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    rgb = np.stack([np.clip(30 + yy * 2 + xx, 0, 255),
+                    np.clip(200 - yy, 0, 255),
+                    np.clip(xx * 3, 0, 255)], -1).astype(np.uint8)
+    for kw in ({}, {"rows_per_strip": 16}, {"subsampling": "4:2:0"},
+               {"big_endian": True, "rows_per_strip": 16},
+               {"subsampling": "4:2:0", "rows_per_strip": 16}):
+        t = encode_tiff_oldjpeg(rgb, quality=92, **kw)
+        got = decode_tiff(t)
+        assert got.shape == rgb.shape, kw
+        tol = 2.0 if kw.get("subsampling") == "4:2:0" else 1.2
+        err = np.abs(got.astype(int) - rgb.astype(int)).mean()
+        assert err < tol, (kw, err)
+
+    # gray path + smooth gradient quantizes exactly at this quality
+    g = np.clip(50 + yy * 3, 0, 255).astype(np.uint8)
+    got = decode_tiff(encode_tiff_oldjpeg(g, rows_per_strip=24))
+    assert np.array_equal(got, g)
+
+    # JPEGProc 14 (old-style lossless) raises to the seam
+    t = bytearray(encode_tiff_oldjpeg(g))
+    # tag 512 is SHORT inline: find its entry and patch the value
+    import struct as _s
+    nent = _s.unpack_from("<H", t, 8)[0]
+    for k in range(nent):
+        off = 10 + 12 * k
+        if _s.unpack_from("<H", t, off)[0] == 512:
+            t[off + 8: off + 10] = _s.pack("<H", 14)
+    with pytest.raises(NotImplementedError, match="JPEGProc 14"):
+        decode_tiff(bytes(t))
+
+
+def test_tiff_old_style_jpeg_table_mutation_fuzz():
+    """Bit flips / truncations over the per-strip old-style layout
+    decode or raise ValueError/NotImplementedError — never crash."""
+    import numpy as np
+
+    from swiftlake_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_oldjpeg,
+    )
+
+    rng = np.random.default_rng(61)
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack([np.clip(40 + yy * 3, 0, 255)] * 3, -1).astype(np.uint8)
+    base = encode_tiff_oldjpeg(img, rows_per_strip=8)
+    n = 0
+    for k in range(200):
+        b = bytearray(base)
+        if k % 2:
+            b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        else:
+            b = b[: int(rng.integers(8, len(b)))]
+        try:
+            out = decode_tiff(bytes(b))
+            assert out.dtype == np.uint8
+        except (ValueError, NotImplementedError):
+            pass
+        n += 1
+    assert n == 200
