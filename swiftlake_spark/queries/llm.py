@@ -2196,13 +2196,15 @@ def q143_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q144 — MIXED-format image column (round 10 capstone; r11 added the
 # arithmetic-coded SOF9/SOF10 and lossless SOF3 JPEGs; r12 absorbs the
 # q145 TIFF variant matrix — VERDICT r11 ask #4 consolidation, no
-# format-coverage loss; 19th kind r12: hierarchical JPEG): one binary
-# column carrying 19 payload kinds of
+# format-coverage loss; r12 adds kinds 19-20: hierarchical JPEG and
+# per-strip old-style JPEG-in-TIFF): one binary column carrying 20
+# payload kinds of
 # the SAME per-doc pixels — PNG, baseline JPEG, GIF, BMP, QM-coded
 # sequential JPEG, predictive-lossless JPEG, QM-coded progressive JPEG,
 # a hierarchical DHP/EXP/SOF5+SOF7 pyramid with a lossless correction
-# stage (bit-exact by construction — operators/jpeg_hier.py),
-# and eleven lossless TIFF layouts (uncompressed, PackBits, LZW,
+# stage (bit-exact by construction — operators/jpeg_hier.py), a
+# per-strip old-style JPEG-in-TIFF (tags 519/520/521 table layout —
+# the r12 rewrap path), and eleven lossless TIFF layouts (uncompressed, PackBits, LZW,
 # LZW+Predictor 2, Deflate+Predictor 2, tiled, planar, 16-bit, CCITT
 # G4/G3/MH fax codings of a bilevel rendition; II/MM byte order and
 # multi-strip layouts alternate by doc) — decoded through the
@@ -2219,7 +2221,7 @@ SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 120 AND LENGTH(text) 
        true AS dims_ok,
        true AS mean_r_ok,
        true AS lossless_exact,
-       CAST(19 AS BIGINT) AS n_formats
+       CAST(20 AS BIGINT) AS n_formats
 """,
 )
 def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2285,8 +2287,23 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + xx * (b[2] % 3) + c * 25, 0, 255)
                     for c in range(3)
                 ], axis=-1).astype(np.uint8)
-                kind = int(did) % 19
+                kind = int(did) % 20
                 tol = 1e-4
+                if kind == 19:
+                    # r12: per-strip old-style JPEG-in-TIFF — raw
+                    # entropy strips + table tags 519/520/521; the
+                    # decoder rewraps them into JFIF (JPEG-lossy bar)
+                    from swiftlake_spark.operators.multimodal import (
+                        encode_tiff_oldjpeg,
+                    )
+
+                    fmts.append("tiff_oldjpeg")
+                    data.append(encode_tiff_oldjpeg(
+                        arr, quality=95, rows_per_strip=8))
+                    exp.append(float(arr[:, :, 0].astype(np.float64).mean()))
+                    lossless.append(False)
+                    tols.append(1.5)
+                    continue
                 if kind == 18:
                     # r12: hierarchical pyramid (gray rendition —
                     # DHP/EXP doubling, differential DCT stage, SOF7
