@@ -316,16 +316,10 @@ def _expand_plane(ref: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return p.astype(np.uint8)
 
 
-def _hier_stage(data, pos, frame, scan, sos_body, ns, qt, huff_dc,
-                huff_ac, restart_interval, hier, dac_dc, dac_ac):
-    """Decode one hierarchical frame's scan and fold it into the
-    reference components (T.81 Annex J).  Returns the byte position of
-    the next marker.
-
-    Non-differential frames replace their components' references;
-    differential frames (SOF5 DCT / SOF7 lossless) decode difference
-    planes added to the (possibly EXP-expanded) references, clamped to
-    [0, 255] — the 8-bit native floor."""
+def _hier_prepare_refs(frame, hier):
+    """Apply any pending EXP expansion and validate reference/frame
+    dimensions; returns the (expanded) reference dict for a
+    differential frame, or {} for a non-differential one."""
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     eh, ev = hier["pending_exp"]
@@ -352,6 +346,44 @@ def _hier_stage(data, pos, frame, scan, sos_body, ns, qt, huff_dc,
             refs[cid] = ref
     elif eh or ev:
         raise ValueError("EXP before a non-differential frame")
+    return refs
+
+
+def _hier_apply_arrays(frame, qt, arrays, hier, refs):
+    """Fold a decoded DCT coefficient store into the references."""
+    comps = frame["comps"]
+    if frame["differential"]:
+        diffs = _diff_planes(frame, qt, arrays)
+        for c, dpl in zip(comps, diffs):
+            hier["refs"][c["id"]] = np.clip(
+                refs[c["id"]].astype(np.int32) + dpl, 0, 255
+            ).astype(np.uint8)
+    else:
+        planes = _component_planes(frame, qt, arrays)
+        for c, pl in zip(comps, planes):
+            hier["refs"][c["id"]] = pl
+
+
+def _hier_fold_prog(frame, qt, coefs, hier):
+    """Fold a COMPLETED hierarchical progressive frame's accumulated
+    coefficient store into the references (SOF2/SOF10 non-differential
+    stage or SOF6/SOF14 differential refinement)."""
+    refs = _hier_prepare_refs(frame, hier)
+    _hier_apply_arrays(frame, qt, coefs, hier, refs)
+
+
+def _hier_stage(data, pos, frame, scan, sos_body, ns, qt, huff_dc,
+                huff_ac, restart_interval, hier, dac_dc, dac_ac):
+    """Decode one hierarchical frame's scan and fold it into the
+    reference components (T.81 Annex J).  Returns the byte position of
+    the next marker.
+
+    Non-differential frames replace their components' references;
+    differential frames (SOF5/SOF13 DCT / SOF7 lossless) decode
+    difference planes added to the (possibly EXP-expanded) references,
+    clamped to [0, 255] — the 8-bit native floor."""
+    comps = frame["comps"]
+    refs = _hier_prepare_refs(frame, hier)
 
     if frame["lossless"]:
         from swiftlake_spark.operators.jpeg_lossless import (
@@ -391,16 +423,7 @@ def _hier_stage(data, pos, frame, scan, sos_body, ns, qt, huff_dc,
             arrays, end = _decode_scan_arrays(
                 data, pos, frame, scan, huff_dc, huff_ac,
                 restart_interval, differential=frame["differential"])
-        if frame["differential"]:
-            diffs = _diff_planes(frame, qt, arrays)
-            for c, dpl in zip(comps, diffs):
-                hier["refs"][c["id"]] = np.clip(
-                    refs[c["id"]].astype(np.int32) + dpl, 0, 255
-                ).astype(np.uint8)
-        else:
-            planes = _component_planes(frame, qt, arrays)
-            for c, pl in zip(comps, planes):
-                hier["refs"][c["id"]] = pl
+        _hier_apply_arrays(frame, qt, arrays, hier, refs)
     return _next_marker(data, end)
 
 
@@ -432,6 +455,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dac_ac: dict[int, int] = {}  # DAC: table → Kx
     n = len(data)
 
+    def _fold_pending_hier_frame():
+        # a hierarchical PROGRESSIVE frame ends when the next frame-
+        # level marker (EXP / SOFn / EOI) arrives: fold its accumulated
+        # coefficient store into the references
+        nonlocal prog_coefs, frame
+        if hier is not None and prog_coefs is not None \
+                and frame is not None and frame.get("progressive"):
+            _hier_fold_prog(frame, qt, prog_coefs, hier)
+            prog_coefs = None
+            frame = None
+
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -441,6 +475,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI: no segment
             if hier is not None:
+                _fold_pending_hier_frame()
                 if not hier["refs"]:
                     raise ValueError("hierarchical stream with no frames")
                 planes = [hier["refs"][cid] for cid in hier["order"]
@@ -494,15 +529,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDF:  # EXP: expand reference components (B.3.3)
             if hier is None:
                 raise ValueError("EXP marker outside hierarchical mode")
+            _fold_pending_hier_frame()
             if len(body) < 1:
                 raise ValueError("truncated EXP segment")
             hier["pending_exp"] = (body[0] >> 4, body[0] & 15)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC3,
-                        0xC5, 0xC7, 0xCD):
+                        0xC5, 0xC7, 0xCD, 0xC6, 0xCE):
+            _fold_pending_hier_frame()
             # SOF0/1 sequential, SOF2 progressive (huffman);
             # SOF9 sequential / SOF10 progressive arithmetic
             # (operators/jpeg_arith.py);
             # SOF3 lossless predictive (operators/jpeg_lossless.py)
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
             prec = body[0]
             # T.81 B.2.2: baseline (SOF0) is 8-bit only; extended
             # sequential and progressive also allow 12-bit samples
@@ -525,18 +564,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            if marker in (0xC5, 0xC7, 0xCD) and hier is None:
+            if marker in (0xC5, 0xC7, 0xCD, 0xC6, 0xCE) and hier is None:
                 raise ValueError(
                     "differential SOF outside a hierarchical stream")
             frame = {"w": w, "h": h, "comps": comps, "prec": prec,
-                     "progressive": marker in (0xC2, 0xCA),
-                     "arith": marker in (0xC9, 0xCA, 0xCD),
+                     "progressive": marker in (0xC2, 0xCA, 0xC6, 0xCE),
+                     "arith": marker in (0xC9, 0xCA, 0xCD, 0xCE),
                      "lossless": marker in (0xC3, 0xC7),
-                     "differential": marker in (0xC5, 0xC7, 0xCD)}
-        elif marker in (0xC6, 0xCB, 0xCE, 0xCF):
+                     "differential": marker in (0xC5, 0xC7, 0xCD,
+                                                0xC6, 0xCE)}
+        elif marker in (0xCB, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (differential-"
-                "progressive / arithmetic-lossless) needs PIL")
+                f"JPEG process SOF{marker - 0xC0} "
+                "(arithmetic-lossless) needs PIL")
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
             while off + 2 <= len(body):
@@ -562,9 +602,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ns = body[0]
             if len(body) < 4 + 2 * ns:
                 raise ValueError("truncated SOS header")
-            if hier is not None and frame.get("progressive"):
-                raise NotImplementedError(
-                    "hierarchical progressive stage needs PIL")
             if frame["progressive"]:
                 if len(body) < 4 + 2 * ns:
                     raise ValueError("truncated SOS header")
@@ -630,12 +667,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             return _decode_scan(data, pos, frame, scan, qt, huff_dc,
                                 huff_ac, restart_interval)
 
-    if hier is not None and hier["refs"]:
+    if hier is not None:
         # hierarchical: EOI is the trailing 2 bytes the 4-byte loop
         # guard never enters (stages already decoded fully)
-        planes = [hier["refs"][cid] for cid in hier["order"]
-                  if cid in hier["refs"]]
-        return _color_join(planes)
+        _fold_pending_hier_frame()
+        if hier["refs"]:
+            planes = [hier["refs"][cid] for cid in hier["order"]
+                      if cid in hier["refs"]]
+            return _color_join(planes)
     if prog_coefs is not None:
         # progressive stream missing its EOI: the scans decoded fully
         # (each consumed its exact MCU count), so reconstruct anyway
@@ -971,6 +1010,7 @@ def _decode_prog_scan(data, pos, frame, scan_list, ss, se, ah, al,
         raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
 
     hmax, vmax, mcux, mcuy = _geometry(frame)
+    differential = bool(frame.get("differential"))
     r = _BitReader(data, pos)
     pred = {cid: 0 for cid, _, _ in scan_list}
     eobrun = 0
@@ -992,12 +1032,16 @@ def _decode_prog_scan(data, pos, frame, scan_list, ss, se, ah, al,
             if t > 15:
                 raise ValueError(f"invalid DC category {t}")
             diff = _extend(r.get_bits(t), t) if t else 0
-            pred[cid] += diff
+            if differential:
+                v = diff  # F.1.1.5.1: PRED = 0 in differential frames
+            else:
+                pred[cid] += diff
+                v = pred[cid]
             # the shifted value must fit the int32 store even on
             # corrupt streams (numpy would raise OverflowError)
-            if not -(1 << 30) < (pred[cid] << al) < (1 << 30):
+            if not -(1 << 30) < (v << al) < (1 << 30):
                 raise ValueError("DC predictor out of range")
-            blk[0] = pred[cid] << al
+            blk[0] = v << al
         elif r.get_bit():
             blk[0] = int(blk[0]) | (1 << al)
 

@@ -485,6 +485,7 @@ def decode_prog_arith_scan(data, pos, frame, scan_list, ss, se, ah, al,
         raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
 
     hmax, vmax, mcux, mcuy = _geometry(frame)
+    differential = bool(frame.get("differential"))
     dc_tabs = {td for _cid, td, _ta in scan_list}
     ac_tabs = {ta for _cid, _td, ta in scan_list}
 
@@ -524,11 +525,13 @@ def decode_prog_arith_scan(data, pos, frame, scan_list, ss, se, ah, al,
     def do_dc(cid, td, blk):
         if ah == 0:
             li, ui = dac_dc.get(td, (0, 1))
-            pred[cid] = _dec_dc(dec, dc_stats[td], dc_ctx[cid],
-                                pred[cid], li, ui)
-            if not -(1 << 30) < (pred[cid] << al) < (1 << 30):
+            v = _dec_dc(dec, dc_stats[td], dc_ctx[cid],
+                        0 if differential else pred[cid], li, ui)
+            if not differential:
+                pred[cid] = v  # PRED = 0 in differential frames
+            if not -(1 << 30) < (v << al) < (1 << 30):
                 raise ValueError("DC predictor out of range")
-            blk[0] = pred[cid] << al
+            blk[0] = v << al
         elif dec.decode(fixed, 0):  # DC refinement: one fixed-bin bit
             blk[0] = int(blk[0]) | (1 << al)
 

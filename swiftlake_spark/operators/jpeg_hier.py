@@ -46,6 +46,8 @@ from swiftlake_spark.operators.jpeg import (
     _BitWriter,
     _ZIGZAG,
     _build_encode_lut,
+    _enc_ac_first_block,
+    _enc_dc as _huff_enc_dc,
     _encode_block,
     _encode_luts,
     _expand_plane,
@@ -176,6 +178,107 @@ def _emit_dct_frame(out: bytearray, planes: list[np.ndarray],
     ]
 
 
+def _emit_prog_frame(out: bytearray, planes: list[np.ndarray],
+                     qsel: list[int], qts: list[np.ndarray],
+                     marker: int, differential: bool,
+                     arith: bool) -> list[np.ndarray]:
+    """Append SOF + a minimal spectral-selection progression (one
+    interleaved DC scan, then one full-band AC scan per component) for
+    a 1x1-sampled progressive stage — SOF2/SOF6 Huffman or SOF10/SOF14
+    arithmetic.  The scans transport the complete quantized
+    coefficients (Ah=Al=0), so the reconstruction replica is identical
+    to the sequential emitters'."""
+    h, w = planes[0].shape
+    nc = len(planes)
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, qsel[ci]])
+    out += _seg(marker, bytes(sof))
+
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    center = 0.0 if differential else 128.0
+    coeffs = [
+        _plane_coeffs(_pad_to(p, bh * 8, bw_ * 8), qts[qsel[ci]], center)
+        for ci, p in enumerate(planes)
+    ]
+
+    def sos_seg(comps_sel, ss, se):
+        sos = bytearray([len(comps_sel)])
+        for ci in comps_sel:
+            t = 1 if (nc == 3 and ci) else 0
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, 0])
+        return _seg(0xDA, bytes(sos))
+
+    if arith:
+        from swiftlake_spark.operators.jpeg_arith import (
+            _AC_BINS,
+            _DC_BINS,
+            _FIXED_BIN,
+            _QMEncoder,
+            _enc_ac,
+            _enc_dc,
+        )
+
+        # DC scan: interleaved, fresh statistics
+        out += sos_seg(list(range(nc)), 0, 0)
+        enc = _QMEncoder()
+        ntab = 1 if nc == 1 else 2
+        dc_stats = [np.zeros(_DC_BINS, np.uint8) for _ in range(ntab)]
+        pred = [0] * nc
+        dc_ctx = [[0] for _ in range(nc)]
+        for bi in range(bh * bw_):
+            for ci in range(nc):
+                t = 1 if (nc == 3 and ci) else 0
+                newpred = _enc_dc(
+                    enc, dc_stats[t], dc_ctx[ci],
+                    int(coeffs[ci][bi][0]),
+                    0 if differential else pred[ci], 0, 1)
+                if not differential:
+                    pred[ci] = newpred
+        out += enc.flush()
+        # AC scans: one per component, full band, fresh statistics
+        fixed = np.array([_FIXED_BIN], np.uint8)
+        for ci in range(nc):
+            t = 1 if (nc == 3 and ci) else 0
+            out += sos_seg([ci], 1, 63)
+            enc = _QMEncoder()
+            ac_stats = np.zeros(_AC_BINS, np.uint8)
+            for bi in range(bh * bw_):
+                _enc_ac(enc, ac_stats, fixed, coeffs[ci][bi], 5, 1, 63, 0)
+            out += enc.flush()
+    else:
+        dc_luts, ac_luts = _encode_luts(8)
+        out += sos_seg(list(range(nc)), 0, 0)
+        bw = _BitWriter()
+        pred = [0] * nc
+        for bi in range(bh * bw_):
+            for ci in range(nc):
+                t = 1 if (nc == 3 and ci) else 0
+                newpred = _huff_enc_dc(
+                    bw, int(coeffs[ci][bi][0]),
+                    0 if differential else pred[ci], dc_luts[t])
+                if not differential:
+                    pred[ci] = newpred
+        bw.flush()
+        out += bytes(bw.out)
+        for ci in range(nc):
+            t = 1 if (nc == 3 and ci) else 0
+            out += sos_seg([ci], 1, 63)
+            bw = _BitWriter()
+            for bi in range(bh * bw_):
+                _enc_ac_first_block(bw, coeffs[ci][bi], 1, 63, 0,
+                                    ac_luts[t])
+            bw.flush()
+            out += bytes(bw.out)
+
+    return [
+        _stage_recon(coeffs[ci], qts[qsel[ci]], bh, bw_, h, w,
+                     differential)
+        for ci in range(nc)
+    ]
+
+
 def _emit_lossless_diff_frame(out: bytearray,
                               diffs: list[np.ndarray]) -> None:
     """Append a SOF7 differential-lossless frame coding the residual
@@ -218,12 +321,18 @@ def _emit_lossless_diff_frame(out: bytearray,
 def encode_jpeg_hierarchical(arr: np.ndarray, quality: int = 85,
                              levels: int = 3,
                              lossless_final: bool = False,
-                             arith: bool = False) -> bytes:
+                             arith: bool = False,
+                             progressive: bool = False) -> bytes:
     """uint8 (H,W) gray or (H,W,3) RGB → hierarchical JPEG: DHP, a
-    small first stage (SOF1 Huffman / SOF9 arithmetic), EXP +
-    differential DCT refinements (SOF5 / SOF13) up to full resolution,
-    and optionally a SOF7 lossless correction stage that makes the
-    decode bit-exact (grayscale) / YCbCr-exact (color)."""
+    small first stage, EXP + differential DCT refinements up to full
+    resolution, and optionally a SOF7 lossless correction stage that
+    makes the decode bit-exact (grayscale) / YCbCr-exact (color).
+
+    Frame processes by (arith, progressive):
+    (F, F) SOF1 + SOF5 · (T, F) SOF9 + SOF13 ·
+    (F, T) SOF2 + SOF6 · (T, T) SOF10 + SOF14 — all four carry the
+    IDENTICAL quantized coefficients, so the decodes must be
+    pixel-identical (the cross-process transparency property)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -276,8 +385,12 @@ def encode_jpeg_hierarchical(arr: np.ndarray, quality: int = 85,
     out += _seg(0xDE, bytes(dhp))
 
     # first (non-differential) stage at the smallest level
-    refs = _emit_dct_frame(out, pyramid[-1], qsel, qts,
-                           0xC9 if arith else 0xC1, False, arith)
+    if progressive:
+        refs = _emit_prog_frame(out, pyramid[-1], qsel, qts,
+                                0xCA if arith else 0xC2, False, arith)
+    else:
+        refs = _emit_dct_frame(out, pyramid[-1], qsel, qts,
+                               0xC9 if arith else 0xC1, False, arith)
     refs = [r.astype(np.uint8) for r in refs]
 
     # differential refinements up to full resolution
@@ -288,8 +401,14 @@ def encode_jpeg_hierarchical(arr: np.ndarray, quality: int = 85,
         refs = [_expand_plane(r, th, tw) for r in refs]
         diffs = [t.astype(np.int32) - r.astype(np.int32)
                  for t, r in zip(target, refs)]
-        recon = _emit_dct_frame(out, diffs, qsel, qts,
-                                0xCD if arith else 0xC5, True, arith)
+        if progressive:
+            recon = _emit_prog_frame(out, diffs, qsel, qts,
+                                     0xCE if arith else 0xC6, True,
+                                     arith)
+        else:
+            recon = _emit_dct_frame(out, diffs, qsel, qts,
+                                    0xCD if arith else 0xC5, True,
+                                    arith)
         refs = [np.clip(r.astype(np.int32) + d, 0, 255).astype(np.uint8)
                 for r, d in zip(refs, recon)]
 

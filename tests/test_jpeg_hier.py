@@ -23,30 +23,39 @@ from swiftlake_spark.operators.jpeg_hier import encode_jpeg_hierarchical
 
 
 class TestLosslessPyramid:
-    @pytest.mark.parametrize("arith", [False, True])
+    @pytest.mark.parametrize("arith,progressive", [
+        (False, False), (True, False), (False, True), (True, True)])
     @pytest.mark.parametrize("shape", [(16, 24), (15, 9), (33, 47),
                                        (8, 8), (7, 64)])
-    def test_gray_bit_exact(self, shape, arith):
+    def test_gray_bit_exact(self, shape, arith, progressive):
         rng = np.random.default_rng(sum(shape))
         g = rng.integers(0, 256, shape, dtype=np.uint8)
         levels = 3 if min(shape) >= 4 else 1
         data = encode_jpeg_hierarchical(
             g, quality=85, levels=levels, lossless_final=True,
-            arith=arith)
-        if arith and levels > 1:
-            assert b"\xff\xcd" in data  # SOF13 differential frames
+            arith=arith, progressive=progressive)
+        if levels > 1:
+            marker = {(False, False): b"\xff\xc5",
+                      (True, False): b"\xff\xcd",
+                      (False, True): b"\xff\xc6",
+                      (True, True): b"\xff\xce"}[(arith, progressive)]
+            assert marker in data
         assert np.array_equal(decode_jpeg(data), g)
 
-    def test_arith_huffman_transparency(self):
-        """SOF9/SOF13 and SOF1/SOF5 hierarchies carry the identical
-        quantized coefficients, so both entropy layers must decode to
-        the SAME pixels — DCT-only pyramid, no lossless tail."""
+    def test_four_process_transparency(self):
+        """SOF1/SOF5, SOF9/SOF13, SOF2/SOF6 and SOF10/SOF14 hierarchies
+        carry the IDENTICAL quantized coefficients, so all four frame
+        processes must decode to the SAME pixels — DCT-only pyramid,
+        no lossless tail."""
         rng = np.random.default_rng(13)
         g = (rng.integers(0, 64, (24, 40)) * 4).astype(np.uint8)
-        oh = decode_jpeg(encode_jpeg_hierarchical(g, quality=92, levels=3))
-        oa = decode_jpeg(encode_jpeg_hierarchical(
-            g, quality=92, levels=3, arith=True))
-        assert np.array_equal(oh, oa)
+        outs = [
+            decode_jpeg(encode_jpeg_hierarchical(
+                g, quality=92, levels=3, arith=a, progressive=pr))
+            for a in (False, True) for pr in (False, True)
+        ]
+        for o in outs[1:]:
+            assert np.array_equal(outs[0], o)
 
     def test_structure_markers(self):
         g = np.zeros((16, 16), np.uint8)
@@ -153,15 +162,22 @@ class TestStructuralErrors:
         with pytest.raises(ValueError):
             decode_jpeg(bytes(data))
 
-    def test_unimplemented_differential_processes_raise(self):
+    def test_unimplemented_processes_raise(self):
+        # only the arithmetic-LOSSLESS processes remain on the seam
         g = np.zeros((16, 16), np.uint8)
         data = bytearray(encode_jpeg_hierarchical(g, levels=2))
         i = data.find(b"\xff\xc5")
-        data[i + 1] = 0xC6  # differential progressive
+        data[i + 1] = 0xCB  # arithmetic lossless (non-differential)
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
-        data[i + 1] = 0xCE  # differential progressive arithmetic
+        data[i + 1] = 0xCF  # differential arithmetic lossless
         with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
+        # a SOF5 relabeled SOF6 now parses as differential progressive:
+        # its sequential-style SOS (Ss=0, Se=63) is structurally invalid
+        # for a progressive frame — ValueError, not a silent decode
+        data[i + 1] = 0xC6
+        with pytest.raises(ValueError):
             decode_jpeg(bytes(data))
 
     def test_levels_validation(self):
@@ -183,10 +199,14 @@ def test_mutation_fuzz_contract():
         encode_jpeg_hierarchical(img, quality=90, levels=2),
         encode_jpeg_hierarchical(img, quality=90, levels=3,
                                  lossless_final=True),
+        encode_jpeg_hierarchical(img, quality=90, levels=2,
+                                 progressive=True),
+        encode_jpeg_hierarchical(img, quality=90, levels=2,
+                                 arith=True, progressive=True),
     ]
     n = 0
     for base in bases:
-        for k in range(150):
+        for k in range(80):
             b = bytearray(base)
             mode = k % 3
             if mode == 0:
@@ -203,7 +223,7 @@ def test_mutation_fuzz_contract():
             except (ValueError, NotImplementedError):
                 pass
             n += 1
-    assert n == 300
+    assert n == 320
 
 
 def test_decode_image_dispatch():
