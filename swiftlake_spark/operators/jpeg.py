@@ -386,17 +386,26 @@ def _hier_stage(data, pos, frame, scan, sos_body, ns, qt, huff_dc,
     refs = _hier_prepare_refs(frame, hier)
 
     if frame["lossless"]:
-        from swiftlake_spark.operators.jpeg_lossless import (
-            decode_lossless_planes,
-        )
-
         if len(sos_body) < 4 + 2 * ns:
             raise ValueError("truncated SOS header")
         ss = sos_body[1 + 2 * ns]
         al = sos_body[3 + 2 * ns] & 15
-        order, planes, end = decode_lossless_planes(
-            data, pos, frame, scan, huff_dc, ss, al,
-            restart_interval, differential=frame["differential"])
+        if frame.get("arith"):
+            from swiftlake_spark.operators.jpeg_arith import (
+                decode_lossless_arith_planes,
+            )
+
+            order, planes, end = decode_lossless_arith_planes(
+                data, pos, frame, scan, dac_dc, ss, al,
+                restart_interval, differential=frame["differential"])
+        else:
+            from swiftlake_spark.operators.jpeg_lossless import (
+                decode_lossless_planes,
+            )
+
+            order, planes, end = decode_lossless_planes(
+                data, pos, frame, scan, huff_dc, ss, al,
+                restart_interval, differential=frame["differential"])
         prec = frame["prec"]
         for cid in order:
             v = planes[cid]
@@ -534,7 +543,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("truncated EXP segment")
             hier["pending_exp"] = (body[0] >> 4, body[0] & 15)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC3,
-                        0xC5, 0xC7, 0xCD, 0xC6, 0xCE):
+                        0xC5, 0xC7, 0xCD, 0xC6, 0xCE, 0xCB, 0xCF):
             _fold_pending_hier_frame()
             # SOF0/1 sequential, SOF2 progressive (huffman);
             # SOF9 sequential / SOF10 progressive arithmetic
@@ -548,7 +557,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             # (decoded natively since r11; output downscales to the
             # high 8 bits, the PNG/TIFF 16-bit convention); lossless
             # allows 2..16.
-            if marker in (0xC3, 0xC7):
+            if marker in (0xC3, 0xC7, 0xCB, 0xCF):
                 if not 2 <= prec <= 16:
                     raise ValueError(f"bad lossless precision {prec}")
             elif prec != 8 and not (prec == 12 and marker != 0xC0):
@@ -564,19 +573,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            if marker in (0xC5, 0xC7, 0xCD, 0xC6, 0xCE) and hier is None:
+            if marker in (0xC5, 0xC7, 0xCD, 0xC6, 0xCE, 0xCF) \
+                    and hier is None:
                 raise ValueError(
                     "differential SOF outside a hierarchical stream")
             frame = {"w": w, "h": h, "comps": comps, "prec": prec,
                      "progressive": marker in (0xC2, 0xCA, 0xC6, 0xCE),
-                     "arith": marker in (0xC9, 0xCA, 0xCD, 0xCE),
-                     "lossless": marker in (0xC3, 0xC7),
+                     "arith": marker in (0xC9, 0xCA, 0xCD, 0xCE,
+                                         0xCB, 0xCF),
+                     "lossless": marker in (0xC3, 0xC7, 0xCB, 0xCF),
                      "differential": marker in (0xC5, 0xC7, 0xCD,
-                                                0xC6, 0xCE)}
-        elif marker in (0xCB, 0xCF):
-            raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} "
-                "(arithmetic-lossless) needs PIL")
+                                                0xC6, 0xCE, 0xCF)}
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
             while off + 2 <= len(body):
@@ -645,14 +652,30 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 frame = None  # stage consumed; next frame must re-SOF
                 continue
             if frame.get("lossless"):
-                from swiftlake_spark.operators.jpeg_lossless import (
-                    decode_lossless_scan,
-                )
-
                 if len(body) < 4 + 2 * ns:
                     raise ValueError("truncated SOS header")
                 ss = body[1 + 2 * ns]  # predictor selector
                 ahal = body[3 + 2 * ns]
+                if frame.get("arith"):
+                    from swiftlake_spark.operators.jpeg_arith import (
+                        decode_lossless_arith_planes,
+                    )
+
+                    order, planes, _end = decode_lossless_arith_planes(
+                        data, pos, frame, scan, dac_dc, ss, ahal & 15,
+                        restart_interval)
+                    prec8 = frame["prec"]
+                    outp = np.stack([planes[cid] for cid in order], -1)
+                    if ahal & 15:
+                        outp = (outp << (ahal & 15)) & 0xFFFF
+                    if prec8 > 8:
+                        outp = outp >> (prec8 - 8)
+                    outp = outp.astype(np.uint8)
+                    return outp[:, :, 0] if outp.shape[2] == 1 else outp
+                from swiftlake_spark.operators.jpeg_lossless import (
+                    decode_lossless_scan,
+                )
+
                 return decode_lossless_scan(
                     data, pos, frame, scan, huff_dc, ss, ahal & 15,
                     restart_interval)

@@ -19,8 +19,11 @@ PIL-gated golden for real-world interop where libjpeg is available.
 Progressive-arithmetic (SOF10) is ALSO native: the four Annex-G
 successive-approximation scan types (DC first/refine, AC first/
 refine) share the QM coder and statistics layout, with fresh
-statistics per scan; only hierarchical and arithmetic-lossless
-(SOF5-7/11/13-15) remain on the PIL seam.
+statistics per scan.  As of r12 the differential processes (SOF13
+sequential / SOF14 progressive — operators/jpeg_hier.py frames) and
+the LOSSLESS arithmetic processes (SOF11, differential SOF15 — the
+Annex H.1.1 two-dimensional conditioning below) decode natively too:
+the full T.81 frame-process matrix is in the native floor.
 """
 
 from __future__ import annotations
@@ -912,6 +915,221 @@ def encode_jpeg_arith(arr: np.ndarray, quality: int = 85,
         t = 1 if (not gray and ci) else 0
         sos += bytes([ci + 1, (t << 4) | t])
     sos += bytes([0, 63, 0])
+    out += _seg(0xDA, bytes(sos))
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- lossless (Annex H.1.1)
+#
+# The lossless arithmetic processes (SOF11, differential SOF15) reuse
+# the DC decision tree (zero / sign / magnitude-category / mantissa)
+# with a TWO-DIMENSIONAL conditioning state: the differences already
+# decoded at the LEFT (Da) and ABOVE (Db) neighbours each classify into
+# five categories (0, ±small, ±large — the same L/U thresholds as DC
+# conditioning), giving 25 context groups of four decision bins, plus
+# two magnitude-tree chains selected by whether Db classifies large.
+# Foreign-stream caveat (same class as the QM INITDEC note): no
+# mainstream encoder ever shipped SOF11/SOF15, so the exact context
+# packing below is pinned by this module's encoder/decoder pair and
+# structural fuzz, not by a third-party golden.
+
+_LL_ARITH_BINS = 160
+_LL_X1, _LL_X2 = 100, 130  # magnitude chains (small-Db / large-Db)
+
+
+def _ll_classify(diff: int, li: int, ui: int) -> int:
+    """0 zero/near-zero, 1 +small, 2 -small, 3 +large, 4 -large."""
+    if diff == 0:
+        return 0
+    mag = (diff if diff > 0 else -diff) - 1
+    m = (1 << (mag.bit_length() - 1)) if mag else 0
+    if m < (1 << li) >> 1:
+        return 0
+    if m > (1 << ui) >> 1:
+        return 3 if diff > 0 else 4
+    return 1 if diff > 0 else 2
+
+
+def _ll_ctx(da: int, db: int, li: int, ui: int) -> tuple[int, int]:
+    """(decision-bin base, magnitude-chain base) for neighbours."""
+    ca, cb = _ll_classify(da, li, ui), _ll_classify(db, li, ui)
+    return 4 * (5 * ca + cb), (_LL_X2 if cb >= 3 else _LL_X1)
+
+
+def _dec_ll_diff(dec, st, base, xbase):
+    """Decode one lossless difference (DC tree shape, H.1.1.2)."""
+    if dec.decode(st, base) == 0:
+        return 0
+    sign = dec.decode(st, base + 1)
+    pos = base + 2 + sign
+    m = dec.decode(st, pos)
+    if m:
+        pos = xbase
+        while dec.decode(st, pos):
+            m <<= 1
+            if m > 1 << 15:
+                raise ValueError("JPEG arith lossless magnitude overflow")
+            pos += 1
+    v = m
+    pos += 14
+    while m := m >> 1:
+        if dec.decode(st, pos):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _enc_ll_diff(enc, st, base, xbase, diff):
+    if diff == 0:
+        enc.code(st, base, 0)
+        return
+    enc.code(st, base, 1)
+    sign = 1 if diff < 0 else 0
+    enc.code(st, base + 1, sign)
+    pos = base + 2 + sign
+    mag = (-diff if sign else diff) - 1
+    m = 0
+    if mag:
+        enc.code(st, pos, 1)
+        m = 1
+        v2 = mag
+        pos = xbase
+        while v2 := v2 >> 1:
+            enc.code(st, pos, 1)
+            m <<= 1
+            pos += 1
+    enc.code(st, pos, 0)
+    pos += 14
+    while m := m >> 1:
+        enc.code(st, pos, 1 if (m & mag) else 0)
+
+
+def decode_lossless_arith_planes(data, pos, frame, scan, dac_dc, ss, al,
+                                 restart_interval, differential=False):
+    """SOF11/SOF15 scan → (ordered cid list, {cid: int32 plane}, end
+    pos) — the arithmetic twin of jpeg_lossless.decode_lossless_planes
+    (reconstructed samples, or raw signed differences when
+    ``differential``)."""
+    from swiftlake_spark.operators.jpeg_lossless import _predict
+
+    if restart_interval:
+        raise NotImplementedError(
+            "lossless arithmetic JPEG with restart intervals needs PIL")
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "lossless arithmetic JPEG with subsampling needs PIL")
+    if differential:
+        if ss != 0:
+            raise ValueError(
+                f"differential lossless frame requires Ss=0, got {ss}")
+    elif not 1 <= ss <= 7:
+        raise ValueError(f"invalid lossless predictor {ss}")
+    prec = frame["prec"]
+    if not 2 <= prec <= 16 or al >= prec:
+        raise ValueError(f"bad lossless precision/transform {prec}/{al}")
+    h, w = frame["h"], frame["w"]
+    if h < 1 or w < 1 or w * h * len(comps) > (1 << 26):
+        raise ValueError(f"implausible lossless dimensions {w}x{h}")
+    default = 1 << (prec - 1 - al)
+    order = [c["id"] for c in comps if c["id"] in scan]
+    if len(order) != len(scan):
+        raise ValueError("SOS component not in SOF")
+    dec = _QMDecoder(data, pos)
+    stats = {cid: np.zeros(_LL_ARITH_BINS, np.uint8) for cid in order}
+    cond = {}
+    for cid in order:
+        li, ui = dac_dc.get(scan[cid][0], (0, 1))
+        cond[cid] = (li, ui)
+    planes = {cid: np.zeros((h, w), np.int32) for cid in order}
+    diffs = {cid: np.zeros((h, w), np.int32) for cid in order}
+    for y in range(h):
+        for x in range(w):
+            for cid in order:
+                li, ui = cond[cid]
+                da = int(diffs[cid][y, x - 1]) if x else 0
+                db = int(diffs[cid][y - 1, x]) if y else 0
+                base, xbase = _ll_ctx(da, db, li, ui)
+                d = _dec_ll_diff(dec, stats[cid], base, xbase)
+                diffs[cid][y, x] = d
+                if differential:
+                    planes[cid][y, x] = d
+                else:
+                    pred = _predict(planes[cid], x, y, ss, default)
+                    planes[cid][y, x] = (pred + d) & 0xFFFF
+    end = dec.marker_at if dec.marker_at is not None else dec.bp
+    n = len(data)
+    while end + 1 < n and not (
+            data[end] == 0xFF and data[end + 1] != 0x00):
+        end += 1
+    return order, planes, end
+
+
+def _encode_lossless_arith_scan(planes_list, predictor, default,
+                                differential=False):
+    """planes (list of int32 (H,W)) → QM-coded entropy bytes.
+    Non-differential: values are samples, predicted per ``predictor``;
+    differential: values ARE the differences to code."""
+    from swiftlake_spark.operators.jpeg_lossless import _predict
+
+    h, w = planes_list[0].shape
+    nc = len(planes_list)
+    enc = _QMEncoder()
+    stats = [np.zeros(_LL_ARITH_BINS, np.uint8) for _ in range(nc)]
+    diffs = [np.zeros((h, w), np.int32) for _ in range(nc)]
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                pl = planes_list[ci]
+                if differential:
+                    d = int(pl[y, x])
+                else:
+                    pred = _predict(pl, x, y, predictor, default)
+                    d = (int(pl[y, x]) - pred) & 0xFFFF
+                    if d >= 0x8000:
+                        d -= 0x10000
+                da = int(diffs[ci][y, x - 1]) if x else 0
+                db = int(diffs[ci][y - 1, x]) if y else 0
+                base, xbase = _ll_ctx(da, db, 0, 1)
+                _enc_ll_diff(enc, stats[ci], base, xbase, d)
+                diffs[ci][y, x] = d
+    return enc.flush()
+
+
+def encode_jpeg_lossless_arith(arr: np.ndarray,
+                               predictor: int = 4) -> bytes:
+    """uint8 (H,W) gray or (H,W,3) RGB → SOF11 lossless ARITHMETIC
+    JPEG (8-bit, DAC default conditioning).  Decode must be bit-exact —
+    same contract as the Huffman lossless encoder."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    h, w = a.shape[:2]
+    nc = 1 if gray else 3
+    from swiftlake_spark.operators.jpeg import _seg
+
+    planes = [a.reshape(h, w, nc)[:, :, ci].astype(np.int32)
+              for ci in range(nc)]
+    entropy = _encode_lossless_arith_scan(planes, predictor, 128)
+
+    out = bytearray(b"\xff\xd8")
+    dac = bytearray()
+    for ci in range(nc):
+        dac += bytes([ci, (1 << 4) | 0])  # DC conditioning L=0 U=1
+    out += _seg(0xCC, bytes(dac))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xCB, bytes(sof))
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, ci << 4])
+    sos += bytes([predictor, 0, 0])
     out += _seg(0xDA, bytes(sos))
     out += entropy
     out += b"\xff\xd9"

@@ -27,12 +27,13 @@ The load-bearing property: ``lossless_final=True`` appends a SOF7
 stage coding the exact residual, so decode(encode(x)) is BIT-EXACT for
 any grayscale image (and exact in YCbCr space for color — the RGB
 round trip adds only the color-transform rounding every JPEG process
-shares).  ``arith=True`` swaps the entropy layer: SOF9 first stage and
-SOF13 differential refinements through the QM coder (jpeg_arith.py)
-carrying the IDENTICAL coefficients, so arithmetic and Huffman
-hierarchies must decode pixel-identically (the transparency property).
-Differential progressive (SOF6/SOF14) and arithmetic lossless
-(SOF11/SOF15) stay honest raises.
+shares).  ``arith=True`` swaps the entropy layer: SOF9 first stage,
+SOF13/SOF14 differential refinements and a SOF15 lossless tail through
+the QM coder (jpeg_arith.py) carrying the IDENTICAL coefficients, so
+arithmetic and Huffman hierarchies must decode pixel-identically (the
+transparency property).  With SOF6/SOF14 (progressive=True) and
+SOF11/SOF15 native as of r12, every T.81 frame process decodes in the
+native floor.
 """
 
 from __future__ import annotations
@@ -280,14 +281,31 @@ def _emit_prog_frame(out: bytearray, planes: list[np.ndarray],
 
 
 def _emit_lossless_diff_frame(out: bytearray,
-                              diffs: list[np.ndarray]) -> None:
-    """Append a SOF7 differential-lossless frame coding the residual
-    planes exactly (predictor selection 0, diffs mod 2^16)."""
+                              diffs: list[np.ndarray],
+                              arith: bool = False) -> None:
+    """Append a differential-lossless frame coding the residual planes
+    exactly (predictor selection 0, diffs mod 2^16) — SOF7 Huffman or
+    SOF15 arithmetic."""
     h, w = diffs[0].shape
     nc = len(diffs)
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])
+    if arith:
+        from swiftlake_spark.operators.jpeg_arith import (
+            _encode_lossless_arith_scan,
+        )
+
+        out += _seg(0xCF, bytes(sof))
+        sos = bytearray([nc])
+        for ci in range(nc):
+            sos += bytes([ci + 1, 0x00])  # DAC table 0 conditioning
+        sos += bytes([0, 0, 0])  # Ss=0: differential, no prediction
+        out += _seg(0xDA, bytes(sos))
+        out += _encode_lossless_arith_scan(
+            [d.astype(np.int32) for d in diffs], 0, 0,
+            differential=True)
+        return
     out += _seg(0xC7, bytes(sof))
     # lossless tables live in DC slots 2/3 so the DCT stages' Annex-K
     # DC tables (slots 0/1) stay untouched
@@ -332,7 +350,9 @@ def encode_jpeg_hierarchical(arr: np.ndarray, quality: int = 85,
     (F, F) SOF1 + SOF5 · (T, F) SOF9 + SOF13 ·
     (F, T) SOF2 + SOF6 · (T, T) SOF10 + SOF14 — all four carry the
     IDENTICAL quantized coefficients, so the decodes must be
-    pixel-identical (the cross-process transparency property)."""
+    pixel-identical (the cross-process transparency property).  The
+    lossless correction stage follows the entropy layer: SOF7 Huffman
+    or SOF15 arithmetic (Annex H.1.1 conditioning)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -415,7 +435,7 @@ def encode_jpeg_hierarchical(arr: np.ndarray, quality: int = 85,
     if lossless_final:
         diffs = [c.astype(np.int32) - r.astype(np.int32)
                  for c, r in zip(chans, refs)]
-        _emit_lossless_diff_frame(out, diffs)
+        _emit_lossless_diff_frame(out, diffs, arith=arith)
 
     out += b"\xff\xd9"
     return bytes(out)

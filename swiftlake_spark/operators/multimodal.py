@@ -20,9 +20,9 @@ IEEE float 32/64, G.711 A-law/μ-law, WAVE_FORMAT_EXTENSIBLE
 'sowt', G.711, fl32/fl64), and AVI video with MJPG frames (fps from
 the container, frames through the native JPEG codec).
 Arithmetic (jpeg_arith.py), lossless (jpeg_lossless.py), 12-bit and
-hierarchical Huffman JPEG (jpeg_hier.py — DHP/EXP, SOF5/SOF7) decode
-natively; differential-progressive / arithmetic-differential JPEG
-(SOF6/SOF13-15), JPEG-in-TIFF/float-sample TIFF
+hierarchical JPEG (jpeg_hier.py — DHP/EXP; every differential process
+SOF5/6/7/13/14/15 and arithmetic-lossless SOF11) decode natively —
+the complete T.81 frame-process matrix; float-sample TIFF
 and spec-invalid PNG layouts go through the optional PIL seam
 (:func:`_pil_decode`):
 decoded for real when pillow is importable, honest
@@ -1832,11 +1832,11 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
     sequential or Adam7), and baseline/extended/progressive JPEG at
     8- or 12-bit precision (operators/jpeg.py — huffman + dequant +
     IDCT + YCbCr, restart markers, integer chroma ratios), plus
-    arithmetic (SOF9/10), lossless (SOF3) and hierarchical Huffman
-    (DHP/EXP, SOF5/SOF7) JPEG.  PIL-seam: the variants the stdlib
-    paths refuse (spec-invalid PNG layouts, oversize frames;
-    old-style-JPEG/float TIFF; differential-progressive and
-    arithmetic-differential JPEG).  Anything else raises."""
+    arithmetic (SOF9/10), lossless (SOF3/SOF11) and hierarchical
+    (DHP/EXP, all differential processes SOF5/6/7/13/14/15) JPEG — the
+    complete T.81 frame-process matrix.  PIL-seam: the variants the
+    stdlib paths refuse (spec-invalid PNG layouts, oversize frames;
+    old-style-LOSSLESS/float TIFF).  Anything else raises."""
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data)
     if data[:2] == b"BM":
@@ -1879,7 +1879,7 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
             return decode_jpeg(data)
         except (NotImplementedError, ValueError) as err:
             # NotImplementedError: variants the stdlib decoder declines
-            # (differential-progressive/arith-differential).  ValueError: payloads it
+            # (exotic shapes past the floor).  ValueError: payloads it
             # rejects as malformed — some are spec-legal shapes it does
             # not model (e.g. >2^28-pixel frames, fill bytes before
             # markers), so give PIL a chance; without PIL re-raise the

@@ -2221,7 +2221,7 @@ SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 120 AND LENGTH(text) 
        true AS dims_ok,
        true AS mean_r_ok,
        true AS lossless_exact,
-       CAST(23 AS BIGINT) AS n_formats
+       CAST(24 AS BIGINT) AS n_formats
 """,
 )
 def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2306,22 +2306,33 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 if kind == 18:
                     # r12: hierarchical pyramid (gray rendition —
-                    # DHP/EXP doubling, differential stage, SOF7
-                    # lossless correction → BIT-EXACT decode); the
-                    # frame process rotates through all four entropy/
-                    # scan combinations (SOF5/SOF13/SOF6/SOF14)
-                    from swiftlake_spark.operators.jpeg_hier import (
-                        encode_jpeg_hierarchical,
-                    )
-
-                    proc = (did // 20) % 4
+                    # DHP/EXP doubling, differential stage, lossless
+                    # correction → BIT-EXACT decode); the frame process
+                    # rotates through the four entropy/scan pyramid
+                    # combinations (SOF5+SOF7 / SOF13+SOF15 /
+                    # SOF6+SOF7 / SOF14+SOF15) plus plain SOF11
+                    # arithmetic-lossless — the full T.81 matrix under
+                    # the driver gate
+                    proc = (did // 20) % 5
                     garr = arr[:, :, 0]
                     fmts.append(f"jpeg_hier{proc}")
-                    data.append(encode_jpeg_hierarchical(
-                        garr, quality=90, levels=2,
-                        lossless_final=True,
-                        arith=proc in (1, 3),
-                        progressive=proc in (2, 3)))
+                    if proc == 4:
+                        from swiftlake_spark.operators.jpeg_arith import (
+                            encode_jpeg_lossless_arith,
+                        )
+
+                        data.append(encode_jpeg_lossless_arith(
+                            garr, predictor=4))
+                    else:
+                        from swiftlake_spark.operators.jpeg_hier import (
+                            encode_jpeg_hierarchical,
+                        )
+
+                        data.append(encode_jpeg_hierarchical(
+                            garr, quality=90, levels=2,
+                            lossless_final=True,
+                            arith=proc in (1, 3),
+                            progressive=proc in (2, 3)))
                     exp.append(float(garr.astype(np.float64).mean()))
                     lossless.append(True)
                     tols.append(1e-4)

@@ -91,16 +91,15 @@ def test_dispatch_uses_stdlib_decoder():
     assert np.abs(out.astype(int) - img.astype(int)).mean() <= 1.5
 
 
-def test_lossless_marker_routes_to_seam():
-    """SOF11 (arithmetic lossless) must raise NotImplementedError from
-    the stdlib path — decode_image_bytes then falls through to the PIL
-    seam.  (SOF9 sequential- and SOF10 progressive-arithmetic both
-    decode natively since r11 — tests/test_jpeg_arith.py; Huffman
-    lossless SOF3 decodes natively too — tests/test_jpeg_lossless.py.)"""
+def test_relabeled_lossless_marker_fails_structurally():
+    """SOF11 (arithmetic lossless) decodes natively as of r12, so a
+    sequential stream relabeled SOF11 must fail SOF11's OWN validation
+    (a sequential SOS carries Ss=0 — an invalid lossless predictor),
+    not silently decode."""
     data = bytearray(encode_jpeg(_gradient(8, 8)))
     i = data.find(b"\xff\xc0")
     data[i + 1] = 0xCB
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="predictor"):
         decode_jpeg(bytes(data))
 
 

@@ -197,13 +197,16 @@ def test_bad_dac_rejected():
         decode_jpeg(bytes(data))
 
 
-def test_arith_lossless_stays_on_seam():
+def test_arith_lossless_relabel_fails_structurally():
+    # SOF11 decodes natively (r12); a sequential-arith stream relabeled
+    # SOF11 must fail lossless validation (Ss=0 predictor), not slip
+    # through as garbage pixels
     rng = np.random.default_rng(9)
     arr = rng.integers(0, 256, (8, 8), dtype=np.uint8)
     data = bytearray(encode_jpeg_arith(arr))
     i = data.find(bytes([0xFF, 0xC9]))
     data[i + 1] = 0xCB  # morph SOF9 → SOF11 (arithmetic lossless)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="predictor"):
         decode_jpeg(bytes(data))
 
 

@@ -40,6 +40,9 @@ class TestLosslessPyramid:
                       (False, True): b"\xff\xc6",
                       (True, True): b"\xff\xce"}[(arith, progressive)]
             assert marker in data
+        # the lossless correction stage follows the entropy layer:
+        # SOF7 Huffman / SOF15 arithmetic
+        assert (b"\xff\xcf" if arith else b"\xff\xc7") in data
         assert np.array_equal(decode_jpeg(data), g)
 
     def test_four_process_transparency(self):
@@ -162,20 +165,20 @@ class TestStructuralErrors:
         with pytest.raises(ValueError):
             decode_jpeg(bytes(data))
 
-    def test_unimplemented_processes_raise(self):
-        # only the arithmetic-LOSSLESS processes remain on the seam
+    def test_relabeled_frames_fail_structurally(self):
+        # every T.81 frame process now decodes natively, so a SOF5
+        # relabeled to another process must fail that process's OWN
+        # structural validation, not slip through:
         g = np.zeros((16, 16), np.uint8)
         data = bytearray(encode_jpeg_hierarchical(g, levels=2))
         i = data.find(b"\xff\xc5")
-        data[i + 1] = 0xCB  # arithmetic lossless (non-differential)
-        with pytest.raises(NotImplementedError):
+        # SOF11 (arith lossless, non-differential): sequential-style
+        # SOS carries Ss=0, which is an invalid lossless predictor
+        data[i + 1] = 0xCB
+        with pytest.raises(ValueError):
             decode_jpeg(bytes(data))
-        data[i + 1] = 0xCF  # differential arithmetic lossless
-        with pytest.raises(NotImplementedError):
-            decode_jpeg(bytes(data))
-        # a SOF5 relabeled SOF6 now parses as differential progressive:
-        # its sequential-style SOS (Ss=0, Se=63) is structurally invalid
-        # for a progressive frame — ValueError, not a silent decode
+        # SOF6 (differential progressive): Ss=0 with Se=63 is an
+        # invalid progressive scan script
         data[i + 1] = 0xC6
         with pytest.raises(ValueError):
             decode_jpeg(bytes(data))
@@ -235,3 +238,49 @@ def test_decode_image_dispatch():
     g = rng.integers(0, 256, (16, 20), dtype=np.uint8)
     data = encode_jpeg_hierarchical(g, levels=2, lossless_final=True)
     assert np.array_equal(decode_image_bytes(data), g)
+
+
+def test_sof11_lossless_arithmetic_bit_exact():
+    """SOF11 (lossless arithmetic, Annex H.1.1): bit-exact round trips
+    across predictors and shapes, gray and RGB.  The 25-context
+    conditioning packing is pinned by the encoder/decoder pair (no
+    mainstream encoder ever shipped this process — same caveat class
+    as the QM INITDEC note)."""
+    from swiftlake_spark.operators.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    rng = np.random.default_rng(19)
+    for shape in [(13, 21), (8, 8), (31, 7)]:
+        for predictor in (1, 2, 4, 7):
+            g = rng.integers(0, 256, shape, dtype=np.uint8)
+            data = encode_jpeg_lossless_arith(g, predictor=predictor)
+            assert data[3] == 0xCC or b"\xff\xcb" in data
+            assert np.array_equal(decode_jpeg(data), g)
+    rgb = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless_arith(rgb)), rgb)
+
+
+def test_sof11_mutation_fuzz():
+    from swiftlake_spark.operators.jpeg_arith import (
+        encode_jpeg_lossless_arith,
+    )
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 256, (12, 18), dtype=np.uint8)
+    base = encode_jpeg_lossless_arith(g)
+    n = 0
+    for k in range(200):
+        b = bytearray(base)
+        if k % 2:
+            b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        else:
+            b = b[: int(rng.integers(4, len(b)))]
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.dtype == np.uint8
+        except (ValueError, NotImplementedError):
+            pass
+        n += 1
+    assert n == 200

@@ -832,22 +832,13 @@ def test_jpeg_dispatch_decodes_all_entropy_paths():
     out = decode_image_bytes(encode_jpeg_arith_progressive(img))
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
 
+    # SOF11 decodes natively as of r12, so a sequential stream
+    # relabeled SOF11 fails arithmetic-lossless validation (Ss=0 is an
+    # invalid predictor) — a clean ValueError, never a silent decode
     seam = bytearray(encode_jpeg_arith(img))
     seam[seam.find(b"\xff\xc9") + 1] = 0xCB  # SOF9 → SOF11 (lossless)
-    try:
-        import PIL  # noqa: F401
-
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if has_pil:
-        # PIL rejects the corrupted scan its own way — the seam is open
-        with pytest.raises(Exception) as ei:
-            decode_image_bytes(bytes(seam))
-        assert not isinstance(ei.value, NotImplementedError)
-    else:
-        with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image_bytes(bytes(seam))
+    with pytest.raises(ValueError):
+        decode_image_bytes(bytes(seam))
 
 
 
