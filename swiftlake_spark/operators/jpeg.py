@@ -27,10 +27,14 @@ Scope (everything else raises NotImplementedError so
 - DHT-less abbreviated streams (OpenDML MJPG 'AVI1'): sequential
   scans referencing an undefined Huffman slot fall back to the
   Annex-K typical tables, as that spec requires of decoders;
-- arithmetic coding (SOF9 sequential + SOF10 progressive) dispatches
-  to ``operators/jpeg_arith.py``; lossless (SOF3) to
-  ``operators/jpeg_lossless.py``;
-- hierarchical and arithmetic-lossless (SOF5-7/11/13-15) → seam.
+- arithmetic coding (SOF9 sequential + SOF10 progressive + SOF11/
+  SOF15 lossless) dispatches to ``operators/jpeg_arith.py``; Huffman
+  lossless (SOF3/SOF7) to ``operators/jpeg_lossless.py``;
+- hierarchical streams (DHP/EXP + differential SOF5/6/7/13/14/15
+  frames, encoder in ``operators/jpeg_hier.py``) decode in this
+  module's frame loop — as of r12 the COMPLETE T.81 frame-process
+  matrix is native; the seam keeps only exotic shapes (non-integer
+  sampling, >8/12-bit baselines, lossless restart intervals).
 
 An encoder (`encode_jpeg`) exists for tests and payload synthesis, like
 ``encode_png``/``encode_ppm``: Annex-K quantization tables with libjpeg
