@@ -32,7 +32,14 @@ from swiftlake_spark.config import EngineConfig  # noqa: E402
 
 
 def canon_value(v):
-    """Canonicalize a cell for comparison (mirrors FIXTURES.md §4)."""
+    """Canonicalize a cell for comparison (mirrors FIXTURES.md §4).
+
+    Decimals are compared EXACTLY at their declared scale (r13, VERDICT
+    r12 ask #3): the old ``repr(float(v))`` collapse erased precisely the
+    class of difference that made the committed-green r12 q121 driver-red
+    (the driver hashes the decimal rendering; the replica must be at
+    least as strict, never weaker).
+    """
     import datetime
     import decimal
 
@@ -45,7 +52,7 @@ def canon_value(v):
             return "inf" if v > 0 else "-inf"
         return repr(v)  # full precision — we demand bit-identical doubles
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        return f"dec:{v}"  # exact, scale-preserving; never collapses to float
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.date):
@@ -81,14 +88,37 @@ def check_query(spark, con, qd, sf_dir: str):
 
     Returns (error_message | None, spark_row_count).
     """
+    import decimal
+
+    from pyspark.sql.types import DecimalType
+
     sdf = qd.fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     if qd.oracle is None:
         return None, len(s_rows)
+    # Convention breach tripwire (r13, VERDICT r12 ask #3): computed
+    # numerics must end as DOUBLE on both sides — the driver's hash
+    # canonicalization of DECIMAL renderings is unobservable from the
+    # repo (the r12 q121 lesson), so any decimal output column fails
+    # loudly here before it can fail silently at the driver.
+    dec_cols = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
+    if dec_cols:
+        return (
+            f"Spark output has DECIMAL columns {dec_cols} — breaches the "
+            "cast-back-to-DOUBLE convention (queries/__init__.py docstring); "
+            "the driver's decimal hash rendering is unobservable (r12 q121)",
+            len(s_rows),
+        )
     res = con.execute(qd.oracle)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
+    if any(isinstance(v, decimal.Decimal) for r in d_rows for v in r):
+        return (
+            "oracle output contains DECIMAL values — breaches the "
+            "cast-back-to-DOUBLE convention (queries/__init__.py docstring)",
+            len(s_rows),
+        )
 
     sc, sr = canon_rows(s_cols, s_rows)
     dc, dr = canon_rows(d_cols, d_rows)

@@ -43,7 +43,7 @@ def canon(v):
         if math.isnan(v): return "nan"
         if math.isinf(v): return "inf" if v > 0 else "-inf"
         return repr(v)
-    if isinstance(v, decimal.Decimal): return repr(float(v))
+    if isinstance(v, decimal.Decimal): return f"dec:{v}"  # exact at declared scale — no float collapse (r12 q121)
     if isinstance(v, datetime.datetime): return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.date): return v.isoformat()
     return repr(v)
@@ -53,6 +53,9 @@ for name in sorted(qs):
     t0 = time.time()
     sdf = qs[name](spark, SF)
     scols = sdf.columns
+    dec_cols = [f.name for f in sdf.schema.fields if type(f.dataType).__name__ == "DecimalType"]
+    if dec_cols and name in os_:
+        fails.append(name); print(f"FAIL {name}: DECIMAL output columns {dec_cols} breach the DOUBLE convention (r12 q121)"); continue
     srows = [tuple(r) for r in sdf.collect()]
     if name not in os_:
         print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")

@@ -42,13 +42,29 @@ sys.path.insert(0, _REPO)
 WINDOW = 50  # driver gate width (CORRECTNESS_r*.json have exactly 50 keys)
 
 
+def _oracle_names() -> frozenset[str]:
+    """Names whose registry entry declares a DuckDB oracle (``all_oracles()``)."""
+    from swiftlake_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    return frozenset(n for n, q in REGISTRY.items() if q.oracle is not None)
+
+
 def certified_rounds(
-    repo: str = _REPO, exclude_newest: bool = False
+    repo: str = _REPO,
+    exclude_newest: bool = False,
+    oracle_names: frozenset[str] | None = None,
 ) -> dict[str, tuple[int, int]]:
     """name -> (last green round, key position in that round's file).
 
-    Green = the driver recorded a hash match, or a rows-only match with
-    no error (the weaker check for non-SQL-expressible queries).
+    Green criterion (tightened r13, VERDICT r12 ask #1): an oracle-bearing
+    query is green ONLY if the driver recorded ``hash_match``.  The weaker
+    rows-only-with-no-error fallback applies exclusively to names absent
+    from ``all_oracles()`` (non-SQL-expressible queries, where rows-only is
+    all the driver ever records).  A ``hash_match: false`` record on an
+    oracle-bearing query therefore never advances its last-green round —
+    the failing query stays at the staleness boundary and HEADS the next
+    window instead of rotating out for up to 4 rounds (the r12 q121 bug).
 
     ``exclude_newest=True`` drops the highest-numbered CORRECTNESS file,
     reconstructing the union the PREVIOUS session committed its window
@@ -56,6 +72,8 @@ def certified_rounds(
     suite is green at judge handoff (the driver writes the new file after
     the session ends; VERDICT r11 ask #3).
     """
+    if oracle_names is None:
+        oracle_names = _oracle_names()
     paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     if exclude_newest and paths:
         paths = paths[:-1]
@@ -65,9 +83,10 @@ def certified_rounds(
         with open(path) as fh:
             data = json.load(fh)
         for pos, (name, rec) in enumerate(data.items()):
-            green = bool(rec.get("hash_match")) or (
-                bool(rec.get("rows_match")) and rec.get("err") is None
-            )
+            if name in oracle_names:
+                green = bool(rec.get("hash_match"))
+            else:
+                green = bool(rec.get("rows_match")) and rec.get("err") is None
             if green and (name not in out or rnd >= out[name][0]):
                 out[name] = (rnd, pos)
     return out

@@ -723,11 +723,19 @@ def bloom_membership(
     100 TB shape: the corpus pass is one explode + distinct whose
     output is bounded by m = 2^bits_per_pos rows regardless of corpus
     size (broadcast it; ``broadcast_positions=False`` shuffles instead
-    when m is pushed past broadcast range); the probe pass is map-side
-    explode + join + one count-per-key shuffle.  Nothing reaches the
-    driver; no Python eval.  Classic use: decontaminating / diffing a
-    huge corpus against another corpus too big for an exact broadcast
-    join but whose SET of values fits a bloom.
+    when m is pushed past broadcast range); the probe pass is a
+    distinct over probe VALUES, a map-side explode + semi-join, one
+    count-per-value shuffle, then a flag join back onto the probe.
+    Nothing reaches the driver; no Python eval.  Classic use:
+    decontaminating / diffing a huge corpus against another corpus too
+    big for an exact broadcast join but whose SET of values fits a
+    bloom.
+
+    The flag is a pure function of ``value_col``, so hits are counted
+    per DISTINCT probe value and joined back by value — NOT per
+    ``key_col`` (ADVICE r12: grouping by key merged hit counts across
+    different values sharing a key, so two half-matching values could
+    sum to k and flag a false positive; duplicate keys are now fine).
     """
     pos = bloom_positions(F.col(value_col), k, bits_per_pos)
     set_bits = (
@@ -735,14 +743,14 @@ def bloom_membership(
     )
     if broadcast_positions:
         set_bits = F.broadcast(set_bits)
-    probed = (
-        probe.select(key_col, F.explode(pos).alias("__p"))
+    flags = (
+        probe.select(value_col).distinct()
+        .select(value_col, F.explode(pos).alias("__p"))
         .join(set_bits, "__p", "left_semi")
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("__hits"))
+        .groupBy(value_col)
+        .agg((F.count(F.lit(1)) == k).alias(out_col))
     )
     return (
-        probe.join(probed, key_col, "left")
-        .withColumn(out_col, F.coalesce("__hits", F.lit(0)) == k)
-        .drop("__hits")
+        probe.join(flags, value_col, "left")
+        .withColumn(out_col, F.coalesce(out_col, F.lit(False)))
     )

@@ -491,8 +491,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 _fold_pending_hier_frame()
                 if not hier["refs"]:
                     raise ValueError("hierarchical stream with no frames")
-                planes = [hier["refs"][cid] for cid in hier["order"]
-                          if cid in hier["refs"]]
+                # every DHP-declared component must have received at
+                # least one frame by EOI — silently dropping the missing
+                # ones would decode a truncated multi-component stream
+                # as grayscale (ADVICE r12)
+                absent = [cid for cid in hier["order"]
+                          if cid not in hier["refs"]]
+                if absent:
+                    raise ValueError(
+                        "hierarchical stream ended with DHP components "
+                        f"{absent} never assigned a frame"
+                    )
+                planes = [hier["refs"][cid] for cid in hier["order"]]
                 return _color_join(planes)
             if prog_coefs is not None:
                 # progressive: every scan accumulated; reconstruct now
@@ -699,8 +709,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # guard never enters (stages already decoded fully)
         _fold_pending_hier_frame()
         if hier["refs"]:
-            planes = [hier["refs"][cid] for cid in hier["order"]
-                      if cid in hier["refs"]]
+            absent = [cid for cid in hier["order"]
+                      if cid not in hier["refs"]]
+            if absent:
+                # same strictness as the in-loop EOI path (ADVICE r12)
+                raise ValueError(
+                    "hierarchical stream ended with DHP components "
+                    f"{absent} never assigned a frame"
+                )
+            planes = [hier["refs"][cid] for cid in hier["order"]]
             return _color_join(planes)
     if prog_coefs is not None:
         # progressive stream missing its EOI: the scans decoded fully

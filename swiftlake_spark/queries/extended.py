@@ -1361,11 +1361,11 @@ WITH t AS (
 )
 SELECT surface, row_key, cat, val FROM (
   SELECT 'api' AS surface, o_orderkey AS row_key, o_orderstatus AS cat,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS val
+         CAST(o_totalprice AS DOUBLE) AS val
   FROM api_final
   UNION ALL
   SELECT 'sqltext' AS surface, c_custkey AS row_key, c_mktsegment AS cat,
-         CAST(c_acctbal AS DECIMAL(18,2)) AS val
+         CAST(c_acctbal AS DOUBLE) AS val
   FROM sql_final
 )
 ORDER BY surface, row_key, cat
@@ -1381,7 +1381,14 @@ def q121_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("api").alias("surface"),
             F.col("o_orderkey").alias("row_key"),
             F.col("o_orderstatus").alias("cat"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+            # DOUBLE output per the registry convention (queries/__init__.py
+            # docstring): the r12 DECIMAL(18,2) shape broke the driver's
+            # hash canonicalization (CORRECTNESS_r12 hash_match=false) even
+            # though values were bit-identical — computed numerics must end
+            # as DOUBLE on both sides.  Raw double addition is IEEE-exact
+            # and identical in Spark and DuckDB, so no decimal round-trip
+            # is needed here.
+            F.col("o_totalprice").cast("double").alias("val"),
         )
     )
     sqltext = (
@@ -1391,7 +1398,7 @@ def q121_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("sqltext").alias("surface"),
             F.col("c_custkey").alias("row_key"),
             F.col("c_mktsegment").alias("cat"),
-            F.col("c_acctbal").cast("decimal(18,2)").alias("val"),
+            F.col("c_acctbal").cast("double").alias("val"),
         )
     )
     return api.unionByName(sqltext).orderBy("surface", "row_key", "cat")

@@ -1010,7 +1010,7 @@ SELECT o_orderkey,
        SQRT(o_totalprice)                    AS price_sqrt,
        CAST(FLOOR(o_totalprice) AS BIGINT)   AS price_floor,
        CAST(CEIL(o_totalprice) AS BIGINT)    AS price_ceil,
-       ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS price_round1,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_round1,
        CAST(o_orderkey % 7 AS BIGINT)        AS key_mod7,
        CAST(SIGN(o_totalprice - 100000.0) AS DOUBLE) AS price_sign,
        GREATEST(o_orderkey, o_custkey)       AS max_key,
@@ -1027,7 +1027,12 @@ def q29_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt("o_totalprice").alias("price_sqrt"),
         F.floor("o_totalprice").alias("price_floor"),
         F.ceil("o_totalprice").alias("price_ceil"),
-        F.round(F.col("o_totalprice").cast("decimal(18,2)"), 1).alias("price_round1"),
+        # decimal round for exactness, then back to DOUBLE per the registry
+        # convention (the r13 replica red-flags decimal output columns —
+        # the driver's decimal hash rendering is unobservable, r12 q121)
+        F.round(F.col("o_totalprice").cast("decimal(18,2)"), 1)
+        .cast("double")
+        .alias("price_round1"),
         (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
         F.signum(F.col("o_totalprice") - 100000.0).alias("price_sign"),
         F.greatest("o_orderkey", "o_custkey").alias("max_key"),

@@ -82,11 +82,73 @@ def test_boundary_block_heads_window(state):
 
     boundary_round, missing = missing_for(certified)
     if missing:
+        # One generation of lag is legal ONLY if (a) the previous union's
+        # boundary is satisfied AND (b) regeneration would put every
+        # violating name inside the next window — i.e. the lag is exactly
+        # one generation, not a policy hole (ADVICE r12: the prev-union
+        # check alone accepted windows that never catch up).
         _, missing_prev = missing_for(certified_rounds(exclude_newest=True))
         assert not missing_prev, (
             f"stale-boundary queries (effective r{boundary_round}) outside "
             f"the 50-slot window: {sorted(missing)}"
         )
+        regen = set(generate(names, certified, _GATE_TIER2)[:WINDOW])
+        uncaught = missing - regen
+        assert not uncaught, (
+            f"stale-boundary queries outside the committed window that "
+            f"regeneration would NOT catch either: {sorted(uncaught)} — "
+            "the rotation policy itself is broken, not just lagging"
+        )
+
+
+def test_hash_red_never_counts_as_certification(tmp_path):
+    """A hash_match:false record on an oracle-bearing query must not
+    advance its last-green round (VERDICT r12 ask #1 pinning test).
+
+    The r12 bug: certified_rounds() credited rows_match && err==None as
+    green even when the driver recorded hash_match=false for a query
+    that HAS an oracle — so driver-red q121 rotated out of the window
+    for ~3 rounds instead of heading the next one.
+    """
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_with_oracle": {"rows_match": True, "schema_match": True,
+                          "hash_match": True, "err": None},
+        "q_rows_only": {"rows_match": True, "schema_match": True,
+                        "hash_match": False, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        # the r12 q121 shape: rows/schema green, hash RED, no error
+        "q_with_oracle": {"rows_match": True, "schema_match": True,
+                          "hash_match": False, "err": None},
+        "q_rows_only": {"rows_match": True, "schema_match": True,
+                        "hash_match": False, "err": None},
+    }))
+    cert = certified_rounds(
+        repo=str(tmp_path), oracle_names=frozenset({"q_with_oracle"})
+    )
+    # oracle-bearing: hash-red r2 must NOT advance last-green past r1
+    assert cert["q_with_oracle"][0] == 1, (
+        "hash-red record advanced an oracle-bearing query's last-green round"
+    )
+    # oracle-less: rows-only fallback still applies
+    assert cert["q_rows_only"][0] == 2
+
+
+def test_generator_uses_registry_oracles(state):
+    """The default oracle_names set is derived from the live registry, and
+    the r12 failure mode is structurally closed: a query with an oracle is
+    green only via hash_match."""
+    from gen_gate_priority import _oracle_names
+
+    names, certified = state
+    oracles = _oracle_names()
+    assert "q121_merge_into" in oracles
+    # Under the tightened criterion q121's r12 hash-red record can never
+    # be its last-green round (it was r9 at the r13 fix; later rounds may
+    # re-certify it, but r12 stays permanently red).
+    assert certified["q121_merge_into"][0] != 12
 
 
 def test_window_names_are_registered(state):
@@ -107,6 +169,13 @@ def test_registry_size_keeps_invariant_feasible(state):
         f"registry over window capacity: {n1} tier-1 /3 + {n2} tier-2 /4 "
         f"= {budget:.1f} > {WINDOW} — consolidate queries, promote "
         "pytest-pinned verdict queries to tier 2, or widen the window"
+    )
+    # Headroom floor (VERDICT r12 ask #5): keep room for >= 2 more tier-1
+    # entries so a new operator can register without a same-round
+    # consolidation scramble.
+    assert budget <= WINDOW - 2 / 3, (
+        f"capacity slack below 2 tier-1 entries ({budget:.2f} > "
+        f"{WINDOW - 2/3:.2f}) — consolidate or promote BEFORE adding queries"
     )
 
 

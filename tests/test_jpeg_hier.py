@@ -183,6 +183,29 @@ class TestStructuralErrors:
         with pytest.raises(ValueError):
             decode_jpeg(bytes(data))
 
+    def test_dhp_component_without_frame_rejected(self):
+        # a DHP that declares a component no frame ever assigns must be
+        # a structural error at EOI, not a silent grayscale decode
+        # (ADVICE r12: truncated multi-component hierarchical streams
+        # were dropping the missing components)
+        g = np.zeros((16, 16), np.uint8)
+        data = bytearray(encode_jpeg_hierarchical(g, levels=2))
+        j = data.find(b"\xff\xde")
+        seg_len = int.from_bytes(data[j + 2: j + 4], "big")
+        body = bytearray(data[j + 4: j + 2 + seg_len])
+        nf = body[5]
+        extra_cid = max(body[6 + 3 * i] for i in range(nf)) + 1
+        body[5] = nf + 1
+        body += bytes([extra_cid, 0x11, 0x00])
+        patched = (
+            data[:j + 2]
+            + (seg_len + 3).to_bytes(2, "big")
+            + body
+            + data[j + 2 + seg_len:]
+        )
+        with pytest.raises(ValueError, match="never assigned"):
+            decode_jpeg(bytes(patched))
+
     def test_levels_validation(self):
         g = np.zeros((8, 8), np.uint8)
         with pytest.raises(ValueError):

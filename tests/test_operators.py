@@ -2268,6 +2268,21 @@ def test_bloom_membership_properties(spark):
     got = bloom_membership(dup, dup, "v", "id").collect()[0]
     assert got["might_contain"] is True
 
+    # duplicate KEYS with different values flag per-VALUE (ADVICE r12:
+    # the per-key groupBy merged hit counts across values sharing a
+    # key, corrupting both rows' flags)
+    dup_keys = spark.createDataFrame(
+        [(1, "member-00001"), (1, "zz-not-in-corpus"), (2, "member-00002")],
+        "id bigint, v string",
+    )
+    per_value = {
+        r["v"]: r["might_contain"]
+        for r in bloom_membership(corpus, dup_keys, "v", "id").collect()
+    }
+    assert per_value["member-00001"] is True
+    assert per_value["member-00002"] is True
+    assert per_value["zz-not-in-corpus"] is False
+
     # parameter validation
     import pytest as _pt
 
