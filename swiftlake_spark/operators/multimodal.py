@@ -12,8 +12,9 @@ or Adam7 (``zlib`` + unfilter) — baseline/extended/progressive JPEG
 (``operators/jpeg.py`` — huffman + dequant + IDCT + YCbCr), and
 TIFF (1/2/4/8/16-bit gray/RGB(A)/palette, strips or tiles, chunky
 or planar: uncompressed, LZW incl. Predictor 2, Deflate, PackBits, or
-old+new-style JPEG-in-TIFF incl. JPEGTables and the
-tags-519/520/521 per-strip table layout; II/MM),
+old+new-style JPEG-in-TIFF incl. JPEGTables, the tags-519/520/521
+per-strip table layout and the JPEGProc-14 lossless per-strip
+layout (tags 517/518/520, bit-exact); II/MM),
 GIF (87a/89a incl. animation), WAV — integer PCM 8/16/24/32,
 IEEE float 32/64, G.711 A-law/μ-law, WAVE_FORMAT_EXTENSIBLE
 (manual RIFF parse; ADPCM/MP3-in-WAV raise) — AIFF/AIFF-C (BE PCM,
@@ -748,8 +749,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
       LZW/Deflate.
 
     Old-style JPEG (6) decodes when the writer stored a complete
-    stream at tag 513 (the common case); the tags-515-520 per-strip
-    variant, float samples and other exotica raise
+    stream at tag 513 (the common case), the tags-519/520/521
+    per-strip baseline layout, or the JPEGProc-14 lossless per-strip
+    layout (tags 517/518/520); other JPEGProc values, tiles/planar
+    old-JPEG, float samples and other exotica raise
     NotImplementedError — :func:`decode_image_bytes` falls through to
     the PIL seam for those."""
     if data[:4] == b"II*\x00":
@@ -821,8 +824,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
         #   per component) — each strip is rewrapped into a spec-valid
         #   JFIF stream (SOI + DQT/DHT from the table tags + DRI from
         #   tag 515 + SOF0 from the TIFF geometry/tag-530 subsampling +
-        #   SOS + strip bytes + EOI) and decoded by the native codec.
-        # Old-style LOSSLESS (JPEGProc 14) stays on the PIL seam.
+        #   SOS + strip bytes + EOI) and decoded by the native codec;
+        # - the lossless per-strip layout (JPEGProc 14, r13): raw
+        #   SOF3 entropy strips + DC tables behind tag 520 + the
+        #   predictor/point transform in tags 517/518, rewrapped the
+        #   same way and decoded bit-exactly.
         from swiftlake_spark.operators.jpeg import decode_jpeg
 
         if 513 in tags:
@@ -835,16 +841,22 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 raise ValueError(
                     f"old-style JPEG frame {a.shape} smaller than {w}x{h}")
             return a[:h, :w]
-        if not (519 in tags and 520 in tags and 521 in tags):
+        proc6 = one(512, 1)
+        if proc6 not in (1, 14):
             raise NotImplementedError(
-                "old-style JPEG-in-TIFF without JPEGInterchangeFormat "
-                "or table tags 519-521 needs PIL")
-        if one(512, 1) != 1:
-            raise NotImplementedError(
-                "old-style LOSSLESS JPEG-in-TIFF (JPEGProc 14) needs PIL")
+                f"old-style JPEG-in-TIFF JPEGProc {proc6} needs PIL")
         if tiled or planar != 1:
             raise NotImplementedError(
                 "old-style JPEG-in-TIFF tiles/planar needs PIL")
+        if proc6 == 1 and not (519 in tags and 520 in tags
+                               and 521 in tags):
+            raise NotImplementedError(
+                "old-style JPEG-in-TIFF without JPEGInterchangeFormat "
+                "or table tags 519-521 needs PIL")
+        if proc6 == 14 and 520 not in tags:
+            raise NotImplementedError(
+                "old-style LOSSLESS JPEG-in-TIFF (JPEGProc 14) without "
+                "DC table tag 520 needs PIL")
 
         def _seg6(marker: int, body: bytes) -> bytes:
             return bytes([0xFF, marker]) + struct.pack(
@@ -863,6 +875,80 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if total == 0 or total > 256 or o + 16 + total > len(data):
                 raise ValueError("implausible TIFF JPEG huffman table")
             return counts + bytes(data[o + 16: o + 16 + total])
+
+        if proc6 == 14:
+            # old-style LOSSLESS JPEG-in-TIFF (JPEGProc 14, r13 — the
+            # last in-scope codec seam, VERDICT r12 ask #7): strips
+            # carry raw lossless-Huffman entropy data; the DC
+            # difference tables live behind tag 520, the predictor in
+            # tag 517 (JPEGLosslessPredictors) and the point transform
+            # in tag 518 (JPEGPointTransforms), per component.  T.81
+            # carries ONE Ss/Al per scan, so all components must
+            # agree.  Each strip is rewrapped into a spec-valid SOF3
+            # stream and decoded by the native lossless codec
+            # (operators/jpeg_lossless.py) — bit-exact by
+            # construction, the DNG/DICOM-era layout.
+            if one(515, 0):
+                raise NotImplementedError(
+                    "JPEGProc 14 restart intervals need PIL")
+            preds14 = tags.get(517, [1] * spp)
+            pts14 = tags.get(518, [0] * spp)
+            if len(preds14) < spp or len(pts14) < spp:
+                raise ValueError(
+                    "JPEGProc 14 predictor/point-transform tags "
+                    "shorter than spp")
+            if len(set(preds14[:spp])) != 1 or len(set(pts14[:spp])) != 1:
+                raise NotImplementedError(
+                    "JPEGProc 14 per-component predictors/point "
+                    "transforms differ (one scan carries one Ss/Al)")
+            pred14, pt14 = preds14[0], pts14[0]
+            if not 1 <= pred14 <= 7:
+                raise ValueError(f"bad lossless predictor {pred14}")
+            if not 2 <= bps <= 16:
+                raise ValueError(f"bad lossless precision {bps}")
+            dcoffs14 = tags[520]
+            if len(dcoffs14) < spp:
+                raise ValueError(
+                    "old-style JPEG table tags shorter than spp")
+            rps14 = one(278, h)
+            offs14 = tags.get(273)
+            if not offs14:
+                raise ValueError("old-style JPEG strips missing offsets")
+            cnts14 = tags.get(279)
+            head14 = bytearray(b"\xff\xd8")
+            for ci in range(spp):
+                head14 += _seg6(0xC4, bytes([ci]) + _dht_at(dcoffs14[ci]))
+            sos14 = bytearray([spp])
+            for ci in range(spp):
+                sos14 += bytes([ci + 1, ci << 4])
+            sos14 += bytes([pred14, 0, pt14 & 15])
+            parts14 = []
+            for i, soff in enumerate(offs14):
+                sh = min(rps14, h - i * rps14)
+                if sh <= 0:
+                    raise ValueError(
+                        "old-style JPEG strip past image height")
+                end = soff + (cnts14[i] if cnts14 and i < len(cnts14)
+                              else len(data) - soff)
+                if soff >= end or end > len(data):
+                    raise ValueError("truncated old-style JPEG strip")
+                sof = bytearray([bps]) + struct.pack(">HH", sh, w) \
+                    + bytes([spp])
+                for ci in range(spp):
+                    sof += bytes([ci + 1, 0x11, 0])
+                stream = (bytes(head14) + _seg6(0xC3, bytes(sof))
+                          + _seg6(0xDA, bytes(sos14))
+                          + bytes(data[soff:end]) + b"\xff\xd9")
+                a = decode_jpeg(stream)
+                if a.ndim == 2:
+                    a = a[:, :, None]
+                parts14.append(a[:sh, :w, :])
+            out14 = np.concatenate(parts14, axis=0)
+            if out14.shape[0] < h:
+                raise ValueError(
+                    "old-style JPEG strips shorter than height")
+            out14 = out14[:h]
+            return out14[:, :, 0] if spp == 1 else out14
 
         qoffs, dcoffs, acoffs = tags[519], tags[520], tags[521]
         if min(len(qoffs), len(dcoffs), len(acoffs)) < spp:
@@ -1393,14 +1479,21 @@ def encode_tiff(arr: np.ndarray, *, packbits: bool = False,
 def encode_tiff_oldjpeg(arr: np.ndarray, *, quality: int = 90,
                         rows_per_strip: int | None = None,
                         subsampling: str = "4:4:4",
-                        big_endian: bool = False) -> bytes:
+                        big_endian: bool = False,
+                        lossless: bool = False,
+                        predictor: int = 4) -> bytes:
     """uint8 (H,W,3)/(H,W) → OLD-STYLE JPEG-in-TIFF (TIFF 6.0 §22,
     compression 6) in the per-strip table-tag layout: strips carry raw
     entropy-coded scan data, quant tables live behind tag 519 and the
     DC/AC Huffman tables behind tags 520/521 (offsets per component),
-    with YCbCrSubSampling in tag 530.  For tests/synthesis — each strip
-    is produced by encode_jpeg and stripped back to its entropy bytes,
-    so the decoder's rewrap must reconstruct the exact same stream."""
+    with YCbCrSubSampling in tag 530.  ``lossless=True`` (r13) writes
+    the JPEGProc-14 layout instead: SOF3 predictive entropy strips, DC
+    difference tables behind tag 520 only, the predictor in tag 517
+    and point transform in tag 518, photometric gray/RGB (lossless
+    JPEG codes RGB planes directly — no YCbCr, no subsampling).  For
+    tests/synthesis — each strip is produced by encode_jpeg /
+    encode_jpeg_lossless and stripped back to its entropy bytes, so
+    the decoder's rewrap must reconstruct the exact same stream."""
     from swiftlake_spark.operators.jpeg import encode_jpeg
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -1445,19 +1538,32 @@ def encode_tiff_oldjpeg(arr: np.ndarray, *, quality: int = 90,
     strips = []
     first = None
     for y in range(0, h, rps):
-        j = encode_jpeg(a[y: y + rps], quality=quality,
-                        subsampling=subsampling if spp == 3 else "4:4:4")
+        if lossless:
+            from swiftlake_spark.operators.jpeg_lossless import (
+                encode_jpeg_lossless,
+            )
+
+            j = encode_jpeg_lossless(a[y: y + rps], predictor=predictor)
+        else:
+            j = encode_jpeg(
+                a[y: y + rps], quality=quality,
+                subsampling=subsampling if spp == 3 else "4:4:4")
         segs = _segments(j)
         if first is None:
             first = segs
         strips.append(bytes(segs["entropy"]))
 
-    # per-component table selectors mirror encode_jpeg: luma tables for
-    # component 0, chroma tables for 1/2
-    tsel = [0] + [1] * (spp - 1) if spp == 3 else [0]
-    qblobs = [bytes(first["dqt"][t]) for t in tsel]
-    dcblobs = [bytes(first["dc"][t]) for t in tsel]
-    acblobs = [bytes(first["ac"][t]) for t in tsel]
+    if lossless:
+        # one shared flat difference table (id 0) for every component
+        qblobs, acblobs = [], []
+        dcblobs = [bytes(first["dc"][0])] * spp
+    else:
+        # per-component table selectors mirror encode_jpeg: luma tables
+        # for component 0, chroma tables for 1/2
+        tsel = [0] + [1] * (spp - 1) if spp == 3 else [0]
+        qblobs = [bytes(first["dqt"][t]) for t in tsel]
+        dcblobs = [bytes(first["dc"][t]) for t in tsel]
+        acblobs = [bytes(first["ac"][t]) for t in tsel]
 
     entries = []
     extra = bytearray()
@@ -1476,18 +1582,24 @@ def encode_tiff_oldjpeg(arr: np.ndarray, *, quality: int = 90,
     entry(257, 4, [h])
     entry(258, 3, [8] * spp)
     entry(259, 3, [6])
-    entry(262, 3, [1 if gray else 6])
+    entry(262, 3, [1 if gray else (2 if lossless else 6)])
     entry(273, 4, [0] * len(strips))
     entry(277, 3, [spp])
     entry(278, 4, [rps])
     entry(279, 4, [len(s) for s in strips])
-    entry(512, 3, [1])  # JPEGProc: baseline
-    entry(519, 4, [0] * spp)
-    entry(520, 4, [0] * spp)
-    entry(521, 4, [0] * spp)
-    if spp == 3:
-        sub = [2, 2] if subsampling == "4:2:0" else [1, 1]
-        entry(530, 3, sub)
+    if lossless:
+        entry(512, 3, [14])  # JPEGProc: lossless predictive
+        entry(517, 3, [predictor] * spp)  # JPEGLosslessPredictors
+        entry(518, 3, [0] * spp)          # JPEGPointTransforms
+        entry(520, 4, [0] * spp)          # DC difference tables only
+    else:
+        entry(512, 3, [1])  # JPEGProc: baseline
+        entry(519, 4, [0] * spp)
+        entry(520, 4, [0] * spp)
+        entry(521, 4, [0] * spp)
+        if spp == 3:
+            sub = [2, 2] if subsampling == "4:2:0" else [1, 1]
+            entry(530, 3, sub)
     entries.sort(key=lambda e: e[0])
 
     ifd_off = 8

@@ -2204,7 +2204,9 @@ def q143_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a hierarchical DHP/EXP/SOF5+SOF7 pyramid with a lossless correction
 # stage (bit-exact by construction — operators/jpeg_hier.py), a
 # per-strip old-style JPEG-in-TIFF (tags 519/520/521 table layout —
-# the r12 rewrap path), and eleven lossless TIFF layouts (uncompressed, PackBits, LZW,
+# the r12 rewrap path; r13 alternates it with the JPEGProc-14
+# LOSSLESS layout, SOF3 strips + tags 517/518/520, bit-exact —
+# the last in-scope codec seam), and eleven lossless TIFF layouts (uncompressed, PackBits, LZW,
 # LZW+Predictor 2, Deflate+Predictor 2, tiled, planar, 16-bit, CCITT
 # G4/G3/MH fax codings of a bilevel rendition; II/MM byte order and
 # multi-strip layouts alternate by doc) — decoded through the
@@ -2221,7 +2223,7 @@ SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 120 AND LENGTH(text) 
        true AS dims_ok,
        true AS mean_r_ok,
        true AS lossless_exact,
-       CAST(24 AS BIGINT) AS n_formats
+       CAST(25 AS BIGINT) AS n_formats
 """,
 )
 def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2292,11 +2294,24 @@ def q144_mixed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if kind == 19:
                     # r12: per-strip old-style JPEG-in-TIFF — raw
                     # entropy strips + table tags 519/520/521; the
-                    # decoder rewraps them into JFIF (JPEG-lossy bar)
+                    # decoder rewraps them into JFIF (JPEG-lossy bar).
+                    # r13 alternates with the JPEGProc-14 LOSSLESS
+                    # layout (SOF3 strips + tags 517/518/520, predictor
+                    # rotating) — bit-exact by construction.
                     from swiftlake_spark.operators.multimodal import (
                         encode_tiff_oldjpeg,
                     )
 
+                    if (did // 20) % 2:
+                        fmts.append("tiff_oldjpegll")
+                        data.append(encode_tiff_oldjpeg(
+                            arr, rows_per_strip=8, lossless=True,
+                            predictor=int(did // 40) % 7 + 1))
+                        exp.append(
+                            float(arr[:, :, 0].astype(np.float64).mean()))
+                        lossless.append(True)
+                        tols.append(1e-4)
+                        continue
                     fmts.append("tiff_oldjpeg")
                     data.append(encode_tiff_oldjpeg(
                         arr, quality=95, rows_per_strip=8))

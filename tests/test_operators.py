@@ -2329,9 +2329,9 @@ def test_tiff_old_style_jpeg_table_tags():
     """r12: the per-strip old-style JPEG-in-TIFF layout (raw entropy
     strips + quant/Huffman tables behind tags 519/520/521 + tag-530
     subsampling) decodes natively across strip sizes, subsamplings,
-    byte orders and gray/color — closing the last named TIFF seam
-    except old-style LOSSLESS (JPEGProc 14), which stays an honest
-    raise."""
+    byte orders and gray/color.  r13 closes the last named TIFF seam:
+    old-style LOSSLESS (JPEGProc 14 — SOF3 strips, tags 517/518/520)
+    decodes natively and BIT-EXACTLY."""
     import numpy as np
     import pytest
 
@@ -2359,16 +2359,35 @@ def test_tiff_old_style_jpeg_table_tags():
     got = decode_tiff(encode_tiff_oldjpeg(g, rows_per_strip=24))
     assert np.array_equal(got, g)
 
-    # JPEGProc 14 (old-style lossless) raises to the seam
+    # JPEGProc 14 (old-style LOSSLESS, r13): SOF3 entropy strips with
+    # DC tables behind tag 520 and predictor/point-transform tags
+    # 517/518 — rewrap must be BIT-EXACT (there is no quantization)
+    for kw in ({}, {"rows_per_strip": 16}, {"big_endian": True},
+               {"predictor": 1}, {"predictor": 7, "rows_per_strip": 8}):
+        for img in (rgb, g):
+            t = encode_tiff_oldjpeg(img, lossless=True, **kw)
+            assert np.array_equal(decode_tiff(t), img), kw
+
+    # unsupported JPEGProc values still raise to the seam
     t = bytearray(encode_tiff_oldjpeg(g))
-    # tag 512 is SHORT inline: find its entry and patch the value
     import struct as _s
     nent = _s.unpack_from("<H", t, 8)[0]
     for k in range(nent):
         off = 10 + 12 * k
         if _s.unpack_from("<H", t, off)[0] == 512:
-            t[off + 8: off + 10] = _s.pack("<H", 14)
-    with pytest.raises(NotImplementedError, match="JPEGProc 14"):
+            t[off + 8: off + 10] = _s.pack("<H", 3)
+    with pytest.raises(NotImplementedError, match="JPEGProc 3"):
+        decode_tiff(bytes(t))
+
+    # per-component predictor disagreement raises (one scan = one Ss)
+    t = bytearray(encode_tiff_oldjpeg(rgb, lossless=True))
+    nent = _s.unpack_from("<H", t, 8)[0]
+    for k in range(nent):
+        off = 10 + 12 * k
+        if _s.unpack_from("<H", t, off)[0] == 517:
+            voff = _s.unpack_from("<I", t, off + 8)[0]
+            t[voff: voff + 2] = _s.pack("<H", 2)  # comp-0 predictor differs
+    with pytest.raises(NotImplementedError, match="predictors"):
         decode_tiff(bytes(t))
 
 
@@ -2385,18 +2404,21 @@ def test_tiff_old_style_jpeg_table_mutation_fuzz():
     rng = np.random.default_rng(61)
     yy, xx = np.mgrid[0:24, 0:32]
     img = np.stack([np.clip(40 + yy * 3, 0, 255)] * 3, -1).astype(np.uint8)
-    base = encode_tiff_oldjpeg(img, rows_per_strip=8)
     n = 0
-    for k in range(200):
-        b = bytearray(base)
-        if k % 2:
-            b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
-        else:
-            b = b[: int(rng.integers(8, len(b)))]
-        try:
-            out = decode_tiff(bytes(b))
-            assert out.dtype == np.uint8
-        except (ValueError, NotImplementedError):
-            pass
-        n += 1
-    assert n == 200
+    for base in (encode_tiff_oldjpeg(img, rows_per_strip=8),
+                 encode_tiff_oldjpeg(img, rows_per_strip=8,
+                                     lossless=True)):
+        for k in range(200):
+            b = bytearray(base)
+            if k % 2:
+                b[int(rng.integers(0, len(b)))] ^= \
+                    1 << int(rng.integers(0, 8))
+            else:
+                b = b[: int(rng.integers(8, len(b)))]
+            try:
+                out = decode_tiff(bytes(b))
+                assert out.dtype == np.uint8
+            except (ValueError, NotImplementedError):
+                pass
+            n += 1
+    assert n == 400
