@@ -54,6 +54,11 @@ def canon_value(v):
     if isinstance(v, decimal.Decimal):
         return f"dec:{v}"  # exact, scale-preserving; never collapses to float
     if isinstance(v, datetime.datetime):
+        # tz-awareness is part of the rendering: a naive 12:00 must NOT
+        # silently equal an aware 12:00+00:00 (same erasure class as the
+        # decimal float-collapse — the driver may render the offset)
+        if v.tzinfo is not None:
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f%z")
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.date):
         return v.isoformat()

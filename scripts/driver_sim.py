@@ -44,7 +44,10 @@ def canon(v):
         if math.isinf(v): return "inf" if v > 0 else "-inf"
         return repr(v)
     if isinstance(v, decimal.Decimal): return f"dec:{v}"  # exact at declared scale — no float collapse (r12 q121)
-    if isinstance(v, datetime.datetime): return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.datetime):
+        # render tz offset when aware — naive must not equal aware (r13)
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f%z" if v.tzinfo is not None
+                          else "%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.date): return v.isoformat()
     return repr(v)
 

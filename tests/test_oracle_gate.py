@@ -66,6 +66,14 @@ def test_canon_decimal_is_exact_at_declared_scale():
     # equal Decimals at equal scale still match
     assert canon_value(Decimal("123.40")) == canon_value(Decimal("123.40"))
 
+    # naive vs tz-aware timestamps render distinctly (same erasure class)
+    import datetime as dt
+
+    naive = dt.datetime(2026, 1, 1, 12, 0, 0)
+    aware = dt.datetime(2026, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    assert canon_value(naive) != canon_value(aware)
+    assert canon_value(aware) == canon_value(aware)
+
 
 def test_check_query_rejects_decimal_output(spark, oracle_con):
     """A Spark result schema with DECIMAL columns fails loudly in the
