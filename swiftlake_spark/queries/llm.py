@@ -2839,3 +2839,127 @@ def q153_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q154 — count-min frequency sketch (r13): the heavy-hitter /
+# frequency-estimation sibling of q152's bloom filter, completing the
+# classic sketch trio (HLL cardinality = q25, membership = q152,
+# frequency = q154).  The sketch is never a mutable array: the counter
+# table is a (row, position, count) relation built by one posexplode +
+# groupBy, bounded by d * 2^bits rows REGARDLESS of corpus size
+# (operators/sketches.count_min_frequencies — d=4 rows carved from
+# disjoint hex windows of one MD5, so DuckDB derives the IDENTICAL
+# sketch).  TWO widths certify both operating regimes: w=256 is sized
+# right for the corpus vocabulary (estimates land exact at sf0.01) and
+# w=16 is deliberately undersized so collisions actually happen — the
+# oracle must reproduce every collision-INFLATED estimate bit-for-bit
+# (22 of 41 probe keys inflate at sf0.01), not just the easy exact
+# ones.  Ten never-seen probe keys certify the pure-collision-mass
+# path (7 land on nonzero counters under w=16), and the no_undercount
+# columns pin the sketch's one-sided error guarantee (min over d rows
+# can never undercount).  100 TB shape: corpus pass = one
+# bounded-output shuffle per width; probe pass = map-side posexplode +
+# broadcast join + one min-per-key shuffle; no Python eval, nothing at
+# the driver.
+# --------------------------------------------------------------------------
+@query(
+    "q154_count_min",
+    oracle=r"""
+WITH docs AS (
+  SELECT text FROM documents WHERE doc_id < 1500
+), occ AS (
+  SELECT t.tok FROM docs, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+), pos_w AS (
+  SELECT (o - 1) // 2 AS r,
+    (strpos('0123456789abcdef', substr(h, o, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(h, o + 1, 1)) - 1) AS p
+  FROM (SELECT md5(tok) AS h FROM occ),
+       UNNEST([1, 3, 5, 7]) AS t(o)
+), counters_w AS (
+  SELECT r, p, COUNT(*) AS c FROM pos_w GROUP BY r, p
+), pos_n AS (
+  SELECT o - 1 AS r,
+    strpos('0123456789abcdef', substr(h, o, 1)) - 1 AS p
+  FROM (SELECT md5(tok) AS h FROM occ),
+       UNNEST([1, 2, 3, 4]) AS t(o)
+), counters_n AS (
+  SELECT r, p, COUNT(*) AS c FROM pos_n GROUP BY r, p
+), vocab AS (
+  SELECT DISTINCT tok FROM occ
+  UNION
+  SELECT 'zz-' || i || '-unseen' FROM range(10) AS t(i)
+), probe_w AS (
+  SELECT tok, (o - 1) // 2 AS r,
+    (strpos('0123456789abcdef', substr(h, o, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(h, o + 1, 1)) - 1) AS p
+  FROM (SELECT tok, md5(tok) AS h FROM vocab),
+       UNNEST([1, 3, 5, 7]) AS t(o)
+), est_w AS (
+  SELECT tok, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS n_est_wide
+  FROM probe_w LEFT JOIN counters_w USING (r, p) GROUP BY tok
+), probe_n AS (
+  SELECT tok, o - 1 AS r,
+    strpos('0123456789abcdef', substr(h, o, 1)) - 1 AS p
+  FROM (SELECT tok, md5(tok) AS h FROM vocab),
+       UNNEST([1, 2, 3, 4]) AS t(o)
+), est_n AS (
+  SELECT tok, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS n_est_narrow
+  FROM probe_n LEFT JOIN counters_n USING (r, p) GROUP BY tok
+), tru AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_true FROM occ GROUP BY tok
+)
+SELECT v.tok,
+       CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+       w.n_est_wide,
+       n.n_est_narrow,
+       w.n_est_wide >= COALESCE(t.n_true, 0) AS wide_no_undercount,
+       n.n_est_narrow >= COALESCE(t.n_true, 0) AS narrow_no_undercount,
+       CAST(n.n_est_narrow - COALESCE(t.n_true, 0) AS BIGINT)
+         AS narrow_overestimate
+FROM vocab v
+JOIN est_w w USING (tok)
+JOIN est_n n USING (tok)
+LEFT JOIN tru t ON v.tok = t.tok
+ORDER BY tok
+""",
+    doc="count-min frequency sketch (bounded relational counters)",
+)
+def q154_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swiftlake_spark.operators.sketches import count_min_frequencies
+
+    occ = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1500)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    unseen = spark.createDataFrame(
+        [(f"zz-{i}-unseen",) for i in range(10)], "tok string"
+    )
+    vocab = occ.select("tok").distinct().unionByName(unseen)
+    wide = count_min_frequencies(
+        occ, vocab, "tok", bits_per_pos=8, out_col="n_est_wide")
+    narrow = count_min_frequencies(
+        occ, vocab, "tok", bits_per_pos=4, out_col="n_est_narrow")
+    tru = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    zero = F.lit(0).cast("bigint")
+    true_n = F.coalesce("n_true", zero)
+    return (
+        wide.join(narrow, "tok")
+        .join(tru, "tok", "left")
+        .select(
+            "tok",
+            true_n.alias("n_true"),
+            "n_est_wide",
+            "n_est_narrow",
+            (F.col("n_est_wide") >= true_n).alias("wide_no_undercount"),
+            (F.col("n_est_narrow") >= true_n).alias("narrow_no_undercount"),
+            (F.col("n_est_narrow") - true_n)
+            .cast("bigint")
+            .alias("narrow_overestimate"),
+        )
+        .orderBy("tok")
+    )

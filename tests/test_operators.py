@@ -2292,6 +2292,59 @@ def test_bloom_membership_properties(spark):
         bloom_positions(F.col("v"), k=2, bits_per_pos=13)
 
 
+def test_count_min_frequencies_properties(spark):
+    """r13 count-min sketch: never undercounts, exact when the counter
+    space dwarfs the vocabulary, collision-inflated but still one-sided
+    when undersized, bounded counter relation, pure-JVM plan."""
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.operators.sketches import (
+        cm_positions,
+        count_min_frequencies,
+    )
+
+    # planted frequencies: token i appears (i + 1) times, i in 0..29
+    rows = [(f"tok-{i:03d}",) for i in range(30) for _ in range(i + 1)]
+    corpus = spark.createDataFrame(rows, "tok string")
+    probe = spark.createDataFrame(
+        [(f"tok-{i:03d}",) for i in range(30)]
+        + [(f"absent-{i}",) for i in range(5)],
+        "tok string",
+    )
+    true_n = {f"tok-{i:03d}": i + 1 for i in range(30)}
+
+    # wide sketch (d=4, w=65536): no collisions possible to matter here
+    wide = count_min_frequencies(
+        corpus, probe, "tok", bits_per_pos=16, out_col="est")
+    got = {r["tok"]: r["est"] for r in wide.collect()}
+    assert all(got[t] == n for t, n in true_n.items()), got
+    assert all(got[f"absent-{i}"] == 0 for i in range(5))
+
+    # undersized sketch (d=4, w=16): collisions inflate, never deflate
+    narrow = count_min_frequencies(
+        corpus, probe, "tok", bits_per_pos=4, out_col="est")
+    gotn = {r["tok"]: r["est"] for r in narrow.collect()}
+    assert all(gotn[t] >= n for t, n in true_n.items()), gotn
+    assert any(gotn[t] > n for t, n in true_n.items()), (
+        "w=16 with 35 keys must collide somewhere")
+
+    # the counter relation is bounded by d * w regardless of corpus size
+    counters = corpus.select(
+        F.posexplode(cm_positions(F.col("tok"), 4, 4)).alias("r", "p")
+    ).groupBy("r", "p").count()
+    assert counters.count() <= 4 * 16
+
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cm_positions(F.col("tok"), d=40, bits_per_pos=16)
+    with _pt.raises(ValueError):
+        cm_positions(F.col("tok"), d=2, bits_per_pos=13)
+
+
 def test_normalize_for_dedup_edges(spark):
     """r12 normalization: empty / all-punct / digit-run / mixed-case
     edge shapes, and the canonical property that cosmetic variants
