@@ -170,11 +170,13 @@ def test_registry_size_keeps_invariant_feasible(state):
         f"= {budget:.1f} > {WINDOW} — consolidate queries, promote "
         "pytest-pinned verdict queries to tier 2, or widen the window"
     )
-    # Headroom floor (VERDICT r12 ask #5): keep room for >= 2 more tier-1
-    # entries so a new operator can register without a same-round
-    # consolidation scramble.
-    assert budget <= WINDOW - 2 / 3, (
-        f"capacity slack below 2 tier-1 entries ({budget:.2f} > "
+    # Headroom floor (VERDICT r12 ask #5, tightened to STRICT inequality
+    # r14 per VERDICT r13 ask #1): keep room for MORE THAN 2 further
+    # tier-1 entries so a new operator can register without a same-round
+    # consolidation scramble — r13 sat at exact equality, which
+    # mechanically blocked the next registration.
+    assert budget < WINDOW - 2 / 3, (
+        f"capacity slack at/below 2 tier-1 entries ({budget:.2f} >= "
         f"{WINDOW - 2/3:.2f}) — consolidate or promote BEFORE adding queries"
     )
 
