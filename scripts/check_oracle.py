@@ -99,22 +99,24 @@ def check_query(spark, con, qd, sf_dir: str):
 
     sdf = qd.fn(spark, sf_dir)
     s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
-    if qd.oracle is None:
-        return None, len(s_rows)
     # Convention breach tripwire (r13, VERDICT r12 ask #3): computed
     # numerics must end as DOUBLE on both sides — the driver's hash
     # canonicalization of DECIMAL renderings is unobservable from the
     # repo (the r12 q121 lesson), so any decimal output column fails
-    # loudly here before it can fail silently at the driver.
+    # loudly here before it can fail silently at the driver.  Checked
+    # BEFORE collect() (ADVICE r13): the schema alone decides, so a
+    # breaching query doesn't pay a full Spark execution first.
     dec_cols = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
-    if dec_cols:
+    if qd.oracle is not None and dec_cols:
         return (
             f"Spark output has DECIMAL columns {dec_cols} — breaches the "
             "cast-back-to-DOUBLE convention (queries/__init__.py docstring); "
             "the driver's decimal hash rendering is unobservable (r12 q121)",
-            len(s_rows),
+            0,
         )
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if qd.oracle is None:
+        return None, len(s_rows)
     res = con.execute(qd.oracle)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()

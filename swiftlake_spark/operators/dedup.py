@@ -743,14 +743,18 @@ def bloom_membership(
     )
     if broadcast_positions:
         set_bits = F.broadcast(set_bits)
+    # the flag rides a reserved temp name so a probe that ALREADY has
+    # an out_col column is replaced (withColumn semantics), not joined
+    # into an ambiguous duplicate (ADVICE r13)
     flags = (
         probe.select(value_col).distinct()
         .select(value_col, F.explode(pos).alias("__p"))
         .join(set_bits, "__p", "left_semi")
         .groupBy(value_col)
-        .agg((F.count(F.lit(1)) == k).alias(out_col))
+        .agg((F.count(F.lit(1)) == k).alias("__bloom_flag"))
     )
     return (
         probe.join(flags, value_col, "left")
-        .withColumn(out_col, F.coalesce(out_col, F.lit(False)))
+        .withColumn(out_col, F.coalesce(F.col("__bloom_flag"), F.lit(False)))
+        .drop("__bloom_flag")
     )

@@ -891,6 +891,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if one(515, 0):
                 raise NotImplementedError(
                     "JPEGProc 14 restart intervals need PIL")
+            if photometric not in (1, 2):
+                # lossless strips carry raw coded planes — the codec
+                # applies NO color transform, so anything but
+                # min-is-black gray (1) / RGB (2) (e.g. YCbCr 6 or
+                # white-is-zero 0, which the direct return below would
+                # hand back untransformed/uninverted) routes to the
+                # seam, matching the baseline raw-RGB/YCbCr routing.
+                raise NotImplementedError(
+                    f"JPEGProc 14 photometric {photometric} needs PIL")
             preds14 = tags.get(517, [1] * spp)
             pts14 = tags.get(518, [0] * spp)
             if len(preds14) < spp or len(pts14) < spp:
@@ -915,6 +924,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if not offs14:
                 raise ValueError("old-style JPEG strips missing offsets")
             cnts14 = tags.get(279)
+            if cnts14 is None and len(offs14) > 1:
+                # without StripByteCounts every strip slice would run
+                # to len(data), silently including all later strips'
+                # bytes in strip i's rewrapped stream — reject instead
+                # of relying on the reader stopping at h*w*nc samples
+                raise ValueError(
+                    "multi-strip JPEGProc 14 without StripByteCounts")
             head14 = bytearray(b"\xff\xd8")
             for ci in range(spp):
                 head14 += _seg6(0xC4, bytes([ci]) + _dht_at(dcoffs14[ci]))

@@ -2283,6 +2283,15 @@ def test_bloom_membership_properties(spark):
     assert per_value["member-00002"] is True
     assert per_value["zz-not-in-corpus"] is False
 
+    # a probe that ALREADY has the out_col is replaced, not joined into
+    # an ambiguous duplicate (ADVICE r13: the flag join used the public
+    # name, so coalesce(out_col) raised AnalysisException)
+    pre_flagged = probe.withColumn("might_contain", F.lit(True))
+    rows2 = {r["id"]: r["might_contain"]
+             for r in bloom_membership(corpus, pre_flagged, "v", "id").collect()}
+    assert all(rows2[i] for i in range(400))
+    assert sum(1 for i in range(400, 2000) if rows2[i]) <= 2
+
     # parameter validation
     import pytest as _pt
 
@@ -2441,6 +2450,33 @@ def test_tiff_old_style_jpeg_table_tags():
             voff = _s.unpack_from("<I", t, off + 8)[0]
             t[voff: voff + 2] = _s.pack("<H", 2)  # comp-0 predictor differs
     with pytest.raises(NotImplementedError, match="predictors"):
+        decode_tiff(bytes(t))
+
+    # proc-14 photometric outside gray(1)/RGB(2) routes to the seam —
+    # the lossless codec applies no color transform, so a YCbCr (6) or
+    # white-is-zero (0) tag would otherwise return raw coded planes
+    # (ADVICE r13)
+    for bad_phot in (6, 0):
+        t = bytearray(encode_tiff_oldjpeg(rgb, lossless=True))
+        nent = _s.unpack_from("<H", t, 8)[0]
+        for k in range(nent):
+            off = 10 + 12 * k
+            if _s.unpack_from("<H", t, off)[0] == 262:
+                t[off + 8: off + 10] = _s.pack("<H", bad_phot)
+        with pytest.raises(NotImplementedError, match="photometric"):
+            decode_tiff(bytes(t))
+
+    # multi-strip proc-14 without StripByteCounts rejects instead of
+    # letting every strip slice run to EOF (ADVICE r13): retag 279 to
+    # an unknown id so the reader sees it as absent
+    t = bytearray(encode_tiff_oldjpeg(rgb, lossless=True,
+                                      rows_per_strip=16))
+    nent = _s.unpack_from("<H", t, 8)[0]
+    for k in range(nent):
+        off = 10 + 12 * k
+        if _s.unpack_from("<H", t, off)[0] == 279:
+            t[off: off + 2] = _s.pack("<H", 32999)
+    with pytest.raises(ValueError, match="StripByteCounts"):
         decode_tiff(bytes(t))
 
 
