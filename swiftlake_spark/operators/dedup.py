@@ -92,6 +92,146 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def band_keys(
+    sig: DataFrame, n_hashes: int, bands: int, *, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """Band a MinHash signature relation into LSH keys: (id, band, bh).
+
+    This is the persistable form of the signature — band keys are what
+    the banding self-join (``lsh_candidate_pairs``) and the incremental
+    probe (``incremental_dedup``) actually match on, so a "signature
+    index" table stores exactly this relation: ``bands`` rows per
+    document, independent of document size.
+
+    ``hash_fn='xxhash64'`` hashes each band's rows numerically (fast
+    path); ``hash_fn='md5'`` concatenates the hex signature columns and
+    md5s them — the form a SQL oracle reproduces (queries/llm.py
+    ``_minhash_pair_ctes``).
+    """
+    if bands <= 0 or bands > n_hashes or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands must evenly divide n_hashes ({n_hashes}); got {bands} — "
+            "a remainder would silently drop trailing hashes from every "
+            "band and change the tuned S-curve"
+        )
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bh = (
+            F.xxhash64(*parts)
+            if hash_fn == "xxhash64"
+            else F.md5(F.concat(*parts))
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    return sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "bk.band", "bk.bh")
+
+
+def signature_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Document text → persistable LSH signature index: (id, band, bh).
+
+    The incremental-crawl contract: write this relation to a lakehouse
+    table ONCE per corpus, then dedup every future batch against the
+    stored keys with :func:`incremental_dedup` — the corpus text is
+    never re-shingled.  Size: ``bands`` rows per document regardless of
+    document length; the shingle explode and signature aggregate are the
+    same one-shuffle pass ``minhash_lsh_dedup`` runs."""
+    sh = shingles(df, id_col, text_col, shingle_k)
+    sig = minhash_signatures(sh, n_hashes, hash_fn)
+    return band_keys(sig, n_hashes, bands, hash_fn=hash_fn)
+
+
+def incremental_dedup(
+    index_bands: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+    bloom_prefilter: bool = True,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-dup flag a NEW batch against a PERSISTED signature index —
+    the standard incremental-crawl pattern: the old corpus is never
+    re-read as text, only its stored band keys (:func:`signature_index`)
+    are probed.
+
+    Returns one row per ``new_df`` document: (id, is_dup, n_bands_hit,
+    first_match) where ``first_match`` is the minimum matching index id
+    (NULL when none) and ``n_bands_hit`` counts the distinct bands that
+    collided — the LSH OR-construction evidence strength.
+
+    100 TB shape (corpus-sized index, day-sized batch):
+
+    - the batch's band keys are ``bands × |batch|`` rows — the SMALL
+      side.  ``broadcast_new=True`` broadcasts them, so the index scan
+      is one map-side pass: NO shuffle of the index, the property that
+      makes daily increments affordable against a 100 TB corpus;
+    - ``bloom_prefilter=True`` first probes the batch keys against a
+      bloom of the index keys (:func:`bloom_membership` — the set-bits
+      relation is bounded by m rows and broadcast): batch keys that
+      cannot be in the index never reach the join.  Zero false
+      negatives by construction, so the RESULT is identical with the
+      filter on or off — false positives only cost join work.  In a
+      real deployment the set-bits relation is persisted next to the
+      index and the index scan is skipped entirely when nothing
+      survives;
+    - the per-new-doc aggregate and the flag join back onto the batch
+      shuffle only batch-sized relations.
+    """
+    new_bands = signature_index(
+        new_df, id_col, text_col,
+        shingle_k=shingle_k, n_hashes=n_hashes, bands=bands, hash_fn=hash_fn,
+    )
+    idx = index_bands.select(
+        F.col("id").alias("__old_id"), "band", "bh"
+    )
+    if bloom_prefilter:
+        key = F.concat_ws(":", F.col("band").cast("string"),
+                          F.col("bh").cast("string"))
+        flagged = bloom_membership(
+            idx.select(key.alias("__bk")),
+            new_bands.select("id", "band", "bh", key.alias("__bk")),
+            "__bk", "id", out_col="__maybe",
+        )
+        new_bands = flagged.filter(F.col("__maybe")).select("id", "band", "bh")
+    probe = new_bands.select(F.col("id").alias("__new_id"), "band", "bh")
+    if broadcast_new:
+        probe = F.broadcast(probe)
+    hits = (
+        idx.join(probe, ["band", "bh"])
+        .groupBy("__new_id")
+        .agg(
+            F.countDistinct("band").alias("n_bands_hit"),
+            F.min("__old_id").alias("first_match"),
+        )
+    )
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(hits, F.col("id") == F.col("__new_id"), "left")
+        .select(
+            "id",
+            F.col("__new_id").isNotNull().alias("is_dup"),
+            F.coalesce("n_bands_hit", F.lit(0)).alias("n_bands_hit"),
+            "first_match",
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, n_hashes: int, bands: int, *, star_edges: bool = False
 ) -> DataFrame:
@@ -112,22 +252,7 @@ def lsh_candidate_pairs(
     differs from their similarity to a neighbor.  Multi-band OR keeps
     several independent stars per doc, which restores most of that.
     Pair-exact callers (q48's oracle surface) keep the default."""
-    if bands <= 0 or bands > n_hashes or n_hashes % bands != 0:
-        raise ValueError(
-            f"bands must evenly divide n_hashes ({n_hashes}); got {bands} — "
-            "a remainder would silently drop trailing hashes from every "
-            "band and change the tuned S-curve"
-        )
-    rows_per_band = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("bh"))
-        )
-    banded = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", "bk.band", "bk.bh")
+    banded = band_keys(sig, n_hashes, bands)
     if star_edges:
         hubs = banded.groupBy("band", "bh").agg(F.min("id").alias("id_a"))
         return (

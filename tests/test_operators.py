@@ -49,6 +49,63 @@ def test_minhash_lsh_finds_planted_near_dup(spark, docs):
     assert any(p["id_a"] == 0 and p["id_b"] == 9999 for p in pairs)
 
 
+def test_incremental_dedup_against_persisted_index(spark, docs, tmp_path):
+    """r14 incremental-crawl pattern: a new batch is flagged against a
+    PERSISTED signature index — planted exact and near dups are caught,
+    a fresh document is not, the index text is never re-shingled (the
+    operator only sees stored band keys), the result is identical with
+    the bloom pre-filter on and off, and the plan broadcasts the batch
+    side so the corpus-sized index is never shuffled."""
+    from swiftlake_spark.operators.dedup import (
+        incremental_dedup,
+        signature_index,
+    )
+
+    corpus = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    # persist the index through a real parquet round-trip — the operator
+    # receives band keys that provably cannot re-derive the text
+    idx_path = str(tmp_path / "sig_index")
+    signature_index(
+        corpus, "doc_id", "text", n_hashes=16, bands=8
+    ).write.parquet(idx_path)
+    index_bands = spark.read.parquet(idx_path)
+    assert set(index_bands.columns) == {"id", "band", "bh"}
+
+    d0 = corpus.filter(F.col("doc_id") == 0)
+    batch = (
+        d0.select(F.lit(1000).cast("bigint").alias("doc_id"), "text")  # exact dup
+        .unionByName(d0.select(
+            F.lit(1001).cast("bigint").alias("doc_id"),
+            F.concat(F.lit("zzz "), F.substring("text", 5, 100000)).alias("text"),
+        ))  # near dup
+        .unionByName(spark.createDataFrame(
+            [(1002, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh")],
+            "doc_id bigint, text string",
+        ))  # fresh
+    )
+    flagged = incremental_dedup(
+        index_bands, batch, "doc_id", "text", n_hashes=16, bands=8)
+    rows = {r["id"]: r for r in flagged.collect()}
+    assert rows[1000]["is_dup"] and rows[1000]["first_match"] == 0
+    assert rows[1000]["n_bands_hit"] == 8  # exact dup shares every band
+    assert rows[1001]["is_dup"] and rows[1001]["n_bands_hit"] >= 1
+    assert not rows[1002]["is_dup"]
+    assert rows[1002]["n_bands_hit"] == 0 and rows[1002]["first_match"] is None
+
+    # bloom pre-filter is result-invariant (zero false negatives)
+    no_bloom = incremental_dedup(
+        index_bands, batch, "doc_id", "text", n_hashes=16, bands=8,
+        bloom_prefilter=False)
+    assert sorted(map(tuple, flagged.collect())) == \
+        sorted(map(tuple, no_bloom.collect()))
+
+    # scale shape: the probe join broadcasts the batch side; nothing
+    # drops to row-at-a-time Python
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     from swiftlake_spark.operators.dedup import simhash
 
