@@ -106,6 +106,53 @@ def test_incremental_dedup_against_persisted_index(spark, docs, tmp_path):
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
+def test_incremental_crawl_loop_grows_lakehouse_index(spark, docs, catalog):
+    """The full incremental-crawl loop over a LAKEHOUSE index table:
+    flag batch 1 against the corpus index, append only the non-dup
+    batch-1 signatures (one lakehouse append — the corpus is never
+    re-signatured), then batch 2 must match batch-1 documents through
+    the GROWN index."""
+    from swiftlake_spark.operators.dedup import (
+        incremental_dedup,
+        signature_index,
+    )
+
+    corpus = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    idx0 = signature_index(corpus, "doc_id", "text", n_hashes=16, bands=8)
+    t = catalog.create_table("db.sig_index", idx0.schema)
+    t.append(idx0.select(t.schema.fieldNames()))
+
+    # batch 1: one dup of corpus doc 3, one genuinely new doc
+    batch1 = (
+        docs.filter(F.col("doc_id") == 3)
+        .select(F.lit(500).cast("bigint").alias("doc_id"), "text")
+        .unionByName(spark.createDataFrame(
+            [(501, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+            "doc_id bigint, text string",
+        ))
+    )
+    f1 = incremental_dedup(t.scan(), batch1, "doc_id", "text",
+                           n_hashes=16, bands=8)
+    r1 = {r["id"]: r["is_dup"] for r in f1.collect()}
+    assert r1[500] is True and r1[501] is False
+
+    # append ONLY the new document's signatures (the keeper policy)
+    keepers = batch1.filter(F.col("doc_id") == 501)
+    t.append(signature_index(keepers, "doc_id", "text",
+                             n_hashes=16, bands=8).select(t.schema.fieldNames()))
+    assert t.scan().count() == 41 * 8  # 40 corpus + 1 keeper, 8 bands each
+
+    # batch 2: a near-dup of the batch-1 keeper — only findable through
+    # the grown index
+    batch2 = spark.createDataFrame(
+        [(600, "alpha beta gamma delta epsilon zeta eta theta iota lambda")],
+        "doc_id bigint, text string",
+    )
+    f2 = incremental_dedup(t.scan(), batch2, "doc_id", "text",
+                           n_hashes=16, bands=8).collect()[0]
+    assert f2["is_dup"] is True and f2["first_match"] == 501
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     from swiftlake_spark.operators.dedup import simhash
 
