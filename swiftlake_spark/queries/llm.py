@@ -2921,9 +2921,12 @@ def q154_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_true"))
     zero = F.lit(0).cast("bigint")
     true_n = F.coalesce("n_true", zero)
+    # both estimate relations are vocab-bounded (same contract that
+    # broadcasts the sketch counters), so the three-way stitch is BHash
+    # instead of a vocab×vocab sort-merge (VERDICT r13 ask #7)
     return (
-        wide.join(narrow, "tok")
-        .join(tru, "tok", "left")
+        wide.join(F.broadcast(narrow), "tok")
+        .join(F.broadcast(tru), "tok", "left")
         .select(
             "tok",
             true_n.alias("n_true"),
