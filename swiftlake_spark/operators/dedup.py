@@ -164,6 +164,8 @@ def incremental_dedup(
     hash_fn: str = "xxhash64",
     bloom_prefilter: bool = True,
     broadcast_new: bool = True,
+    index_bloom_bits: DataFrame | None = None,
+    within_batch: bool = False,
 ) -> DataFrame:
     """Near-dup flag a NEW batch against a PERSISTED signature index —
     the standard incremental-crawl pattern: the old corpus is never
@@ -174,6 +176,20 @@ def incremental_dedup(
     first_match) where ``first_match`` is the minimum matching index id
     (NULL when none) and ``n_bands_hit`` counts the distinct bands that
     collided — the LSH OR-construction evidence strength.
+
+    ``index_bloom_bits``: a persisted :func:`bloom_bits` relation over
+    the index's ``band:bh`` key strings (same k=5/bits=16 defaults as
+    the inline build) — the pre-filter then reads the few-KB bloom
+    instead of deriving it from the index, so a batch with no matches
+    never scans the index at all.
+
+    ``within_batch=True`` additionally flags documents that duplicate
+    an EARLIER document of the SAME batch (lower id wins — the keeper
+    policy), via a band self-join of the batch keys; the output gains a
+    ``batch_match`` column (minimum earlier batch id, NULL when none)
+    and ``is_dup`` becomes index-hit OR batch-hit.  ``n_bands_hit`` and
+    ``first_match`` stay index-only.  Without this, a batch carrying
+    internal dups admits every copy whose text is new to the index.
 
     100 TB shape (corpus-sized index, day-sized batch):
 
@@ -193,13 +209,18 @@ def incremental_dedup(
     - the per-new-doc aggregate and the flag join back onto the batch
       shuffle only batch-sized relations.
     """
-    new_bands = signature_index(
+    all_new_bands = signature_index(
         new_df, id_col, text_col,
         shingle_k=shingle_k, n_hashes=n_hashes, bands=bands, hash_fn=hash_fn,
     )
+    if within_batch:
+        # batch keys feed two consumers (index probe + self-join) —
+        # persist, or the shingle/signature pass runs twice
+        all_new_bands = all_new_bands.persist()
     idx = index_bands.select(
         F.col("id").alias("__old_id"), "band", "bh"
     )
+    new_bands = all_new_bands
     if bloom_prefilter:
         key = F.concat_ws(":", F.col("band").cast("string"),
                           F.col("bh").cast("string"))
@@ -207,6 +228,7 @@ def incremental_dedup(
             idx.select(key.alias("__bk")),
             new_bands.select("id", "band", "bh", key.alias("__bk")),
             "__bk", "id", out_col="__maybe",
+            set_bits=index_bloom_bits,
         )
         new_bands = flagged.filter(F.col("__maybe")).select("id", "band", "bh")
     probe = new_bands.select(F.col("id").alias("__new_id"), "band", "bh")
@@ -220,7 +242,7 @@ def incremental_dedup(
             F.min("__old_id").alias("first_match"),
         )
     )
-    return (
+    out = (
         new_df.select(F.col(id_col).alias("id"))
         .join(hits, F.col("id") == F.col("__new_id"), "left")
         .select(
@@ -228,6 +250,29 @@ def incremental_dedup(
             F.col("__new_id").isNotNull().alias("is_dup"),
             F.coalesce("n_bands_hit", F.lit(0)).alias("n_bands_hit"),
             "first_match",
+        )
+    )
+    if not within_batch:
+        return out
+    # earlier-batch matches use the UNFILTERED batch keys: an internal
+    # dup pair is typically absent from the index, so the bloom (built
+    # over index keys) would drop exactly the colliding rows
+    a = all_new_bands.select(F.col("id").alias("__a"), "band", "bh")
+    b = all_new_bands.select(F.col("id").alias("__b"), "band", "bh")
+    batch_hits = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("__a") < F.col("__b"))
+        .groupBy("__b")
+        .agg(F.min("__a").alias("batch_match"))
+    )
+    return (
+        out.join(batch_hits, out["id"] == batch_hits["__b"], "left")
+        .select(
+            "id",
+            (F.col("is_dup") | F.col("__b").isNotNull()).alias("is_dup"),
+            "n_bands_hit",
+            "first_match",
+            "batch_match",
         )
     )
 
@@ -823,6 +868,30 @@ def bloom_positions(col: Column, k: int = 5,
     ])
 
 
+def bloom_bits(
+    corpus: DataFrame,
+    value_col: str,
+    *,
+    k: int = 5,
+    bits_per_pos: int = 16,
+) -> DataFrame:
+    """The persistable form of a bloom filter: the relation of DISTINCT
+    set bit positions over ``corpus[value_col]`` — one ``pos`` column,
+    bounded by m = 2^bits_per_pos rows regardless of corpus size.
+
+    Write this next to the data it summarizes (it is a few-KB parquet
+    even for m = 65536) and hand it to
+    ``bloom_membership(..., set_bits=...)`` or
+    ``incremental_dedup(..., index_bloom_bits=...)``: later probes then
+    never touch the corpus at all unless the bloom admits them — the
+    incremental-crawl fast path.  The (k, bits_per_pos) used to build
+    MUST match the probe's parameters; a mismatch silently probes the
+    wrong positions, so persist them alongside (e.g. in the table
+    name or properties)."""
+    pos = bloom_positions(F.col(value_col), k, bits_per_pos)
+    return corpus.select(F.explode(pos).alias("pos")).distinct()
+
+
 def bloom_membership(
     corpus: DataFrame,
     probe: DataFrame,
@@ -833,6 +902,7 @@ def bloom_membership(
     bits_per_pos: int = 16,
     out_col: str = "might_contain",
     broadcast_positions: bool = True,
+    set_bits: DataFrame | None = None,
 ) -> DataFrame:
     """Bloom-filter membership of ``probe[value_col]`` against the set
     of ``corpus[value_col]`` values — WITHOUT materializing a bitmap:
@@ -861,11 +931,17 @@ def bloom_membership(
     ``key_col`` (ADVICE r12: grouping by key merged hit counts across
     different values sharing a key, so two half-matching values could
     sum to k and flag a false positive; duplicate keys are now fine).
+
+    ``set_bits``: a PRE-BUILT positions relation (:func:`bloom_bits`,
+    e.g. read back from a lakehouse table) — the corpus pass is then
+    skipped entirely and ``corpus`` is ignored; (k, bits_per_pos) must
+    match the build.
     """
     pos = bloom_positions(F.col(value_col), k, bits_per_pos)
-    set_bits = (
-        corpus.select(F.explode(pos).alias("__p")).distinct()
-    )
+    if set_bits is None:
+        set_bits = corpus.select(F.explode(pos).alias("__p")).distinct()
+    else:
+        set_bits = set_bits.select(F.col(set_bits.columns[0]).alias("__p"))
     if broadcast_positions:
         set_bits = F.broadcast(set_bits)
     # the flag rides a reserved temp name so a probe that ALREADY has

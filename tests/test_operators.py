@@ -106,6 +106,82 @@ def test_incremental_dedup_against_persisted_index(spark, docs, tmp_path):
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
+def test_bloom_bits_persisted_roundtrip(spark, tmp_path):
+    """r14: bloom_bits is the persistable set-bits relation — written
+    to parquet and handed back via set_bits=, membership flags are
+    IDENTICAL to the inline corpus pass, and the relation stays bounded
+    by min(k*n, 2^bits) rows."""
+    from swiftlake_spark.operators.dedup import bloom_bits, bloom_membership
+
+    corpus = spark.createDataFrame(
+        [(f"member-{i:05d}",) for i in range(300)], "v string")
+    probe = spark.createDataFrame(
+        [(i, f"member-{i:05d}" if i < 300 else f"other-{i:05d}")
+         for i in range(1200)], "id bigint, v string")
+
+    bits = bloom_bits(corpus, "v")
+    assert bits.columns == ["pos"]
+    assert bits.count() <= 5 * 300
+
+    path = str(tmp_path / "bloom_bits")
+    bits.write.parquet(path)
+    from_disk = bloom_membership(
+        None, probe, "v", "id", set_bits=spark.read.parquet(path))
+    inline = bloom_membership(corpus, probe, "v", "id")
+    assert sorted(map(tuple, from_disk.collect())) == \
+        sorted(map(tuple, inline.collect()))
+
+
+def test_incremental_dedup_within_batch_and_persisted_bloom(spark, docs):
+    """r14: within_batch=True catches a batch-internal dup the index
+    cannot know about (and the unfiltered self-join is immune to the
+    index bloom dropping batch-only collisions); a persisted
+    bloom_bits relation swaps in for the inline index pass with
+    identical output."""
+    from pyspark.sql import functions as F
+
+    from swiftlake_spark.operators.dedup import (
+        bloom_bits,
+        incremental_dedup,
+        signature_index,
+    )
+
+    corpus = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    index_bands = signature_index(corpus, "doc_id", "text",
+                                  n_hashes=16, bands=8)
+    fresh = "omega psi chi phi upsilon tau sigma rho pi omicron xi nu"
+    batch = (
+        docs.filter(F.col("doc_id") == 7)
+        .select(F.lit(500).cast("bigint").alias("doc_id"), "text")  # index dup
+        .unionByName(spark.createDataFrame(
+            [(501, fresh), (502, fresh)],  # internal dup pair, new to index
+            "doc_id bigint, text string"))
+    )
+
+    # default: the internal copy escapes (its text is new to the index)
+    plain = {r["id"]: r for r in incremental_dedup(
+        index_bands, batch, "doc_id", "text", n_hashes=16, bands=8).collect()}
+    assert plain[500]["is_dup"] and not plain[501]["is_dup"]
+    assert not plain[502]["is_dup"]
+
+    wb = {r["id"]: r for r in incremental_dedup(
+        index_bands, batch, "doc_id", "text", n_hashes=16, bands=8,
+        within_batch=True).collect()}
+    assert wb[500]["is_dup"] and wb[500]["batch_match"] is None
+    assert not wb[501]["is_dup"] and wb[501]["batch_match"] is None
+    assert wb[502]["is_dup"] and wb[502]["batch_match"] == 501
+    assert wb[502]["n_bands_hit"] == 0  # index-only evidence stays 0
+
+    # persisted-bloom path: identical output to the inline build
+    key = F.concat_ws(":", F.col("band").cast("string"),
+                      F.col("bh").cast("string"))
+    bits = bloom_bits(index_bands.select(key.alias("bk")), "bk")
+    with_bits = {r["id"]: tuple(r) for r in incremental_dedup(
+        index_bands, batch, "doc_id", "text", n_hashes=16, bands=8,
+        within_batch=True, index_bloom_bits=bits).collect()}
+    assert with_bits == {k: tuple(v) for k, v in wb.items()}
+
+
 def test_incremental_crawl_loop_grows_lakehouse_index(spark, docs, catalog):
     """The full incremental-crawl loop over a LAKEHOUSE index table:
     flag batch 1 against the corpus index, append only the non-dup
