@@ -182,6 +182,44 @@ def test_incremental_dedup_within_batch_and_persisted_bloom(spark, docs):
     assert with_bits == {k: tuple(v) for k, v in wb.items()}
 
 
+def test_incremental_dedup_exact_dups_never_escape(spark):
+    """Zero false negatives for exact duplicates, by construction:
+    identical text → identical signature → every band collides, under
+    any (n_hashes, bands) split and with the bloom on (the bloom has no
+    false negatives either).  Randomized corpus, fixed seed."""
+    import random
+
+    from swiftlake_spark.operators.dedup import (
+        incremental_dedup,
+        signature_index,
+    )
+
+    rng = random.Random(1414)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30)))
+        for _ in range(30)
+    ]
+    corpus = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string")
+    # the batch re-submits EVERY corpus doc under a new id
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string")
+    for n_hashes, bands in ((16, 8), (16, 4), (8, 2)):
+        idx = signature_index(corpus, "doc_id", "text",
+                              n_hashes=n_hashes, bands=bands)
+        out = incremental_dedup(idx, batch, "doc_id", "text",
+                                n_hashes=n_hashes, bands=bands).collect()
+        escaped = [r["id"] for r in out if not r["is_dup"]]
+        assert not escaped, (n_hashes, bands, escaped)
+        # every exact dup hits ALL bands and matches its original
+        for r in out:
+            assert r["n_bands_hit"] == bands
+            assert r["first_match"] == min(
+                i for i, t in enumerate(texts) if t == texts[r["id"] - 1000])
+
+
 def test_incremental_crawl_loop_grows_lakehouse_index(spark, docs, catalog):
     """The full incremental-crawl loop over a LAKEHOUSE index table:
     flag batch 1 against the corpus index, append only the non-dup
