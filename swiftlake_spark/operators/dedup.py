@@ -474,6 +474,108 @@ def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     return per_doc.select("id", out.alias("simhash"))
 
 
+def simhash_band_keys(
+    sig: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Pigeonhole band keys for a SimHash relation (id, simhash) →
+    (id, simhash, band, bits).
+
+    Pure bit arithmetic over the stored signature — NO access to the
+    original text — so a persisted SimHash index table needs only
+    (id, simhash), one row per document, and this projection runs
+    map-side on the index scan at probe time.  Two signatures within
+    Hamming distance ``max_hamming`` agree exactly on at least one of
+    the ``n_bands`` (default ``max_hamming + 1``) bands, so band-key
+    candidate generation has FULL recall."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands > _SIMHASH_BITS:
+        raise ValueError(f"n_bands {n_bands} exceeds signature bits {_SIMHASH_BITS}")
+    width = _SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("bits"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        "id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "simhash", "bk.band", "bk.bits")
+
+
+def incremental_simhash_dedup(
+    index_sig: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-dup flag a NEW batch against a PERSISTED SimHash index —
+    the SimHash sibling of :func:`incremental_dedup` (VERDICT r13 ask
+    #4 names both MinHash and SimHash signature stores).
+
+    ``index_sig`` is the stored (id, simhash) relation — ONE row per
+    corpus document (:func:`simhash` output written to a lakehouse
+    table); the corpus text is never re-read.  Returns one row per
+    batch document: (id, is_dup, min_hamming, first_match) where
+    ``is_dup`` is true iff some index doc lies within ``max_hamming``,
+    ``min_hamming`` is the closest qualifying distance (NULL when
+    none), and ``first_match`` the minimum qualifying index id (which
+    may differ from the doc achieving ``min_hamming``; both aggregates
+    are deterministic).
+
+    Recall is FULL, not probabilistic: by pigeonhole, any index doc
+    within ``max_hamming`` shares at least one of the
+    ``max_hamming + 1`` signature bands with the probe, so the band
+    join misses nothing (same guarantee as :func:`simhash_near_dups`).
+
+    100 TB shape: the index side is one map-side scan — the band
+    projection is bit arithmetic on the stored signature, the batch's
+    band keys are broadcast, and exact Hamming verification runs only
+    on band-collision candidates; the only shuffles are batch-sized
+    (the batch signature aggregate and the per-doc min aggregate)."""
+    new_sig = simhash(new_df, id_col, text_col)
+    idx_bands = simhash_band_keys(
+        index_sig, max_hamming=max_hamming, n_bands=n_bands
+    ).select(F.col("id").alias("__old_id"), F.col("simhash").alias("__old_sh"),
+             "band", "bits")
+    probe = simhash_band_keys(
+        new_sig, max_hamming=max_hamming, n_bands=n_bands
+    ).select(F.col("id").alias("__new_id"), F.col("simhash").alias("__new_sh"),
+             "band", "bits")
+    if broadcast_new:
+        probe = F.broadcast(probe)
+    ham = F.bit_count(F.col("__old_sh").bitwiseXOR(F.col("__new_sh")))
+    hits = (
+        idx_bands.join(probe, ["band", "bits"])
+        .select("__new_id", "__old_id", ham.alias("__ham"))
+        .filter(F.col("__ham") <= max_hamming)
+        .groupBy("__new_id")
+        .agg(
+            F.min("__ham").alias("min_hamming"),
+            F.min("__old_id").alias("first_match"),
+        )
+    )
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(hits, F.col("id") == F.col("__new_id"), "left")
+        .select(
+            "id",
+            F.col("__new_id").isNotNull().alias("is_dup"),
+            "min_hamming",
+            "first_match",
+        )
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -497,23 +599,8 @@ def simhash_near_dups(
     identical signatures, which ARE the output.  One shuffle on the band
     key, one distinct, no all-pairs anywhere.
     """
-    if n_bands is None:
-        n_bands = max_hamming + 1
-    if n_bands > _SIMHASH_BITS:
-        raise ValueError(f"n_bands {n_bands} exceeds signature bits {_SIMHASH_BITS}")
-    width = _SIMHASH_BITS // n_bands
     sig = simhash(df, id_col, text_col)
-    mask = (1 << width) - 1
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("bits"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = sig.select(
-        "id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", "simhash", "bk.band", "bk.bits")
+    banded = simhash_band_keys(sig, max_hamming=max_hamming, n_bands=n_bands)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

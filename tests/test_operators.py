@@ -220,6 +220,60 @@ def test_incremental_dedup_exact_dups_never_escape(spark):
                 i for i, t in enumerate(texts) if t == texts[r["id"] - 1000])
 
 
+def test_incremental_simhash_dedup_persisted_index_full_recall(spark, docs, tmp_path):
+    """r14 SimHash sibling of the incremental-crawl pattern: the stored
+    index is ONE (id, simhash) row per corpus doc (parquet round-trip —
+    provably no text access at probe time); an exact copy is found at
+    hamming 0 with its original as first_match, a lightly-edited copy
+    within the threshold is found, a fresh doc is not; and recall is
+    FULL by pigeonhole — EVERY batch doc whose true distance to some
+    index doc is <= max_hamming is flagged (cross-checked against a
+    brute-force distance computation on the signatures)."""
+    from swiftlake_spark.operators.dedup import (
+        incremental_simhash_dedup,
+        simhash,
+    )
+
+    corpus = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    idx_path = str(tmp_path / "simhash_index")
+    simhash(corpus, "doc_id", "text").write.parquet(idx_path)
+    index_sig = spark.read.parquet(idx_path)
+    assert set(index_sig.columns) == {"id", "simhash"}
+    assert index_sig.count() == 60  # one row per doc, not per band
+
+    d23 = corpus.filter(F.col("doc_id") == 23)
+    batch = (
+        d23.select(F.lit(700).cast("bigint").alias("doc_id"), "text")
+        .unionByName(d23.select(
+            F.lit(701).cast("bigint").alias("doc_id"),
+            F.concat(F.lit("zzz "), F.substring("text", 5, 100000)).alias("text"),
+        ))  # measured hamming 1 from doc 23
+        .unionByName(spark.createDataFrame(
+            [(702, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk")],
+            "doc_id bigint, text string"))
+    )
+    out = {r["id"]: r for r in incremental_simhash_dedup(
+        index_sig, batch, "doc_id", "text", max_hamming=6).collect()}
+    assert out[700]["is_dup"] and out[700]["min_hamming"] == 0
+    assert out[701]["is_dup"] and 0 < out[701]["min_hamming"] <= 6
+    assert not out[702]["is_dup"] and out[702]["min_hamming"] is None
+
+    # full-recall cross-check: brute-force min distance and min
+    # qualifying id per batch doc from the two signature sets must
+    # agree exactly with the operator's output
+    idx_sh = {r["id"]: r["simhash"] for r in index_sig.collect()}
+    bat_sh = {r["id"]: r["simhash"]
+              for r in simhash(batch, "doc_id", "text").collect()}
+    for bid, bs in bat_sh.items():
+        true_min = min(bin(bs ^ os).count("1") for os in idx_sh.values())
+        assert out[bid]["is_dup"] == (true_min <= 6), (bid, true_min)
+        if out[bid]["is_dup"]:
+            assert out[bid]["min_hamming"] == true_min
+            assert out[bid]["first_match"] == min(
+                oid for oid, os in idx_sh.items()
+                if bin(bs ^ os).count("1") <= 6)
+
+
 def test_incremental_crawl_loop_grows_lakehouse_index(spark, docs, catalog):
     """The full incremental-crawl loop over a LAKEHOUSE index table:
     flag batch 1 against the corpus index, append only the non-dup
