@@ -180,10 +180,19 @@ def bm25_scores(
     BEFORE the (id, term) count shuffle; df/N/avgdl are tiny aggregates
     broadcast back.  Returns (id, score) for docs containing ≥1 term.
     """
+    # r14 (guide §2.3 "project before the exchange", applied to the
+    # generator): the query-term filter now runs INSIDE the token array
+    # before explode, so the generator emits only matching tokens
+    # (|terms| per doc at most) instead of every token of the corpus —
+    # the exploded row volume drops from O(corpus tokens) to O(matches).
+    # Same rows survive as the old explode-then-filter, so tf is
+    # unchanged.
     toks = df.select(
         F.col(id_col).alias("id"),
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t.isin(*terms))
+        ).alias("tok"),
     )
     stats = df.select(
         F.count(F.lit(1)).alias("n"),
@@ -193,8 +202,7 @@ def bm25_scores(
         ).alias("avgdl"),
     )
     tf = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy("id", "tok")
+        toks.groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -240,12 +248,19 @@ def tfidf_top_terms(
     # df.count() — that would be a second full pass over the corpus
     stats = df.select(F.count(F.lit(1)).cast("double").alias("n"))
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # r14 (guide §2.4 "remove shuffles outright"): df was a SECOND
+    # aggregation of tf joined back onto tf — the explode+count subtree
+    # ran twice and the join added its own exchanges.  df is just the
+    # row count of tf per tok, so a count window over a tok-partitioned
+    # exchange produces the identical value with tf computed ONCE
+    # (plans/r14/q127_tfidf_topterms_{before,after}.txt: 8 exchanges →
+    # 3, one explode pass instead of two).
+    wt = W.partitionBy("tok")
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(wt))
     score = F.col("tf") * (F.col("n") / F.col("df"))
     wd = W.partitionBy("id").orderBy(score.desc(), F.col("tok"))
     return (
-        tf.join(dfreq, "tok")
-        .crossJoin(F.broadcast(stats))
+        scored.crossJoin(F.broadcast(stats))
         .withColumn("rnk", F.row_number().over(wd))
         .filter(F.col("rnk") <= k)
         .select("id", "rnk", "tok", "tf", "df", score.alias("score"))
@@ -276,6 +291,16 @@ def hashed_importance_weights(
     free); the 16-row ratio table broadcasts back onto the token stream
     and the per-doc mean is one shuffle on id.
     """
+    # r14 (guide §2.4): the token stream fed two consumers (the global
+    # bucket distribution and the per-doc mean), so the corpus was
+    # exploded TWICE.  Pre-aggregating to (id, bucket) token counts
+    # right after the explode gives one shared exchange both consumers
+    # reuse: the distribution re-aggregates the (docs x 16)-row relation
+    # by bucket (tiny), and the per-doc sum uses cnt * r — an exact
+    # integer multiple of the DECIMAL(28,10) ratio, identical to summing
+    # r once per token row, so weights are bit-unchanged
+    # (plans/r14/q125_dsir_weights_{before,after}.txt: one explode pass
+    # instead of two, reused exchange).
     toks = df.select(
         F.col(id_col).alias("id"),
         target_cond.cast("int").alias("__is_t"),
@@ -284,9 +309,15 @@ def hashed_importance_weights(
         "b",
         F.expr("instr('0123456789abcdef', substring(md5(tok), 1, 1))"),
     )
-    dist = toks.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum("__is_t").alias("ct"),
+    per = toks.groupBy("id", "b").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        # target_cond is a row-level (per-doc) predicate, constant
+        # within a doc's tokens
+        F.first("__is_t").alias("__is_t"),
+    )
+    dist = per.groupBy("b").agg(
+        F.sum("cnt").alias("c"),
+        F.sum(F.col("cnt") * F.col("__is_t")).alias("ct"),
     )
     tot = dist.agg(
         F.sum("c").alias("t"), F.sum("ct").alias("tt")
@@ -302,11 +333,21 @@ def hashed_importance_weights(
         )
     )
     return (
-        toks.join(F.broadcast(ratio), "b")
+        per.join(F.broadcast(ratio), "b")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.col("r").cast("decimal(28,10)")).alias("__s"),
+            F.sum("cnt").alias("n_tokens"),
+            # type discipline: (26,10) x (11,0) -> decimal(38,10) with NO
+            # precision-loss adjustment, so the product is the exact
+            # integer multiple of the rounded ratio (a 28,10 x bigint
+            # product would hit Spark's allowPrecisionLoss re-scale to
+            # (38,6) and ROUND — breaking bit-parity with the per-token
+            # sum).  Bounds: |r| < 1e16 and cnt < 1e11 hold for any real
+            # corpus (cnt is one document's token count in one bucket).
+            F.sum(
+                F.col("r").cast("decimal(26,10)")
+                * F.col("cnt").cast("decimal(11,0)")
+            ).alias("__s"),
         )
         .select(
             "id",

@@ -736,8 +736,15 @@ def q142_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.text import lang_id
 
     d = load(spark, sf_dir, "documents")
-    # stage 1: Gopher-style quality rules (q75's exact expressions)
-    w = F.split(F.col("text"), " ", -1)
+    # stage 1: Gopher-style quality rules (q75's exact expressions).
+    # r14 (guide §1.2 per-task work): the filter predicate referenced the
+    # split expression from n_tokens, mean_tok_len AND stop_frac — the
+    # tokenizing regex ran up to 4x per row (subexpression elimination
+    # does not cross the Filter/Project operator boundary).  Materialize
+    # the split once as a column and let every stage reference it; the
+    # values are identical, only the evaluation count changes.
+    d = d.withColumn("__w", F.split(F.col("text"), " ", -1))
+    w = F.col("__w")
     n_tokens = F.size(w)
     mean_tok_len = (
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
@@ -751,10 +758,17 @@ def q142_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_frac = (
         F.size(F.filter(w, lambda x: x.isin(*stops))).cast("double") / n_tokens
     )
-    kept = d.withColumn("n_tokens", n_tokens).filter(
-        n_tokens.between(10, 1000)
-        & mean_tok_len.between(2.0, 10.0)
-        & (stop_frac >= 0.02)
+    kept = (
+        d.withColumn("n_tokens", n_tokens)
+        .filter(
+            n_tokens.between(10, 1000)
+            & mean_tok_len.between(2.0, 10.0)
+            & (stop_frac >= 0.02)
+        )
+        # drop the materialized token array BEFORE the dedup window —
+        # it must not ride the md5(text) shuffle as payload (guide §2.3
+        # "project before the exchange")
+        .drop("__w")
     )
     # stage 2: exact dedup — keep the lowest doc_id per distinct text.
     # min-over-window on md5 rather than operators.exact_dedup: the

@@ -753,7 +753,19 @@ def q78_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines) per group alongside exact decimal means.  Medians need a
 # per-group sort; Spark's ObjectHashAggregate holds group buffers — at
 # scale the group count (returnflag×linestatus ≤ 6) keeps state tiny.
+#
+# r14 optimization attempt, MEASURED AND REVERTED (guide §1.1): two
+# count-based restructures (per-column (group,value) count aggregates +
+# cumulative-count window, bit-equal to F.median — verified at all
+# three SFs; then a single tagged-explode pass) removed the per-group
+# value buffer but measured SLOWER at sf0.1/local[32] min-of-3: 1.74 s
+# baseline → 2.12 s (3-subtree, 10 jobs) → 2.85 s (tagged explode,
+# 1.8M-row generator + a window that still serializes at 6 groups).
+# The exact-median bottleneck is the 6-way group cardinality, which no
+# reshuffle of this query fixes; the object-agg buffer caveat at
+# extreme scale stands and is documented in OPTIMIZATION_r14.md.
 # --------------------------------------------------------------------------
+
 @query(
     "q79_median_stats",
     oracle=r"""
@@ -922,16 +934,28 @@ ORDER BY part_value DESC, l_partkey
 """,
 )
 def q83_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §1.2 / §2.4): the scalar-subquery form scanned lineitem
+    # TWICE (per-partkey aggregate + a second full scan for the global
+    # total).  The global decimal total equals the sum of the per-group
+    # decimal sums exactly (decimal addition is associative), so derive
+    # the threshold from the grouped relation itself: one scan, one
+    # shuffle, and the tiny re-aggregate broadcasts back into the filter.
+    # The HAVING comparison still happens on the same doubles (each side
+    # cast from the identical exact decimal), so results are unchanged
+    # (plans/r14/q83_important_stock_{before,after}.txt: 2 scans → 1).
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q83_lineitem")
     return spark.sql(
         """
-        SELECT l_partkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
-        FROM __q83_lineitem
-        GROUP BY l_partkey
-        HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
-          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.00005
+        WITH grouped AS (
+          SELECT l_partkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS __s
           FROM __q83_lineitem
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(__s AS DOUBLE) AS part_value
+        FROM grouped
+        WHERE CAST(__s AS DOUBLE) > (
+          SELECT CAST(SUM(__s) AS DOUBLE) * 0.00005 FROM grouped
         )
         ORDER BY part_value DESC, l_partkey
         """

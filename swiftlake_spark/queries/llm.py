@@ -367,12 +367,6 @@ ORDER BY query_id, rn
 )
 def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    e = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("label"), F.col("embedding").alias("e_emb")
-    )
 
     def fold_dot(a, b):
         prod = F.zip_with(
@@ -384,6 +378,27 @@ def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: (acc + x).cast("decimal(20,12)"),
         ).cast("double")
 
+    # r14 (guide §1.2 "don't compute things you throw away"): the
+    # self-norm folds qq/ee_ were computed INSIDE the join projection, so
+    # qq ran once per (query, candidate) pair (|candidates| times per
+    # query) and ee_ once per pair per query — ~3x the 64-element decimal
+    # fold work.  Hoisting them before the broadcast join computes each
+    # exactly once per vector; identical expressions over identical
+    # values give identical decimals, so the hash is unchanged (verified
+    # vs the old shape at sf0.001/0.01/0.1).  Join shape is unchanged
+    # (broadcast of the 3-row query side, no shuffle of the big side).
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        fold_dot(F.col("embedding"), F.col("embedding")).alias("qq"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label"),
+        F.col("embedding").alias("e_emb"),
+        fold_dot(F.col("embedding"), F.col("embedding")).alias("ee_"),
+    )
+
     pairs = (
         e.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .select(
@@ -391,8 +406,8 @@ def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             "label",
             fold_dot(F.col("q_emb"), F.col("e_emb")).alias("dot"),
-            fold_dot(F.col("q_emb"), F.col("q_emb")).alias("qq"),
-            fold_dot(F.col("e_emb"), F.col("e_emb")).alias("ee_"),
+            "qq",
+            "ee_",
         )
     )
     cosine = F.col("dot") / (F.sqrt("qq") * F.sqrt("ee_"))

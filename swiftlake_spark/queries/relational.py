@@ -422,11 +422,24 @@ ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 )
 def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # r14 (guide §2.3 "aggregate before you shuffle"): rollup/cube plans
+    # put Expand BELOW the aggregate, so every input row is replicated
+    # once per grouping set (3x here) before the partial agg hashes it.
+    # Pre-aggregating at the finest granularity first (one ordinary
+    # shuffle with map-side combine, ≤6 rows out) and rolling up the
+    # tiny pre-aggregate is exact: decimal sums are associative, counts
+    # re-sum, and GROUPING() semantics are unchanged (a NULL data value
+    # stays a regular group in both shapes).  Expand now runs over ≤6
+    # rows instead of 600k (plans/r14/q12_rollup_{before,after}.txt).
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        pre.rollup("l_returnflag", "l_linestatus")
         .agg(
-            as_double(F.sum(dec("l_quantity"))).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
+            as_double(F.sum("__s")).alias("sum_qty"),
+            F.sum("__n").alias("n"),
             (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
             .cast("int")
             .alias("gid"),
@@ -836,10 +849,16 @@ ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 )
 def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    # r14: pre-aggregate before Expand (same rationale and equivalence
+    # argument as q12_rollup — counts re-sum exactly); the 4-way cube
+    # Expand runs over ~15 pre-aggregated rows instead of 150k.
+    pre = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     return (
-        o.cube("o_orderstatus", "o_orderpriority")
+        pre.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("__n").alias("n"),
             (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
             .cast("int")
             .alias("gid"),
@@ -1403,12 +1422,21 @@ ORDER BY o.o_orderkey, t.l_linenumber
 def q60_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("__q60_orders")
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("__q60_lineitem")
+    # r14 (guide §6 "verify pushdown reached the scan"): Catalyst
+    # decorrelates the LATERAL into a ranked join but does NOT propagate
+    # the outer o_orderkey <= 200 bound through the equality into the
+    # lineitem scan — the window ranked ALL 600k lineitems to keep the
+    # ~800 that can ever match.  Adding the transitively-implied
+    # l_orderkey <= 200 conjunct (no row change: l_orderkey = o_orderkey
+    # and o_orderkey <= 200) pushes into the parquet scan
+    # (plans/r14/q60_lateral_join_{before,after}.txt: lineitem
+    # PushedFilters gains the range, window input 600k → ~800 rows).
     return spark.sql(
         """
         SELECT o.o_orderkey, t.l_linenumber, t.l_quantity
         FROM __q60_orders o JOIN LATERAL (
           SELECT l_linenumber, l_quantity FROM __q60_lineitem
-          WHERE l_orderkey = o.o_orderkey
+          WHERE l_orderkey = o.o_orderkey AND l_orderkey <= 200
           ORDER BY l_quantity DESC, l_linenumber LIMIT 2
         ) t
         WHERE o.o_orderkey <= 200
@@ -1466,9 +1494,19 @@ def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders").createOrReplaceTempView("__q62_orders")
     return spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM __q62_orders
+        -- r14: pre-aggregate at (status, priority) before the grouping-
+        -- sets Expand (guide §2.3; same equivalence argument as
+        -- q12_rollup — counts and decimal sums re-aggregate exactly).
+        -- Expand runs over ~15 pre-aggregated rows instead of 150k.
+        WITH pre AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS __n,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS __s
+          FROM __q62_orders
+          GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT o_orderstatus, o_orderpriority, SUM(__n) AS n,
+               CAST(SUM(__s) AS DOUBLE) AS total
+        FROM pre
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """

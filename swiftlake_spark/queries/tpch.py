@@ -567,23 +567,32 @@ def q99_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey")
     )
-    others = li.select(
-        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
-    )
-    # EXISTS another supplier on the same order
-    multi = base.join(
-        others,
-        (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_suppkey") != F.col("__sk")),
-        "left_semi",
-    )
-    # NOT EXISTS another LATE supplier on the same order (late set = base)
-    late_others = base.select(
-        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
-    )
-    sole_late = multi.join(
-        late_others,
-        (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_suppkey") != F.col("__sk")),
-        "left_anti",
+    # r14 (guide §2.3/§3): the EXISTS/NOT-EXISTS pair was a semi + anti
+    # self-join against lineitem-sized key relations — the semi join
+    # BROADCAST the full lineitem key projection (fine at sf0.1, a
+    # non-starter at 100 TB where it degrades to shuffling lineitem
+    # twice more).  The standard Q21 equivalence replaces both with
+    # per-order aggregates: for l1 ∈ base,
+    #   EXISTS l2 (same order, other supplier)      ⇔ n_supp(order) ≥ 2
+    #     (l1's own supplier is on the order), and
+    #   NOT EXISTS other LATE supplier on the order ⇔ n_late(order) = 1
+    #     (l1 itself is late, so the late-supplier set is exactly {l1}).
+    # Both joins attach 1-row-per-order aggregates on l_orderkey, so the
+    # base multiset is preserved row-for-row and every relation joined
+    # is order-level, never lineitem-level
+    # (plans/r14/q99_waiting_orders_{before,after}.txt).
+    # ≥2 distinct ⇔ min ≠ max and =1 distinct ⇔ min = max: plain min/max
+    # partial aggregates, no distinct-expand machinery (q123's span-dedup
+    # trick).
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("__mn"), F.max("l_suppkey").alias("__mx")
+    ).filter(F.col("__mn") != F.col("__mx"))
+    n_late = base.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("__mn"), F.max("l_suppkey").alias("__mx")
+    ).filter(F.col("__mn") == F.col("__mx"))
+    sole_late = (
+        base.join(n_supp.select("l_orderkey"), "l_orderkey", "left_semi")
+        .join(n_late.select("l_orderkey"), "l_orderkey", "left_semi")
     )
     return (
         sole_late.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
