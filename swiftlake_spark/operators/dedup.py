@@ -19,12 +19,13 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (id, sh).  Documents with
-    fewer than k words yield NO shingles — Spark's sequence(0, -1) is
-    the DESCENDING list [0, -1], not empty, so the short case must be
-    guarded explicitly or w[i+j] indexes past the array (ANSI error /
-    bogus partial shingles)."""
+def shingle_array(text_col: str, k: int = 3) -> Column:
+    """array<string> of the k-word shingles of one document, WITH
+    duplicate occurrences (the set form is ``shingles``).  Documents
+    with fewer than k words yield an EMPTY array — Spark's
+    sequence(0, -1) is the DESCENDING list [0, -1], not empty, so the
+    short case must be guarded explicitly or w[i+j] indexes past the
+    array (ANSI error / bogus partial shingles)."""
     # \s+ regex: newline/tab/multi-space variants must shingle the same
     # (a literal single-space split minted ''/embedded-\n tokens, so
     # whitespace-variant near-duplicates escaped MinHash/SimHash).
@@ -43,10 +44,16 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    arr = F.aggregate(
+    return F.aggregate(
         F.array(wexpr), F.array().cast("array<string>"), lambda _acc, w: _sh(w)
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(arr).alias("sh")).distinct()
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, sh)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_array(text_col, k)).alias("sh")
+    ).distinct()
 
 
 def exact_dedup(
@@ -145,10 +152,21 @@ def signature_index(
     table ONCE per corpus, then dedup every future batch against the
     stored keys with :func:`incremental_dedup` — the corpus text is
     never re-shingled.  Size: ``bands`` rows per document regardless of
-    document length; the shingle explode and signature aggregate are the
-    same one-shuffle pass ``minhash_lsh_dedup`` runs."""
-    sh = shingles(df, id_col, text_col, shingle_k)
-    sig = minhash_signatures(sh, n_hashes, hash_fn)
+    document length.
+
+    r14 (guide §2.4): the signature aggregate runs on the RAW shingle
+    occurrence stream, not the distinct set — MIN over a multiset
+    equals MIN over its set, so the signatures are identical while the
+    explode feeds the per-doc aggregate directly (map-side partial
+    mins) instead of paying a full (id, shingle) distinct shuffle
+    first.  One shuffle for the whole text → band-keys pass.
+    ``minhash_lsh_dedup`` keeps the distinct frame because it re-uses
+    it for exact-Jaccard verification, where multiplicity matters."""
+    sh_all = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(text_col, shingle_k)).alias("sh"),
+    )
+    sig = minhash_signatures(sh_all, n_hashes, hash_fn)
     return band_keys(sig, n_hashes, bands, hash_fn=hash_fn)
 
 

@@ -61,6 +61,7 @@ def count_min_frequencies(
     bits_per_pos: int = 8,
     out_col: str = "cm_estimate",
     broadcast_counters: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min frequency estimate of each DISTINCT ``probe[value_col]``
     over the occurrences in ``corpus[value_col]`` (one corpus row = one
@@ -75,13 +76,32 @@ def count_min_frequencies(
     ``broadcast_counters=False`` shuffles the counter join instead —
     for configurations where d * 2^bits_per_pos is pushed past
     broadcast range.
+
+    ``weight_col`` (r14, guide §2.3 "aggregate before you shuffle"):
+    when the caller already holds pre-aggregated (value, count) rows —
+    e.g. several sketches built over one corpus share a single token
+    count pass — pass the count column and each corpus row contributes
+    ``weight_col`` occurrences: counters become SUM(weight) per
+    position, which equals counting raw occurrences exactly (integer
+    sums), while the counter build hashes |distinct values| rows
+    instead of |occurrences|.
     """
     pos = cm_positions(F.col(value_col), d, bits_per_pos)
-    counters = (
-        corpus.select(F.posexplode(pos).alias("__r", "__p"))
-        .groupBy("__r", "__p")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
+    if weight_col is None:
+        counters = (
+            corpus.select(F.posexplode(pos).alias("__r", "__p"))
+            .groupBy("__r", "__p")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+    else:
+        counters = (
+            corpus.select(
+                F.col(weight_col).alias("__w"),
+                F.posexplode(pos).alias("__r", "__p"),
+            )
+            .groupBy("__r", "__p")
+            .agg(F.sum("__w").alias("__c"))
+        )
     if broadcast_counters:
         counters = F.broadcast(counters)
     return (

@@ -2927,13 +2927,25 @@ def q154_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     unseen = spark.createDataFrame(
         [(f"zz-{i}-unseen",) for i in range(10)], "tok string"
     )
-    vocab = occ.select("tok").distinct().unionByName(unseen)
-    wide = count_min_frequencies(
-        occ, vocab, "tok", bits_per_pos=8, out_col="n_est_wide")
-    narrow = count_min_frequencies(
-        occ, vocab, "tok", bits_per_pos=4, out_col="n_est_narrow")
-    tru = occ.groupBy("tok").agg(
+    # r14 (guide §2.3/§8 "decide with small rows"): the occurrence
+    # stream previously fed FOUR independent corpus explodes (wide
+    # counters, narrow counters, true counts, vocab distinct).  One
+    # token-count aggregate now carries everything: both sketches build
+    # their counters as SUM(count) per position over the vocab-sized
+    # relation (exactly equal to counting raw occurrences), the true
+    # counts ARE the relation, and vocab is its key set.  The corpus is
+    # exploded once; the identical count subtree under all consumers
+    # shares one exchange (ReusedExchange).
+    tok_counts = occ.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    vocab = tok_counts.select("tok").unionByName(unseen)
+    wide = count_min_frequencies(
+        tok_counts, vocab, "tok", bits_per_pos=8, out_col="n_est_wide",
+        weight_col="n_true")
+    narrow = count_min_frequencies(
+        tok_counts, vocab, "tok", bits_per_pos=4, out_col="n_est_narrow",
+        weight_col="n_true")
+    tru = tok_counts
     zero = F.lit(0).cast("bigint")
     true_n = F.coalesce("n_true", zero)
     # both estimate relations are vocab-bounded (same contract that
@@ -3033,6 +3045,8 @@ def _q155_warehouse(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     wh = registry.get_tempdir("q155_wh", key)
     if wh is None:
+        from swiftlake_spark.operators.dedup import bloom_bits
+
         wh = tempfile.mkdtemp(prefix="q155_wh_")
         eng = SwiftLakeEngine(spark, warehouse=wh)
         old = (
@@ -3051,6 +3065,23 @@ def _q155_warehouse(spark: SparkSession, sf_dir: str) -> str:
             "db.q155_sig_index", idx.schema, sort_order=["band", "bh"]
         )
         eng.insert_into("db.q155_sig_index").dataframe(idx).execute()
+        # r14 (operator contract, guide §1.2): persist the bloom
+        # SET-BITS next to the index at build time — the documented
+        # incremental-crawl deployment shape — so every later probe
+        # reads the few-KB bits relation instead of re-deriving it from
+        # the whole index per query (bloom flags are result-neutral by
+        # the zero-false-negative contract; k/bits match the probe's
+        # defaults).
+        bits = bloom_bits(
+            eng.catalog.load("db.q155_sig_index").select(
+                F.concat_ws(
+                    ":", F.col("band").cast("string"), F.col("bh").cast("string")
+                ).alias("__bk")
+            ),
+            "__bk",
+        )
+        eng.catalog.create_table("db.q155_sig_bloom", bits.schema)
+        eng.insert_into("db.q155_sig_bloom").dataframe(bits).execute()
         registry.put_tempdir(
             "q155_wh", key, wh, app_id=spark.sparkContext.applicationId)
     return wh
@@ -3067,6 +3098,7 @@ def q155_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = SwiftLakeEngine(spark, warehouse=_q155_warehouse(spark, sf_dir))
     index_bands = eng.catalog.load("db.q155_sig_index")
+    index_bloom = eng.catalog.load("db.q155_sig_bloom")
     new_batch = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") >= 300)
@@ -3075,7 +3107,7 @@ def q155_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = incremental_dedup(
         index_bands, new_batch, "doc_id", "text",
         shingle_k=3, n_hashes=_MINHASH_K, bands=_MINHASH_BANDS,
-        hash_fn="md5",
+        hash_fn="md5", index_bloom_bits=index_bloom,
     )
     return (
         out.select(
