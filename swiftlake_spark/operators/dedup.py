@@ -50,10 +50,17 @@ def shingle_array(text_col: str, k: int = 3) -> Column:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (id, sh)."""
+    """Distinct k-word shingles per document: (id, sh).
+
+    r14 (guide §2.4): distinctness is PER DOCUMENT (id is part of the
+    key), so it is enforced map-side with ``array_distinct`` before the
+    explode — the old ``.distinct()`` paid a full corpus-sized shuffle
+    of the exploded (id, shingle) stream for a dedup every row group
+    can do locally."""
     return df.select(
-        F.col(id_col).alias("id"), F.explode(shingle_array(text_col, k)).alias("sh")
-    ).distinct()
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_array(text_col, k))).alias("sh"),
+    )
 
 
 def exact_dedup(
@@ -391,6 +398,9 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    *,
+    distinct_pairs: bool = False,
+    adaptive_rounds_min_nodes: int = 50_000_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into connected components: (id, cluster_id).
 
@@ -414,45 +424,76 @@ def connected_components(
       ``observe()`` — labels only ever decrease, so an unchanged sum ⟺
       a fixpoint.  One Spark job per round, no row collect anywhere;
     - the edge list is persisted once and reused every round.
+
+    r14 (guide §2.4, §1.2):
+
+    - ``distinct_pairs=True`` asserts the input is a CANONICAL pair list
+      (distinct, ``id_a < id_b`` on every row) — then the symmetrized
+      union is distinct by construction ((a,b) and (b,a) cannot collide
+      when a<b), so the full edge-dedup shuffle is skipped.  All the
+      LSH candidate generators in this package emit canonical pairs;
+    - the label tables the rounds shuffle are ≤ |nodes| rows, and the
+      init observation counts |nodes| exactly.  Below
+      ``adaptive_rounds_min_nodes`` the per-round relations are far too
+      small for adaptive re-planning to matter, so AQE is switched off
+      for the round materializations (restored after): each round then
+      runs as ONE scheduler job instead of one job per query stage.
+      Above the threshold (billions of nodes — label shuffles in the
+      tens of GB) AQE stays on for coalescing/skew handling.
     """
     from pyspark.sql import Observation
 
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
+    if not distinct_pairs:
+        edges = edges.distinct()
     edges.persist()
 
     # decimal(38,0) keeps the checksum overflow-safe at billions of nodes
-    def _materialize(df):
+    def _materialize(df, with_count=False):
         obs = Observation()
-        out = df.observe(
-            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).localCheckpoint(eager=True)
-        return out, obs.get["s"]
+        metrics = [F.sum(F.col("label").cast("decimal(38,0)")).alias("s")]
+        if with_count:
+            metrics.append(F.count(F.lit(1)).alias("n"))
+        out = df.observe(obs, *metrics).localCheckpoint(eager=True)
+        got = obs.get
+        return out, got["s"], (got["n"] if with_count else None)
 
     # init = first propagation round: min over self + direct neighbors
-    labels, prev_sum = _materialize(
+    labels, prev_sum, n_nodes = _materialize(
         edges.groupBy("src")
-        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
-        .select(F.col("src").alias("id"), "label")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(F.col("src").alias("id"), "label"),
+        with_count=True,
     )
-    for _ in range(max_iter - 1):
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "label"
-        )
-        labels, new_sum = _materialize(
-            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
-        )
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    spark = pairs.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_before = spark.conf.get(aqe_key, "true")
+    try:
+        if (n_nodes or 0) < adaptive_rounds_min_nodes:
+            spark.conf.set(aqe_key, "false")
+        for _ in range(max_iter - 1):
+            prop = edges.join(labels, edges["src"] == labels["id"]).select(
+                F.col("dst").alias("id"), "label"
+            )
+            labels, new_sum, _ = _materialize(
+                labels.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set(aqe_key, aqe_before)
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
 def dedup_corpus_by_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str
+    df: DataFrame, pairs: DataFrame, id_col: str, *, distinct_pairs: bool = False
 ) -> DataFrame:
     """Drop every near-duplicate except the minimum-id member of each
     duplicate cluster.  The end-to-end keep/drop step: ``pairs`` (from
@@ -465,7 +506,9 @@ def dedup_corpus_by_pairs(
     list — the drop list is proportional to duplicates, typically a
     small fraction of the corpus.
     """
-    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    comp = connected_components(
+        pairs, id_a="id_a", id_b="id_b", distinct_pairs=distinct_pairs
+    )
     drops = comp.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )

@@ -122,13 +122,18 @@ ORDER BY event_type, k_mod NULLS FIRST
 """,
 )
 def q32_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §1.2 per-task work): parse the JSON ONCE in a projection
+    # below the aggregate — referencing get_json_object both in the group
+    # key and in SUM made every row pay two full JSON parses (no CSE
+    # across grouping/aggregate expression lists).
     e = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
-        e.groupBy("event_type", (k % 10).alias("k_mod"))
+        e.select("event_type", k.alias("__k"))
+        .groupBy("event_type", (F.col("__k") % 10).alias("k_mod"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(k).cast("bigint").alias("k_sum"),
+            F.sum("__k").cast("bigint").alias("k_sum"),
         )
         .orderBy("event_type", F.col("k_mod").asc_nulls_first())
     )

@@ -988,6 +988,12 @@ ORDER BY months.m
 """,
 )
 def q101_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §2.3 aggregate before you shuffle): group orders by
+    # month FIRST, then left-join the ~80-row spine onto the ~80-row
+    # aggregate — the spine join no longer carries every order row.
+    # Equivalence: COUNT(o_orderkey) of an unmatched month is 0 (=
+    # COALESCE(NULL, 0)); decimal sums are associative and o_totalprice
+    # is aggregated over exactly the same rows per month.
     load(spark, sf_dir, "orders").createOrReplaceTempView("__q101_orders")
     return spark.sql(
         """
@@ -995,14 +1001,20 @@ def q101_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT TIMESTAMP '1995-01-01'
           UNION ALL
           SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-07-01'
+        ),
+        agg AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 COUNT(o_orderkey) AS n_orders,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM __q101_orders
+          GROUP BY date_trunc('month', o_orderdate)
         )
         SELECT months.m AS month_start,
-               COUNT(o.o_orderkey) AS n_orders,
-               CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE)
+               COALESCE(a.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               CAST(COALESCE(a.rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
                AS month_revenue
         FROM months
-        LEFT JOIN __q101_orders o ON date_trunc('month', o.o_orderdate) = months.m
-        GROUP BY months.m
+        LEFT JOIN agg a ON a.m = months.m
         ORDER BY months.m
         """
     )

@@ -604,7 +604,11 @@ ORDER BY doc_id
 def q102_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.dedup import connected_components
 
-    comp = connected_components(_minhash_pairs(spark, sf_dir), "id_a", "id_b")
+    # _minhash_pairs is canonical (distinct, id_a < id_b) → the CC edge
+    # symmetrization needs no dedup shuffle (r14, guide §2.4)
+    comp = connected_components(
+        _minhash_pairs(spark, sf_dir), "id_a", "id_b", distinct_pairs=True
+    )
     return (
         comp.select(F.col("id").alias("doc_id"), "cluster_id")
         .withColumn(
@@ -663,9 +667,11 @@ def q117_star_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
         .distinct()
     )
-    comp = connected_components(star, "id_a", "id_b").withColumnRenamed(
-        "id", "doc_id"
-    )
+    # star edges are canonical (distinct, hub < member) → no edge-dedup
+    # shuffle in CC (r14, guide §2.4)
+    comp = connected_components(
+        star, "id_a", "id_b", distinct_pairs=True
+    ).withColumnRenamed("id", "doc_id")
     return (
         d.select("doc_id")
         .join(comp, "doc_id", "left")
@@ -1581,7 +1587,9 @@ def q105_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.dedup import dedup_corpus_by_pairs
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    kept = dedup_corpus_by_pairs(d, _minhash_pairs(spark, sf_dir), "doc_id")
+    kept = dedup_corpus_by_pairs(
+        d, _minhash_pairs(spark, sf_dir), "doc_id", distinct_pairs=True
+    )
     return kept.select(
         "doc_id", "source", F.md5("text").alias("content_md5")
     ).orderBy("doc_id")

@@ -348,10 +348,16 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 """,
 )
 def q94_part_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §2.4): the explicit (l_partkey, l_suppkey) DISTINCT was a
+    # full lineitem-pair shuffle that COUNT(DISTINCT l_suppkey) makes
+    # redundant — the final aggregate ignores per-group multiplicity, so
+    # the raw pairs flow straight into the (selective, broadcastable)
+    # part join + supplier anti-join and the count-distinct's own partial
+    # aggregation is the only pair-sized shuffle left (2 Exchange → 1).
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     s = load(spark, sf_dir, "supplier")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ps = li.select("l_partkey", "l_suppkey")
     bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     pf = p.filter(
         (F.col("p_brand") != "Brand#1")
@@ -387,13 +393,23 @@ WHERE p.p_brand = 'Brand#1'
 """,
 )
 def q95_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §3.2): the per-part AVG is only ever consumed for
+    # Brand#1 parts — semi-join lineitem against the (broadcastable)
+    # filtered part keys BEFORE the grouped average, so the aggregate
+    # shuffles the brand's rows instead of the whole table.  Per-part
+    # averages are computed over exactly the same rows as before.
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    part_avg = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+    li_brand = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    )
+    part_avg = li_brand.groupBy(F.col("l_partkey").alias("__pk")).agg(
         F.avg("l_quantity").alias("__avg_qty")
     )
     return (
-        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        li_brand.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(part_avg, F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
         .agg((as_double(F.sum(dec("l_extendedprice"))) / 7.0).alias("avg_yearly"))
@@ -421,22 +437,28 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey
 """,
 )
 def q96_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §2.4 "don't compute things twice"): the HAVING aggregate
+    # already IS the output's total_qty — the grouping keys are all
+    # orderkey-functional (one customer per order), so re-joining the
+    # qualifying orders back onto lineitem and re-summing the same
+    # quantities was a second full lineitem pass + semi-join for a value
+    # the first aggregate had computed.  One lineitem aggregate, then the
+    # tiny (> 250) survivor set joins orders/customer directly.
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__s"))
-        .filter(F.col("__s") > 250)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
     )
     return (
-        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
-        .join(li.join(big.withColumnRenamed("l_orderkey", "__ok"),
-                      F.col("l_orderkey") == F.col("__ok"), "left_semi"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        o.join(big, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
 
