@@ -1866,13 +1866,37 @@ def q109_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Length-distribution diagnostics are covered by q141_length_outliers in
-# corpus.py (per-language tail fractions over n_chars — the decision
-# form of the same distribution scan) and the bucketed groupBy-computed-
-# key aggregate shape by q148_zipf_slope / q12_rollup; the width-10
-# token-count histogram q110_length_histogram was consolidated r14 for
-# registry capacity (VERDICT r13 ask #1).
+# q110 — sequence-length histogram (packing diagnostics): token-count
+# buckets of width 10.  Map-only bucket assignment + one shuffle.
+# (Briefly consolidated into q141/q148 mid-r14; restored — the driver
+# contract forbids removing a declared query once certified.)
 # --------------------------------------------------------------------------
+@query(
+    "q110_length_histogram",
+    oracle=r"""
+SELECT CAST(FLOOR(LEN(string_split(text, ' ')) / 10) AS BIGINT) * 10 AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY bucket_lo
+ORDER BY bucket_lo
+""",
+)
+def q110_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.floor(F.size(F.split("text", " ")) / 10).cast("bigint") * 10).alias(
+        "bucket_lo"
+    )
+    return (
+        d.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("bucket_lo")
+    )
 
 
 # --------------------------------------------------------------------------

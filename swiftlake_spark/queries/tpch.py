@@ -100,12 +100,45 @@ def q86_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# TPC-H Q4 (order-priority checking) is covered by q63_exists_subquery
-# in extended.py: the same correlated-EXISTS → left-semi → grouped-count
-# plan shape over the same orders/lineitem pair (the former
-# q87_order_priority differed only in filter constants; consolidated
-# r14 for registry capacity, VERDICT r13 ask #1).
+# q87 — TPC-H Q4 shape: order-priority checking via EXISTS (left-semi
+# join).  "Late" = any lineitem shipped >30 days after the order date.
+# (Briefly consolidated into q63_exists_subquery mid-r14; restored — the
+# driver contract forbids removing a declared query once certified.)
 # --------------------------------------------------------------------------
+@query(
+    "q87_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q87_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    of = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = of.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -317,14 +350,45 @@ def q92_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# TPC-H Q15 (top supplier — grouped revenue + extremum-equality join) is
-# covered by q86_min_cost_supplier above: the identical decorrelated
-# shape (grouped aggregate → extremum → equality join back), in the
-# HARDER per-group form (Q15's scalar MAX is the single-group special
-# case; the global-max variant q93_top_supplier was consolidated r14 for
-# registry capacity, VERDICT r13 ask #1).  q61_scalar_subquery keeps the
-# scalar-subquery SQL surface itself certified.
+# q93 — TPC-H Q15 shape: top supplier via CTE + scalar MAX subquery.
+# (Briefly consolidated into q86/q61 mid-r14; restored — the driver
+# contract forbids removing a declared query once certified.)
 # --------------------------------------------------------------------------
+@query(
+    "q93_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q93_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(as_double(F.sum(_rev())).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
 
 
 # --------------------------------------------------------------------------
