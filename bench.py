@@ -93,6 +93,10 @@ def main() -> int:
         "q119_sql_pruned_scan", "q121_merge_into",
         "q129_sql_ddl_lifecycle", "q137_merge_not_matched_by_source",
         "q138_sql_merge_full_sync",
+        # r14: q155's first call builds the persisted signature-index
+        # warehouse (a CTAS, not the probe under test) — same fixture
+        # class as the DML queries above
+        "q155_incremental_dedup",
     ]
     fixture_warm: dict[str, float] = {}
     for fq in _FIXTURE_QUERIES:

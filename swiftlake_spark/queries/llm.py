@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from swiftlake_spark.queries import query
-from swiftlake_spark.queries.base import as_double, dec, load
+from swiftlake_spark.queries.base import as_double, dec, load, spread
 
 
 # --------------------------------------------------------------------------
@@ -309,7 +309,9 @@ ORDER BY label, lang_pred
 def q45_langid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swiftlake_spark.operators.text import lang_id
 
-    d = lang_id(load(spark, sf_dir, "documents"))
+    # spread (guide §2.5): the langid token filters run per row ahead of
+    # the aggregate — don't serialize them on a single scan split
+    d = lang_id(spread(load(spark, sf_dir, "documents")))
     toks = F.split("text", " ")
     en_markers = F.size(F.filter(toks, lambda w: w.isin("the", "a")))
     scored = d.select(
@@ -541,7 +543,9 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # spread (guide §2.5): the 16-way md5 MinHash fold over every shingle
+    # is the heaviest per-row stage in the dedup family
+    d = spread(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
     sh = shingles(d, "doc_id", "text", 3)
     sig = minhash_signatures(sh, _MINHASH_K, hash_fn="md5")
     out = band_keys(
@@ -2090,20 +2094,24 @@ ORDER BY doc_id
 """,
 )
 def q116_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5 hoist (guide §1.2): hash each token ONCE in the projection
+    # below the bit explode — the old shape recomputed md5(tok) in every
+    # one of the 32 exploded bit rows
     d = (
         load(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 300) & (F.col("text") != ""))
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", F.md5("tok").alias("__h"))
     )
     bits = d.select(
         "doc_id",
-        "tok",
+        "__h",
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
     ).withColumn(
         "nib",
         F.instr(
             F.lit("0123456789abcdef"),
-            F.substring(F.md5("tok"), F.lit(1) + F.expr("CAST(b div 4 AS INT)"), 1),
+            F.substring(F.col("__h"), F.lit(1) + F.expr("CAST(b div 4 AS INT)"), 1),
         )
         - 1,
     )
@@ -3131,7 +3139,9 @@ def q155_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = SwiftLakeEngine(spark, warehouse=_q155_warehouse(spark, sf_dir))
     index_bands = eng.catalog.load("db.q155_sig_index")
     index_bloom = eng.catalog.load("db.q155_sig_bloom")
-    new_batch = (
+    # spread (guide §2.5): the batch side pays the 16-way md5 MinHash
+    # fold over every shingle — the heaviest per-row stage of the probe
+    new_batch = spread(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") >= 300)
         .select("doc_id", "text")

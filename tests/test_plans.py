@@ -136,16 +136,27 @@ def test_q88_all_filters_reach_scan(spark, queries):
 
 
 def test_q99_semi_anti_no_cartesian(spark, queries):
-    """TPC-H Q21 shape: EXISTS/NOT EXISTS become semi/anti joins — no
-    nested-loop re-scan per outer row."""
+    """TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair is rewritten (r14) to
+    per-order min/max aggregates attached via semi joins — the LeftAnti
+    against a lineitem-sized relation is gone by design, and no
+    nested-loop re-scan per outer row may appear."""
     plan = formatted_plan(queries["q99_waiting_orders"](spark, SF))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
-    assert "CartesianProduct" not in plan
-
-
-def test_q96_having_in_becomes_semi_join(spark, queries):
-    plan = formatted_plan(queries["q96_large_volume_customer"](spark, SF))
     assert "LeftSemi" in plan
+    assert "LeftAnti" not in plan  # replaced by the n_late = 1 aggregate
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q96_single_lineitem_pass(spark, queries):
+    """HAVING-IN rewritten (r14): the qualifying aggregate IS the output
+    total_qty, so lineitem is scanned exactly once — the old semi-join
+    re-pass (a second full lineitem scan) must not come back."""
+    plan = formatted_plan(queries["q96_large_volume_customer"](spark, SF))
+    lineitem_scans = [
+        l for l in plan.splitlines()
+        if "Location:" in l and "lineitem.parquet" in l
+    ]
+    assert len(lineitem_scans) == 1, plan
     assert "CartesianProduct" not in plan
 
 
