@@ -913,6 +913,13 @@ def editdist_near_dups(
     # (measured 6.7 s → sub-second on the sf0.1 document surface).
     dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), max_dist)
     cond = cond & (dist >= 0)
+    # r14 (guide §3.1): both sides are corpus-proportional, so a
+    # broadcast is wrong at every scale (the similarity operators pin
+    # the same rule) — and locally it fused the whole Levenshtein DP
+    # into the single-split stream stage.  shuffle_hash partitions both
+    # sides by the block key, so the per-pair DP parallelizes across
+    # blocks and no corpus-sized relation is ever collected.
+    b = b.hint("shuffle_hash")
     return a.join(b, cond).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
