@@ -191,6 +191,7 @@ def incremental_dedup(
     broadcast_new: bool = True,
     index_bloom_bits: DataFrame | None = None,
     within_batch: bool = False,
+    materialize_batch: bool = True,
 ) -> DataFrame:
     """Near-dup flag a NEW batch against a PERSISTED signature index —
     the standard incremental-crawl pattern: the old corpus is never
@@ -207,6 +208,14 @@ def incremental_dedup(
     the inline build) — the pre-filter then reads the few-KB bloom
     instead of deriving it from the index, so a batch with no matches
     never scans the index at all.
+
+    ``materialize_batch=True`` (default) computes the batch band keys
+    exactly once (eager ``localCheckpoint``) instead of re-deriving the
+    shingle → MinHash fold under every broadcast branch of the plan
+    (bloom flags, flag join, probe, hits) — measured 4 evaluations
+    without it.  The materialized relation is ``bands × |batch|`` rows
+    regardless of document size.  Set False to keep a fully lazy plan
+    (e.g. when the caller manages its own persistence).
 
     ``within_batch=True`` additionally flags documents that duplicate
     an EARLIER document of the SAME batch (lower id wins — the keeper
@@ -238,7 +247,22 @@ def incremental_dedup(
         new_df, id_col, text_col,
         shingle_k=shingle_k, n_hashes=n_hashes, bands=bands, hash_fn=hash_fn,
     )
-    if within_batch:
+    if materialize_batch:
+        # The batch band keys (bands × |batch| rows — the SMALL relation)
+        # feed every downstream branch: the bloom flag build, the flag
+        # join, the broadcast probe, and the hits relation that is itself
+        # broadcast into the final flag join.  Each branch executes as
+        # its own broadcast-exchange job, so without materialization the
+        # shingle → n_hashes-way MinHash fold over the batch TEXT (the
+        # expensive per-row stage) re-runs once per branch — measured 4×
+        # at sf0.1 (r14, guide §2.4/§5 "cache only when recomputing
+        # costs more").  An EAGER localCheckpoint computes it exactly
+        # once per call and truncates lineage; unlike persist() it does
+        # not register the plan in the CacheManager, so two separate
+        # invocations of the same query never alias each other's cached
+        # data (each pass honestly recomputes from the parquet inputs).
+        all_new_bands = all_new_bands.localCheckpoint(eager=True)
+    elif within_batch:
         # batch keys feed two consumers (index probe + self-join) —
         # persist, or the shingle/signature pass runs twice
         all_new_bands = all_new_bands.persist()
