@@ -635,42 +635,54 @@ def quantize_int8_stats(
 
     Engine-portable determinism: ``floor(x·s + 0.5)`` instead of
     ``round`` (rounding modes differ across engines; floor is exact
-    IEEE), per-element errors route through DECIMAL(28,12) before the
-    order-dependent sum.  The EXACT decimal sum (``err_sum``) and the
-    element count are returned alongside the double mean so downstream
-    aggregation can stay in decimals — re-casting a full-precision
-    double quotient to DECIMAL is where engines' rounding of the last
-    digit diverges (measured: Spark vs DuckDB disagree on the 12th
-    decimal of ``err_mean``).  Zero vectors quantize to 0, zero error.
+    IEEE), per-element errors route through a scale-12 DECIMAL before
+    the order-dependent sum.  The EXACT decimal sum (``err_sum``) and
+    the element count are returned alongside the double mean so
+    downstream aggregation can stay in decimals — re-casting a
+    full-precision double quotient to DECIMAL is where engines'
+    rounding of the last digit diverges (measured: Spark vs DuckDB
+    disagree on the 12th decimal of ``err_mean``).  Zero vectors
+    quantize to 0, zero error.
 
-    Scale: one explode pass; per-vector max and the error mean are one
-    shuffle each on the vector id (map-side combine on both) — no
-    all-pairs, no driver state, no Python in the hot path.
+    Scale (r14, guide §2.4/§3.3): everything is per-row array
+    expressions — the per-vector max, the quantized errors and their
+    exact decimal sum never leave the row, so there is NO element
+    explode, NO per-id max shuffle and NO join back onto the element
+    stream (the pre-r14 shape exploded the vector twice and
+    broadcast-joined the per-id max against the exploded elements —
+    an element-cardinality aggregate at any scale).  Per-vector state
+    is the vector itself; downstream aggregates combine map-side.
+
+    Decimal exactness inside ``aggregate()``: a DECIMAL(37,12)
+    accumulator plus DECIMAL(27,12) element terms keeps every addition
+    at precision 38, so Spark never reduces the scale (a (38,12) two-
+    sided add would round to scale 11); the same-scale cast back to
+    (37,12) is overflow-checked, never rounded, and the final widen to
+    DECIMAL(38,12) matches the old ``sum(DECIMAL(28,12))`` output type
+    bit-for-bit (verified value-equal across the whole embeddings
+    fixture and pinned by the oracle hash).
     """
-    els = df.select(
+    base = df.filter(F.size(F.col(vec_col)) > 0).select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("label"),
-        F.explode(F.col(vec_col)).alias("xf"),
-    ).select("id", "label", F.col("xf").cast("double").alias("x"))
-    mx = els.groupBy("id").agg(F.max(F.abs(F.col("x"))).alias("m"))
-    scale = F.lit(127.0) / F.col("m")
-    qv = F.floor(F.col("x") * scale + F.lit(0.5))
-    joined = els.join(mx, "id").select(
+        F.expr(
+            f"array_max(transform({vec_col}, xf -> abs(CAST(xf AS DOUBLE))))"
+        ).alias("m"),
+        F.col(vec_col).alias("__vec"),
+    )
+    q_expr = "FLOOR(CAST(xf AS DOUBLE) * (127.0D / m) + 0.5D)"
+    err_expr = f"abs(CAST(xf AS DOUBLE) - {q_expr} / (127.0D / m))"
+    term = f"CAST(IF(m > 0, {err_expr}, 0.0D) AS DECIMAL(27,12))"
+    return base.select(
         "id",
         "label",
-        F.when(F.col("m") > 0, qv).otherwise(F.lit(0)).alias("q"),
-        F.when(
-            F.col("m") > 0, F.abs(F.col("x") - qv / scale)
-        ).otherwise(F.lit(0.0)).alias("err"),
-    )
-    return (
-        joined.groupBy("id", "label")
-        .agg(
-            F.sum(F.col("err").cast("decimal(28,12)")).alias("err_sum"),
-            F.count(F.lit(1)).alias("n_els"),
-            F.max(F.abs(F.col("q"))).alias("max_q"),
-        )
-        .withColumn(
-            "err_mean", F.col("err_sum").cast("double") / F.col("n_els")
-        )
-    )
+        F.expr(
+            "CAST(aggregate(__vec, CAST(0 AS DECIMAL(37,12)), (acc, xf) -> "
+            f"CAST(acc + coalesce({term}, CAST(0 AS DECIMAL(27,12))) "
+            "AS DECIMAL(37,12))) AS DECIMAL(38,12))"
+        ).alias("err_sum"),
+        F.size("__vec").cast("bigint").alias("n_els"),
+        F.expr(
+            f"IF(m > 0, array_max(transform(__vec, xf -> abs({q_expr}))), 0L)"
+        ).alias("max_q"),
+    ).withColumn("err_mean", F.col("err_sum").cast("double") / F.col("n_els"))

@@ -315,6 +315,43 @@ def test_quantize_int8_stats_known_values(spark):
     assert out[3]["max_q"] == 127 and out[3]["err_mean"] == pytest.approx(0.0, abs=1e-12)
 
 
+def test_quantize_int8_stats_exact_decimal_sum(spark):
+    """Pin the r14 per-row rewrite's decimal exactness: ``err_sum`` must
+    equal the EXACT sum of the per-element errors each rounded (half-up)
+    to 12 decimals — the DECIMAL(28,12)-quantization contract of the
+    pre-r14 explode/sum shape — with no scale-11 reduction sneaking in
+    through ``aggregate()``'s add-type promotion, and the output column
+    must keep the DecimalType(38,12)/bigint schema the oracle hashes."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pyspark.sql.types import DecimalType, LongType
+
+    from swiftlake_spark.operators.similarity import quantize_int8_stats
+
+    # 40 elements whose errors exercise the 12th decimal digit
+    vec = [((-1) ** i) * (0.013 + i * 0.0137) for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, vec, 0)], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    row = quantize_int8_stats(df, "vec_id", "embedding", "label").collect()[0]
+    xs = [float(__import__("numpy").float32(v)) for v in vec]
+    m = max(abs(x) for x in xs)
+    scale = 127.0 / m
+    want = Decimal(0)
+    for x in xs:
+        q = math.floor(x * scale + 0.5)
+        want += Decimal(repr(abs(x - q / scale))).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+    assert row["err_sum"] == want
+    assert row["n_els"] == 40
+    schema = {f.name: f.dataType for f in quantize_int8_stats(
+        df, "vec_id", "embedding", "label").schema.fields}
+    assert schema["err_sum"] == DecimalType(38, 12)
+    assert schema["n_els"] == LongType()
+
+
 # ------------------------------------------------------ ngram_repetition
 
 
