@@ -894,16 +894,25 @@ ORDER BY l_returnflag
 """,
 )
 def q25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §2.3 "aggregate before you shuffle"): mixing COUNT(DISTINCT)
+    # with a non-distinct aggregate (the HLL sketch) makes Spark Expand every
+    # input row x2 (one projection per aggregate class) before the first
+    # partial aggregate.  Pre-distincting the (flag, partkey) pairs removes
+    # the Expand: the exact count becomes a plain COUNT over the distinct
+    # pairs, and the HLL sketch is duplicate-insensitive (register updates
+    # are max-idempotent), so approx_count_distinct over distinct values is
+    # bit-identical to the sketch over the raw stream.  Verified value-equal
+    # vs the old shape at sf0.1 and oracle-proven; 1.00 -> 0.70 s min-of-5.
     li = load(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    cnt = F.count(F.lit(1))
     return (
-        li.groupBy("l_returnflag")
+        pairs.groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
+            cnt.alias("exact_parts"),
             (
-                F.abs(
-                    F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
-                ) * 100
-                <= F.countDistinct("l_partkey") * 15
+                F.abs(F.approx_count_distinct("l_partkey") - cnt) * 100
+                <= cnt * 15
             ).alias("approx_ok"),
         )
         .orderBy("l_returnflag")
