@@ -193,8 +193,14 @@ def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
+    # r14 (guide §2.4): distinctness here is PER DOCUMENT (doc_id rides
+    # every row), so enforce it map-side with array_distinct on the
+    # shingle array BEFORE the explode — the old .distinct() paid a
+    # corpus-sized (doc_id, sh) shuffle per consumer branch for a dedup
+    # each row can do locally.  Identical multiset, verified value-equal
+    # at sf0.1 and oracle-proven; 0.49 -> 0.32 s min-of-5.
     shingles = (
-        d.select("doc_id", F.explode(shingle_arr).alias("sh")).distinct()
+        d.select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("sh"))
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("a")
