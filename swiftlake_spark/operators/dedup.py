@@ -424,7 +424,6 @@ def connected_components(
     max_iter: int = 25,
     *,
     distinct_pairs: bool = False,
-    adaptive_rounds_min_nodes: int = 50_000_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into connected components: (id, cluster_id).
 
@@ -449,21 +448,22 @@ def connected_components(
       a fixpoint.  One Spark job per round, no row collect anywhere;
     - the edge list is persisted once and reused every round.
 
-    r14 (guide §2.4, §1.2):
+    r14 (guide §2.4): ``distinct_pairs=True`` asserts the input is a
+    CANONICAL pair list (distinct, ``id_a < id_b`` on every row) — then
+    the symmetrized union is distinct by construction ((a,b) and (b,a)
+    cannot collide when a<b), so the full edge-dedup shuffle is skipped.
+    All the LSH candidate generators in this package emit canonical
+    pairs.
 
-    - ``distinct_pairs=True`` asserts the input is a CANONICAL pair list
-      (distinct, ``id_a < id_b`` on every row) — then the symmetrized
-      union is distinct by construction ((a,b) and (b,a) cannot collide
-      when a<b), so the full edge-dedup shuffle is skipped.  All the
-      LSH candidate generators in this package emit canonical pairs;
-    - the label tables the rounds shuffle are ≤ |nodes| rows, and the
-      init observation counts |nodes| exactly.  Below
-      ``adaptive_rounds_min_nodes`` the per-round relations are far too
-      small for adaptive re-planning to matter, so AQE is switched off
-      for the round materializations (restored after): each round then
-      runs as ONE scheduler job instead of one job per query stage.
-      Above the threshold (billions of nodes — label shuffles in the
-      tens of GB) AQE stays on for coalescing/skew handling.
+    r15: the r14 "AQE off below 50M nodes → one scheduler job per
+    round" toggle is REVERTED.  The local[32] A/B that justified it did
+    not transfer: the r14 driver run regressed all three CC consumers
+    (q117 −46%, q105 −19%, q102 −20%) because with AQE off every
+    round's label shuffle runs at the static shuffle-partition count
+    (32 near-empty tasks per stage) instead of coalescing to the 1-2
+    partitions the tiny label relations need.  AQE stays ON for the
+    round materializations at every scale — coalescing locally, skew
+    handling at billions of nodes (guide §2.1 "let AQE coalesce").
     """
     from pyspark.sql import Observation
 
@@ -476,42 +476,31 @@ def connected_components(
     edges.persist()
 
     # decimal(38,0) keeps the checksum overflow-safe at billions of nodes
-    def _materialize(df, with_count=False):
+    def _materialize(df):
         obs = Observation()
-        metrics = [F.sum(F.col("label").cast("decimal(38,0)")).alias("s")]
-        if with_count:
-            metrics.append(F.count(F.lit(1)).alias("n"))
-        out = df.observe(obs, *metrics).localCheckpoint(eager=True)
-        got = obs.get
-        return out, got["s"], (got["n"] if with_count else None)
+        out = df.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint(eager=True)
+        return out, obs.get["s"]
 
     # init = first propagation round: min over self + direct neighbors
-    labels, prev_sum, n_nodes = _materialize(
+    labels, prev_sum = _materialize(
         edges.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .select(F.col("src").alias("id"), "label"),
-        with_count=True,
     )
-    spark = pairs.sparkSession
-    aqe_key = "spark.sql.adaptive.enabled"
-    aqe_before = spark.conf.get(aqe_key, "true")
-    try:
-        if (n_nodes or 0) < adaptive_rounds_min_nodes:
-            spark.conf.set(aqe_key, "false")
-        for _ in range(max_iter - 1):
-            prop = edges.join(labels, edges["src"] == labels["id"]).select(
-                F.col("dst").alias("id"), "label"
-            )
-            labels, new_sum, _ = _materialize(
-                labels.unionByName(prop)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
-            )
-            if new_sum == prev_sum:
-                break
-            prev_sum = new_sum
-    finally:
-        spark.conf.set(aqe_key, aqe_before)
+    for _ in range(max_iter - 1):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        labels, new_sum = _materialize(
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
