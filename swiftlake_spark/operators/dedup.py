@@ -168,9 +168,19 @@ def signature_index(
     mins) instead of paying a full (id, shingle) distinct shuffle
     first.  One shuffle for the whole text → band-keys pass.
     ``minhash_lsh_dedup`` keeps the distinct frame because it re-uses
-    it for exact-Jaccard verification, where multiplicity matters."""
-    sh_all = df.select(
-        F.col(id_col).alias("id"),
+    it for exact-Jaccard verification, where multiplicity matters.
+
+    r15 (guide §2.5): the scale-adaptive ``spread`` lives HERE, on the
+    operator's own input, rather than at each call site — the
+    n_hashes-way hash fold over every shingle is exactly the extreme
+    per-row stage the r14 A/B measured spread() winning on (q155's
+    probe 2.47→1.88 s), and placing it inside means the CALLER's
+    relation keeps its natural partitioning (q155's final flag join no
+    longer re-pays a 32-way repartition just to project batch ids)."""
+    from swiftlake_spark.operators.parallelism import spread
+
+    sh_all = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
         F.explode(shingle_array(text_col, shingle_k)).alias("sh"),
     )
     sig = minhash_signatures(sh_all, n_hashes, hash_fn)
@@ -231,15 +241,20 @@ def incremental_dedup(
       side.  ``broadcast_new=True`` broadcasts them, so the index scan
       is one map-side pass: NO shuffle of the index, the property that
       makes daily increments affordable against a 100 TB corpus;
-    - ``bloom_prefilter=True`` first probes the batch keys against a
-      bloom of the index keys (:func:`bloom_membership` — the set-bits
-      relation is bounded by m rows and broadcast): batch keys that
+    - ``bloom_prefilter=True`` with a PERSISTED ``index_bloom_bits``
+      relation probes the batch keys against the bloom of the index
+      keys (k chained broadcast semi-joins on the few-KB set-bits
+      relation — fully map-side, no batch shuffle): batch keys that
       cannot be in the index never reach the join.  Zero false
       negatives by construction, so the RESULT is identical with the
       filter on or off — false positives only cost join work.  In a
       real deployment the set-bits relation is persisted next to the
       index and the index scan is skipped entirely when nothing
-      survives;
+      survives.  Without ``index_bloom_bits`` the pre-filter is SKIPPED
+      (r15): deriving the bloom inline costs a full extra index pass to
+      save part of the one map-side index pass the probe join already
+      is — a strict loss at every scale, and result-invariant either
+      way;
     - the per-new-doc aggregate and the flag join back onto the batch
       shuffle only batch-sized relations.
     """
@@ -270,16 +285,45 @@ def incremental_dedup(
         F.col("id").alias("__old_id"), "band", "bh"
     )
     new_bands = all_new_bands
-    if bloom_prefilter:
+    if bloom_prefilter and index_bloom_bits is not None:
+        # r15 (guide §2.4 "remove shuffles outright"): the bloom probe is
+        # fused into the batch band-key stream as k chained broadcast
+        # LEFT SEMI joins against the persisted set-bits relation (tiny:
+        # <= 2^bits_per_pos rows).  A row survives iff ALL k of its
+        # MD5-derived positions are set — the classic bloom AND, zero
+        # false negatives by construction, so the result is identical
+        # with the filter on or off (pinned by tests).  The r14 shape
+        # routed through bloom_membership (distinct probe values →
+        # explode → semi-join → count==k → flag join back onto the
+        # batch): three batch-sized exchanges and ~4 scheduler jobs for
+        # the same filter; the semi-join chain is fully map-side.  (A
+        # single-broadcast variant folding the bits into a one-row
+        # lookup map measured 2x SLOWER: Spark map lookups are linear
+        # scans, so element_at over 2^16 entries costs ~32k comparisons
+        # per probe position.)  k/bits must match the build — the
+        # bloom_positions defaults on both sides.
         key = F.concat_ws(":", F.col("band").cast("string"),
                           F.col("bh").cast("string"))
-        flagged = bloom_membership(
-            idx.select(key.alias("__bk")),
-            new_bands.select("id", "band", "bh", key.alias("__bk")),
-            "__bk", "id", out_col="__maybe",
-            set_bits=index_bloom_bits,
-        )
-        new_bands = flagged.filter(F.col("__maybe")).select("id", "band", "bh")
+        set_bits = F.broadcast(index_bloom_bits.select(
+            F.col(index_bloom_bits.columns[0]).alias("__p")))
+        flt = new_bands.withColumn("__pos", bloom_positions(key))
+        for i in range(5):  # k — the bloom_positions default
+            flt = flt.join(
+                set_bits, F.get(F.col("__pos"), i) == F.col("__p"),
+                "left_semi",
+            )
+        new_bands = flt.select("id", "band", "bh")
+    elif bloom_prefilter and index_bloom_bits is None:
+        # r15: deriving the bloom from the index INLINE is a strict loss
+        # at every scale — it costs a full extra index pass to build a
+        # filter whose only purpose is to avoid index work, while the
+        # probe join below is already one map-side index pass (the batch
+        # side is broadcast).  The pre-filter is result-invariant (zero
+        # false negatives), so it is applied only when a PERSISTED
+        # set-bits relation is supplied (``index_bloom_bits`` — the
+        # documented incremental-crawl deployment shape, built once by
+        # :func:`bloom_bits` next to the index).
+        pass
     probe = new_bands.select(F.col("id").alias("__new_id"), "band", "bh")
     if broadcast_new:
         probe = F.broadcast(probe)

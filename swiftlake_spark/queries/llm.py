@@ -3145,9 +3145,11 @@ def q155_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = SwiftLakeEngine(spark, warehouse=_q155_warehouse(spark, sf_dir))
     index_bands = eng.catalog.load("db.q155_sig_index")
     index_bloom = eng.catalog.load("db.q155_sig_bloom")
-    # spread (guide §2.5): the batch side pays the 16-way md5 MinHash
-    # fold over every shingle — the heaviest per-row stage of the probe
-    new_batch = spread(
+    # r15: the scale-adaptive spread for the 16-way md5 fold now lives
+    # inside signature_index itself, so the RAW batch goes in — the
+    # operator's final flag join then projects batch ids off the plain
+    # scan instead of re-paying a 32-way repartition (guide §2.4)
+    new_batch = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") >= 300)
         .select("doc_id", "text")
