@@ -749,7 +749,17 @@ def gram_positions(
     32-byte md5 key.  The raw material of :func:`duplicate_spans`, split
     out so callers can ``persist`` it when it is traversed twice in one
     plan (the dup-detection aggregate AND the join-back both consume it;
-    without reuse Spark re-explodes the corpus per branch)."""
+    without reuse Spark re-explodes the corpus per branch).
+
+    r15 (guide §2.5): the scale-adaptive ``spread`` is applied to the
+    operator's own input — one md5 over an n-token concat PER WORD
+    POSITION is the same extreme per-row fold family as the MinHash
+    signatures, and it measured 1.44 → 0.28 s on the sf0.1 corpus
+    (min-of-4 A/B) when the single-split fixture scan is repartitioned.
+    On any multi-row-group production source spread() is a no-op."""
+    from swiftlake_spark.operators.parallelism import spread
+
+    df = spread(df.select(F.col(id_col), F.col(text_col)))
     w = F.split(F.col(text_col), split)
     arr = F.aggregate(
         F.array(w),

@@ -88,13 +88,23 @@ def q123_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app, sf_dir)
     grams = registry.get_persisted("q123_grams", key)
     if grams is None:
+        from swiftlake_spark.operators.parallelism import needs_spread
+
         level = storage_level_from_env("SWIFTLAKE_GRAMS_STORAGE")
-        grams = registry.put_persisted(
-            "q123_grams",
-            key,
-            gram_positions(d, "doc_id", "text", n=8).persist(level),
-            app_id=app,
-        )
+        g = gram_positions(d, "doc_id", "text", n=8)
+        # r15 (guide §2.5): gram_positions spread-widens the md5 fold on
+        # a narrow local scan (build 2.4 → 1.3 s cold).  The PERSISTED
+        # copy, though, is traversed every warm pass by two consumers,
+        # and caching it at defaultParallelism partitions costs ~0.2 s
+        # of extra per-task floor per pass — so when (and only when) the
+        # source scan was narrow enough for spread to have fired, the
+        # cache is re-keyed through an AQE-coalesced exchange on the
+        # dup-detection key.  At production scan widths both the spread
+        # and this exchange are no-ops (needs_spread is False).
+        if needs_spread(d.select("doc_id", "text")):
+            g = g.repartition(F.col("gh"))
+        grams = registry.put_persisted("q123_grams", key, g.persist(level),
+                                       app_id=app)
     spans = duplicate_spans(d, "doc_id", "text", n=8, min_docs=2, grams=grams)
     return (
         spans.groupBy(F.col("id").alias("doc_id"))

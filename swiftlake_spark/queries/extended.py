@@ -764,6 +764,17 @@ def q78_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The exact-median bottleneck is the 6-way group cardinality, which no
 # reshuffle of this query fixes; the object-agg buffer caveat at
 # extreme scale stands and is documented in OPTIMIZATION_r14.md.
+#
+# r15 attempt #4 (VERDICT r14 ask), MEASURED AND NOT LANDED: decomposed
+# cost shows median(l_orderkey) alone is 0.90 s of the 1.65 s (147k
+# distinct boxed keys through the interpreted Percentile buffer; the
+# scan is 0.19 s, median(l_quantity) 0.36 s).  A frequency-weighted
+# two-pass ("percentile(l_orderkey, 0.5, cnt)" over a codegen'd
+# (group, orderkey) count pre-aggregate, broadcast-joined back to the
+# one-pass aggregate of the other three columns) measured a same-tide
+# WASH (1.18 vs 1.24 settled min-of-6, values bit-equal) while costing
+# a SECOND full lineitem scan — strictly worse at 100 TB.  The one-scan
+# form stands; item closed per the four-attempts rule.
 # --------------------------------------------------------------------------
 
 @query(
