@@ -199,6 +199,13 @@ def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized (doc_id, sh) shuffle per consumer branch for a dedup
     # each row can do locally.  Identical multiset, verified value-equal
     # at sf0.1 and oracle-proven; 0.49 -> 0.32 s min-of-5.
+    # PRECONDITION (ADVICE r14): the per-row array_distinct equals the
+    # oracle's global SELECT DISTINCT (doc_id, shingle) only because
+    # doc_id is UNIQUE per row of documents (one text per doc_id — the
+    # corpus fixture contract).  If a future fixture emitted the same
+    # doc_id on multiple rows, cross-row duplicates would survive here
+    # and q43 would diverge from the oracle; restore a global distinct
+    # in that world.
     shingles = (
         d.select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("sh"))
     )

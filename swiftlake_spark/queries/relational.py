@@ -905,7 +905,11 @@ def q25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs the old shape at sf0.1 and oracle-proven; 1.00 -> 0.70 s min-of-5.
     li = load(spark, sf_dir, "lineitem")
     pairs = li.select("l_returnflag", "l_partkey").distinct()
-    cnt = F.count(F.lit(1))
+    # r15 (ADVICE r14): count the COLUMN, not lit(1) — COUNT(l_partkey)
+    # skips NULLs exactly like the oracle's COUNT(DISTINCT l_partkey)
+    # (and like the pre-r14 countDistinct), so a NULL partkey surviving
+    # the distinct cannot inflate exact_parts.
+    cnt = F.count("l_partkey")
     return (
         pairs.groupBy("l_returnflag")
         .agg(
